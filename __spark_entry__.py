@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the implemented operator surface from SURVEY.md
+§2 as (spark, sf_dir) -> DataFrame callables; ``oracle_sql()`` gives
+the DuckDB-equivalent ANSI SQL for every SQL-expressible operator.
+Solver-backed queries (optimal binning itself — the CP/MIP-equivalent
+DP optimum) are intentionally oracle-free: the optimizer is not
+SQL-expressible; the data plane feeding it is, and is covered by the
+fixed-splits queries.
+
+Conventions: every float output is rounded identically on both sides;
+every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +17,676 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+# -- shared fixtures -----------------------------------------------------
+
+PRICE_SPLITS = [20000.0, 40000.0, 60000.0, 80000.0]
+ORDER_SPLITS = [100000.0, 200000.0, 300000.0, 400000.0]
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _lineitem(spark, sf_dir):
+    return spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "y", (F.col("l_returnflag") == "R").cast("int")
+    )
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(_t(sf_dir, "orders")).withColumn(
+        "y", (F.col("o_orderstatus") == "F").cast("int")
+    )
+
+
+def _bin_expr(col, splits):
+    from optbinning_spark.operators.preprocessing import numeric_bin_expr
+
+    return numeric_bin_expr(col, splits)
+
+
+# -- SQL-checkable queries ----------------------------------------------
+
+
+def q_sample_class_counts(spark, sf_dir):
+    """P1-P3 + J7: sample-class routing with named special groups."""
+    from optbinning_spark.operators.preprocessing import sample_class_expr
+
+    df = _lineitem(spark, sf_dir)
+    sclass = sample_class_expr(
+        F.col("l_quantity"), "numerical", {"low": [1.0, 2.0], "mid": [25.0]}
+    )
+    return (
+        df.groupBy(sclass.alias("sample_class"))
+        .agg(F.count("*").alias("n_rows"), F.sum("y").alias("n_event"))
+    )
+
+
+def q_prebin_counts(spark, sf_dir):
+    """A1: per-bin weighted binary counts on fixed splits."""
+    df = _lineitem(spark, sf_dir)
+    b = _bin_expr(F.col("l_extendedprice"), PRICE_SPLITS)
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("n_nonevent"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("n_event"),
+        )
+    )
+
+
+def q_binning_table_fixed(spark, sf_dir):
+    """M1-M2: binning table with event rate / WoE / IV on fixed splits,
+    computed fully distributed (agg + broadcast of totals)."""
+    df = _lineitem(spark, sf_dir)
+    b = _bin_expr(F.col("l_extendedprice"), PRICE_SPLITS)
+    agg = df.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("count"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("n_nonevent"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("n_event"),
+    )
+    tot = agg.agg(
+        F.sum("n_nonevent").alias("t_ne"), F.sum("n_event").alias("t_ev")
+    )
+    q = F.col("n_nonevent") / F.col("t_ne")
+    p = F.col("n_event") / F.col("t_ev")
+    woe = F.log(q / p)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "count",
+            "n_nonevent",
+            "n_event",
+            F.round(F.col("n_event") / F.col("count"), 6).alias("event_rate"),
+            F.round(woe, 6).alias("woe"),
+            F.round((q - p) * woe, 6).alias("iv"),
+        )
+    )
+
+
+def q_woe_transform(spark, sf_dir):
+    """F1 + J1: per-row WoE transform through fitted fixed-split bins
+    (fit = one agg; transform = map-only CASE, no shuffle)."""
+    from optbinning_spark import OptimalBinning
+
+    df = _lineitem(spark, sf_dir)
+    ob = OptimalBinning(
+        user_splits=PRICE_SPLITS, monotonic_trend=None, dtype="numerical"
+    )
+    ob.fit(df, "l_extendedprice", "y")
+    out = ob.transform(df, "l_extendedprice", metric="woe", out_col="woe")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round(F.col("woe"), 6).alias("woe")
+    )
+
+
+def q_event_rate_order(spark, sf_dir):
+    """J4/W1: categorical event-rate ordinal ordering."""
+    df = _orders(spark, sf_dir)
+    agg = df.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count("*").alias("n_rows"), F.sum("y").alias("n_event")
+    )
+    er = F.col("n_event") / F.col("n_rows")
+    w = W.orderBy(er.asc(), F.col("category").asc())
+    return agg.select(
+        "category",
+        "n_rows",
+        "n_event",
+        F.round(er, 6).alias("event_rate"),
+        F.row_number().over(w).alias("ordinal"),
+    )
+
+
+def q_quantile_splits(spark, sf_dir):
+    """B2 (exact variant): deterministic percentile split proposal."""
+    df = _lineitem(spark, sf_dir)
+    probs = [0.2, 0.4, 0.6, 0.8]
+    qs = df.agg(
+        F.percentile(F.col("l_extendedprice"), F.array(*[F.lit(p) for p in probs])).alias(
+            "qs"
+        )
+    )
+    z = qs.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in probs]).alias("p"), F.col("qs").alias("v")
+            )
+        ).alias("z")
+    )
+    return z.select(
+        F.col("z.p").alias("p"), F.round(F.col("z.v"), 4).alias("split_value")
+    )
+
+
+def q_uniform_binning_table(spark, sf_dir):
+    """B3 + A1: uniform prebinning (min/max + linspace) end-to-end."""
+    df = _orders(spark, sf_dir)
+    row = df.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")).first()
+    mn, mx = float(row["mn"]), float(row["mx"])
+    step = (mx - mn) / 8.0
+    splits = [mn + i * step for i in range(1, 8)]
+    b = _bin_expr(F.col("o_totalprice"), splits)
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("count"),
+            F.sum("y").alias("n_event"),
+        )
+        .withColumn(
+            "event_rate", F.round(F.col("n_event") / F.col("count"), 6)
+        )
+    )
+
+
+def q_outlier_zscore(spark, sf_dir):
+    """P6: modified Z-score outlier counts (median/MAD)."""
+    df = spark.read.parquet(_t(sf_dir, "customer"))
+    med = df.agg(F.percentile("c_acctbal", F.lit(0.5)).alias("m")).first()["m"]
+    mad = df.agg(
+        F.percentile(F.abs(F.col("c_acctbal") - F.lit(med)), F.lit(0.5)).alias("m")
+    ).first()["m"]
+    z = F.lit(0.6745) * F.abs(F.col("c_acctbal") - F.lit(med)) / F.lit(mad)
+    return df.agg(
+        F.sum(F.when(z > 3.5, 1).otherwise(0)).alias("n_outliers"),
+        F.count("*").alias("n_total"),
+    )
+
+
+def q_outlier_iqr(spark, sf_dir):
+    """P5: IQR range-detector outlier counts."""
+    df = spark.read.parquet(_t(sf_dir, "customer"))
+    r = df.agg(
+        F.percentile("c_acctbal", F.lit(0.25)).alias("q1"),
+        F.percentile("c_acctbal", F.lit(0.75)).alias("q3"),
+    ).first()
+    q1, q3 = float(r["q1"]), float(r["q3"])
+    iqr = q3 - q1
+    lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    return df.agg(
+        F.sum(
+            F.when((F.col("c_acctbal") < lo) | (F.col("c_acctbal") > hi), 1).otherwise(0)
+        ).alias("n_outliers"),
+        F.count("*").alias("n_total"),
+    )
+
+
+def q_special_missing_stats(spark, sf_dir):
+    """A2: target info on missing/special partitions (missing synth'd
+    from l_quantity since TPC-H columns are non-null)."""
+    from optbinning_spark.operators.preprocessing import sample_class_expr
+
+    df = _lineitem(spark, sf_dir).withColumn(
+        "x",
+        F.when(F.col("l_quantity") < 3, F.lit(None).cast("double")).otherwise(
+            F.col("l_discount")
+        ),
+    )
+    sclass = sample_class_expr(F.col("x"), "numerical", {"zero": [0.0]})
+    return (
+        df.groupBy(sclass.alias("sample_class"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("y").alias("n_event"),
+        )
+        .withColumn("event_rate", F.round(F.col("n_event") / F.col("n_rows"), 6))
+    )
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """Text analysis: token counting + quality scoring."""
+    from optbinning_spark.pipeline.text import document_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return document_stats(docs)
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID by marker-word vote."""
+    from optbinning_spark.pipeline.text import lang_id_expr
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select(
+        "doc_id", lang_id_expr(F.col("text")).alias("pred_lang")
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup groups via content hash."""
+    from optbinning_spark.pipeline.dedup import exact_dedup_groups
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return exact_dedup_groups(docs)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (4 hash functions, word 3-shingles)."""
+    from optbinning_spark.pipeline.dedup import minhash_signatures
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return minhash_signatures(docs, n_hashes=4)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs with hot-shingle cap."""
+    from optbinning_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return ngram_jaccard_pairs(
+        docs, shingle_n=3, max_doc_freq=20, min_jaccard=0.05
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search."""
+    from optbinning_spark.pipeline.similarity import brute_force_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return brute_force_topk(emb, queries, k=3)
+
+
+def q_psi(spark, sf_dir):
+    """J6 + M11: PSI between two order populations on fixed bins."""
+    df = spark.read.parquet(_t(sf_dir, "orders"))
+    pop = F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "E").otherwise("A")
+    b = _bin_expr(F.col("o_totalprice"), ORDER_SPLITS)
+    agg = (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.sum(F.when(pop == "E", 1).otherwise(0)).alias("n_expected"),
+            F.sum(F.when(pop == "A", 1).otherwise(0)).alias("n_actual"),
+        )
+    )
+    tot = agg.agg(
+        F.sum("n_expected").alias("te"), F.sum("n_actual").alias("ta")
+    )
+    e_pct = F.col("n_expected") / F.col("te")
+    a_pct = F.col("n_actual") / F.col("ta")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.round(e_pct, 6).alias("expected_pct"),
+        F.round(a_pct, 6).alias("actual_pct"),
+        F.round((a_pct - e_pct) * F.log(a_pct / e_pct), 6).alias("psi"),
+    )
+
+
+def q_ks(spark, sf_dir):
+    """M6: KS statistic over ordered fixed bins (window cumsum)."""
+    df = _lineitem(spark, sf_dir)
+    b = _bin_expr(F.col("l_extendedprice"), PRICE_SPLITS)
+    agg = df.groupBy(b.alias("bin")).agg(
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("ne"),
+        F.sum("y").alias("ev"),
+    )
+    tot = agg.agg(F.sum("ne").alias("tne"), F.sum("ev").alias("tev"))
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("cum_ev", F.sum("ev").over(w) / F.col("tev"))
+        .withColumn("cum_ne", F.sum("ne").over(w) / F.col("tne"))
+    )
+    return cum.agg(
+        F.round(F.max(F.abs(F.col("cum_ev") - F.col("cum_ne"))), 6).alias("ks")
+    )
+
+
+# -- solver-backed queries (no SQL oracle: the optimizer is the DP) ------
+
+
+def q_optimal_binning_table(spark, sf_dir):
+    from optbinning_spark import OptimalBinning
+
+    df = _lineitem(spark, sf_dir)
+    ob = OptimalBinning(prebinning_method="cart", monotonic_trend="auto")
+    ob.fit(df, "l_extendedprice", "y")
+    return ob.binning_table.to_spark(spark).select(
+        "bin",
+        "count",
+        "n_nonevent",
+        "n_event",
+        F.round("event_rate", 6).alias("event_rate"),
+        F.round("woe", 6).alias("woe"),
+        F.round("iv", 6).alias("iv"),
+    )
+
+
+def q_optimal_woe_transform(spark, sf_dir):
+    from optbinning_spark import OptimalBinning
+
+    df = _lineitem(spark, sf_dir)
+    ob = OptimalBinning(prebinning_method="cart", monotonic_trend="auto")
+    ob.fit(df, "l_extendedprice", "y")
+    out = ob.transform(df, "l_extendedprice", metric="woe", out_col="woe")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("woe", 6).alias("woe")
+    )
+
+
+def q_continuous_binning_table(spark, sf_dir):
+    from optbinning_spark import ContinuousOptimalBinning
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "net_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    cb = ContinuousOptimalBinning(prebinning_method="cart", monotonic_trend="auto")
+    cb.fit(df, "l_quantity", "net_price")
+    return cb.binning_table.to_spark(spark).select(
+        "bin",
+        "count",
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+        F.round("woe", 4).alias("woe"),
+        F.round("iv", 4).alias("iv"),
+    )
+
+
+def q_categorical_optimal_binning(spark, sf_dir):
+    from optbinning_spark import OptimalBinning
+
+    df = _orders(spark, sf_dir)
+    ob = OptimalBinning(monotonic_trend="ascending")
+    ob.fit(df, "o_orderpriority", "y")
+    return ob.binning_table.to_spark(spark).select(
+        "bin",
+        "count",
+        "n_nonevent",
+        "n_event",
+        F.round("event_rate", 6).alias("event_rate"),
+        F.round("woe", 6).alias("woe"),
+    )
+
+
+def q_lsh_candidates(spark, sf_dir):
+    from optbinning_spark.pipeline.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return lsh_candidate_pairs(docs, n_hashes=8, band_size=2)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from optbinning_spark.pipeline.multimodal import (
+        extract_features,
+        synthetic_media_df,
+    )
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    media = synthetic_media_df(spark, docs)
+    return extract_features(media).select("doc_id", "media_type", "n_bytes", "content_sha")
+
+
+# -- driver contract -----------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full optimal-binning fit on sf0.001."""
+    return q_optimal_binning_table(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "sample_class_counts": q_sample_class_counts,
+        "prebin_counts": q_prebin_counts,
+        "binning_table_fixed": q_binning_table_fixed,
+        "woe_transform": q_woe_transform,
+        "event_rate_order": q_event_rate_order,
+        "quantile_splits": q_quantile_splits,
+        "uniform_binning_table": q_uniform_binning_table,
+        "outlier_zscore": q_outlier_zscore,
+        "outlier_iqr": q_outlier_iqr,
+        "special_missing_stats": q_special_missing_stats,
+        "doc_token_stats": q_doc_token_stats,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "jaccard_pairs": q_jaccard_pairs,
+        "embedding_topk": q_embedding_topk,
+        "psi": q_psi,
+        "ks": q_ks,
+        "optimal_binning_table": q_optimal_binning_table,
+        "optimal_woe_transform": q_optimal_woe_transform,
+        "continuous_binning_table": q_continuous_binning_table,
+        "categorical_optimal_binning": q_categorical_optimal_binning,
+        "lsh_candidates": q_lsh_candidates,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    price_case = _sql_bin_case("l_extendedprice", PRICE_SPLITS)
+    order_case = _sql_bin_case("o_totalprice", ORDER_SPLITS)
+    y_li = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    y_o = "(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)"
+    words = "regexp_split_to_array(text, ' ')"
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+    shingle_cte = f"""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          [array_to_string(words[i:i+2], ' ')
+           FOR i IN generate_series(1, len(words)-2)])) AS sh
+        FROM w
+      )"""
+
+    lang_scores = ", ".join(
+        f"len([x for x in {words} if x in ({', '.join(repr(m) for m in ms)})]) AS sc_{lang}"
+        for lang, ms in sorted(
+            __import__("optbinning_spark.pipeline.text", fromlist=["LANG_MARKERS"]).LANG_MARKERS.items()
+        )
+    )
+
+    return {
+        "sample_class_counts": f"""
+            SELECT CASE
+                     WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 'missing'
+                     WHEN l_quantity IN (1.0, 2.0) THEN 'special:low'
+                     WHEN l_quantity IN (25.0) THEN 'special:mid'
+                     ELSE 'clean' END AS sample_class,
+                   count(*) AS n_rows, sum({y_li}) AS n_event
+            FROM lineitem GROUP BY 1
+        """,
+        "prebin_counts": f"""
+            SELECT {price_case} AS bin,
+                   sum(CASE WHEN {y_li} = 0 THEN 1 ELSE 0 END) AS n_nonevent,
+                   sum({y_li}) AS n_event
+            FROM lineitem GROUP BY 1
+        """,
+        "binning_table_fixed": f"""
+            WITH agg AS (
+              SELECT {price_case} AS bin, count(*) AS count,
+                     sum(CASE WHEN {y_li} = 0 THEN 1 ELSE 0 END) AS n_nonevent,
+                     sum({y_li}) AS n_event
+              FROM lineitem GROUP BY 1
+            ), tot AS (
+              SELECT sum(n_nonevent) AS t_ne, sum(n_event) AS t_ev FROM agg
+            )
+            SELECT bin, count, n_nonevent, n_event,
+                   round(n_event / CAST(count AS DOUBLE), 6) AS event_rate,
+                   round(ln((n_nonevent / CAST(t_ne AS DOUBLE)) / (n_event / CAST(t_ev AS DOUBLE))), 6) AS woe,
+                   round((n_nonevent / CAST(t_ne AS DOUBLE) - n_event / CAST(t_ev AS DOUBLE))
+                         * ln((n_nonevent / CAST(t_ne AS DOUBLE)) / (n_event / CAST(t_ev AS DOUBLE))), 6) AS iv
+            FROM agg, tot
+        """,
+        "woe_transform": f"""
+            WITH agg AS (
+              SELECT {price_case} AS bin,
+                     sum(CASE WHEN {y_li} = 0 THEN 1 ELSE 0 END) AS n_nonevent,
+                     sum({y_li}) AS n_event
+              FROM lineitem GROUP BY 1
+            ), tot AS (
+              SELECT sum(n_nonevent) AS t_ne, sum(n_event) AS t_ev FROM agg
+            ), woes AS (
+              SELECT bin, ln((n_nonevent / CAST(t_ne AS DOUBLE)) / (n_event / CAST(t_ev AS DOUBLE))) AS woe
+              FROM agg, tot
+            )
+            SELECT l.l_orderkey, l.l_linenumber, round(w.woe, 6) AS woe
+            FROM lineitem l JOIN woes w ON {price_case.replace('l_extendedprice', 'l.l_extendedprice')} = w.bin
+        """,
+        "event_rate_order": f"""
+            WITH agg AS (
+              SELECT o_orderpriority AS category, count(*) AS n_rows, sum({y_o}) AS n_event
+              FROM orders GROUP BY 1
+            )
+            SELECT category, n_rows, n_event,
+                   round(n_event / CAST(n_rows AS DOUBLE), 6) AS event_rate,
+                   row_number() OVER (ORDER BY n_event / CAST(n_rows AS DOUBLE) ASC, category ASC) AS ordinal
+            FROM agg
+        """,
+        "quantile_splits": """
+            SELECT 0.2 AS p, round(quantile_cont(l_extendedprice, 0.2), 4) AS split_value FROM lineitem
+            UNION ALL SELECT 0.4, round(quantile_cont(l_extendedprice, 0.4), 4) FROM lineitem
+            UNION ALL SELECT 0.6, round(quantile_cont(l_extendedprice, 0.6), 4) FROM lineitem
+            UNION ALL SELECT 0.8, round(quantile_cont(l_extendedprice, 0.8), 4) FROM lineitem
+        """,
+        "uniform_binning_table": f"""
+            WITH mm AS (
+              SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+            )
+            SELECT CASE
+                     {' '.join(f"WHEN o_totalprice < mn + {i} * ((mx - mn) / 8.0) THEN {i - 1}" for i in range(1, 8))}
+                     ELSE 7 END AS bin,
+                   count(*) AS count, sum({y_o}) AS n_event,
+                   round(sum({y_o}) / CAST(count(*) AS DOUBLE), 6) AS event_rate
+            FROM orders, mm GROUP BY 1
+        """,
+        "outlier_zscore": """
+            WITH med AS (SELECT quantile_cont(c_acctbal, 0.5) AS m FROM customer),
+            mad AS (SELECT quantile_cont(abs(c_acctbal - med.m), 0.5) AS d FROM customer, med)
+            SELECT sum(CASE WHEN 0.6745 * abs(c_acctbal - med.m) / mad.d > 3.5 THEN 1 ELSE 0 END) AS n_outliers,
+                   count(*) AS n_total
+            FROM customer, med, mad
+        """,
+        "outlier_iqr": """
+            WITH q AS (
+              SELECT quantile_cont(c_acctbal, 0.25) AS q1, quantile_cont(c_acctbal, 0.75) AS q3 FROM customer
+            )
+            SELECT sum(CASE WHEN c_acctbal < q1 - 1.5 * (q3 - q1) OR c_acctbal > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS n_outliers,
+                   count(*) AS n_total
+            FROM customer, q
+        """,
+        "special_missing_stats": f"""
+            WITH t AS (
+              SELECT CASE WHEN l_quantity < 3 THEN NULL ELSE l_discount END AS x, {y_li} AS y
+              FROM lineitem
+            )
+            SELECT CASE WHEN x IS NULL OR isnan(x) THEN 'missing'
+                        WHEN x IN (0.0) THEN 'special:zero'
+                        ELSE 'clean' END AS sample_class,
+                   count(*) AS n_rows, sum(y) AS n_event,
+                   round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS event_rate
+            FROM t GROUP BY 1
+        """,
+        "doc_token_stats": f"""
+            WITH w AS (SELECT doc_id, text, {words} AS words FROM documents)
+            SELECT doc_id,
+                   len(words) AS n_tokens,
+                   length(text) AS n_chars,
+                   round(list_sum([length(x) FOR x IN words]) / CAST(len(words) AS DOUBLE), 4) AS avg_token_len,
+                   round(len([x for x in words if x in ({sw})]) / CAST(len(words) AS DOUBLE), 6) AS stopword_ratio,
+                   round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6) AS type_token_ratio,
+                   round((least(len(words) / 100.0, 1.0)
+                          + len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+                          + least(5.0 * len([x for x in words if x in ({sw})]) / CAST(len(words) AS DOUBLE), 1.0)) / 3.0, 6) AS quality_score
+            FROM w
+        """,
+        "lang_id": f"""
+            WITH s AS (SELECT doc_id, {lang_scores} FROM documents),
+            g AS (SELECT *, greatest(sc_de, sc_en, sc_es, sc_fr, sc_zh) AS mx FROM s)
+            SELECT doc_id, CASE WHEN mx <= 0 THEN 'unknown'
+                                WHEN sc_de = mx THEN 'de'
+                                WHEN sc_en = mx THEN 'en'
+                                WHEN sc_es = mx THEN 'es'
+                                WHEN sc_fr = mx THEN 'fr'
+                                ELSE 'zh' END AS pred_lang
+            FROM g
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "minhash_signatures": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            sh AS (
+              SELECT doc_id, unnest([array_to_string(words[i:i+2], ' ')
+                                     FOR i IN generate_series(1, len(words)-2)]) AS s
+              FROM w
+            )
+            SELECT doc_id,
+                   min(md5('s0|' || s)) AS mh0, min(md5('s1|' || s)) AS mh1,
+                   min(md5('s2|' || s)) AS mh2, min(md5('s3|' || s)) AS mh3
+            FROM sh GROUP BY doc_id
+        """,
+        "jaccard_pairs": shingle_cte + """
+            , freq AS (
+              SELECT sh, count(*) AS df_ FROM sh GROUP BY 1
+            ), rare AS (
+              SELECT s.doc_id, s.sh FROM sh s JOIN freq f ON s.sh = f.sh WHERE f.df_ <= 20
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b, i.n_common,
+                   round(i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE), 6) AS jaccard
+            FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+            WHERE i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) >= 0.05
+        """,
+        "embedding_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, e.vec_id AS nbr_id,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cosine
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, nbr_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "psi": f"""
+            WITH agg AS (
+              SELECT {order_case} AS bin,
+                     sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS n_expected,
+                     sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS n_actual
+              FROM orders GROUP BY 1
+            ), tot AS (SELECT sum(n_expected) AS te, sum(n_actual) AS ta FROM agg)
+            SELECT bin,
+                   round(n_expected / CAST(te AS DOUBLE), 6) AS expected_pct,
+                   round(n_actual / CAST(ta AS DOUBLE), 6) AS actual_pct,
+                   round((n_actual / CAST(ta AS DOUBLE) - n_expected / CAST(te AS DOUBLE))
+                         * ln((n_actual / CAST(ta AS DOUBLE)) / (n_expected / CAST(te AS DOUBLE))), 6) AS psi
+            FROM agg, tot
+        """,
+        "ks": f"""
+            WITH agg AS (
+              SELECT {price_case} AS bin,
+                     sum(CASE WHEN {y_li} = 0 THEN 1 ELSE 0 END) AS ne,
+                     sum({y_li}) AS ev
+              FROM lineitem GROUP BY 1
+            ), tot AS (SELECT sum(ne) AS tne, sum(ev) AS tev FROM agg),
+            cum AS (
+              SELECT bin,
+                     sum(ev) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) / CAST(tev AS DOUBLE) AS cum_ev,
+                     sum(ne) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) / CAST(tne AS DOUBLE) AS cum_ne
+              FROM agg, tot
+            )
+            SELECT round(max(abs(cum_ev - cum_ne)), 6) AS ks FROM cum
+        """,
+    }
+
+
+def _sql_bin_case(col: str, splits) -> str:
+    parts = []
+    for i, s in enumerate(splits):
+        parts.append(f"WHEN {col} < {float(s)!r} THEN {i}")
+    return "CASE " + " ".join(parts) + f" ELSE {len(splits)} END"

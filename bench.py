@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall times.
+
+Evaluation is forced through the noop sink (full computation of every
+column, no driver materialization) for row-shaped outputs; tiny
+table-shaped outputs collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from optbinning_spark import get_spark
+
+HEADLINE = [
+    "optimal_binning_table",
+    "optimal_woe_transform",
+    "binning_table_fixed",
+    "woe_transform",
+    "uniform_binning_table",
+    "event_rate_order",
+    "psi",
+    "ks",
+    "doc_token_stats",
+    "exact_dedup",
+    "minhash_signatures",
+    "jaccard_pairs",
+    "embedding_topk",
+    "continuous_binning_table",
+    "categorical_optimal_binning",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+    spark = get_spark("optbinning_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/codegen paths so measured times reflect steady state
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

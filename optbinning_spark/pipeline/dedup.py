@@ -1,0 +1,197 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Designed for the 100 TB regime:
+- exact dedup is a hash groupBy (one shuffle on a 32-hex key);
+- MinHash signatures are computed scan-side with pure expressions
+  (md5 per shingle, array_min) — no UDF, no shuffle;
+- LSH banding turns near-dup search into an equi-join on band keys
+  (shuffle on band hash, candidate pairs only);
+- n-gram Jaccard verification joins only on shingles below a
+  document-frequency cap, which bounds the join fan-out (the classic
+  hot-shingle skew guard).
+
+Hashes are md5 (hex strings) so every operator is reproducible in
+ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (deterministic,
+    whitespace tokens)."""
+    words = F.split(text, " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(n), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+
+
+def minhash_expr(text: Column, seed: int, shingle_n: int = 3) -> Column:
+    """MinHash for one hash function: min over shingles of
+    md5('s<seed>|' || shingle). Lexicographic min over hex strings is a
+    valid uniform min-hash."""
+    sh = shingles_expr(text, shingle_n)
+    return F.array_min(
+        F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"s{seed}|"), s)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature columns mh0..mh{n-1}. Map-only."""
+    t = F.col(text_col)
+    cols = [F.col(id_col)] + [
+        minhash_expr(t, i, shingle_n).alias(f"mh{i}") for i in range(n_hashes)
+    ]
+    return df.select(*cols)
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature: band key = md5(concat of band's minhashes).
+    Docs sharing a band key are near-dup candidates."""
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        parts = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_key"),
+            )
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "b.band", "b.band_key")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (id_a < id_b),
+    deduplicated across bands. One shuffle on band_key; the join is
+    within-bucket only."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    bands = lsh_bands(sig, id_col, n_hashes, band_size)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups: md5(text) -> group size + canonical
+    (minimum) id. The keep-list is the canonical ids."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_doc_freq: int = 20,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Hot-shingle guard: shingles present in more than ``max_doc_freq``
+    documents are dropped before the self-join — this is what keeps
+    the pair fan-out bounded at scale (frequency-capped inverted
+    index). Jaccard is computed on the capped shingle sets of both
+    docs, so the metric is consistent.
+    """
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles_expr(F.col(text_col), shingle_n))).alias(
+                "sh"
+            ),
+        )
+    )
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+    rare = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "sh")
+    sizes = rare.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def simhash_expr(text: Column, n_bits: int = 32, shingle_n: int = 1) -> Column:
+    """SimHash over token (or shingle) md5s: per-bit majority vote.
+    Expressed with aggregate over the shingle array — map-only."""
+    sh = shingles_expr(text, shingle_n) if shingle_n > 1 else F.split(text, " ")
+    # take the top n_bits of each md5 as a long
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    bits = []
+    for b in range(n_bits):
+        mask = 1 << (b % 32)
+        vote = F.aggregate(
+            sh,
+            F.lit(0),
+            lambda acc, s, m=mask: acc
+            + F.when(h(s).bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long"))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out

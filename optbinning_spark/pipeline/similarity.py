@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline: broadcast the (small)
+query set, score with pure array expressions (zip_with + aggregate —
+JVM-side, no UDF), rank with a window. The scale path is LSH
+bucketing: random-hyperplane signs computed from deterministic
+per-dimension hash weights bucket vectors so the join is
+within-bucket only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors. ``queries`` must be small (it is
+    broadcast); the scan over ``embeddings`` is a single pass with no
+    shuffle except the final per-query top-k."""
+    e = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("__e"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__q"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine_expr(F.col("__e"), F.col("__q")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signs_expr(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """LSH bucket key: sign pattern of dot products with n_planes
+    pseudo-random hyperplanes. Plane weights are deterministic
+    functions of (plane, dimension) via md5 -> [-1, 1); no state to
+    broadcast, reproducible in SQL."""
+    def weight(p: int, d: int) -> Column:
+        h = F.conv(F.substring(F.md5(F.lit(f"p{p}d{d}")), 1, 8), 16, 10).cast("double")
+        return h / F.lit(float(2**31)) - F.lit(1.0)
+
+    bits = []
+    for p in range(n_planes):
+        s = None
+        for d in range(dim):
+            term = F.element_at(vec, d + 1) * weight(p, d)
+            s = term if s is None else s + term
+        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to vectors sharing the
+    query's hyperplane bucket — the equi-join replaces the cross join,
+    which is the 100 TB-scale path (recall traded for fan-in)."""
+    e = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("__e"),
+    ).withColumn("bucket", hyperplane_signs_expr(F.col("__e"), dim, n_planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__q"),
+    ).withColumn("bucket", hyperplane_signs_expr(F.col("__q"), dim, n_planes))
+    scored = (
+        e.join(F.broadcast(q), "bucket")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine_expr(F.col("__e"), F.col("__q")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

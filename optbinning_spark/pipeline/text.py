@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Spark column expressions (JVM-side, codegen,
+no UDFs) so they run at 100 TB scan speed and are ANSI-SQL
+oracle-checkable. Tokenization is whitespace-based to stay
+deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "for", "on", "with",
+]
+
+# deterministic marker words per language for the heuristic language ID
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "a"],
+    "es": ["el", "la", "de", "y"],
+    "fr": ["le", "la", "et", "les"],
+    "de": ["der", "die", "und", "das"],
+    "zh": ["de5", "shi4", "le5", "zai4"],
+}
+
+
+def tokens_expr(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def distinct_token_count_expr(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens_expr(text)))
+
+
+def avg_token_len_expr(text: Column) -> Column:
+    toks = tokens_expr(text)
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    return total / F.size(toks)
+
+
+def stopword_ratio_expr(text: Column, stopwords: list[str] | None = None) -> Column:
+    toks = tokens_expr(text)
+    sw = stopwords or DEFAULT_STOPWORDS
+    n_sw = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return n_sw.cast("double") / F.size(toks)
+
+
+def type_token_ratio_expr(text: Column) -> Column:
+    toks = tokens_expr(text)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
+def quality_score_expr(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Composite document-quality heuristic in [0, 1]: length band,
+    lexical diversity, and stopword presence — the usual pretraining
+    quality-filter features, as one deterministic expression."""
+    n = token_count_expr(text).cast("double")
+    length_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    ttr = type_token_ratio_expr(text)
+    sw = stopword_ratio_expr(text, stopwords)
+    sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
+    return (length_score + ttr + sw_score) / F.lit(3.0)
+
+
+def rolling_fingerprint_expr(text: Column, modulus: int = 2**31 - 1) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash of
+    the token md5s — cheap content identity robust to formatting of a
+    kind crc/md5-of-whole-text is not (token-wise)."""
+    toks = tokens_expr(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * F.lit(31)
+            + F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        )
+        % F.lit(modulus),
+    )
+
+
+def lang_id_expr(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: pick the language whose marker-word set
+    has the highest hit count in the document (ties broken by language
+    code order). Deterministic, SQL-expressible."""
+    markers = markers or LANG_MARKERS
+    toks = tokens_expr(text)
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t: t.isin(words))))
+        for lang, words in sorted(markers.items())
+    ]
+    best = None
+    best_score = None
+    for lang, score in scores:
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("unknown"))
+
+
+def document_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document feature table: the text-analysis operator surface."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count_expr(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(avg_token_len_expr(t), 4).alias("avg_token_len"),
+        F.round(stopword_ratio_expr(t), 6).alias("stopword_ratio"),
+        F.round(type_token_ratio_expr(t), 6).alias("type_token_ratio"),
+        F.round(quality_score_expr(t), 6).alias("quality_score"),
+    )

@@ -1,0 +1,165 @@
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from optbinning_spark import ContinuousOptimalBinning, OptimalBinning
+
+
+@pytest.fixture(scope="module")
+def binary_df(spark):
+    # deterministic ramp: event rate rises with x; NaN + special codes
+    rows = []
+    rng = np.random.RandomState(42)
+    for i in range(2000):
+        x = float(i % 100)
+        y = int(rng.rand() < (0.1 + 0.8 * (x / 100.0)))
+        rows.append((i, x, y))
+    # missing block and special block with distinctive target rates
+    for i in range(2000, 2100):
+        rows.append((i, float("nan"), 1))
+    for i in range(2100, 2200):
+        rows.append((i, -9.0, 0))
+    return spark.createDataFrame(rows, "id long, x double, y int")
+
+
+def test_binary_fit_ascending(binary_df):
+    ob = OptimalBinning(
+        prebinning_method="quantile", monotonic_trend="ascending",
+        special_codes=[-9.0],
+    )
+    ob.fit(binary_df, "x", "y")
+    t = ob.binning_table
+    rates = [r for r, k in zip(t.event_rate, t.kinds) if k == "clean"]
+    assert all(rates[i + 1] >= rates[i] for i in range(len(rates) - 1))
+    # missing and special rows are present with their counts
+    assert t.missing_stats["n_event"] == 100
+    assert t.special_stats["special"]["n_nonevent"] == 100
+    # totals reconcile
+    assert t.count.sum() == 2200
+
+
+def test_auto_resolves_ascending(binary_df):
+    ob = OptimalBinning(prebinning_method="quantile", monotonic_trend="auto",
+                        special_codes=[-9.0])
+    ob.fit(binary_df, "x", "y")
+    assert ob.solution_.trend == "ascending"
+
+
+def test_special_codes_dict(binary_df):
+    df = binary_df.union(
+        binary_df.sparkSession.createDataFrame(
+            [(9000, -8.0, 1)] * 50, "id long, x double, y int"
+        )
+    )
+    ob = OptimalBinning(
+        prebinning_method="quantile",
+        monotonic_trend="ascending",
+        special_codes={"sp_a": [-9.0], "sp_b": [-8.0]},
+    )
+    ob.fit(df, "x", "y")
+    t = ob.binning_table
+    assert t.special_stats["sp_a"]["n_nonevent"] == 100
+    assert t.special_stats["sp_b"]["n_event"] == 50
+
+
+def test_woe_transform_roundtrip(binary_df):
+    ob = OptimalBinning(prebinning_method="quantile",
+                        monotonic_trend="ascending", special_codes=[-9.0])
+    ob.fit(binary_df, "x", "y")
+    out = ob.transform(binary_df, "x", metric="woe", out_col="woe")
+    vals = {r["woe"] for r in out.select("woe").distinct().collect()}
+    table_woes = {
+        round(w, 10)
+        for w, k in zip(ob.binning_table.woe, ob.binning_table.kinds)
+        if k == "clean"
+    }
+    assert {round(v, 10) for v in vals if v != 0.0} <= table_woes | {0.0}
+    # missing/special rows map to the configured default 0.0
+    miss = out.filter(F.isnan("x")).select("woe").distinct().collect()
+    assert [r["woe"] for r in miss] == [0.0]
+
+
+def test_indices_and_bins_metrics(binary_df):
+    ob = OptimalBinning(prebinning_method="quantile",
+                        monotonic_trend="ascending", special_codes=[-9.0])
+    ob.fit(binary_df, "x", "y")
+    out = ob.transform(binary_df, "x", metric="indices", out_col="idx")
+    idxs = {r["idx"] for r in out.select("idx").distinct().collect()}
+    n_clean = sum(1 for k in ob.binning_table.kinds if k == "clean")
+    assert idxs <= set(range(-1, n_clean))
+    out2 = ob.transform(binary_df, "x", metric="bins", out_col="b",
+                        metric_special="empirical", metric_missing="empirical")
+    labels = {r["b"] for r in out2.select("b").distinct().collect()}
+    assert "Missing" in labels and "Special" in labels
+
+
+def test_user_splits(binary_df):
+    ob = OptimalBinning(user_splits=[25.0, 50.0, 75.0], monotonic_trend=None,
+                        special_codes=[-9.0])
+    ob.fit(binary_df, "x", "y")
+    assert list(ob.splits) == [25.0, 50.0, 75.0]
+
+
+def test_json_roundtrip(binary_df, tmp_path):
+    ob = OptimalBinning(prebinning_method="quantile",
+                        monotonic_trend="ascending", special_codes=[-9.0])
+    ob.fit(binary_df, "x", "y")
+    p = str(tmp_path / "model.json")
+    ob.to_json(p)
+    ob2 = OptimalBinning.read_json(p)
+    assert list(ob2.splits) == list(ob.splits)
+    a = ob.transform(binary_df, "x", out_col="w1")
+    b = ob2.transform(binary_df, "x", out_col="w1")
+    assert a.select("w1").subtract(b.select("w1")).count() == 0
+
+
+def test_categorical_binning(spark):
+    rows = []
+    rng = np.random.RandomState(7)
+    rates = {"a": 0.1, "b": 0.3, "c": 0.5, "d": 0.7, "e": 0.9}
+    for i in range(3000):
+        c = "abcde"[i % 5]
+        rows.append((i, c, int(rng.rand() < rates[c])))
+    for i in range(3000, 3010):
+        rows.append((i, "rare", 1))
+    df = spark.createDataFrame(rows, "id long, cat string, y int")
+    ob = OptimalBinning(monotonic_trend="ascending", cat_cutoff=0.01)
+    ob.fit(df, "cat", "y")
+    t = ob.binning_table
+    # rare category routed to others
+    assert ob._others_categories == ["rare"]
+    flat = [c for b in ob._bin_categories for c in b]
+    assert sorted(flat) == ["a", "b", "c", "d", "e"]
+    # transform unknown category -> default 0
+    new = spark.createDataFrame([(1, "zz", 0)], "id long, cat string, y int")
+    out = ob.transform(new, "cat", out_col="w")
+    assert out.first()["w"] == 0.0
+
+
+def test_continuous_binning(spark):
+    rows = []
+    for i in range(3000):
+        x = float(i % 100)
+        rows.append((i, x, 10.0 + x * 0.5 + (i % 7) * 0.01))
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    cb = ContinuousOptimalBinning(prebinning_method="quantile",
+                                  monotonic_trend="ascending")
+    cb.fit(df, "x", "y")
+    t = cb.binning_table
+    means = [m for m, k in zip(t.mean, t.kinds) if k == "clean"]
+    assert all(means[i + 1] >= means[i] for i in range(len(means) - 1))
+    out = cb.transform(df, "x", metric="mean", out_col="m")
+    assert out.filter(F.col("m").isNull()).count() == 0
+
+
+def test_analysis_stats(binary_df):
+    ob = OptimalBinning(prebinning_method="quantile",
+                        monotonic_trend="ascending", special_codes=[-9.0])
+    ob.fit(binary_df, "x", "y")
+    a = ob.binning_table.analysis()
+    assert 0 <= a["gini"] <= 1
+    assert 0 <= a["ks"] <= 1
+    assert a["iv"] > 0
+    assert 0 <= a["quality_score"] <= 1

@@ -1,0 +1,124 @@
+import pytest
+from pyspark.sql import functions as F
+
+from optbinning_spark.pipeline.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from optbinning_spark.pipeline.similarity import brute_force_topk, lsh_bucketed_topk
+from optbinning_spark.pipeline.text import document_stats, lang_id_expr
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the data query runs fast over the big table with many rows"
+    near = "the data query runs slow over the big table with many rows"
+    other = "completely different words about nothing in particular here now"
+    rows = [
+        (0, base),
+        (1, base),       # exact dup of 0
+        (2, near),       # near dup of 0
+        (3, other),
+        (4, "el la de y palabras en espanol con mas texto aqui"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    g = exact_dedup_groups(docs).collect()
+    assert len(g) == 4  # 5 docs, one exact dup pair
+    dup = [r for r in g if r["n_docs"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sig = {r["doc_id"]: (r["mh0"], r["mh1"]) for r in
+           minhash_signatures(docs, n_hashes=2).collect()}
+    assert sig[0] == sig[1]
+    assert sig[0] != sig[3]
+
+
+def test_lsh_candidates_include_exact_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             lsh_candidate_pairs(docs, n_hashes=8, band_size=2).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, max_doc_freq=10, min_jaccard=0.1).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.1 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_text_stats(docs):
+    st = {r["doc_id"]: r for r in document_stats(docs).collect()}
+    assert st[0]["n_tokens"] == 12
+    assert st[0]["type_token_ratio"] < 1.0
+    assert st[3]["stopword_ratio"] < st[0]["stopword_ratio"]
+
+
+def test_lang_id(docs):
+    pred = {r["doc_id"]: r["pl"] for r in docs.select(
+        "doc_id", lang_id_expr(F.col("text")).alias("pl")).collect()}
+    assert pred[0] == "en"
+    assert pred[4] == "es"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(vectors):
+    q = vectors.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+    top = brute_force_topk(vectors, q, k=2).collect()
+    assert [r["nbr_id"] for r in top] == [1, 2]
+    assert top[0]["cosine"] > 0.99
+
+
+def test_lsh_topk_self_bucket(vectors):
+    q = vectors.withColumnRenamed("vec_id", "query_id")
+    res = lsh_bucketed_topk(vectors, q, dim=3, k=2, n_planes=2)
+    # approximate: every returned neighbor shares the query's bucket;
+    # sanity: no self matches, scores valid
+    for r in res.collect():
+        assert r["nbr_id"] != r["query_id"]
+        assert -1.0001 <= r["cosine"] <= 1.0001
+
+
+def test_multimodal_plumbing(spark, docs):
+    from optbinning_spark.pipeline.multimodal import (
+        extract_features,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, docs)
+    out = extract_features(media)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(len(r["feat"]) == 32 for r in rows)
+    # deterministic: same payload -> same content hash
+    by_id = {r["doc_id"]: r["content_sha"] for r in rows}
+    assert by_id[0] == by_id[1]
+
+
+def test_multimodal_unknown_type_raises(spark, docs):
+    from optbinning_spark.pipeline.multimodal import (
+        extract_features,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, docs, media_type="video")
+    with pytest.raises(Exception):
+        extract_features(media).collect()

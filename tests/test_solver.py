@@ -1,0 +1,128 @@
+import numpy as np
+import pytest
+
+from optbinning_spark.core.metrics import jeffrey
+from optbinning_spark.core.solver import solve_binary, solve_continuous, solve_multiclass
+
+
+def _iv(ne, ev, segments):
+    ne = np.asarray(ne, dtype=float)
+    ev = np.asarray(ev, dtype=float)
+    mne = np.array([ne[s : e + 1].sum() for s, e in segments])
+    mev = np.array([ev[s : e + 1].sum() for s, e in segments])
+    return jeffrey(mev / ev.sum(), mne / ne.sum(), return_sum=True)
+
+
+def test_unconstrained_keeps_all_feasible_prebins():
+    # finer partitions never decrease Jeffrey divergence
+    ne = [50, 40, 30, 20, 10]
+    ev = [10, 20, 30, 40, 50]
+    sol = solve_binary(np.array(ne), np.array(ev), monotonic_trend=None)
+    assert sol.status == "OPTIMAL"
+    assert sol.segments == [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4)]
+    assert sol.objective == pytest.approx(_iv(ne, ev, sol.segments))
+
+
+def test_pure_prebins_are_merged():
+    # prebin 1 has zero events -> must be merged with a neighbor (B5
+    # refinement subsumed by feasibility)
+    ne = np.array([50.0, 30.0, 20.0, 10.0])
+    ev = np.array([10.0, 0.0, 30.0, 50.0])
+    sol = solve_binary(ne, ev, monotonic_trend="ascending")
+    assert sol.status == "OPTIMAL"
+    assert all(ev[s : e + 1].sum() > 0 for s, e in sol.segments)
+    assert all(ne[s : e + 1].sum() > 0 for s, e in sol.segments)
+
+
+def test_ascending_monotonic_enforced():
+    ne = np.array([50.0, 20.0, 40.0, 10.0, 5.0])
+    ev = np.array([10.0, 30.0, 20.0, 40.0, 50.0])
+    sol = solve_binary(ne, ev, monotonic_trend="ascending")
+    rates = [
+        ev[s : e + 1].sum() / (ev[s : e + 1].sum() + ne[s : e + 1].sum())
+        for s, e in sol.segments
+    ]
+    assert all(rates[i + 1] >= rates[i] for i in range(len(rates) - 1))
+
+
+def test_descending_monotonic_enforced():
+    ne = np.array([10.0, 30.0, 20.0, 40.0, 50.0])
+    ev = np.array([50.0, 20.0, 40.0, 10.0, 5.0])
+    sol = solve_binary(ne, ev, monotonic_trend="descending")
+    rates = [
+        ev[s : e + 1].sum() / (ev[s : e + 1].sum() + ne[s : e + 1].sum())
+        for s, e in sol.segments
+    ]
+    assert all(rates[i + 1] <= rates[i] for i in range(len(rates) - 1))
+
+
+def test_max_n_bins_respected():
+    ne = np.array([50, 40, 30, 20, 10, 5], dtype=float)
+    ev = np.array([5, 10, 20, 30, 40, 50], dtype=float)
+    sol = solve_binary(ne, ev, monotonic_trend="ascending", max_n_bins=3)
+    assert sol.n_bins <= 3
+
+
+def test_min_bin_size_respected():
+    ne = np.array([50, 40, 30, 20, 10], dtype=float)
+    ev = np.array([5, 10, 20, 30, 40], dtype=float)
+    total = ne.sum() + ev.sum()
+    sol = solve_binary(ne, ev, monotonic_trend=None, min_bin_size=0.25)
+    for s, e in sol.segments:
+        assert ne[s : e + 1].sum() + ev[s : e + 1].sum() >= 0.25 * total
+
+
+def test_peak_trend():
+    # rates rise then fall
+    ne = np.array([90, 60, 30, 60, 90], dtype=float)
+    ev = np.array([10, 40, 70, 40, 10], dtype=float)
+    sol = solve_binary(ne, ev, monotonic_trend="peak")
+    rates = [
+        ev[s : e + 1].sum() / (ev[s : e + 1].sum() + ne[s : e + 1].sum())
+        for s, e in sol.segments
+    ]
+    k = int(np.argmax(rates))
+    assert all(rates[i + 1] >= rates[i] for i in range(k))
+    assert all(rates[i + 1] <= rates[i] for i in range(k, len(rates) - 1))
+    assert sol.n_bins >= 3
+
+
+def test_max_pvalue_constraint():
+    # two nearly-identical adjacent distributions should be merged when
+    # max_pvalue demands significance
+    ne = np.array([50, 49, 10], dtype=float)
+    ev = np.array([50, 51, 90], dtype=float)
+    free = solve_binary(ne, ev, monotonic_trend="ascending")
+    constrained = solve_binary(
+        ne, ev, monotonic_trend="ascending", max_pvalue=0.05
+    )
+    assert free.n_bins == 3
+    assert constrained.n_bins == 2
+
+
+def test_auto_asc_desc_picks_better():
+    ne = np.array([10, 30, 50], dtype=float)
+    ev = np.array([50, 30, 10], dtype=float)
+    sol = solve_binary(ne, ev, monotonic_trend="auto_asc_desc")
+    assert sol.trend == "descending"
+
+
+def test_continuous_monotonic_means():
+    cnt = np.array([100, 100, 100, 100], dtype=float)
+    s1 = np.array([100, 300, 200, 500], dtype=float)
+    s2 = s1 * s1 / cnt + cnt  # some variance
+    sol = solve_continuous(cnt, s1, s2, monotonic_trend="ascending")
+    means = [s1[s : e + 1].sum() / cnt[s : e + 1].sum() for s, e in sol.segments]
+    assert all(means[i + 1] >= means[i] for i in range(len(means) - 1))
+
+
+def test_multiclass_solver():
+    M = np.array(
+        [[50, 10, 5], [30, 20, 10], [20, 30, 20], [10, 40, 40]], dtype=float
+    )
+    sol = solve_multiclass(M, min_n_bins=2)
+    assert sol.status == "OPTIMAL"
+    assert sol.n_bins >= 2
+    # segments tile [0..3]
+    flat = [i for s, e in sol.segments for i in range(s, e + 1)]
+    assert flat == [0, 1, 2, 3]
