@@ -419,6 +419,143 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media).select("doc_id", "media_type", "n_bytes", "content_sha")
 
 
+def q_continuous_bin_stats(spark, sf_dir):
+    """A3: continuous-target per-bin moments on fixed splits."""
+    df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "net", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    b = _bin_expr(F.col("l_quantity"), [10.0, 20.0, 30.0, 40.0])
+    return df.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("n_records"),
+        F.round(F.sum("net"), 4).alias("sum_y"),
+        F.round(F.avg("net"), 6).alias("mean_y"),
+        F.round(F.stddev_samp("net"), 6).alias("std_y"),
+        F.round(F.min("net"), 4).alias("min_y"),
+        F.round(F.max("net"), 4).alias("max_y"),
+        F.sum(F.when(F.col("net") == 0, 1).otherwise(0)).alias("n_zeros"),
+    )
+
+
+def q_multiclass_bin_counts(spark, sf_dir):
+    """A4: multiclass per-bin per-class counts on fixed splits."""
+    df = spark.read.parquet(_t(sf_dir, "lineitem"))
+    b = _bin_expr(F.col("l_extendedprice"), PRICE_SPLITS)
+    return df.groupBy(b.alias("bin")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_class_r"),
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("n_class_a"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("n_class_n"),
+    )
+
+
+def q_binning_process_summary(spark, sf_dir):
+    """BinningProcess multi-variable single-shuffle fit -> summary."""
+    from optbinning_spark import BinningProcess
+
+    df = _lineitem(spark, sf_dir)
+    bp = BinningProcess(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linestatus"],
+        prebinning_method="quantile",
+    )
+    bp.fit(df, "y")
+    pdf = bp.summary()
+    for c in ("iv", "js", "gini", "ks", "quality_score"):
+        pdf[c] = pdf[c].round(6)
+    return spark.createDataFrame(pdf)
+
+
+def q_scorecard_table(spark, sf_dir):
+    """Scorecard: binning + MLlib logistic + pdo_odds points."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    df = _lineitem(spark, sf_dir)
+    bp = BinningProcess(
+        ["l_quantity", "l_extendedprice", "l_discount"], prebinning_method="quantile"
+    )
+    sc = Scorecard(
+        bp,
+        scaling_method="pdo_odds",
+        scaling_method_params={"pdo": 20, "odds": 50, "scorecard_points": 600},
+        rounding=True,
+    )
+    sc.fit(df, "y")
+    pdf = sc.table()[["variable", "bin", "count", "points"]]
+    return spark.createDataFrame(pdf)
+
+
+def q_scorecard_scores(spark, sf_dir):
+    """Map-only scorecard scoring over every row."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    df = _lineitem(spark, sf_dir)
+    bp = BinningProcess(
+        ["l_quantity", "l_extendedprice", "l_discount"], prebinning_method="quantile"
+    )
+    sc = Scorecard(
+        bp,
+        scaling_method="min_max",
+        scaling_method_params={"min": 0, "max": 100},
+    )
+    sc.fit(df, "y")
+    return sc.score(df).select(
+        "l_orderkey", "l_linenumber", F.round("score", 4).alias("score")
+    )
+
+
+def q_multiclass_binning_table(spark, sf_dir):
+    """Multiclass optimal binning (summed one-vs-rest JS objective)."""
+    from optbinning_spark import MulticlassOptimalBinning
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "y3",
+        F.when(F.col("l_returnflag") == "R", 0)
+        .when(F.col("l_returnflag") == "A", 1)
+        .otherwise(2),
+    )
+    mb = MulticlassOptimalBinning(prebinning_method="quantile")
+    mb.fit(df, "l_extendedprice", "y3")
+    pdf = mb.binning_table.build(add_totals=False)
+    num = pdf.select_dtypes("number").columns
+    pdf[num] = pdf[num].round(6)
+    return spark.createDataFrame(pdf)
+
+
+def q_sketch_binning_table(spark, sf_dir):
+    """Streaming sketch path: add per batch -> merge -> solve."""
+    from optbinning_spark.streaming.sketch import OptimalBinningSketch
+
+    df = _lineitem(spark, sf_dir)
+    sk1 = OptimalBinningSketch(monotonic_trend="auto")
+    sk2 = OptimalBinningSketch(monotonic_trend="auto")
+    sk1.add(df.filter(F.col("l_orderkey") % 2 == 0), "l_extendedprice", "y")
+    sk2.add(df.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice", "y")
+    sk1.merge(sk2)
+    ob = sk1.solve()
+    pdf = ob.binning_table.build(add_totals=False)
+    num = pdf.select_dtypes("number").columns
+    pdf[num] = pdf[num].round(6)
+    return spark.createDataFrame(pdf)
+
+
+def q_psi_variable_report(spark, sf_dir):
+    """Per-variable PSI between two order populations (U4/M11)."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.monitoring import ScorecardMonitoring
+    from optbinning_spark.scorecard import Scorecard
+
+    df = _lineitem(spark, sf_dir)
+    bp = BinningProcess(["l_quantity", "l_extendedprice"], prebinning_method="quantile")
+    sc = Scorecard(bp)
+    sc.fit(df, "y")
+    exp = df.filter(F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    act = df.filter(F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+    mon = ScorecardMonitoring(sc, psi_n_bins=10).fit(act, exp, "y")
+    pdf = mon.variable_psi_table(act, exp)
+    pdf["psi"] = pdf["psi"].round(6)
+    return spark.createDataFrame(pdf)
+
+
 # -- driver contract -----------------------------------------------------
 
 
@@ -447,10 +584,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "psi": q_psi,
         "ks": q_ks,
+        "continuous_bin_stats": q_continuous_bin_stats,
+        "multiclass_bin_counts": q_multiclass_bin_counts,
         "optimal_binning_table": q_optimal_binning_table,
         "optimal_woe_transform": q_optimal_woe_transform,
         "continuous_binning_table": q_continuous_binning_table,
         "categorical_optimal_binning": q_categorical_optimal_binning,
+        "binning_process_summary": q_binning_process_summary,
+        "scorecard_table": q_scorecard_table,
+        "scorecard_scores": q_scorecard_scores,
+        "multiclass_binning_table": q_multiclass_binning_table,
+        "sketch_binning_table": q_sketch_binning_table,
+        "psi_variable_report": q_psi_variable_report,
         "lsh_candidates": q_lsh_candidates,
         "multimodal_features": q_multimodal_features,
     }
@@ -666,6 +811,27 @@ def oracle_sql() -> dict[str, str]:
                    round((n_actual / CAST(ta AS DOUBLE) - n_expected / CAST(te AS DOUBLE))
                          * ln((n_actual / CAST(ta AS DOUBLE)) / (n_expected / CAST(te AS DOUBLE))), 6) AS psi
             FROM agg, tot
+        """,
+        "continuous_bin_stats": f"""
+            WITH t AS (
+              SELECT l_quantity, l_extendedprice * (1 - l_discount) AS net FROM lineitem
+            )
+            SELECT {_sql_bin_case('l_quantity', [10.0, 20.0, 30.0, 40.0])} AS bin,
+                   count(*) AS n_records,
+                   round(sum(net), 4) AS sum_y,
+                   round(avg(net), 6) AS mean_y,
+                   round(stddev_samp(net), 6) AS std_y,
+                   round(min(net), 4) AS min_y,
+                   round(max(net), 4) AS max_y,
+                   sum(CASE WHEN net = 0 THEN 1 ELSE 0 END) AS n_zeros
+            FROM t GROUP BY 1
+        """,
+        "multiclass_bin_counts": f"""
+            SELECT {price_case} AS bin,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_class_r,
+                   sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_class_a,
+                   sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_class_n
+            FROM lineitem GROUP BY 1
         """,
         "ks": f"""
             WITH agg AS (

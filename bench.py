@@ -35,6 +35,9 @@ HEADLINE = [
     "embedding_topk",
     "continuous_binning_table",
     "categorical_optimal_binning",
+    "binning_process_summary",
+    "scorecard_scores",
+    "sketch_binning_table",
 ]
 
 

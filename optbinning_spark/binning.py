@@ -260,6 +260,11 @@ class OptimalBinning(_BaseOptimalBinning):
             dtype="numerical", splits=prebin_splits,
             special_codes=self.special_codes, target_type="binary",
         )
+        self._finalize_numerical(prebin_splits, stats)
+
+    def _finalize_numerical(self, prebin_splits, stats):
+        """Driver-side solve + table build from collected BinStats
+        (shared by single-variable fit and BinningProcess batching)."""
         ne, ev = stats.clean["n_nonevent"], stats.clean["n_event"]
         cnt = ne + ev
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -282,6 +287,9 @@ class OptimalBinning(_BaseOptimalBinning):
         cats, missing, specials = categorical_value_stats(
             df, x, y, w, special_codes=self.special_codes, target_type="binary"
         )
+        self._finalize_categorical(cats, missing, specials, x)
+
+    def _finalize_categorical(self, cats, missing, specials, x=""):
         if not cats:
             raise ValueError(f"no categories found for {x}")
         total = sum(v["n_nonevent"] + v["n_event"] for v in cats.values())
@@ -430,6 +438,9 @@ class ContinuousOptimalBinning(_BaseOptimalBinning):
             dtype="numerical", splits=prebin_splits,
             special_codes=self.special_codes, target_type="continuous",
         )
+        self._finalize_numerical(prebin_splits, stats)
+
+    def _finalize_numerical(self, prebin_splits, stats):
         cnt = stats.clean["n_records"]
         s1 = stats.clean["sum_y"]
         s2 = stats.clean["sum_y2"]
@@ -467,6 +478,9 @@ class ContinuousOptimalBinning(_BaseOptimalBinning):
             df, x, y, w, special_codes=self.special_codes,
             target_type="continuous",
         )
+        self._finalize_categorical(cats, missing, specials, x)
+
+    def _finalize_categorical(self, cats, missing, specials, x=""):
         if not cats:
             raise ValueError(f"no categories found for {x}")
         total = sum(v["n_records"] for v in cats.values())

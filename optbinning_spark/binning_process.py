@@ -1,0 +1,580 @@
+"""BinningProcess — multi-variable binning with selection criteria.
+
+Reference: optbinning/binning/binning_process.py. The reference fans
+out per-variable fits across joblib threads and (in fit_disk) reads
+one column at a time. The Spark-native design replaces both with a
+CONSTANT number of jobs regardless of variable count:
+
+  job 1 - multi-column approxQuantile (quantile prebins and/or CART
+          histogram edges for every numeric variable at once)
+  job 2 - (cart/mdlp only) ONE stacked histogram aggregation:
+          Bucketizer over all numeric columns -> explode structs ->
+          groupBy(variable, bucket)  [single shuffle, bounded output]
+  job 3 - ONE stacked bin-stats aggregation over all variables
+          (numeric bins and categorical values unified on a string
+          key) -> groupBy(variable, sample_class, key)
+  driver - per-variable DP solve + table build (ms each)
+
+Transform emits every selected variable's CASE expression in a single
+projection — one map-only pass for the whole matrix.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .binning import ContinuousOptimalBinning, OptimalBinning, _infer_dtype
+from .core.tree import cart_splits, mdlp_splits
+from .multiclass_binning import MulticlassOptimalBinning
+from .operators.aggregation import _agg_exprs, _metric_names, assemble_bin_stats
+from .operators.preprocessing import (
+    CLEAN,
+    MISSING,
+    clean_value_expr,
+    numeric_bin_expr,
+    sample_class_expr,
+)
+
+_EPS = 1e-15
+
+
+class _DictRow:
+    """Row-like dict wrapper for assemble_bin_stats."""
+
+    __slots__ = ("_d",)
+
+    def __init__(self, d):
+        self._d = d
+
+    def __getitem__(self, k):
+        return self._d[k]
+
+
+def _infer_target_type(df: DataFrame, y: str) -> str:
+    kind = dict(df.dtypes)[y]
+    if kind in ("double", "float", "decimal"):
+        # continuous unless the distinct values are {0,1}
+        vals = [r[0] for r in df.select(y).distinct().limit(20).collect()]
+        if set(vals) <= {0.0, 1.0, None}:
+            return "binary"
+        return "continuous"
+    vals = [r[0] for r in df.select(y).distinct().limit(200).collect()]
+    vs = {v for v in vals if v is not None}
+    if vs <= {0, 1}:
+        return "binary"
+    return "multiclass"
+
+
+class BinningProcess:
+    def __init__(
+        self,
+        variable_names: list[str],
+        *,
+        categorical_variables: list[str] | None = None,
+        special_codes=None,
+        selection_criteria: dict | None = None,
+        fixed_variables: list[str] | None = None,
+        binning_fit_params: dict[str, dict] | None = None,
+        binning_transform_params: dict[str, dict] | None = None,
+        max_n_prebins: int = 20,
+        min_prebin_size: float = 0.05,
+        min_n_bins: int | None = None,
+        max_n_bins: int | None = None,
+        min_bin_size: float | None = None,
+        max_bin_size: float | None = None,
+        monotonic_trend: str | None = "auto",
+        max_pvalue: float | None = None,
+        prebinning_method: str = "cart",
+    ):
+        self.variable_names = list(variable_names)
+        self.categorical_variables = set(categorical_variables or [])
+        self.special_codes = special_codes
+        self.selection_criteria = selection_criteria
+        self.fixed_variables = set(fixed_variables or [])
+        self.binning_fit_params = binning_fit_params or {}
+        self.binning_transform_params = binning_transform_params or {}
+        self.max_n_prebins = max_n_prebins
+        self.min_prebin_size = min_prebin_size
+        self.min_n_bins = min_n_bins
+        self.max_n_bins = max_n_bins
+        self.min_bin_size = min_bin_size
+        self.max_bin_size = max_bin_size
+        self.monotonic_trend = monotonic_trend
+        self.max_pvalue = max_pvalue
+        self.prebinning_method = prebinning_method
+
+        self._binners: dict[str, object] = {}
+        self._support: dict[str, bool] = {}
+        self._target_type: str | None = None
+        self._fitted = False
+
+    # ------------------------------------------------------------------
+    def fit(self, df: DataFrame, y: str, sample_weight: str | None = None,
+            target_type: str | None = None):
+        self._target_type = target_type or _infer_target_type(df, y)
+        df = df.filter(F.col(y).isNotNull())
+
+        dtypes = {}
+        for v in self.variable_names:
+            dtypes[v] = (
+                "categorical"
+                if v in self.categorical_variables
+                else _infer_dtype(df, v)
+            )
+        self._dtypes = dtypes
+
+        classes = None
+        if self._target_type == "multiclass":
+            classes = [
+                r[0]
+                for r in df.select(y).distinct().orderBy(y).collect()
+                if r[0] is not None
+            ]
+        self._classes = classes
+
+        numeric = [v for v in self.variable_names if dtypes[v] == "numerical"]
+        categorical = [v for v in self.variable_names if dtypes[v] == "categorical"]
+
+        # normalized working frame: cleaned numeric cols (missing/special
+        # -> NULL) so downstream passes need no per-variable filters
+        work = df
+        for v in numeric:
+            work = work.withColumn(
+                f"__clean_{v}",
+                clean_value_expr(
+                    F.col(v).cast("double"), "numerical", self._codes_for(v)
+                ),
+            )
+
+        splits_by_var = self._propose_splits(work, numeric, y, sample_weight, classes)
+
+        stats_by_var = self._stacked_stats(
+            df, numeric, categorical, splits_by_var, y, sample_weight, classes
+        )
+
+        # driver: per-variable solve via the single-variable finalizers
+        for v in self.variable_names:
+            b = self._make_binner(v, dtypes[v], splits_by_var.get(v))
+            b._resolved_dtype = dtypes[v]
+            if dtypes[v] == "numerical":
+                b._finalize_numerical(splits_by_var[v], stats_by_var[v])
+            else:
+                cats, missing, specials = stats_by_var[v]
+                b._finalize_categorical(cats, missing, specials, v)
+            b._fitted = True
+            self._binners[v] = b
+
+        self._apply_selection()
+        self._fitted = True
+        return self
+
+    # ------------------------------------------------------------------
+    def _codes_for(self, v):
+        # special_codes may be global or per-variable dict of dicts
+        if isinstance(self.special_codes, dict) and v in self.special_codes:
+            return self.special_codes[v]
+        return self.special_codes if not isinstance(self.special_codes, dict) else None
+
+    def _fit_param(self, v, name, default):
+        return self.binning_fit_params.get(v, {}).get(name, default)
+
+    def _make_binner(self, v, dtype, splits):
+        common = dict(
+            name=v,
+            dtype=dtype,
+            max_n_prebins=self.max_n_prebins,
+            min_prebin_size=self.min_prebin_size,
+            min_n_bins=self._fit_param(v, "min_n_bins", self.min_n_bins),
+            max_n_bins=self._fit_param(v, "max_n_bins", self.max_n_bins),
+            min_bin_size=self._fit_param(v, "min_bin_size", self.min_bin_size),
+            max_bin_size=self._fit_param(v, "max_bin_size", self.max_bin_size),
+            monotonic_trend=self._fit_param(
+                v, "monotonic_trend", self.monotonic_trend
+            ),
+            max_pvalue=self._fit_param(v, "max_pvalue", self.max_pvalue),
+            special_codes=self._codes_for(v),
+            cat_cutoff=self._fit_param(v, "cat_cutoff", None),
+        )
+        if self._target_type == "binary":
+            return OptimalBinning(**common)
+        if self._target_type == "continuous":
+            return ContinuousOptimalBinning(**common)
+        return MulticlassOptimalBinning(**common)
+
+    # ------------------------------------------------------------------
+    def _propose_splits(self, work, numeric, y, w, classes):
+        """Jobs 1-2: split proposal for every numeric variable with a
+        bounded number of passes."""
+        splits_by_var: dict[str, np.ndarray] = {}
+        if not numeric:
+            return splits_by_var
+        method = self.prebinning_method
+        task = "regression" if self._target_type == "continuous" else "classification"
+        cls = [0, 1] if self._target_type == "binary" else classes
+
+        user = {
+            v: np.unique(np.asarray(self._fit_param(v, "user_splits", None), dtype=float))
+            for v in numeric
+            if self._fit_param(v, "user_splits", None) is not None
+        }
+        todo = [v for v in numeric if v not in user]
+        splits_by_var.update(user)
+        if not todo:
+            return splits_by_var
+
+        if method == "quantile":
+            probs = list(np.linspace(0, 1, self.max_n_prebins + 1)[1:-1])
+            allq = work.approxQuantile([f"__clean_{v}" for v in todo], probs, 1e-4)
+            for v, qs in zip(todo, allq):
+                splits_by_var[v] = np.unique(np.asarray(qs, dtype=float))
+            return splits_by_var
+        if method == "uniform":
+            aggs = []
+            for v in todo:
+                aggs += [
+                    F.min(f"__clean_{v}").alias(f"mn_{v}"),
+                    F.max(f"__clean_{v}").alias(f"mx_{v}"),
+                ]
+            row = work.agg(*aggs).first()
+            for v in todo:
+                mn, mx = row[f"mn_{v}"], row[f"mx_{v}"]
+                if mn is None or mx is None or mn == mx:
+                    splits_by_var[v] = np.array([])
+                else:
+                    step = (mx - mn) / self.max_n_prebins
+                    splits_by_var[v] = np.unique(
+                        np.array(
+                            [mn + i * step for i in range(1, self.max_n_prebins)]
+                        )
+                    )
+            return splits_by_var
+
+        # cart / mdlp: one multi-column quantile job for histogram
+        # edges, one stacked histogram aggregation, driver trees.
+        from pyspark.ml.feature import Bucketizer
+
+        n_hist = 256
+        probs = list(np.linspace(0, 1, n_hist + 1)[1:-1])
+        allq = work.approxQuantile([f"__clean_{v}" for v in todo], probs, 1e-3)
+        edges_by_var = {}
+        for v, qs in zip(todo, allq):
+            edges_by_var[v] = sorted(set(qs))
+
+        buckable = [v for v in todo if edges_by_var[v]]
+        out_cols = [f"__bucket_{v}" for v in buckable]
+        buck = Bucketizer(
+            splitsArray=[
+                [-float("inf")] + [float(e) for e in edges_by_var[v]] + [float("inf")]
+                for v in buckable
+            ],
+            inputCols=[f"__clean_{v}" for v in buckable],
+            outputCols=out_cols,
+            handleInvalid="keep",
+        )
+        bucketed = buck.transform(work)
+        structs = [
+            F.struct(
+                F.lit(v).alias("variable"),
+                F.col(f"__bucket_{v}").alias("bucket"),
+                F.col(f"__clean_{v}").alias("value"),
+            )
+            for v in buckable
+        ]
+        wcol = F.col(w) if w else F.lit(1.0)
+        ycol = F.col(y)
+        exploded = bucketed.select(
+            F.explode(F.array(*structs)).alias("s"), ycol.alias("__y"), wcol.alias("__w")
+        ).select("s.variable", "s.bucket", "s.value", "__y", "__w")
+        # invalid bucket (null/NaN value) = len(edges)+1 per variable;
+        # cheap global filter: value is not null
+        exploded = exploded.filter(F.col("value").isNotNull())
+        if task == "classification":
+            aggs = [
+                F.sum(F.when(F.col("__y") == c, F.col("__w")).otherwise(0.0)).alias(
+                    f"w_{i}"
+                )
+                for i, c in enumerate(cls)
+            ]
+        else:
+            aggs = [
+                F.sum("__w").alias("cnt"),
+                F.sum(F.col("__w") * F.col("__y")).alias("s1"),
+                F.sum(F.col("__w") * F.col("__y") * F.col("__y")).alias("s2"),
+            ]
+        rows = (
+            exploded.groupBy("variable", "bucket")
+            .agg(F.max("value").alias("vmax"), *aggs)
+            .collect()
+        )
+        by_var: dict[str, list] = {v: [] for v in buckable}
+        for r in rows:
+            by_var[r["variable"]].append(r)
+        for v in todo:
+            rs = sorted(by_var.get(v, []), key=lambda r: r["bucket"])
+            if len(rs) < 2:
+                splits_by_var[v] = np.array([])
+                continue
+            values = np.array([r["vmax"] for r in rs], dtype=float)
+            if task == "classification":
+                stats = np.array(
+                    [[r[f"w_{i}"] or 0.0 for i in range(len(cls))] for r in rs]
+                )
+                total_w = stats.sum()
+            else:
+                stats = np.array(
+                    [[r["cnt"], r["s1"], r["s2"]] for r in rs], dtype=float
+                )
+                total_w = stats[:, 0].sum()
+            if method == "mdlp":
+                splits_by_var[v] = mdlp_splits(values, stats)
+            else:
+                splits_by_var[v] = cart_splits(
+                    values,
+                    stats,
+                    task=task,
+                    max_leaf_nodes=self.max_n_prebins,
+                    min_samples_leaf=self.min_prebin_size * total_w,
+                )
+        return splits_by_var
+
+    # ------------------------------------------------------------------
+    def _stacked_stats(self, df, numeric, categorical, splits_by_var, y, w, classes):
+        """Job 3: ONE aggregation for every variable's bin/category
+        statistics, numeric bins and categorical values unified on a
+        string key."""
+        structs = []
+        for v in numeric:
+            c = F.col(v).cast("double")
+            sclass = sample_class_expr(c, "numerical", self._codes_for(v))
+            bin_e = numeric_bin_expr(c, list(splits_by_var.get(v, [])))
+            structs.append(
+                F.struct(
+                    F.lit(v).alias("variable"),
+                    sclass.alias("sample_class"),
+                    F.when(sclass == CLEAN, bin_e.cast("string")).alias("key"),
+                )
+            )
+        for v in categorical:
+            c = F.col(v)
+            sclass = sample_class_expr(c, "categorical", self._codes_for(v))
+            structs.append(
+                F.struct(
+                    F.lit(v).alias("variable"),
+                    sclass.alias("sample_class"),
+                    F.when(sclass == CLEAN, c.cast("string")).alias("key"),
+                )
+            )
+        wcol = F.col(w) if w else F.lit(1.0)
+        exploded = df.select(
+            F.explode(F.array(*structs)).alias("s"),
+            F.col(y).alias("__y"),
+            wcol.alias("__w"),
+        ).select("s.variable", "s.sample_class", "s.key", "__y", "__w")
+        tt = self._target_type
+        rows = (
+            exploded.groupBy("variable", "sample_class", "key")
+            .agg(*_agg_exprs("__y", "__w", tt, classes))
+            .collect()
+        )
+        by_var: dict[str, list] = {v: [] for v in self.variable_names}
+        for r in rows:
+            by_var[r["variable"]].append(r)
+
+        out = {}
+        metrics = _metric_names(tt, classes)
+        for v in numeric:
+            n_bins = len(splits_by_var.get(v, [])) + 1
+            conv = []
+            for r in by_var[v]:
+                d = r.asDict()
+                d["bin"] = int(r["key"]) if r["key"] is not None else None
+                conv.append(d)
+            out[v] = assemble_bin_stats(
+                [_DictRow(d) for d in conv], n_bins, tt, classes
+            )
+        for v in categorical:
+            cats, missing, specials = {}, {m: 0.0 for m in metrics}, {}
+            for r in by_var[v]:
+                vals = {
+                    m: (
+                        r[m]
+                        if r[m] is not None
+                        else (np.nan if m in ("min_y", "max_y") else 0.0)
+                    )
+                    for m in metrics
+                }
+                if r["sample_class"] == CLEAN:
+                    if r["key"] is not None:
+                        cats[r["key"]] = vals
+                elif r["sample_class"] == MISSING:
+                    missing = vals
+                else:
+                    specials[r["sample_class"].split(":", 1)[1]] = vals
+            out[v] = (cats, missing, specials)
+        return out
+
+    # ------------------------------------------------------------------
+    def _variable_metrics(self, v):
+        b = self._binners[v]
+        t = b.binning_table
+        if self._target_type == "binary":
+            a = t.analysis()
+            return {
+                "iv": a["iv"], "js": a["js"], "gini": a["gini"], "ks": a["ks"],
+                "quality_score": a["quality_score"], "n_bins": a["n_bins"],
+            }
+        if self._target_type == "continuous":
+            return {
+                "iv": t.iv,
+                "n_bins": int(sum(1 for k in t.kinds if k == "clean")),
+            }
+        return {
+            "js": t.js,
+            "n_bins": int(sum(1 for k in t.kinds if k == "clean")),
+        }
+
+    def _apply_selection(self):
+        metrics = {v: self._variable_metrics(v) for v in self.variable_names}
+        self._metrics = metrics
+        support = {v: True for v in self.variable_names}
+        crit = self.selection_criteria or {}
+        for metric, rules in crit.items():
+            vals = {
+                v: metrics[v].get(metric)
+                for v in self.variable_names
+                if metrics[v].get(metric) is not None
+            }
+            if "min" in rules:
+                for v, x in vals.items():
+                    if x < rules["min"]:
+                        support[v] = False
+            if "max" in rules:
+                for v, x in vals.items():
+                    if x > rules["max"]:
+                        support[v] = False
+            if "top" in rules:
+                top = rules["top"]
+                strategy = rules.get("strategy", "highest")
+                eligible = [v for v in vals if support[v]]
+                if isinstance(top, float) and 0 < top < 1:
+                    top = max(1, int(round(top * len(eligible))))
+                ordered = sorted(
+                    eligible, key=lambda v: vals[v], reverse=(strategy == "highest")
+                )
+                for v in ordered[top:]:
+                    support[v] = False
+        for v in self.fixed_variables:
+            support[v] = True
+        self._support = support
+
+    # ------------------------------------------------------------------
+    @property
+    def support_(self):
+        self._check_fitted()
+        return [v for v in self.variable_names if self._support[v]]
+
+    def get_binned_variable(self, name):
+        self._check_fitted()
+        return self._binners[name]
+
+    def summary(self):
+        """Per-variable summary table (reference
+        binning_process.py:437-474)."""
+        import pandas as pd
+
+        rows = []
+        for v in self.variable_names:
+            r = {"name": v, "dtype": self._dtypes[v],
+                 "selected": self._support[v]}
+            r.update(self._metrics[v])
+            rows.append(r)
+        return pd.DataFrame(rows)
+
+    def transform(self, df: DataFrame, metric: str | None = None,
+                  metric_special=0.0, metric_missing=0.0,
+                  keep_cols: list[str] | None = None) -> DataFrame:
+        """One map-only projection for all selected variables."""
+        self._check_fitted()
+        default_metric = metric or (
+            "woe" if self._target_type == "binary" else
+            "mean" if self._target_type == "continuous" else "mean_woe"
+        )
+        cols = [F.col(c) for c in (keep_cols or [])]
+        for v in self.support_:
+            p = self.binning_transform_params.get(v, {})
+            m = p.get("metric", default_metric)
+            b = self._binners[v]
+            expr = b.transform_column_expr(
+                F.col(v).cast("double") if self._dtypes[v] == "numerical" else F.col(v),
+                metric=m,
+                metric_special=p.get("metric_special", metric_special),
+                metric_missing=p.get("metric_missing", metric_missing),
+            )
+            cols.append(expr.alias(v))
+        return df.select(*cols)
+
+    def fit_transform(self, df, y, sample_weight=None, metric=None, **kw):
+        return self.fit(df, y, sample_weight).transform(df, metric=metric, **kw)
+
+    # -- file variants (reference fit_disk / transform_disk) ------------
+    def fit_from_file(self, spark, path: str, y: str, fmt: str = "parquet", **kw):
+        """S3: the reference reads one column at a time; Spark's
+        columnar scan prunes to exactly the needed columns in one
+        pass."""
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", True).option("inferSchema", True)
+        df = reader.load(path).select(*self.variable_names, y)
+        return self.fit(df, y, **kw)
+
+    def transform_file(self, spark, in_path: str, out_path: str,
+                       fmt: str = "parquet", **kw):
+        """S4: pipelined map-only transform, no chunk loop needed."""
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", True).option("inferSchema", True)
+        df = reader.load(in_path)
+        self.transform(df, **kw).write.mode("overwrite").parquet(out_path)
+
+    # -- persistence -----------------------------------------------------
+    def to_dict(self):
+        self._check_fitted()
+        return {
+            "class": "BinningProcess",
+            "target_type": self._target_type,
+            "variable_names": self.variable_names,
+            "dtypes": self._dtypes,
+            "support": self._support,
+            "metrics": self._metrics,
+            "binners": {v: b.to_dict() for v, b in self._binners.items()},
+        }
+
+    def to_json(self, path):
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f)
+
+    @classmethod
+    def read_json(cls, path):
+        with open(path) as f:
+            d = json.load(f)
+        obj = cls(d["variable_names"])
+        obj._target_type = d["target_type"]
+        obj._dtypes = d["dtypes"]
+        obj._support = d["support"]
+        obj._metrics = d["metrics"]
+        klass = {
+            "binary": OptimalBinning,
+            "continuous": ContinuousOptimalBinning,
+            "multiclass": MulticlassOptimalBinning,
+        }[d["target_type"]]
+        obj._binners = {v: klass.from_dict(s) for v, s in d["binners"].items()}
+        obj._fitted = True
+        return obj
+
+    def _check_fitted(self):
+        if not self._fitted:
+            raise RuntimeError("BinningProcess is not fitted")

@@ -1,0 +1,282 @@
+"""Scorecard — binning + linear estimator + point scaling.
+
+Reference: optbinning/scorecard/scorecard.py (pipeline), rounding.py
+(MIP point rounding), plus monitoring in monitoring.py.
+
+Spark design:
+- binning_process.fit_transform produces the WoE matrix in one
+  map-only projection;
+- the estimator is MLlib LogisticRegression / LinearRegression
+  (X1 pluggable-estimator surface; coefficients are what scorecard
+  points need);
+- scoring is a PURE COLUMN EXPRESSION: score(x) = base + sum of
+  per-variable CASE(bin -> points). No vector assembly, no model
+  object at inference time — a scorecard scored over 100 TB is a
+  map-only scan, and predict_proba is the closed-form sigmoid of the
+  same linear expression.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .binning_process import BinningProcess
+
+_EPS = 1e-15
+
+
+def _round_preserving_sum(values: np.ndarray) -> np.ndarray:
+    """Largest-remainder rounding: integer points whose sum matches the
+    rounded sum — the same goal as the reference's MIP rounding
+    (rounding.py:13-110) without an integer program."""
+    floor = np.floor(values)
+    residual = int(np.round(values.sum() - floor.sum()))
+    order = np.argsort(-(values - floor))
+    out = floor.copy()
+    out[order[:residual]] += 1
+    return out
+
+
+class Scorecard:
+    def __init__(
+        self,
+        binning_process: BinningProcess,
+        estimator: str = "auto",
+        scaling_method: str | None = None,
+        scaling_method_params: dict | None = None,
+        intercept_based: bool = False,
+        rounding: bool = False,
+        estimator_params: dict | None = None,
+    ):
+        self.binning_process = binning_process
+        self.estimator = estimator
+        self.scaling_method = scaling_method
+        self.scaling_method_params = scaling_method_params or {}
+        self.intercept_based = intercept_based
+        self.rounding = rounding
+        self.estimator_params = estimator_params or {}
+        self._fitted = False
+
+    # ------------------------------------------------------------------
+    def fit(self, df: DataFrame, y: str, sample_weight: str | None = None):
+        bp = self.binning_process
+        if not bp._fitted:
+            bp.fit(df, y, sample_weight)
+        self._target_type = bp._target_type
+        if self._target_type == "multiclass":
+            raise ValueError("Scorecard supports binary or continuous targets")
+
+        woe = bp.transform(df, keep_cols=[y] + ([sample_weight] if sample_weight else []))
+        self.selected_ = bp.support_
+
+        coefs, intercept = self._fit_estimator(woe, y, sample_weight)
+        self.coef_ = dict(zip(self.selected_, coefs))
+        self.intercept_ = float(intercept)
+
+        self._build_points()
+        self._fitted = True
+        return self
+
+    def _fit_estimator(self, woe: DataFrame, y: str, w: str | None):
+        from pyspark.ml.feature import VectorAssembler
+
+        assembler = VectorAssembler(inputCols=self.selected_, outputCol="__features")
+        assembled = assembler.transform(woe)
+        kind = self.estimator
+        if kind == "auto":
+            kind = "logistic" if self._target_type == "binary" else "linear"
+        common = dict(
+            featuresCol="__features",
+            labelCol=y,
+            standardization=False,
+            regParam=self.estimator_params.get("regParam", 0.0),
+            maxIter=self.estimator_params.get("maxIter", 100),
+        )
+        if w is not None:
+            common["weightCol"] = w
+        if kind == "logistic":
+            from pyspark.ml.classification import LogisticRegression
+
+            model = LogisticRegression(**common).fit(assembled)
+            return list(model.coefficients.toArray()), model.intercept
+        if kind == "linear":
+            from pyspark.ml.regression import LinearRegression
+
+            model = LinearRegression(**common).fit(assembled)
+            return list(model.coefficients.toArray()), model.intercept
+        raise ValueError(f"unknown estimator {kind}")
+
+    # ------------------------------------------------------------------
+    def _variable_bin_metric(self, v):
+        """The per-bin transform values the estimator consumed
+        (woe for binary, mean for continuous), incl. special/missing
+        rows (their transform value is the configured default 0)."""
+        b = self.binning_process.get_binned_variable(v)
+        t = b.binning_table
+        n_clean = sum(1 for k in t.kinds if k == "clean")
+        vals = t.woe if self._target_type == "binary" else t.mean
+        clean_vals = np.asarray(vals[:n_clean], dtype=float)
+        return b, t, clean_vals
+
+    def _build_points(self):
+        """O12/O13: scale raw per-bin contributions into points."""
+        n = len(self.selected_)
+        raw = {}
+        for v in self.selected_:
+            _, _, woes = self._variable_bin_metric(v)
+            raw[v] = self.coef_[v] * woes
+        method = self.scaling_method
+        if method is None:
+            points = {v: raw[v] for v in self.selected_}
+            base = self.intercept_
+        elif method == "pdo_odds":
+            p = self.scaling_method_params
+            pdo, odds, sp = p["pdo"], p["odds"], p["scorecard_points"]
+            factor = pdo / np.log(2)
+            offset = sp - factor * np.log(odds)
+            # score = offset - factor * (intercept + sum raw_i)
+            points = {
+                v: -factor * raw[v] + offset / n - factor * self.intercept_ / n
+                for v in self.selected_
+            }
+            base = 0.0
+        elif method == "min_max":
+            p = self.scaling_method_params
+            smin = sum(r.min() for r in raw.values()) + self.intercept_
+            smax = sum(r.max() for r in raw.values()) + self.intercept_
+            lo, hi = p["min"], p["max"]
+            slope = (hi - lo) / max(smax - smin, _EPS)
+            shift = lo - slope * smin
+            points = {
+                v: slope * raw[v] + (shift + slope * self.intercept_) / n
+                for v in self.selected_
+            }
+            base = 0.0
+        else:
+            raise ValueError(f"unknown scaling_method {method}")
+
+        if self.intercept_based:
+            # O13: re-base each variable's minimum to 0
+            for v in self.selected_:
+                m = points[v].min()
+                points[v] = points[v] - m
+                base += m
+        if self.rounding:
+            for v in self.selected_:
+                points[v] = _round_preserving_sum(points[v])
+            base = float(np.round(base))
+        self.points_ = points
+        self.base_points_ = float(base)
+
+    # ------------------------------------------------------------------
+    def table(self, style: str = "summary"):
+        """Scorecard table: union of per-variable binning tables with
+        Coefficient and Points columns (reference scorecard.py:631-663)."""
+        self._check_fitted()
+        import pandas as pd
+
+        frames = []
+        for v in self.selected_:
+            b, t, woes = self._variable_bin_metric(v)
+            n_clean = len(woes)
+            tab = t.build(add_totals=False).iloc[:n_clean].copy()
+            tab.insert(0, "variable", v)
+            tab["coefficient"] = self.coef_[v]
+            tab["points"] = self.points_[v]
+            frames.append(tab)
+        out = pd.concat(frames, ignore_index=True)
+        if style == "summary":
+            keep = [c for c in ("variable", "bin", "count", "event_rate",
+                                "woe", "mean", "coefficient", "points")
+                    if c in out.columns]
+            out = out[keep]
+        return out
+
+    def score_expr(self):
+        """The scorecard as ONE column expression."""
+        self._check_fitted()
+        bp = self.binning_process
+        total = F.lit(self.base_points_)
+        for v in self.selected_:
+            b = bp.get_binned_variable(v)
+            pts = [float(p) for p in self.points_[v]]
+            col = (
+                F.col(v).cast("double")
+                if bp._dtypes[v] == "numerical"
+                else F.col(v)
+            )
+            expr = self._points_case(b, col, pts, bp._dtypes[v])
+            total = total + expr
+        return total
+
+    def _points_case(self, binner, col, pts, dtype):
+        from .operators.preprocessing import normalize_special_codes
+
+        groups = normalize_special_codes(binner.special_codes)
+        if dtype == "categorical":
+            is_missing = col.isNull()
+        else:
+            is_missing = col.isNull() | F.isnan(col)
+        # missing/special contribute 0 points (metric default 0 * coef)
+        expr = F.when(is_missing, F.lit(0.0))
+        for g, values in groups.items():
+            expr = expr.when(col.isin(values), F.lit(0.0))
+        if dtype == "categorical":
+            for bin_idx, cats in enumerate(binner._bin_categories or []):
+                expr = expr.when(col.isin(list(cats)), F.lit(pts[bin_idx]))
+            return expr.otherwise(F.lit(0.0))
+        splits = list(binner._splits)
+        if not splits:
+            return expr.otherwise(F.lit(pts[0] if pts else 0.0))
+        for i, s in enumerate(splits):
+            expr = expr.when(col < float(s), F.lit(pts[i]))
+        return expr.otherwise(F.lit(pts[len(splits)]))
+
+    def score(self, df: DataFrame, out_col: str = "score") -> DataFrame:
+        return df.withColumn(out_col, self.score_expr())
+
+    def predict_proba_expr(self):
+        """Closed-form sigmoid of the linear predictor — map-only
+        scoring at any scale (binary only)."""
+        self._check_fitted()
+        bp = self.binning_process
+        lin = F.lit(self.intercept_)
+        for v in self.selected_:
+            b = bp.get_binned_variable(v)
+            _, _, woes = self._variable_bin_metric(v)
+            vals = [float(self.coef_[v] * w) for w in woes]
+            col = (
+                F.col(v).cast("double")
+                if bp._dtypes[v] == "numerical"
+                else F.col(v)
+            )
+            lin = lin + self._points_case(b, col, vals, bp._dtypes[v])
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-lin))
+
+    def predict_proba(self, df: DataFrame, out_col: str = "proba") -> DataFrame:
+        return df.withColumn(out_col, self.predict_proba_expr())
+
+    def predict(self, df: DataFrame, out_col: str = "prediction") -> DataFrame:
+        if self._target_type == "binary":
+            return df.withColumn(
+                out_col, (self.predict_proba_expr() >= 0.5).cast("int")
+            )
+        bp = self.binning_process
+        lin = F.lit(self.intercept_)
+        for v in self.selected_:
+            b = bp.get_binned_variable(v)
+            _, _, means = self._variable_bin_metric(v)
+            vals = [float(self.coef_[v] * m) for m in means]
+            col = (
+                F.col(v).cast("double")
+                if bp._dtypes[v] == "numerical"
+                else F.col(v)
+            )
+            lin = lin + self._points_case(b, col, vals, bp._dtypes[v])
+        return df.withColumn(out_col, lin)
+
+    def _check_fitted(self):
+        if not self._fitted:
+            raise RuntimeError("Scorecard is not fitted")

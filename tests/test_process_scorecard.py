@@ -1,0 +1,189 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from optbinning_spark import BinningProcess, MulticlassOptimalBinning
+from optbinning_spark.monitoring import ScorecardMonitoring
+from optbinning_spark.scorecard import Scorecard
+
+
+@pytest.fixture(scope="module")
+def wide_df(spark):
+    rng = np.random.RandomState(42)
+    rows = []
+    for i in range(4000):
+        x1 = float(rng.uniform(0, 100))       # strong signal
+        x2 = float(rng.normal(50, 10))        # weak signal
+        x3 = float(rng.uniform(0, 1))         # no signal
+        cat = "abc"[i % 3]                    # categorical signal
+        p = 0.05 + 0.6 * x1 / 100 + {"a": 0.0, "b": 0.1, "c": 0.2}[cat]
+        y = int(rng.rand() < min(p, 0.95))
+        rows.append((i, x1, x2, x3, cat, y))
+    return spark.createDataFrame(
+        rows, "id long, x1 double, x2 double, x3 double, cat string, y int"
+    )
+
+
+@pytest.fixture(scope="module")
+def fitted_process(wide_df):
+    bp = BinningProcess(
+        ["x1", "x2", "x3", "cat"],
+        selection_criteria={"iv": {"min": 0.01, "strategy": "highest", "top": 3}},
+        prebinning_method="quantile",
+    )
+    bp.fit(wide_df, "y")
+    return bp
+
+
+def test_process_selection(fitted_process):
+    assert fitted_process._target_type == "binary"
+    summary = fitted_process.summary()
+    assert len(summary) == 4
+    ivs = dict(zip(summary["name"], summary["iv"]))
+    assert ivs["x1"] > ivs["x3"]
+    assert "x1" in fitted_process.support_
+    assert "x3" not in fitted_process.support_
+
+
+def test_process_dtype_inference(fitted_process):
+    assert fitted_process._dtypes["cat"] == "categorical"
+    assert fitted_process._dtypes["x1"] == "numerical"
+
+
+def test_process_transform_one_pass(fitted_process, wide_df):
+    out = fitted_process.transform(wide_df, keep_cols=["id", "y"])
+    assert set(out.columns) == {"id", "y", *fitted_process.support_}
+    # woe columns are numeric and non-null
+    for v in fitted_process.support_:
+        assert out.filter(F.col(v).isNull()).count() == 0
+
+
+def test_per_variable_overrides(wide_df):
+    bp = BinningProcess(
+        ["x1", "x2"],
+        prebinning_method="quantile",
+        binning_fit_params={"x2": {"max_n_bins": 2}},
+        binning_transform_params={"x2": {"metric": "indices"}},
+    )
+    bp.fit(wide_df, "y")
+    t2 = bp.get_binned_variable("x2").binning_table
+    assert sum(1 for k in t2.kinds if k == "clean") <= 2
+    out = bp.transform(wide_df)
+    vals = {r["x2"] for r in out.select("x2").distinct().collect()}
+    assert vals <= {-1, 0, 1}  # indices metric
+
+
+def test_process_json_roundtrip(fitted_process, wide_df, tmp_path):
+    p = str(tmp_path / "bp.json")
+    fitted_process.to_json(p)
+    bp2 = BinningProcess.read_json(p)
+    a = fitted_process.transform(wide_df).toPandas()
+    b = bp2.transform(wide_df).toPandas()
+    assert a.equals(b)
+
+
+def test_scorecard_pdo_odds(fitted_process, wide_df):
+    sc = Scorecard(
+        fitted_process,
+        scaling_method="pdo_odds",
+        scaling_method_params={"pdo": 20, "odds": 50, "scorecard_points": 600},
+    )
+    sc.fit(wide_df, "y")
+    tab = sc.table()
+    assert {"variable", "bin", "points"} <= set(tab.columns)
+    scored = sc.score(wide_df)
+    stats = scored.agg(F.min("score"), F.max("score")).first()
+    assert stats[0] < stats[1]
+    # higher score should mean lower event rate (pdo_odds is reversed)
+    lo = scored.filter(F.col("score") < stats[0] + (stats[1] - stats[0]) / 3)
+    hi = scored.filter(F.col("score") > stats[1] - (stats[1] - stats[0]) / 3)
+    assert lo.agg(F.avg("y")).first()[0] > hi.agg(F.avg("y")).first()[0]
+
+
+def test_scorecard_proba_calibration(fitted_process, wide_df):
+    sc = Scorecard(fitted_process)
+    sc.fit(wide_df, "y")
+    avg_p = sc.predict_proba(wide_df).agg(F.avg("proba")).first()[0]
+    base = wide_df.agg(F.avg("y")).first()[0]
+    assert avg_p == pytest.approx(base, abs=0.02)
+
+
+def test_scorecard_min_max_rounding(fitted_process, wide_df):
+    sc = Scorecard(
+        fitted_process,
+        scaling_method="min_max",
+        scaling_method_params={"min": 0, "max": 100},
+        rounding=True,
+    )
+    sc.fit(wide_df, "y")
+    stats = sc.score(wide_df).agg(F.min("score"), F.max("score")).first()
+    assert stats[0] >= -1.0 and stats[1] <= 101.0
+    for pts in sc.points_.values():
+        assert np.allclose(pts, np.round(pts))
+
+
+def test_monitoring(fitted_process, wide_df):
+    sc = Scorecard(fitted_process)
+    sc.fit(wide_df, "y")
+    exp = wide_df.filter(F.col("id") % 2 == 0)
+    act = wide_df.filter(F.col("id") % 2 == 1)
+    mon = ScorecardMonitoring(sc, psi_n_bins=8).fit(act, exp, "y")
+    rep = mon.psi_report()
+    assert rep["psi"] < 0.1  # same distribution
+    assert rep["level"] == "insignificant"
+    tests = mon.tests_table()
+    assert (tests["p_value"] >= 0).all() and (tests["p_value"] <= 1).all()
+    perf = mon.performance_report(act)
+    assert perf["auc"] > 0.6  # real signal present
+    vp = mon.variable_psi_table(act, exp)
+    assert set(vp["variable"]) == set(sc.selected_)
+
+
+def test_multiclass_binning(spark):
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(3000):
+        x = float(rng.uniform(0, 90))
+        cls = int(x // 30)  # 3 classes by range, with noise
+        if rng.rand() < 0.2:
+            cls = int(rng.randint(0, 3))
+        rows.append((x, cls))
+    df = spark.createDataFrame(rows, "x double, y int")
+    mb = MulticlassOptimalBinning(prebinning_method="quantile")
+    mb.fit(df, "x", "y")
+    t = mb.binning_table
+    assert t.js > 0
+    assert len(mb.classes_) == 3
+    out = mb.transform(df, "x", metric="mean_woe", out_col="mw")
+    assert out.filter(F.col("mw").isNull()).count() == 0
+    # weighted_mean_woe also works
+    out2 = mb.transform(df, "x", metric="weighted_mean_woe", out_col="w2")
+    assert out2.select("w2").distinct().count() >= 2
+
+
+def test_multiclass_rejects_categorical(spark):
+    df = spark.createDataFrame([("a", 0), ("b", 1), ("c", 2)],
+                               "cat string, y int")
+    mb = MulticlassOptimalBinning()
+    with pytest.raises(ValueError):
+        mb.fit(df, "cat", "y")
+
+
+def test_continuous_process(spark):
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(2000):
+        x = float(rng.uniform(0, 10))
+        rows.append((x, float(3 * x + rng.normal(0, 1))))
+    df = spark.createDataFrame(rows, "x double, y double")
+    bp = BinningProcess(["x"], prebinning_method="quantile")
+    bp.fit(df, "y")
+    assert bp._target_type == "continuous"
+    sc = Scorecard(bp)
+    sc.fit(df, "y")
+    pred = sc.predict(df)
+    # R2 of binned linear model should be high on a linear relation
+    from optbinning_spark.monitoring import ScorecardMonitoring
+
+    mon = ScorecardMonitoring(sc).fit(df, df, "y")
+    assert mon.performance_report(df)["r2"] > 0.8

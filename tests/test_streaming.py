@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from optbinning_spark import OptimalBinning
+from optbinning_spark.streaming.sketch import (
+    BinningProcessSketch,
+    CentroidSketch,
+    OptimalBinningSketch,
+    streaming_binning_query,
+)
+
+
+def test_centroid_sketch_quantiles():
+    sk = CentroidSketch(max_size=128)
+    rng = np.random.RandomState(0)
+    data = rng.uniform(0, 100, 10_000)
+    for chunk in np.array_split(data, 10):
+        sk.add(chunk, np.ones(len(chunk)))
+    q = sk.quantiles([0.25, 0.5, 0.75])
+    assert np.allclose(q, [25, 50, 75], atol=3.0)
+    assert sk.total_weight == pytest.approx(10_000)
+
+
+def test_centroid_sketch_merge_order_insensitive():
+    rng = np.random.RandomState(1)
+    a_data = rng.normal(0, 1, 5000)
+    b_data = rng.normal(5, 1, 5000)
+    s1 = CentroidSketch(256)
+    s1.add(a_data, np.ones(5000))
+    s2 = CentroidSketch(256)
+    s2.add(b_data, np.ones(5000))
+    s1.merge(s2)
+    q = s1.quantiles([0.5])
+    assert 2.0 < q[0] < 3.0
+
+
+@pytest.fixture(scope="module")
+def batches(spark):
+    rng = np.random.RandomState(42)
+    out = []
+    for b in range(5):
+        rows = []
+        for i in range(1000):
+            x = float(rng.uniform(0, 100))
+            y = int(rng.rand() < (0.1 + 0.8 * x / 100))
+            rows.append((x, y))
+        out.append(spark.createDataFrame(rows, "x double, y int"))
+    return out
+
+
+def test_sketch_add_merge_solve_close_to_batch(spark, batches):
+    sk = OptimalBinningSketch(monotonic_trend="ascending")
+    for b in batches:
+        sk.add(b, "x", "y")
+    ob_sketch = sk.solve()
+    # batch path on the union
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.union(b)
+    ob_batch = OptimalBinning(prebinning_method="quantile",
+                              monotonic_trend="ascending")
+    ob_batch.fit(full, "x", "y")
+    # tolerance-based comparison like the reference (rel=1e-2 spirit):
+    # total IV within 10%, same monotone direction
+    assert ob_sketch.binning_table.iv == pytest.approx(
+        ob_batch.binning_table.iv, rel=0.15
+    )
+    rates = [
+        r for r, k in zip(ob_sketch.binning_table.event_rate,
+                          ob_sketch.binning_table.kinds) if k == "clean"
+    ]
+    assert all(rates[i + 1] >= rates[i] for i in range(len(rates) - 1))
+
+
+def test_sketch_merge_equivalent_to_single(spark, batches):
+    s1 = OptimalBinningSketch(monotonic_trend="ascending")
+    s2 = OptimalBinningSketch(monotonic_trend="ascending")
+    for b in batches[:2]:
+        s1.add(b, "x", "y")
+    for b in batches[2:]:
+        s2.add(b, "x", "y")
+    s1.merge(s2)
+    combined = s1.solve()
+    assert combined.binning_table.count.sum() == pytest.approx(5000)
+
+
+def test_categorical_sketch(spark):
+    rows = [(c, int(i % 3 == 0)) for i, c in enumerate("aabbbcccc" * 300)]
+    df = spark.createDataFrame(rows, "cat string, y int")
+    sk = OptimalBinningSketch(dtype="categorical", monotonic_trend="ascending")
+    sk.add(df, "cat", "y")
+    ob = sk.solve()
+    # exact counters: totals must match exactly
+    assert ob.binning_table.count.sum() == df.count()
+
+
+def test_process_sketch(spark, batches):
+    ps = BinningProcessSketch(["x"])
+    for b in batches:
+        ps.add(b, "y")
+    models = ps.solve()
+    assert set(models) == {"x"}
+    assert models["x"].binning_table.iv > 0
+
+
+def test_structured_streaming_foreachbatch(spark, batches, tmp_path):
+    # write batches as files and stream them
+    src = str(tmp_path / "stream_src")
+    for i, b in enumerate(batches[:3]):
+        b.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("x double, y int").parquet(src)
+    )
+    sk = OptimalBinningSketch(monotonic_trend="ascending")
+    solved = []
+    q = streaming_binning_query(
+        stream, sk, "x", "y", solve_every=1,
+        on_solve=lambda ob, epoch: solved.append(ob),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sk.n_add >= 1
+    assert solved, "solve callback never fired"
+    assert solved[-1].binning_table.count.sum() == pytest.approx(3000)
