@@ -556,6 +556,59 @@ def q_psi_variable_report(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+def q_contingency_2d(spark, sf_dir):
+    """A5: 2-D contingency aggregation on fixed splits (two grouping
+    keys, single shuffle)."""
+    df = _lineitem(spark, sf_dir)
+    bx = _bin_expr(F.col("l_quantity"), [15.0, 30.0, 45.0])
+    by = _bin_expr(F.col("l_extendedprice"), [30000.0, 60000.0, 90000.0])
+    return df.groupBy(bx.alias("bin_x"), by.alias("bin_y")).agg(
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("n_nonevent"),
+        F.sum("y").alias("n_event"),
+    )
+
+
+def q_binning_2d_table(spark, sf_dir):
+    """O8: 2-D optimal binning via guillotine-partition DP."""
+    from optbinning_spark.binning_2d import OptimalBinning2D
+
+    df = _lineitem(spark, sf_dir)
+    ob = OptimalBinning2D(max_n_prebins_x=6, max_n_prebins_y=6, min_bin_size=0.02)
+    ob.fit(df, "l_quantity", "l_extendedprice", "y")
+    pdf = ob.binning_table()
+    num = pdf.select_dtypes("number").columns
+    pdf[num] = pdf[num].round(6)
+    return spark.createDataFrame(pdf)
+
+
+def q_piecewise_transform(spark, sf_dir):
+    """O11/F6: piecewise-linear event-rate transform (continuous KKT
+    fit from one aggregation)."""
+    from optbinning_spark.piecewise import OptimalPWBinning
+
+    df = _lineitem(spark, sf_dir)
+    pw = OptimalPWBinning(objective="binary", degree=1,
+                          prebinning_method="quantile")
+    pw.fit(df, "l_extendedprice", "y")
+    out = pw.transform(df, "l_extendedprice", metric="event_rate", out_col="p")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("p", 6).alias("p")
+    )
+
+
+def q_outlier_yquantile(spark, sf_dir):
+    """P7: per-x-quantile-bin outlier counts on y."""
+    from optbinning_spark.operators.outlier import YQuantileDetector
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem"))
+    det = YQuantileDetector(n_bins=5).fit(df, "l_quantity", "l_extendedprice")
+    pred = det.outlier_predicate(F.col("l_quantity"), F.col("l_extendedprice"))
+    return df.agg(
+        F.sum(F.when(pred, 1).otherwise(0)).alias("n_outliers"),
+        F.count("*").alias("n_total"),
+    )
+
+
 # -- driver contract -----------------------------------------------------
 
 
@@ -596,6 +649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiclass_binning_table": q_multiclass_binning_table,
         "sketch_binning_table": q_sketch_binning_table,
         "psi_variable_report": q_psi_variable_report,
+        "contingency_2d": q_contingency_2d,
+        "binning_2d_table": q_binning_2d_table,
+        "piecewise_transform": q_piecewise_transform,
+        "outlier_yquantile": q_outlier_yquantile,
         "lsh_candidates": q_lsh_candidates,
         "multimodal_features": q_multimodal_features,
     }
@@ -758,13 +815,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
             sh AS (
-              SELECT doc_id, unnest([array_to_string(words[i:i+2], ' ')
-                                     FOR i IN generate_series(1, len(words)-2)]) AS s
+              SELECT doc_id, md5('s0|' || unnest([array_to_string(words[i:i+2], ' ')
+                                     FOR i IN generate_series(1, len(words)-2)])) AS h
               FROM w
             )
             SELECT doc_id,
-                   min(md5('s0|' || s)) AS mh0, min(md5('s1|' || s)) AS mh1,
-                   min(md5('s2|' || s)) AS mh2, min(md5('s3|' || s)) AS mh3
+                   min(substr(h, 1, 8)) AS mh0, min(substr(h, 9, 8)) AS mh1,
+                   min(substr(h, 17, 8)) AS mh2, min(substr(h, 25, 8)) AS mh3
             FROM sh GROUP BY doc_id
         """,
         "jaccard_pairs": shingle_cte + """
@@ -832,6 +889,13 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_class_a,
                    sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_class_n
             FROM lineitem GROUP BY 1
+        """,
+        "contingency_2d": f"""
+            SELECT {_sql_bin_case('l_quantity', [15.0, 30.0, 45.0])} AS bin_x,
+                   {_sql_bin_case('l_extendedprice', [30000.0, 60000.0, 90000.0])} AS bin_y,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS n_nonevent,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_event
+            FROM lineitem GROUP BY 1, 2
         """,
         "ks": f"""
             WITH agg AS (

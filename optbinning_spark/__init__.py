@@ -22,18 +22,40 @@ __all__ = [
 __version__ = "0.1.0"
 
 
+_LAZY = {
+    "BinningProcess": ("optbinning_spark.binning_process", "BinningProcess"),
+    "Scorecard": ("optbinning_spark.scorecard", "Scorecard"),
+    "ScorecardMonitoring": ("optbinning_spark.monitoring", "ScorecardMonitoring"),
+    "MulticlassOptimalBinning": (
+        "optbinning_spark.multiclass_binning",
+        "MulticlassOptimalBinning",
+    ),
+    "OptimalBinning2D": ("optbinning_spark.binning_2d", "OptimalBinning2D"),
+    "OptimalPWBinning": ("optbinning_spark.piecewise", "OptimalPWBinning"),
+    "OptimalBinningSketch": (
+        "optbinning_spark.streaming.sketch",
+        "OptimalBinningSketch",
+    ),
+    "BinningProcessSketch": (
+        "optbinning_spark.streaming.sketch",
+        "BinningProcessSketch",
+    ),
+    "RangeDetector": ("optbinning_spark.operators.outlier", "RangeDetector"),
+    "ModifiedZScoreDetector": (
+        "optbinning_spark.operators.outlier",
+        "ModifiedZScoreDetector",
+    ),
+    "YQuantileDetector": ("optbinning_spark.operators.outlier", "YQuantileDetector"),
+}
+
+__all__ = __all__ + [k for k in _LAZY if k not in __all__]
+
+
 def __getattr__(name):
     # lazy imports to keep `import optbinning_spark` light
-    if name == "BinningProcess":
-        from .binning_process import BinningProcess
+    if name in _LAZY:
+        import importlib
 
-        return BinningProcess
-    if name == "Scorecard":
-        from .scorecard import Scorecard
-
-        return Scorecard
-    if name == "MulticlassOptimalBinning":
-        from .multiclass_binning import MulticlassOptimalBinning
-
-        return MulticlassOptimalBinning
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
     raise AttributeError(name)

@@ -47,11 +47,32 @@ def minhash_signatures(
     n_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature columns mh0..mh{n-1}. Map-only."""
+    """Per-document MinHash signature columns mh0..mh{n-1}. Map-only.
+
+    Cost optimization: md5 is 128 bits = four independent 32-bit
+    lanes, so each salted md5 yields FOUR hash functions (standard
+    k-bit slicing); a 16-hash signature costs 4 md5 calls per shingle
+    instead of 16. mh{i} = lane (i % 4) of md5('s{i//4}|' || shingle).
+    """
     t = F.col(text_col)
-    cols = [F.col(id_col)] + [
-        minhash_expr(t, i, shingle_n).alias(f"mh{i}") for i in range(n_hashes)
-    ]
+    sh = shingles_expr(t, shingle_n)
+
+    # NB: F.transform treats a 2-arg lambda as (element, index) — use
+    # single-arg closures from factories to bind loop variables.
+    def _salted(k: int):
+        salt = f"s{k}|"
+        return F.transform(sh, lambda s: F.md5(F.concat(F.lit(salt), s)))
+
+    def _lane_min(arr, lane: int):
+        off = lane * 8 + 1
+        return F.array_min(F.transform(arr, lambda h: F.substring(h, off, 8)))
+
+    n_salts = (n_hashes + 3) // 4
+    salted = [_salted(k) for k in range(n_salts)]
+    cols = [F.col(id_col)]
+    for i in range(n_hashes):
+        salt, lane = divmod(i, 4)
+        cols.append(_lane_min(salted[salt], lane).alias(f"mh{i}"))
     return df.select(*cols)
 
 
@@ -137,6 +158,8 @@ def ngram_jaccard_pairs(
     index). Jaccard is computed on the capped shingle sets of both
     docs, so the metric is consistent.
     """
+    from pyspark.sql import Window as W
+
     sh = (
         df.select(
             F.col(id_col),
@@ -145,8 +168,13 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    freq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
-    rare = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "sh")
+    # document-frequency cap via a window over the shingle key: one
+    # shuffle, no separate agg + join, no recomputation of the explode
+    rare = (
+        sh.withColumn("df_", F.count("*").over(W.partitionBy("sh")))
+        .filter(F.col("df_") <= max_doc_freq)
+        .drop("df_")
+    )
     sizes = rare.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = rare.alias("a")
     b = rare.alias("b")
@@ -179,17 +207,21 @@ def simhash_expr(text: Column, n_bits: int = 32, shingle_n: int = 1) -> Column:
     """SimHash over token (or shingle) md5s: per-bit majority vote.
     Expressed with aggregate over the shingle array — map-only."""
     sh = shingles_expr(text, shingle_n) if shingle_n > 1 else F.split(text, " ")
-    # take the top n_bits of each md5 as a long
+    # take the top 32 bits of each md5 as a long
     h = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
-    bits = []
-    for b in range(n_bits):
-        mask = 1 << (b % 32)
-        vote = F.aggregate(
+
+    def _vote(mask: int):
+        # single-arg lambdas only: 2-arg merge lambda is (acc, x)
+        return F.aggregate(
             sh,
             F.lit(0),
-            lambda acc, s, m=mask: acc
-            + F.when(h(s).bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1),
+            lambda acc, s: acc
+            + F.when(h(s).bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
         )
+
+    bits = []
+    for b in range(n_bits):
+        vote = _vote(1 << (b % 32))
         bits.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long"))
     out = bits[0]
     for bcol in bits[1:]:

@@ -83,7 +83,9 @@ class Scorecard:
         from pyspark.ml.feature import VectorAssembler
 
         assembler = VectorAssembler(inputCols=self.selected_, outputCol="__features")
-        assembled = assembler.transform(woe)
+        # cache: LBFGS makes many passes; the assembled frame is tiny
+        # relative to the scan it would otherwise repeat
+        assembled = assembler.transform(woe).cache()
         kind = self.estimator
         if kind == "auto":
             kind = "logistic" if self._target_type == "binary" else "linear"
@@ -96,17 +98,20 @@ class Scorecard:
         )
         if w is not None:
             common["weightCol"] = w
-        if kind == "logistic":
-            from pyspark.ml.classification import LogisticRegression
+        try:
+            if kind == "logistic":
+                from pyspark.ml.classification import LogisticRegression
 
-            model = LogisticRegression(**common).fit(assembled)
-            return list(model.coefficients.toArray()), model.intercept
-        if kind == "linear":
-            from pyspark.ml.regression import LinearRegression
+                model = LogisticRegression(**common).fit(assembled)
+                return list(model.coefficients.toArray()), model.intercept
+            if kind == "linear":
+                from pyspark.ml.regression import LinearRegression
 
-            model = LinearRegression(**common).fit(assembled)
-            return list(model.coefficients.toArray()), model.intercept
-        raise ValueError(f"unknown estimator {kind}")
+                model = LinearRegression(**common).fit(assembled)
+                return list(model.coefficients.toArray()), model.intercept
+            raise ValueError(f"unknown estimator {kind}")
+        finally:
+            assembled.unpersist()
 
     # ------------------------------------------------------------------
     def _variable_bin_metric(self, v):

@@ -1,0 +1,150 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from optbinning_spark.binning_2d import OptimalBinning2D
+from optbinning_spark.operators.outlier import (
+    ModifiedZScoreDetector,
+    RangeDetector,
+    YQuantileDetector,
+)
+from optbinning_spark.piecewise import OptimalPWBinning
+
+
+@pytest.fixture(scope="module")
+def outlier_df(spark):
+    rng = np.random.RandomState(0)
+    rows = [(float(v),) for v in rng.normal(50, 5, 2000)]
+    rows += [(500.0,), (-500.0,), (1000.0,)]
+    return spark.createDataFrame(rows, "x double")
+
+
+def test_range_detector(outlier_df):
+    det = RangeDetector().fit(outlier_df, "x")
+    flagged = {
+        r["x"] for r in
+        outlier_df.filter(det.outlier_predicate(F.col("x"))).collect()
+    }
+    # planted extremes must be flagged; a ~1% natural normal tail may
+    # also trip Tukey fences
+    assert {500.0, -500.0, 1000.0} <= flagged
+    assert len(flagged) < 40
+    assert det.filter_outliers(outlier_df, "x").count() == 2003 - len(flagged)
+
+
+def test_zscore_detector(outlier_df):
+    det = ModifiedZScoreDetector().fit(outlier_df, "x")
+    n_out = outlier_df.filter(det.outlier_predicate(F.col("x"))).count()
+    assert n_out >= 3  # at least the planted outliers
+
+
+def test_yquantile_detector(spark):
+    rng = np.random.RandomState(1)
+    rows = []
+    for i in range(2000):
+        x = float(rng.uniform(0, 10))
+        y = float(3 * x + rng.normal(0, 0.5))
+        rows.append((x, y))
+    rows.append((1.0, 100.0))  # y-outlier at low x, normal at global scale
+    df = spark.createDataFrame(rows, "x double, y double")
+    det = YQuantileDetector(n_bins=5).fit(df, "x", "y")
+    out = df.filter(det.outlier_predicate(F.col("x"), F.col("y"))).collect()
+    assert any(r["y"] == 100.0 for r in out)
+    det2 = YQuantileDetector(n_bins=5, method="zscore").fit(df, "x", "y")
+    out2 = df.filter(det2.outlier_predicate(F.col("x"), F.col("y"))).collect()
+    assert any(r["y"] == 100.0 for r in out2)
+
+
+def test_binning_2d(spark):
+    rng = np.random.RandomState(2)
+    rows = []
+    for i in range(4000):
+        x = float(rng.uniform(0, 10))
+        y = float(rng.uniform(0, 10))
+        # event prob high in the (x>5, y>5) quadrant
+        p = 0.7 if (x > 5 and y > 5) else 0.2
+        rows.append((x, y, int(rng.rand() < p)))
+    df = spark.createDataFrame(rows, "x double, y double, t int")
+    ob = OptimalBinning2D(max_n_prebins_x=6, max_n_prebins_y=6,
+                          min_bin_size=0.05)
+    ob.fit(df, "x", "y", "t")
+    tab = ob.binning_table()
+    assert ob.iv > 0.1
+    assert tab["count"].sum() == 4000
+    # rectangles tile the grid: counts are a partition
+    out = ob.transform(df, "x", "y", metric="indices", out_col="b")
+    assert out.filter(F.col("b") == -1).count() == 0
+    # the hot quadrant should land in a high-event-rate rectangle
+    hot = out.filter((F.col("x") > 6) & (F.col("y") > 6)).select("b").distinct()
+    hot_bins = {r["b"] for r in hot.collect()}
+    rates = dict(zip(tab["bin"], tab["event_rate"]))
+    assert max(rates[b] for b in hot_bins) > 0.5
+
+
+def test_binning_2d_woe_transform(spark):
+    rng = np.random.RandomState(3)
+    rows = [
+        (float(rng.uniform(0, 1)), float(rng.uniform(0, 1)), int(rng.rand() < 0.3))
+        for _ in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, t int")
+    ob = OptimalBinning2D(max_n_prebins_x=4, max_n_prebins_y=4)
+    ob.fit(df, "x", "y", "t")
+    out = ob.transform(df, "x", "y", metric="woe", out_col="w")
+    assert out.filter(F.col("w").isNull()).count() == 0
+
+
+def test_piecewise_continuous(spark):
+    rng = np.random.RandomState(4)
+    rows = []
+    for i in range(3000):
+        x = float(rng.uniform(0, 10))
+        y = float(2 * x + 1 + rng.normal(0, 0.3))
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x double, y double")
+    pw = OptimalPWBinning(objective="continuous", degree=1,
+                          prebinning_method="quantile")
+    pw.fit(df, "x", "y")
+    out = pw.transform(df, "x", out_col="yhat")
+    r = out.agg(
+        F.avg(F.abs(F.col("yhat") - F.col("y"))).alias("mae")
+    ).first()
+    assert r["mae"] < 0.5  # near-exact linear recovery
+    # continuity at knots: evaluate both sides of each split
+    for s in pw.splits_:
+        left = pw.coef0_[list(pw.splits_).index(s)] + pw.coef1_[
+            list(pw.splits_).index(s)] * s
+        right = pw.coef0_[list(pw.splits_).index(s) + 1] + pw.coef1_[
+            list(pw.splits_).index(s) + 1] * s
+        assert left == pytest.approx(right, abs=1e-6)
+
+
+def test_piecewise_binary(spark):
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(3000):
+        x = float(rng.uniform(0, 100))
+        y = int(rng.rand() < (0.1 + 0.8 * x / 100))
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x double, y int")
+    pw = OptimalPWBinning(objective="binary", degree=1,
+                          prebinning_method="quantile",
+                          monotonic_trend="ascending")
+    pw.fit(df, "x", "y")
+    out = pw.transform(df, "x", metric="event_rate", out_col="p")
+    r = out.agg(F.min("p"), F.max("p"), F.avg("p")).first()
+    assert 0 <= r[0] <= r[1] <= 1
+    assert r[2] == pytest.approx(0.5, abs=0.1)
+    # woe metric produces finite values
+    w = pw.transform(df, "x", metric="woe", out_col="w")
+    assert w.filter(F.isnan("w")).count() == 0
+
+
+def test_piecewise_degree0(spark):
+    rng = np.random.RandomState(6)
+    rows = [(float(rng.uniform(0, 10)), float(rng.normal(5, 1))) for _ in range(500)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    pw = OptimalPWBinning(objective="continuous", degree=0, continuity=False,
+                          prebinning_method="quantile")
+    pw.fit(df, "x", "y")
+    assert np.allclose(pw.coef1_, 0.0)
