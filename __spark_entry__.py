@@ -596,6 +596,41 @@ def q_piecewise_transform(spark, sf_dir):
     )
 
 
+def q_counterfactual(spark, sf_dir):
+    """O15: counterfactual explanations — exact branch-and-bound over
+    bin assignments; Mahalanobis inputs from one Spark agg."""
+    from optbinning_spark import BinningProcess, Counterfactual
+    from optbinning_spark.scorecard import Scorecard
+
+    df = _lineitem(spark, sf_dir)
+    bp = BinningProcess(
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        prebinning_method="quantile",
+    )
+    sc = Scorecard(bp).fit(df, "y")
+    cf = Counterfactual(sc).fit(df)
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0, "l_discount": 0.01}
+    # data-derived reachable target: 95% of the max attainable logit
+    import numpy as np
+
+    vals, _ = cf._candidates()
+    coefs = [sc.coef_[v] for v in cf.variables_]
+    s_max = sc.intercept_ + sum(
+        float(max(c * v)) for c, v in zip(coefs, vals)
+    )
+    s_min = sc.intercept_ + sum(
+        float(min(c * v)) for c, v in zip(coefs, vals)
+    )
+    target = 1.0 / (1.0 + np.exp(-(s_min + 0.95 * (s_max - s_min))))
+    cf.generate(query, y=target, outcome_type="probability",
+                hard_constraints=["min_outcome"], n_cf=3,
+                objectives={"proximity": 1.0, "closeness": 0.1})
+    pdf = cf.display(show_only_changes=False)
+    num = pdf.select_dtypes("number").columns
+    pdf[num] = pdf[num].round(6)
+    return spark.createDataFrame(pdf)
+
+
 def q_outlier_yquantile(spark, sf_dir):
     """P7: per-x-quantile-bin outlier counts on y."""
     from optbinning_spark.operators.outlier import YQuantileDetector
@@ -653,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binning_2d_table": q_binning_2d_table,
         "piecewise_transform": q_piecewise_transform,
         "outlier_yquantile": q_outlier_yquantile,
+        "counterfactual": q_counterfactual,
         "lsh_candidates": q_lsh_candidates,
         "multimodal_features": q_multimodal_features,
     }

@@ -46,6 +46,7 @@ _LAZY = {
         "ModifiedZScoreDetector",
     ),
     "YQuantileDetector": ("optbinning_spark.operators.outlier", "YQuantileDetector"),
+    "Counterfactual": ("optbinning_spark.counterfactual", "Counterfactual"),
 }
 
 __all__ = __all__ + [k for k in _LAZY if k not in __all__]

@@ -1,0 +1,137 @@
+"""Counterfactual (O15) tests: feasibility, optimality vs brute
+force, constraints, hierarchical method."""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from optbinning_spark.binning_process import BinningProcess
+from optbinning_spark.counterfactual import Counterfactual
+from optbinning_spark.scorecard import Scorecard
+
+VARS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+    )
+
+
+@pytest.fixture(scope="module")
+def cf_fitted(lineitem):
+    bp = BinningProcess(variable_names=VARS, max_n_prebins=8)
+    sc = Scorecard(binning_process=bp).fit(lineitem, "y")
+    return Counterfactual(sc).fit(lineitem), sc
+
+
+def _brute_force_best(cf, sc, query, lo):
+    """Enumerate every assignment; return min proximity cost among
+    those with score >= lo."""
+    vals, _ = cf._candidates()
+    p = len(cf.variables_)
+    coef = np.array([sc.coef_[v] for v in cf.variables_])
+    orig_bin = [cf._query_bin(v, query.get(v)) for v in cf.variables_]
+    orig_woe = np.array([vals[i][orig_bin[i]] for i in range(p)])
+    pts = [coef[i] * vals[i] for i in range(p)]
+    pts0 = coef * orig_woe
+    wrange = np.array(
+        [1.0 / max(float(pt.max() - pt.min()), 1e-9) for pt in pts]
+    )
+    best = None
+    for assign in itertools.product(*[range(len(v)) for v in vals]):
+        score = sc.intercept_ + sum(coef[i] * vals[i][assign[i]] for i in range(p))
+        if score < lo:
+            continue
+        cost = sum(wrange[i] * abs(pts[i][assign[i]] - pts0[i]) for i in range(p))
+        if best is None or cost < best:
+            best = cost
+    return best
+
+
+P_TARGET = 0.42  # reachable: max attainable score maps to ~0.44
+
+
+def test_probability_raise_feasible_and_optimal(cf_fitted):
+    cf, sc = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0, "l_discount": 0.01}
+    cf.generate(query, y=P_TARGET, outcome_type="probability",
+                hard_constraints=["min_outcome"])
+    assert cf.status_ == "OPTIMAL"
+    out = cf.display(show_only_changes=False)
+    assert out.loc[0, "outcome"] >= P_TARGET - 1e-9
+    expect = _brute_force_best(
+        cf, sc, query, np.log(P_TARGET / (1 - P_TARGET)))
+    assert out.loc[0, "proximity"] == pytest.approx(expect, rel=1e-9)
+
+
+def test_binary_unreachable_is_infeasible(cf_fitted):
+    cf, _ = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0, "l_discount": 0.01}
+    cf.generate(query, y=1, outcome_type="binary")
+    assert cf.status_ == "INFEASIBLE"
+
+
+def test_max_changes_budget(cf_fitted):
+    cf, _ = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0, "l_discount": 0.01}
+    cf.generate(query, y=P_TARGET, outcome_type="probability",
+                hard_constraints=["min_outcome"], max_changes=1)
+    if cf.status_ == "OPTIMAL":
+        assert cf.display().loc[0, "n_changes"] <= 1
+
+
+def test_actionable_features_respected(cf_fitted):
+    cf, _ = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0, "l_discount": 0.01}
+    cf.generate(query, y=P_TARGET, outcome_type="probability",
+                hard_constraints=["min_outcome"],
+                actionable_features=["l_extendedprice"])
+    if cf.status_ == "OPTIMAL":
+        row = cf.display(show_only_changes=True)
+        assert row.loc[0, "l_quantity"] == "-"
+        assert row.loc[0, "l_discount"] == "-"
+
+
+def test_multiple_diverse_cfs(cf_fitted):
+    cf, _ = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0, "l_discount": 0.01}
+    cf.generate(query, y=P_TARGET, outcome_type="probability",
+                hard_constraints=["min_outcome"], n_cf=3)
+    out = cf.display(show_only_changes=False)
+    assert len(out) >= 2
+    # distinct assignments and non-decreasing cost
+    assert len({tuple(c["assignment"]) for c in cf._cfs}) == len(cf._cfs)
+    costs = [c["cost"] for c in cf._cfs]
+    assert costs == sorted(costs)
+
+
+def test_probability_outcome_bound(cf_fitted):
+    cf, _ = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0, "l_discount": 0.01}
+    cf.generate(query, y=0.40, outcome_type="probability",
+                hard_constraints=["min_outcome"])
+    assert cf.status_ == "OPTIMAL"
+    assert cf.display().loc[0, "outcome"] >= 0.40 - 1e-9
+
+
+def test_hierarchical_method(cf_fitted):
+    cf, _ = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0, "l_discount": 0.01}
+    cf.generate(query, y=P_TARGET, outcome_type="probability",
+                hard_constraints=["min_outcome"], method="hierarchical",
+                objectives={"proximity": 2.0, "closeness": 1.0})
+    assert cf.status_ == "OPTIMAL"
+    # proximity (higher priority) stays within tol of its solo optimum
+    solo = Counterfactual(cf.scorecard)
+    solo._F, solo._mu, solo._fitted = cf._F, cf._mu, True
+    solo.variables_ = cf.variables_
+    solo.generate(query, y=P_TARGET, outcome_type="probability",
+                  hard_constraints=["min_outcome"],
+                  objectives={"proximity": 1.0, "closeness": 0.0})
+    assert (cf._cfs[0]["objval"]["proximity"]
+            <= solo._cfs[0]["objval"]["proximity"] * 1.1 + 1e-9)
