@@ -596,6 +596,33 @@ def q_piecewise_transform(spark, sf_dir):
     )
 
 
+def q_scenario_agg(spark, sf_dir):
+    """O9 data plane: per-(scenario, bin) binary counts in one
+    shuffle — the sufficient statistics of stochastic binning."""
+    df = _lineitem(spark, sf_dir)
+    b = _bin_expr(F.col("l_extendedprice"), PRICE_SPLITS)
+    return df.groupBy(
+        F.col("l_linestatus").alias("scenario"), b.alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("n_nonevent"),
+        F.sum("y").alias("n_event"),
+    )
+
+
+def q_scenario_binning_table(spark, sf_dir):
+    """O9: shared-solution stochastic binning over linestatus
+    scenarios (driver DP on the per-scenario stats)."""
+    from optbinning_spark.scenario_binning import SBOptimalBinning
+
+    df = _lineitem(spark, sf_dir)
+    sb = SBOptimalBinning(max_n_prebins=8, monotonic_trend="auto_asc_desc")
+    sb.fit(df, "l_extendedprice", "y", scenario_col="l_linestatus")
+    pdf = sb.binning_table.build(add_totals=False)
+    num = pdf.select_dtypes("number").columns
+    pdf[num] = pdf[num].round(6)
+    return spark.createDataFrame(pdf)
+
+
 def q_counterfactual(spark, sf_dir):
     """O15: counterfactual explanations — exact branch-and-bound over
     bin assignments; Mahalanobis inputs from one Spark agg."""
@@ -689,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "piecewise_transform": q_piecewise_transform,
         "outlier_yquantile": q_outlier_yquantile,
         "counterfactual": q_counterfactual,
+        "scenario_agg": q_scenario_agg,
+        "scenario_binning_table": q_scenario_binning_table,
         "lsh_candidates": q_lsh_candidates,
         "multimodal_features": q_multimodal_features,
     }
@@ -925,6 +954,12 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_class_a,
                    sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_class_n
             FROM lineitem GROUP BY 1
+        """,
+        "scenario_agg": f"""
+            SELECT l_linestatus AS scenario, {price_case} AS bin,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS n_nonevent,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_event
+            FROM lineitem GROUP BY 1, 2
         """,
         "contingency_2d": f"""
             SELECT {_sql_bin_case('l_quantity', [15.0, 30.0, 45.0])} AS bin_x,

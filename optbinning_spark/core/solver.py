@@ -369,6 +369,163 @@ def _dp_run(V, RATE, feas, lo, hi, trend, min_diff, max_pvalue, pval_fn):
     return BinSolution(segments, float(best[0]), "OPTIMAL", trend)
 
 
+def solve_scenarios(
+    n_nonevent: np.ndarray,
+    n_event: np.ndarray,
+    *,
+    weights=None,
+    monotonic_trend: str | None = None,
+    min_n_bins: int | None = None,
+    max_n_bins: int | None = None,
+    min_bin_size: float | None = None,
+    max_bin_size: float | None = None,
+    min_event_rate_diff: float = 0.0,
+    max_pvalue: float | None = None,
+) -> BinSolution:
+    """Stochastic (scenario) binning: one shared partition maximizing
+    the scenario-weighted sum of IVs (reference
+    cp.py:175-263 build_model_scenarios / binning_scenarios.py).
+
+    ``n_nonevent`` / ``n_event`` are [prebin, scenario] matrices.
+    Monotonicity, min_event_rate_diff, max_pvalue and bin-size bounds
+    are enforced PER SCENARIO on each scenario's own counts/rates —
+    the reference adds one constraint set per scenario; the peak/valley
+    change point is shared across scenarios (its ``t`` variable is
+    global), which the shared DP phase reproduces exactly.
+    Scenarios are equally weighted when ``weights`` is None
+    (binning_scenarios.py:348-349).
+    """
+    NEm = np.asarray(n_nonevent, dtype=float)
+    EVm = np.asarray(n_event, dtype=float)
+    n, n_s = NEm.shape
+    if n == 0:
+        return BinSolution([], 0.0, "INFEASIBLE", monotonic_trend)
+    w = np.full(n_s, 1.0 / n_s) if weights is None else np.asarray(weights, float)
+
+    iv = DIVERGENCES["iv"]
+    feas = np.triu(np.ones((n, n), dtype=bool))
+    V = np.zeros((n, n))
+    ERs, NEs, EVs = [], [], []
+    for s in range(n_s):
+        NE = _interval_sums(NEm[:, s])
+        EV = _interval_sums(EVm[:, s])
+        CNT = NE + EV
+        t_ne, t_ev = NEm[:, s].sum(), EVm[:, s].sum()
+        feas &= (EV > 0) & (NE > 0)
+        if min_bin_size is not None:
+            feas &= CNT >= min_bin_size * (t_ne + t_ev)
+        if max_bin_size is not None:
+            feas &= CNT <= max_bin_size * (t_ne + t_ev)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            V = V + w[s] * iv(EV / max(t_ev, 1e-15), NE / max(t_ne, 1e-15))
+            ERs.append(np.where(CNT > 0, EV / np.maximum(CNT, 1e-15), 0.0))
+        NEs.append(NE)
+        EVs.append(EV)
+    V = np.where(feas, V, NEG)
+
+    lo = max(1, min_n_bins or 1)
+    hi = min(n, max_n_bins or n)
+
+    def leg_ok_all(k, jm1, j, i, leg):
+        if leg is None:
+            return True
+        for s in range(n_s):
+            prev, cur = ERs[s][k, jm1], ERs[s][j, i]
+            if leg == "asc" and cur - prev < min_event_rate_diff:
+                return False
+            if leg == "desc" and prev - cur < min_event_rate_diff:
+                return False
+        return True
+
+    def pval_ok(k, jm1, j, i):
+        if max_pvalue is None:
+            return True
+        for s in range(n_s):
+            _, pv = chi2_contingency_2xk(
+                np.array([[NEs[s][k, jm1], EVs[s][k, jm1]],
+                          [NEs[s][j, i], EVs[s][j, i]]])
+            )
+            if pv > max_pvalue:
+                return False
+        return True
+
+    if monotonic_trend == "auto_asc_desc":
+        a = _scenario_dp(V, feas, lo, hi, "ascending", leg_ok_all, pval_ok)
+        d = _scenario_dp(V, feas, lo, hi, "descending", leg_ok_all, pval_ok)
+        return a if a.objective >= d.objective else d
+    if monotonic_trend in ("concave", "convex"):
+        shape = "peak" if monotonic_trend == "concave" else "valley"
+        return _scenario_dp(V, feas, lo, hi, shape, leg_ok_all, pval_ok)
+    return _scenario_dp(V, feas, lo, hi, monotonic_trend, leg_ok_all, pval_ok)
+
+
+def _scenario_dp(V, feas, lo, hi, trend, leg_ok_all, pval_ok):
+    """Phase DP like _dp_run but with transition predicates evaluated
+    across all scenarios."""
+    n = V.shape[0]
+    n_phase = 2 if trend in ("peak", "valley") else 1
+    first_leg = {
+        None: None, "none": None,
+        "ascending": "asc", "descending": "desc",
+        "peak": "asc", "valley": "desc",
+    }[trend]
+    second_leg = {"peak": "desc", "valley": "asc"}.get(trend)
+
+    f = np.full((n_phase, hi + 1, n, n), NEG)
+    parent = -np.ones((n_phase, hi + 1, n, n, 3), dtype=np.int32)
+    for i in range(n):
+        if feas[0, i] and V[0, i] > NEG / 2:
+            f[0, 1, 0, i] = V[0, i]
+
+    for b in range(2, hi + 1):
+        for j in range(1, n):
+            for i in range(j, n):
+                if not feas[j, i] or V[j, i] <= NEG / 2:
+                    continue
+                for ph in range(n_phase):
+                    best_val, best_k, best_ph = NEG, -1, -1
+                    leg = first_leg if ph == 0 else second_leg
+                    for k in range(j):
+                        prev = f[ph, b - 1, k, j - 1]
+                        if (prev > NEG / 2 and leg_ok_all(k, j - 1, j, i, leg)
+                                and pval_ok(k, j - 1, j, i)):
+                            val = prev + V[j, i]
+                            if val > best_val:
+                                best_val, best_k, best_ph = val, k, ph
+                        if ph == 1:
+                            prev0 = f[0, b - 1, k, j - 1]
+                            if (prev0 > NEG / 2
+                                    and leg_ok_all(k, j - 1, j, i, second_leg)
+                                    and pval_ok(k, j - 1, j, i)):
+                                val = prev0 + V[j, i]
+                                if val > best_val:
+                                    best_val, best_k, best_ph = val, k, 0
+                    if best_k >= 0:
+                        f[ph, b, j, i] = best_val
+                        parent[ph, b, j, i] = (best_ph, b - 1, best_k)
+
+    best = (NEG, None)
+    for ph in range(n_phase):
+        for b in range(lo, hi + 1):
+            for j in range(n):
+                if f[ph, b, j, n - 1] > best[0]:
+                    best = (f[ph, b, j, n - 1], (ph, b, j))
+    if best[1] is None:
+        return BinSolution([(0, n - 1)], 0.0, "INFEASIBLE", trend)
+    ph, b, j = best[1]
+    i = n - 1
+    segments = []
+    while j >= 0:
+        segments.append((j, i))
+        pph, pb, pk = parent[ph, b, j, i]
+        if pk < 0:
+            break
+        i = j - 1
+        ph, b, j = int(pph), int(pb), int(pk)
+    segments.reverse()
+    return BinSolution(segments, float(best[0]), "OPTIMAL", trend)
+
+
 def solve_multiclass(
     n_event_by_class: np.ndarray,
     *,
