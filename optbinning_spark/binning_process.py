@@ -561,6 +561,10 @@ class BinningProcess:
     def read_json(cls, path):
         with open(path) as f:
             d = json.load(f)
+        return cls.read_json_dict(d)
+
+    @classmethod
+    def read_json_dict(cls, d):
         obj = cls(d["variable_names"])
         obj._target_type = d["target_type"]
         obj._dtypes = d["dtypes"]

@@ -282,6 +282,61 @@ class Scorecard:
             lin = lin + self._points_case(b, col, vals, bp._dtypes[v])
         return df.withColumn(out_col, lin)
 
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        """Persist the full scorecard as JSON (reference
+        scorecard.py:507-539 uses pickle; JSON keeps the model
+        readable and engine-portable). Load supports score /
+        predict_proba / table without refitting."""
+        self._check_fitted()
+        import json
+
+        d = {
+            "class": "Scorecard",
+            "binning_process": self.binning_process.to_dict(),
+            "estimator": self.estimator,
+            "scaling_method": self.scaling_method,
+            "scaling_method_params": self.scaling_method_params,
+            "intercept_based": self.intercept_based,
+            "rounding": self.rounding,
+            "target_type": self._target_type,
+            "selected": list(self.selected_),
+            "coef": {v: float(c) for v, c in self.coef_.items()},
+            "intercept": self.intercept_,
+            "points": {v: [float(p) for p in pts]
+                       for v, pts in self.points_.items()},
+            "base_points": self.base_points_,
+        }
+        with open(path, "w") as f:
+            json.dump(d, f)
+
+    @classmethod
+    def load(cls, path: str) -> "Scorecard":
+        import json
+
+        from .binning_process import BinningProcess
+
+        with open(path) as f:
+            d = json.load(f)
+        bp = BinningProcess.read_json_dict(d["binning_process"])
+        obj = cls(
+            bp,
+            estimator=d["estimator"],
+            scaling_method=d["scaling_method"],
+            scaling_method_params=d["scaling_method_params"],
+            intercept_based=d["intercept_based"],
+            rounding=d["rounding"],
+        )
+        obj._target_type = d["target_type"]
+        obj.selected_ = list(d["selected"])
+        obj.coef_ = {v: float(c) for v, c in d["coef"].items()}
+        obj.intercept_ = float(d["intercept"])
+        obj.points_ = {v: np.asarray(p, dtype=float)
+                       for v, p in d["points"].items()}
+        obj.base_points_ = float(d["base_points"])
+        obj._fitted = True
+        return obj
+
     def _check_fitted(self):
         if not self._fitted:
             raise RuntimeError("Scorecard is not fitted")

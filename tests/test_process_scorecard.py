@@ -187,3 +187,38 @@ def test_continuous_process(spark):
 
     mon = ScorecardMonitoring(sc).fit(df, df, "y")
     assert mon.performance_report(df)["r2"] > 0.8
+
+
+def test_scorecard_save_load_roundtrip(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from optbinning_spark.binning_process import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+    )
+    bp = BinningProcess(
+        ["l_quantity", "l_extendedprice", "l_linestatus"],
+        prebinning_method="quantile",
+    )
+    sc = Scorecard(
+        bp,
+        scaling_method="pdo_odds",
+        scaling_method_params={"pdo": 20, "odds": 50, "scorecard_points": 600},
+    ).fit(df, "y")
+    path = str(tmp_path / "scorecard.json")
+    sc.save(path)
+    sc2 = Scorecard.load(path)
+    a = sc.score(df).select("score").toPandas()["score"].values
+    b = sc2.score(df).select("score").toPandas()["score"].values
+    import numpy as np
+
+    np.testing.assert_allclose(a, b, rtol=1e-12)
+    pa = sc.predict_proba(df).select("proba").toPandas()["proba"].values
+    pb = sc2.predict_proba(df).select("proba").toPandas()["proba"].values
+    np.testing.assert_allclose(pa, pb, rtol=1e-12)
+    # table reconstructable
+    t = sc2.table()
+    assert set(t["variable"]) == set(sc.selected_)
