@@ -31,10 +31,31 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _spread(spark, df):
+    """Parallelize CPU-heavy text pipelines over single-row-group
+    parquet: the synthetic documents file is one row group, so a
+    narrow (map-only) hashing pipeline would run as ONE task
+    regardless of cores; the shingling/md5 work dominates, so a
+    cheap round-robin repartition is a measured ~5x win. Gated on
+    the file count (metadata only — no job): on a real cluster the
+    input has many splits and this is a no-op. Only used for the
+    documents table; for cheap numeric scans a repartition costs
+    more than it buys.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def _lineitem(spark, sf_dir):
     return spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
         "y", (F.col("l_returnflag") == "R").cast("int")
     )
+
+
+def _documents(spark, sf_dir):
+    return _spread(spark, spark.read.parquet(_t(sf_dir, "documents")))
 
 
 def _orders(spark, sf_dir):
@@ -241,7 +262,7 @@ def q_doc_token_stats(spark, sf_dir):
     """Text analysis: token counting + quality scoring."""
     from optbinning_spark.pipeline.text import document_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _documents(spark, sf_dir)
     return document_stats(docs)
 
 
@@ -249,7 +270,7 @@ def q_lang_id(spark, sf_dir):
     """Heuristic language ID by marker-word vote."""
     from optbinning_spark.pipeline.text import lang_id_expr
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _documents(spark, sf_dir)
     return docs.select(
         "doc_id", lang_id_expr(F.col("text")).alias("pred_lang")
     )
@@ -259,7 +280,7 @@ def q_exact_dedup(spark, sf_dir):
     """Exact dedup groups via content hash."""
     from optbinning_spark.pipeline.dedup import exact_dedup_groups
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _documents(spark, sf_dir)
     return exact_dedup_groups(docs)
 
 
@@ -267,7 +288,7 @@ def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (4 hash functions, word 3-shingles)."""
     from optbinning_spark.pipeline.dedup import minhash_signatures
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _documents(spark, sf_dir)
     return minhash_signatures(docs, n_hashes=4)
 
 
@@ -275,7 +296,7 @@ def q_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup pairs with hot-shingle cap."""
     from optbinning_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _documents(spark, sf_dir)
     return ngram_jaccard_pairs(
         docs, shingle_n=3, max_doc_freq=20, min_jaccard=0.05
     )
@@ -404,7 +425,7 @@ def q_categorical_optimal_binning(spark, sf_dir):
 def q_lsh_candidates(spark, sf_dir):
     from optbinning_spark.pipeline.dedup import lsh_candidate_pairs
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _documents(spark, sf_dir)
     return lsh_candidate_pairs(docs, n_hashes=8, band_size=2)
 
 
@@ -414,7 +435,7 @@ def q_multimodal_features(spark, sf_dir):
         synthetic_media_df,
     )
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _documents(spark, sf_dir)
     media = synthetic_media_df(spark, docs)
     return extract_features(media).select("doc_id", "media_type", "n_bytes", "content_sha")
 

@@ -39,6 +39,32 @@ def _round_preserving_sum(values: np.ndarray) -> np.ndarray:
     return out
 
 
+def _driver_wls(X, y, w):
+    """Weighted least squares via normal equations (exact)."""
+    A = np.hstack([X, np.ones((len(X), 1))])
+    Aw = A * w[:, None]
+    beta = np.linalg.solve(A.T @ Aw + 1e-12 * np.eye(A.shape[1]), Aw.T @ y)
+    return list(beta[:-1]), float(beta[-1])
+
+
+def _driver_logistic(X, y, w, max_iter=100, tol=1e-10):
+    """Weighted logistic regression by IRLS (Newton) — exact MLE on
+    the compressed (X, label, weight) design."""
+    A = np.hstack([X, np.ones((len(X), 1))])
+    beta = np.zeros(A.shape[1])
+    for _ in range(max_iter):
+        z = A @ beta
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+        g = A.T @ (w * (y - p))
+        W = w * p * (1.0 - p)
+        H = A.T @ (A * W[:, None]) + 1e-10 * np.eye(A.shape[1])
+        step = np.linalg.solve(H, g)
+        beta = beta + step
+        if np.max(np.abs(step)) < tol:
+            break
+    return list(beta[:-1]), float(beta[-1])
+
+
 class Scorecard:
     def __init__(
         self,
@@ -82,18 +108,63 @@ class Scorecard:
     def _fit_estimator(self, woe: DataFrame, y: str, w: str | None):
         from pyspark.ml.feature import VectorAssembler
 
+        # Sufficient-statistics compression: every feature is binned,
+        # so the WoE matrix has at most prod(n_bins) distinct rows.
+        # Group identical (X, label) rows into one weighted row — the
+        # weighted likelihood (logistic) / normal equations (linear)
+        # are unchanged, and LBFGS's many passes then scan a few
+        # hundred rows instead of the full table. One shuffle replaces
+        # per-iteration full scans; at 100 TB this is the difference
+        # between one aggregation and ~25 dataset passes.
+        kind0 = self.estimator
+        if kind0 == "auto":
+            kind0 = "logistic" if self._target_type == "binary" else "linear"
+        wexpr = F.col(w) if w is not None else F.lit(1.0)
+        if kind0 == "logistic":
+            woe = (
+                woe.groupBy(*self.selected_, y)
+                .agg(F.sum(wexpr).alias("__w"))
+            )
+        else:
+            # WLS on per-group label means with weight n preserves
+            # X'WX and X'Wy, hence the coefficients
+            woe = woe.groupBy(*self.selected_).agg(
+                F.sum(wexpr).alias("__w"),
+                (F.sum(wexpr * F.col(y)) / F.sum(wexpr)).alias(y),
+            )
+        w = "__w"
+        kind = kind0
+
+        # Driver solve on the collected sufficient statistics when the
+        # compressed design is small (it is, by construction: at most
+        # prod(n_bins) * n_labels rows). One collect replaces the
+        # per-LBFGS-iteration job storm; results match an unregularized
+        # MLlib fit to optimizer tolerance. Large compressed designs
+        # (high-cardinality interactions) fall back to MLlib.
+        reg = float(self.estimator_params.get("regParam", 0.0))
+        max_driver_rows = int(self.estimator_params.get("max_driver_rows", 100_000))
+        rows = None
+        if reg == 0.0:
+            rows = woe.limit(max_driver_rows + 1).collect()
+            if len(rows) > max_driver_rows:
+                rows = None
+        if rows is not None:
+            X = np.array([[float(r[v]) for v in self.selected_] for r in rows])
+            yy = np.array([float(r[y]) for r in rows])
+            ww = np.array([float(r["__w"]) for r in rows])
+            if kind == "logistic":
+                return _driver_logistic(X, yy, ww)
+            if kind == "linear":
+                return _driver_wls(X, yy, ww)
+            raise ValueError(f"unknown estimator {kind}")
+
         assembler = VectorAssembler(inputCols=self.selected_, outputCol="__features")
-        # cache: LBFGS makes many passes; the assembled frame is tiny
-        # relative to the scan it would otherwise repeat
         assembled = assembler.transform(woe).cache()
-        kind = self.estimator
-        if kind == "auto":
-            kind = "logistic" if self._target_type == "binary" else "linear"
         common = dict(
             featuresCol="__features",
             labelCol=y,
             standardization=False,
-            regParam=self.estimator_params.get("regParam", 0.0),
+            regParam=reg,
             maxIter=self.estimator_params.get("maxIter", 100),
         )
         if w is not None:
