@@ -46,10 +46,20 @@ def main():
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
     spark = get_spark("optbinning_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM/codegen paths so measured times reflect steady state
+    # warm the JVM / codegen / class-loading paths with tiny-scale runs
+    # of representative pipelines so measured times reflect steady-state
+    # throughput rather than one-time JIT and classloader costs
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-
     qs = entry_mod.queries()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for warm_q in ("optimal_binning_table", "minhash_signatures",
+                       "scorecard_scores"):
+            try:
+                qs[warm_q](spark, warm_dir).write.format("noop").mode(
+                    "overwrite").save()
+            except Exception:
+                pass
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -238,28 +238,44 @@ class OptimalBinning(_BaseOptimalBinning):
     def _fit_numerical(self, df, x, y, w):
         from .operators.preprocessing import clean_value_expr
 
-        clean = df.withColumn(
-            "__clean_x", clean_value_expr(F.col(x).cast("double"), "numerical",
-                                          self.special_codes)
+        # Project to the 2-3 needed columns and cache for the fit's
+        # multiple passes (quantile/histogram + bin-stats). Column
+        # pruning means the cached slice is tiny relative to the
+        # table; at scale this converts 2-3 wide scans into one.
+        proj = df.select(
+            F.col(x).cast("double").alias("__x"), F.col(y).alias("__y"),
+            *([F.col(w).alias("__w")] if w else []),
         )
-        if self.user_splits is not None:
-            prebin_splits = np.unique(np.asarray(self.user_splits, dtype=float))
-        else:
-            prebin_splits = compute_prebins(
-                clean, "__clean_x", y, w,
-                method=self.prebinning_method,
-                max_n_prebins=self.max_n_prebins,
-                min_prebin_size=self.min_prebin_size,
-                task="classification",
-                classes=[0, 1],
+        multi_pass = self.user_splits is None
+        if multi_pass:
+            proj = proj.cache()
+        wcol = "__w" if w else None
+        try:
+            clean = proj.withColumn(
+                "__clean_x",
+                clean_value_expr(F.col("__x"), "numerical", self.special_codes),
             )
-        prebin_splits = self._round_splits(prebin_splits)
+            if self.user_splits is not None:
+                prebin_splits = np.unique(np.asarray(self.user_splits, dtype=float))
+            else:
+                prebin_splits = compute_prebins(
+                    clean, "__clean_x", "__y", wcol,
+                    method=self.prebinning_method,
+                    max_n_prebins=self.max_n_prebins,
+                    min_prebin_size=self.min_prebin_size,
+                    task="classification",
+                    classes=[0, 1],
+                )
+            prebin_splits = self._round_splits(prebin_splits)
 
-        stats = bin_stats(
-            df.withColumn("__x", F.col(x).cast("double")), "__x", y, w,
-            dtype="numerical", splits=prebin_splits,
-            special_codes=self.special_codes, target_type="binary",
-        )
+            stats = bin_stats(
+                proj, "__x", "__y", wcol,
+                dtype="numerical", splits=prebin_splits,
+                special_codes=self.special_codes, target_type="binary",
+            )
+        finally:
+            if multi_pass:
+                proj.unpersist()
         self._finalize_numerical(prebin_splits, stats)
 
     def _finalize_numerical(self, prebin_splits, stats):
@@ -414,30 +430,42 @@ class ContinuousOptimalBinning(_BaseOptimalBinning):
     def _fit_numerical(self, df, x, y, w):
         from .operators.preprocessing import clean_value_expr
 
-        clean = df.withColumn(
-            "__clean_x", clean_value_expr(F.col(x).cast("double"), "numerical",
-                                          self.special_codes)
+        proj = df.select(
+            F.col(x).cast("double").alias("__x"), F.col(y).alias("__y"),
+            *([F.col(w).alias("__w")] if w else []),
         )
-        if self.user_splits is not None:
-            prebin_splits = np.unique(np.asarray(self.user_splits, dtype=float))
-        else:
-            method = self.prebinning_method
-            if method == "mdlp":
-                raise ValueError("mdlp requires a binary target")
-            prebin_splits = compute_prebins(
-                clean, "__clean_x", y, w,
-                method=method,
-                max_n_prebins=self.max_n_prebins,
-                min_prebin_size=self.min_prebin_size,
-                task="regression",
+        multi_pass = self.user_splits is None
+        if multi_pass:
+            proj = proj.cache()
+        wcol = "__w" if w else None
+        try:
+            clean = proj.withColumn(
+                "__clean_x",
+                clean_value_expr(F.col("__x"), "numerical", self.special_codes),
             )
-        prebin_splits = self._round_splits(prebin_splits)
+            if self.user_splits is not None:
+                prebin_splits = np.unique(np.asarray(self.user_splits, dtype=float))
+            else:
+                method = self.prebinning_method
+                if method == "mdlp":
+                    raise ValueError("mdlp requires a binary target")
+                prebin_splits = compute_prebins(
+                    clean, "__clean_x", "__y", wcol,
+                    method=method,
+                    max_n_prebins=self.max_n_prebins,
+                    min_prebin_size=self.min_prebin_size,
+                    task="regression",
+                )
+            prebin_splits = self._round_splits(prebin_splits)
 
-        stats = bin_stats(
-            df.withColumn("__x", F.col(x).cast("double")), "__x", y, w,
-            dtype="numerical", splits=prebin_splits,
-            special_codes=self.special_codes, target_type="continuous",
-        )
+            stats = bin_stats(
+                proj, "__x", "__y", wcol,
+                dtype="numerical", splits=prebin_splits,
+                special_codes=self.special_codes, target_type="continuous",
+            )
+        finally:
+            if multi_pass:
+                proj.unpersist()
         self._finalize_numerical(prebin_splits, stats)
 
     def _finalize_numerical(self, prebin_splits, stats):
