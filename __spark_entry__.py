@@ -311,6 +311,37 @@ def q_embedding_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=3)
 
 
+def q_simhash(spark, sf_dir):
+    """SimHash document fingerprints (16-bit): per-bit majority vote
+    over token hashes — one map-only pass."""
+    from optbinning_spark.pipeline.dedup import simhash_expr
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id", simhash_expr(F.col("text"), n_bits=16).alias("simhash")
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling polynomial fingerprint of the token stream (order
+    sensitive, mod 2^31-1) — map-only."""
+    from optbinning_spark.pipeline.text import rolling_fingerprint_expr
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id", rolling_fingerprint_expr(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_near_dup_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs at threshold 0.4
+    (brute-force exact baseline)."""
+    from optbinning_spark.pipeline.similarity import cosine_pairs
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return cosine_pairs(emb, threshold=0.4)
+
+
 def q_psi(spark, sf_dir):
     """J6 + M11: PSI between two order populations on fixed bins."""
     df = spark.read.parquet(_t(sf_dir, "orders"))
@@ -718,6 +749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
+        "simhash": q_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        "near_dup_cosine": q_near_dup_cosine,
         "psi": q_psi,
         "ks": q_ks,
         "continuous_bin_stats": q_continuous_bin_stats,
@@ -927,6 +961,28 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
             WHERE i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) >= 0.05
         """,
+        "simhash": _simhash_oracle_sql(16),
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       [('0x' || substr(md5(t), 1, 8))::BIGINT
+                        FOR t IN string_split(text, ' ')]),
+                     (a, b) -> (a * 31 + b) % 2147483647
+                   ) AS fingerprint
+            FROM documents
+        """,
+        "near_dup_cosine": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
         "embedding_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -1005,6 +1061,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(max(abs(cum_ev - cum_ne)), 6) AS ks FROM cum
         """,
     }
+
+
+def _simhash_oracle_sql(n_bits: int) -> str:
+    """Generate the per-bit majority-vote SQL mirroring
+    pipeline.dedup.simhash_expr: h(token) = top 32 bits of md5,
+    vote_b = sum(+1/-1 on bit b%32), output bit b set iff vote > 0."""
+    h = "('0x' || substr(md5(t), 1, 8))::BIGINT"
+    votes = []
+    for b in range(n_bits):
+        mask = 1 << (b % 32)
+        votes.append(
+            f"CASE WHEN list_sum([CASE WHEN ({h} & {mask}) != 0 THEN 1 "
+            f"ELSE -1 END FOR t IN string_split(text, ' ')]) > 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
+    bits = " + ".join(votes)
+    return f"SELECT doc_id, ({bits})::BIGINT AS simhash FROM documents"
 
 
 def _sql_bin_case(col: str, splits) -> str:

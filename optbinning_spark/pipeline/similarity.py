@@ -67,6 +67,32 @@ def brute_force_topk(
     )
 
 
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with
+    cosine >= threshold, a < b. Brute-force O(n^2/2) pair join — the
+    exact baseline; use lsh_bucketed_topk for the scale path (bucket
+    candidates first, then exact cosine within buckets)."""
+    e = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__e"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.__e"), F.col("b.__e")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplane_signs_expr(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """LSH bucket key: sign pattern of dot products with n_planes
     pseudo-random hyperplanes. Plane weights are deterministic

@@ -122,3 +122,29 @@ def test_multimodal_unknown_type_raises(spark, docs):
     media = synthetic_media_df(spark, docs, media_type="video")
     with pytest.raises(Exception):
         extract_features(media).collect()
+
+
+def test_cosine_pairs_symmetric_threshold(spark):
+    import pyspark.sql.functions as F
+
+    from optbinning_spark.pipeline.similarity import cosine_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = cosine_pairs(emb, threshold=0.3)
+    pdf = pairs.toPandas()
+    assert (pdf["cosine"] >= 0.3).all()
+    assert (pdf["id_a"] < pdf["id_b"]).all()
+    # spot-check one pair against numpy
+    import numpy as np
+
+    if len(pdf):
+        r = pdf.iloc[0]
+        vecs = {
+            row["vec_id"]: np.array(row["embedding"], dtype=float)
+            for row in emb.filter(
+                F.col("vec_id").isin([int(r["id_a"]), int(r["id_b"])])
+            ).collect()
+        }
+        a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+        expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cosine"] - expect) < 1e-5
