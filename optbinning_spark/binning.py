@@ -40,6 +40,34 @@ from .operators.prebinning import compute_prebins
 from .operators.transform import transform_expr
 
 
+def refine_pure_prebins(splits, count_vecs):
+    """Reference _compute_prebins merge loop (binning.py:1105-1145) on
+    additive per-prebin count vectors. A prebin is "pure" when the
+    first two vectors (n_nonevent, n_event) have a zero; split i is
+    dropped when bin i is pure, and the last split when either of the
+    last two bins is pure. Returns (splits, merged count_vecs)."""
+    splits = np.asarray(splits, dtype=float)
+    vecs = [np.asarray(v, dtype=float) for v in count_vecs]
+    while len(splits):
+        ne, ev = vecs[0], vecs[1]
+        mask_remove = (ne == 0) | (ev == 0)
+        if not mask_remove.any():
+            break
+        mask_splits = np.concatenate(
+            [mask_remove[:-2], [mask_remove[-2] | mask_remove[-1]]]
+        )
+        keep = ~mask_splits
+        new_splits = splits[keep]
+        # old bin i -> new bin = #kept splits before its lower edge
+        new_idx = np.concatenate([[0], np.cumsum(keep.astype(int))])
+        n_new = len(new_splits) + 1
+        vecs = [
+            np.bincount(new_idx, weights=v, minlength=n_new) for v in vecs
+        ]
+        splits = new_splits
+    return splits, vecs
+
+
 def _infer_dtype(df: DataFrame, col: str) -> str:
     kind = dict(df.dtypes)[col]
     return "categorical" if kind in ("string", "boolean") else "numerical"
@@ -282,6 +310,18 @@ class OptimalBinning(_BaseOptimalBinning):
         """Driver-side solve + table build from collected BinStats
         (shared by single-variable fit and BinningProcess batching)."""
         ne, ev = stats.clean["n_nonevent"], stats.clean["n_event"]
+        if self.divergence in ("iv", "js"):
+            # reference pre-binning refinement (binning.py:1105-1145):
+            # iteratively drop the split of a pure prebin (the LAST
+            # split goes when either of the last two bins is pure)
+            # BEFORE optimizing — counts are additive, so the merge is
+            # a driver re-reduce, not a re-scan. This reproduces the
+            # reference's candidate set (and therefore its optimum)
+            # exactly; skipping it would let the DP reach strictly
+            # better partitions the reference cannot express.
+            prebin_splits, (ne, ev) = refine_pure_prebins(
+                prebin_splits, [ne, ev]
+            )
         cnt = ne + ev
         with np.errstate(divide="ignore", invalid="ignore"):
             rates = np.where(cnt > 0, ev / np.maximum(cnt, 1e-15), 0.0)

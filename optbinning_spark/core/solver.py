@@ -209,7 +209,10 @@ def solve_continuous(
         feas &= CNT >= min_bin_size * total_n
     if max_bin_size is not None:
         feas &= CNT <= max_bin_size * total_n
-    V = np.where(feas, CNT / max(total_n, 1e-15) * np.abs(MEAN - mean_total), NEG)
+    # reference objective (continuous_model_data, model_data.py:177+):
+    # V[j,i] = |mean(bin) - total_mean|, NOT share-weighted — each
+    # extra bin adds a positive term, matching the reference optimum
+    V = np.where(feas, np.abs(MEAN - mean_total), NEG)
 
     def pval(j, i, k, l):
         _, pv = welch_ttest_from_stats(

@@ -86,7 +86,43 @@ def value_histogram(
     w = F.col(w_col) if w_col else F.lit(1.0)
     clean = df.filter(F.col(col).isNotNull() & ~F.isnan(F.col(col)))
 
-    # Distinct-value fast path would need an extra job; always bucket.
+    # Exact distinct-value path first: a 1-feature CART depends only on
+    # per-distinct-value class weights, so when the cardinality is
+    # modest the splits reproduce sklearn's midpoint thresholds
+    # exactly (reference prebinning.py:103-132 parity). The LIMIT
+    # bounds the collect; an overflow falls back to quantile buckets.
+    exact_cap = max_buckets * 16
+    if task == "classification":
+        exact_aggs = [
+            F.sum(F.when(F.col(y_col) == c, w).otherwise(F.lit(0.0))).alias(f"w_{i}")
+            for i, c in enumerate(classes)
+        ]
+    else:
+        yv = F.col(y_col)
+        exact_aggs = [
+            F.sum(w).alias("cnt"),
+            F.sum(w * yv).alias("s1"),
+            F.sum(w * yv * yv).alias("s2"),
+        ]
+    rows = (
+        clean.groupBy(F.col(col).alias("__v"))
+        .agg(*exact_aggs)
+        .limit(exact_cap + 1)
+        .collect()
+    )
+    if len(rows) <= exact_cap:
+        rows.sort(key=lambda r: r["__v"])
+        values = np.array([r["__v"] for r in rows], dtype=float)
+        if task == "classification":
+            stats = np.array(
+                [[r[f"w_{i}"] or 0.0 for i in range(len(classes))] for r in rows]
+            )
+        else:
+            stats = np.array(
+                [[r["cnt"], r["s1"], r["s2"]] for r in rows], dtype=float
+            )
+        return values, stats
+
     edges = clean.approxQuantile(
         col, list(np.linspace(0, 1, max_buckets + 1)[1:-1]), relative_error
     )
