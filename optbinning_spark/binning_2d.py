@@ -7,14 +7,18 @@ connectivity constraints (O8).
 
 Spark plan: ONE groupBy(bin_x, bin_y) aggregation (two grouping keys,
 single shuffle, <= 21x21 output rows). Driver optimizer: without
-OR-Tools we solve the rectangle-partition problem exactly over the
-family of GUILLOTINE partitions by dynamic programming on
-subrectangles — f(rect) = max(keep rect whole, best horizontal or
-vertical cut) — memoized over the <= (21 choose 2)^2 subrectangles.
-Guillotine partitions are a well-studied restriction of general
-rectangle packings (public literature); the reference's CART-derived
-candidate restriction (B8/model_data_cart_2d.py) is an analogous
-search-space reduction.
+OR-Tools we solve the rectangle-partition problem EXACTLY for small
+grids by a skyline DP: any partition of the grid into rectangles can
+be built by repeatedly placing a rectangle whose top-left corner is
+the topmost-leftmost unfilled cell, which keeps each column's filled
+region a prefix of rows — so the DP state is the per-column fill
+height vector, and the recursion enumerates the width x height of the
+rectangle placed at that corner. This reaches every partition the
+reference's CP rectangle-cover formulation can, hence the same
+optimum. Grids larger than _EXACT_CELL_LIMIT cells fall back to the
+guillotine-cut DP (f(rect) = max(keep, best H or V cut)) — a
+well-studied restriction with near-optimal quality at a fraction of
+the state space.
 
 Transform maps (x, y) -> rectangle id / WoE with a <= n_rects-branch
 compound CASE — map-only.
@@ -46,16 +50,22 @@ class OptimalBinning2D:
         self,
         name_x: str = "",
         name_y: str = "",
-        max_n_prebins_x: int = 8,
-        max_n_prebins_y: int = 8,
-        min_bin_size: float = 0.01,
+        prebinning_method: str = "cart",
+        max_n_prebins_x: int = 5,
+        max_n_prebins_y: int = 5,
+        min_prebin_size_x: float = 0.05,
+        min_prebin_size_y: float = 0.05,
+        min_bin_size: float | None = None,
         divergence: str = "iv",
         show_digits: int = 2,
     ):
         self.name_x = name_x
         self.name_y = name_y
+        self.prebinning_method = prebinning_method
         self.max_n_prebins_x = max_n_prebins_x
         self.max_n_prebins_y = max_n_prebins_y
+        self.min_prebin_size_x = min_prebin_size_x
+        self.min_prebin_size_y = min_prebin_size_y
         self.min_bin_size = min_bin_size
         self.divergence = divergence
         self.show_digits = show_digits
@@ -69,11 +79,28 @@ class OptimalBinning2D:
             & F.col(x).isNotNull() & ~F.isnan(F.col(x).cast("double"))
             & F.col(y).isNotNull() & ~F.isnan(F.col(y).cast("double"))
         )
-        # axis prebins: one approxQuantile job for both columns
-        px = list(np.linspace(0, 1, self.max_n_prebins_x + 1)[1:-1])
-        py = list(np.linspace(0, 1, self.max_n_prebins_y + 1)[1:-1])
-        qx = df.approxQuantile(x, px, 1e-4)
-        qy = df.approxQuantile(y, py, 1e-4)
+        # axis prebins: per-axis 1-D proposal vs the target (reference
+        # "grid" strategy, binning_2d.py:627-665)
+        if self.prebinning_method == "cart":
+            from .operators.prebinning import compute_prebins
+
+            qx = compute_prebins(
+                df, x, target, None, method="cart",
+                max_n_prebins=self.max_n_prebins_x,
+                min_prebin_size=self.min_prebin_size_x,
+                task="classification", classes=[0, 1],
+            )
+            qy = compute_prebins(
+                df, y, target, None, method="cart",
+                max_n_prebins=self.max_n_prebins_y,
+                min_prebin_size=self.min_prebin_size_y,
+                task="classification", classes=[0, 1],
+            )
+        else:
+            px = list(np.linspace(0, 1, self.max_n_prebins_x + 1)[1:-1])
+            py = list(np.linspace(0, 1, self.max_n_prebins_y + 1)[1:-1])
+            qx = df.approxQuantile(x, px, 1e-4)
+            qy = df.approxQuantile(y, py, 1e-4)
         self.splits_x_ = np.unique(np.asarray(qx, dtype=float))
         self.splits_y_ = np.unique(np.asarray(qy, dtype=float))
         nx = len(self.splits_x_) + 1
@@ -100,12 +127,14 @@ class OptimalBinning2D:
         return self
 
     # ------------------------------------------------------------------
+    _EXACT_CELL_LIMIT = 36
+
     def _solve(self, NE: np.ndarray, EV: np.ndarray):
         t_ne, t_ev = NE.sum(), EV.sum()
         total = t_ne + t_ev
         pne = _prefix2d(NE)
         pev = _prefix2d(EV)
-        min_cnt = self.min_bin_size * total
+        min_cnt = (self.min_bin_size or 0.0) * total
 
         def rect_stats(r1, r2, c1, c2):
             ne = pne[r2, c2] - pne[r1, c2] - pne[r2, c1] + pne[r1, c1]
@@ -139,27 +168,77 @@ class OptimalBinning2D:
             return best_v, best_plan
 
         nx, ny = NE.shape
-        obj, _ = best(0, nx, 0, ny)
-        rects = []
-
-        def collect(r1, r2, c1, c2):
-            _, plan = best(r1, r2, c1, c2)
-            if plan is None:
-                rects.append((r1, r2, c1, c2))
-            elif plan[0] == "H":
-                collect(r1, plan[1], c1, c2)
-                collect(plan[1], r2, c1, c2)
-            else:
-                collect(r1, r2, c1, plan[1])
-                collect(r1, r2, plan[1], c2)
-
-        if np.isfinite(obj):
-            collect(0, nx, 0, ny)
+        if nx * ny <= self._EXACT_CELL_LIMIT:
+            obj, rects = self._exact_cover(nx, ny, rect_value)
         else:
-            rects.append((0, nx, 0, ny))
-            obj = 0.0
+            obj, rects = None, None
+        if rects is None:
+            # guillotine fallback (or exact search found no feasible cover)
+            obj, _ = best(0, nx, 0, ny)
+            rects = []
+
+            def collect(r1, r2, c1, c2):
+                _, plan = best(r1, r2, c1, c2)
+                if plan is None:
+                    rects.append((r1, r2, c1, c2))
+                elif plan[0] == "H":
+                    collect(r1, plan[1], c1, c2)
+                    collect(plan[1], r2, c1, c2)
+                else:
+                    collect(r1, r2, c1, plan[1])
+                    collect(r1, r2, plan[1], c2)
+
+            if np.isfinite(obj):
+                collect(0, nx, 0, ny)
+            else:
+                rects = [(0, nx, 0, ny)]
+                obj = 0.0
         self.objective_ = float(obj)
         self.rects_ = rects
+        self._finish_solve(NE, EV, t_ne, t_ev, rect_stats)
+
+    def _exact_cover(self, nx, ny, rect_value):
+        """Exact max-value partition of the nx x ny grid into feasible
+        rectangles. State: per-column filled-prefix heights. The next
+        rectangle's top-left corner is the topmost-leftmost unfilled
+        cell; only columns at equal height can be spanned, which keeps
+        the state a valid prefix profile and enumerates every
+        rectangle partition exactly once."""
+        from functools import lru_cache
+
+        @lru_cache(maxsize=None)
+        def go(heights):
+            h = list(heights)
+            r = min(h)
+            if r == nx:
+                return 0.0, ()
+            c = h.index(r)
+            best_v, best_pick = -np.inf, None
+            c2 = c
+            while c2 < ny and h[c2] == r:
+                c2 += 1
+                for r2 in range(r + 1, nx + 1):
+                    v = rect_value(r, r2, c, c2)
+                    if v is None:
+                        continue
+                    nh = list(h)
+                    for j in range(c, c2):
+                        nh[j] = r2
+                    sub, picks = go(tuple(nh))
+                    if v + sub > best_v:
+                        best_v = v + sub
+                        best_pick = ((r, r2, c, c2),) + picks
+            if best_pick is None:
+                return -np.inf, ()
+            return best_v, best_pick
+
+        val, picks = go(tuple([0] * ny))
+        if not np.isfinite(val):
+            return None, None
+        return float(val), list(picks)
+
+    def _finish_solve(self, NE, EV, t_ne, t_ev, rect_stats):
+        rects = self.rects_
         stats = [rect_stats(*r) for r in rects]
         ne = np.array([s[0] for s in stats])
         ev = np.array([s[1] for s in stats])

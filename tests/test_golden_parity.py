@@ -88,3 +88,13 @@ def test_binary_golden_woe_metric_values(breast_cancer):
     got = sorted(r["woe"] for r in out.select("woe").distinct().collect())
     table_woe = sorted(set(np.round(ob.binning_table.woe[:7], 12)))
     assert got == pytest.approx(table_woe, rel=1e-9)
+
+
+def test_2d_golden_default(breast_cancer):
+    """reference tests/test_binning_2d.py:179 — exact rectangle-cover
+    optimum via the skyline DP."""
+    from optbinning_spark.binning_2d import OptimalBinning2D
+
+    ob = OptimalBinning2D()
+    ob.fit(breast_cancer, "mean radius", "worst concavity", "target")
+    assert ob.iv == pytest.approx(7.63248244, rel=1e-6)
