@@ -253,7 +253,77 @@ class BinningProcess:
                     )
             return splits_by_var
 
-        # cart / mdlp: one multi-column quantile job for histogram
+        # cart / mdlp: exact distinct-value sufficient statistics first
+        # (one stacked groupBy(variable, value) aggregation, bounded
+        # collect) — a 1-feature tree depends only on per-value class
+        # weights, so this reproduces sklearn-CART thresholds exactly
+        # (golden parity); high-cardinality overflow falls back to the
+        # quantile-bucket histogram below.
+        exact_cap = 4096 * max(len(todo), 1)
+        structs_exact = [
+            F.struct(
+                F.lit(v).alias("variable"),
+                F.col(f"__clean_{v}").alias("value"),
+            )
+            for v in todo
+        ]
+        wcol_e = F.col(w) if w else F.lit(1.0)
+        expl = work.select(
+            F.explode(F.array(*structs_exact)).alias("s"),
+            F.col(y).alias("__y"), wcol_e.alias("__w"),
+        ).select("s.variable", "s.value", "__y", "__w").filter(
+            F.col("value").isNotNull()
+        )
+        if task == "classification":
+            aggs_e = [
+                F.sum(F.when(F.col("__y") == c, F.col("__w")).otherwise(0.0))
+                .alias(f"w_{i}")
+                for i, c in enumerate(cls)
+            ]
+        else:
+            aggs_e = [
+                F.sum("__w").alias("cnt"),
+                F.sum(F.col("__w") * F.col("__y")).alias("s1"),
+                F.sum(F.col("__w") * F.col("__y") * F.col("__y")).alias("s2"),
+            ]
+        rows = (
+            expl.groupBy("variable", "value").agg(*aggs_e)
+            .limit(exact_cap + 1).collect()
+        )
+        if len(rows) <= exact_cap:
+            by_var: dict[str, list] = {v: [] for v in todo}
+            for r in rows:
+                by_var[r["variable"]].append(r)
+            for v in todo:
+                rs = sorted(by_var.get(v, []), key=lambda r: r["value"])
+                if len(rs) < 2:
+                    splits_by_var[v] = np.array([])
+                    continue
+                values = np.array([r["value"] for r in rs], dtype=float)
+                if task == "classification":
+                    stats = np.array(
+                        [[r[f"w_{i}"] or 0.0 for i in range(len(cls))]
+                         for r in rs]
+                    )
+                    total_w = stats.sum()
+                else:
+                    stats = np.array(
+                        [[r["cnt"], r["s1"], r["s2"]] for r in rs], dtype=float
+                    )
+                    total_w = stats[:, 0].sum()
+                if method == "mdlp":
+                    splits_by_var[v] = mdlp_splits(values, stats)
+                else:
+                    splits_by_var[v] = cart_splits(
+                        values,
+                        stats,
+                        task=task,
+                        max_leaf_nodes=self.max_n_prebins,
+                        min_samples_leaf=self.min_prebin_size * total_w,
+                    )
+            return splits_by_var
+
+        # fallback: one multi-column quantile job for histogram
         # edges, one stacked histogram aggregation, driver trees.
         from pyspark.ml.feature import Bucketizer
 

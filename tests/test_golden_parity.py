@@ -98,3 +98,18 @@ def test_2d_golden_default(breast_cancer):
     ob = OptimalBinning2D()
     ob.fit(breast_cancer, "mean radius", "worst concavity", "target")
     assert ob.iv == pytest.approx(7.63248244, rel=1e-6)
+
+
+def test_binning_process_golden_woe_csv(spark, breast_cancer):
+    """Full 30-variable BinningProcess WoE transform matches the
+    reference's stored golden output
+    (reference tests/results/breast_cancer_woe.csv) at rel 1e-6."""
+    from optbinning_spark import BinningProcess
+
+    golden = pd.read_csv("/root/reference/tests/results/breast_cancer_woe.csv")
+    names = [c for c in breast_cancer.columns if c != "target"]
+    bp = BinningProcess(variable_names=names)
+    bp.fit(breast_cancer, "target")
+    pdf = bp.transform(breast_cancer, metric="woe").toPandas()
+    for c in golden.columns:
+        assert pdf[c].values == pytest.approx(golden[c].values, rel=1e-6), c
