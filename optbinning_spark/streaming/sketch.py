@@ -125,6 +125,8 @@ class OptimalBinningSketch:
         monotonic_trend: str | None = "auto",
         special_codes=None,
         sketch_size: int = 1024,
+        sketch: str = "gk",
+        eps: float | None = None,
         **solver_params,
     ):
         self.name = name
@@ -134,6 +136,13 @@ class OptimalBinningSketch:
         self.monotonic_trend = monotonic_trend
         self.special_codes = special_codes
         self.solver_params = solver_params
+        self.sketch = sketch  # "gk"/"t-digest" accepted for API parity;
+        # both map to the mergeable centroid sketch
+        if eps is not None:
+            # GK guarantees rank error eps with O(1/eps) state; size the
+            # centroid sketch accordingly (bounded above for memory)
+            sketch_size = int(min(65536, max(sketch_size, 1.0 / eps)))
+        self.eps = eps
         # state
         self._sk = {0: CentroidSketch(sketch_size), 1: CentroidSketch(sketch_size)}
         self._cat: dict[str, np.ndarray] = {}

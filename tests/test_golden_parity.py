@@ -113,3 +113,32 @@ def test_binning_process_golden_woe_csv(spark, breast_cancer):
     pdf = bp.transform(breast_cancer, metric="woe").toPandas()
     for c in golden.columns:
         assert pdf[c].values == pytest.approx(golden[c].values, rel=1e-6), c
+
+
+def test_sketch_golden_add_solve(breast_cancer):
+    """reference tests/test_binning_sketch.py:124-137 — sketch path
+    reproduces the exact-path golden values at rel 1e-2."""
+    from optbinning_spark import OptimalBinningSketch
+
+    sk = OptimalBinningSketch(eps=1e-4)
+    sk.add(breast_cancer, "mean radius", "target")
+    ob = sk.solve()
+    assert ob.binning_table.iv == pytest.approx(GOLDEN_BC_IV, rel=1e-2)
+    a = ob.binning_table.analysis()
+    assert a["gini"] == pytest.approx(GOLDEN_BC_GINI, rel=1e-2)
+    assert a["js"] == pytest.approx(GOLDEN_BC_JS, rel=1e-2)
+
+
+def test_sketch_golden_merge(spark, breast_cancer):
+    """reference tests/test_binning_sketch.py:139-161 — merged
+    partial sketches reproduce the same golden values."""
+    from optbinning_spark import OptimalBinningSketch
+
+    pdf = breast_cancer.toPandas()
+    sk1 = OptimalBinningSketch(eps=1e-4)
+    sk2 = OptimalBinningSketch(eps=1e-4)
+    sk1.add(spark.createDataFrame(pdf.iloc[:200]), "mean radius", "target")
+    sk2.add(spark.createDataFrame(pdf.iloc[200:]), "mean radius", "target")
+    sk1.merge(sk2)
+    ob = sk1.solve()
+    assert ob.binning_table.iv == pytest.approx(GOLDEN_BC_IV, rel=1e-2)
