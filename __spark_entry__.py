@@ -58,6 +58,18 @@ def _documents(spark, sf_dir):
     return _spread(spark, spark.read.parquet(_t(sf_dir, "documents")))
 
 
+def _events(spark, sf_dir):
+    """events.parquet stores nanosecond timestamps (read as long via
+    nanosAsLong); convert to a proper timestamp at microsecond
+    precision."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return ev
+
+
 def _orders(spark, sf_dir):
     return spark.read.parquet(_t(sf_dir, "orders")).withColumn(
         "y", (F.col("o_orderstatus") == "F").cast("int")
@@ -309,6 +321,51 @@ def q_embedding_topk(spark, sf_dir):
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     return brute_force_topk(emb, queries, k=3)
+
+
+def q_event_window_stats(spark, sf_dir):
+    """Tumbling-window per-type event stats on the events stream table
+    — the batch analog of the Structured Streaming windowed rollup
+    (same plan works under readStream + watermark)."""
+    ev = _events(spark, sf_dir)
+    win = F.window(F.col("ts"), "1 day")
+    return (
+        ev.groupBy(
+            F.date_format(win.start, "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .drop("approx_users")  # approx differs across engines; keep exact cols
+    )
+
+
+def q_event_type_psi(spark, sf_dir):
+    """M11 over time: PSI of the event-type mix between the first and
+    second half of the stream (population drift on an event stream)."""
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2
+        ).alias("m")
+    ).first()["m"]
+    pop = F.when(F.col("ts") < F.lit(mid), "E").otherwise("A")
+    agg = ev.groupBy(F.col("event_type").alias("bin")).agg(
+        F.sum(F.when(pop == "E", 1).otherwise(0)).alias("n_expected"),
+        F.sum(F.when(pop == "A", 1).otherwise(0)).alias("n_actual"),
+    )
+    tot = agg.agg(F.sum("n_expected").alias("te"), F.sum("n_actual").alias("ta"))
+    e = F.col("n_expected") / F.col("te")
+    a = F.col("n_actual") / F.col("ta")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.round(e, 6).alias("expected_pct"),
+        F.round(a, 6).alias("actual_pct"),
+        F.round((a - e) * F.log(a / e), 6).alias("psi"),
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -749,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
+        "event_window_stats": q_event_window_stats,
+        "event_type_psi": q_event_type_psi,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "near_dup_cosine": q_near_dup_cosine,
@@ -960,6 +1019,30 @@ def oracle_sql() -> dict[str, str]:
                    round(i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE), 6) AS jaccard
             FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
             WHERE i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) >= 0.05
+        """,
+        "event_window_stats": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "event_type_psi": """
+            WITH m AS (
+              SELECT to_timestamp((epoch(min(ts)) + epoch(max(ts))) / 2) AS mid
+              FROM events
+            ), agg AS (
+              SELECT event_type AS bin,
+                     sum(CASE WHEN ts < (SELECT mid FROM m) THEN 1 ELSE 0 END) AS n_expected,
+                     sum(CASE WHEN ts >= (SELECT mid FROM m) THEN 1 ELSE 0 END) AS n_actual
+              FROM events GROUP BY 1
+            ), tot AS (SELECT sum(n_expected) AS te, sum(n_actual) AS ta FROM agg)
+            SELECT bin,
+                   round(n_expected / CAST(te AS DOUBLE), 6) AS expected_pct,
+                   round(n_actual / CAST(ta AS DOUBLE), 6) AS actual_pct,
+                   round((n_actual / CAST(ta AS DOUBLE) - n_expected / CAST(te AS DOUBLE))
+                         * ln((n_actual / CAST(ta AS DOUBLE)) / (n_expected / CAST(te AS DOUBLE))), 6) AS psi
+            FROM agg, tot
         """,
         "simhash": _simhash_oracle_sql(16),
         "doc_fingerprint": """

@@ -142,3 +142,56 @@ def test_sketch_golden_merge(spark, breast_cancer):
     sk1.merge(sk2)
     ob = sk1.solve()
     assert ob.binning_table.iv == pytest.approx(GOLDEN_BC_IV, rel=1e-2)
+
+
+CATS = (['Working', 'State servant', 'Working', 'Working', 'Working',
+         'State servant', 'Commercial associate', 'State servant',
+         'Pensioner', 'Working', 'Working', 'Pensioner', 'Working',
+         'Working', 'Working', 'Working', 'Working', 'Working', 'Working',
+         'State servant', 'Working', 'Commercial associate', 'Working',
+         'Pensioner', 'Working', 'Working', 'Working', 'Working',
+         'State servant', 'Working', 'Commercial associate', 'Working',
+         'Working', 'Commercial associate', 'State servant', 'Working',
+         'Commercial associate', 'Working', 'Pensioner', 'Working',
+         'Commercial associate', 'Working', 'Working', 'Pensioner',
+         'Working', 'Working', 'Pensioner', 'Working', 'State servant',
+         'Working', 'State servant', 'Commercial associate', 'Working',
+         'Commercial associate', 'Pensioner', 'Working', 'Pensioner',
+         'Working', 'Working', 'Working', 'Commercial associate', 'Working',
+         'Pensioner', 'Working', 'Commercial associate',
+         'Commercial associate', 'State servant', 'Working',
+         'Commercial associate', 'Commercial associate',
+         'Commercial associate', 'Working', 'Working', 'Working',
+         'Commercial associate', 'Working', 'Commercial associate',
+         'Working', 'Working', 'Pensioner', 'Working', 'Pensioner',
+         'Working', 'Working', 'Pensioner', 'Working', 'State servant',
+         'Working', 'Working', 'Working', 'Working', 'Working',
+         'Commercial associate', 'Commercial associate',
+         'Commercial associate', 'Working', 'Commercial associate',
+         'Working', 'Working', 'Pensioner'])
+CATS_Y = [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+          0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 1, 0,
+          0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+          0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0,
+          0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0]
+
+
+def test_categorical_golden_transform(spark):
+    """reference tests/test_binning.py:476-541 — categorical WoE
+    transform with cat_cutoff, plus unknown-category defaults."""
+    from optbinning_spark.binning import OptimalBinning
+
+    df = spark.createDataFrame(
+        list(zip(CATS, [int(v) for v in CATS_Y])), ["occ", "y"])
+    ob = OptimalBinning(dtype="categorical", cat_cutoff=0.1)
+    ob.fit(df, "occ", "y")
+    q = spark.createDataFrame(
+        [("Pensioner",), ("Working",), ("Commercial associate",),
+         ("State servant",)], ["occ"])
+    got = [r["occ_woe"]
+           for r in ob.transform(q, "occ", metric="woe").collect()]
+    assert got == pytest.approx(
+        [-0.26662866, 0.30873548, -0.55431074, 0.30873548], rel=1e-6)
+    unk = ob.transform(spark.createDataFrame([("new",)], ["occ"]),
+                       "occ", metric="woe").collect()
+    assert unk[0]["occ_woe"] == 0.0

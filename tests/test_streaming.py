@@ -123,3 +123,49 @@ def test_structured_streaming_foreachbatch(spark, batches, tmp_path):
     assert sk.n_add >= 1
     assert solved, "solve callback never fired"
     assert solved[-1].binning_table.count.sum() == pytest.approx(3000)
+
+
+def test_readstream_windowed_event_agg(spark, tmp_path):
+    """T1-T3 with a real file-source stream: readStream over the
+    events parquet -> tumbling-window agg -> memory sink, equals the
+    batch result of the same plan."""
+    import pyspark.sql.functions as F
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    batch_ev = spark.read.parquet(src)
+    if dict(batch_ev.dtypes).get("ts") == "bigint":
+        conv = lambda d: d.withColumn(  # noqa: E731
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    else:
+        conv = lambda d: d  # noqa: E731
+
+    def plan(df):
+        return (
+            conv(df)
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sv"))
+            .select(F.col("w.start").alias("day"), "event_type", "n", "sv")
+        )
+
+    import shutil
+
+    indir = tmp_path / "events_in"
+    indir.mkdir()
+    shutil.copy(src, indir / "part-0.parquet")
+    stream = (
+        spark.readStream.schema(batch_ev.schema).parquet(str(indir))
+    )
+    q = (
+        plan(stream)
+        .writeStream.format("memory").queryName("ev_win")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ev_win").toPandas().sort_values(
+        ["day", "event_type"]).reset_index(drop=True)
+    want = plan(batch_ev).toPandas().sort_values(
+        ["day", "event_type"]).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["n"].values == want["n"].values).all()
+    assert got["sv"].values == pytest.approx(want["sv"].values, rel=1e-9)
