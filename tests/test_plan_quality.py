@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the properties that make the engine scale
+are checked, not assumed — transforms must stay map-only (no shuffle),
+filters and projections must reach the parquet scan, and the fit
+aggregation must use partial (map-side) aggregation."""
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+    )
+
+
+@pytest.fixture(scope="module")
+def fitted(lineitem):
+    from optbinning_spark.binning import OptimalBinning
+
+    ob = OptimalBinning(prebinning_method="quantile")
+    ob.fit(lineitem, "l_extendedprice", "y")
+    return ob
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_woe_transform_is_map_only(lineitem, fitted):
+    out = fitted.transform(lineitem, "l_extendedprice", metric="woe")
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    # whole-stage codegen shows as "*(n)" stage markers in plan text
+    assert "WholeStageCodegen" in plan or "*(" in plan, plan
+
+
+def test_scorecard_score_is_map_only(spark, lineitem):
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    bp = BinningProcess(["l_quantity", "l_extendedprice"],
+                        prebinning_method="quantile")
+    sc = Scorecard(bp).fit(lineitem, "y")
+    plan = _plan(sc.score(lineitem))
+    assert "Exchange" not in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = df.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan, plan
+    # column pruning: scan schema must not include unprojected columns
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in scan_schema, scan_schema
+
+
+def test_bin_agg_uses_partial_aggregation(lineitem):
+    from optbinning_spark.operators.preprocessing import numeric_bin_expr
+
+    b = numeric_bin_expr(F.col("l_extendedprice"), [20000.0, 50000.0])
+    agg = lineitem.groupBy(b.alias("bin")).agg(
+        F.sum("y").alias("n_event"), F.count("*").alias("n")
+    )
+    plan = _plan(agg)
+    # partial + final hash aggregate around a single exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_transform_preserves_pushdown_through_case(spark, fitted):
+    """A filter applied after the CASE transform must still push the
+    scan-level predicate on the raw column."""
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = (
+        df.withColumn(
+            "w",
+            fitted.transform_column_expr(F.col("l_extendedprice"), metric="woe"),
+        )
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "w")
+    )
+    plan = _plan(out)
+    assert "GreaterThan(l_quantity" in plan, plan
+    assert "Exchange" not in plan, plan
