@@ -340,12 +340,12 @@ class OptimalBinning(_BaseOptimalBinning):
         )
 
     def _fit_categorical(self, df, x, y, w):
-        cats, missing, specials = categorical_value_stats(
+        cats, missing, specials, tail = categorical_value_stats(
             df, x, y, w, special_codes=self.special_codes, target_type="binary"
         )
-        self._finalize_categorical(cats, missing, specials, x)
+        self._finalize_categorical(cats, missing, specials, x, tail=tail)
 
-    def _finalize_categorical(self, cats, missing, specials, x=""):
+    def _finalize_categorical(self, cats, missing, specials, x="", tail=None):
         if not cats:
             raise ValueError(f"no categories found for {x}")
         total = sum(v["n_nonevent"] + v["n_event"] for v in cats.values())
@@ -408,9 +408,12 @@ class OptimalBinning(_BaseOptimalBinning):
         ne_b = merge_segments(ne_p, sol.segments)
         ev_b = merge_segments(ev_p, sol.segments)
         spec = dict(specials)
-        if others:
+        if others or tail:
             o_ne = sum(cats[c]["n_nonevent"] for c in others)
             o_ev = sum(cats[c]["n_event"] for c in others)
+            if tail:  # truncated high-cardinality residual -> others
+                o_ne += tail.get("n_nonevent", 0.0)
+                o_ev += tail.get("n_event", 0.0)
             spec = {"others": {"n_nonevent": o_ne, "n_event": o_ev}, **spec}
         self._table = BinningTableBinary(
             splits=np.array([]),
@@ -542,13 +545,13 @@ class ContinuousOptimalBinning(_BaseOptimalBinning):
         )
 
     def _fit_categorical(self, df, x, y, w):
-        cats, missing, specials = categorical_value_stats(
+        cats, missing, specials, tail = categorical_value_stats(
             df, x, y, w, special_codes=self.special_codes,
             target_type="continuous",
         )
-        self._finalize_categorical(cats, missing, specials, x)
+        self._finalize_categorical(cats, missing, specials, x, tail=tail)
 
-    def _finalize_categorical(self, cats, missing, specials, x=""):
+    def _finalize_categorical(self, cats, missing, specials, x="", tail=None):
         if not cats:
             raise ValueError(f"no categories found for {x}")
         total = sum(v["n_records"] for v in cats.values())

@@ -152,6 +152,7 @@ def categorical_value_stats(
     special_codes=None,
     target_type: str = "binary",
     classes=None,
+    max_categories: int = 100_000,
 ):
     """Per-category sufficient statistics in ONE aggregation — this is
     simultaneously the event-rate ordering input (J4), the cat_cutoff
@@ -159,22 +160,38 @@ def categorical_value_stats(
     after ordinal ordering). Reference does three passes
     (preprocessing.py:24-42); Spark needs one.
 
-    Returns (rows_by_category, missing_stats, special_stats_by_group).
-    High-cardinality note: the grouping key is the category itself;
-    at 100 TB a hot category is handled by map-side partial agg, and
-    the collected result is capped by cat_cutoff downstream.
+    Returns (rows_by_category, missing_stats, special_stats_by_group,
+    tail_stats-or-None).
+
+    High-cardinality safety: the driver only ever collects the top
+    ``max_categories`` categories by record count — a distributed
+    TakeOrdered over the already-reduced per-category aggregate, NOT a
+    global sort — plus one totals row; the truncated tail's aggregate
+    statistics are the residual (totals minus collected) and are
+    returned separately so callers can fold them into the "others"
+    bin. At 100 TB with millions of categories the collect stays
+    bounded; hot categories are absorbed by map-side partial agg.
     """
     c = F.col(col)
     sclass = sample_class_expr(c, "categorical", special_codes)
-    rows = (
-        df.groupBy(
-            sclass.alias("sample_class"),
-            F.when(sclass == CLEAN, c).alias("category"),
+    metrics = _metric_names(target_type, classes)
+    grouped = df.groupBy(
+        sclass.alias("sample_class"),
+        F.when(sclass == CLEAN, c).alias("category"),
+    ).agg(*_agg_exprs(y_col, w_col, target_type, classes))
+
+    size_expr = (
+        F.col("n_records")
+        if target_type == "continuous"
+        else sum(
+            (F.col(m) for m in metrics if m.startswith("n_")), F.lit(0.0)
         )
-        .agg(*_agg_exprs(y_col, w_col, target_type, classes))
+    )
+    rows = (
+        grouped.orderBy(F.desc(size_expr))
+        .limit(max_categories + 16)  # non-clean rows ride along
         .collect()
     )
-    metrics = _metric_names(target_type, classes)
     cats: dict = {}
     missing = {m: 0.0 for m in metrics}
     specials: dict[str, dict[str, float]] = {}
@@ -188,7 +205,23 @@ def categorical_value_stats(
         else:
             g = r["sample_class"].split(":", 1)[1]
             specials[g] = vals
-    return cats, missing, specials
+
+    tail = None
+    if len(cats) > max_categories or len(rows) >= max_categories + 16:
+        # truncated: recover the tail's aggregate as totals - collected
+        additive = [m for m in metrics if m not in ("min_y", "max_y")]
+        tot = (
+            grouped.filter(F.col("sample_class") == CLEAN)
+            .agg(*[F.sum(m).alias(m) for m in additive])
+            .collect()[0]
+        )
+        tail = {
+            m: float(tot[m] or 0.0) - sum(v[m] for v in cats.values())
+            for m in additive
+        }
+        if all(abs(v) < 1e-9 for v in tail.values()):
+            tail = None
+    return cats, missing, specials, tail
 
 
 def stacked_bin_stats(

@@ -163,3 +163,26 @@ def test_analysis_stats(binary_df):
     assert 0 <= a["ks"] <= 1
     assert a["iv"] > 0
     assert 0 <= a["quality_score"] <= 1
+
+
+def test_categorical_high_cardinality_truncation(spark):
+    """Bounded driver collect for high-cardinality categoricals: with a
+    small max_categories the tail is folded into the others bin and
+    totals are conserved."""
+    import pyspark.sql.functions as F
+
+    from optbinning_spark.operators.aggregation import categorical_value_stats
+
+    df = (
+        spark.range(0, 5000)
+        .withColumn("cat", F.concat(F.lit("c"), (F.col("id") % 500)))
+        .withColumn("y", (F.col("id") % 3 == 0).cast("int"))
+    )
+    cats, missing, specials, tail = categorical_value_stats(
+        df, "cat", "y", None, target_type="binary", max_categories=100
+    )
+    assert len(cats) <= 116
+    assert tail is not None
+    total = sum(v["n_nonevent"] + v["n_event"] for v in cats.values())
+    total += tail["n_nonevent"] + tail["n_event"]
+    assert total == 5000
