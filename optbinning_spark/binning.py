@@ -95,6 +95,7 @@ class _BaseOptimalBinning:
         cat_cutoff: float | None = None,
         user_splits=None,
         show_digits: int = 2,
+        class_weight=None,
     ):
         self.name = name
         self.dtype = dtype
@@ -113,6 +114,7 @@ class _BaseOptimalBinning:
         self.cat_cutoff = cat_cutoff
         self.user_splits = user_splits
         self.show_digits = show_digits
+        self.class_weight = class_weight
 
         self._fitted = False
         self._splits: np.ndarray = np.array([])
@@ -137,6 +139,28 @@ class _BaseOptimalBinning:
         dtype = self.dtype or _infer_dtype(df, x)
         self._resolved_dtype = dtype
         df = df.filter(F.col(y).isNotNull())
+        if self.class_weight is not None and self._target_type == "binary":
+            # A12 (reference preprocessing.py:181-186): class weights
+            # fold into sample weights; "balanced" = N / (k * n_class)
+            # from one tiny aggregation
+            if self.class_weight == "balanced":
+                counts = {
+                    r[y]: r["count"]
+                    for r in df.groupBy(y).count().collect()
+                }
+                total = sum(counts.values())
+                cw = {c: total / (len(counts) * n) for c, n in counts.items()}
+            elif isinstance(self.class_weight, dict):
+                cw = self.class_weight
+            else:
+                raise ValueError("class_weight must be 'balanced' or a dict")
+            wexpr = F.when(F.col(y) == 0, F.lit(float(cw.get(0, 1.0)))).otherwise(
+                F.lit(float(cw.get(1, 1.0)))
+            )
+            if sample_weight:
+                wexpr = wexpr * F.col(sample_weight)
+            df = df.withColumn("__cw", wexpr)
+            sample_weight = "__cw"
         if dtype == "categorical":
             self._fit_categorical(df, x, y, sample_weight)
         else:

@@ -186,3 +186,37 @@ def test_categorical_high_cardinality_truncation(spark):
     total = sum(v["n_nonevent"] + v["n_event"] for v in cats.values())
     total += tail["n_nonevent"] + tail["n_event"]
     assert total == 5000
+
+
+def test_class_weight_equals_explicit_sample_weight(spark):
+    """A12: class_weight dict is identical to supplying the same
+    per-class sample weights; 'balanced' reweights to equal class
+    mass."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from optbinning_spark.binning import OptimalBinning
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+    )
+    obc = OptimalBinning(prebinning_method="quantile",
+                         class_weight={0: 1.0, 1: 2.5})
+    obc.fit(df, "l_extendedprice", "y")
+    wdf = df.withColumn(
+        "w", F.when(F.col("y") == 1, 2.5).otherwise(1.0))
+    obw = OptimalBinning(prebinning_method="quantile")
+    obw.fit(wdf, "l_extendedprice", "y", sample_weight="w")
+    np.testing.assert_allclose(obc.splits, obw.splits)
+    np.testing.assert_allclose(
+        obc.binning_table.build()["count"].values,
+        obw.binning_table.build()["count"].values,
+    )
+
+    obb = OptimalBinning(prebinning_method="quantile",
+                         class_weight="balanced")
+    obb.fit(df, "l_extendedprice", "y")
+    t = obb.binning_table.build(add_totals=True)
+    tot = t.iloc[-1]
+    assert tot["n_nonevent"] == pytest.approx(tot["n_event"], rel=1e-9)
