@@ -19,25 +19,52 @@ from pyspark.sql import functions as F
 
 class RangeDetector:
     """Interval-based detector: [q_lo - k*IQR, q_hi + k*IQR]
-    (reference outlier.py:69-127, ETI method; HDI approximated by ETI
-    since both reduce to interval bounds on the fitted quantiles)."""
+    (reference outlier.py:69-127). ETI = equal-tailed percentile
+    interval (one percentile agg); HDI = narrowest window containing
+    ceil(interval_length * n) sorted values, found with a global-order
+    lead() window (HDI inherently needs order statistics)."""
 
     def __init__(self, interval_length: float = 0.5, k: float = 1.5,
                  method: str = "ETI"):
         if not 0 < interval_length < 1:
             raise ValueError("interval_length must be in (0, 1)")
+        if method not in ("ETI", "HDI"):
+            raise ValueError('method must be "ETI" or "HDI"')
         self.interval_length = interval_length
         self.k = k
         self.method = method
         self._fitted = False
 
     def fit(self, df: DataFrame, col: str):
-        a = (1.0 - self.interval_length) / 2.0
-        r = df.agg(
-            F.percentile(col, F.lit(a)).alias("lo"),
-            F.percentile(col, F.lit(1.0 - a)).alias("hi"),
-        ).first()
-        lo, hi = float(r["lo"]), float(r["hi"])
+        if self.method == "ETI":
+            a = (1.0 - self.interval_length) / 2.0
+            r = df.agg(
+                F.percentile(col, F.lit(a)).alias("lo"),
+                F.percentile(col, F.lit(1.0 - a)).alias("hi"),
+            ).first()
+            lo, hi = float(r["lo"]), float(r["hi"])
+        else:
+            from pyspark.sql import Window as W
+
+            import math
+
+            vals = df.select(F.col(col).alias("v")).filter(
+                F.col("v").isNotNull()
+            )
+            n = vals.count()
+            n_included = int(math.ceil(self.interval_length * n))
+            w = W.orderBy("v")
+            paired = vals.withColumn("u", F.lead("v", n_included).over(w))
+            r = (
+                paired.filter(F.col("u").isNotNull())
+                .agg(
+                    F.min_by(
+                        F.struct("v", "u"), F.col("u") - F.col("v")
+                    ).alias("b")
+                )
+                .first()["b"]
+            )
+            lo, hi = float(r["v"]), float(r["u"])
         iqr = hi - lo
         self.lb_ = lo - self.k * iqr
         self.ub_ = hi + self.k * iqr
@@ -97,7 +124,7 @@ class YQuantileDetector:
     back as a broadcastable handful of rows.
     """
 
-    def __init__(self, n_bins: int = 5, method: str = "range",
+    def __init__(self, n_bins: int = 5, method: str = "zscore",
                  interval_length: float = 0.5, k: float = 1.5,
                  threshold: float = 3.5):
         self.n_bins = n_bins
@@ -108,8 +135,13 @@ class YQuantileDetector:
         self._fitted = False
 
     def fit(self, df: DataFrame, x_col: str, y_col: str):
+        # exact interpolated percentiles for the x-edges (matches
+        # np.quantile's linear interpolation, reference outlier.py:205)
         probs = list(np.linspace(0, 1, self.n_bins + 1)[1:-1])
-        edges = sorted(set(df.approxQuantile(x_col, probs, 1e-4)))
+        row = df.agg(
+            F.percentile(x_col, F.array(*[F.lit(p) for p in probs])).alias("q")
+        ).first()
+        edges = sorted(set(float(v) for v in row["q"]))
         self.x_edges_ = edges
         from .preprocessing import numeric_bin_expr
 

@@ -29,6 +29,14 @@ def breast_cancer(spark):
 
 
 @pytest.fixture(scope="module")
+def boston_xy(spark):
+    raw = pd.read_csv(BOSTON_CSV, sep=r"\s+", skiprows=22, header=None)
+    data = np.hstack([raw.values[::2, :], raw.values[1::2, :2]])
+    pdf = pd.DataFrame({"LSTAT": data[:, 12], "MEDV": raw.values[1::2, 2]})
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
 def boston(spark):
     raw = pd.read_csv(BOSTON_CSV, sep=r"\s+", skiprows=22, header=None)
     data = np.hstack([raw.values[::2, :], raw.values[1::2, :2]])
@@ -195,3 +203,35 @@ def test_categorical_golden_transform(spark):
     unk = ob.transform(spark.createDataFrame([("new",)], ["occ"]),
                        "occ", metric="woe").collect()
     assert unk[0]["occ_woe"] == 0.0
+
+
+def test_outlier_golden_defaults(boston_xy):
+    """reference tests/test_outlier.py:62-91 — ETI count, HDI count,
+    zscore flagged values, y-quantile flagged values on Boston."""
+    import pyspark.sql.functions as F
+
+    from optbinning_spark.operators.outlier import (
+        ModifiedZScoreDetector,
+        RangeDetector,
+        YQuantileDetector,
+    )
+
+    df = boston_xy
+    eti = RangeDetector(method="ETI").fit(df, "LSTAT")
+    assert df.filter(eti.outlier_predicate(F.col("LSTAT"))).count() == 7
+    hdi = RangeDetector(method="HDI").fit(df, "LSTAT")
+    assert df.filter(hdi.outlier_predicate(F.col("LSTAT"))).count() == 31
+    z = ModifiedZScoreDetector().fit(df, "LSTAT")
+    zx = sorted(
+        r["LSTAT"]
+        for r in df.filter(z.outlier_predicate(F.col("LSTAT"))).collect()
+    )
+    assert zx == pytest.approx([36.98, 37.97])
+    yq = YQuantileDetector().fit(df, "LSTAT", "MEDV")
+    rows = df.filter(
+        yq.outlier_predicate(F.col("LSTAT"), F.col("MEDV"))
+    ).collect()
+    assert sorted(round(r["LSTAT"], 2) for r in rows) == pytest.approx(
+        [7.26, 7.44, 7.56, 8.88, 9.53, 9.59, 11.25, 14.79])
+    assert sorted(round(r["MEDV"], 2) for r in rows) == pytest.approx(
+        [30.7, 31.0, 33.8, 39.8, 43.1, 50.0, 50.0, 50.0])
