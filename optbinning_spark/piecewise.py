@@ -28,6 +28,73 @@ from .operators.preprocessing import numeric_bin_expr
 _EPS = 1e-15
 
 
+def _active_set_qp(H, f, Aeq, G, h, max_iter=200):
+    """Minimize 0.5 x'Hx - f'x s.t. Aeq x = 0, G x <= h, by a primal
+    active-set method (tiny dense systems; <= ~40 constraints here).
+    Standard textbook algorithm — add the most-violated inequality,
+    drop constraints with negative multipliers, repeat."""
+    n = H.shape[0]
+    active: list[int] = []
+
+    def solve_with(act):
+        rows = [Aeq] if Aeq is not None and len(Aeq) else []
+        rhs_c = [np.zeros(len(Aeq))] if Aeq is not None and len(Aeq) else []
+        if act:
+            rows.append(G[act])
+            rhs_c.append(h[act])  # active inequalities hold AT the bound
+        A = np.vstack(rows) if rows else np.zeros((0, n))
+        m = A.shape[0]
+        KKT = np.zeros((n + m, n + m))
+        KKT[:n, :n] = H
+        if m:
+            KKT[:n, n:] = A.T
+            KKT[n:, :n] = A
+        rhs = np.concatenate([f] + rhs_c) if rhs_c else f
+        sol = np.linalg.lstsq(KKT, rhs, rcond=None)[0]
+        lam = sol[n:]
+        n_eq = len(Aeq) if Aeq is not None else 0
+        return sol[:n], lam[n_eq:]
+
+    x, lam = solve_with(active)
+    for _ in range(max_iter):
+        if G is not None and len(G):
+            viol = G @ x - h
+            worst = int(np.argmax(viol))
+            if viol[worst] > 1e-9:
+                if worst not in active:
+                    active.append(worst)
+                    x, lam = solve_with(active)
+                    continue
+        if active and len(lam) and lam.min() < -1e-9:
+            active.pop(int(np.argmin(lam)))
+            x, lam = solve_with(active)
+            continue
+        break
+    return x
+
+
+def _penalized_logistic_1d(xs, n_event, n_total, C=1.0, max_iter=200,
+                           tol=1e-12):
+    """sklearn-equivalent L2-penalized logistic on a value histogram:
+    minimize 0.5*w^2 + C * sum_i [n_i * logloss_i] with the intercept
+    unpenalized (sklearn LogisticRegression defaults). Newton on two
+    parameters."""
+    beta = np.zeros(2)  # (intercept, slope)
+    A = np.column_stack([np.ones_like(xs), xs])
+    pen = np.diag([0.0, 1.0])
+    for _ in range(max_iter):
+        z = A @ beta
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+        g = C * A.T @ (n_event - n_total * p) - pen @ beta
+        W = C * n_total * p * (1.0 - p)
+        H = A.T @ (A * W[:, None]) + pen
+        step = np.linalg.solve(H, g)
+        beta = beta + step
+        if np.max(np.abs(step)) < tol:
+            break
+    return beta
+
+
 class OptimalPWBinning:
     def __init__(
         self,
@@ -54,9 +121,15 @@ class OptimalPWBinning:
         self.ub = ub
         self._fitted = False
 
-    def fit(self, df: DataFrame, x: str, y: str):
+    def fit(self, df: DataFrame, x: str, y: str, lb=None, ub=None):
         self.name = self.name or x
-        # stage 1: inner optimal binning proposes the knots
+        if lb is not None:
+            self.lb = lb
+        if ub is not None:
+            self.ub = ub
+        # stage 1: inner optimal binning proposes the knots (reference
+        # piecewise/base.py:380-401 — the standard binary/continuous
+        # OptimalBinning with the same defaults)
         if self.objective == "binary":
             inner = OptimalBinning(
                 prebinning_method=self.prebinning_method,
@@ -73,7 +146,59 @@ class OptimalPWBinning:
         self.splits_ = np.asarray(inner.splits, dtype=float)
         self.inner_ = inner
 
-        # stage 2: ONE aggregation for the LS sufficient statistics
+        if self.objective == "binary":
+            self._fit_binary(df, x, y)
+        else:
+            self._fit_ls_on_target(df, x, y)
+        if self.objective == "binary":
+            t = inner.binning_table
+            self._t_ne = float(np.sum(t.ne_all))
+            self._t_ev = float(np.sum(t.ev_all))
+            if self.lb is None:
+                self.lb = 0.0
+            if self.ub is None:
+                self.ub = 1.0
+        self._fitted = True
+        return self
+
+    def _fit_binary(self, df, x, y):
+        """Reference binary pipeline (piecewise/binning.py:345-360):
+        smooth the target with an L2-penalized single-feature logistic
+        regression (sklearn LogisticRegression C=1 semantics, intercept
+        unpenalized), then least-squares fit the PREDICTED event rate
+        over the bins. Sufficient statistics are the per-distinct-value
+        class counts — one aggregation (shared histogram contract)."""
+        from .operators.prebinning import value_histogram
+
+        values, stats = value_histogram(
+            df, x, y, None, task="classification", classes=[0, 1]
+        )
+        n0, n1 = stats[:, 0], stats[:, 1]
+        w = n0 + n1
+        beta = _penalized_logistic_1d(values, n1, w)
+        pred = 1.0 / (1.0 + np.exp(-(beta[0] + beta[1] * values)))
+        # reference base.py:439-449: monotonic trend from the ACTUAL
+        # per-bin event rates over the optimal splits
+        idx = (np.digitize(values, self.splits_) if len(self.splits_)
+               else np.zeros(len(values), dtype=int))
+        k = len(self.splits_) + 1
+        rates = np.array([
+            n1[idx == b].sum() / max(w[idx == b].sum(), _EPS)
+            for b in range(k)
+        ])
+        d = np.sign(np.diff(rates))
+        if np.count_nonzero(d[1:] != d[:-1]):
+            mono = None  # peak/valley/no-monotonic: unconstrained
+        elif np.all(np.diff(rates) >= 0):
+            mono = "ascending"
+        else:
+            mono = "descending"
+        self._fit_ls_points(values, pred, w, monotonic=mono,
+                            xmin=float(values.min()), xmax=float(values.max()))
+
+    def _fit_ls_on_target(self, df, x, y):
+        """Continuous objective: LSQ of y over x (one aggregation of
+        per-bin moments)."""
         xc = F.col(x).cast("double")
         yc = F.col(y).cast("double")
         clean = df.filter(
@@ -102,15 +227,36 @@ class OptimalPWBinning:
             n[i], sx[i], sxx[i] = r["n"], r["sx"], r["sxx"]
             sy[i], sxy[i] = r["sy"], r["sxy"]
         self._solve_ls(n, sx, sxx, sy, sxy)
-        if self.lb is None:
-            self.lb = 0.0 if self.objective == "binary" else None
-        if self.ub is None:
-            self.ub = 1.0 if self.objective == "binary" else None
-        self._fitted = True
-        return self
 
-    def _solve_ls(self, n, sx, sxx, sy, sxy):
-        """Exact KKT solve of the continuity-constrained piecewise LS.
+    def _fit_ls_points(self, xs, ys, ws, monotonic=None, xmin=None, xmax=None):
+        """Weighted LSQ sufficient stats from driver-side points."""
+        k = len(self.splits_) + 1
+        idx = np.digitize(xs, self.splits_) if len(self.splits_) else np.zeros(
+            len(xs), dtype=int
+        )
+        n = np.zeros(k)
+        sx = np.zeros(k)
+        sxx = np.zeros(k)
+        sy = np.zeros(k)
+        sxy = np.zeros(k)
+        for b in range(k):
+            m = idx == b
+            wm = ws[m]
+            n[b] = wm.sum()
+            sx[b] = (wm * xs[m]).sum()
+            sxx[b] = (wm * xs[m] * xs[m]).sum()
+            sy[b] = (wm * ys[m]).sum()
+            sxy[b] = (wm * xs[m] * ys[m]).sum()
+        self._solve_ls(n, sx, sxx, sy, sxy, monotonic=monotonic,
+                       xmin=xmin, xmax=xmax)
+
+    def _solve_ls(self, n, sx, sxx, sy, sxy, monotonic=None, xmin=None,
+                  xmax=None):
+        """Exact KKT / active-set QP solve of the
+        continuity-constrained piecewise LS, with optional monotonic
+        slope-sign constraints and lb/ub bound constraints at the
+        piece endpoints (matching ropwr's constraint families for the
+        L2 objective).
 
         Parameters theta = (a_0, c_0, ..., a_{k-1}, c_{k-1}) with bin
         model y ~ a_b + c_b x (c_b = 0 for degree 0). Objective is the
@@ -147,16 +293,47 @@ class OptimalPWBinning:
                 A[row + j, d * j + 1] = s
                 A[row + j, d * (j + 1)] = -1.0
                 A[row + j, d * (j + 1) + 1] = -s
-        m = A.shape[0]
-        KKT = np.zeros((d * k + m, d * k + m))
-        KKT[: d * k, : d * k] = H
-        if m:
-            KKT[: d * k, d * k :] = A.T
-            KKT[d * k :, : d * k] = A
-        rhs = np.concatenate([f, np.zeros(m)])
-        # ridge jitter for singular degenerate systems
-        sol = np.linalg.lstsq(KKT, rhs, rcond=None)[0]
-        theta = sol[: d * k]
+        # inequality constraints: monotone slope signs + lb/ub bounds
+        # at the endpoints of each linear piece
+        G_rows, h_vals = [], []
+        if monotonic in ("ascending", "descending") and self.degree == 1:
+            sgn = -1.0 if monotonic == "ascending" else 1.0
+            for b in range(k):
+                row = np.zeros(d * k)
+                row[d * b + 1] = sgn  # sgn*c_b <= 0
+                G_rows.append(row)
+                h_vals.append(0.0)
+        if (self.lb is not None or self.ub is not None) and xmin is not None:
+            pts = [xmin] + [float(s) for s in self.splits_] + [xmax]
+            for b in range(k):
+                for t in (pts[b], pts[b + 1]):
+                    if self.ub is not None:
+                        row = np.zeros(d * k)
+                        row[d * b] = 1.0
+                        row[d * b + 1] = t
+                        G_rows.append(row)
+                        h_vals.append(float(self.ub))
+                    if self.lb is not None:
+                        row = np.zeros(d * k)
+                        row[d * b] = -1.0
+                        row[d * b + 1] = -t
+                        G_rows.append(row)
+                        h_vals.append(-float(self.lb))
+        if G_rows:
+            theta = _active_set_qp(
+                H, f, A, np.array(G_rows), np.array(h_vals)
+            )
+        else:
+            m = A.shape[0]
+            KKT = np.zeros((d * k + m, d * k + m))
+            KKT[: d * k, : d * k] = H
+            if m:
+                KKT[: d * k, d * k :] = A.T
+                KKT[d * k :, : d * k] = A
+            rhs = np.concatenate([f, np.zeros(m)])
+            # ridge jitter for singular degenerate systems
+            sol = np.linalg.lstsq(KKT, rhs, rcond=None)[0]
+            theta = sol[: d * k]
         self.coef0_ = theta[0::2]
         self.coef1_ = theta[1::2] if self.degree == 1 else np.zeros(k)
 
@@ -179,9 +356,12 @@ class OptimalPWBinning:
         if metric in ("mean", "event_rate"):
             return expr
         if metric == "woe":
-            # clip away from {0,1} then log-odds vs base rate
-            p = F.greatest(F.least(expr, F.lit(1 - 1e-6)), F.lit(1e-6))
-            return F.log((1 - p) / p)
+            # reference transform_event_rate_to_woe
+            # (transformations.py:19-37): log((1/er - 1) * tE/tNE) with
+            # totals incl. special+missing
+            p = F.greatest(F.least(expr, F.lit(1 - 1e-12)), F.lit(1e-12))
+            ratio = float(self._t_ev) / max(float(self._t_ne), _EPS)
+            return F.log((F.lit(1.0) / p - 1.0) * F.lit(ratio))
         raise ValueError(f"unknown metric {metric}")
 
     def transform(self, df, x, metric="mean", out_col=None):

@@ -235,3 +235,24 @@ def test_outlier_golden_defaults(boston_xy):
         [7.26, 7.44, 7.56, 8.88, 9.53, 9.59, 11.25, 14.79])
     assert sorted(round(r["MEDV"], 2) for r in rows) == pytest.approx(
         [30.7, 31.0, 33.8, 39.8, 43.1, 50.0, 50.0, 50.0])
+
+
+def test_piecewise_binary_near_golden(breast_cancer):
+    """reference tests/test_binning_piecewise.py:193-204 — the full
+    pipeline (penalized-logistic smoothing, optimal-split knots,
+    constrained piecewise LSQ) tracks the reference's ropwr QP output
+    closely; asserted at 10% rel (the solvers differ internally)."""
+    from optbinning_spark.piecewise import OptimalPWBinning
+
+    pw = OptimalPWBinning(objective="binary", degree=1)
+    pw.fit(breast_cancer, "mean radius", "target", lb=0.001, ub=0.999)
+    out = pw.transform(breast_cancer.limit(4), "mean radius",
+                       metric="event_rate", out_col="p").collect()
+    got = [r["p"] for r in out]
+    assert got == pytest.approx(
+        [0.03015878, 0.02272502, 0.02526056, 0.97763604], rel=0.1)
+    woe = pw.transform(breast_cancer.limit(4), "mean radius",
+                       metric="woe", out_col="w").collect()
+    got_w = [r["w"] for r in woe]
+    assert got_w == pytest.approx(
+        [3.99180564, 4.28245092, 4.17407503, -3.2565373], rel=0.1)
