@@ -31,6 +31,10 @@ _LAZY = {
         "MulticlassOptimalBinning",
     ),
     "OptimalBinning2D": ("optbinning_spark.binning_2d", "OptimalBinning2D"),
+    "ContinuousOptimalBinning2D": (
+        "optbinning_spark.binning_2d",
+        "ContinuousOptimalBinning2D",
+    ),
     "OptimalPWBinning": ("optbinning_spark.piecewise", "OptimalPWBinning"),
     "OptimalBinningSketch": (
         "optbinning_spark.streaming.sketch",

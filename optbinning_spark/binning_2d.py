@@ -317,3 +317,191 @@ class OptimalBinning2D:
     def _check(self):
         if not self._fitted:
             raise RuntimeError("OptimalBinning2D is not fitted")
+
+
+class ContinuousOptimalBinning2D(OptimalBinning2D):
+    """2-D optimal binning with respect to a continuous target
+    (reference multidimensional/continuous_binning_2d.py). Objective
+    per rectangle is |mean - total_mean| (continuous model data,
+    model_data_2d.py:253-258); the table reports
+    IV = sum(share * |mean - mu|) and woe = sum(|mean - mu|) like the
+    reference's ContinuousBinningTable."""
+
+    def fit(self, df: DataFrame, x: str, y: str, target: str):
+        self.name_x = self.name_x or x
+        self.name_y = self.name_y or y
+        df = df.filter(
+            F.col(target).isNotNull()
+            & F.col(x).isNotNull() & ~F.isnan(F.col(x).cast("double"))
+            & F.col(y).isNotNull() & ~F.isnan(F.col(y).cast("double"))
+        )
+        if self.prebinning_method == "cart":
+            from .operators.prebinning import compute_prebins
+
+            qx = compute_prebins(
+                df, x, target, None, method="cart",
+                max_n_prebins=self.max_n_prebins_x,
+                min_prebin_size=self.min_prebin_size_x,
+                task="regression",
+            )
+            qy = compute_prebins(
+                df, y, target, None, method="cart",
+                max_n_prebins=self.max_n_prebins_y,
+                min_prebin_size=self.min_prebin_size_y,
+                task="regression",
+            )
+        else:
+            px = list(np.linspace(0, 1, self.max_n_prebins_x + 1)[1:-1])
+            py = list(np.linspace(0, 1, self.max_n_prebins_y + 1)[1:-1])
+            qx = df.approxQuantile(x, px, 1e-4)
+            qy = df.approxQuantile(y, py, 1e-4)
+        self.splits_x_ = np.unique(np.asarray(qx, dtype=float))
+        self.splits_y_ = np.unique(np.asarray(qy, dtype=float))
+        nx = len(self.splits_x_) + 1
+        ny = len(self.splits_y_) + 1
+
+        t = F.col(target).cast("double")
+        bx = numeric_bin_expr(F.col(x).cast("double"), self.splits_x_)
+        by = numeric_bin_expr(F.col(y).cast("double"), self.splits_y_)
+        rows = (
+            df.groupBy(bx.alias("bx"), by.alias("by"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(t).alias("s1"),
+                F.sum(t * t).alias("s2"),
+            )
+            .collect()
+        )
+        N = np.zeros((nx, ny))
+        S1 = np.zeros((nx, ny))
+        S2 = np.zeros((nx, ny))
+        for r in rows:
+            N[int(r["bx"]), int(r["by"])] = r["n"]
+            S1[int(r["bx"]), int(r["by"])] = r["s1"]
+            S2[int(r["bx"]), int(r["by"])] = r["s2"]
+        self._solve_continuous(N, S1, S2)
+        self._fitted = True
+        return self
+
+    def _solve_continuous(self, N, S1, S2):
+        total_n = N.sum()
+        t_mean = S1.sum() / max(total_n, _EPS)
+        pn = _prefix2d(N)
+        ps1 = _prefix2d(S1)
+        ps2 = _prefix2d(S2)
+        min_cnt = (self.min_bin_size or 0.0) * total_n
+
+        def rect_stats(r1, r2, c1, c2):
+            n = pn[r2, c2] - pn[r1, c2] - pn[r2, c1] + pn[r1, c1]
+            s1 = ps1[r2, c2] - ps1[r1, c2] - ps1[r2, c1] + ps1[r1, c1]
+            s2 = ps2[r2, c2] - ps2[r1, c2] - ps2[r2, c1] + ps2[r1, c1]
+            return n, s1, s2
+
+        def rect_value(r1, r2, c1, c2):
+            n, s1, _ = rect_stats(r1, r2, c1, c2)
+            if n <= 0 or n < min_cnt:
+                return None
+            return abs(s1 / n - t_mean)
+
+        from functools import lru_cache
+
+        @lru_cache(maxsize=None)
+        def best(r1, r2, c1, c2):
+            whole = rect_value(r1, r2, c1, c2)
+            best_v = whole if whole is not None else -np.inf
+            best_plan = None
+            for k in range(r1 + 1, r2):
+                a, _ = best(r1, k, c1, c2)
+                b, _ = best(k, r2, c1, c2)
+                if a + b > best_v:
+                    best_v, best_plan = a + b, ("H", k)
+            for k in range(c1 + 1, c2):
+                a, _ = best(r1, r2, c1, k)
+                b, _ = best(r1, r2, k, c2)
+                if a + b > best_v:
+                    best_v, best_plan = a + b, ("V", k)
+            return best_v, best_plan
+
+        nx, ny = N.shape
+        if nx * ny <= self._EXACT_CELL_LIMIT:
+            obj, rects = self._exact_cover(nx, ny, rect_value)
+        else:
+            obj, rects = None, None
+        if rects is None:
+            obj, _ = best(0, nx, 0, ny)
+            rects = []
+
+            def collect(r1, r2, c1, c2):
+                _, plan = best(r1, r2, c1, c2)
+                if plan is None:
+                    rects.append((r1, r2, c1, c2))
+                elif plan[0] == "H":
+                    collect(r1, plan[1], c1, c2)
+                    collect(plan[1], r2, c1, c2)
+                else:
+                    collect(r1, r2, c1, plan[1])
+                    collect(r1, r2, plan[1], c2)
+
+            if np.isfinite(obj):
+                collect(0, nx, 0, ny)
+            else:
+                rects = [(0, nx, 0, ny)]
+                obj = 0.0
+        self.objective_ = float(obj)
+        self.rects_ = rects
+        stats = [rect_stats(*r) for r in rects]
+        n = np.array([s[0] for s in stats])
+        s1 = np.array([s[1] for s in stats])
+        s2 = np.array([s[2] for s in stats])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(n > 0, s1 / np.maximum(n, _EPS), 0.0)
+        self.count_ = n
+        self.mean_ = mean
+        self.woe_values_ = mean - t_mean
+        # the reference's ContinuousBinningTable always appends Special
+        # and Missing rows (mean 0 when empty), so its table-level woe
+        # includes two |0 - t_mean| terms (binning_statistics.py:1639)
+        self.woe = float(np.abs(self.woe_values_).sum()) + 2.0 * abs(t_mean)
+        self.iv_values_ = np.abs(self.woe_values_) * n / max(total_n, _EPS)
+        self.iv = float(self.iv_values_.sum())
+
+    def binning_table(self) -> pd.DataFrame:
+        self._check()
+        rows = []
+        for i, rect in enumerate(self.rects_):
+            x1, x2, y1, y2 = self._rect_bounds(rect)
+            rows.append(
+                {
+                    "bin": i,
+                    "bin_x": format_bin_label(x1, x2, self.show_digits),
+                    "bin_y": format_bin_label(y1, y2, self.show_digits),
+                    "count": self.count_[i],
+                    "mean": self.mean_[i],
+                    "woe": self.woe_values_[i],
+                    "iv": self.iv_values_[i],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def transform_expr(self, x_col, y_col, metric: str = "mean"):
+        self._check()
+        vals = {
+            "mean": self.mean_,
+            "woe": self.woe_values_,
+            "indices": np.arange(len(self.rects_)),
+        }[metric]
+        expr = None
+        for i, rect in enumerate(self.rects_):
+            x1, x2, y1, y2 = self._rect_bounds(rect)
+            cond = F.lit(True)
+            if np.isfinite(x1):
+                cond = cond & (x_col >= float(x1))
+            if np.isfinite(x2):
+                cond = cond & (x_col < float(x2))
+            if np.isfinite(y1):
+                cond = cond & (y_col >= float(y1))
+            if np.isfinite(y2):
+                cond = cond & (y_col < float(y2))
+            v = F.lit(float(vals[i]) if metric != "indices" else int(vals[i]))
+            expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+        return expr.otherwise(F.lit(0.0 if metric != "indices" else -1))

@@ -256,3 +256,19 @@ def test_piecewise_binary_near_golden(breast_cancer):
     got_w = [r["w"] for r in woe]
     assert got_w == pytest.approx(
         [3.99180564, 4.28245092, 4.17407503, -3.2565373], rel=0.1)
+
+
+def test_continuous_2d_golden(spark):
+    """reference tests/test_continuous_binning_2d.py:151-155 — mean
+    objective over exact rectangle covers on Boston AGE x INDUS."""
+    from optbinning_spark.binning_2d import ContinuousOptimalBinning2D
+
+    raw = pd.read_csv(BOSTON_CSV, sep=r"\s+", skiprows=22, header=None)
+    data = np.hstack([raw.values[::2, :], raw.values[1::2, :2]])
+    pdf = pd.DataFrame({"AGE": data[:, 6], "INDUS": data[:, 2],
+                        "MEDV": raw.values[1::2, 2]})
+    df = spark.createDataFrame(pdf)
+    ob = ContinuousOptimalBinning2D()
+    ob.fit(df, "AGE", "INDUS", "MEDV")
+    assert ob.iv == pytest.approx(4.80825509, rel=1e-6)
+    assert ob.woe == pytest.approx(171.946019, rel=1e-6)
