@@ -46,7 +46,7 @@ class SBOptimalBinning:
     def __init__(
         self,
         name: str = "",
-        prebinning_method: str = "quantile",
+        prebinning_method: str = "cart",
         max_n_prebins: int = 20,
         min_prebin_size: float = 0.05,
         min_n_bins: int | None = None,
@@ -146,6 +146,27 @@ class SBOptimalBinning:
                 miss[:, k] += (ne, ev)
             else:
                 spec[:, k] += (ne, ev)
+
+        # reference scenario refinement (binning_scenarios.py:674-731):
+        # drop the split of a prebin that is pure in ANY scenario (same
+        # last-two-bins OR convention); counts merge additively
+        while len(prebin_splits):
+            mask_remove = ((NE == 0) | (EV == 0)).any(axis=1)
+            if not mask_remove.any():
+                break
+            mask_splits = np.concatenate(
+                [mask_remove[:-2], [mask_remove[-2] | mask_remove[-1]]]
+            )
+            keep = ~mask_splits
+            prebin_splits = prebin_splits[keep]
+            new_idx = np.concatenate([[0], np.cumsum(keep.astype(int))])
+            n_new = len(prebin_splits) + 1
+            NE = np.stack(
+                [np.bincount(new_idx, weights=NE[:, k2], minlength=n_new)
+                 for k2 in range(n_s)], axis=1)
+            EV = np.stack(
+                [np.bincount(new_idx, weights=EV[:, k2], minlength=n_new)
+                 for k2 in range(n_s)], axis=1)
 
         w = None
         if scenario_weights is not None:

@@ -272,3 +272,38 @@ def test_continuous_2d_golden(spark):
     ob.fit(df, "AGE", "INDUS", "MEDV")
     assert ob.iv == pytest.approx(4.80825509, rel=1e-6)
     assert ob.woe == pytest.approx(171.946019, rel=1e-6)
+
+
+def _sklearn_like_split(x, y, test_size, seed):
+    """Replicates sklearn train_test_split(shuffle) determinism:
+    RandomState(seed).permutation, test = first ceil(ts*n)."""
+    n = len(x)
+    n_test = int(np.ceil(test_size * n))
+    perm = np.random.RandomState(seed).permutation(n)
+    te, tr = perm[:n_test], perm[n_test:]
+    return x[tr], x[te], y[tr], y[te]
+
+
+def test_scenario_binning_golden(spark, breast_cancer):
+    """reference tests/test_binning_scenarios.py:155-171 — shared
+    splits and WoE transform across three scenarios."""
+    from optbinning_spark.scenario_binning import SBOptimalBinning
+
+    bc = breast_cancer.toPandas()
+    x = bc["mean radius"].values
+    yv = bc["target"].values
+    x1, _, y1, _ = _sklearn_like_split(x, yv, 0.5, 42)
+    x3, x4, y3, y4 = _sklearn_like_split(x1, y1, 0.2, 42)
+    frames = [
+        pd.DataFrame({"x": xs, "y": ys.astype(int), "scen": f"s{i}"})
+        for i, (xs, ys) in enumerate([(x1, y1), (x3, y3), (x4, y4)])
+    ]
+    df = spark.createDataFrame(pd.concat(frames))
+    sb = SBOptimalBinning(monotonic_trend="descending")
+    sb.fit(df, "x", "y", scenario_col="scen")
+    assert list(sb.splits) == pytest.approx(
+        [13.09499979, 14.14999962, 15.24499989], rel=1e-6)
+    q = spark.createDataFrame(pd.DataFrame({"x": [12.0, 14.0, 15.0, 21.0]}))
+    got = [r["x_woe"] for r in sb.transform(q, "x", metric="woe").collect()]
+    assert got == pytest.approx(
+        [-2.46667422, -0.55591146, 0.24544931, 2.8963411], rel=1e-6)
