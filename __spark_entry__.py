@@ -690,6 +690,21 @@ def q_binning_2d_table(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+def q_continuous_binning_2d_table(spark, sf_dir):
+    """O8 continuous: 2-D mean-objective rectangle binning."""
+    from optbinning_spark.binning_2d import ContinuousOptimalBinning2D
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem"))
+    ob = ContinuousOptimalBinning2D(
+        max_n_prebins_x=5, max_n_prebins_y=5, prebinning_method="quantile"
+    )
+    ob.fit(df, "l_quantity", "l_discount", "l_extendedprice")
+    pdf = ob.binning_table()
+    num = pdf.select_dtypes("number").columns
+    pdf[num] = pdf[num].round(6)
+    return spark.createDataFrame(pdf)
+
+
 def q_piecewise_transform(spark, sf_dir):
     """O11/F6: piecewise-linear event-rate transform (continuous KKT
     fit from one aggregation)."""
@@ -827,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_variable_report": q_psi_variable_report,
         "contingency_2d": q_contingency_2d,
         "binning_2d_table": q_binning_2d_table,
+        "continuous_binning_2d_table": q_continuous_binning_2d_table,
         "piecewise_transform": q_piecewise_transform,
         "outlier_yquantile": q_outlier_yquantile,
         "counterfactual": q_counterfactual,
