@@ -373,6 +373,35 @@ class OptimalBinning(_BaseOptimalBinning):
         if not cats:
             raise ValueError(f"no categories found for {x}")
         total = sum(v["n_nonevent"] + v["n_event"] for v in cats.values())
+        if self.user_splits is not None:
+            # B6 categorical user split groups (reference
+            # preprocessing.py:321-374): each user group is a prebin;
+            # categories not in any group go to others (U3)
+            groups = [list(g) for g in self.user_splits]
+            in_group = {c for g in groups for c in g}
+            others = [c for c in cats if c not in in_group]
+            gstats = []
+            for g in groups:
+                g_ne = sum(cats[c]["n_nonevent"] for c in g if c in cats)
+                g_ev = sum(cats[c]["n_event"] for c in g if c in cats)
+                gstats.append((g, g_ne, g_ev))
+            gstats.sort(
+                key=lambda t: (t[2] / max(t[1] + t[2], 1e-15), str(t[0]))
+            )
+            cat_list = [c for g, _, _ in gstats for c in g]
+            prebin_groups = []
+            pos = 0
+            for g, _, _ in gstats:
+                prebin_groups.append(list(range(pos, pos + len(g))))
+                pos += len(g)
+            ne_p = np.array([g[1] for g in gstats], dtype=float)
+            ev_p = np.array([g[2] for g in gstats], dtype=float)
+            ne = ne_p
+            ev = ev_p
+            self._finalize_categorical_solve(
+                cats, missing, specials, cat_list, prebin_groups,
+                ne_p, ev_p, others, tail)
+            return
         others, keep = [], {}
         for c, v in cats.items():
             cnt = v["n_nonevent"] + v["n_event"]
@@ -414,6 +443,12 @@ class OptimalBinning(_BaseOptimalBinning):
             prebin_groups = [[i] for i in range(len(cat_list))]
             ne_p, ev_p = ne, ev
 
+        self._finalize_categorical_solve(
+            cats, missing, specials, cat_list, prebin_groups, ne_p, ev_p,
+            others, tail)
+
+    def _finalize_categorical_solve(self, cats, missing, specials, cat_list,
+                                    prebin_groups, ne_p, ev_p, others, tail):
         cnt = ne_p + ev_p
         with np.errstate(divide="ignore", invalid="ignore"):
             rates = np.where(cnt > 0, ev_p / np.maximum(cnt, 1e-15), 0.0)

@@ -307,3 +307,28 @@ def test_scenario_binning_golden(spark, breast_cancer):
     got = [r["x_woe"] for r in sb.transform(q, "x", metric="woe").collect()]
     assert got == pytest.approx(
         [-2.46667422, -0.55591146, 0.24544931, 2.8963411], rel=1e-6)
+
+
+def test_categorical_user_splits_golden(spark):
+    """reference tests/test_binning.py:342-368 — user-defined category
+    groups as prebins; exact IV."""
+    from optbinning_spark.binning import OptimalBinning
+
+    np.random.seed(0)
+    n = 100000
+    xs = sum([[i] * n for i in [-1, 2, 3, 4, 7, 8, 9, 10]], [])
+    ys = list(np.random.binomial(1, 0.011665, n))
+    ys += list(np.zeros(n))
+    ys += list(np.random.binomial(1, 0.0133333, n))
+    ys += list(np.random.binomial(1, 0.166667, n))
+    ys += list(np.zeros(n))
+    ys += list(np.random.binomial(1, 0.0246041, n))
+    ys += list(np.zeros(n))
+    ys += list(np.random.binomial(1, 0.025641, n))
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": xs, "y": np.array(ys, dtype=int)}))
+    ob = OptimalBinning(
+        dtype="categorical",
+        user_splits=[[2.0, 7.0, 9.0, 3.0, 10.0, 4.0], [8], [-1]])
+    ob.fit(df, "x", "y")
+    assert ob.binning_table.iv == pytest.approx(0.09345086993827473, rel=1e-6)
