@@ -332,3 +332,27 @@ def test_categorical_user_splits_golden(spark):
         user_splits=[[2.0, 7.0, 9.0, 3.0, 10.0, 4.0], [8], [-1]])
     ob.fit(df, "x", "y")
     assert ob.binning_table.iv == pytest.approx(0.09345086993827473, rel=1e-6)
+
+
+def test_user_splits_max_pvalue_golden(breast_cancer):
+    """reference tests/test_binning.py:205-215 — user splits filtered
+    by the chi2 max_pvalue constraint; exact IV."""
+    from optbinning_spark.binning import OptimalBinning
+
+    ob = OptimalBinning(user_splits=[11, 12, 13, 14, 15, 17],
+                        max_pvalue=0.05)
+    ob.fit(breast_cancer, "mean radius", "target")
+    assert list(ob.splits) == pytest.approx([13.0, 15.0, 17.0])
+    assert ob.binning_table.iv == pytest.approx(4.819661314733627, rel=1e-9)
+
+
+def test_continuous_max_pvalue_golden(boston):
+    """reference tests/test_continuous_binning.py:209-222 — Welch
+    t-test max_pvalue constraint."""
+    from optbinning_spark.binning import ContinuousOptimalBinning
+
+    ob = ContinuousOptimalBinning(max_pvalue=0.05)
+    ob.fit(boston, "LSTAT", "MEDV")
+    assert list(ob.splits) == pytest.approx(
+        [4.6500001, 5.49499989, 7.68499994, 9.7249999, 11.67499971,
+         14.4000001, 17.239999, 23.315000], rel=1e-6)
