@@ -154,10 +154,7 @@ class OptimalPWBinning:
             t = inner.binning_table
             self._t_ne = float(np.sum(t.ne_all))
             self._t_ev = float(np.sum(t.ev_all))
-            if self.lb is None:
-                self.lb = 0.0
-            if self.ub is None:
-                self.ub = 1.0
+            # reference default: NO clipping unless lb/ub passed
         self._fitted = True
         return self
 
@@ -368,6 +365,37 @@ class OptimalPWBinning:
         return df.withColumn(
             out_col or f"{x}_pw", self.transform_expr(F.col(x).cast("double"), metric)
         )
+
+    def divergences(self, df: DataFrame, x: str, y: str) -> dict:
+        """Asymptotic divergences of the piecewise event-rate model
+        (reference piecewise/metrics.py:38-90): per-sample
+        pi = (1-er)/(1-p), qi = er/p, divergence averaged over clean
+        samples. ONE aggregation over the transformed column."""
+        self._check()
+        xc = F.col(x).cast("double")
+        clean = df.filter(xc.isNotNull() & ~F.isnan(xc)
+                          & F.col(y).isNotNull())
+        er = self.transform_expr(xc, "event_rate")
+        er = F.greatest(F.least(er, F.lit(1.0 - 1e-15)), F.lit(1e-15))
+        t_ev, t_ne = self._t_ev, self._t_ne
+        p = t_ev / max(t_ev + t_ne, _EPS)
+        pi = (1.0 - er) / (1.0 - p)
+        qi = er / p
+        iv_term = (pi - qi) * F.log(pi / qi)
+        m = (pi + qi) / 2
+        js_term = 0.5 * (
+            pi * F.log(pi / m) + qi * F.log(qi / m)
+        )
+        row = clean.agg(
+            F.count("*").alias("n"),
+            F.sum(iv_term).alias("iv"),
+            F.sum(js_term).alias("js"),
+        ).first()
+        n = float(row["n"])
+        return {
+            "iv": float(row["iv"]) / n,
+            "js": float(row["js"]) / n,
+        }
 
     def _check(self):
         if not self._fitted:

@@ -148,3 +148,20 @@ def test_piecewise_degree0(spark):
                           prebinning_method="quantile")
     pw.fit(df, "x", "y")
     assert np.allclose(pw.coef1_, 0.0)
+
+
+def test_piecewise_divergences_sane(spark):
+    import pyspark.sql.functions as F
+
+    from optbinning_spark.piecewise import OptimalPWBinning
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+    )
+    pw = OptimalPWBinning(objective="binary", degree=1,
+                          prebinning_method="quantile")
+    pw.fit(df, "l_extendedprice", "y")
+    d = pw.divergences(df, "l_extendedprice", "y")
+    assert d["iv"] >= 0.0 and d["js"] >= 0.0
+    assert d["js"] <= 1.0
