@@ -1159,6 +1159,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT round(max(abs(cum_ev - cum_ne)), 6) AS ks FROM cum
         """,
+        # lsh_candidates: mirrors pipeline.dedup.lsh_candidate_pairs
+        # (n_hashes=8, band_size=2 -> 4 bands); mh{i} = lane (i%4) of
+        # md5('s{i//4}|' || shingle), band key = md5(mh_a || '|' || mh_b).
+        "lsh_candidates": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            sh AS (
+              SELECT doc_id, unnest([array_to_string(words[i:i+2], ' ')
+                                     FOR i IN generate_series(1, len(words)-2)]) AS s
+              FROM w
+            ), h AS (
+              SELECT doc_id, md5('s0|' || s) AS h0, md5('s1|' || s) AS h1 FROM sh
+            ), sig AS (
+              SELECT doc_id,
+                     min(substr(h0, 1, 8)) AS mh0, min(substr(h0, 9, 8)) AS mh1,
+                     min(substr(h0, 17, 8)) AS mh2, min(substr(h0, 25, 8)) AS mh3,
+                     min(substr(h1, 1, 8)) AS mh4, min(substr(h1, 9, 8)) AS mh5,
+                     min(substr(h1, 17, 8)) AS mh6, min(substr(h1, 25, 8)) AS mh7
+              FROM h GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+              UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+              UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+              UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        """,
+        # outlier_yquantile: x binned at exact quantiles (np.quantile
+        # linear interpolation == quantile_cont), per-bin modified
+        # z-score (median/MAD) on y, threshold 3.5.
+        "outlier_yquantile": """
+            WITH e AS (
+              SELECT quantile_cont(l_quantity, 0.2) AS e1,
+                     quantile_cont(l_quantity, 0.4) AS e2,
+                     quantile_cont(l_quantity, 0.6) AS e3,
+                     quantile_cont(l_quantity, 0.8) AS e4
+              FROM lineitem
+            ), binned AS (
+              SELECT l_extendedprice AS y,
+                     (CASE WHEN l_quantity >= e1 THEN 1 ELSE 0 END
+                    + CASE WHEN l_quantity >= e2 THEN 1 ELSE 0 END
+                    + CASE WHEN l_quantity >= e3 THEN 1 ELSE 0 END
+                    + CASE WHEN l_quantity >= e4 THEN 1 ELSE 0 END) AS bin
+              FROM lineitem, e
+            ), med AS (
+              SELECT bin, quantile_cont(y, 0.5) AS med FROM binned GROUP BY 1
+            ), mad AS (
+              SELECT b.bin, quantile_cont(abs(b.y - m.med), 0.5) AS mad
+              FROM binned b JOIN med m USING (bin) GROUP BY 1
+            )
+            SELECT sum(CASE WHEN s.mad > 0
+                             AND 0.6745 * abs(b.y - m.med) / s.mad > 3.5
+                            THEN 1 ELSE 0 END) AS n_outliers,
+                   count(*) AS n_total
+            FROM binned b JOIN med m USING (bin) JOIN mad s USING (bin)
+        """,
     }
 
 
