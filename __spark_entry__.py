@@ -795,6 +795,135 @@ def q_outlier_yquantile(spark, sf_dir):
     )
 
 
+def q_doc_quality(spark, sf_dir):
+    """Text quality scoring (length band + lexical diversity +
+    stopword presence) — pretraining-filter heuristic per document."""
+    from optbinning_spark.pipeline.text import quality_score_expr
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(quality_score_expr(F.col("text"), STOPWORDS), 6).alias("quality"),
+    )
+
+
+def q_class_weight_agg(spark, sf_dir):
+    """A12: 'balanced' class weights (N / (k * n_class), reference
+    preprocessing.py:181-186) folded into sample weights, then
+    weighted per-bin target counts — one tiny agg for the weights,
+    one grouped agg for the bins."""
+    df = _lineitem(spark, sf_dir)
+    tot = df.agg(F.count("*").alias("n"), F.sum("y").alias("n1")).first()
+    n, n1 = float(tot["n"]), float(tot["n1"])
+    n0 = n - n1
+    w = F.when(F.col("y") == 1, F.lit(n / (2.0 * n1))).otherwise(
+        F.lit(n / (2.0 * n0))
+    )
+    b = _bin_expr(F.col("l_extendedprice"), PRICE_SPLITS)
+    return df.groupBy(b.alias("bin")).agg(
+        F.round(F.sum(F.when(F.col("y") == 0, w).otherwise(0.0)), 4).alias(
+            "w_nonevent"
+        ),
+        F.round(F.sum(F.when(F.col("y") == 1, w).otherwise(0.0)), 4).alias(
+            "w_event"
+        ),
+    )
+
+
+def q_classification_metrics(spark, sf_dir):
+    """M12: confusion counts + TPR/TNR/balanced accuracy for a
+    deterministic rule prediction."""
+    from optbinning_spark.functions.perf_metrics import classification_report
+
+    df = _lineitem(spark, sf_dir).withColumn(
+        "pred", (F.col("l_discount") >= 0.05).cast("int")
+    )
+    rep = classification_report(df, "y", "pred")
+    return rep.select(
+        "tp", "fp", "fn", "tn",
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("tpr", 6).alias("tpr"),
+        F.round("tnr", 6).alias("tnr"),
+        F.round("balanced_accuracy", 6).alias("balanced_accuracy"),
+    )
+
+
+def q_regression_metrics(spark, sf_dir):
+    """M13: MAE/MSE/RMSE/MedAE/MAPE/SMAPE/R² of a fixed linear
+    predictor, one aggregation."""
+    from optbinning_spark.functions.perf_metrics import regression_report
+
+    df = _lineitem(spark, sf_dir).withColumn(
+        "pred", F.col("l_quantity") * F.lit(1000.0)
+    )
+    rep = regression_report(df, "l_extendedprice", "pred")
+    return rep.select(
+        "n",
+        F.round("mae", 4).alias("mae"),
+        F.round(F.col("mse") / 1e6, 4).alias("mse_m"),
+        F.round("rmse", 4).alias("rmse"),
+        F.round("median_ae", 4).alias("median_ae"),
+        F.round("mape", 6).alias("mape"),
+        F.round("smape", 6).alias("smape"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+def q_indices_bins_transform(spark, sf_dir):
+    """F2/F3: per-row bin-index and formatted bin-label transforms
+    through fitted fixed splits (map-only CASE, no shuffle)."""
+    from optbinning_spark import OptimalBinning
+
+    df = _lineitem(spark, sf_dir)
+    ob = OptimalBinning(
+        user_splits=PRICE_SPLITS, monotonic_trend=None, dtype="numerical"
+    )
+    ob.fit(df, "l_extendedprice", "y")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        ob.transform_column_expr(
+            F.col("l_extendedprice"), metric="indices"
+        ).alias("bin_index"),
+        ob.transform_column_expr(F.col("l_extendedprice"), metric="bins").alias(
+            "bin_label"
+        ),
+    )
+
+
+def q_mean_transform(spark, sf_dir):
+    """F4: continuous-target metric='mean' transform through fitted
+    fixed splits."""
+    from optbinning_spark import ContinuousOptimalBinning
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "net", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    ob = ContinuousOptimalBinning(
+        user_splits=[10.0, 20.0, 30.0, 40.0], monotonic_trend=None
+    )
+    ob.fit(df, "l_quantity", "net")
+    out = ob.transform(df, "l_quantity", metric="mean", out_col="mean_net")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("mean_net", 4).alias("mean_net")
+    )
+
+
+def q_unknown_category_transform(spark, sf_dir):
+    """J3: categories unseen at fit time fall through to the default
+    WoE (0.0). Fit excludes '5-LOW'; transform covers all rows."""
+    from optbinning_spark import OptimalBinning
+
+    df = _orders(spark, sf_dir)
+    groups = [["1-URGENT", "2-HIGH"], ["3-MEDIUM"], ["4-NOT SPECIFIED"]]
+    ob = OptimalBinning(
+        dtype="categorical", user_splits=groups, monotonic_trend=None
+    )
+    ob.fit(df.filter(F.col("o_orderpriority") != "5-LOW"), "o_orderpriority", "y")
+    out = ob.transform(df, "o_orderpriority", metric="woe", out_col="woe")
+    return out.select("o_orderkey", F.round("woe", 6).alias("woe"))
+
+
 # -- driver contract -----------------------------------------------------
 
 
@@ -849,6 +978,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scenario_agg": q_scenario_agg,
         "scenario_binning_table": q_scenario_binning_table,
         "lsh_candidates": q_lsh_candidates,
+        "doc_quality": q_doc_quality,
+        "class_weight_agg": q_class_weight_agg,
+        "classification_metrics": q_classification_metrics,
+        "regression_metrics": q_regression_metrics,
+        "indices_bins_transform": q_indices_bins_transform,
+        "mean_transform": q_mean_transform,
+        "unknown_category_transform": q_unknown_category_transform,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1187,6 +1323,110 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
+        """,
+        "doc_quality": f"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+            SELECT doc_id,
+                   round((least(len(words) / 100.0, 1.0)
+                        + len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+                        + least(5.0 * len([x FOR x IN words IF x IN ({sw})])
+                                / CAST(len(words) AS DOUBLE), 1.0)) / 3.0,
+                         6) AS quality
+            FROM w
+        """,
+        "class_weight_agg": f"""
+            WITH t AS (
+              SELECT count(*) AS n, sum({y_li}) AS n1,
+                     count(*) - sum({y_li}) AS n0
+              FROM lineitem
+            )
+            SELECT {price_case} AS bin,
+                   round(sum(CASE WHEN {y_li} = 0
+                                  THEN n / (2.0 * n0) ELSE 0 END), 4) AS w_nonevent,
+                   round(sum(CASE WHEN {y_li} = 1
+                                  THEN n / (2.0 * n1) ELSE 0 END), 4) AS w_event
+            FROM lineitem, t GROUP BY 1
+        """,
+        "classification_metrics": f"""
+            WITH c AS (
+              SELECT sum(CASE WHEN l_discount >= 0.05 AND {y_li} = 1 THEN 1 ELSE 0 END) AS tp,
+                     sum(CASE WHEN l_discount >= 0.05 AND {y_li} = 0 THEN 1 ELSE 0 END) AS fp,
+                     sum(CASE WHEN l_discount < 0.05 AND {y_li} = 1 THEN 1 ELSE 0 END) AS fn,
+                     sum(CASE WHEN l_discount < 0.05 AND {y_li} = 0 THEN 1 ELSE 0 END) AS tn
+              FROM lineitem
+            )
+            SELECT tp, fp, fn, tn,
+                   round((tp + tn) / CAST(tp + tn + fp + fn AS DOUBLE), 6) AS accuracy,
+                   round(tp / CAST(tp + fn AS DOUBLE), 6) AS tpr,
+                   round(tn / CAST(tn + fp AS DOUBLE), 6) AS tnr,
+                   round((tp / CAST(tp + fn AS DOUBLE)
+                        + tn / CAST(tn + fp AS DOUBLE)) / 2.0, 6) AS balanced_accuracy
+            FROM c
+        """,
+        "regression_metrics": """
+            WITH s AS (
+              SELECT count(*) AS n,
+                     avg(abs(l_quantity * 1000.0 - l_extendedprice)) AS mae,
+                     avg(pow(l_quantity * 1000.0 - l_extendedprice, 2)) AS mse,
+                     quantile_cont(abs(l_quantity * 1000.0 - l_extendedprice), 0.5) AS median_ae,
+                     avg(abs(l_quantity * 1000.0 - l_extendedprice)
+                         / greatest(abs(l_extendedprice), 1e-12)) AS mape,
+                     avg(2.0 * abs(l_quantity * 1000.0 - l_extendedprice)
+                         / greatest(abs(l_extendedprice) + abs(l_quantity * 1000.0), 1e-12)) AS smape,
+                     sum(pow(l_quantity * 1000.0 - l_extendedprice, 2)) AS sse,
+                     sum(l_extendedprice * l_extendedprice) AS syy,
+                     sum(l_extendedprice) AS sy
+              FROM lineitem
+            )
+            SELECT n, round(mae, 4) AS mae, round(mse / 1e6, 4) AS mse_m,
+                   round(sqrt(mse), 4) AS rmse,
+                   round(median_ae, 4) AS median_ae,
+                   round(mape, 6) AS mape, round(smape, 6) AS smape,
+                   round(1.0 - sse / (syy - sy * sy / n), 6) AS r2
+            FROM s
+        """,
+        "indices_bins_transform": f"""
+            SELECT l_orderkey, l_linenumber,
+                   {price_case} AS bin_index,
+                   CASE WHEN l_extendedprice < 20000.0 THEN '(-inf, 20000.00)'
+                        WHEN l_extendedprice < 40000.0 THEN '[20000.00, 40000.00)'
+                        WHEN l_extendedprice < 60000.0 THEN '[40000.00, 60000.00)'
+                        WHEN l_extendedprice < 80000.0 THEN '[60000.00, 80000.00)'
+                        ELSE '[80000.00, inf)' END AS bin_label
+            FROM lineitem
+        """,
+        "mean_transform": f"""
+            WITH b AS (
+              SELECT l_orderkey, l_linenumber,
+                     {_sql_bin_case('l_quantity', [10.0, 20.0, 30.0, 40.0])} AS bin,
+                     l_extendedprice * (1 - l_discount) AS net
+              FROM lineitem
+            ), m AS (
+              SELECT bin, avg(net) AS mean_net FROM b GROUP BY 1
+            )
+            SELECT b.l_orderkey, b.l_linenumber,
+                   round(m.mean_net, 4) AS mean_net
+            FROM b JOIN m USING (bin)
+        """,
+        "unknown_category_transform": f"""
+            WITH grp AS (
+              SELECT o_orderkey, o_orderpriority, {y_o} AS y,
+                     CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0
+                          WHEN o_orderpriority = '3-MEDIUM' THEN 1
+                          WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 2
+                          ELSE NULL END AS g
+              FROM orders
+            ), agg AS (
+              SELECT g, sum(1 - y) AS ne, sum(y) AS ev
+              FROM grp WHERE g IS NOT NULL GROUP BY 1
+            ), tot AS (SELECT sum(ne) AS tne, sum(ev) AS tev FROM agg),
+            woe AS (
+              SELECT g, ln((ne / CAST(tne AS DOUBLE)) / (ev / CAST(tev AS DOUBLE))) AS w
+              FROM agg, tot
+            )
+            SELECT grp.o_orderkey,
+                   round(coalesce(woe.w, 0.0), 6) AS woe
+            FROM grp LEFT JOIN woe USING (g)
         """,
         # outlier_yquantile: x binned at exact quantiles (np.quantile
         # linear interpolation == quantile_cont), per-bin modified

@@ -96,6 +96,10 @@ class _BaseOptimalBinning:
         user_splits=None,
         show_digits: int = 2,
         class_weight=None,
+        outlier_detector: str | None = None,
+        outlier_params: dict | None = None,
+        fix_lb: float | None = None,
+        fix_ub: float | None = None,
     ):
         self.name = name
         self.dtype = dtype
@@ -115,6 +119,18 @@ class _BaseOptimalBinning:
         self.user_splits = user_splits
         self.show_digits = show_digits
         self.class_weight = class_weight
+        if outlier_detector is not None and outlier_detector not in (
+            "range", "zscore"
+        ):
+            raise ValueError(
+                'outlier_detector must be "range", "zscore" or None'
+            )
+        self.outlier_detector = outlier_detector
+        self.outlier_params = outlier_params
+        self.fix_lb = fix_lb
+        self.fix_ub = fix_ub
+        if fix_lb is not None and fix_ub is not None and fix_lb > fix_ub:
+            raise ValueError("fix_lb must be <= fix_ub")
 
         self._fitted = False
         self._splits: np.ndarray = np.array([])
@@ -173,8 +189,8 @@ class _BaseOptimalBinning:
         df: DataFrame,
         x: str,
         metric: str = "woe",
-        metric_special=0.0,
-        metric_missing=0.0,
+        metric_special=0,
+        metric_missing=0,
         out_col: str | None = None,
     ) -> DataFrame:
         self._check_fitted()
@@ -185,7 +201,7 @@ class _BaseOptimalBinning:
         return df.withColumn(out_col or f"{x}_{metric}", expr)
 
     def transform_column_expr(
-        self, col, metric: str = "woe", metric_special=0.0, metric_missing=0.0
+        self, col, metric: str = "woe", metric_special=0, metric_missing=0
     ):
         self._check_fitted()
         return transform_expr(
@@ -252,6 +268,47 @@ class _BaseOptimalBinning:
         return np.unique(splits)
 
 
+    def _apply_clean_filters(self, proj):
+        """P4-P6 (reference preprocessing.py:228-261): outlier removal,
+        then bound clamping, on CLEAN rows only — special/missing rows
+        are kept for their own bin statistics. The detector is fit on
+        the unfiltered clean values (reference order). When both
+        fix_lb and fix_ub are given we apply both bounds (the
+        reference's elif chain only applies fix_lb, contradicting its
+        own lb<=ub validation — clearly unintended)."""
+        from .operators.preprocessing import clean_value_expr
+
+        if (
+            self.outlier_detector is None
+            and self.fix_lb is None
+            and self.fix_ub is None
+        ):
+            return proj
+        cv = clean_value_expr(F.col("__x"), "numerical", self.special_codes)
+        drop = F.lit(False)
+        if self.outlier_detector is not None:
+            from .operators.outlier import (
+                ModifiedZScoreDetector,
+                RangeDetector,
+            )
+
+            det = (
+                RangeDetector(**(self.outlier_params or {}))
+                if self.outlier_detector == "range"
+                else ModifiedZScoreDetector(**(self.outlier_params or {}))
+            )
+            det.fit(
+                proj.select(cv.alias("__cx")).filter(F.col("__cx").isNotNull()),
+                "__cx",
+            )
+            drop = drop | det.outlier_predicate(cv)
+        if self.fix_lb is not None:
+            drop = drop | (cv < float(self.fix_lb))
+        if self.fix_ub is not None:
+            drop = drop | (cv > float(self.fix_ub))
+        return proj.filter(cv.isNull() | ~drop)
+
+
 class OptimalBinning(_BaseOptimalBinning):
     """Binary-target optimal binning (reference OptimalBinning)."""
 
@@ -298,6 +355,7 @@ class OptimalBinning(_BaseOptimalBinning):
             F.col(x).cast("double").alias("__x"), F.col(y).alias("__y"),
             *([F.col(w).alias("__w")] if w else []),
         )
+        proj = self._apply_clean_filters(proj)
         multi_pass = self.user_splits is None
         if multi_pass:
             proj = proj.cache()
@@ -536,6 +594,7 @@ class ContinuousOptimalBinning(_BaseOptimalBinning):
             F.col(x).cast("double").alias("__x"), F.col(y).alias("__y"),
             *([F.col(w).alias("__w")] if w else []),
         )
+        proj = self._apply_clean_filters(proj)
         multi_pass = self.user_splits is None
         if multi_pass:
             proj = proj.cache()

@@ -565,7 +565,7 @@ class BinningProcess:
         return pd.DataFrame(rows)
 
     def transform(self, df: DataFrame, metric: str | None = None,
-                  metric_special=0.0, metric_missing=0.0,
+                  metric_special=0, metric_missing=0,
                   keep_cols: list[str] | None = None) -> DataFrame:
         """One map-only projection for all selected variables."""
         self._check_fitted()

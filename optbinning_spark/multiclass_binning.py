@@ -197,8 +197,8 @@ class MulticlassOptimalBinning(_BaseOptimalBinning):
             show_digits=self.show_digits,
         )
 
-    def transform_column_expr(self, col, metric="mean_woe", metric_special=0.0,
-                              metric_missing=0.0):
+    def transform_column_expr(self, col, metric="mean_woe", metric_special=0,
+                              metric_missing=0):
         self._check_fitted()
         t = self._table
         if metric == "mean_woe":
@@ -222,8 +222,8 @@ class MulticlassOptimalBinning(_BaseOptimalBinning):
             expr = expr.when(col < float(s), F.lit(vals[i]))
         return expr.otherwise(F.lit(vals[len(splits)]))
 
-    def transform(self, df, x, metric="mean_woe", metric_special=0.0,
-                  metric_missing=0.0, out_col=None):
+    def transform(self, df, x, metric="mean_woe", metric_special=0,
+                  metric_missing=0, out_col=None):
         expr = self.transform_column_expr(
             F.col(x).cast("double"), metric, metric_special, metric_missing
         )

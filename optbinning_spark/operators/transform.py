@@ -48,8 +48,8 @@ def transform_expr(
     bin_categories=None,
     table=None,
     metric: str = "woe",
-    metric_special=0.0,
-    metric_missing=0.0,
+    metric_special=0,
+    metric_missing=0,
     special_codes=None,
     show_digits: int = 2,
 ) -> Column:
@@ -78,12 +78,28 @@ def transform_expr(
     else:
         raise ValueError(f"unknown metric {metric}")
 
-    def resolve(policy, kind, group=None):
+    # special/missing row resolution (reference transformations.py:
+    # 152-226): metric='bins' always emits the label (group name for
+    # dict special codes, else 'Special'/'Missing'); metric='indices'
+    # emits the special/missing bin index unless the policy is a
+    # literal int; otherwise a number or the bin's own 'empirical'
+    # statistic.
+    n_clean = len(clean_vals)
+    n_special = max(len(groups), 1)
+    special_is_dict = isinstance(special_codes, dict)
+
+    def resolve(policy, kind, group=None, group_idx=0):
+        if metric == "bins":
+            if kind == "special":
+                return group if special_is_dict else "Special"
+            return "Missing"
+        if metric == "indices":
+            if isinstance(policy, int) and policy is not True:
+                return policy
+            if kind == "special":
+                return n_clean + group_idx
+            return n_clean + n_special
         if policy == "empirical":
-            if metric == "indices":
-                return -1
-            if metric == "bins":
-                return "Special" if kind == "special" else "Missing"
             return _value_for(metric, table, kind, group)
         return policy
 
@@ -93,9 +109,10 @@ def transform_expr(
     else:
         is_missing = col.isNull() | F.isnan(col)
     expr = F.when(is_missing, F.lit(resolve(metric_missing, "missing")))
-    for gname, values in groups.items():
+    for gi, (gname, values) in enumerate(groups.items()):
         expr = expr.when(
-            col.isin(values), F.lit(resolve(metric_special, "special", gname))
+            col.isin(values),
+            F.lit(resolve(metric_special, "special", gname, gi)),
         )
 
     if dtype == "categorical":

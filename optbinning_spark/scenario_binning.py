@@ -223,7 +223,7 @@ class SBOptimalBinning:
         return self._table
 
     def transform(self, df: DataFrame, x: str, metric: str = "woe",
-                  metric_special=0.0, metric_missing=0.0,
+                  metric_special=0, metric_missing=0,
                   out_col: str | None = None) -> DataFrame:
         """WoE/event-rate transform with the combined table (the
         reference transforms with the shared solution)."""
