@@ -27,53 +27,13 @@ ORDER_SPLITS = [100000.0, 200000.0, 300000.0, 400000.0]
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
 
 
-def _t(sf_dir: str, name: str) -> str:
-    return f"{sf_dir}/{name}.parquet"
-
-
-def _spread(spark, df):
-    """Parallelize CPU-heavy text pipelines over single-row-group
-    parquet: the synthetic documents file is one row group, so a
-    narrow (map-only) hashing pipeline would run as ONE task
-    regardless of cores; the shingling/md5 work dominates, so a
-    cheap round-robin repartition is a measured ~5x win. Gated on
-    the file count (metadata only — no job): on a real cluster the
-    input has many splits and this is a no-op. Only used for the
-    documents table; for cheap numeric scans a repartition costs
-    more than it buys.
-    """
-    target = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) * 2 <= target:
-        return df.repartition(target)
-    return df
-
-
-def _lineitem(spark, sf_dir):
-    return spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
-        "y", (F.col("l_returnflag") == "R").cast("int")
-    )
-
-
-def _documents(spark, sf_dir):
-    return _spread(spark, spark.read.parquet(_t(sf_dir, "documents")))
-
-
-def _events(spark, sf_dir):
-    """events.parquet stores nanosecond timestamps (read as long via
-    nanosAsLong); convert to a proper timestamp at microsecond
-    precision."""
-    ev = spark.read.parquet(_t(sf_dir, "events"))
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
-    return ev
-
-
-def _orders(spark, sf_dir):
-    return spark.read.parquet(_t(sf_dir, "orders")).withColumn(
-        "y", (F.col("o_orderstatus") == "F").cast("int")
-    )
+from optbinning_spark.sources.tables import (  # noqa: E402
+    documents as _documents,
+    events as _events,
+    lineitem as _lineitem,
+    orders as _orders,
+    table_path as _t,
+)
 
 
 def _bin_expr(col, splits):
@@ -924,6 +884,46 @@ def q_unknown_category_transform(spark, sf_dir):
     return out.select("o_orderkey", F.round("woe", 6).alias("woe"))
 
 
+def q_chi2_tests(spark, sf_dir):
+    """M9: per-bin Pearson chi2 statistic (no continuity correction)
+    between two populations (reference monitoring.py:483-637 /
+    metrics.py:256-275), fully as column expressions — one grouped
+    aggregation, closed-form 2x2 chi2."""
+    df = _lineitem(spark, sf_dir)
+    is_a = F.col("l_orderkey") % 2 == 0
+    b = _bin_expr(F.col("l_extendedprice"), PRICE_SPLITS)
+    agg = df.groupBy(b.alias("bin")).agg(
+        F.sum(F.when(is_a & (F.col("y") == 0), 1).otherwise(0)).alias("a_ne"),
+        F.sum(F.when(is_a & (F.col("y") == 1), 1).otherwise(0)).alias("a_ev"),
+        F.sum(F.when(~is_a & (F.col("y") == 0), 1).otherwise(0)).alias("e_ne"),
+        F.sum(F.when(~is_a & (F.col("y") == 1), 1).otherwise(0)).alias("e_ev"),
+    )
+    a, bb, c, d = (F.col(k).cast("double") for k in ("a_ne", "a_ev", "e_ne", "e_ev"))
+    t = a + bb + c + d
+    stat = (t * (a * d - bb * c) * (a * d - bb * c)) / (
+        (a + bb) * (c + d) * (a + c) * (bb + d)
+    )
+    return agg.select(
+        "bin", "a_ne", "a_ev", "e_ne", "e_ev",
+        F.round(stat, 6).alias("chi2"),
+    )
+
+
+def q_distribution_stats(spark, sf_dir):
+    """A8: target distribution report per population — mean/std and
+    exact quartiles in one aggregation."""
+    df = _lineitem(spark, sf_dir)
+    pop = F.when(F.col("l_orderkey") % 2 == 0, "A").otherwise("E")
+    return df.groupBy(pop.alias("population")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
 # -- driver contract -----------------------------------------------------
 
 
@@ -985,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indices_bins_transform": q_indices_bins_transform,
         "mean_transform": q_mean_transform,
         "unknown_category_transform": q_unknown_category_transform,
+        "chi2_tests": q_chi2_tests,
+        "distribution_stats": q_distribution_stats,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1294,6 +1296,32 @@ def oracle_sql() -> dict[str, str]:
               FROM agg, tot
             )
             SELECT round(max(abs(cum_ev - cum_ne)), 6) AS ks FROM cum
+        """,
+        "chi2_tests": f"""
+            WITH agg AS (
+              SELECT {price_case} AS bin,
+                     sum(CASE WHEN l_orderkey % 2 = 0 AND {y_li} = 0 THEN 1 ELSE 0 END) AS a_ne,
+                     sum(CASE WHEN l_orderkey % 2 = 0 AND {y_li} = 1 THEN 1 ELSE 0 END) AS a_ev,
+                     sum(CASE WHEN l_orderkey % 2 = 1 AND {y_li} = 0 THEN 1 ELSE 0 END) AS e_ne,
+                     sum(CASE WHEN l_orderkey % 2 = 1 AND {y_li} = 1 THEN 1 ELSE 0 END) AS e_ev
+              FROM lineitem GROUP BY 1
+            )
+            SELECT bin, a_ne, a_ev, e_ne, e_ev,
+                   round(CAST(a_ne + a_ev + e_ne + e_ev AS DOUBLE)
+                         * pow(CAST(a_ne AS DOUBLE) * e_ev - CAST(a_ev AS DOUBLE) * e_ne, 2)
+                         / (CAST(a_ne + a_ev AS DOUBLE) * (e_ne + e_ev)
+                            * (a_ne + e_ne) * (a_ev + e_ev)), 6) AS chi2
+            FROM agg
+        """,
+        "distribution_stats": """
+            SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'A' ELSE 'E' END AS population,
+                   count(*) AS n,
+                   round(avg(l_extendedprice), 4) AS mean,
+                   round(stddev_samp(l_extendedprice), 4) AS std,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+            FROM lineitem GROUP BY 1
         """,
         # lsh_candidates: mirrors pipeline.dedup.lsh_candidate_pairs
         # (n_hashes=8, band_size=2 -> 4 bands); mh{i} = lane (i%4) of

@@ -6,6 +6,15 @@ aggregation must use partial (map-side) aggregation."""
 import pyspark.sql.functions as F
 import pytest
 
+from optbinning_spark.plans.quality import (
+    executed_plan as _plan,
+    is_map_only,
+    num_shuffles,
+    pushed_filters,
+    scan_schema,
+    uses_partial_aggregation,
+)
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -26,14 +35,10 @@ def fitted(lineitem):
     return ob
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
 def test_woe_transform_is_map_only(lineitem, fitted):
     out = fitted.transform(lineitem, "l_extendedprice", metric="woe")
     plan = _plan(out)
-    assert "Exchange" not in plan, plan
+    assert is_map_only(out), plan
     # whole-stage codegen shows as "*(n)" stage markers in plan text
     assert "WholeStageCodegen" in plan or "*(" in plan, plan
 
@@ -45,18 +50,16 @@ def test_scorecard_score_is_map_only(spark, lineitem):
     bp = BinningProcess(["l_quantity", "l_extendedprice"],
                         prebinning_method="quantile")
     sc = Scorecard(bp).fit(lineitem, "y")
-    plan = _plan(sc.score(lineitem))
-    assert "Exchange" not in plan, plan
+    scored = sc.score(lineitem)
+    assert is_map_only(scored), _plan(scored)
 
 
 def test_filter_pushdown_reaches_scan(spark):
     df = spark.read.parquet(f"{SF}/lineitem.parquet")
     q = df.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
-    plan = _plan(q)
-    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan, plan
+    assert "GreaterThan(l_quantity" in pushed_filters(q), _plan(q)
     # column pruning: scan schema must not include unprojected columns
-    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
-    assert "l_extendedprice" not in scan_schema, scan_schema
+    assert "l_extendedprice" not in scan_schema(q), scan_schema(q)
 
 
 def test_bin_agg_uses_partial_aggregation(lineitem):
@@ -66,10 +69,9 @@ def test_bin_agg_uses_partial_aggregation(lineitem):
     agg = lineitem.groupBy(b.alias("bin")).agg(
         F.sum("y").alias("n_event"), F.count("*").alias("n")
     )
-    plan = _plan(agg)
     # partial + final hash aggregate around a single exchange
-    assert plan.count("HashAggregate") >= 2, plan
-    assert plan.count("Exchange") == 1, plan
+    assert uses_partial_aggregation(agg), _plan(agg)
+    assert num_shuffles(agg) == 1, _plan(agg)
 
 
 def test_transform_preserves_pushdown_through_case(spark, fitted):
@@ -84,6 +86,5 @@ def test_transform_preserves_pushdown_through_case(spark, fitted):
         .filter(F.col("l_quantity") > 30)
         .select("l_orderkey", "w")
     )
-    plan = _plan(out)
-    assert "GreaterThan(l_quantity" in plan, plan
-    assert "Exchange" not in plan, plan
+    assert "GreaterThan(l_quantity" in pushed_filters(out), _plan(out)
+    assert is_map_only(out), _plan(out)
