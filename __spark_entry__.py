@@ -924,6 +924,66 @@ def q_distribution_stats(spark, sf_dir):
     )
 
 
+def q_cart_splits(spark, sf_dir):
+    """B1: CART split proposal from exact per-distinct-value class
+    stats (one agg; tree recursion on the driver — not SQL-
+    expressible, hence rows-only)."""
+    from optbinning_spark.operators.preprocessing import clean_value_expr
+    from optbinning_spark.operators.prebinning import compute_prebins
+
+    df = _lineitem(spark, sf_dir).withColumn(
+        "__cx", clean_value_expr(F.col("l_quantity").cast("double"))
+    )
+    splits = compute_prebins(
+        df, "__cx", "y", None, method="cart", max_n_prebins=10,
+        task="classification", classes=[0, 1],
+    )
+    return spark.createDataFrame(
+        [(i, round(float(s), 6)) for i, s in enumerate(splits)],
+        "split_idx int, split double",
+    )
+
+
+def q_mdlp_splits(spark, sf_dir):
+    """B4: MDLP (Fayyad-Irani entropy with MDL stop) split proposal —
+    same single-agg sufficient stats, driver recursion."""
+    from optbinning_spark.operators.preprocessing import clean_value_expr
+    from optbinning_spark.operators.prebinning import compute_prebins
+
+    df = (
+        spark.read.parquet(_t(sf_dir, "lineitem"))
+        .withColumn(
+            "__cx", clean_value_expr(F.col("l_extendedprice").cast("double"))
+        )
+        .withColumn(
+            "y2",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) > 30000.0
+            ).cast("int"),
+        )
+    )
+    splits = compute_prebins(
+        df, "__cx", "y2", None, method="mdlp", max_n_prebins=10,
+        task="classification", classes=[0, 1],
+    )
+    return spark.createDataFrame(
+        [(i, round(float(s), 6)) for i, s in enumerate(splits)],
+        "split_idx int, split double",
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k: hyperplane-bucket equi-join
+    replaces the cross join — the 100 TB-scale ANN path."""
+    from optbinning_spark.pipeline.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return lsh_bucketed_topk(emb, queries, dim=64, k=3, n_planes=4)
+
+
 # -- driver contract -----------------------------------------------------
 
 
@@ -987,6 +1047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unknown_category_transform": q_unknown_category_transform,
         "chi2_tests": q_chi2_tests,
         "distribution_stats": q_distribution_stats,
+        "cart_splits": q_cart_splits,
+        "mdlp_splits": q_mdlp_splits,
+        "ann_topk": q_ann_topk,
         "multimodal_features": q_multimodal_features,
     }
 

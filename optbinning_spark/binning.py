@@ -220,6 +220,32 @@ class _BaseOptimalBinning:
     def fit_transform(self, df, x, y, sample_weight=None, metric="woe", **kw):
         return self.fit(df, x, y, sample_weight).transform(df, x, metric=metric, **kw)
 
+    def information(self, print_level: int = 1) -> str:
+        """Fit report (reference binning.py information(); the solver
+        here is the exact DP, so solver stats are the DP's). Returns
+        the report string and prints it."""
+        self._check_fitted()
+        t = self._table
+        lines = [
+            f"{type(self).__name__}",
+            f"  name                 : {self.name}",
+            f"  dtype                : {self._resolved_dtype}",
+            f"  status               : OPTIMAL (exact DP)",
+            f"  prebinning method    : {self.prebinning_method}",
+            f"  monotonic trend      : {self.monotonic_trend}",
+            f"  n bins               : "
+            f"{sum(1 for k in t.kinds if k == 'clean')}",
+        ]
+        if print_level > 1:
+            for attr in ("iv", "js", "gini", "ks"):
+                if hasattr(t, attr):
+                    lines.append(
+                        f"  {attr:<21}: {float(getattr(t, attr)):.8f}"
+                    )
+        report = "\n".join(lines)
+        print(report)
+        return report
+
     # -- persistence (reference binning.py:1189-1256) -------------------
     def to_dict(self) -> dict:
         self._check_fitted()

@@ -564,6 +564,31 @@ class BinningProcess:
             rows.append(r)
         return pd.DataFrame(rows)
 
+    def information(self, print_level: int = 1) -> str:
+        """Process-level fit report (reference binning_process.py
+        information()). Returns the report string and prints it."""
+        self._check_fitted()
+        n_sel = sum(1 for v in self.variable_names if self._support[v])
+        lines = [
+            "BinningProcess",
+            f"  target type          : {self._target_type}",
+            f"  n variables          : {len(self.variable_names)}",
+            f"  n selected           : {n_sel}",
+            f"  prebinning method    : {self.prebinning_method}",
+        ]
+        if print_level > 1:
+            for v in self.variable_names:
+                m = self._metrics[v]
+                metric_txt = ", ".join(
+                    f"{k}={m[k]:.6f}" for k in sorted(m)
+                    if isinstance(m[k], float)
+                )
+                sel = "*" if self._support[v] else " "
+                lines.append(f"  {sel} {v:<20} {metric_txt}")
+        report = "\n".join(lines)
+        print(report)
+        return report
+
     def transform(self, df: DataFrame, metric: str | None = None,
                   metric_special=0, metric_missing=0,
                   keep_cols: list[str] | None = None) -> DataFrame:

@@ -153,3 +153,56 @@ def psi(expected_share: np.ndarray, actual_share: np.ndarray) -> float:
     """Population Stability Index = Jeffrey divergence between shares
     (reference monitoring.py:582-602)."""
     return float(jeffrey(actual_share, expected_share, return_sum=True))
+
+
+def cramer_v(n_nonevent: np.ndarray, n_event: np.ndarray) -> tuple[float, float]:
+    """Pearson chi2 over the full 2xk bin table and Cramer's V
+    (reference metrics.py:280-287)."""
+    from .special_math import chi2_contingency_2xk
+
+    obs = np.array([n_nonevent, n_event], dtype=float)
+    stat, _ = chi2_contingency_2xk(obs)
+    total = obs.sum()
+    return stat, float(np.sqrt(stat / total)) if total > 0 else 0.0
+
+
+def bayesian_probability(
+    obs: np.ndarray, n_samples: int = 100
+) -> tuple[float, float]:
+    """P[rate_A > rate_B] under independent Beta posteriors with the
+    bin counts as pseudo-counts (reference metrics.py:296-304). The
+    reference integrates over shuffled midpoints; the shuffle does not
+    change the mean, so this uses ordered midpoint quadrature —
+    deterministic, same value."""
+    from .special_math import beta_ppf, betainc
+
+    a_a, a_b, b_a, b_b = np.asarray(obs, dtype=float).ravel()
+    if min(a_a, a_b, b_a, b_b) <= 0:
+        return 0.5, 0.5
+    v = (np.arange(1, n_samples + 1) - 0.5) / n_samples
+    p = float(
+        np.mean([betainc(a_a, b_a, beta_ppf(a_b, b_b, q)) for q in v])
+    )
+    return p, 1.0 - p
+
+
+def type_of_monotonic_trend(event_rate: np.ndarray) -> str:
+    """Classify the achieved event-rate shape (reference
+    binning_statistics.py type_of_monotonic_trend)."""
+    er = np.asarray(event_rate, dtype=float)
+    if er.size <= 1:
+        return "undefined"
+    d = np.diff(er)
+    if np.all(d >= 0):
+        return "ascending"
+    if np.all(d <= 0):
+        return "descending"
+    sign_changes = np.count_nonzero(np.diff(np.sign(d[d != 0])) != 0)
+    if sign_changes == 1:
+        peak = int(np.argmax(er))
+        valley = int(np.argmin(er))
+        if 0 < peak < er.size - 1 and np.all(d[:peak] >= 0):
+            return "peak"
+        if 0 < valley < er.size - 1 and np.all(d[:valley] <= 0):
+            return "valley"
+    return "no monotonic"

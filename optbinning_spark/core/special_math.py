@@ -149,6 +149,24 @@ def betainc(a: float, b: float, x: float) -> float:
     return 1.0 - front * _betacf(b, a, 1.0 - x) / b
 
 
+def beta_ppf(a: float, b: float, q: float) -> float:
+    """Quantile (inverse CDF) of the Beta(a, b) distribution, by
+    bisection on the regularized incomplete beta (monotone; 90
+    halvings bottom out at double precision)."""
+    if q <= 0.0:
+        return 0.0
+    if q >= 1.0:
+        return 1.0
+    lo, hi = 0.0, 1.0
+    for _ in range(90):
+        mid = 0.5 * (lo + hi)
+        if betainc(a, b, mid) < q:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
 def t_sf(t: float, df: float) -> float:
     """Survival function of Student's t distribution, P(T > t)."""
     if df <= 0:

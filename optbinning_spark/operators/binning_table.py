@@ -164,33 +164,52 @@ class BinningTableBinary:
             df = pd.concat([df, totals], ignore_index=True)
         return df
 
-    def analysis(self) -> dict:
+    def analysis(self, n_samples: int = 100) -> dict:
         """Binning-table quality analysis (reference
-        binning_statistics.py:929-959): gini, IV, JS, KS, HHI, quality
-        score, chi2 tests between consecutive clean bins."""
+        binning_statistics.py:929-1010): gini, IV, JS, Hellinger,
+        triangular, KS, HHI, Cramer's V, quality score, achieved
+        monotonic-trend type, and per-consecutive-bin chi2 tests plus
+        Bayesian P[A>B]/P[B>A] (beta-posterior quadrature, M10)."""
         clean = np.array([k == "clean" for k in self.kinds])
         ev = self.ev_all[clean]
         ne = self.ne_all[clean]
         from ..core.special_math import chi2_contingency_2xk
 
         pvals = []
+        p_a_b = []
+        p_b_a = []
         for i in range(len(ev) - 1):
-            _, pv = chi2_contingency_2xk(
-                np.array([[ne[i], ev[i]], [ne[i + 1], ev[i + 1]]])
-            )
+            obs = np.array([[ne[i], ev[i]], [ne[i + 1], ev[i + 1]]])
+            _, pv = chi2_contingency_2xk(obs)
             pvals.append(pv)
+            pab, pba = M.bayesian_probability(obs.T, n_samples)
+            p_a_b.append(pab)
+            p_b_a.append(pba)
         hhi_n = M.hhi(self.count, normalized=True)
+        t_ev, t_ne = max(ev.sum(), _EPS), max(ne.sum(), _EPS)
+        _, cv = M.cramer_v(ne, ev) if len(ev) >= 2 else (0.0, 0.0)
+        er = np.where(ev + ne > 0, ev / np.maximum(ev + ne, _EPS), 0.0)
         return {
             "iv": self.iv,
             "js": self.js,
+            "hellinger": float(
+                M.hellinger(ev / t_ev, ne / t_ne, return_sum=True)
+            ),
+            "triangular": float(
+                M.triangular(ev / t_ev, ne / t_ne, return_sum=True)
+            ),
             "gini": M.gini(ev, ne),
             "ks": M.ks_statistic(ev, ne),
             "hhi": M.hhi(self.count),
             "hhi_norm": hhi_n,
+            "cramer_v": cv,
             "quality_score": M.binning_quality_score(
                 self.iv, np.array(pvals), hhi_n
             ),
+            "monotonic_trend": M.type_of_monotonic_trend(er),
             "chi2_pvalues": pvals,
+            "p_a_gt_b": p_a_b,
+            "p_b_gt_a": p_b_a,
             "n_bins": int(clean.sum()),
         }
 

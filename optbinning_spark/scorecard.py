@@ -247,6 +247,24 @@ class Scorecard:
         self.base_points_ = float(base)
 
     # ------------------------------------------------------------------
+    def information(self, print_level: int = 1) -> str:
+        """Scorecard fit report (reference scorecard.py information()).
+        Returns the report string and prints it."""
+        self._check_fitted()
+        lines = [
+            "Scorecard",
+            f"  target type          : {self._target_type}",
+            f"  n selected variables : {len(self.selected_)}",
+            f"  scaling method       : {self.scaling_method}",
+            f"  intercept            : {self.intercept_:.8f}",
+        ]
+        if print_level > 1:
+            for v in self.selected_:
+                lines.append(f"    {v:<20} coef={self.coef_[v]:+.8f}")
+        report = "\n".join(lines)
+        print(report)
+        return report
+
     def table(self, style: str = "summary"):
         """Scorecard table: union of per-variable binning tables with
         Coefficient and Points columns (reference scorecard.py:631-663)."""

@@ -118,3 +118,10 @@ def test_regression_report_exact(spark):
     assert r["median_ae"] == pytest.approx(np.median(np.abs(err)))
     sst = np.sum((y - y.mean()) ** 2)
     assert r["r2"] == pytest.approx(1 - np.sum(err ** 2) / sst)
+
+
+def test_information_reports(df):
+    ob = OptimalBinning(user_splits=[10.0, 25.0], monotonic_trend=None)
+    ob.fit(df, "x", "y")
+    rep = ob.information(print_level=2)
+    assert "OptimalBinning" in rep and "n bins" in rep and "iv" in rep

@@ -79,3 +79,34 @@ def test_welch_ttest():
 def test_degenerate_tests_return_p1():
     assert chi2_contingency_2xk(np.array([[0.0, 0.0], [0.0, 0.0]]))[1] == 1.0
     assert welch_ttest_from_stats(1, 0, 1, 2, 0, 1)[1] == 1.0
+
+
+def test_bayesian_probability_matches_monte_carlo():
+    import numpy as np
+    from optbinning_spark.core.metrics import bayesian_probability
+
+    obs = np.array([[10, 20], [30, 40]])
+    p_ab, p_ba = bayesian_probability(obs, 100)
+    rng = np.random.RandomState(0)
+    pa = rng.beta(10, 30, 200000)
+    pb = rng.beta(20, 40, 200000)
+    # reference semantics: P[A>B] = P(nonevent-rate A < nonevent-rate B)
+    mc = (pa < pb).mean()
+    assert abs(p_ab - mc) < 0.01
+    assert p_ab + p_ba == 1.0
+    # degenerate counts fall back to 1/2
+    assert bayesian_probability(np.array([[0, 1], [2, 3]])) == (0.5, 0.5)
+
+
+def test_cramer_v_and_trend_type():
+    import numpy as np
+    from optbinning_spark.core.metrics import cramer_v, type_of_monotonic_trend
+
+    ne = np.array([50.0, 40.0, 30.0])
+    ev = np.array([10.0, 20.0, 30.0])
+    stat, cv = cramer_v(ne, ev)
+    assert stat > 0 and 0 < cv < 1
+    assert type_of_monotonic_trend([0.1, 0.2, 0.3]) == "ascending"
+    assert type_of_monotonic_trend([0.3, 0.2, 0.1]) == "descending"
+    assert type_of_monotonic_trend([0.1, 0.4, 0.2]) == "peak"
+    assert type_of_monotonic_trend([0.4, 0.1, 0.3]) == "valley"
