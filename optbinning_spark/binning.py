@@ -335,6 +335,87 @@ class _BaseOptimalBinning:
         return proj.filter(cv.isNull() | ~drop)
 
 
+    def _fused_fit(self, proj, wcol, task, classes=None,
+                   target_type=None) -> str:
+        """Single-aggregation fit: per-distinct-value sufficient stats
+        (+ special/missing rows) collected once; CART/MDLP/uniform
+        splits and exact per-prebin statistics both derive from that
+        histogram on the driver. Returns 'done', or 'skip' (user
+        splits / quantile methods — caller runs the multi-pass path),
+        or 'overflow' (cardinality probe failed — caller runs the
+        multi-pass path and skips the already-failed exact probe)."""
+        method = self.prebinning_method
+        if self.user_splits is not None or method not in (
+            "cart", "mdlp", "uniform"
+        ):
+            return "skip"
+        from .core.tree import mdlp_splits
+        from .operators.aggregation import bin_stats_from_values, value_stats
+        from .operators.prebinning import MAX_HISTOGRAM_BUCKETS
+
+        target_type = target_type or (
+            "continuous" if task == "regression" else "binary"
+        )
+        # Scale guard: a full groupBy(distinct value) on a genuinely
+        # high-cardinality column would shuffle every distinct group
+        # before the LIMIT could bound it. An HLL estimate is one
+        # map-side-combined scan (near-zero shuffle); only estimates
+        # near the cap proceed to the exact probe (the LIMIT still
+        # backstops HLL underestimates).
+        cap = MAX_HISTOGRAM_BUCKETS * 16
+        nd = proj.agg(
+            F.approx_count_distinct("__x", rsd=0.02).alias("nd")
+        ).first()["nd"]
+        if nd > cap * 1.05:
+            return "overflow"
+        vs = value_stats(
+            proj, "__x", "__y", wcol,
+            special_codes=self.special_codes,
+            target_type=target_type,
+            classes=classes,
+            max_values=MAX_HISTOGRAM_BUCKETS * 16,
+        )
+        if vs is None:
+            return "overflow"
+        values, per_value, missing, specials = vs
+        if target_type == "multiclass":
+            hist = np.column_stack(
+                [per_value[f"n_event_{i}"] for i in range(len(classes))]
+            )
+        elif task == "classification":
+            hist = np.column_stack(
+                [per_value["n_nonevent"], per_value["n_event"]]
+            )
+        else:
+            hist = np.column_stack(
+                [per_value["n_records"], per_value["sum_y"], per_value["sum_y2"]]
+            )
+        if len(values) < 2:
+            prebin_splits = np.array([])
+        elif method == "uniform":
+            prebin_splits = np.unique(
+                np.linspace(values[0], values[-1], self.max_n_prebins + 1)[1:-1]
+            )
+        elif method == "mdlp":
+            if task != "classification":
+                raise ValueError("mdlp requires a binary target")
+            prebin_splits = mdlp_splits(values, hist)
+        else:
+            prebin_splits = cart_splits(
+                values, hist, task=task,
+                max_leaf_nodes=self.max_n_prebins,
+                min_samples_leaf=self.min_prebin_size * float(
+                    hist.sum() if task == "classification" else hist[:, 0].sum()
+                ),
+            )
+        prebin_splits = self._round_splits(prebin_splits)
+        stats = bin_stats_from_values(
+            values, per_value, missing, specials, prebin_splits, target_type
+        )
+        self._finalize_numerical(prebin_splits, stats)
+        return "done"
+
+
 class OptimalBinning(_BaseOptimalBinning):
     """Binary-target optimal binning (reference OptimalBinning)."""
 
@@ -373,19 +454,27 @@ class OptimalBinning(_BaseOptimalBinning):
     def _fit_numerical(self, df, x, y, w):
         from .operators.preprocessing import clean_value_expr
 
-        # Project to the 2-3 needed columns and cache for the fit's
-        # multiple passes (quantile/histogram + bin-stats). Column
-        # pruning means the cached slice is tiny relative to the
-        # table; at scale this converts 2-3 wide scans into one.
+        # Project to the 2-3 needed columns. Column pruning means the
+        # slice is tiny relative to the table.
         proj = df.select(
             F.col(x).cast("double").alias("__x"), F.col(y).alias("__y"),
             *([F.col(w).alias("__w")] if w else []),
         )
         proj = self._apply_clean_filters(proj)
+        wcol = "__w" if w else None
+        # Fused single-job path: for histogram-driven split proposals
+        # the per-distinct-value stats feed the tree AND re-bucket into
+        # exact per-prebin stats on the driver — the whole fit is ONE
+        # aggregation (falls back below on cardinality overflow).
+        fused = self._fused_fit(proj, wcol, "classification")
+        if fused == "done":
+            return
+        # Multi-pass path: cache the projection for the 2-3 passes
+        # (split proposal + bin-stats); at scale this converts the
+        # repeated wide scans into one.
         multi_pass = self.user_splits is None
         if multi_pass:
             proj = proj.cache()
-        wcol = "__w" if w else None
         try:
             clean = proj.withColumn(
                 "__clean_x",
@@ -401,6 +490,7 @@ class OptimalBinning(_BaseOptimalBinning):
                     min_prebin_size=self.min_prebin_size,
                     task="classification",
                     classes=[0, 1],
+                    skip_exact=fused == "overflow",
                 )
             prebin_splits = self._round_splits(prebin_splits)
 
@@ -621,10 +711,13 @@ class ContinuousOptimalBinning(_BaseOptimalBinning):
             *([F.col(w).alias("__w")] if w else []),
         )
         proj = self._apply_clean_filters(proj)
+        wcol = "__w" if w else None
+        fused = self._fused_fit(proj, wcol, "regression")
+        if fused == "done":
+            return
         multi_pass = self.user_splits is None
         if multi_pass:
             proj = proj.cache()
-        wcol = "__w" if w else None
         try:
             clean = proj.withColumn(
                 "__clean_x",
@@ -642,6 +735,7 @@ class ContinuousOptimalBinning(_BaseOptimalBinning):
                     max_n_prebins=self.max_n_prebins,
                     min_prebin_size=self.min_prebin_size,
                     task="regression",
+                    skip_exact=fused == "overflow",
                 )
             prebin_splits = self._round_splits(prebin_splits)
 

@@ -492,7 +492,7 @@ class BinningProcess:
         b = self._binners[v]
         t = b.binning_table
         if self._target_type == "binary":
-            a = t.analysis()
+            a = t.analysis(bayes=False)
             return {
                 "iv": a["iv"], "js": a["js"], "gini": a["gini"], "ks": a["ks"],
                 "quality_score": a["quality_score"], "n_bins": a["n_bins"],

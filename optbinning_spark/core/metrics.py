@@ -174,15 +174,13 @@ def bayesian_probability(
     reference integrates over shuffled midpoints; the shuffle does not
     change the mean, so this uses ordered midpoint quadrature —
     deterministic, same value."""
-    from .special_math import beta_ppf, betainc
+    from .special_math import beta_ppf_vec, betainc_vec
 
     a_a, a_b, b_a, b_b = np.asarray(obs, dtype=float).ravel()
     if min(a_a, a_b, b_a, b_b) <= 0:
         return 0.5, 0.5
     v = (np.arange(1, n_samples + 1) - 0.5) / n_samples
-    p = float(
-        np.mean([betainc(a_a, b_a, beta_ppf(a_b, b_b, q)) for q in v])
-    )
+    p = float(np.mean(betainc_vec(a_a, b_a, beta_ppf_vec(a_b, b_b, v))))
     return p, 1.0 - p
 
 

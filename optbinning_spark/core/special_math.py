@@ -167,6 +167,147 @@ def beta_ppf(a: float, b: float, q: float) -> float:
     return 0.5 * (lo + hi)
 
 
+def _betacf_vec(a: float, b: float, x: np.ndarray) -> np.ndarray:
+    """Vectorized Lentz continued fraction: scalar (a, b), array x.
+    Same recurrence as ``_betacf`` per lane; converged lanes freeze, the
+    loop stops when every lane has converged."""
+    x = np.asarray(x, dtype=float)
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = np.ones_like(x)
+    d = 1.0 - qab * x / qap
+    d = np.where(np.abs(d) < _FPMIN, _FPMIN, d)
+    d = 1.0 / d
+    h = d.copy()
+    active = np.ones(x.shape, dtype=bool)
+    for m in range(1, _MAX_ITER + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d1 = 1.0 + aa * d
+        d1 = np.where(np.abs(d1) < _FPMIN, _FPMIN, d1)
+        c1 = 1.0 + aa / c
+        c1 = np.where(np.abs(c1) < _FPMIN, _FPMIN, c1)
+        d1 = 1.0 / d1
+        h1 = h * d1 * c1
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d2 = 1.0 + aa * d1
+        d2 = np.where(np.abs(d2) < _FPMIN, _FPMIN, d2)
+        c2 = 1.0 + aa / c1
+        c2 = np.where(np.abs(c2) < _FPMIN, _FPMIN, c2)
+        d2 = 1.0 / d2
+        delta = d2 * c2
+        h2 = h1 * delta
+        d = np.where(active, d2, d)
+        c = np.where(active, c2, c)
+        h = np.where(active, h2, h)
+        active &= np.abs(delta - 1.0) >= _EPS
+        if not active.any():
+            break
+    return h
+
+
+def betainc_vec(a: float, b: float, x: np.ndarray) -> np.ndarray:
+    """Vectorized regularized incomplete beta I_x(a, b)."""
+    x = np.asarray(x, dtype=float)
+    out = np.empty_like(x)
+    out[x <= 0.0] = 0.0
+    out[x >= 1.0] = 1.0
+    mid = (x > 0.0) & (x < 1.0)
+    if mid.any():
+        xm = x[mid]
+        front = np.exp(
+            math.lgamma(a + b)
+            - math.lgamma(a)
+            - math.lgamma(b)
+            + a * np.log(xm)
+            + b * np.log1p(-xm)
+        )
+        direct = xm < (a + 1.0) / (a + b + 2.0)
+        res = np.empty_like(xm)
+        if direct.any():
+            res[direct] = front[direct] * _betacf_vec(a, b, xm[direct]) / a
+        if (~direct).any():
+            res[~direct] = (
+                1.0 - front[~direct] * _betacf_vec(b, a, 1.0 - xm[~direct]) / b
+            )
+        out[mid] = res
+    return out
+
+
+def _norm_ppf_approx(q: np.ndarray) -> np.ndarray:
+    """Acklam's rational approximation to the standard-normal quantile
+    (~1e-9 relative error) — only used as a Newton starting point."""
+    a = (-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00)
+    b = (-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00)
+    q = np.asarray(q, dtype=float)
+    out = np.empty_like(q)
+    low = q < 0.02425
+    high = q > 1.0 - 0.02425
+    mid = ~(low | high)
+    if mid.any():
+        r = q[mid] - 0.5
+        s = r * r
+        out[mid] = (
+            ((((a[0] * s + a[1]) * s + a[2]) * s + a[3]) * s + a[4]) * s + a[5]
+        ) * r / (((((b[0] * s + b[1]) * s + b[2]) * s + b[3]) * s + b[4]) * s + 1)
+    for sel, sign in ((low, 1.0), (high, -1.0)):
+        if sel.any():
+            qq = q[sel] if sign > 0 else 1.0 - q[sel]
+            r = np.sqrt(-2.0 * np.log(qq))
+            out[sel] = sign * (
+                ((((c[0] * r + c[1]) * r + c[2]) * r + c[3]) * r + c[4]) * r + c[5]
+            ) / ((((d[0] * r + d[1]) * r + d[2]) * r + d[3]) * r + 1)
+    return out
+
+
+def beta_ppf_vec(a: float, b: float, q: np.ndarray) -> np.ndarray:
+    """Vectorized Beta(a, b) quantile: safeguarded Newton on the
+    regularized incomplete beta (derivative = beta pdf), bisection
+    fallback keeps the bracket valid; converged lanes drop out so the
+    per-iteration ``betainc_vec`` only covers active lanes. A normal-
+    approximation start makes typical convergence 3-6 iterations."""
+    q = np.asarray(q, dtype=float)
+    lo = np.zeros_like(q)
+    hi = np.ones_like(q)
+    mu = a / (a + b)
+    sigma = math.sqrt(a * b / ((a + b) ** 2 * (a + b + 1.0)))
+    x = np.clip(mu + sigma * _norm_ppf_approx(np.clip(q, 1e-300, 1.0)),
+                1e-15, 1.0 - 1e-15)
+    ln_beta = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+    active = (q > 0.0) & (q < 1.0)
+    for _ in range(100):
+        if not active.any():
+            break
+        xa = x[active]
+        qa = q[active]
+        f = betainc_vec(a, b, xa) - qa
+        la = np.where(f < 0, xa, lo[active])
+        ha = np.where(f < 0, hi[active], xa)
+        with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+            pdf = np.exp(
+                (a - 1.0) * np.log(xa) + (b - 1.0) * np.log1p(-xa) - ln_beta
+            )
+            step = np.where(pdf > 0, f / pdf, np.nan)
+        xn = xa - step
+        bad = ~np.isfinite(xn) | (xn <= la) | (xn >= ha)
+        xn = np.where(bad, 0.5 * (la + ha), xn)
+        lo[active] = la
+        hi[active] = ha
+        x[active] = xn
+        conv = (np.abs(xn - xa) <= 1e-13 * np.abs(xn)) | (
+            (ha - la) <= 4.0 * _EPS * np.abs(xn)
+        )
+        act = active.copy()
+        act[active] = ~conv
+        active = act
+    return np.where(q <= 0.0, 0.0, np.where(q >= 1.0, 1.0, x))
+
+
 def t_sf(t: float, df: float) -> float:
     """Survival function of Student's t distribution, P(T > t)."""
     if df <= 0:

@@ -133,6 +133,20 @@ class MulticlassOptimalBinning(_BaseOptimalBinning):
             raise ValueError("multiclass target with >100 classes")
         self.classes_ = classes
 
+        # fused single-job path (per-distinct-value class counts feed
+        # the tree AND re-bucket into exact prebin stats)
+        proj = df.select(
+            F.col(x).cast("double").alias("__x"), F.col(y).alias("__y"),
+            *([F.col(w).alias("__w")] if w else []),
+        )
+        proj = self._apply_clean_filters(proj)
+        fused = self._fused_fit(
+            proj, "__w" if w else None, "classification",
+            classes=classes, target_type="multiclass",
+        )
+        if fused == "done":
+            return
+
         clean = df.withColumn(
             "__clean_x",
             clean_value_expr(F.col(x).cast("double"), "numerical", self.special_codes),
@@ -147,6 +161,7 @@ class MulticlassOptimalBinning(_BaseOptimalBinning):
                 min_prebin_size=self.min_prebin_size,
                 task="classification",
                 classes=classes,
+                skip_exact=fused == "overflow",
             )
         prebin_splits = self._round_splits(prebin_splits)
 
@@ -156,6 +171,10 @@ class MulticlassOptimalBinning(_BaseOptimalBinning):
             special_codes=self.special_codes, target_type="multiclass",
             classes=classes,
         )
+        self._finalize_numerical(prebin_splits, stats)
+
+    def _finalize_numerical(self, prebin_splits, stats):
+        classes = self.classes_
         M = np.column_stack(
             [stats.clean[f"n_event_{i}"] for i in range(len(classes))]
         )

@@ -76,6 +76,119 @@ def _metric_names(target_type: str, classes=None) -> list[str]:
     return [f"n_event_{i}" for i in range(len(classes))]
 
 
+def value_stats(
+    df: DataFrame,
+    col: str,
+    y_col: str,
+    w_col: str | None,
+    *,
+    special_codes=None,
+    target_type: str = "binary",
+    classes=None,
+    max_values: int = 50_000,
+):
+    """ONE aggregation over (sample_class, distinct clean value)
+    producing per-distinct-value sufficient statistics PLUS the
+    special/missing stats — the fused fit path: the same collect feeds
+    the CART/MDLP split proposal, the per-prebin statistics (additive
+    re-bucketing on the driver), and the special/missing bin rows, so
+    a whole numerical fit is a single Spark job.
+
+    Returns (values, metric_dict_of_per_value_arrays, missing,
+    specials) or None when the distinct-value cardinality exceeds
+    ``max_values`` (caller falls back to the bucketed multi-pass
+    path). The shuffled state is one row per distinct value — bounded
+    by the LIMIT; at 100 TB a high-cardinality column overflows to the
+    quantile-bucket histogram instead.
+    """
+    from .preprocessing import normalize_special_codes
+
+    c = F.col(col)
+    sclass = sample_class_expr(c, "numerical", special_codes)
+    v = F.when(sclass == CLEAN, c)
+    n_groups = len(normalize_special_codes(special_codes))
+    cap = max_values + n_groups + 2
+    rows = (
+        df.groupBy(sclass.alias("sample_class"), v.alias("__v"))
+        .agg(*_agg_exprs(y_col, w_col, target_type, classes))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        return None
+    metrics = _metric_names(target_type, classes)
+    clean_rows = [r for r in rows if r["sample_class"] == CLEAN and r["__v"] is not None]
+    clean_rows.sort(key=lambda r: r["__v"])
+    values = np.array([r["__v"] for r in clean_rows], dtype=float)
+    per_value = {
+        m: np.array(
+            [
+                (
+                    r[m]
+                    if r[m] is not None
+                    else (np.nan if m in ("min_y", "max_y") else 0.0)
+                )
+                for r in clean_rows
+            ],
+            dtype=float,
+        )
+        for m in metrics
+    }
+    missing = {m: 0.0 for m in metrics}
+    specials: dict[str, dict[str, float]] = {}
+    for r in rows:
+        sc = r["sample_class"]
+        if sc == CLEAN:
+            continue
+        vals = {
+            m: (
+                r[m]
+                if r[m] is not None
+                else (np.nan if m in ("min_y", "max_y") else 0.0)
+            )
+            for m in metrics
+        }
+        if sc == MISSING:
+            missing = vals
+        else:
+            group = sc.split(":", 1)[1] if ":" in sc else sc
+            specials[group] = vals
+    return values, per_value, missing, specials
+
+
+def bin_stats_from_values(
+    values: np.ndarray,
+    per_value: dict,
+    missing: dict,
+    specials: dict,
+    splits,
+    target_type: str = "binary",
+) -> BinStats:
+    """Driver-side re-bucketing of per-distinct-value statistics into
+    per-prebin statistics — exact, because every metric is additive
+    (or min/max) over rows sharing a value."""
+    splits = np.asarray(splits, dtype=float)
+    n_bins = len(splits) + 1 if splits.size else 1
+    idx = (
+        np.digitize(values, splits, right=False)
+        if splits.size
+        else np.zeros(len(values), dtype=int)
+    )
+    clean = {}
+    for m, arr in per_value.items():
+        if m in ("min_y", "max_y"):
+            out = np.full(n_bins, np.nan)
+            red = np.fmin if m == "min_y" else np.fmax
+            for b in range(n_bins):
+                sel = arr[idx == b]
+                if sel.size:
+                    out[b] = red.reduce(sel)
+            clean[m] = out
+        else:
+            clean[m] = np.bincount(idx, weights=arr, minlength=n_bins)
+    return BinStats(clean, missing, specials, n_bins)
+
+
 def bin_stats(
     df: DataFrame,
     col: str,

@@ -164,12 +164,15 @@ class BinningTableBinary:
             df = pd.concat([df, totals], ignore_index=True)
         return df
 
-    def analysis(self, n_samples: int = 100) -> dict:
+    def analysis(self, n_samples: int = 100, bayes: bool = True) -> dict:
         """Binning-table quality analysis (reference
         binning_statistics.py:929-1010): gini, IV, JS, Hellinger,
         triangular, KS, HHI, Cramer's V, quality score, achieved
         monotonic-trend type, and per-consecutive-bin chi2 tests plus
-        Bayesian P[A>B]/P[B>A] (beta-posterior quadrature, M10)."""
+        Bayesian P[A>B]/P[B>A] (beta-posterior quadrature, M10).
+        ``bayes=False`` skips the (driver-heavy) posterior quadrature —
+        used by BinningProcess selection, which only needs the chi2
+        p-values for the quality score."""
         clean = np.array([k == "clean" for k in self.kinds])
         ev = self.ev_all[clean]
         ne = self.ne_all[clean]
@@ -182,9 +185,10 @@ class BinningTableBinary:
             obs = np.array([[ne[i], ev[i]], [ne[i + 1], ev[i + 1]]])
             _, pv = chi2_contingency_2xk(obs)
             pvals.append(pv)
-            pab, pba = M.bayesian_probability(obs.T, n_samples)
-            p_a_b.append(pab)
-            p_b_a.append(pba)
+            if bayes:
+                pab, pba = M.bayesian_probability(obs.T, n_samples)
+                p_a_b.append(pab)
+                p_b_a.append(pba)
         hhi_n = M.hhi(self.count, normalized=True)
         t_ev, t_ne = max(ev.sum(), _EPS), max(ne.sum(), _EPS)
         _, cv = M.cramer_v(ne, ev) if len(ev) >= 2 else (0.0, 0.0)

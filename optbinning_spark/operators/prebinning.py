@@ -72,6 +72,7 @@ def value_histogram(
     classes: list | None = None,
     max_buckets: int = MAX_HISTOGRAM_BUCKETS,
     relative_error: float = 1e-4,
+    skip_exact: bool = False,
 ):
     """One aggregation producing the CART/MDLP sufficient statistics.
 
@@ -105,12 +106,14 @@ def value_histogram(
             F.sum(w * yv * yv).alias("s2"),
         ]
     rows = (
-        clean.groupBy(F.col(col).alias("__v"))
+        []
+        if skip_exact  # the caller already probed (fused fit overflow)
+        else clean.groupBy(F.col(col).alias("__v"))
         .agg(*exact_aggs)
         .limit(exact_cap + 1)
         .collect()
     )
-    if len(rows) <= exact_cap:
+    if rows and len(rows) <= exact_cap:
         rows.sort(key=lambda r: r["__v"])
         values = np.array([r["__v"] for r in rows], dtype=float)
         if task == "classification":
@@ -185,6 +188,7 @@ def compute_prebins(
     task: str = "classification",
     classes: list | None = None,
     total_weight: float | None = None,
+    skip_exact: bool = False,
 ) -> np.ndarray:
     """Dispatch split proposal. ``df`` must already have missing/special
     nulled in ``col`` (clean_value_expr)."""
@@ -197,7 +201,8 @@ def compute_prebins(
         return quantile_exact_prebins(clean, col, max_n_prebins)
     if method in ("cart", "mdlp"):
         values, stats = value_histogram(
-            df, col, y_col, w_col, task=task, classes=classes
+            df, col, y_col, w_col, task=task, classes=classes,
+            skip_exact=skip_exact,
         )
         if len(values) < 2:
             return np.array([])

@@ -220,3 +220,66 @@ def test_class_weight_equals_explicit_sample_weight(spark):
     t = obb.binning_table.build(add_totals=True)
     tot = t.iloc[-1]
     assert tot["n_nonevent"] == pytest.approx(tot["n_event"], rel=1e-9)
+
+
+def test_fused_value_stats_matches_bin_stats(binary_df):
+    """The fused single-aggregation path (value_stats +
+    driver-side re-bucketing) must reproduce bin_stats exactly."""
+    from optbinning_spark.operators.aggregation import (
+        bin_stats, bin_stats_from_values, value_stats,
+    )
+
+    df = binary_df.select(
+        F.col("x").alias("__x"), F.col("y").alias("__y")
+    )
+    vs = value_stats(
+        df, "__x", "__y", None, special_codes=[-9.0], target_type="binary"
+    )
+    assert vs is not None
+    values, per_value, missing, specials = vs
+    splits = [10.0, 35.5, 70.0]
+    fused = bin_stats_from_values(values, per_value, missing, specials,
+                                  splits, "binary")
+    direct = bin_stats(
+        df, "__x", "__y", None, splits=splits,
+        special_codes=[-9.0], target_type="binary",
+    )
+    for m in ("n_nonevent", "n_event"):
+        np.testing.assert_allclose(fused.clean[m], direct.clean[m])
+        assert fused.missing[m] == direct.missing[m]
+    assert fused.specials.keys() == direct.specials.keys()
+    for g in fused.specials:
+        for m in ("n_nonevent", "n_event"):
+            assert fused.specials[g][m] == direct.specials[g][m]
+
+
+def test_fused_fit_matches_multipass(spark):
+    """CART fit through the fused path equals the multi-pass path
+    (forced via cardinality overflow) on splits and table values."""
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(3000):
+        x = float(rng.randint(0, 60))
+        y = int(rng.rand() < (0.05 + 0.9 * (x / 60.0)))
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x double, y int")
+
+    ob_fused = OptimalBinning(prebinning_method="cart")
+    ob_fused.fit(df, "x", "y")
+
+    from optbinning_spark import binning as binning_mod
+
+    ob_multi = OptimalBinning(prebinning_method="cart")
+    orig = binning_mod._BaseOptimalBinning._fused_fit
+    try:
+        binning_mod._BaseOptimalBinning._fused_fit = (
+            lambda self, *a, **k: "skip"
+        )
+        ob_multi.fit(df, "x", "y")
+    finally:
+        binning_mod._BaseOptimalBinning._fused_fit = orig
+
+    np.testing.assert_allclose(ob_fused.splits, ob_multi.splits)
+    np.testing.assert_allclose(
+        ob_fused.binning_table.event_rate, ob_multi.binning_table.event_rate
+    )
