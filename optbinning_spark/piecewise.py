@@ -183,15 +183,30 @@ class OptimalPWBinning:
             n1[idx == b].sum() / max(w[idx == b].sum(), _EPS)
             for b in range(k)
         ])
-        d = np.sign(np.diff(rates))
-        if np.count_nonzero(d[1:] != d[:-1]):
-            mono = None  # peak/valley/no-monotonic: unconstrained
-        elif np.all(np.diff(rates) >= 0):
-            mono = "ascending"
-        else:
-            mono = "descending"
+        mono = self._resolve_monotonic(rates)
         self._fit_ls_points(values, pred, w, monotonic=mono,
                             xmin=float(values.min()), xmax=float(values.max()))
+
+    @staticmethod
+    def _resolve_monotonic_auto(bin_means: np.ndarray):
+        """Reference base.py:439-450: classify the per-bin means; keep
+        peak/valley as QP constraint families, drop only genuinely
+        non-monotonic shapes."""
+        from .core.metrics import type_of_monotonic_trend
+
+        t = type_of_monotonic_trend(np.asarray(bin_means, dtype=float))
+        if t in ("undefined", "no monotonic"):
+            return None
+        if "peak" in t:
+            return "peak"
+        if "valley" in t:
+            return "valley"
+        return t
+
+    def _resolve_monotonic(self, bin_means: np.ndarray):
+        if self.monotonic_trend == "auto":
+            return self._resolve_monotonic_auto(bin_means)
+        return self.monotonic_trend
 
     def _fit_ls_on_target(self, df, x, y):
         """Continuous objective: LSQ of y over x (one aggregation of
@@ -210,6 +225,8 @@ class OptimalPWBinning:
                 F.sum(xc * xc).alias("sxx"),
                 F.sum(yc).alias("sy"),
                 F.sum(xc * yc).alias("sxy"),
+                F.min(xc).alias("mnx"),
+                F.max(xc).alias("mxx"),
             )
             .collect()
         )
@@ -219,11 +236,20 @@ class OptimalPWBinning:
         sxx = np.zeros(k)
         sy = np.zeros(k)
         sxy = np.zeros(k)
+        xmin, xmax = np.inf, -np.inf
         for r in rows:
             i = int(r["bin"])
             n[i], sx[i], sxx[i] = r["n"], r["sx"], r["sxx"]
             sy[i], sxy[i] = r["sy"], r["sxy"]
-        self._solve_ls(n, sx, sxx, sy, sxy)
+            xmin = min(xmin, r["mnx"])
+            xmax = max(xmax, r["mxx"])
+        # reference base.py:439-450 (continuous variant): auto trend
+        # from the per-bin target means over the optimal splits
+        means = sy / np.maximum(n, _EPS)
+        mono = self._resolve_monotonic(means)
+        self._solve_ls(n, sx, sxx, sy, sxy, monotonic=mono,
+                       xmin=float(xmin) if np.isfinite(xmin) else None,
+                       xmax=float(xmax) if np.isfinite(xmax) else None)
 
     def _fit_ls_points(self, xs, ys, ws, monotonic=None, xmin=None, xmax=None):
         """Weighted LSQ sufficient stats from driver-side points."""
@@ -292,35 +318,43 @@ class OptimalPWBinning:
                 A[row + j, d * (j + 1) + 1] = -s
         # inequality constraints: monotone slope signs + lb/ub bounds
         # at the endpoints of each linear piece
-        G_rows, h_vals = [], []
-        if monotonic in ("ascending", "descending") and self.degree == 1:
-            sgn = -1.0 if monotonic == "ascending" else 1.0
+        def bound_rows():
+            rows_, vals_ = [], []
+            if (self.lb is not None or self.ub is not None) and xmin is not None:
+                pts = [xmin] + [float(s) for s in self.splits_] + [xmax]
+                for b in range(k):
+                    for t in (pts[b], pts[b + 1]):
+                        if self.ub is not None:
+                            row = np.zeros(d * k)
+                            row[d * b] = 1.0
+                            row[d * b + 1] = t
+                            rows_.append(row)
+                            vals_.append(float(self.ub))
+                        if self.lb is not None:
+                            row = np.zeros(d * k)
+                            row[d * b] = -1.0
+                            row[d * b + 1] = -t
+                            rows_.append(row)
+                            vals_.append(-float(self.lb))
+            return rows_, vals_
+
+        def slope_rows(signs):
+            # signs[b] = +1 -> slope_b >= 0; -1 -> slope_b <= 0; 0 free
+            rows_, vals_ = [], []
             for b in range(k):
+                if signs[b] == 0:
+                    continue
                 row = np.zeros(d * k)
-                row[d * b + 1] = sgn  # sgn*c_b <= 0
-                G_rows.append(row)
-                h_vals.append(0.0)
-        if (self.lb is not None or self.ub is not None) and xmin is not None:
-            pts = [xmin] + [float(s) for s in self.splits_] + [xmax]
-            for b in range(k):
-                for t in (pts[b], pts[b + 1]):
-                    if self.ub is not None:
-                        row = np.zeros(d * k)
-                        row[d * b] = 1.0
-                        row[d * b + 1] = t
-                        G_rows.append(row)
-                        h_vals.append(float(self.ub))
-                    if self.lb is not None:
-                        row = np.zeros(d * k)
-                        row[d * b] = -1.0
-                        row[d * b + 1] = -t
-                        G_rows.append(row)
-                        h_vals.append(-float(self.lb))
-        if G_rows:
-            theta = _active_set_qp(
-                H, f, A, np.array(G_rows), np.array(h_vals)
-            )
-        else:
+                row[d * b + 1] = -float(signs[b])  # -sign*c_b <= 0
+                rows_.append(row)
+                vals_.append(0.0)
+            return rows_, vals_
+
+        def solve(G_rows, h_vals):
+            if G_rows:
+                return _active_set_qp(
+                    H, f, A, np.array(G_rows), np.array(h_vals)
+                )
             m = A.shape[0]
             KKT = np.zeros((d * k + m, d * k + m))
             KKT[: d * k, : d * k] = H
@@ -328,9 +362,34 @@ class OptimalPWBinning:
                 KKT[: d * k, d * k :] = A.T
                 KKT[d * k :, : d * k] = A
             rhs = np.concatenate([f, np.zeros(m)])
-            # ridge jitter for singular degenerate systems
+            # lstsq tolerates singular degenerate systems
             sol = np.linalg.lstsq(KKT, rhs, rcond=None)[0]
-            theta = sol[: d * k]
+            return sol[: d * k]
+
+        br, bv = bound_rows()
+        if monotonic in ("peak", "valley") and self.degree == 1:
+            # ropwr's peak/valley families allow ONE trend change
+            # point; the change position is not data-sized (k <= ~20),
+            # so enumerate it and keep the lowest-objective solution
+            # (reference piecewise monotonic_trend="peak"/"valley").
+            up = 1 if monotonic == "peak" else -1
+            best, best_obj = None, np.inf
+            for t in range(k + 1):
+                signs = [up] * t + [-up] * (k - t)
+                sr, sv = slope_rows(signs)
+                theta_t = solve(sr + br, sv + bv)
+                obj = 0.5 * theta_t @ H @ theta_t - f @ theta_t
+                if obj < best_obj - 1e-12:
+                    best, best_obj = theta_t, obj
+            theta = best
+        else:
+            G_rows, h_vals = list(br), list(bv)
+            if monotonic in ("ascending", "descending") and self.degree == 1:
+                sgn = 1 if monotonic == "ascending" else -1
+                sr, sv = slope_rows([sgn] * k)
+                G_rows += sr
+                h_vals += sv
+            theta = solve(G_rows, h_vals)
         self.coef0_ = theta[0::2]
         self.coef1_ = theta[1::2] if self.degree == 1 else np.zeros(k)
 

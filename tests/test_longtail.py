@@ -165,3 +165,26 @@ def test_piecewise_divergences_sane(spark):
     d = pw.divergences(df, "l_extendedprice", "y")
     assert d["iv"] >= 0.0 and d["js"] >= 0.0
     assert d["js"] <= 1.0
+
+
+def test_piecewise_peak_trend(spark):
+    """Auto trend classifies a peak shape and the QP allows exactly
+    one slope-sign change (ropwr monotonic_trend='peak' family)."""
+    rng = np.random.RandomState(11)
+    rows = []
+    for _ in range(4000):
+        x = float(rng.uniform(0, 10))
+        y = float(-((x - 6.0) ** 2) + 36.0 + rng.normal(0, 0.5))
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x double, y double")
+    pw = OptimalPWBinning(objective="continuous", degree=1)
+    pw.fit(df, "x", "y")
+    signs = np.sign(np.round(pw.coef1_, 10))
+    nz = signs[signs != 0]
+    # ascending run then descending run, single change point
+    changes = int(np.count_nonzero(np.diff(nz) != 0))
+    assert changes == 1 and nz[0] > 0 and nz[-1] < 0
+    # fit quality: the hat tracks the parabola closely
+    out = pw.transform(df, "x", out_col="yhat")
+    mae = out.agg(F.avg(F.abs(F.col("yhat") - F.col("y")))).first()[0]
+    assert mae < 1.5
