@@ -5,15 +5,15 @@ proposes bins; ropwr (cvxpy) fits a continuous piecewise polynomial of
 the target over x; transform evaluates the polynomial (clipped).
 
 Spark-native replacement: the piecewise least-squares fit with
-continuity constraints is an EXACT small KKT linear system whose
-coefficients are per-bin sufficient statistics
-(sum w, swx, swx2, swy, swxy, + degree-2 moments) — ONE grouped
-aggregation. No convex solver needed for the L2 objective the
-reference defaults to; monotonicity/robust objectives are documented
-as not supported in this version.
+smoothness constraints is an EXACT small KKT / active-set QP whose
+coefficients are per-bin sufficient statistics (sum w*x^p, p <= 2d,
+and sum w*y*x^p, p <= d) — ONE grouped aggregation for any degree.
+Monotonic trends (ascending/descending/peak/valley) become
+derivative-sign inequality rows; degree-d splines get C^{d-1}
+derivative-continuity equality rows (continuous_deriv).
 
-Transform (F6) is arithmetic on columns: coef0[bin] + coef1[bin]*x,
-clipped to [lb, ub] — map-only, SQL-expressible.
+Transform (F6) is arithmetic on columns: a per-bin Horner polynomial
+of (rescaled) x, clipped to [lb, ub] — map-only, SQL-expressible.
 """
 
 from __future__ import annotations
@@ -102,18 +102,22 @@ class OptimalPWBinning:
         objective: str = "binary",  # "binary" | "continuous"
         degree: int = 1,
         continuity: bool = True,
+        continuous_deriv: bool = True,
         prebinning_method: str = "quantile",
         max_n_prebins: int = 20,
         monotonic_trend: str | None = "auto",
         lb: float | None = None,
         ub: float | None = None,
     ):
-        if degree not in (0, 1):
-            raise ValueError("degree must be 0 or 1 in this version")
+        if not (0 <= int(degree) <= 5):
+            raise ValueError("degree must be in [0, 5]")
         self.name = name
         self.objective = objective
-        self.degree = degree
-        self.continuity = continuity
+        self.degree = int(degree)
+        self.continuity = continuity and self.degree >= 1
+        # reference default: degree-d splines with C^{d-1} smoothness
+        # (piecewise/binning.py:58-61); only meaningful above linear
+        self.continuous_deriv = continuous_deriv
         self.prebinning_method = prebinning_method
         self.max_n_prebins = max_n_prebins
         self.monotonic_trend = monotonic_trend
@@ -128,19 +132,24 @@ class OptimalPWBinning:
         if ub is not None:
             self.ub = ub
         # stage 1: inner optimal binning proposes the knots (reference
-        # piecewise/base.py:380-401 — the standard binary/continuous
-        # OptimalBinning with the same defaults)
+        # piecewise/base.py:359-401 — the standard binary/continuous
+        # OptimalBinning; concave/convex stay a QP-only constraint and
+        # the inner binning runs with "auto")
+        inner_trend = (
+            "auto" if self.monotonic_trend in ("concave", "convex")
+            else self.monotonic_trend
+        )
         if self.objective == "binary":
             inner = OptimalBinning(
                 prebinning_method=self.prebinning_method,
                 max_n_prebins=self.max_n_prebins,
-                monotonic_trend=self.monotonic_trend,
+                monotonic_trend=inner_trend,
             )
         else:
             inner = ContinuousOptimalBinning(
                 prebinning_method=self.prebinning_method,
                 max_n_prebins=self.max_n_prebins,
-                monotonic_trend=self.monotonic_trend,
+                monotonic_trend=inner_trend,
             )
         inner.fit(df, x, y)
         self.splits_ = np.asarray(inner.splits, dtype=float)
@@ -209,145 +218,184 @@ class OptimalPWBinning:
         return self.monotonic_trend
 
     def _fit_ls_on_target(self, df, x, y):
-        """Continuous objective: LSQ of y over x (one aggregation of
-        per-bin moments)."""
+        """Continuous objective: LSQ of y over x — one aggregation of
+        per-bin moments sum(x^p) p<=2d and sum(y*x^p) p<=d. For
+        degree>=2 x is first affinely rescaled to [-1, 1] (one cheap
+        min/max agg) so the raw-moment normal equations stay
+        conditioned; the rescale is folded into the transform."""
         xc = F.col(x).cast("double")
         yc = F.col(y).cast("double")
         clean = df.filter(
             xc.isNotNull() & ~F.isnan(xc) & yc.isNotNull() & ~F.isnan(yc)
         )
+        deg = self.degree
+        if deg >= 2:
+            r = clean.agg(F.min(xc).alias("mn"), F.max(xc).alias("mx")).first()
+            self._set_scale(r["mn"], r["mx"])
+        else:
+            self._set_scale(None, None)
+        xs = (xc - F.lit(self._xc)) / F.lit(self._xs)
         b = numeric_bin_expr(xc, self.splits_)
-        rows = (
-            clean.groupBy(b.alias("bin"))
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(xc).alias("sx"),
-                F.sum(xc * xc).alias("sxx"),
-                F.sum(yc).alias("sy"),
-                F.sum(xc * yc).alias("sxy"),
-                F.min(xc).alias("mnx"),
-                F.max(xc).alias("mxx"),
-            )
-            .collect()
-        )
+        aggs = [F.count("*").alias("n")]
+        aggs += [
+            F.sum(F.pow(xs, p)).alias(f"mx_{p}") for p in range(1, 2 * deg + 1)
+        ]
+        aggs += [
+            F.sum(yc * F.pow(xs, p)).alias(f"my_{p}") for p in range(deg + 1)
+        ]
+        aggs += [F.min(xs).alias("mnx"), F.max(xs).alias("mxx")]
+        rows = clean.groupBy(b.alias("bin")).agg(*aggs).collect()
         k = len(self.splits_) + 1
-        n = np.zeros(k)
-        sx = np.zeros(k)
-        sxx = np.zeros(k)
-        sy = np.zeros(k)
-        sxy = np.zeros(k)
+        Mx = np.zeros((2 * deg + 1, k))
+        My = np.zeros((deg + 1, k))
         xmin, xmax = np.inf, -np.inf
         for r in rows:
             i = int(r["bin"])
-            n[i], sx[i], sxx[i] = r["n"], r["sx"], r["sxx"]
-            sy[i], sxy[i] = r["sy"], r["sxy"]
+            Mx[0, i] = r["n"]
+            for p in range(1, 2 * deg + 1):
+                Mx[p, i] = r[f"mx_{p}"]
+            for p in range(deg + 1):
+                My[p, i] = r[f"my_{p}"]
             xmin = min(xmin, r["mnx"])
             xmax = max(xmax, r["mxx"])
         # reference base.py:439-450 (continuous variant): auto trend
         # from the per-bin target means over the optimal splits
-        means = sy / np.maximum(n, _EPS)
+        means = My[0] / np.maximum(Mx[0], _EPS)
         mono = self._resolve_monotonic(means)
-        self._solve_ls(n, sx, sxx, sy, sxy, monotonic=mono,
+        self._solve_ls(Mx, My, monotonic=mono,
                        xmin=float(xmin) if np.isfinite(xmin) else None,
                        xmax=float(xmax) if np.isfinite(xmax) else None)
 
+    def _set_scale(self, mn, mx):
+        """Affine x -> (x - c)/s used for degree>=2 conditioning;
+        identity for degree<=1 (exact backward parity)."""
+        if mn is None or mx is None or not np.isfinite([mn, mx]).all() \
+                or mx <= mn:
+            self._xc, self._xs = 0.0, 1.0
+        else:
+            self._xc = (float(mx) + float(mn)) / 2.0
+            self._xs = (float(mx) - float(mn)) / 2.0
+
+    @property
+    def _scaled_splits(self):
+        return (np.asarray(self.splits_, dtype=float) - self._xc) / self._xs
+
     def _fit_ls_points(self, xs, ys, ws, monotonic=None, xmin=None, xmax=None):
         """Weighted LSQ sufficient stats from driver-side points."""
+        deg = self.degree
+        if deg >= 2 and len(xs):
+            self._set_scale(float(np.min(xs)), float(np.max(xs)))
+        else:
+            self._set_scale(None, None)
+        xsc = (np.asarray(xs, dtype=float) - self._xc) / self._xs
         k = len(self.splits_) + 1
         idx = np.digitize(xs, self.splits_) if len(self.splits_) else np.zeros(
             len(xs), dtype=int
         )
-        n = np.zeros(k)
-        sx = np.zeros(k)
-        sxx = np.zeros(k)
-        sy = np.zeros(k)
-        sxy = np.zeros(k)
+        Mx = np.zeros((2 * deg + 1, k))
+        My = np.zeros((deg + 1, k))
         for b in range(k):
             m = idx == b
-            wm = ws[m]
-            n[b] = wm.sum()
-            sx[b] = (wm * xs[m]).sum()
-            sxx[b] = (wm * xs[m] * xs[m]).sum()
-            sy[b] = (wm * ys[m]).sum()
-            sxy[b] = (wm * xs[m] * ys[m]).sum()
-        self._solve_ls(n, sx, sxx, sy, sxy, monotonic=monotonic,
-                       xmin=xmin, xmax=xmax)
+            wm = np.asarray(ws, dtype=float)[m]
+            xb = xsc[m]
+            yb = np.asarray(ys, dtype=float)[m]
+            for p in range(2 * deg + 1):
+                Mx[p, b] = (wm * xb**p).sum()
+            for p in range(deg + 1):
+                My[p, b] = (wm * yb * xb**p).sum()
+        self._solve_ls(
+            Mx, My, monotonic=monotonic,
+            xmin=(xmin - self._xc) / self._xs if xmin is not None else None,
+            xmax=(xmax - self._xc) / self._xs if xmax is not None else None,
+        )
 
-    def _solve_ls(self, n, sx, sxx, sy, sxy, monotonic=None, xmin=None,
-                  xmax=None):
-        """Exact KKT / active-set QP solve of the
-        continuity-constrained piecewise LS, with optional monotonic
-        slope-sign constraints and lb/ub bound constraints at the
-        piece endpoints (matching ropwr's constraint families for the
-        L2 objective).
+    def _solve_ls(self, Mx, My, monotonic=None, xmin=None, xmax=None):
+        """Exact KKT / active-set QP solve of the smoothness-
+        constrained piecewise-polynomial LS (ropwr's L2 constraint
+        families, piecewise/base.py:459-474):
 
-        Parameters theta = (a_0, c_0, ..., a_{k-1}, c_{k-1}) with bin
-        model y ~ a_b + c_b x (c_b = 0 for degree 0). Objective is the
-        sum of per-bin quadratic forms built from sufficient stats;
-        constraints a_b + c_b s = a_{b+1} + c_{b+1} s at each knot."""
-        k = len(n)
-        d = 2  # params per bin (intercept, slope)
-        H = np.zeros((d * k, d * k))
-        f = np.zeros(d * k)
+        - objective: per-bin quadratic forms H_b[p,q] = sum(w x^{p+q}),
+          f_b[p] = sum(w y x^p) — additive sufficient statistics;
+        - equalities: value continuity at each knot, plus C^{d-1}
+          derivative continuity when continuous_deriv (splines);
+        - inequalities: derivative-sign monotonicity and lb/ub bounds,
+          enforced at each piece's endpoints (+ midpoint for degree>=2,
+          where the extremum can be interior).
+
+        All arrays are in the rescaled x domain (see _set_scale)."""
+        deg = self.degree
+        k = Mx.shape[1]
+        P = deg + 1  # params per bin
+        H = np.zeros((P * k, P * k))
+        f = np.zeros(P * k)
         for b in range(k):
-            if n[b] <= 0:
-                # tie degenerate bins to zero slope / neighbor mean
-                H[d * b, d * b] = 1.0
-                H[d * b + 1, d * b + 1] = 1.0
+            if Mx[0, b] <= 0:
+                # tie degenerate bins via identity block (continuity
+                # rows then pin them to the neighbours)
+                for p in range(P):
+                    H[P * b + p, P * b + p] = 1.0
                 continue
-            H[d * b, d * b] = n[b]
-            H[d * b, d * b + 1] = sx[b]
-            H[d * b + 1, d * b] = sx[b]
-            H[d * b + 1, d * b + 1] = sxx[b] if self.degree == 1 else 1.0
-            f[d * b] = sy[b]
-            f[d * b + 1] = sxy[b] if self.degree == 1 else 0.0
-        if self.degree == 0:
-            # force slopes to 0 via constraints
-            A = np.zeros((k + (k - 1 if self.continuity else 0), d * k))
-            for b in range(k):
-                A[b, d * b + 1] = 1.0
-            row = k
-        else:
-            A = np.zeros(((k - 1 if self.continuity else 0), d * k))
-            row = 0
+            for p in range(P):
+                for q in range(P):
+                    H[P * b + p, P * b + q] = Mx[p + q, b]
+                f[P * b + p] = My[p, b]
+
+        splits = self._scaled_splits
+
+        def deriv_row(b, t, order):
+            """Row of d^order/dx^order at point t for bin b."""
+            row = np.zeros(P * k)
+            for j in range(order, P):
+                c = 1.0
+                for r in range(order):
+                    c *= j - r
+                row[P * b + j] = c * t ** (j - order)
+            return row
+
+        eq_rows = []
         if self.continuity:
-            for j, s in enumerate(self.splits_):
-                A[row + j, d * j] = 1.0
-                A[row + j, d * j + 1] = s
-                A[row + j, d * (j + 1)] = -1.0
-                A[row + j, d * (j + 1) + 1] = -s
-        # inequality constraints: monotone slope signs + lb/ub bounds
-        # at the endpoints of each linear piece
+            max_order = deg - 1 if (self.continuous_deriv and deg >= 2) else 0
+            for j, s in enumerate(splits):
+                for order in range(max_order + 1):
+                    eq_rows.append(
+                        deriv_row(j, s, order) - deriv_row(j + 1, s, order)
+                    )
+        A = np.array(eq_rows) if eq_rows else np.zeros((0, P * k))
+
+        def piece_points(b):
+            pts_all = (
+                [xmin if xmin is not None else (splits[0] - 1.0 if len(splits) else 0.0)]
+                + [float(s) for s in splits]
+                + [xmax if xmax is not None else (splits[-1] + 1.0 if len(splits) else 1.0)]
+            )
+            lo_, hi_ = pts_all[b], pts_all[b + 1]
+            if deg >= 2:
+                return [lo_, 0.5 * (lo_ + hi_), hi_]
+            return [lo_, hi_]
+
         def bound_rows():
             rows_, vals_ = [], []
             if (self.lb is not None or self.ub is not None) and xmin is not None:
-                pts = [xmin] + [float(s) for s in self.splits_] + [xmax]
                 for b in range(k):
-                    for t in (pts[b], pts[b + 1]):
+                    for t in piece_points(b):
                         if self.ub is not None:
-                            row = np.zeros(d * k)
-                            row[d * b] = 1.0
-                            row[d * b + 1] = t
-                            rows_.append(row)
+                            rows_.append(deriv_row(b, t, 0))
                             vals_.append(float(self.ub))
                         if self.lb is not None:
-                            row = np.zeros(d * k)
-                            row[d * b] = -1.0
-                            row[d * b + 1] = -t
-                            rows_.append(row)
+                            rows_.append(-deriv_row(b, t, 0))
                             vals_.append(-float(self.lb))
             return rows_, vals_
 
         def slope_rows(signs):
-            # signs[b] = +1 -> slope_b >= 0; -1 -> slope_b <= 0; 0 free
+            # signs[b] = +1 -> f' >= 0 on piece b; -1 -> f' <= 0; 0 free
             rows_, vals_ = [], []
             for b in range(k):
-                if signs[b] == 0:
+                if signs[b] == 0 or deg == 0:
                     continue
-                row = np.zeros(d * k)
-                row[d * b + 1] = -float(signs[b])  # -sign*c_b <= 0
-                rows_.append(row)
-                vals_.append(0.0)
+                pts = piece_points(b) if deg >= 2 else [piece_points(b)[0]]
+                for t in pts:
+                    rows_.append(-float(signs[b]) * deriv_row(b, t, 1))
+                    vals_.append(0.0)
             return rows_, vals_
 
         def solve(G_rows, h_vals):
@@ -356,18 +404,41 @@ class OptimalPWBinning:
                     H, f, A, np.array(G_rows), np.array(h_vals)
                 )
             m = A.shape[0]
-            KKT = np.zeros((d * k + m, d * k + m))
-            KKT[: d * k, : d * k] = H
+            KKT = np.zeros((P * k + m, P * k + m))
+            KKT[: P * k, : P * k] = H
             if m:
-                KKT[: d * k, d * k :] = A.T
-                KKT[d * k :, : d * k] = A
+                KKT[: P * k, P * k :] = A.T
+                KKT[P * k :, : P * k] = A
             rhs = np.concatenate([f, np.zeros(m)])
             # lstsq tolerates singular degenerate systems
             sol = np.linalg.lstsq(KKT, rhs, rcond=None)[0]
-            return sol[: d * k]
+            return sol[: P * k]
+
+        def curvature_rows(sign):
+            # sign=+1 -> convex (f'' >= 0), -1 -> concave: second-
+            # derivative sign inside pieces (deg>=2) plus derivative
+            # ordering across knots (covers deg==1 splines and non-C1
+            # configurations)
+            rows_, vals_ = [], []
+            if deg >= 2:
+                for b in range(k):
+                    for t in piece_points(b):
+                        rows_.append(-float(sign) * deriv_row(b, t, 2))
+                        vals_.append(0.0)
+            if deg >= 1:
+                for j, s in enumerate(splits):
+                    rows_.append(
+                        -float(sign)
+                        * (deriv_row(j + 1, s, 1) - deriv_row(j, s, 1))
+                    )
+                    vals_.append(0.0)
+            return rows_, vals_
 
         br, bv = bound_rows()
-        if monotonic in ("peak", "valley") and self.degree == 1:
+        if monotonic in ("concave", "convex") and deg >= 1:
+            sr, sv = curvature_rows(1 if monotonic == "convex" else -1)
+            theta = solve(sr + br, sv + bv)
+        elif monotonic in ("peak", "valley") and deg >= 1:
             # ropwr's peak/valley families allow ONE trend change
             # point; the change position is not data-sized (k <= ~20),
             # so enumerate it and keep the lowest-objective solution
@@ -384,22 +455,30 @@ class OptimalPWBinning:
             theta = best
         else:
             G_rows, h_vals = list(br), list(bv)
-            if monotonic in ("ascending", "descending") and self.degree == 1:
+            if monotonic in ("ascending", "descending") and deg >= 1:
                 sgn = 1 if monotonic == "ascending" else -1
                 sr, sv = slope_rows([sgn] * k)
                 G_rows += sr
                 h_vals += sv
             theta = solve(G_rows, h_vals)
-        self.coef0_ = theta[0::2]
-        self.coef1_ = theta[1::2] if self.degree == 1 else np.zeros(k)
+        self.coefs_ = theta.reshape(k, P)
+        self.coef0_ = self.coefs_[:, 0].copy()
+        self.coef1_ = (
+            self.coefs_[:, 1].copy() if deg >= 1 else np.zeros(k)
+        )
 
     # ------------------------------------------------------------------
     def transform_expr(self, col, metric: str = "mean"):
         self._check()
         splits = list(self.splits_)
+        xs = (col - F.lit(self._xc)) / F.lit(self._xs)
         expr = None
         for i in range(len(splits) + 1):
-            val = F.lit(float(self.coef0_[i])) + F.lit(float(self.coef1_[i])) * col
+            # Horner evaluation of the bin polynomial on rescaled x
+            coefs = self.coefs_[i]
+            val = F.lit(float(coefs[-1]))
+            for c in coefs[-2::-1]:
+                val = F.lit(float(c)) + xs * val
             if i < len(splits):
                 cond = col < float(splits[i])
                 expr = F.when(cond, val) if expr is None else expr.when(cond, val)

@@ -188,3 +188,74 @@ def test_piecewise_peak_trend(spark):
     out = pw.transform(df, "x", out_col="yhat")
     mae = out.agg(F.avg(F.abs(F.col("yhat") - F.col("y")))).first()[0]
     assert mae < 1.5
+
+
+def test_piecewise_degree2_spline(spark):
+    """Degree-2 spline (C1 continuity, reference continuous_deriv
+    default) recovers a smooth quadratic and is C1 at every knot."""
+    rng = np.random.RandomState(12)
+    rows = []
+    for _ in range(4000):
+        x = float(rng.uniform(0, 10))
+        y = float(0.5 * x * x - 2.0 * x + 3.0 + rng.normal(0, 0.3))
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x double, y double")
+    pw = OptimalPWBinning(objective="continuous", degree=2,
+                          monotonic_trend=None)
+    pw.fit(df, "x", "y")
+    out = pw.transform(df, "x", out_col="yhat")
+    mae = out.agg(F.avg(F.abs(F.col("yhat") - F.col("y")))).first()[0]
+    assert mae < 0.5
+    # C0 and C1 continuity at each knot (in the rescaled domain)
+    ss = pw._scaled_splits
+    for j, s in enumerate(ss):
+        cl, cr = pw.coefs_[j], pw.coefs_[j + 1]
+        vl = cl[0] + cl[1] * s + cl[2] * s * s
+        vr = cr[0] + cr[1] * s + cr[2] * s * s
+        assert vl == pytest.approx(vr, abs=1e-6)
+        dl = cl[1] + 2 * cl[2] * s
+        dr = cr[1] + 2 * cr[2] * s
+        assert dl == pytest.approx(dr, abs=1e-5)
+
+
+def test_piecewise_degree2_monotone_bounds(spark):
+    """Degree-2 with ascending trend + bounds: fitted curve respects
+    f' >= 0 and lb/ub at the checked points."""
+    rng = np.random.RandomState(13)
+    rows = []
+    for _ in range(3000):
+        x = float(rng.uniform(0, 10))
+        y = float(1.0 / (1.0 + np.exp(-(x - 5.0))) + rng.normal(0, 0.05))
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x double, y double")
+    pw = OptimalPWBinning(objective="continuous", degree=2,
+                          monotonic_trend="ascending", lb=0.0, ub=1.0)
+    pw.fit(df, "x", "y")
+    grid = spark.createDataFrame(
+        [(float(v),) for v in np.linspace(0.01, 9.99, 200)], "x double")
+    vals = [r["p"] for r in
+            pw.transform(grid, "x", out_col="p").orderBy("x").collect()]
+    assert min(vals) >= -1e-6 and max(vals) <= 1.0 + 1e-6
+    diffs = np.diff(np.array(vals))
+    assert diffs.min() > -1e-3  # monotone up to grid noise
+
+
+def test_piecewise_convex_degree2(spark):
+    """monotonic_trend='convex' (reference test_binning_piecewise.py:83
+    family): f'' >= 0 within pieces and f' ordered across knots."""
+    rng = np.random.RandomState(14)
+    rows = []
+    for _ in range(3000):
+        x = float(rng.uniform(-3, 3))
+        y = float(x * x + rng.normal(0, 0.2))
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x double, y double")
+    pw = OptimalPWBinning(objective="continuous", degree=2,
+                          monotonic_trend="convex")
+    pw.fit(df, "x", "y")
+    # convexity: quadratic coefficient of every piece is >= 0
+    assert (pw.coefs_[:, 2] >= -1e-8).all()
+    # and the fit still tracks the parabola
+    out = pw.transform(df, "x", out_col="yhat")
+    mae = out.agg(F.avg(F.abs(F.col("yhat") - F.col("y")))).first()[0]
+    assert mae < 0.5
