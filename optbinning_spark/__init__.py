@@ -36,6 +36,10 @@ _LAZY = {
         "ContinuousOptimalBinning2D",
     ),
     "OptimalPWBinning": ("optbinning_spark.piecewise", "OptimalPWBinning"),
+    "ContinuousOptimalPWBinning": (
+        "optbinning_spark.piecewise",
+        "ContinuousOptimalPWBinning",
+    ),
     "OptimalBinningSketch": (
         "optbinning_spark.streaming.sketch",
         "OptimalBinningSketch",

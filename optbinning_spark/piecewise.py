@@ -99,18 +99,34 @@ class OptimalPWBinning:
     def __init__(
         self,
         name: str = "",
-        objective: str = "binary",  # "binary" | "continuous"
+        objective: str = "binary",  # "binary" | "continuous" (problem type)
         degree: int = 1,
         continuity: bool = True,
         continuous_deriv: bool = True,
         prebinning_method: str = "quantile",
         max_n_prebins: int = 20,
+        min_prebin_size: float = 0.05,
+        min_n_bins: int | None = None,
+        max_n_bins: int | None = None,
+        min_bin_size: float | None = None,
+        max_bin_size: float | None = None,
         monotonic_trend: str | None = "auto",
+        max_pvalue: float | None = None,
+        special_codes=None,
+        user_splits=None,
+        outlier_detector: str | None = None,
+        outlier_params: dict | None = None,
+        loss: str = "l2",  # reference ropwr 'objective': l2|l1|huber|quantile
+        h_epsilon: float = 1.35,
+        quantile: float = 0.5,
+        n_subsamples: int = 200_000,
         lb: float | None = None,
         ub: float | None = None,
     ):
         if not (0 <= int(degree) <= 5):
             raise ValueError("degree must be in [0, 5]")
+        if loss not in ("l2", "l1", "huber", "quantile"):
+            raise ValueError("loss must be l2|l1|huber|quantile")
         self.name = name
         self.objective = objective
         self.degree = int(degree)
@@ -120,7 +136,21 @@ class OptimalPWBinning:
         self.continuous_deriv = continuous_deriv
         self.prebinning_method = prebinning_method
         self.max_n_prebins = max_n_prebins
+        self.min_prebin_size = min_prebin_size
+        self.min_n_bins = min_n_bins
+        self.max_n_bins = max_n_bins
+        self.min_bin_size = min_bin_size
+        self.max_bin_size = max_bin_size
         self.monotonic_trend = monotonic_trend
+        self.max_pvalue = max_pvalue
+        self.special_codes = special_codes
+        self.user_splits = user_splits
+        self.outlier_detector = outlier_detector
+        self.outlier_params = outlier_params
+        self.loss = loss
+        self.h_epsilon = float(h_epsilon)
+        self.quantile = float(quantile)
+        self.n_subsamples = n_subsamples
         self.lb = lb
         self.ub = ub
         self._fitted = False
@@ -139,18 +169,25 @@ class OptimalPWBinning:
             "auto" if self.monotonic_trend in ("concave", "convex")
             else self.monotonic_trend
         )
+        inner_kw = dict(
+            prebinning_method=self.prebinning_method,
+            max_n_prebins=self.max_n_prebins,
+            min_prebin_size=self.min_prebin_size,
+            min_n_bins=self.min_n_bins,
+            max_n_bins=self.max_n_bins,
+            min_bin_size=self.min_bin_size,
+            max_bin_size=self.max_bin_size,
+            monotonic_trend=inner_trend,
+            max_pvalue=self.max_pvalue,
+            special_codes=self.special_codes,
+            user_splits=self.user_splits,
+            outlier_detector=self.outlier_detector,
+            outlier_params=self.outlier_params,
+        )
         if self.objective == "binary":
-            inner = OptimalBinning(
-                prebinning_method=self.prebinning_method,
-                max_n_prebins=self.max_n_prebins,
-                monotonic_trend=inner_trend,
-            )
+            inner = OptimalBinning(**inner_kw)
         else:
-            inner = ContinuousOptimalBinning(
-                prebinning_method=self.prebinning_method,
-                max_n_prebins=self.max_n_prebins,
-                monotonic_trend=inner_trend,
-            )
+            inner = ContinuousOptimalBinning(**inner_kw)
         inner.fit(df, x, y)
         self.splits_ = np.asarray(inner.splits, dtype=float)
         self.inner_ = inner
@@ -175,9 +212,16 @@ class OptimalPWBinning:
         over the bins. Sufficient statistics are the per-distinct-value
         class counts — one aggregation (shared histogram contract)."""
         from .operators.prebinning import value_histogram
+        from .operators.preprocessing import clean_value_expr
 
+        work = df.withColumn(
+            "__pw_x",
+            clean_value_expr(
+                F.col(x).cast("double"), "numerical", self.special_codes
+            ),
+        )
         values, stats = value_histogram(
-            df, x, y, None, task="classification", classes=[0, 1]
+            work, "__pw_x", y, None, task="classification", classes=[0, 1]
         )
         n0, n1 = stats[:, 0], stats[:, 1]
         w = n0 + n1
@@ -222,12 +266,43 @@ class OptimalPWBinning:
         per-bin moments sum(x^p) p<=2d and sum(y*x^p) p<=d. For
         degree>=2 x is first affinely rescaled to [-1, 1] (one cheap
         min/max agg) so the raw-moment normal equations stay
-        conditioned; the rescale is folded into the transform."""
-        xc = F.col(x).cast("double")
-        yc = F.col(y).cast("double")
-        clean = df.filter(
-            xc.isNotNull() & ~F.isnan(xc) & yc.isNotNull() & ~F.isnan(yc)
+        conditioned; the rescale is folded into the transform.
+
+        Robust losses (l1/huber/quantile) are not expressible as one
+        moment aggregation; they run IRLS on a driver-side subsample —
+        the reference's own n_subsamples mechanism
+        (piecewise/base.py:412-427)."""
+        from .operators.preprocessing import clean_value_expr
+
+        xc = clean_value_expr(
+            F.col(x).cast("double"), "numerical", self.special_codes
         )
+        yc = F.col(y).cast("double")
+        clean = df.select(xc.alias("__pw_x"), yc.alias("__pw_y")).filter(
+            F.col("__pw_x").isNotNull()
+            & F.col("__pw_y").isNotNull() & ~F.isnan(F.col("__pw_y"))
+        )
+        xc = F.col("__pw_x")
+        yc = F.col("__pw_y")
+        if self.loss != "l2":
+            n_rows = clean.count()
+            frac = min(1.0, 1.1 * self.n_subsamples / max(n_rows, 1))
+            pts = (clean.sample(False, frac, seed=42) if frac < 1.0
+                   else clean).limit(self.n_subsamples).collect()
+            xs = np.array([r["__pw_x"] for r in pts])
+            ys = np.array([r["__pw_y"] for r in pts])
+            b_idx = (np.digitize(xs, self.splits_) if len(self.splits_)
+                     else np.zeros(len(xs), dtype=int))
+            k = len(self.splits_) + 1
+            means = np.array([
+                ys[b_idx == b].mean() if (b_idx == b).any() else np.nan
+                for b in range(k)
+            ])
+            mono = self._resolve_monotonic(means[~np.isnan(means)]
+                                           if np.isnan(means).any() else means)
+            self._fit_ls_points(xs, ys, np.ones_like(xs), monotonic=mono,
+                                xmin=float(xs.min()), xmax=float(xs.max()))
+            return
         deg = self.degree
         if deg >= 2:
             r = clean.agg(F.min(xc).alias("mn"), F.max(xc).alias("mx")).first()
@@ -280,34 +355,76 @@ class OptimalPWBinning:
     def _scaled_splits(self):
         return (np.asarray(self.splits_, dtype=float) - self._xc) / self._xs
 
+    def _irls_weights(self, r):
+        """Per-point IRLS multipliers for the robust losses (the
+        classical majorize-minimize weights: l1 -> 1/|r|, huber ->
+        min(1, h/|r|), quantile -> |tau - 1[r<0]|/|r|)."""
+        ar = np.maximum(np.abs(r), 1e-8)
+        if self.loss == "l1":
+            return 1.0 / ar
+        if self.loss == "huber":
+            return np.minimum(1.0, self.h_epsilon / ar)
+        if self.loss == "quantile":
+            tau = self.quantile
+            return np.where(r >= 0, tau, 1.0 - tau) / ar
+        return np.ones_like(r)
+
+    def _eval_points(self, xsc, idx):
+        """Evaluate the fitted per-bin polynomials at scaled points."""
+        out = np.zeros(len(xsc))
+        for b in range(self.coefs_.shape[0]):
+            m = idx == b
+            if m.any():
+                out[m] = np.polyval(self.coefs_[b][::-1], xsc[m])
+        return out
+
     def _fit_ls_points(self, xs, ys, ws, monotonic=None, xmin=None, xmax=None):
-        """Weighted LSQ sufficient stats from driver-side points."""
+        """Weighted LSQ sufficient stats from driver-side points; for
+        robust losses, IRLS — each iteration re-solves the constrained
+        QP with reweighted moments (weights are the standard
+        majorize-minimize multipliers), so monotonicity/continuity/
+        bound constraints hold at every iterate."""
         deg = self.degree
         if deg >= 2 and len(xs):
             self._set_scale(float(np.min(xs)), float(np.max(xs)))
         else:
             self._set_scale(None, None)
-        xsc = (np.asarray(xs, dtype=float) - self._xc) / self._xs
+        xs = np.asarray(xs, dtype=float)
+        ys = np.asarray(ys, dtype=float)
+        ws = np.asarray(ws, dtype=float)
+        xsc = (xs - self._xc) / self._xs
         k = len(self.splits_) + 1
         idx = np.digitize(xs, self.splits_) if len(self.splits_) else np.zeros(
             len(xs), dtype=int
         )
-        Mx = np.zeros((2 * deg + 1, k))
-        My = np.zeros((deg + 1, k))
-        for b in range(k):
-            m = idx == b
-            wm = np.asarray(ws, dtype=float)[m]
-            xb = xsc[m]
-            yb = np.asarray(ys, dtype=float)[m]
-            for p in range(2 * deg + 1):
-                Mx[p, b] = (wm * xb**p).sum()
-            for p in range(deg + 1):
-                My[p, b] = (wm * yb * xb**p).sum()
-        self._solve_ls(
-            Mx, My, monotonic=monotonic,
-            xmin=(xmin - self._xc) / self._xs if xmin is not None else None,
-            xmax=(xmax - self._xc) / self._xs if xmax is not None else None,
-        )
+        sx_min = (xmin - self._xc) / self._xs if xmin is not None else None
+        sx_max = (xmax - self._xc) / self._xs if xmax is not None else None
+        xpow = np.vstack([xsc**p for p in range(2 * deg + 1)])
+
+        def solve_weighted(w_eff):
+            Mx = np.zeros((2 * deg + 1, k))
+            My = np.zeros((deg + 1, k))
+            for b in range(k):
+                m = idx == b
+                wm = w_eff[m]
+                for p in range(2 * deg + 1):
+                    Mx[p, b] = (wm * xpow[p][m]).sum()
+                for p in range(deg + 1):
+                    My[p, b] = (wm * ys[m] * xpow[p][m]).sum()
+            self._solve_ls(Mx, My, monotonic=monotonic,
+                           xmin=sx_min, xmax=sx_max)
+
+        solve_weighted(ws)
+        if self.loss == "l2":
+            return
+        for _ in range(40):
+            prev = self.coefs_.copy()
+            r = ys - self._eval_points(xsc, idx)
+            solve_weighted(ws * self._irls_weights(r))
+            if np.max(np.abs(self.coefs_ - prev)) < 1e-8 * (
+                1.0 + np.max(np.abs(prev))
+            ):
+                break
 
     def _solve_ls(self, Mx, My, monotonic=None, xmin=None, xmax=None):
         """Exact KKT / active-set QP solve of the smoothness-
@@ -468,7 +585,25 @@ class OptimalPWBinning:
         )
 
     # ------------------------------------------------------------------
-    def transform_expr(self, col, metric: str = "mean"):
+    def _empirical_value(self, stats: dict, metric: str):
+        """Empirical special/missing metric from the inner binning
+        table's stats dict (reference piecewise/transformations.py
+        'empirical' policy)."""
+        if self.objective == "binary":
+            ne = float(stats.get("n_nonevent", 0.0))
+            ev = float(stats.get("n_event", 0.0))
+            er = ev / max(ev + ne, _EPS)
+            if metric == "woe":
+                p = min(max(er, 1e-12), 1 - 1e-12)
+                ratio = float(self._t_ev) / max(float(self._t_ne), _EPS)
+                return float(np.log((1.0 / p - 1.0) * ratio))
+            return er
+        n = float(stats.get("n_records", 0.0))
+        s = float(stats.get("sum_y", stats.get("sum", 0.0)) or 0.0)
+        return s / max(n, _EPS)
+
+    def transform_expr(self, col, metric: str = "mean",
+                       metric_special=0, metric_missing=0):
         self._check()
         splits = list(self.splits_)
         xs = (col - F.lit(self._xc)) / F.lit(self._xs)
@@ -488,20 +623,48 @@ class OptimalPWBinning:
             expr = F.greatest(expr, F.lit(float(self.lb)))
         if self.ub is not None:
             expr = F.least(expr, F.lit(float(self.ub)))
-        if metric in ("mean", "event_rate"):
-            return expr
         if metric == "woe":
             # reference transform_event_rate_to_woe
             # (transformations.py:19-37): log((1/er - 1) * tE/tNE) with
             # totals incl. special+missing
             p = F.greatest(F.least(expr, F.lit(1 - 1e-12)), F.lit(1e-12))
             ratio = float(self._t_ev) / max(float(self._t_ne), _EPS)
-            return F.log((F.lit(1.0) / p - 1.0) * F.lit(ratio))
-        raise ValueError(f"unknown metric {metric}")
+            expr = F.log((F.lit(1.0) / p - 1.0) * F.lit(ratio))
+        elif metric not in ("mean", "event_rate"):
+            raise ValueError(f"unknown metric {metric}")
+        # special / missing routing (reference
+        # piecewise/transformations.py:62-137): fixed value or
+        # 'empirical' from the inner table's special/missing stats
+        t = self.inner_.binning_table
+        from .operators.preprocessing import normalize_special_codes
 
-    def transform(self, df, x, metric="mean", out_col=None):
+        groups = normalize_special_codes(self.special_codes)
+        if groups:
+            all_specials = [v for vs in groups.values() for v in vs]
+            if metric_special == "empirical":
+                agg: dict = {}
+                for g_stats in t.special_stats.values():
+                    for key, v in g_stats.items():
+                        agg[key] = agg.get(key, 0.0) + float(v or 0.0)
+                sp_val = self._empirical_value(agg, metric)
+            else:
+                sp_val = float(metric_special)
+            expr = F.when(
+                col.isin([float(v) for v in all_specials]), F.lit(sp_val)
+            ).otherwise(expr)
+        mi_val = (
+            self._empirical_value(t.missing_stats, metric)
+            if metric_missing == "empirical" else float(metric_missing)
+        )
+        expr = F.when(col.isNull() | F.isnan(col), F.lit(mi_val)).otherwise(expr)
+        return expr
+
+    def transform(self, df, x, metric="mean", out_col=None,
+                  metric_special=0, metric_missing=0):
         return df.withColumn(
-            out_col or f"{x}_pw", self.transform_expr(F.col(x).cast("double"), metric)
+            out_col or f"{x}_pw",
+            self.transform_expr(F.col(x).cast("double"), metric,
+                                metric_special, metric_missing),
         )
 
     def divergences(self, df: DataFrame, x: str, y: str) -> dict:
@@ -510,9 +673,16 @@ class OptimalPWBinning:
         pi = (1-er)/(1-p), qi = er/p, divergence averaged over clean
         samples. ONE aggregation over the transformed column."""
         self._check()
-        xc = F.col(x).cast("double")
-        clean = df.filter(xc.isNotNull() & ~F.isnan(xc)
-                          & F.col(y).isNotNull())
+        from .operators.preprocessing import clean_value_expr
+
+        xc = clean_value_expr(
+            F.col(x).cast("double"), "numerical", self.special_codes
+        )
+        clean = df.select(xc.alias("__pw_x"), F.col(y).alias("__pw_y")).filter(
+            F.col("__pw_x").isNotNull() & F.col("__pw_y").isNotNull()
+        )
+        xc = F.col("__pw_x")
+        y = "__pw_y"
         er = self.transform_expr(xc, "event_rate")
         er = F.greatest(F.least(er, F.lit(1.0 - 1e-15)), F.lit(1e-15))
         t_ev, t_ne = self._t_ev, self._t_ne
@@ -538,3 +708,13 @@ class OptimalPWBinning:
     def _check(self):
         if not self._fitted:
             raise RuntimeError("OptimalPWBinning is not fitted")
+
+
+class ContinuousOptimalPWBinning(OptimalPWBinning):
+    """Continuous-target piecewise binning (reference
+    piecewise/continuous_binning.py) — OptimalPWBinning with the
+    regression problem type preset."""
+
+    def __init__(self, name: str = "", **kw):
+        kw.pop("objective", None)
+        super().__init__(name=name, objective="continuous", **kw)

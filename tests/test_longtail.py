@@ -259,3 +259,70 @@ def test_piecewise_convex_degree2(spark):
     out = pw.transform(df, "x", out_col="yhat")
     mae = out.agg(F.avg(F.abs(F.col("yhat") - F.col("y")))).first()[0]
     assert mae < 0.5
+
+
+def test_piecewise_robust_losses(spark):
+    """IRLS l1/huber/quantile: outlier-contaminated linear data — the
+    robust fits shrug off the outliers that pull the l2 fit."""
+    rng = np.random.RandomState(15)
+    rows = []
+    for i in range(3000):
+        x = float(rng.uniform(0, 10))
+        y = float(2 * x + 1 + rng.normal(0, 0.2))
+        if i % 20 == 0:
+            y += 80.0  # gross one-sided outliers
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x double, y double")
+    fits = {}
+    for loss in ("l2", "l1", "huber"):
+        pw = OptimalPWBinning(objective="continuous", degree=1, loss=loss,
+                              monotonic_trend="ascending")
+        pw.fit(df, "x", "y")
+        grid = spark.createDataFrame(
+            [(float(v),) for v in np.linspace(0.5, 9.5, 50)], "x double")
+        vals = np.array([
+            r["p"] for r in
+            pw.transform(grid, "x", out_col="p").orderBy("x").collect()
+        ])
+        truth = 2 * np.linspace(0.5, 9.5, 50) + 1
+        fits[loss] = float(np.abs(vals - truth).mean())
+    # outliers bias l2 up by ~4 (5% x 80); robust fits stay near truth
+    assert fits["l1"] < 1.0 and fits["huber"] < 1.5
+    assert fits["l2"] > 2.0
+    # quantile tau=0.5 ~ l1
+    pw = OptimalPWBinning(objective="continuous", degree=1, loss="quantile",
+                          quantile=0.5)
+    pw.fit(df, "x", "y")
+    assert pw.coefs_.shape[1] == 2
+
+
+def test_piecewise_special_missing_transform(spark):
+    """special_codes routing + metric_special/metric_missing policies
+    (reference piecewise/transformations.py:62-137)."""
+    rng = np.random.RandomState(16)
+    rows = []
+    for i in range(2000):
+        x = float(rng.uniform(0, 10))
+        y = int(rng.rand() < 0.1 + 0.08 * x)
+        rows.append((x, y))
+    for _ in range(100):
+        rows.append((-9.0, 1))        # special, all events
+    for _ in range(100):
+        rows.append((float("nan"), 0))  # missing, all nonevents
+    df = spark.createDataFrame(rows, "x double, y int")
+    pw = OptimalPWBinning(objective="binary", degree=1,
+                          special_codes=[-9.0])
+    pw.fit(df, "x", "y", lb=0.001, ub=0.999)
+    out = df.select(
+        "x",
+        pw.transform_expr(F.col("x"), "event_rate",
+                          metric_special="empirical",
+                          metric_missing="empirical").alias("er"),
+        pw.transform_expr(F.col("x"), "event_rate").alias("er0"),
+    )
+    sp = out.filter(F.col("x") == -9.0).select("er", "er0").distinct().collect()
+    assert len(sp) == 1
+    assert sp[0]["er"] == pytest.approx(1.0, abs=1e-9)  # empirical rate
+    assert sp[0]["er0"] == 0.0                          # fixed default
+    mi = out.filter(F.isnan("x")).select("er").distinct().collect()
+    assert mi[0]["er"] == pytest.approx(0.0, abs=1e-9)
