@@ -47,6 +47,31 @@ def _driver_wls(X, y, w):
     return list(beta[:-1]), float(beta[-1])
 
 
+def _driver_huber(X, y, w, epsilon=1.35, max_iter=100, tol=1e-9):
+    """Huber-loss linear regression by IRLS with a robust (normalized
+    MAD) concomitant scale — the HuberRegressor-equivalent estimator
+    (reference scorecard.py:37-39 accepts any sklearn regressor;
+    README's continuous example uses HuberRegressor(epsilon=1.35))."""
+    A = np.hstack([X, np.ones((len(X), 1))])
+    Aw = A * w[:, None]
+    beta = np.linalg.solve(
+        A.T @ Aw + 1e-12 * np.eye(A.shape[1]), Aw.T @ y
+    )  # WLS start
+    for _ in range(max_iter):
+        r = y - A @ beta
+        sigma = max(1.4826 * np.median(np.abs(r - np.median(r))), 1e-12)
+        wi = w * np.minimum(1.0, epsilon * sigma / np.maximum(np.abs(r), 1e-12))
+        Awi = A * wi[:, None]
+        new = np.linalg.solve(
+            A.T @ Awi + 1e-12 * np.eye(A.shape[1]), Awi.T @ y
+        )
+        if np.max(np.abs(new - beta)) < tol * (1.0 + np.max(np.abs(beta))):
+            beta = new
+            break
+        beta = new
+    return list(beta[:-1]), float(beta[-1])
+
+
 def _driver_logistic(X, y, w, max_iter=100, tol=1e-10):
     """Weighted logistic regression by IRLS (Newton) — exact MLE on
     the compressed (X, label, weight) design."""
@@ -120,6 +145,27 @@ class Scorecard:
         if kind0 == "auto":
             kind0 = "logistic" if self._target_type == "binary" else "linear"
         wexpr = F.col(w) if w is not None else F.lit(1.0)
+        if kind0 == "huber":
+            # Huber loss is nonlinear in per-row residuals, so the
+            # (X, mean-label) group compression is invalid; IRLS runs
+            # on a bounded driver sample instead (the reference fits
+            # sklearn HuberRegressor fully in memory).
+            cap = int(self.estimator_params.get("max_driver_rows", 100_000))
+            rows = (
+                woe.select(
+                    *self.selected_, F.col(y).alias("__y"),
+                    wexpr.alias("__w"),
+                )
+                .limit(cap)
+                .collect()
+            )
+            X = np.array([[float(r[v]) for v in self.selected_] for r in rows])
+            yy = np.array([float(r["__y"]) for r in rows])
+            ww = np.array([float(r["__w"]) for r in rows])
+            return _driver_huber(
+                X, yy, ww,
+                epsilon=float(self.estimator_params.get("epsilon", 1.35)),
+            )
         if kind0 == "logistic":
             woe = (
                 woe.groupBy(*self.selected_, y)

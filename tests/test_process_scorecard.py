@@ -222,3 +222,30 @@ def test_scorecard_save_load_roundtrip(spark, tmp_path):
     # table reconstructable
     t = sc2.table()
     assert set(t["variable"]) == set(sc.selected_)
+
+
+def test_scorecard_huber_estimator(spark):
+    """estimator='huber' (HuberRegressor-equivalent IRLS): robust to
+    target outliers that skew the plain linear estimator."""
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(3000):
+        x = float(rng.uniform(0, 10))
+        y = float(3 * x + rng.normal(0, 0.5))
+        if i % 25 == 0:
+            y += 200.0
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x double, y double")
+
+    preds = {}
+    for est in ("linear", "huber"):
+        bp = BinningProcess(["x"], prebinning_method="quantile")
+        sc = Scorecard(bp, estimator=est)
+        sc.fit(df, "y")
+        p = sc.predict(df.select("x").distinct())
+        preds[est] = {r["x"]: r["prediction"] for r in p.collect()}
+    xs = sorted(preds["huber"])
+    huber_err = np.mean([abs(preds["huber"][x] - 3 * x) for x in xs])
+    linear_err = np.mean([abs(preds["linear"][x] - 3 * x) for x in xs])
+    assert huber_err < linear_err  # robust fit ignores the +200 spikes
+    assert huber_err < 2.0
