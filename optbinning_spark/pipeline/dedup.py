@@ -161,10 +161,19 @@ def ngram_jaccard_pairs(
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
     Hot-shingle guard: shingles present in more than ``max_doc_freq``
-    documents are dropped before the self-join — this is what keeps
-    the pair fan-out bounded at scale (frequency-capped inverted
-    index). Jaccard is computed on the capped shingle sets of both
-    docs, so the metric is consistent.
+    documents are dropped — this is what keeps the pair fan-out
+    bounded at scale (frequency-capped inverted index). Jaccard is
+    computed on the capped shingle sets of both docs, so the metric is
+    consistent.
+
+    Physical strategy: the df-cap is a window count over the shingle
+    key (row-streaming, sort-based, spillable — safe for arbitrarily
+    hot shingles), then the surviving groups — each <= max_doc_freq
+    ids, so bounded arrays — collect their doc lists on the SAME
+    partitioning (exchange reuse, no second shuffle) and emit the
+    candidate pairs by array combination. That replaces the shingle
+    self-join: the per-group pair fan-out is identical, but there is
+    no join build side and no duplicate scan of the exploded table.
     """
     from pyspark.sql import Window as W
 
@@ -176,22 +185,28 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    # document-frequency cap via a window over the shingle key: one
-    # shuffle, no separate agg + join, no recomputation of the explode
     rare = (
         sh.withColumn("df_", F.count("*").over(W.partitionBy("sh")))
         .filter(F.col("df_") <= max_doc_freq)
         .drop("df_")
     )
-    sizes = rare.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = rare.alias("a")
-    b = rare.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count("*").alias("n_common"))
+    grouped = rare.groupBy("sh").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> "
+                "struct(x as id_a, y as id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
+    sizes = (
+        grouped.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_sh"))
     )
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
