@@ -283,3 +283,62 @@ def test_fused_fit_matches_multipass(spark):
     np.testing.assert_allclose(
         ob_fused.binning_table.event_rate, ob_multi.binning_table.event_rate
     )
+
+
+def test_fused_fit_matches_multipass_multiclass(spark):
+    from optbinning_spark import MulticlassOptimalBinning
+    from optbinning_spark import binning as binning_mod
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for _ in range(4000):
+        x = float(rng.randint(0, 80))
+        r = rng.rand()
+        y = 0 if r < 0.2 + x / 160 else (1 if r < 0.7 else 2)
+        rows.append((x, int(y)))
+    df = spark.createDataFrame(rows, "x double, y int")
+
+    m_fused = MulticlassOptimalBinning(prebinning_method="cart")
+    m_fused.fit(df, "x", "y")
+    orig = binning_mod._BaseOptimalBinning._fused_fit
+    try:
+        binning_mod._BaseOptimalBinning._fused_fit = (
+            lambda self, *a, **k: "skip"
+        )
+        m_multi = MulticlassOptimalBinning(prebinning_method="cart")
+        m_multi.fit(df, "x", "y")
+    finally:
+        binning_mod._BaseOptimalBinning._fused_fit = orig
+    np.testing.assert_allclose(m_fused.splits, m_multi.splits)
+    assert m_fused.binning_table.build().equals(m_multi.binning_table.build())
+
+
+def test_fused_fit_matches_multipass_continuous(spark):
+    from optbinning_spark import ContinuousOptimalBinning
+    from optbinning_spark import binning as binning_mod
+
+    rng = np.random.RandomState(8)
+    rows = [(float(rng.randint(0, 70)), float(rng.normal(0, 1)))
+            for _ in range(3000)]
+    rows = [(x, y + 0.1 * x) for x, y in rows]
+    df = spark.createDataFrame(rows, "x double, y double")
+
+    c_fused = ContinuousOptimalBinning(prebinning_method="cart")
+    c_fused.fit(df, "x", "y")
+    orig = binning_mod._BaseOptimalBinning._fused_fit
+    try:
+        binning_mod._BaseOptimalBinning._fused_fit = (
+            lambda self, *a, **k: "skip"
+        )
+        c_multi = ContinuousOptimalBinning(prebinning_method="cart")
+        c_multi.fit(df, "x", "y")
+    finally:
+        binning_mod._BaseOptimalBinning._fused_fit = orig
+    np.testing.assert_allclose(c_fused.splits, c_multi.splits)
+    t1, t2 = c_fused.binning_table.build(), c_multi.binning_table.build()
+    assert list(t1["bin"]) == list(t2["bin"])
+    for col in ("count", "sum", "mean", "std", "woe", "iv"):
+        np.testing.assert_allclose(
+            t1[col].astype(float), t2[col].astype(float),
+            rtol=1e-12, equal_nan=True,
+        )
