@@ -358,15 +358,28 @@ class _BaseOptimalBinning:
         )
         # Scale guard: a full groupBy(distinct value) on a genuinely
         # high-cardinality column would shuffle every distinct group
-        # before the LIMIT could bound it. An HLL estimate is one
-        # map-side-combined scan (near-zero shuffle); only estimates
-        # near the cap proceed to the exact probe (the LIMIT still
-        # backstops HLL underestimates).
+        # before the LIMIT could bound it. One combined probe job
+        # (map-side-combined, near-zero shuffle) gets an HLL
+        # cardinality estimate AND the quantile bucket edges the
+        # overflow path would otherwise need a second scan for; only
+        # estimates near the cap proceed to the exact probe (the LIMIT
+        # still backstops HLL underestimates).
+        from .operators.preprocessing import clean_value_expr
+
         cap = MAX_HISTOGRAM_BUCKETS * 16
-        nd = proj.agg(
-            F.approx_count_distinct("__x", rsd=0.02).alias("nd")
-        ).first()["nd"]
-        if nd > cap * 1.05:
+        cx = clean_value_expr(F.col("__x"), "numerical", self.special_codes)
+        probs = list(np.linspace(0, 1, MAX_HISTOGRAM_BUCKETS + 1)[1:-1])
+        probe = proj.agg(
+            F.approx_count_distinct(cx, rsd=0.02).alias("nd"),
+            F.percentile_approx(cx, probs, 10_000).alias("edges"),
+        ).first()
+        self._probe_edges = None
+        if probe["nd"] > cap * 1.05:
+            # same GK summaries as DataFrame.approxQuantile(1e-4) —
+            # identical values, reused by value_histogram downstream
+            self._probe_edges = [
+                float(e) for e in (probe["edges"] or [])
+            ]
             return "overflow"
         vs = value_stats(
             proj, "__x", "__y", wcol,
@@ -491,6 +504,7 @@ class OptimalBinning(_BaseOptimalBinning):
                     task="classification",
                     classes=[0, 1],
                     skip_exact=fused == "overflow",
+                    bucket_edges=getattr(self, "_probe_edges", None),
                 )
             prebin_splits = self._round_splits(prebin_splits)
 
@@ -736,6 +750,7 @@ class ContinuousOptimalBinning(_BaseOptimalBinning):
                     min_prebin_size=self.min_prebin_size,
                     task="regression",
                     skip_exact=fused == "overflow",
+                    bucket_edges=getattr(self, "_probe_edges", None),
                 )
             prebin_splits = self._round_splits(prebin_splits)
 

@@ -635,6 +635,98 @@ class BinningProcess:
         df = reader.load(in_path)
         self.transform(df, **kw).write.mode("overwrite").parquet(out_path)
 
+    # -- reference-API surface (binning_process.py:637-1050) -------------
+    def fit_disk(self, spark, input_path: str, y: str, fmt: str = "parquet",
+                 **kw):
+        """Reference ``fit_disk`` — same contract as fit_from_file."""
+        return self.fit_from_file(spark, input_path, y, fmt=fmt, **kw)
+
+    def transform_disk(self, spark, input_path: str, output_path: str,
+                       fmt: str = "parquet", chunksize=None, **kw):
+        """Reference ``transform_disk``. ``chunksize`` is accepted for
+        API parity and ignored: Spark's pipelined columnar scan IS the
+        chunk loop (binning_process.py:837-891)."""
+        return self.transform_file(spark, input_path, output_path,
+                                   fmt=fmt, **kw)
+
+    def fit_transform_disk(self, spark, input_path: str, output_path: str,
+                           y: str, fmt: str = "parquet", chunksize=None,
+                           sample_weight=None, **kw):
+        self.fit_from_file(spark, input_path, y, fmt=fmt,
+                           sample_weight=sample_weight)
+        self.transform_file(spark, input_path, output_path, fmt=fmt, **kw)
+        return self
+
+    def fit_from_dict(self, dict_optb: dict):
+        """Fit from already-fitted OptimalBinning objects (reference
+        binning_process.py:660-680). All objects must share one target
+        type; selection metrics are recomputed from their tables."""
+        from .multiclass_binning import MulticlassOptimalBinning
+
+        if set(dict_optb) != set(self.variable_names):
+            raise ValueError(
+                "dict_optb keys must match variable_names exactly"
+            )
+        kinds = {type(b).__name__ for b in dict_optb.values()}
+        types = {
+            "OptimalBinning": "binary",
+            "OptimalPWBinning": "binary",
+            "ContinuousOptimalBinning": "continuous",
+            "ContinuousOptimalPWBinning": "continuous",
+            "MulticlassOptimalBinning": "multiclass",
+        }
+        tt = {types[k] for k in kinds if k in types}
+        if len(tt) != 1:
+            raise TypeError(
+                f"all objects must share one target type; got {kinds}"
+            )
+        self._target_type = tt.pop()
+        self._binners = dict(dict_optb)
+        self._dtypes = {
+            v: getattr(b, "_dtype", None) or "numerical"
+            for v, b in dict_optb.items()
+        }
+        self._fitted = True
+        self._apply_selection()
+        return self
+
+    def update_binned_variable(self, name: str, optb):
+        """Replace the fitted binning object for one variable
+        (reference binning_process.py:963-1016); selection metrics for
+        the variable are refreshed."""
+        self._check_fitted()
+        if name not in self.variable_names:
+            raise ValueError(f"{name} does not match a binned variable")
+        expected = {
+            "binary": ("OptimalBinning", "OptimalPWBinning"),
+            "continuous": (
+                "ContinuousOptimalBinning", "ContinuousOptimalPWBinning"
+            ),
+            "multiclass": ("MulticlassOptimalBinning",),
+        }[self._target_type]
+        if type(optb).__name__ not in expected:
+            raise TypeError(
+                f"target is {self._target_type}; object must be one of "
+                f"{expected}, got {type(optb).__name__}"
+            )
+        self._binners[name] = optb
+        self._metrics[name] = self._variable_metrics(name)
+
+    def get_support(self, indices: bool = False, names: bool = False):
+        """Mask / integer index / name view of the selected variables
+        (reference binning_process.py:1018-1048)."""
+        self._check_fitted()
+        if indices and names:
+            raise ValueError("indices and names are mutually exclusive")
+        mask = np.array(
+            [self._support[v] for v in self.variable_names], dtype=bool
+        )
+        if indices:
+            return np.flatnonzero(mask)
+        if names:
+            return [v for v, m in zip(self.variable_names, mask) if m]
+        return mask
+
     # -- persistence -----------------------------------------------------
     def to_dict(self):
         self._check_fitted()

@@ -162,6 +162,7 @@ class MulticlassOptimalBinning(_BaseOptimalBinning):
                 task="classification",
                 classes=classes,
                 skip_exact=fused == "overflow",
+                bucket_edges=getattr(self, "_probe_edges", None),
             )
         prebin_splits = self._round_splits(prebin_splits)
 

@@ -73,6 +73,7 @@ def value_histogram(
     max_buckets: int = MAX_HISTOGRAM_BUCKETS,
     relative_error: float = 1e-4,
     skip_exact: bool = False,
+    bucket_edges=None,
 ):
     """One aggregation producing the CART/MDLP sufficient statistics.
 
@@ -126,8 +127,15 @@ def value_histogram(
             )
         return values, stats
 
-    edges = clean.approxQuantile(
-        col, list(np.linspace(0, 1, max_buckets + 1)[1:-1]), relative_error
+    # the fused-fit probe may have already computed the quantile edges
+    # in its combined probe aggregation — reuse them (one fewer scan)
+    edges = (
+        bucket_edges
+        if bucket_edges is not None
+        else clean.approxQuantile(
+            col, list(np.linspace(0, 1, max_buckets + 1)[1:-1]),
+            relative_error,
+        )
     )
     edges = sorted(set(edges))
     if edges:
@@ -189,6 +197,7 @@ def compute_prebins(
     classes: list | None = None,
     total_weight: float | None = None,
     skip_exact: bool = False,
+    bucket_edges=None,
 ) -> np.ndarray:
     """Dispatch split proposal. ``df`` must already have missing/special
     nulled in ``col`` (clean_value_expr)."""
@@ -202,7 +211,7 @@ def compute_prebins(
     if method in ("cart", "mdlp"):
         values, stats = value_histogram(
             df, col, y_col, w_col, task=task, classes=classes,
-            skip_exact=skip_exact,
+            skip_exact=skip_exact, bucket_edges=bucket_edges,
         )
         if len(values) < 2:
             return np.array([])

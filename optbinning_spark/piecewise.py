@@ -705,6 +705,18 @@ class OptimalPWBinning:
             "js": float(row["js"]) / n,
         }
 
+    @property
+    def binning_table(self):
+        """The inner knot-proposal binning's table (reference
+        OptimalPWBinning.binning_table)."""
+        self._check()
+        return self.inner_.binning_table
+
+    @property
+    def splits(self):
+        self._check()
+        return self.splits_
+
     def _check(self):
         if not self._fitted:
             raise RuntimeError("OptimalPWBinning is not fitted")

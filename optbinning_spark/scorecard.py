@@ -398,6 +398,49 @@ class Scorecard:
     def predict_proba(self, df: DataFrame, out_col: str = "proba") -> DataFrame:
         return df.withColumn(out_col, self.predict_proba_expr())
 
+    def decision_function_expr(self):
+        """The estimator's linear predictor (signed distance to the
+        hyperplane in WoE space) — reference scorecard.py:375-395."""
+        self._check_fitted()
+        bp = self.binning_process
+        lin = F.lit(self.intercept_)
+        for v in self.selected_:
+            b = bp.get_binned_variable(v)
+            _, _, vals = self._variable_bin_metric(v)
+            pts = [float(self.coef_[v] * w) for w in vals]
+            col = (
+                F.col(v).cast("double")
+                if bp._dtypes[v] == "numerical"
+                else F.col(v)
+            )
+            lin = lin + self._points_case(b, col, pts, bp._dtypes[v])
+        return lin
+
+    def decision_function(self, df: DataFrame,
+                          out_col: str = "decision") -> DataFrame:
+        return df.withColumn(out_col, self.decision_function_expr())
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Per-variable points columns (reference scorecard.py:455-475:
+        'transform the dataset into scores' of shape
+        n_samples x n_features) plus the original columns."""
+        self._check_fitted()
+        bp = self.binning_process
+        cols = []
+        for v in self.selected_:
+            b = bp.get_binned_variable(v)
+            pts = self.points_[v]
+            col = (
+                F.col(v).cast("double")
+                if bp._dtypes[v] == "numerical"
+                else F.col(v)
+            )
+            cols.append(
+                self._points_case(b, col, [float(p) for p in pts],
+                                  bp._dtypes[v]).alias(f"{v}_points")
+            )
+        return df.select("*", *cols)
+
     def predict(self, df: DataFrame, out_col: str = "prediction") -> DataFrame:
         if self._target_type == "binary":
             return df.withColumn(

@@ -200,6 +200,7 @@ class OptimalBinningSketch:
                 g = r["sc"].split(":", 1)[1]
                 self._specials.setdefault(g, np.zeros(2))[yy] += wv
         self.n_add += 1
+        self._last_solved = None
         return self
 
     # -- T2: combine -----------------------------------------------------
@@ -216,6 +217,7 @@ class OptimalBinningSketch:
             self._specials.setdefault(g, np.zeros(2))
             self._specials[g] += arr
         self.n_add += other.n_add
+        self._last_solved = None
         return self
 
     # -- T3: emit --------------------------------------------------------
@@ -268,6 +270,58 @@ class OptimalBinningSketch:
         ob._finalize_numerical(splits, stats)
         ob._fitted = True
         return ob
+
+    # -- reference accessor surface (binning_sketch.py:518-647) ----------
+    def mergeable(self, other) -> bool:
+        """True when the two sketches share a signature and can merge
+        (reference bsketch.py:176-195)."""
+        return (
+            isinstance(other, OptimalBinningSketch)
+            and self.dtype == other.dtype
+            and self.special_codes == other.special_codes
+            and self.max_n_prebins == other.max_n_prebins
+        )
+
+    def _solved(self):
+        if getattr(self, "_last_solved", None) is None:
+            self._last_solved = self.solve()
+        return self._last_solved
+
+    @property
+    def splits(self):
+        return self._solved().splits
+
+    @property
+    def status(self):
+        sol = self._solved().solution_
+        return sol.status if sol is not None else "OPTIMAL"
+
+    @property
+    def binning_table(self):
+        return self._solved().binning_table
+
+    def transform(self, df: DataFrame, x: str, **kw) -> DataFrame:
+        """Transform through the most recent solve."""
+        return self._solved().transform(df, x, **kw)
+
+    def information(self) -> str:
+        """Sketch state report (reference binning_sketch.py:494-568)."""
+        lines = [
+            "OptimalBinningSketch",
+            f"  name           : {self.name}",
+            f"  dtype          : {self.dtype}",
+            f"  batches added  : {self.n_add}",
+        ]
+        if self.dtype == "numerical":
+            lines.append(
+                f"  sketch sizes   : ne={len(self._sk[0].values)}"
+                f" ev={len(self._sk[1].values)}"
+            )
+        else:
+            lines.append(f"  categories     : {len(self._cat)}")
+        report = "\n".join(lines)
+        print(report)
+        return report
 
 
 class BinningProcessSketch:

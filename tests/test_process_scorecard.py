@@ -249,3 +249,82 @@ def test_scorecard_huber_estimator(spark):
     linear_err = np.mean([abs(preds["linear"][x] - 3 * x) for x in xs])
     assert huber_err < linear_err  # robust fit ignores the +200 spikes
     assert huber_err < 2.0
+
+
+def test_process_reference_api_surface(spark, tmp_path):
+    """fit_disk/transform_disk aliases, get_support views,
+    update_binned_variable, fit_from_dict (reference
+    binning_process.py:637-1048)."""
+    from optbinning_spark import OptimalBinning
+
+    rng = np.random.RandomState(17)
+    rows = [
+        (float(rng.uniform(0, 10)), float(rng.uniform(0, 5)),
+         int(rng.rand() < 0.3))
+        for _ in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, y int")
+    src = str(tmp_path / "in.parquet")
+    dst = str(tmp_path / "out.parquet")
+    df.write.parquet(src)
+
+    bp = BinningProcess(["a", "b"], prebinning_method="quantile")
+    bp.fit_disk(spark, src, "y")
+    mask = bp.get_support()
+    assert mask.dtype == bool and len(mask) == 2
+    assert list(bp.get_support(indices=True)) == [0, 1]
+    assert bp.get_support(names=True) == ["a", "b"]
+
+    bp.transform_disk(spark, src, dst, metric="woe", chunksize=10_000)
+    out = spark.read.parquet(dst)
+    assert out.count() == 1500
+
+    # swap in a refit binner for one variable
+    ob = OptimalBinning(prebinning_method="uniform")
+    ob.fit(df, "a", "y")
+    bp.update_binned_variable("a", ob)
+    assert bp.get_binned_variable("a") is ob
+
+    # rebuild a process from fitted objects
+    ob_b = OptimalBinning(prebinning_method="quantile")
+    ob_b.fit(df, "b", "y")
+    bp2 = BinningProcess(["a", "b"])
+    bp2.fit_from_dict({"a": ob, "b": ob_b})
+    assert bp2._target_type == "binary"
+    assert set(bp2.summary()["name"]) == {"a", "b"}
+    t = bp2.transform(df, metric="woe")
+    assert t.count() == 1500
+
+
+def test_scorecard_decision_function_and_transform(fitted_process, wide_df):
+    sc = Scorecard(fitted_process, scaling_method="pdo_odds",
+                   scaling_method_params={"pdo": 20, "odds": 50,
+                                          "scorecard_points": 600})
+    sc.fit(wide_df, "y")
+    dec = sc.decision_function(wide_df).select("decision").limit(5).collect()
+    proba = sc.predict_proba(wide_df).select("proba").limit(5).collect()
+    for d, p in zip(dec, proba):
+        assert p["proba"] == pytest.approx(
+            1.0 / (1.0 + np.exp(-d["decision"])), rel=1e-9)
+    t = sc.transform(wide_df)
+    pts_cols = [c for c in t.columns if c.endswith("_points")]
+    assert len(pts_cols) == len(sc.selected_)
+
+
+def test_sketch_accessors(spark):
+    from optbinning_spark import OptimalBinningSketch
+
+    rng = np.random.RandomState(18)
+    rows = [(float(rng.uniform(0, 10)), int(rng.rand() < 0.2 + 0.05 * 0))
+            for _ in range(2000)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    sk = OptimalBinningSketch()
+    sk.add(df, "x", "y")
+    sk2 = OptimalBinningSketch()
+    sk2.add(df, "x", "y")
+    assert sk.mergeable(sk2)
+    sk.merge(sk2)
+    assert len(sk.splits) >= 0 and sk.status in ("OPTIMAL", "INFEASIBLE")
+    out = sk.transform(df, "x", metric="woe", out_col="w")
+    assert out.filter(F.col("w").isNull()).count() == 0
+    assert "batches added" in sk.information()
