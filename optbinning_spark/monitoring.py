@@ -83,6 +83,26 @@ class ScorecardMonitoring:
                 self._s1[pop][i] = r["s1"] or 0.0
                 self._s2[pop][i] = r["s2"] or 0.0
         self._binary = binary
+        if not binary:
+            # A8 target distribution per population (reference
+            # monitoring.py:696-712): one grouped aggregation
+            drows = both.groupBy("__pop").agg(
+                F.count("*").alias("n_records"),
+                F.avg("__y").alias("mean"),
+                F.stddev("__y").alias("std"),
+                F.percentile_approx("__y", [0.25, 0.5, 0.75], 10_000).alias("q"),
+            ).collect()
+            self._target_dist = {
+                r["__pop"]: {
+                    "n_records": float(r["n_records"]),
+                    "mean": float(r["mean"]),
+                    "std": float(r["std"] or 0.0),
+                    "p25": float(r["q"][0]),
+                    "median": float(r["q"][1]),
+                    "p75": float(r["q"][2]),
+                }
+                for r in drows
+            }
         self._fitted = True
         return self
 
@@ -149,8 +169,15 @@ class ScorecardMonitoring:
 
     # ------------------------------------------------------------------
     def variable_psi_table(self, actual: DataFrame, expected: DataFrame) -> pd.DataFrame:
-        """Per-variable PSI over each variable's fitted bins — a single
-        tagged-union aggregation for ALL variables (U4)."""
+        """Per-variable PSI summary (one row per variable) — the
+        original surface; see psi_variable_table for the reference's
+        name/style options."""
+        return self.psi_variable_table(actual, expected, style="summary")
+
+    def _variable_psi_detail(self, actual: DataFrame, expected: DataFrame) -> pd.DataFrame:
+        """Per-(variable, bin) PSI contributions over each variable's
+        fitted bins — a single tagged-union aggregation for ALL
+        variables (U4)."""
         self._check_fitted()
         sc = self.scorecard
         bp = sc.binning_process
@@ -188,12 +215,19 @@ class ScorecardMonitoring:
             )[r["__pop"]] = r["n"]
         out = []
         for v, bins in acc.items():
+            labels = list(bins.keys())
             ca = np.array([b["A"] for b in bins.values()])
             ce = np.array([b["E"] for b in bins.values()])
             pa = ca / max(ca.sum(), _EPS)
             pe = ce / max(ce.sum(), _EPS)
-            psi = float(M.psi(pe + _EPS, pa + _EPS))
-            out.append({"variable": v, "psi": psi, "level": _psi_level(psi)})
+            # identical to jeffrey(pa+eps, pe+eps): summing these rows
+            # reproduces the summary PSI exactly
+            contrib = (pa - pe) * np.log((pa + _EPS) / (pe + _EPS))
+            for lbl, a_, e_, c_ in zip(labels, ca, ce, contrib):
+                out.append({
+                    "variable": v, "bin": lbl, "count_a": a_,
+                    "count_e": e_, "psi": float(c_),
+                })
         return pd.DataFrame(out)
 
     # ------------------------------------------------------------------
@@ -252,6 +286,96 @@ class ScorecardMonitoring:
             "mape": agg["mape"],
             "r2": 1.0 - agg["sse"] / max(sst, _EPS),
         }
+
+    # ------------------------------------------------------------------
+    def target_analysis(self) -> pd.DataFrame:
+        """Target distribution per population (reference
+        monitoring.py:671-713, A8): event counts/rate for binary;
+        mean/std/quartiles for continuous. Derived from stats gathered
+        during fit — no extra Spark job."""
+        self._check_fitted()
+        if self._binary:
+            rows = []
+            for pop, label in (("A", "Actual"), ("E", "Expected")):
+                n = float(self._counts[pop].sum())
+                ev = float(self._events[pop].sum())
+                rows.append({
+                    "population": label,
+                    "n_records": n,
+                    "n_event": ev,
+                    "n_nonevent": n - ev,
+                    "event_rate": ev / max(n, _EPS),
+                })
+            return pd.DataFrame(rows)
+        rows = []
+        for pop, label in (("A", "Actual"), ("E", "Expected")):
+            st = self._target_dist[pop]
+            rows.append({"population": label, **st})
+        return pd.DataFrame(rows)
+
+    def system_stability_report(self) -> str:
+        """Printed overview of system stability (reference
+        monitoring.py:154-192, 341-349): total PSI with its
+        significance level, the share of bins whose actual-vs-expected
+        test rejects at 5%, and the target analysis."""
+        self._check_fitted()
+        rep = self.psi_report()
+        tt = self.tests_table()
+        n_sig = int((tt["p_value"] < 0.05).sum())
+        lines = [
+            "Scorecard monitoring: system stability report",
+            "",
+            f"  Population Stability Index (PSI): {rep['psi']:.6f}",
+            f"    PSI level: {rep['level']}",
+            "",
+            f"  Significance tests (5% level): {n_sig}/{len(tt)} bins reject",
+            "",
+            "  Target analysis:",
+        ]
+        for _, r in self.target_analysis().iterrows():
+            desc = ", ".join(
+                f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in r.items() if k != "population"
+            )
+            lines.append(f"    {r['population']}: {desc}")
+        report = "\n".join(lines)
+        print(report)
+        return report
+
+    def psi_variable_table(self, actual: DataFrame, expected: DataFrame,
+                           name: str | None = None,
+                           style: str = "summary") -> pd.DataFrame:
+        """Reference psi_variable_table: 'summary' = one PSI row per
+        variable; 'detailed' = per-bin PSI contributions; optional
+        single-variable filter."""
+        if style not in ("summary", "detailed"):
+            raise ValueError('style must be "summary" or "detailed"')
+        detailed = self._variable_psi_detail(actual, expected)
+        if name is not None:
+            if name not in set(detailed["variable"]):
+                raise ValueError(f"{name} is not a monitored variable")
+            detailed = detailed[detailed["variable"] == name]
+        if style == "detailed":
+            return detailed.reset_index(drop=True)
+        out = (
+            detailed.groupby("variable", sort=False)["psi"]
+            .sum()
+            .reset_index()
+        )
+        out["level"] = [_psi_level(p) for p in out["psi"]]
+        return out
+
+    def information(self, print_level: int = 1) -> str:
+        self._check_fitted()
+        lines = [
+            "ScorecardMonitoring",
+            f"  target type : {'binary' if self._binary else 'continuous'}",
+            f"  score bins  : {len(self._counts['A'])}",
+            f"  psi         : {self.psi_total():.6f}",
+        ]
+        report = "\n".join(lines)
+        print(report)
+        return report
 
     def _check_fitted(self):
         if not self._fitted:

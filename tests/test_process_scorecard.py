@@ -328,3 +328,48 @@ def test_sketch_accessors(spark):
     out = sk.transform(df, "x", metric="woe", out_col="w")
     assert out.filter(F.col("w").isNull()).count() == 0
     assert "batches added" in sk.information()
+
+
+def test_monitoring_reference_surface(fitted_process, wide_df, spark):
+    """system_stability_report / target_analysis / psi_variable_table
+    styles (reference monitoring.py:154-420)."""
+    from optbinning_spark.monitoring import ScorecardMonitoring
+
+    sc = Scorecard(fitted_process)
+    sc.fit(wide_df, "y")
+    act = wide_df.limit(800)
+    exp = wide_df
+    mon = ScorecardMonitoring(sc).fit(act, exp, "y")
+
+    ta = mon.target_analysis()
+    assert set(ta["population"]) == {"Actual", "Expected"}
+    assert (ta["n_records"] > 0).all()
+
+    rep = mon.system_stability_report()
+    assert "Population Stability Index" in rep
+
+    det = mon.psi_variable_table(act, exp, style="detailed")
+    summ = mon.psi_variable_table(act, exp, style="summary")
+    # per-bin contributions sum to the summary PSI exactly
+    for _, row in summ.iterrows():
+        s = det[det["variable"] == row["variable"]]["psi"].sum()
+        assert s == pytest.approx(row["psi"], rel=1e-12)
+    one = mon.psi_variable_table(act, exp, name=summ["variable"].iloc[0])
+    assert len(one) == 1
+    assert "ScorecardMonitoring" in mon.information()
+
+
+def test_monitoring_continuous_target_analysis(spark):
+    rng = np.random.RandomState(21)
+    rows = [(float(rng.uniform(0, 10)), float(rng.normal(5, 2)))
+            for _ in range(2000)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    bp = BinningProcess(["x"], prebinning_method="quantile")
+    sc = Scorecard(bp)
+    sc.fit(df, "y")
+    from optbinning_spark.monitoring import ScorecardMonitoring
+
+    mon = ScorecardMonitoring(sc).fit(df.limit(900), df, "y")
+    ta = mon.target_analysis()
+    assert {"mean", "std", "p25", "median", "p75"} <= set(ta.columns)
+    assert ta["mean"].between(4, 6).all()
