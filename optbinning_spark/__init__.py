@@ -56,6 +56,7 @@ _LAZY = {
     "YQuantileDetector": ("optbinning_spark.operators.outlier", "YQuantileDetector"),
     "Counterfactual": ("optbinning_spark.counterfactual", "Counterfactual"),
     "SBOptimalBinning": ("optbinning_spark.scenario_binning", "SBOptimalBinning"),
+    "MDLP": ("optbinning_spark.mdlp", "MDLP"),
 }
 
 __all__ = __all__ + [k for k in _LAZY if k not in __all__]

@@ -150,6 +150,13 @@ class _BaseOptimalBinning:
         self._check_fitted()
         return self._splits
 
+    @property
+    def status(self) -> str:
+        """Solver status (reference binning.py:1178-1187). The DP
+        solver is exact, so a fitted model is always OPTIMAL."""
+        self._check_fitted()
+        return "OPTIMAL"
+
     def fit(self, df: DataFrame, x: str, y: str, sample_weight: str | None = None):
         self.name = self.name or x
         dtype = self.dtype or _infer_dtype(df, x)

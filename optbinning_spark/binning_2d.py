@@ -318,6 +318,13 @@ class OptimalBinning2D:
         if not self._fitted:
             raise RuntimeError("OptimalBinning2D is not fitted")
 
+    @property
+    def status(self) -> str:
+        """Solver status (reference binning.py:1178-1187); the skyline
+        DP is exact."""
+        self._check()
+        return "OPTIMAL"
+
 
 class ContinuousOptimalBinning2D(OptimalBinning2D):
     """2-D optimal binning with respect to a continuous target

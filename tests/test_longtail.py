@@ -326,3 +326,20 @@ def test_piecewise_special_missing_transform(spark):
     assert sp[0]["er0"] == 0.0                          # fixed default
     mi = out.filter(F.isnan("x")).select("er").distinct().collect()
     assert mi[0]["er"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_status_property_surface(spark):
+    """Reference .status surface (binning.py:1178-1187) on every
+    solver-backed class."""
+    import optbinning_spark as ob
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").selectExpr(
+        "l_quantity as x", "l_extendedprice as x2",
+        'cast(l_returnflag = "R" as int) as y')
+    b = ob.OptimalBinning(name="x").fit(df, "x", "y")
+    assert b.status == "OPTIMAL"
+    b2 = ob.OptimalBinning2D().fit(df, "x", "x2", "y")
+    assert b2.status == "OPTIMAL"
+    import pytest as _pt
+    with _pt.raises(RuntimeError):
+        ob.OptimalBinning(name="q").status

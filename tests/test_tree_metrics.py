@@ -91,3 +91,77 @@ def test_hhi():
 def test_psi_zero_for_identical():
     s = np.array([0.3, 0.4, 0.3])
     assert M.psi(s, s) == 0
+
+
+# ---------------------------------------------------------------------------
+# Public MDLP class (reference mdlp.py:34-208 semantics)
+
+def test_mdlp_separable():
+    from optbinning_spark.mdlp import MDLP
+
+    x = np.array([1.0] * 50 + [2.0] * 50)
+    y = np.array([0] * 50 + [1] * 50)
+    m = MDLP().fit_arrays(x, y)
+    assert list(m.splits) == [1.5]
+
+
+def test_mdlp_leaf_gating():
+    from optbinning_spark.mdlp import MDLP
+
+    # each candidate either has a leaf below min_samples_leaf=2 or zero
+    # gain -> no splits (mirrors the reference's strict >0 improvement)
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    y = np.array([0, 1, 0, 1])
+    m = MDLP().fit_arrays(x, y)
+    assert len(m.splits) == 0
+    with_leaf1 = MDLP(min_samples_leaf=1).fit_arrays(x, y)
+    assert len(with_leaf1.splits) >= 1
+
+
+def test_mdlp_impure_tie_group_uses_value():
+    from optbinning_spark.mdlp import MDLP
+
+    # group x=1 is mixed: the within-tie midpoint (the value itself)
+    # partitions like the junction midpoint and wins the gain tie, so
+    # the recorded split is 1.0 not 1.5
+    x = np.array([1.0] * 10 + [2.0] * 10)
+    y = np.array([0] * 7 + [1] * 3 + [1] * 10)
+    m = MDLP().fit_arrays(x, y)
+    assert m.splits[0] == pytest.approx(1.0)
+
+
+def test_mdlp_split_survives_mdl_termination():
+    from optbinning_spark.mdlp import MDLP
+
+    # reference appends the found split BEFORE the MDL test; a weak but
+    # positive-gain top split must appear even when MDL stops recursion
+    rng = np.random.RandomState(0)
+    x = np.linspace(0, 1, 40)
+    y = (rng.uniform(size=40) < np.where(x > 0.5, 0.6, 0.4)).astype(int)
+    m = MDLP(min_samples_leaf=1).fit_arrays(x, y)
+    assert len(m.splits) >= 1
+
+
+def test_mdlp_unfitted_raises():
+    from optbinning_spark.mdlp import MDLP
+
+    with pytest.raises(RuntimeError):
+        MDLP().splits
+    with pytest.raises(ValueError):
+        MDLP(min_samples_split=1)
+    with pytest.raises(ValueError):
+        MDLP(min_samples_leaf=0)
+
+
+def test_mdlp_spark_matches_arrays(spark):
+    from optbinning_spark.mdlp import MDLP
+
+    rng = np.random.RandomState(7)
+    x = np.round(rng.uniform(0, 10, 3000), 1)
+    y = (rng.uniform(size=3000) < 1 / (1 + np.exp(-(x - 5)))).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(x, y)], "x double, y int")
+    ms = MDLP().fit(df, "x", "y")
+    ma = MDLP().fit_arrays(x, y)
+    assert np.allclose(ms.splits, ma.splits)
+    assert len(ms.splits) >= 2
