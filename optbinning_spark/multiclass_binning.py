@@ -102,6 +102,18 @@ class MulticlassBinningTable:
             df = pd.concat([df, pd.DataFrame([row])], ignore_index=True)
         return df
 
+    def plot(self, add_special: bool = True, add_missing: bool = True,
+             show_bin_labels: bool = False, savefig: str | None = None):
+        """Count bars + mean-WoE line (reference
+        binning_statistics.py:1228-1395)."""
+        from .operators.binning_table import _plot_bin_table
+
+        _plot_bin_table(
+            self.labels, self.kinds, self.count, None, self.mean_woe,
+            "mean_woe", add_special, add_missing, show_bin_labels,
+            savefig, stacked=False,
+        )
+
     def to_spark(self, spark):
         return spark.createDataFrame(self.build(add_totals=False))
 

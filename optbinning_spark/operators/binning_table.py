@@ -133,10 +133,24 @@ class BinningTableBinary:
         self.iv = float(iv.sum())
         self.js = float(js.sum())
 
-    def build(self, add_totals: bool = True) -> pd.DataFrame:
+    def _labels_for(self, show_digits: int | None) -> list[str]:
+        """Labels reformatted at a build-time precision (reference
+        binning_statistics.py:498 ``build(show_digits=...)``)."""
+        if show_digits is None or self.dtype == "categorical":
+            return self.labels
+        bounds = np.concatenate([[-np.inf], self.splits, [np.inf]])
+        n_clean = sum(1 for k in self.kinds if k == "clean")
+        clean = [
+            format_bin_label(bounds[i], bounds[i + 1], show_digits)
+            for i in range(n_clean)
+        ]
+        return clean + self.labels[n_clean:]
+
+    def build(self, add_totals: bool = True,
+              show_digits: int | None = None) -> pd.DataFrame:
         df = pd.DataFrame(
             {
-                "bin": self.labels,
+                "bin": self._labels_for(show_digits),
                 "count": self.count,
                 "count_pct": self.count_pct,
                 "n_nonevent": self.ne_all,
@@ -217,8 +231,65 @@ class BinningTableBinary:
             "n_bins": int(clean.sum()),
         }
 
+    def plot(self, metric: str = "woe", add_special: bool = True,
+             add_missing: bool = True, style: str = "bin",
+             show_bin_labels: bool = False, savefig: str | None = None):
+        """Bin-count bars + WoE/event-rate line (reference
+        binning_statistics.py:610-877). Gated on matplotlib, which is
+        optional in this environment."""
+        if metric not in ("woe", "event_rate"):
+            raise ValueError('metric must be "woe" or "event_rate"')
+        vals = self.woe if metric == "woe" else self.event_rate
+        _plot_bin_table(
+            self.labels, self.kinds, self.ne_all, self.ev_all, vals,
+            metric, add_special, add_missing, show_bin_labels, savefig,
+            stacked=True,
+        )
+
     def to_spark(self, spark):
         return spark.createDataFrame(self.build(add_totals=False))
+
+
+def _plot_bin_table(labels, kinds, bars0, bars1, line, line_name,
+                    add_special, add_missing, show_bin_labels, savefig,
+                    stacked):
+    try:
+        import matplotlib.pyplot as plt
+    except ImportError as exc:  # matplotlib is optional here
+        raise ImportError(
+            "plot() requires matplotlib, which is not installed in this "
+            "environment; use build() for the tabular result."
+        ) from exc
+    keep = [
+        i for i, k in enumerate(kinds)
+        if (k == "clean") or (k == "special" and add_special)
+        or (k == "missing" and add_missing)
+    ]
+    x = np.arange(len(keep))
+    fig, ax1 = plt.subplots()
+    b0 = np.asarray(bars0, dtype=float)[keep]
+    if stacked:
+        b1 = np.asarray(bars1, dtype=float)[keep]
+        ax1.bar(x, b0, color="tab:blue", label="Non-event")
+        ax1.bar(x, b1, bottom=b0, color="tab:red", label="Event")
+    else:
+        ax1.bar(x, b0, color="tab:blue", label="Count")
+    ax1.set_xlabel("Bin")
+    ax1.set_ylabel("Bin count")
+    ax2 = ax1.twinx()
+    ax2.plot(x, np.asarray(line, dtype=float)[keep], marker="o",
+             color="black", label=line_name)
+    ax2.set_ylabel(line_name)
+    if show_bin_labels:
+        ax1.set_xticks(x)
+        ax1.set_xticklabels([labels[i] for i in keep], rotation=45,
+                            ha="right")
+    fig.tight_layout()
+    if savefig is not None:
+        fig.savefig(savefig)
+        plt.close(fig)
+    else:
+        plt.show()
 
 
 class BinningTableContinuous:
@@ -276,6 +347,7 @@ class BinningTableContinuous:
         rows["zeros"].append(missing_stats.get("n_zeros", 0.0))
 
         self.labels, self.kinds = labels, kinds
+        self.dtype = dtype
         cnt = np.array(rows["n_records"], dtype=float)
         s1 = np.array(rows["sum"], dtype=float)
         s2 = np.array(rows["ssum"], dtype=float)
@@ -302,10 +374,19 @@ class BinningTableContinuous:
         self.iv = float(self.iv_per_bin.sum())
         self.mean_total = mean_total
 
-    def build(self, add_totals: bool = True) -> pd.DataFrame:
+    def build(self, add_totals: bool = True,
+              show_digits: int | None = None) -> pd.DataFrame:
+        labels = self.labels
+        if show_digits is not None and self.dtype != "categorical":
+            bounds = np.concatenate([[-np.inf], self.splits, [np.inf]])
+            n_clean = sum(1 for k in self.kinds if k == "clean")
+            labels = [
+                format_bin_label(bounds[i], bounds[i + 1], show_digits)
+                for i in range(n_clean)
+            ] + self.labels[n_clean:]
         df = pd.DataFrame(
             {
-                "bin": self.labels,
+                "bin": labels,
                 "count": self.count,
                 "count_pct": self.count_pct,
                 "sum": np.where(self.count > 0, self.mean * self.count, 0.0),
@@ -336,6 +417,17 @@ class BinningTableContinuous:
             )
             df = pd.concat([df, totals], ignore_index=True)
         return df
+
+    def plot(self, add_special: bool = True, add_missing: bool = True,
+             style: str = "bin", show_bin_labels: bool = False,
+             savefig: str | None = None):
+        """Bin-count bars + bin-mean line (reference
+        binning_statistics.py:1700-1808)."""
+        _plot_bin_table(
+            self.labels, self.kinds, self.count, None, self.mean,
+            "mean", add_special, add_missing, show_bin_labels, savefig,
+            stacked=False,
+        )
 
     def to_spark(self, spark):
         return spark.createDataFrame(self.build(add_totals=False))

@@ -125,3 +125,31 @@ def test_information_reports(df):
     ob.fit(df, "x", "y")
     rep = ob.information(print_level=2)
     assert "OptimalBinning" in rep and "n bins" in rep and "iv" in rep
+
+
+def test_binning_table_show_digits_and_plot_gate(spark):
+    """build(show_digits=...) reformats labels (reference
+    binning_statistics.py:498); plot() gates on matplotlib."""
+    import optbinning_spark as ob
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").selectExpr(
+        "l_extendedprice as x", 'cast(l_returnflag = "R" as int) as y')
+    b = ob.OptimalBinning(name="x").fit(df, "x", "y")
+    t = b.binning_table
+    d2 = t.build(show_digits=2)
+    d5 = t.build(show_digits=5)
+    assert list(d2["count"]) == list(d5["count"])
+    lbl2 = [s for s in d2["bin"] if s.startswith("[") or s.startswith("(")]
+    lbl5 = [s for s in d5["bin"] if s.startswith("[") or s.startswith("(")]
+    assert lbl2 != lbl5
+    # a 5-digit label carries 5 decimals
+    assert any("." in s and len(s.split(".")[1].split(",")[0]) == 5
+               for s in lbl5)
+    try:
+        import matplotlib  # noqa: F401
+        has_mpl = True
+    except ImportError:
+        has_mpl = False
+    if not has_mpl:
+        with pytest.raises(ImportError):
+            t.plot(savefig="/tmp/unused.png")
