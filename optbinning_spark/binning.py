@@ -375,29 +375,76 @@ class _BaseOptimalBinning:
 
         cap = MAX_HISTOGRAM_BUCKETS * 16
         cx = clean_value_expr(F.col("__x"), "numerical", self.special_codes)
-        probs = list(np.linspace(0, 1, MAX_HISTOGRAM_BUCKETS + 1)[1:-1])
+        # probabilities passed as ONE array literal — a Python list here
+        # expands to one py4j round-trip per element (~2s of driver
+        # latency for 254 probs); the ndarray literal is a single call
+        probs = np.linspace(0, 1, MAX_HISTOGRAM_BUCKETS + 1)[1:-1]
         probe = proj.agg(
             F.approx_count_distinct(cx, rsd=0.02).alias("nd"),
-            F.percentile_approx(cx, probs, 10_000).alias("edges"),
+            F.percentile_approx(cx, F.lit(probs), F.lit(10_000)).alias("edges"),
+            F.min(cx).alias("vmin"),
+            F.max(cx).alias("vmax"),
         ).first()
         self._probe_edges = None
+        edges = sorted({float(e) for e in (probe["edges"] or [])})
+        lower_edges = None
         if probe["nd"] > cap * 1.05:
-            # same GK summaries as DataFrame.approxQuantile(1e-4) —
-            # identical values, reused by value_histogram downstream
-            self._probe_edges = [
-                float(e) for e in (probe["edges"] or [])
-            ]
-            return "overflow"
-        vs = value_stats(
-            proj, "__x", "__y", wcol,
-            special_codes=self.special_codes,
-            target_type=target_type,
-            classes=classes,
-            max_values=MAX_HISTOGRAM_BUCKETS * 16,
-        )
-        if vs is None:
-            return "overflow"
-        values, per_value, missing, specials = vs
+            # High cardinality: keep the fit at TWO jobs — aggregate
+            # (sample_class, quantile bucket) instead of distinct
+            # values, then snap proposed splits to bucket boundaries
+            # so the driver re-reduce stays exact (no third scan).
+            self._probe_edges = edges
+            if not edges:
+                return "overflow"
+            if method == "uniform":
+                # uniform splits are not bucket-aligned; the probe's
+                # exact min/max + one bin_stats job keeps it at two
+                prebin_splits = self._round_splits(np.unique(np.linspace(
+                    float(probe["vmin"]), float(probe["vmax"]),
+                    self.max_n_prebins + 1,
+                )[1:-1]))
+                stats = bin_stats(
+                    proj, "__x", "__y", wcol, dtype="numerical",
+                    splits=prebin_splits,
+                    special_codes=self.special_codes,
+                    target_type=target_type, classes=classes,
+                )
+                self._finalize_numerical(prebin_splits, stats)
+                return "done"
+            from .operators.aggregation import bucket_value_stats
+
+            values, per_value, missing, specials, lower_edges = (
+                bucket_value_stats(
+                    proj, "__x", "__y", wcol, edges=edges,
+                    special_codes=self.special_codes,
+                    target_type=target_type, classes=classes,
+                )
+            )
+        else:
+            vs = value_stats(
+                proj, "__x", "__y", wcol,
+                special_codes=self.special_codes,
+                target_type=target_type,
+                classes=classes,
+                max_values=MAX_HISTOGRAM_BUCKETS * 16,
+            )
+            if vs is None:
+                # the HLL estimate was low but the LIMIT backstop
+                # tripped — fall back to the bucketized aggregation
+                self._probe_edges = edges
+                if not edges or method == "uniform":
+                    return "overflow"
+                from .operators.aggregation import bucket_value_stats
+
+                values, per_value, missing, specials, lower_edges = (
+                    bucket_value_stats(
+                        proj, "__x", "__y", wcol, edges=edges,
+                        special_codes=self.special_codes,
+                        target_type=target_type, classes=classes,
+                    )
+                )
+            else:
+                values, per_value, missing, specials = vs
         if target_type == "multiclass":
             hist = np.column_stack(
                 [per_value[f"n_event_{i}"] for i in range(len(classes))]
@@ -427,6 +474,12 @@ class _BaseOptimalBinning:
                 min_samples_leaf=self.min_prebin_size * float(
                     hist.sum() if task == "classification" else hist[:, 0].sum()
                 ),
+            )
+        if lower_edges is not None and prebin_splits.size:
+            from .operators.aggregation import snap_splits_to_edges
+
+            prebin_splits = snap_splits_to_edges(
+                prebin_splits, values, lower_edges
             )
         prebin_splits = self._round_splits(prebin_splits)
         stats = bin_stats_from_values(

@@ -156,6 +156,110 @@ def value_stats(
     return values, per_value, missing, specials
 
 
+def bucket_value_stats(
+    df: DataFrame,
+    col: str,
+    y_col: str,
+    w_col: str | None,
+    *,
+    edges: list[float],
+    special_codes=None,
+    target_type: str = "binary",
+    classes=None,
+):
+    """High-cardinality variant of ``value_stats``: ONE aggregation over
+    (sample_class, quantile bucket) — same return contract plus the
+    per-bucket lower edges, so the caller can snap proposed splits to
+    bucket boundaries and the driver re-reduce stays EXACT (a whole
+    bucket is always on one side of a snapped split).
+
+    With this, a high-cardinality fit is two jobs total (probe +
+    this), the same as the exact-distinct path — no third bin-stats
+    scan. The shuffled state is <= (n_buckets + n_specials + 2) groups
+    regardless of input rows.
+    """
+    from pyspark.ml.feature import Bucketizer
+
+    c = F.col(col)
+    sclass = sample_class_expr(c, "numerical", special_codes)
+    v = F.when(sclass == CLEAN, c)
+    E = [-float("inf")] + [float(e) for e in edges] + [float("inf")]
+    # NULL (special/missing rows) -> NaN -> the Bucketizer's invalid
+    # bucket; their stats are grouped by sample_class regardless
+    work = df.withColumn("__cv", F.coalesce(v, F.lit(float("nan"))))
+    work = Bucketizer(
+        splits=E, inputCol="__cv", outputCol="__bkt", handleInvalid="keep"
+    ).transform(work)
+    rows = (
+        work.groupBy(
+            sclass.alias("sample_class"),
+            F.when(sclass == CLEAN, F.col("__bkt").cast("int")).alias("__b"),
+        )
+        .agg(
+            F.max(v).alias("__vmax"),
+            *_agg_exprs(y_col, w_col, target_type, classes),
+        )
+        .collect()
+    )
+    metrics = _metric_names(target_type, classes)
+    clean_rows = [
+        r for r in rows if r["sample_class"] == CLEAN and r["__vmax"] is not None
+    ]
+    clean_rows.sort(key=lambda r: r["__b"])
+    values = np.array([r["__vmax"] for r in clean_rows], dtype=float)
+    lower_edges = np.array([E[r["__b"]] for r in clean_rows], dtype=float)
+    per_value = {
+        m: np.array(
+            [
+                (
+                    r[m]
+                    if r[m] is not None
+                    else (np.nan if m in ("min_y", "max_y") else 0.0)
+                )
+                for r in clean_rows
+            ],
+            dtype=float,
+        )
+        for m in metrics
+    }
+    missing = {m: 0.0 for m in metrics}
+    specials: dict[str, dict[str, float]] = {}
+    for r in rows:
+        sc = r["sample_class"]
+        if sc == CLEAN:
+            continue
+        vals = {
+            m: (
+                r[m]
+                if r[m] is not None
+                else (np.nan if m in ("min_y", "max_y") else 0.0)
+            )
+            for m in metrics
+        }
+        if sc == MISSING:
+            missing = vals
+        else:
+            group = sc.split(":", 1)[1] if ":" in sc else sc
+            specials[group] = vals
+    return values, per_value, missing, specials, lower_edges
+
+
+def snap_splits_to_edges(
+    splits: np.ndarray, values: np.ndarray, lower_edges: np.ndarray
+) -> np.ndarray:
+    """Snap proposed thresholds (midpoints between per-bucket max
+    values) to the bucket lower edge they fall under, so that every
+    bucket lies entirely on one side — making the driver re-reduce of
+    bucket statistics exact AND consistent with the transform-time
+    ``digitize(x, splits)`` on raw values."""
+    out = []
+    for t in np.asarray(splits, dtype=float):
+        j = int(np.searchsorted(values, t))
+        if 1 <= j < len(lower_edges) and np.isfinite(lower_edges[j]):
+            out.append(float(lower_edges[j]))
+    return np.unique(np.asarray(out, dtype=float))
+
+
 def bin_stats_from_values(
     values: np.ndarray,
     per_value: dict,

@@ -342,3 +342,67 @@ def test_fused_fit_matches_multipass_continuous(spark):
             t1[col].astype(float), t2[col].astype(float),
             rtol=1e-12, equal_nan=True,
         )
+
+
+def test_high_cardinality_bucket_fit_is_exact(spark):
+    """Overflow (bucketized) fit: splits snap to quantile-bucket edges
+    so the one-aggregation driver re-reduce must EQUAL an independent
+    re-aggregation of the raw rows against the fitted splits."""
+    from optbinning_spark import OptimalBinning
+
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").selectExpr(
+        "l_extendedprice as x", 'cast(l_returnflag = "R" as int) as y')
+    # force the overflow (bucketized) path at this scale factor
+    import optbinning_spark.operators.prebinning as PB
+    orig = PB.MAX_HISTOGRAM_BUCKETS
+    PB.MAX_HISTOGRAM_BUCKETS = 64
+    try:
+        ob = OptimalBinning(name="x").fit(df, "x", "y")
+    finally:
+        PB.MAX_HISTOGRAM_BUCKETS = orig
+    splits = list(ob.splits)
+    assert len(splits) >= 2
+    tbl = ob.binning_table.build(add_totals=False)
+    clean = tbl[~tbl["bin"].isin(["Special", "Missing"])]
+    # independent recount with digitize semantics on raw rows
+    b = F.lit(0)
+    for s in splits:
+        b = b + (F.col("x") >= F.lit(float(s))).cast("int")
+    chk = (
+        df.groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("n"), F.sum("y").alias("ev"))
+        .orderBy("bin").collect()
+    )
+    assert [int(c) for c in clean["count"]] == [r["n"] for r in chk]
+    assert [int(e) for e in clean["n_event"]] == [r["ev"] for r in chk]
+
+
+def test_high_cardinality_continuous_bucket_fit_is_exact(spark):
+    from optbinning_spark import ContinuousOptimalBinning
+
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").selectExpr(
+        "l_extendedprice as x", "l_quantity as y")
+    import optbinning_spark.operators.prebinning as PB
+    orig = PB.MAX_HISTOGRAM_BUCKETS
+    PB.MAX_HISTOGRAM_BUCKETS = 64
+    try:
+        ob = ContinuousOptimalBinning(name="x").fit(df, "x", "y")
+    finally:
+        PB.MAX_HISTOGRAM_BUCKETS = orig
+    splits = list(ob.splits)
+    assert len(splits) >= 2
+    tbl = ob.binning_table.build(add_totals=False)
+    clean = tbl[~tbl["bin"].isin(["Special", "Missing"])]
+    b = F.lit(0)
+    for s in splits:
+        b = b + (F.col("x") >= F.lit(float(s))).cast("int")
+    chk = (
+        df.groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("n"), F.sum("y").alias("s"))
+        .orderBy("bin").collect()
+    )
+    assert [int(c) for c in clean["count"]] == [r["n"] for r in chk]
+    import numpy as _np
+    _np.testing.assert_allclose(
+        _np.array(clean["sum"], dtype=float),
+        _np.array([r["s"] for r in chk], dtype=float), rtol=1e-9)
