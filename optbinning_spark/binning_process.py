@@ -150,11 +150,21 @@ class BinningProcess:
                 ),
             )
 
-        splits_by_var = self._propose_splits(work, numeric, y, sample_weight, classes)
-
-        stats_by_var = self._stacked_stats(
-            df, numeric, categorical, splits_by_var, y, sample_weight, classes
-        )
+        fused = None
+        if self.prebinning_method in ("cart", "mdlp"):
+            fused = self._fused_fit_stats(
+                work, numeric, categorical, y, sample_weight, classes
+            )
+        if fused is not None:
+            splits_by_var, stats_by_var = fused
+        else:
+            splits_by_var = self._propose_splits(
+                work, numeric, y, sample_weight, classes
+            )
+            stats_by_var = self._stacked_stats(
+                df, numeric, categorical, splits_by_var, y, sample_weight,
+                classes,
+            )
 
         # driver: per-variable solve via the single-variable finalizers
         for v in self.variable_names:
@@ -227,8 +237,11 @@ class BinningProcess:
             return splits_by_var
 
         if method == "quantile":
+            # 1e-3 rank error vs 1/max_n_prebins (~5%) bin widths is
+            # immaterial, and the GK state per column is ~10x smaller —
+            # at cluster scale the sketch merge traffic shrinks likewise
             probs = list(np.linspace(0, 1, self.max_n_prebins + 1)[1:-1])
-            allq = work.approxQuantile([f"__clean_{v}" for v in todo], probs, 1e-4)
+            allq = work.approxQuantile([f"__clean_{v}" for v in todo], probs, 1e-3)
             for v, qs in zip(todo, allq):
                 splits_by_var[v] = np.unique(np.asarray(qs, dtype=float))
             return splits_by_var
@@ -410,6 +423,250 @@ class BinningProcess:
                     min_samples_leaf=self.min_prebin_size * total_w,
                 )
         return splits_by_var
+
+    # ------------------------------------------------------------------
+    def _fused_fit_stats(self, work, numeric, categorical, y, w, classes):
+        """TWO-job whole-process fit for cart/mdlp: a probe aggregation
+        (per-variable HLL cardinality + quantile edges, no shuffle)
+        followed by ONE combined stacked aggregation grouped by
+        (variable, sample_class, distinct-value-or-bucket, category).
+        Split proposal AND per-prebin statistics both derive from that
+        single collect on the driver — the multi-variable analog of the
+        single-variable fused fit (binning.py _fused_fit).
+
+        Low-cardinality variables group by exact distinct value
+        (sklearn-CART-exact splits, golden parity); high-cardinality
+        variables group by quantile bucket with splits snapped to
+        bucket edges so the driver re-reduce stays exact. Replaces the
+        4-job path (exact attempt whose LIMIT could not prevent a full
+        shuffle of high-cardinality groups + approxQuantile + bucket
+        histogram + stacked stats).
+
+        Returns (splits_by_var, stats_by_var) or None to fall back.
+        """
+        from pyspark.ml.feature import Bucketizer
+
+        from .operators.aggregation import (
+            bin_stats_from_values,
+            snap_splits_to_edges,
+        )
+
+        method = self.prebinning_method
+        task = (
+            "regression" if self._target_type == "continuous"
+            else "classification"
+        )
+        tt = self._target_type
+        cls = [0, 1] if tt == "binary" else classes
+        metrics = _metric_names(tt, classes)
+
+        user = {
+            v: np.unique(np.asarray(
+                self._fit_param(v, "user_splits", None), dtype=float))
+            for v in numeric
+            if self._fit_param(v, "user_splits", None) is not None
+        }
+        todo = [v for v in numeric if v not in user]
+
+        per_var_cap = 4096
+        n_hist = 256
+        probs = np.linspace(0, 1, n_hist + 1)[1:-1]
+        if todo:
+            probe_aggs = []
+            for v in todo:
+                probe_aggs.append(
+                    F.approx_count_distinct(
+                        f"__clean_{v}", rsd=0.02).alias(f"nd_{v}")
+                )
+                probe_aggs.append(
+                    F.percentile_approx(
+                        f"__clean_{v}", F.lit(probs), F.lit(10_000)
+                    ).alias(f"q_{v}")
+                )
+            probe = work.agg(*probe_aggs).first()
+        small, big, edges_by_var = [], [], {}
+        for v in todo:
+            edges = sorted({float(e) for e in (probe[f"q_{v}"] or [])})
+            if probe[f"nd_{v}"] <= per_var_cap * 1.05 or not edges:
+                small.append(v)
+            else:
+                big.append(v)
+                edges_by_var[v] = edges
+        # user-split variables ride the bucket path with the final
+        # splits AS the bucket edges: per-bucket stats ARE the per-bin
+        # stats (left-closed Bucketizer == digitize right=False)
+        for v, us in user.items():
+            if us.size:
+                big.append(v)
+                edges_by_var[v] = [float(e) for e in us]
+            else:
+                small.append(v)
+
+        if big:
+            buck = Bucketizer(
+                splitsArray=[
+                    [-float("inf")] + edges_by_var[v] + [float("inf")]
+                    for v in big
+                ],
+                inputCols=[f"__clean_{v}" for v in big],
+                outputCols=[f"__bkt_{v}" for v in big],
+                handleInvalid="keep",
+            )
+            work = buck.transform(work)
+
+        structs = []
+        for v in numeric:
+            c = F.col(v).cast("double")
+            sclass = sample_class_expr(c, "numerical", self._codes_for(v))
+            cv = F.col(f"__clean_{v}")
+            gv = (
+                F.when(cv.isNotNull(), F.col(f"__bkt_{v}").cast("double"))
+                if v in edges_by_var
+                else cv
+            )
+            structs.append(F.struct(
+                F.lit(v).alias("variable"),
+                sclass.alias("sample_class"),
+                gv.alias("gv"),
+                F.lit(None).cast("string").alias("key"),
+                cv.alias("cval"),
+            ))
+        for v in categorical:
+            c = F.col(v)
+            sclass = sample_class_expr(c, "categorical", self._codes_for(v))
+            structs.append(F.struct(
+                F.lit(v).alias("variable"),
+                sclass.alias("sample_class"),
+                F.lit(None).cast("double").alias("gv"),
+                F.when(sclass == CLEAN, c.cast("string")).alias("key"),
+                F.lit(None).cast("double").alias("cval"),
+            ))
+        wcol = F.col(w) if w else F.lit(1.0)
+        exploded = work.select(
+            F.explode(F.array(*structs)).alias("s"),
+            F.col(y).alias("__y"), wcol.alias("__w"),
+        ).select("s.variable", "s.sample_class", "s.gv", "s.key",
+                 "s.cval", "__y", "__w")
+        # bounded collect: exact values are LIMIT-backstopped; buckets
+        # and special/missing groups are bounded by construction; the
+        # allowance covers categorical cardinality (unbounded today in
+        # the fallback too — cat_cutoff is the scale guard there)
+        cap = (
+            per_var_cap * 2 * max(len(small), 1)
+            + (n_hist + 2) * max(len(big), 1)
+            + 100_000 * max(len(categorical), 1)
+            + 4 * len(self.variable_names)
+        )
+        rows = (
+            exploded.groupBy("variable", "sample_class", "gv", "key")
+            .agg(F.max("cval").alias("vmax"),
+                 *_agg_exprs("__y", "__w", tt, classes))
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(rows) > cap:
+            return None
+
+        by_var: dict[str, list] = {v: [] for v in self.variable_names}
+        for r in rows:
+            by_var[r["variable"]].append(r)
+
+        def _vals(r):
+            return {
+                m: (
+                    r[m]
+                    if r[m] is not None
+                    else (np.nan if m in ("min_y", "max_y") else 0.0)
+                )
+                for m in metrics
+            }
+
+        splits_by_var: dict[str, np.ndarray] = {}
+        stats_by_var = {}
+        for v in numeric:
+            rs = by_var[v]
+            clean_rows = [
+                r for r in rs
+                if r["sample_class"] == CLEAN and r["gv"] is not None
+            ]
+            clean_rows.sort(key=lambda r: r["gv"])
+            missing = {m: 0.0 for m in metrics}
+            specials: dict[str, dict[str, float]] = {}
+            for r in rs:
+                sc = r["sample_class"]
+                if sc == CLEAN:
+                    continue
+                if sc == MISSING:
+                    missing = _vals(r)
+                else:
+                    specials[sc.split(":", 1)[1] if ":" in sc else sc] = (
+                        _vals(r)
+                    )
+            if v in edges_by_var:
+                values = np.array(
+                    [r["vmax"] for r in clean_rows], dtype=float)
+                E = [-float("inf")] + edges_by_var[v] + [float("inf")]
+                lower_edges = np.array(
+                    [E[int(r["gv"])] for r in clean_rows], dtype=float)
+            else:
+                values = np.array([r["gv"] for r in clean_rows], dtype=float)
+                lower_edges = None
+            per_value = {
+                m: np.array(
+                    [
+                        (
+                            r[m]
+                            if r[m] is not None
+                            else (np.nan if m in ("min_y", "max_y") else 0.0)
+                        )
+                        for r in clean_rows
+                    ],
+                    dtype=float,
+                )
+                for m in metrics
+            }
+            if v in user:
+                splits = user[v]
+            elif len(values) < 2:
+                splits = np.array([])
+            else:
+                if task == "classification":
+                    hist = np.column_stack(
+                        [per_value[m] for m in metrics])
+                    total_w = hist.sum()
+                else:
+                    hist = np.column_stack([
+                        per_value["n_records"], per_value["sum_y"],
+                        per_value["sum_y2"],
+                    ])
+                    total_w = hist[:, 0].sum()
+                if method == "mdlp":
+                    splits = mdlp_splits(values, hist)
+                else:
+                    splits = cart_splits(
+                        values, hist, task=task,
+                        max_leaf_nodes=self.max_n_prebins,
+                        min_samples_leaf=self.min_prebin_size * total_w,
+                    )
+                if lower_edges is not None and splits.size:
+                    splits = snap_splits_to_edges(
+                        splits, values, lower_edges)
+            splits_by_var[v] = splits
+            stats_by_var[v] = bin_stats_from_values(
+                values, per_value, missing, specials, splits, tt
+            )
+        for v in categorical:
+            cats, missing, specials = {}, {m: 0.0 for m in metrics}, {}
+            for r in by_var[v]:
+                if r["sample_class"] == CLEAN:
+                    if r["key"] is not None:
+                        cats[r["key"]] = _vals(r)
+                elif r["sample_class"] == MISSING:
+                    missing = _vals(r)
+                else:
+                    specials[r["sample_class"].split(":", 1)[1]] = _vals(r)
+            stats_by_var[v] = (cats, missing, specials)
+        return splits_by_var, stats_by_var
 
     # ------------------------------------------------------------------
     def _stacked_stats(self, df, numeric, categorical, splits_by_var, y, w, classes):

