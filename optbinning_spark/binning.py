@@ -347,13 +347,17 @@ class _BaseOptimalBinning:
         """Single-aggregation fit: per-distinct-value sufficient stats
         (+ special/missing rows) collected once; CART/MDLP/uniform
         splits and exact per-prebin statistics both derive from that
-        histogram on the driver. Returns 'done', or 'skip' (user
-        splits / quantile methods — caller runs the multi-pass path),
-        or 'overflow' (cardinality probe failed — caller runs the
-        multi-pass path and skips the already-failed exact probe)."""
+        histogram on the driver; the quantile method computes EXACT
+        weighted percentiles from the same histogram (reference
+        KBinsDiscretizer parity) or, on overflow, picks edges from the
+        probe's quantile grid (already bucket boundaries). Returns
+        'done', or 'skip' (user splits / quantile_exact — caller runs
+        the multi-pass path), or 'overflow' (cardinality probe failed —
+        caller runs the multi-pass path and skips the already-failed
+        exact probe)."""
         method = self.prebinning_method
         if self.user_splits is not None or method not in (
-            "cart", "mdlp", "uniform"
+            "cart", "mdlp", "uniform", "quantile"
         ):
             return "skip"
         from .core.tree import mdlp_splits
@@ -459,6 +463,27 @@ class _BaseOptimalBinning:
             )
         if len(values) < 2:
             prebin_splits = np.array([])
+        elif method == "quantile":
+            tgt = np.linspace(0, 1, self.max_n_prebins + 1)[1:-1]
+            if lower_edges is not None:
+                # overflow: pick the probe-grid percentile nearest each
+                # target probability — grid values are bucket
+                # boundaries, so the driver re-reduce stays exact
+                raw = [float(e) for e in (probe["edges"] or [])]
+                N = MAX_HISTOGRAM_BUCKETS
+                idx = np.clip(
+                    np.round(tgt * N).astype(int), 1, len(raw))
+                prebin_splits = np.unique([raw[i - 1] for i in idx])
+            else:
+                from .operators.aggregation import weighted_percentile
+
+                cnts = (
+                    hist.sum(axis=1)
+                    if task == "classification"
+                    else hist[:, 0]
+                )
+                prebin_splits = np.unique(
+                    weighted_percentile(values, cnts, tgt))
         elif method == "uniform":
             prebin_splits = np.unique(
                 np.linspace(values[0], values[-1], self.max_n_prebins + 1)[1:-1]

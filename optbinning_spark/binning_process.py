@@ -151,7 +151,7 @@ class BinningProcess:
             )
 
         fused = None
-        if self.prebinning_method in ("cart", "mdlp"):
+        if self.prebinning_method in ("cart", "mdlp", "quantile"):
             fused = self._fused_fit_stats(
                 work, numeric, categorical, y, sample_weight, classes
             )
@@ -484,14 +484,16 @@ class BinningProcess:
                     ).alias(f"q_{v}")
                 )
             probe = work.agg(*probe_aggs).first()
-        small, big, edges_by_var = [], [], {}
+        small, big, edges_by_var, raw_edges_by_var = [], [], {}, {}
         for v in todo:
-            edges = sorted({float(e) for e in (probe[f"q_{v}"] or [])})
+            raw = [float(e) for e in (probe[f"q_{v}"] or [])]
+            edges = sorted(set(raw))
             if probe[f"nd_{v}"] <= per_var_cap * 1.05 or not edges:
                 small.append(v)
             else:
                 big.append(v)
                 edges_by_var[v] = edges
+                raw_edges_by_var[v] = raw
         # user-split variables ride the bucket path with the final
         # splits AS the bucket edges: per-bucket stats ARE the per-bin
         # stats (left-closed Bucketizer == digitize right=False)
@@ -629,6 +631,25 @@ class BinningProcess:
                 splits = user[v]
             elif len(values) < 2:
                 splits = np.array([])
+            elif method == "quantile":
+                tgt = np.linspace(0, 1, self.max_n_prebins + 1)[1:-1]
+                if v in raw_edges_by_var:
+                    # grid percentiles ARE bucket boundaries — the
+                    # re-reduce below stays exact without snapping
+                    raw = raw_edges_by_var[v]
+                    idx = np.clip(
+                        np.round(tgt * n_hist).astype(int), 1, len(raw))
+                    splits = np.unique([raw[i - 1] for i in idx])
+                else:
+                    from .operators.aggregation import weighted_percentile
+
+                    cnts = (
+                        sum(per_value[m] for m in metrics)
+                        if task == "classification"
+                        else per_value["n_records"]
+                    )
+                    splits = np.unique(
+                        weighted_percentile(values, cnts, tgt))
             else:
                 if task == "classification":
                     hist = np.column_stack(

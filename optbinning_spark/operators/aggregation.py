@@ -244,6 +244,30 @@ def bucket_value_stats(
     return values, per_value, missing, specials, lower_edges
 
 
+def weighted_percentile(
+    values: np.ndarray, counts: np.ndarray, probs
+) -> np.ndarray:
+    """np.percentile(expanded_array, p, 'linear') computed from
+    (distinct value, count) pairs — exact for integer counts, the
+    natural generalization for fractional weights. Lets the quantile
+    prebinning method reproduce the reference's EXACT KBinsDiscretizer
+    edges from the same single-aggregation histogram the cart path
+    uses (reference prebinning.py:95-101)."""
+    values = np.asarray(values, dtype=float)
+    c = np.cumsum(np.asarray(counts, dtype=float))
+    W = c[-1]
+    out = []
+    for p in np.asarray(probs, dtype=float):
+        h = p * (W - 1.0)
+        lo, hi = np.floor(h), np.ceil(h)
+        vlo = values[min(int(np.searchsorted(c, lo, side="right")),
+                         len(values) - 1)]
+        vhi = values[min(int(np.searchsorted(c, hi, side="right")),
+                         len(values) - 1)]
+        out.append(vlo + (h - lo) * (vhi - vlo))
+    return np.asarray(out, dtype=float)
+
+
 def snap_splits_to_edges(
     splits: np.ndarray, values: np.ndarray, lower_edges: np.ndarray
 ) -> np.ndarray:

@@ -103,7 +103,7 @@ class OptimalPWBinning:
         degree: int = 1,
         continuity: bool = True,
         continuous_deriv: bool = True,
-        prebinning_method: str = "quantile",
+        prebinning_method: str = "cart",  # reference piecewise/binning.py:184
         max_n_prebins: int = 20,
         min_prebin_size: float = 0.05,
         min_n_bins: int | None = None,

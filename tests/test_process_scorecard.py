@@ -28,7 +28,9 @@ def wide_df(spark):
 def fitted_process(wide_df):
     bp = BinningProcess(
         ["x1", "x2", "x3", "cat"],
-        selection_criteria={"iv": {"min": 0.01, "strategy": "highest", "top": 3}},
+        # min well above noise-level IV (~0.01) so the no-signal
+        # variables are excluded deterministically
+        selection_criteria={"iv": {"min": 0.05, "strategy": "highest", "top": 3}},
         prebinning_method="quantile",
     )
     bp.fit(wide_df, "y")
