@@ -149,6 +149,40 @@ def binning_quality_score(iv: float, p_values: np.ndarray, hhi_norm: float) -> f
     return float(score * penalty * (1.0 - hhi_norm))
 
 
+def multiclass_binning_quality_score(
+    js: float, n_classes: int, p_values, hhi_norm: float
+) -> float:
+    """Reference metrics.py:347-350: JS normalized by log(k) through
+    the same bell-shaped score."""
+    return binning_quality_score(
+        js / np.log(n_classes), p_values, hhi_norm)
+
+
+def continuous_binning_quality_score(
+    rwoe: float, p_values, hhi_norm: float
+) -> float:
+    """Reference metrics.py:353-367: mean-relative total |WoE| ratio
+    times significance and concentration penalties."""
+    score_1 = max(1.0 - 1.0 / rwoe, 0.0) if rwoe != 0 else 0.0
+    pv = np.asarray(p_values, dtype=float)
+    score_2 = float(np.prod(1.0 - pv)) if pv.size else 1.0
+    return float(score_1 * score_2 * (1.0 - hhi_norm))
+
+
+def cramer_v_multi(event_matrix: np.ndarray) -> tuple[float, float]:
+    """Pearson chi2 over an n_bins x k class-count table and Cramer's V
+    (reference metrics.py chi2_cramer_v_multi)."""
+    from .special_math import chi2_contingency_2xk
+
+    obs = np.asarray(event_matrix, dtype=float)
+    stat, _ = chi2_contingency_2xk(obs)
+    total = obs.sum()
+    kmin = min(obs.shape) - 1
+    if total <= 0 or kmin <= 0:
+        return stat, 0.0
+    return stat, float(np.sqrt(stat / (total * kmin)))
+
+
 def psi(expected_share: np.ndarray, actual_share: np.ndarray) -> float:
     """Population Stability Index = Jeffrey divergence between shares
     (reference monitoring.py:582-602)."""

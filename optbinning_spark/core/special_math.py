@@ -364,3 +364,47 @@ def welch_ttest_from_stats(
     df = df_num / df_den if df_den > 0 else n1 + n2 - 2
     p = 2.0 * t_sf(abs(t), df)
     return t, min(p, 1.0)
+
+
+def fisher_exact_2x2(counts) -> tuple[float, float]:
+    """Fisher exact test (two-sided) on a 2x2 table; returns
+    (sample odds ratio, p-value). Mirrors scipy.stats.fisher_exact:
+    the p-value sums hypergeometric probabilities not exceeding the
+    observed one (with scipy's 1+1e-7 tolerance). Counts are rounded
+    to integers (the test is only defined for counts)."""
+    obs = np.asarray(counts, dtype=float)
+    a, b = float(round(obs[0, 0])), float(round(obs[0, 1]))
+    c, d = float(round(obs[1, 0])), float(round(obs[1, 1]))
+    if min(a, b, c, d) < 0:
+        raise ValueError("counts must be non-negative")
+    if b * c == 0:
+        odds = math.inf if a * d > 0 else math.nan
+    else:
+        odds = (a * d) / (b * c)
+    r1, r2 = a + b, c + d
+    c1 = a + c
+    n = r1 + r2
+    if n == 0 or r1 == 0 or r2 == 0 or c1 == 0 or c1 == n:
+        return odds, 1.0
+
+    lg = math.lgamma
+
+    def logp(k: float) -> float:
+        # log C(r1,k) + log C(r2,c1-k) - log C(n,c1)
+        return (
+            lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1)
+            + lg(r2 + 1) - lg(c1 - k + 1) - lg(r2 - (c1 - k) + 1)
+            - (lg(n + 1) - lg(c1 + 1) - lg(n - c1 + 1))
+        )
+
+    k_lo = max(0.0, c1 - r2)
+    k_hi = min(r1, c1)
+    p_obs = math.exp(logp(a))
+    total = 0.0
+    k = k_lo
+    while k <= k_hi + 0.5:
+        p = math.exp(logp(k))
+        if p <= p_obs * (1.0 + 1e-7):
+            total += p
+        k += 1.0
+    return odds, min(total, 1.0)

@@ -102,6 +102,81 @@ class MulticlassBinningTable:
             df = pd.concat([df, pd.DataFrame([row])], ignore_index=True)
         return df
 
+    def analysis(self, print_output: bool = False) -> dict:
+        """Multiclass binning-table analysis (reference
+        binning_statistics.py:1398-1468): chi2 tests between
+        consecutive bins' class counts, JS-normalized quality score,
+        per-class monotonic trends."""
+        from .core.metrics import (
+            cramer_v_multi,
+            hhi,
+            multiclass_binning_quality_score,
+            type_of_monotonic_trend,
+        )
+        from .core.special_math import chi2_contingency_2xk
+
+        clean = np.array([k == "clean" for k in self.kinds])
+        Mc = self.M[clean]
+        tstats, pvals = [], []
+        for i in range(len(Mc) - 1):
+            st, pv = chi2_contingency_2xk(Mc[i:i + 2, :])
+            tstats.append(st)
+            pvals.append(pv)
+        _, cv = cramer_v_multi(Mc) if len(Mc) >= 2 else (0.0, 0.0)
+        hhi_n = float(hhi(self.count, normalized=True))
+        cnt = self.count[clean]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            er = Mc / np.maximum(cnt[:, None], _EPS)
+        trends = {
+            str(c): type_of_monotonic_trend(er[:, i])
+            for i, c in enumerate(self.classes)
+        }
+        result = {
+            "js": self.js,
+            "hhi": float(hhi(self.count)),
+            "hhi_norm": hhi_n,
+            "cramer_v": cv,
+            "quality_score": multiclass_binning_quality_score(
+                self.js, len(self.classes), pvals, hhi_n),
+            "monotonic_trends": trends,
+            "chi2_pvalues": pvals,
+            "n_bins": int(clean.sum()),
+        }
+        if print_output:
+            from .operators.binning_table import _tests_table_string
+
+            mono = "".join(
+                "    Class {:>2}            {:>15}\n".format(i, t)
+                for i, t in enumerate(trends.values())
+            )
+            report = (
+                "-------------------------------------------------\n"
+                "OptimalBinning: Multiclass Binning Table Analysis\n"
+                "-------------------------------------------------\n"
+                "\n"
+                "  General metrics"
+                "\n\n"
+                "    JS (Jensen-Shannon) {:>15.8f}\n"
+                "    HHI                 {:>15.8f}\n"
+                "    HHI (normalized)    {:>15.8f}\n"
+                "    Cramer's V          {:>15.8f}\n"
+                "    Quality score       {:>15.8f}\n"
+                "\n"
+                "  Monotonic trend\n\n{}\n"
+                "  Significance tests\n\n{}\n"
+            ).format(
+                result["js"], result["hhi"], result["hhi_norm"],
+                result["cramer_v"], result["quality_score"], mono,
+                _tests_table_string({
+                    "Bin A": np.arange(len(pvals)),
+                    "Bin B": np.arange(len(pvals)) + 1,
+                    "t-statistic": tstats,
+                    "p-value": pvals,
+                }),
+            )
+            print(report)
+        return result
+
     def plot(self, add_special: bool = True, add_missing: bool = True,
              show_bin_labels: bool = False, savefig: str | None = None):
         """Count bars + mean-WoE line (reference

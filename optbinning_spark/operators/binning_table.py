@@ -178,26 +178,36 @@ class BinningTableBinary:
             df = pd.concat([df, totals], ignore_index=True)
         return df
 
-    def analysis(self, n_samples: int = 100, bayes: bool = True) -> dict:
+    def analysis(self, pvalue_test: str = "chi2", n_samples: int = 100,
+                 bayes: bool = True, print_output: bool = False) -> dict:
         """Binning-table quality analysis (reference
-        binning_statistics.py:929-1010): gini, IV, JS, Hellinger,
+        binning_statistics.py:879-1010): gini, IV, JS, Hellinger,
         triangular, KS, HHI, Cramer's V, quality score, achieved
-        monotonic-trend type, and per-consecutive-bin chi2 tests plus
-        Bayesian P[A>B]/P[B>A] (beta-posterior quadrature, M10).
+        monotonic-trend type, and per-consecutive-bin chi2/Fisher tests
+        plus Bayesian P[A>B]/P[B>A] (beta-posterior quadrature, M10).
         ``bayes=False`` skips the (driver-heavy) posterior quadrature —
         used by BinningProcess selection, which only needs the chi2
-        p-values for the quality score."""
+        p-values for the quality score. ``print_output=True`` prints
+        the reference-format report."""
+        if pvalue_test not in ("chi2", "fisher"):
+            raise ValueError(
+                'pvalue_test must be "chi2" or "fisher"')
         clean = np.array([k == "clean" for k in self.kinds])
         ev = self.ev_all[clean]
         ne = self.ne_all[clean]
-        from ..core.special_math import chi2_contingency_2xk
+        from ..core.special_math import chi2_contingency_2xk, fisher_exact_2x2
 
+        tstats = []
         pvals = []
         p_a_b = []
         p_b_a = []
         for i in range(len(ev) - 1):
             obs = np.array([[ne[i], ev[i]], [ne[i + 1], ev[i + 1]]])
-            _, pv = chi2_contingency_2xk(obs)
+            if pvalue_test == "fisher":
+                st, pv = fisher_exact_2x2(obs)
+            else:
+                st, pv = chi2_contingency_2xk(obs)
+            tstats.append(st)
             pvals.append(pv)
             if bayes:
                 pab, pba = M.bayesian_probability(obs.T, n_samples)
@@ -207,7 +217,7 @@ class BinningTableBinary:
         t_ev, t_ne = max(ev.sum(), _EPS), max(ne.sum(), _EPS)
         _, cv = M.cramer_v(ne, ev) if len(ev) >= 2 else (0.0, 0.0)
         er = np.where(ev + ne > 0, ev / np.maximum(ev + ne, _EPS), 0.0)
-        return {
+        result = {
             "iv": self.iv,
             "js": self.js,
             "hellinger": float(
@@ -230,6 +240,10 @@ class BinningTableBinary:
             "p_b_gt_a": p_b_a,
             "n_bins": int(clean.sum()),
         }
+        if print_output:
+            print(_binary_analysis_report(result, tstats, pvals,
+                                          p_a_b, p_b_a, pvalue_test))
+        return result
 
     def plot(self, metric: str = "woe", add_special: bool = True,
              add_missing: bool = True, style: str = "bin",
@@ -248,6 +262,56 @@ class BinningTableBinary:
 
     def to_spark(self, spark):
         return spark.createDataFrame(self.build(add_totals=False))
+
+
+def _tests_table_string(columns: dict) -> str:
+    """Reference dataframe_to_string: 4-space-indented fixed table."""
+    df = pd.DataFrame(columns)
+    if not len(df):
+        return "    None"
+    return "\n".join(
+        "    " + line for line in df.to_string(index=False).splitlines()
+    )
+
+
+def _binary_analysis_report(a, tstats, pvals, p_a_b, p_b_a, pvalue_test):
+    """Reference binning_statistics.py:977-1002 report layout."""
+    cols = {
+        "Bin A": np.arange(len(pvals)),
+        "Bin B": np.arange(len(pvals)) + 1,
+        ("odd ratio" if pvalue_test == "fisher" else "t-statistic"): tstats,
+        "p-value": pvals,
+    }
+    if p_a_b:
+        cols["P[A > B]"] = p_a_b
+        cols["P[B > A]"] = p_b_a
+    return (
+        "---------------------------------------------\n"
+        "OptimalBinning: Binary Binning Table Analysis\n"
+        "---------------------------------------------\n"
+        "\n"
+        "  General metrics"
+        "\n\n"
+        "    Gini index          {:>15.8f}\n"
+        "    IV (Jeffrey)        {:>15.8f}\n"
+        "    JS (Jensen-Shannon) {:>15.8f}\n"
+        "    Hellinger           {:>15.8f}\n"
+        "    Triangular          {:>15.8f}\n"
+        "    KS                  {:>15.8f}\n"
+        "    HHI                 {:>15.8f}\n"
+        "    HHI (normalized)    {:>15.8f}\n"
+        "    Cramer's V          {:>15.8f}\n"
+        "    Quality score       {:>15.8f}\n"
+        "\n"
+        "  Monotonic trend       {:>15}\n"
+        "\n"
+        "  Significance tests\n\n{}\n"
+    ).format(
+        a["gini"], a["iv"], a["js"], a["hellinger"], a["triangular"],
+        a["ks"], a["hhi"], a["hhi_norm"], a["cramer_v"],
+        a["quality_score"], a["monotonic_trend"],
+        _tests_table_string(cols),
+    )
 
 
 def _plot_bin_table(labels, kinds, bars0, bars1, line, line_name,
@@ -417,6 +481,75 @@ class BinningTableContinuous:
             )
             df = pd.concat([df, totals], ignore_index=True)
         return df
+
+    def analysis(self, print_output: bool = False) -> dict:
+        """Continuous binning-table analysis (reference
+        binning_statistics.py:1951-2049): Welch t-tests between
+        consecutive bins, mean-relative quality score, HHI, achieved
+        monotonic trend."""
+        from ..core.metrics import (
+            continuous_binning_quality_score,
+            hhi,
+            type_of_monotonic_trend,
+        )
+        from ..core.special_math import welch_ttest_from_stats
+
+        clean = np.array([k == "clean" for k in self.kinds])
+        n = self.count[clean]
+        mean = self.mean[clean]
+        std = self.std[clean]
+        tstats, pvals = [], []
+        for i in range(len(n) - 1):
+            t, pv = welch_ttest_from_stats(
+                mean[i], std[i], n[i], mean[i + 1], std[i + 1], n[i + 1])
+            tstats.append(t)
+            pvals.append(pv)
+        hhi_n = float(hhi(self.count, normalized=True))
+        woe_total = float(self.iv_per_bin.sum())
+        rwoe = (
+            float(np.abs(self.woe[clean]).sum()) / abs(self.mean_total)
+            if self.mean_total != 0
+            else float(np.abs(self.woe[clean]).sum())
+        )
+        result = {
+            "iv": self.iv,
+            "woe_total": woe_total,
+            "hhi": float(hhi(self.count)),
+            "hhi_norm": hhi_n,
+            "quality_score": continuous_binning_quality_score(
+                rwoe, pvals, hhi_n),
+            "monotonic_trend": type_of_monotonic_trend(mean),
+            "t_pvalues": pvals,
+            "n_bins": int(clean.sum()),
+        }
+        if print_output:
+            report = (
+                "-------------------------------------------------\n"
+                "OptimalBinning: Continuous Binning Table Analysis\n"
+                "-------------------------------------------------\n"
+                "\n"
+                "  General metrics"
+                "\n\n"
+                "    IV                  {:>15.8f}\n"
+                "    HHI                 {:>15.8f}\n"
+                "    HHI (normalized)    {:>15.8f}\n"
+                "    Quality score       {:>15.8f}\n"
+                "\n"
+                "  Monotonic trend       {:>15}\n"
+                "\n"
+                "  Significance tests\n\n{}\n"
+            ).format(
+                result["iv"], result["hhi"], result["hhi_norm"],
+                result["quality_score"], result["monotonic_trend"],
+                _tests_table_string({
+                    "Bin A": np.arange(len(pvals)),
+                    "Bin B": np.arange(len(pvals)) + 1,
+                    "t-statistic": tstats,
+                    "p-value": pvals,
+                }),
+            )
+            print(report)
+        return result
 
     def plot(self, add_special: bool = True, add_missing: bool = True,
              style: str = "bin", show_bin_labels: bool = False,

@@ -153,3 +153,38 @@ def test_binning_table_show_digits_and_plot_gate(spark):
     if not has_mpl:
         with pytest.raises(ImportError):
             t.plot(savefig="/tmp/unused.png")
+
+
+def test_analysis_reports_and_fisher(spark):
+    """analysis(print_output=True) prints reference-format reports for
+    binary/continuous/multiclass; Fisher test option matches scipy's
+    published value on the classic 2x2."""
+    import numpy as np
+    import optbinning_spark as ob
+    from optbinning_spark.core.special_math import fisher_exact_2x2
+
+    odds, p = fisher_exact_2x2(np.array([[8, 2], [1, 5]]))
+    assert odds == pytest.approx(20.0)
+    assert p == pytest.approx(0.034965034965, rel=1e-9)
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").selectExpr(
+        "l_quantity as x", "l_extendedprice as z",
+        'cast(l_returnflag = "R" as int) as y')
+    b = ob.OptimalBinning(name="x").fit(df, "x", "y")
+    a = b.binning_table.analysis(print_output=True, n_samples=20)
+    assert 0 <= a["quality_score"] <= 1
+    af = b.binning_table.analysis(pvalue_test="fisher", bayes=False)
+    assert len(af["chi2_pvalues"]) == len(a["chi2_pvalues"])
+
+    cb = ob.ContinuousOptimalBinning(name="x").fit(df, "x", "z")
+    ca = cb.binning_table.analysis(print_output=True)
+    assert 0 <= ca["quality_score"] <= 1
+    assert len(ca["t_pvalues"]) == ca["n_bins"] - 1
+
+    df3 = df.withColumn(
+        "y3", (F.col("z") / 20000).cast("int"))
+    mb = ob.MulticlassOptimalBinning(name="x").fit(
+        df3.filter(F.col("y3") <= 2), "x", "y3")
+    ma = mb.binning_table.analysis(print_output=True)
+    assert set(ma["monotonic_trends"]) == {"0", "1", "2"}
+    assert 0 <= ma["quality_score"] <= 1
