@@ -263,16 +263,17 @@ class OptimalBinning2D:
         ey = np.concatenate([[-np.inf], self.splits_y_, [np.inf]])
         return ex[r1], ex[r2], ey[c1], ey[c2]
 
-    def binning_table(self) -> pd.DataFrame:
+    def _table_df(self, show_digits: int | None = None) -> pd.DataFrame:
         self._check()
+        sd = self.show_digits if show_digits is None else show_digits
         rows = []
         for i, rect in enumerate(self.rects_):
             x1, x2, y1, y2 = self._rect_bounds(rect)
             rows.append(
                 {
                     "bin": i,
-                    "bin_x": format_bin_label(x1, x2, self.show_digits),
-                    "bin_y": format_bin_label(y1, y2, self.show_digits),
+                    "bin_x": format_bin_label(x1, x2, sd),
+                    "bin_y": format_bin_label(y1, y2, sd),
                     "count": self.count_[i],
                     "n_nonevent": self.n_nonevent_[i],
                     "n_event": self.n_event_[i],
@@ -282,6 +283,14 @@ class OptimalBinning2D:
                 }
             )
         return pd.DataFrame(rows)
+
+    @property
+    def binning_table(self) -> "BinningTable2DView":
+        """Reference-style table object (build/plot/analysis —
+        binning_statistics_2d.py:127-565); remains callable for the
+        legacy ``ob.binning_table()`` DataFrame shortcut."""
+        self._check()
+        return BinningTable2DView(self)
 
     def transform_expr(self, x_col, y_col, metric: str = "woe"):
         self._check()
@@ -462,8 +471,15 @@ class ContinuousOptimalBinning2D(OptimalBinning2D):
         s2 = np.array([s[2] for s in stats])
         with np.errstate(divide="ignore", invalid="ignore"):
             mean = np.where(n > 0, s1 / np.maximum(n, _EPS), 0.0)
+            var = np.where(
+                n > 1,
+                np.maximum(s2 - s1 * s1 / np.maximum(n, _EPS), 0.0)
+                / np.maximum(n - 1.0, _EPS),
+                0.0,
+            )
         self.count_ = n
         self.mean_ = mean
+        self.std_ = np.sqrt(var)
         self.woe_values_ = mean - t_mean
         # the reference's ContinuousBinningTable always appends Special
         # and Missing rows (mean 0 when empty), so its table-level woe
@@ -472,16 +488,17 @@ class ContinuousOptimalBinning2D(OptimalBinning2D):
         self.iv_values_ = np.abs(self.woe_values_) * n / max(total_n, _EPS)
         self.iv = float(self.iv_values_.sum())
 
-    def binning_table(self) -> pd.DataFrame:
+    def _table_df(self, show_digits: int | None = None) -> pd.DataFrame:
         self._check()
+        sd = self.show_digits if show_digits is None else show_digits
         rows = []
         for i, rect in enumerate(self.rects_):
             x1, x2, y1, y2 = self._rect_bounds(rect)
             rows.append(
                 {
                     "bin": i,
-                    "bin_x": format_bin_label(x1, x2, self.show_digits),
-                    "bin_y": format_bin_label(y1, y2, self.show_digits),
+                    "bin_x": format_bin_label(x1, x2, sd),
+                    "bin_y": format_bin_label(y1, y2, sd),
                     "count": self.count_[i],
                     "mean": self.mean_[i],
                     "woe": self.woe_values_[i],
@@ -512,3 +529,180 @@ class ContinuousOptimalBinning2D(OptimalBinning2D):
             v = F.lit(float(vals[i]) if metric != "indices" else int(vals[i]))
             expr = F.when(cond, v) if expr is None else expr.when(cond, v)
         return expr.otherwise(F.lit(0.0 if metric != "indices" else -1))
+
+
+class BinningTable2DView:
+    """Reference-style 2-D binning table object (reference
+    binning_statistics_2d.py:127-565 binary, 566-905 continuous):
+    ``build(show_digits, show_bin_xy, add_totals)``, ``analysis``,
+    matplotlib-gated ``plot``. Calling the view returns the legacy
+    flat DataFrame (back-compat with ``ob.binning_table()``)."""
+
+    def __init__(self, binner):
+        self._b = binner
+        self._binary = hasattr(binner, "n_event_")
+
+    def __call__(self) -> pd.DataFrame:
+        return self._b._table_df()
+
+    # ------------------------------------------------------------------
+    def build(self, show_digits: int = 2, show_bin_xy: bool = False,
+              add_totals: bool = True) -> pd.DataFrame:
+        df = self._b._table_df(show_digits=show_digits)
+        if show_bin_xy:
+            df.insert(1, "bin_xy",
+                      df["bin_x"] + " x " + df["bin_y"])
+            df = df.drop(columns=["bin_x", "bin_y"])
+        b = self._b
+        total = float(b.count_.sum())
+        df.insert(
+            list(df.columns).index("count") + 1, "count_pct",
+            b.count_ / max(total, 1e-15))
+        if add_totals:
+            row = {c: np.nan for c in df.columns}
+            row.update({"bin": "Totals", "count": total, "count_pct": 1.0})
+            if self._binary:
+                t_ne = float(b.n_nonevent_.sum())
+                t_ev = float(b.n_event_.sum())
+                row.update({
+                    "n_nonevent": t_ne, "n_event": t_ev,
+                    "event_rate": t_ev / max(total, 1e-15),
+                    "iv": float(b.iv_per_bin_.sum()),
+                })
+            else:
+                row.update({"iv": float(b.iv_values_.sum())})
+            df = pd.concat([df, pd.DataFrame([row])], ignore_index=True)
+        return df
+
+    # ------------------------------------------------------------------
+    def analysis(self, pvalue_test: str = "chi2", n_samples: int = 100,
+                 print_output: bool = False) -> dict:
+        from .core import metrics as M
+        from .core.special_math import (
+            chi2_contingency_2xk,
+            fisher_exact_2x2,
+            welch_ttest_from_stats,
+        )
+
+        b = self._b
+        if self._binary:
+            ne, ev = b.n_nonevent_, b.n_event_
+            tstats, pvals, p_a_b, p_b_a = [], [], [], []
+            for i in range(len(ne) - 1):
+                obs = np.array([[ne[i], ev[i]], [ne[i + 1], ev[i + 1]]])
+                st, pv = (
+                    fisher_exact_2x2(obs) if pvalue_test == "fisher"
+                    else chi2_contingency_2xk(obs)
+                )
+                tstats.append(st)
+                pvals.append(pv)
+                pab, pba = M.bayesian_probability(obs.T, n_samples)
+                p_a_b.append(pab)
+                p_b_a.append(pba)
+            hhi_n = M.hhi(b.count_, normalized=True)
+            _, cv = (
+                M.cramer_v(ne, ev) if len(ne) >= 2 else (0.0, 0.0))
+            t_ev = max(float(ev.sum()), 1e-15)
+            t_ne = max(float(ne.sum()), 1e-15)
+            p, q = ev / t_ev, ne / t_ne
+            result = {
+                "gini": M.gini(ev, ne),
+                "iv": b.iv,
+                "js": float(M.jensen_shannon(p, q).sum()),
+                "hhi": M.hhi(b.count_),
+                "hhi_norm": hhi_n,
+                "cramer_v": cv,
+                "quality_score": M.binning_quality_score(
+                    b.iv, np.array(pvals), hhi_n),
+                "chi2_pvalues": pvals,
+                "p_a_gt_b": p_a_b,
+                "p_b_gt_a": p_b_a,
+                "n_bins": len(ne),
+            }
+        else:
+            n, mean, std = b.count_, b.mean_, b.std_
+            tstats, pvals = [], []
+            for i in range(len(n) - 1):
+                t, pv = welch_ttest_from_stats(
+                    mean[i], std[i], n[i],
+                    mean[i + 1], std[i + 1], n[i + 1])
+                tstats.append(t)
+                pvals.append(pv)
+            hhi_n = M.hhi(b.count_, normalized=True)
+            t_mean = float(
+                (mean * n).sum() / max(n.sum(), 1e-15))
+            rwoe = (
+                float(np.abs(b.woe_values_).sum()) / abs(t_mean)
+                if t_mean != 0 else float(np.abs(b.woe_values_).sum())
+            )
+            result = {
+                "iv": b.iv,
+                "hhi": M.hhi(b.count_),
+                "hhi_norm": hhi_n,
+                "quality_score": M.continuous_binning_quality_score(
+                    rwoe, pvals, hhi_n),
+                "t_pvalues": pvals,
+                "n_bins": len(n),
+            }
+        if print_output:
+            kind = "Binary" if self._binary else "Continuous"
+            lines = [
+                "-----------------------------------------------",
+                f"OptimalBinning2D: {kind} Binning Table Analysis",
+                "-----------------------------------------------",
+                "", "  General metrics", "",
+            ]
+            for k, v in result.items():
+                if isinstance(v, (int, float)):
+                    lines.append(f"    {k:<18} {v:>15.8f}")
+            print("\n".join(lines))
+        return result
+
+    # ------------------------------------------------------------------
+    def plot(self, metric: str = "woe", savefig: str | None = None):
+        """Rectangle-grid plot colored by metric (reference
+        binning_statistics_2d.py:341-451). Matplotlib-gated."""
+        try:
+            import matplotlib.pyplot as plt
+            from matplotlib.patches import Rectangle
+        except ImportError as exc:
+            raise ImportError(
+                "plot() requires matplotlib, which is not installed in "
+                "this environment; use build() for the tabular result."
+            ) from exc
+        b = self._b
+        vals = {
+            "woe": getattr(b, "woe_", None)
+            if self._binary else b.woe_values_,
+            "event_rate": getattr(b, "event_rate_", None),
+            "mean": getattr(b, "mean_", None),
+        }.get(metric)
+        if vals is None:
+            raise ValueError(f"metric {metric} not available")
+        fig, ax = plt.subplots()
+        ex = np.concatenate([[np.nanmin(b.splits_x_) - 1], b.splits_x_,
+                             [np.nanmax(b.splits_x_) + 1]])
+        ey = np.concatenate([[np.nanmin(b.splits_y_) - 1], b.splits_y_,
+                             [np.nanmax(b.splits_y_) + 1]])
+        vmin, vmax = float(np.min(vals)), float(np.max(vals))
+        cmap = plt.get_cmap("viridis")
+        for i, rect in enumerate(b.rects_):
+            r1, r2, c1, c2 = rect
+            x1, x2 = ex[r1], ex[r2]
+            y1, y2 = ey[c1], ey[c2]
+            frac = (
+                (float(vals[i]) - vmin) / (vmax - vmin)
+                if vmax > vmin else 0.5
+            )
+            ax.add_patch(Rectangle(
+                (x1, y1), x2 - x1, y2 - y1,
+                facecolor=cmap(frac), edgecolor="black"))
+        ax.set_xlim(ex[0], ex[-1])
+        ax.set_ylim(ey[0], ey[-1])
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        if savefig is not None:
+            fig.savefig(savefig)
+            plt.close(fig)
+        else:
+            plt.show()

@@ -343,3 +343,28 @@ def test_status_property_surface(spark):
     import pytest as _pt
     with _pt.raises(RuntimeError):
         ob.OptimalBinning(name="q").status
+
+
+def test_binning_table_2d_view(spark):
+    """Reference-style 2-D table object: build/analysis plus the
+    legacy callable DataFrame shortcut (binning_statistics_2d.py)."""
+    import optbinning_spark as ob
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").selectExpr(
+        "l_quantity as x", "l_extendedprice as x2",
+        "l_discount as d",
+        'cast(l_returnflag = "R" as int) as y')
+    b2 = ob.OptimalBinning2D().fit(df, "x", "x2", "y")
+    legacy = b2.binning_table()
+    built = b2.binning_table.build(show_digits=4, show_bin_xy=True)
+    assert len(built) == len(legacy) + 1  # totals row
+    assert "bin_xy" in built.columns
+    a = b2.binning_table.analysis(print_output=True)
+    assert 0 <= a["quality_score"] <= 1
+    assert a["n_bins"] == len(legacy)
+
+    c2 = ob.ContinuousOptimalBinning2D().fit(df, "x", "x2", "d")
+    ca = c2.binning_table.analysis()
+    assert "t_pvalues" in ca
+    cb = c2.binning_table.build(add_totals=False)
+    assert "count_pct" in cb.columns
