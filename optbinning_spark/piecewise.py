@@ -705,12 +705,29 @@ class OptimalPWBinning:
             "js": float(row["js"]) / n,
         }
 
+    def _coefs_x_domain(self) -> np.ndarray:
+        """Per-bin polynomial coefficients in the ORIGINAL x domain
+        (ascending powers). Internally stored over the rescaled
+        u = (x - xc)/xs; reference PWBinningTable reports x-domain
+        c0..cd (piecewise/binning_statistics.py:160-171)."""
+        from numpy.polynomial import Polynomial
+
+        sub = Polynomial([-self._xc / self._xs, 1.0 / self._xs])
+        out = []
+        for b in range(self.coefs_.shape[0]):
+            p = Polynomial(self.coefs_[b])(sub)
+            c = np.zeros(self.coefs_.shape[1])
+            c[: len(p.coef)] = p.coef
+            out.append(c)
+        return np.asarray(out)
+
     @property
     def binning_table(self):
-        """The inner knot-proposal binning's table (reference
-        OptimalPWBinning.binning_table)."""
+        """Reference PWBinningTable: the knot-bin counts plus per-bin
+        polynomial coefficient columns c0..cd
+        (piecewise/binning_statistics.py:31-171)."""
         self._check()
-        return self.inner_.binning_table
+        return PWBinningTableView(self)
 
     @property
     def splits(self):
@@ -737,3 +754,41 @@ class ContinuousOptimalPWBinning(OptimalPWBinning):
     def __init__(self, name: str = "", **kw):
         kw.pop("objective", None)
         super().__init__(name=name, objective="continuous", **kw)
+
+
+class PWBinningTableView:
+    """Piecewise binning table (reference
+    piecewise/binning_statistics.py:31-171): the inner knot binning's
+    table with per-bin polynomial coefficient columns ``c0..cd`` in
+    the original x domain; special/missing rows carry the empirical
+    event rate (binary) / mean (continuous) in ``c0``."""
+
+    def __init__(self, pw: "OptimalPWBinning"):
+        self._pw = pw
+        self._inner = pw.inner_.binning_table
+
+    def build(self, show_digits: int = 2,
+              add_totals: bool = True) -> "pd.DataFrame":
+        df = self._inner.build(
+            add_totals=add_totals, show_digits=show_digits)
+        coefs = self._pw._coefs_x_domain()
+        k, n_coefs = coefs.shape
+        n_extra = len(df) - k
+        if self._pw.objective == "binary":
+            empirical = list(df["event_rate"][k:])
+        else:
+            empirical = list(df["mean"][k:])
+        for i in range(n_coefs):
+            col = list(coefs[:, i])
+            col += empirical if i == 0 else [0.0] * n_extra
+            df[f"c{i}"] = col
+        return df
+
+    def analysis(self, *args, **kwargs):
+        return self._inner.analysis(*args, **kwargs)
+
+    def plot(self, *args, **kwargs):
+        return self._inner.plot(*args, **kwargs)
+
+    def to_spark(self, spark):
+        return spark.createDataFrame(self.build(add_totals=False))

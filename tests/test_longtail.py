@@ -368,3 +368,32 @@ def test_binning_table_2d_view(spark):
     assert "t_pvalues" in ca
     cb = c2.binning_table.build(add_totals=False)
     assert "count_pct" in cb.columns
+
+
+def test_pw_binning_table_coefficients(spark):
+    """PWBinningTable build: inner knot-bin counts + x-domain c0..cd
+    columns; special/missing rows carry the empirical rate in c0
+    (reference piecewise/binning_statistics.py:98-171)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").selectExpr(
+        "l_extendedprice as x", 'cast(l_returnflag = "R" as int) as y')
+    pw = OptimalPWBinning(objective="binary", degree=1).fit(df, "x", "y")
+    tbl = pw.binning_table.build(add_totals=False)
+    assert {"c0", "c1"} <= set(tbl.columns)
+    k = len(pw.splits) + 1
+    # x-domain coefficients reproduce the transform at bin midpoints
+    splits = list(pw.splits)
+    mids = []
+    edges = [float(df.agg(F.min("x")).first()[0])] + [float(s) for s in splits] + [
+        float(df.agg(F.max("x")).first()[0])]
+    for i in range(k):
+        mids.append(0.5 * (edges[i] + edges[i + 1]))
+    probe = spark.createDataFrame([(float(m),) for m in mids], "x double")
+    got = [r["p"] for r in
+           pw.transform(probe, "x", metric="event_rate", out_col="p")
+           .collect()]
+    for i, m in enumerate(mids):
+        c0, c1 = float(tbl["c0"][i]), float(tbl["c1"][i])
+        raw = c0 + c1 * m
+        clipped = min(max(raw, pw.lb if pw.lb is not None else raw),
+                      pw.ub if pw.ub is not None else raw)
+        assert got[i] == pytest.approx(clipped, rel=1e-6, abs=1e-9)
