@@ -166,14 +166,18 @@ def ngram_jaccard_pairs(
     computed on the capped shingle sets of both docs, so the metric is
     consistent.
 
-    Physical strategy: the df-cap is a window count over the shingle
-    key (row-streaming, sort-based, spillable — safe for arbitrarily
-    hot shingles), then the surviving groups — each <= max_doc_freq
-    ids, so bounded arrays — collect their doc lists on the SAME
-    partitioning (exchange reuse, no second shuffle) and emit the
-    candidate pairs by array combination. That replaces the shingle
-    self-join: the per-group pair fan-out is identical, but there is
-    no join build side and no duplicate scan of the exploded table.
+    Physical strategy — ONE linear pipeline, no joins, no duplicated
+    subtrees: the df-cap is a window count over the shingle key
+    (row-streaming, sort-based, spillable — safe for arbitrarily hot
+    shingles); a second window over the doc key counts each doc's
+    surviving shingles so the Jaccard denominators travel WITH the
+    rows; the surviving groups — each <= max_doc_freq ids, so bounded
+    arrays — collect (id, size) structs and emit candidate pairs by
+    array combination; one final pair aggregation computes the
+    intersection counts. This replaces the shingle self-join AND the
+    doc-size broadcast joins (a docs-sized broadcast would not survive
+    a 100 TB corpus; nothing here is ever wider than the capped
+    inverted index).
     """
     from pyspark.sql import Window as W
 
@@ -190,29 +194,32 @@ def ngram_jaccard_pairs(
         .filter(F.col("df_") <= max_doc_freq)
         .drop("df_")
     )
-    grouped = rare.groupBy("sh").agg(
-        F.array_sort(F.collect_list(id_col)).alias("ids")
+    # post-cap shingle count per doc = the Jaccard set size
+    sized = rare.withColumn(
+        "n_sh", F.count("*").over(W.partitionBy(id_col))
+    )
+    grouped = sized.groupBy("sh").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n_sh")))
+        ).alias("ids")
     )
     pairs = grouped.select(
         F.explode(
             F.expr(
                 "flatten(transform(ids, (x, i) -> "
                 "transform(slice(ids, i + 2, size(ids)), y -> "
-                "struct(x as id_a, y as id_b))))"
+                "struct(x.id as id_a, y.id as id_b, "
+                "x.n_sh as n_a, y.n_sh as n_b))))"
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
-    sizes = (
-        grouped.select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_sh"))
-    )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    ).select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
