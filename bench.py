@@ -54,7 +54,7 @@ def main():
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for warm_q in ("optimal_binning_table", "minhash_signatures",
-                       "scorecard_scores"):
+                       "scorecard_scores", "jaccard_pairs"):
             try:
                 qs[warm_q](spark, warm_dir).write.format("noop").mode(
                     "overwrite").save()
