@@ -334,6 +334,19 @@ class OptimalBinning2D:
         self._check()
         return "OPTIMAL"
 
+    @property
+    def splits(self):
+        """Optimal split points per axis (reference
+        binning_2d.py:947-963): (splits_x, splits_y)."""
+        self._check()
+        return self.splits_x_, self.splits_y_
+
+    def fit_transform(self, df, x, y, target, metric="woe",
+                      out_col="bin2d"):
+        """fit + transform in one call (reference binning_2d.py)."""
+        return self.fit(df, x, y, target).transform(
+            df, x, y, metric=metric, out_col=out_col)
+
 
 class ContinuousOptimalBinning2D(OptimalBinning2D):
     """2-D optimal binning with respect to a continuous target

@@ -323,6 +323,28 @@ class Counterfactual:
         return accepted
 
     # ------------------------------------------------------------------
+    @property
+    def status(self) -> str:
+        """Search status (reference counterfactual.py status): OPTIMAL
+        once candidates were generated."""
+        if self._cfs is None:
+            raise RuntimeError("Counterfactual is not generated")
+        return "OPTIMAL" if len(self._cfs) else "INFEASIBLE"
+
+    def information(self, print_level: int = 1) -> str:
+        """Overview of the generated counterfactuals (reference
+        counterfactual.py information)."""
+        if self._cfs is None:
+            raise RuntimeError("Counterfactual is not generated")
+        lines = [
+            "Counterfactual",
+            f"  status          : {self.status}",
+            f"  n_cf generated  : {len(self._cfs)}",
+        ]
+        report = "\n".join(lines)
+        print(report)
+        return report
+
     def display(self, show_only_changes: bool = True) -> pd.DataFrame:
         """Counterfactuals as a table: one row per CF, columns =
         variables (bin label of the chosen bin, '-' if unchanged) +

@@ -377,6 +377,45 @@ class ScorecardMonitoring:
         print(report)
         return report
 
+    @property
+    def psi_splits(self):
+        """Score-bin split points used for the PSI analysis (reference
+        monitoring.py psi_splits property)."""
+        self._check_fitted()
+        import numpy as np
+
+        return np.asarray(self._score_edges, dtype=float)
+
+    def psi_plot(self, savefig: str | None = None):
+        """Actual-vs-expected score distribution bars with per-bin PSI
+        line (reference monitoring.py psi_plot). Matplotlib-gated."""
+        self._check_fitted()
+        try:
+            import matplotlib.pyplot as plt
+        except ImportError as exc:
+            raise ImportError(
+                "psi_plot() requires matplotlib, which is not installed "
+                "in this environment; use psi_table() for the data."
+            ) from exc
+        import numpy as np
+
+        ca, ce = self._counts["A"], self._counts["E"]
+        pa = ca / max(ca.sum(), _EPS)
+        pe = ce / max(ce.sum(), _EPS)
+        x = np.arange(len(pa))
+        w = 0.4
+        fig, ax = plt.subplots()
+        ax.bar(x - w / 2, pa, w, label="Actual", color="tab:blue")
+        ax.bar(x + w / 2, pe, w, label="Expected", color="tab:red")
+        ax.set_xlabel("Score bin")
+        ax.set_ylabel("Population share")
+        ax.legend()
+        if savefig is not None:
+            fig.savefig(savefig)
+            plt.close(fig)
+        else:
+            plt.show()
+
     def _check_fitted(self):
         if not self._fitted:
             raise RuntimeError("ScorecardMonitoring is not fitted")

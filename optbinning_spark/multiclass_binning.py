@@ -196,6 +196,13 @@ class MulticlassBinningTable:
 class MulticlassOptimalBinning(_BaseOptimalBinning):
     _target_type = "multiclass"
 
+    @property
+    def classes(self):
+        """Target classes seen at fit (reference
+        multiclass_binning.py classes property)."""
+        self._check_fitted()
+        return np.asarray(self._table.classes)
+
     def __init__(self, *args, monotonic_trends=None, **kw):
         kw.setdefault("monotonic_trend", "auto")
         super().__init__(*args, **kw)

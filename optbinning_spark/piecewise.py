@@ -721,6 +721,17 @@ class OptimalPWBinning:
             out.append(c)
         return np.asarray(out)
 
+    def fit_transform(self, df, x, y, metric=None, out_col=None,
+                      lb=None, ub=None):
+        """fit + transform in one call (reference piecewise/base.py)."""
+        self.fit(df, x, y, lb=lb, ub=ub)
+        kw = {}
+        if metric is not None:
+            kw["metric"] = metric
+        if out_col is not None:
+            kw["out_col"] = out_col
+        return self.transform(df, x, **kw)
+
     @property
     def binning_table(self):
         """Reference PWBinningTable: the knot-bin counts plus per-bin

@@ -223,6 +223,27 @@ class SBOptimalBinning:
         self._check_fitted()
         return "OPTIMAL"
 
+    def binning_table_scenario(self, scenario_id: int):
+        """Binning table of a single scenario (reference
+        binning_scenarios.py binning_table_scenario)."""
+        self._check_fitted()
+        if not (0 <= int(scenario_id) < len(self.binning_tables_)):
+            raise ValueError(
+                f"scenario_id must be in [0, {len(self.binning_tables_)}); "
+                f"got {scenario_id}")
+        return self.binning_tables_[int(scenario_id)]
+
+    def fit_transform(self, df, x, y, scenario_col,
+                      scenario_weights: dict | None = None,
+                      metric: str = "woe", out_col: str | None = None):
+        """fit + transform of the same scenario-tagged frame (reference
+        binning_scenarios.py fit_transform)."""
+        self.fit(df, x, y, scenario_col, scenario_weights)
+        kw = {}
+        if out_col is not None:
+            kw["out_col"] = out_col
+        return self.transform(df, x, metric=metric, **kw)
+
     @property
     def binning_table(self):
         self._check_fitted()

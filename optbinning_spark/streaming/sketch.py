@@ -249,6 +249,7 @@ class OptimalBinningSketch:
             }
             ob._finalize_categorical(cats, missing, specials, self.name)
             ob._fitted = True
+            self._record_progress(ob)
             return ob
 
         # numerical: quantile prebins from the merged e+ne sketch
@@ -269,7 +270,49 @@ class OptimalBinningSketch:
         )
         ob._finalize_numerical(splits, stats)
         ob._fitted = True
+        self._record_progress(ob)
         return ob
+
+    def _record_progress(self, ob):
+        tbl = ob.binning_table
+        hist = getattr(self, "_progress", None)
+        if hist is None:
+            hist = self._progress = []
+        hist.append({
+            "n_add": self.n_add,
+            "n_records": float(np.sum(tbl.count)),
+            "divergence": float(getattr(tbl, "iv", 0.0)),
+        })
+
+    def plot_progress(self, savefig: str | None = None):
+        """Divergence progress across solves (reference
+        binning_sketch.py:944-961). Matplotlib-gated."""
+        hist = getattr(self, "_progress", None)
+        if not hist:
+            raise RuntimeError("solve() has not been called yet")
+        try:
+            import matplotlib.pyplot as plt
+        except ImportError as exc:
+            raise ImportError(
+                "plot_progress() requires matplotlib, which is not "
+                "installed in this environment; read .progress_ instead."
+            ) from exc
+        xs = [h["n_records"] for h in hist]
+        ys = [h["divergence"] for h in hist]
+        fig, ax = plt.subplots()
+        ax.plot(xs, ys, marker="o")
+        ax.set_xlabel("Records")
+        ax.set_ylabel("Divergence")
+        if savefig is not None:
+            fig.savefig(savefig)
+            plt.close(fig)
+        else:
+            plt.show()
+
+    @property
+    def progress_(self) -> list:
+        """Per-solve divergence history (n_add, n_records, divergence)."""
+        return list(getattr(self, "_progress", []))
 
     # -- reference accessor surface (binning_sketch.py:518-647) ----------
     def mergeable(self, other) -> bool:
@@ -353,7 +396,100 @@ class BinningProcessSketch:
         return self
 
     def solve(self) -> dict[str, OptimalBinning]:
-        return {v: s.solve() for v, s in self._sketches.items()}
+        self._binners = {v: s.solve() for v, s in self._sketches.items()}
+        return self._binners
+
+    # -- reference surface (binning_process_sketch.py:369-633) ---------
+    def _solved_binners(self):
+        if getattr(self, "_binners", None) is None:
+            self.solve()
+        return self._binners
+
+    def mergeable(self, other) -> bool:
+        """True when every per-variable sketch pair shares a signature
+        (reference binning_process_sketch.py:433-445)."""
+        return (
+            isinstance(other, BinningProcessSketch)
+            and self.variable_names == other.variable_names
+            and all(
+                self._sketches[v].mergeable(other._sketches[v])
+                for v in self.variable_names
+            )
+        )
+
+    def get_binned_variable(self, name: str) -> OptimalBinningSketch:
+        """The per-variable sketch (reference
+        binning_process_sketch.py:587-604)."""
+        if name not in self._sketches:
+            raise ValueError(f"{name} is not a monitored variable")
+        return self._sketches[name]
+
+    def get_support(self, indices: bool = False, names: bool = False):
+        """All variables are supported (the sketch process applies no
+        selection criteria — reference binning_process_sketch.py:606-633
+        mirrors BinningProcess.get_support)."""
+        import numpy as np
+
+        mask = np.ones(len(self.variable_names), dtype=bool)
+        if indices:
+            return np.arange(len(self.variable_names))
+        if names:
+            return list(self.variable_names)
+        return mask
+
+    def summary(self):
+        """Per-variable summary over the latest solve (reference
+        binning_process_sketch.py:394-413)."""
+        import pandas as pd
+
+        rows = []
+        for v in self.variable_names:
+            b = self._solved_binners()[v]
+            t = b.binning_table
+            rows.append({
+                "name": v,
+                "dtype": self._sketches[v].dtype,
+                "status": "OPTIMAL",
+                "n_bins": int(sum(k == "clean" for k in t.kinds)),
+                "iv": float(getattr(t, "iv", 0.0)),
+                "js": float(getattr(t, "js", 0.0)),
+            })
+        return pd.DataFrame(rows)
+
+    def transform(self, df: DataFrame, metric: str = "woe",
+                  metric_special=0, metric_missing=0,
+                  keep_cols: list | None = None) -> DataFrame:
+        """Transform every variable through its latest solve in one
+        map-only projection (reference
+        binning_process_sketch.py:482-585)."""
+        binners = self._solved_binners()
+        out_cols = [F.col(c) for c in (keep_cols or [])]
+        for v in self.variable_names:
+            out_cols.append(
+                binners[v]
+                .transform_column_expr(
+                    F.col(v), metric=metric,
+                    metric_special=metric_special,
+                    metric_missing=metric_missing,
+                )
+                .alias(v)
+            )
+        return df.select(*out_cols)
+
+    def information(self, print_level: int = 1) -> str:
+        """Process-sketch state report (reference
+        binning_process_sketch.py:369-392)."""
+        n_add = max(
+            (s.n_add for s in self._sketches.values()), default=0)
+        lines = [
+            "BinningProcessSketch",
+            f"  variables      : {len(self.variable_names)}",
+            f"  batches added  : {n_add}",
+            f"  solved         : {getattr(self, '_binners', None) is not None}",
+        ]
+        report = "\n".join(lines)
+        print(report)
+        return report
 
 
 def streaming_binning_query(

@@ -169,3 +169,61 @@ def test_readstream_windowed_event_agg(spark, tmp_path):
     assert len(got) == len(want) and len(got) > 0
     assert (got["n"].values == want["n"].values).all()
     assert got["sv"].values == pytest.approx(want["sv"].values, rel=1e-9)
+
+
+def test_process_sketch_reference_surface(spark):
+    """BinningProcessSketch summary/transform/get_* /mergeable/
+    information (reference binning_process_sketch.py:369-633) and
+    OptimalBinningSketch solve-progress tracking."""
+    import numpy as np
+    from optbinning_spark import BinningProcessSketch
+
+    rng = np.random.RandomState(9)
+    rows = [
+        (float(rng.uniform(0, 100)), float(rng.normal(50, 10)),
+         int(rng.rand() < 0.3))
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, y int")
+    bp = BinningProcessSketch(["a", "b"])
+    bp.add(df.limit(1500), "y")
+    bp.add(df, "y")
+    assert bp.mergeable(BinningProcessSketch(["a", "b"]))
+    assert not bp.mergeable(BinningProcessSketch(["a"]))
+    s = bp.summary()
+    assert set(s["name"]) == {"a", "b"}
+    assert (s["n_bins"] >= 1).all()
+    out = bp.transform(df, metric="woe", keep_cols=["y"])
+    assert set(out.columns) == {"y", "a", "b"}
+    assert out.count() == 3000
+    assert bp.get_support(names=True) == ["a", "b"]
+    sk = bp.get_binned_variable("a")
+    assert len(sk.progress_) >= 1
+    assert "BinningProcessSketch" in bp.information()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bp.get_binned_variable("zzz")
+
+
+def test_scenario_surface(spark):
+    import numpy as np
+    from optbinning_spark import SBOptimalBinning
+
+    rng = np.random.RandomState(10)
+    rows = []
+    for s in (0, 1):
+        for _ in range(2000):
+            x = float(rng.uniform(0, 100))
+            p = 0.1 + (0.6 if s else 0.4) * x / 100
+            rows.append((x, int(rng.rand() < p), s))
+    df = spark.createDataFrame(rows, "x double, y int, sc int")
+    sb = SBOptimalBinning()
+    out = sb.fit_transform(df, "x", "y", "sc", out_col="w")
+    assert out.filter(F.col("w").isNull()).count() == 0
+    t0 = sb.binning_table_scenario(0).build(add_totals=False)
+    t1 = sb.binning_table_scenario(1).build(add_totals=False)
+    assert list(t0["bin"]) == list(t1["bin"])  # shared splits
+    assert sb.status == "OPTIMAL"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sb.binning_table_scenario(5)
