@@ -431,6 +431,7 @@ class _BaseOptimalBinning:
                 target_type=target_type,
                 classes=classes,
                 max_values=MAX_HISTOGRAM_BUCKETS * 16,
+                guarded=True,  # the HLL probe above bounds cardinality
             )
             if vs is None:
                 # the HLL estimate was low but the LIMIT backstop

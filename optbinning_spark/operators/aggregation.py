@@ -86,6 +86,7 @@ def value_stats(
     target_type: str = "binary",
     classes=None,
     max_values: int = 50_000,
+    guarded: bool = False,
 ):
     """ONE aggregation over (sample_class, distinct clean value)
     producing per-distinct-value sufficient statistics PLUS the
@@ -97,9 +98,12 @@ def value_stats(
     Returns (values, metric_dict_of_per_value_arrays, missing,
     specials) or None when the distinct-value cardinality exceeds
     ``max_values`` (caller falls back to the bucketed multi-pass
-    path). The shuffled state is one row per distinct value — bounded
-    by the LIMIT; at 100 TB a high-cardinality column overflows to the
-    quantile-bucket histogram instead.
+    path). ``guarded=True`` means the caller already verified the
+    cardinality with an HLL probe: the LIMIT backstop is skipped —
+    a plain collect is ONE job, while ``limit().collect()`` executes
+    in multiple scale-up waves — and the exact rows are used even if
+    the estimate was slightly low (the exact path is correct at any
+    size; only the probe bounds driver memory).
     """
     from .preprocessing import normalize_special_codes
 
@@ -108,14 +112,15 @@ def value_stats(
     v = F.when(sclass == CLEAN, c)
     n_groups = len(normalize_special_codes(special_codes))
     cap = max_values + n_groups + 2
-    rows = (
-        df.groupBy(sclass.alias("sample_class"), v.alias("__v"))
-        .agg(*_agg_exprs(y_col, w_col, target_type, classes))
-        .limit(cap + 1)
-        .collect()
+    agg = df.groupBy(sclass.alias("sample_class"), v.alias("__v")).agg(
+        *_agg_exprs(y_col, w_col, target_type, classes)
     )
-    if len(rows) > cap:
-        return None
+    if guarded:
+        rows = agg.collect()
+    else:
+        rows = agg.limit(cap + 1).collect()
+        if len(rows) > cap:
+            return None
     metrics = _metric_names(target_type, classes)
     clean_rows = [r for r in rows if r["sample_class"] == CLEAN and r["__v"] is not None]
     clean_rows.sort(key=lambda r: r["__v"])

@@ -88,3 +88,48 @@ def test_transform_preserves_pushdown_through_case(spark, fitted):
     )
     assert "GreaterThan(l_quantity" in pushed_filters(out), _plan(out)
     assert is_map_only(out), _plan(out)
+
+
+def test_fit_is_two_jobs(spark, lineitem):
+    """The fused fit contract: ONE probe + ONE stats aggregation —
+    exactly two Spark jobs for a whole single-variable cart fit."""
+    from optbinning_spark.binning import OptimalBinning
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sc.setJobGroup("fitcount", "fit job counting")
+    OptimalBinning(prebinning_method="cart").fit(
+        lineitem, "l_extendedprice", "y")
+    jobs = tracker.getJobIdsForGroup("fitcount")
+    sc.setJobGroup(None, None)
+    assert len(jobs) == 2, f"expected 2 jobs, saw {len(jobs)}: {jobs}"
+
+
+def test_process_fit_is_two_jobs(spark, lineitem):
+    """The whole multi-variable BinningProcess cart fit is the same
+    two-job shape (probe + combined stacked aggregation)."""
+    from optbinning_spark import BinningProcess
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("bpfitcount", "process fit job counting")
+    BinningProcess(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_linestatus"],
+        prebinning_method="cart",
+    ).fit(lineitem, "y")
+    jobs = tracker.getJobIdsForGroup("bpfitcount")
+    sc.setJobGroup(None, None)
+    assert len(jobs) == 2, f"expected 2 jobs, saw {len(jobs)}: {jobs}"
+
+
+def test_jaccard_single_scan(spark):
+    """Jaccard pairs must stay one linear pipeline: a single parquet
+    scan, no duplicated subtrees, no joins."""
+    from optbinning_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = ngram_jaccard_pairs(docs, "text", "doc_id")
+    plan = _plan(q)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
