@@ -115,7 +115,13 @@ class BinningProcess:
     # ------------------------------------------------------------------
     def fit(self, df: DataFrame, y: str, sample_weight: str | None = None,
             target_type: str | None = None):
-        self._target_type = target_type or _infer_target_type(df, y)
+        # target-type inference is folded into the fused path's probe
+        # job (one action instead of a separate distinct() scan); the
+        # non-fused fallback infers it with its own scan below
+        fused_eligible = self.prebinning_method in ("cart", "mdlp", "quantile")
+        self._target_type = target_type
+        if self._target_type is None and not fused_eligible:
+            self._target_type = _infer_target_type(df, y)
         df = df.filter(F.col(y).isNotNull())
 
         dtypes = {}
@@ -128,7 +134,7 @@ class BinningProcess:
         self._dtypes = dtypes
 
         classes = None
-        if self._target_type == "multiclass":
+        if self._target_type == "multiclass" and not fused_eligible:
             classes = [
                 r[0]
                 for r in df.select(y).distinct().orderBy(y).collect()
@@ -151,13 +157,23 @@ class BinningProcess:
             )
 
         fused = None
-        if self.prebinning_method in ("cart", "mdlp", "quantile"):
+        if fused_eligible:
             fused = self._fused_fit_stats(
                 work, numeric, categorical, y, sample_weight, classes
             )
+            classes = self._classes  # probe may have resolved them
         if fused is not None:
             splits_by_var, stats_by_var = fused
         else:
+            if self._target_type is None:
+                self._target_type = _infer_target_type(df, y)
+            if self._target_type == "multiclass" and classes is None:
+                classes = [
+                    r[0]
+                    for r in df.select(y).distinct().orderBy(y).collect()
+                    if r[0] is not None
+                ]
+                self._classes = classes
             splits_by_var = self._propose_splits(
                 work, numeric, y, sample_weight, classes
             )
@@ -170,6 +186,8 @@ class BinningProcess:
         for v in self.variable_names:
             b = self._make_binner(v, dtypes[v], splits_by_var.get(v))
             b._resolved_dtype = dtypes[v]
+            if self._target_type == "multiclass":
+                b.classes_ = list(classes)
             if dtypes[v] == "numerical":
                 b._finalize_numerical(splits_by_var[v], stats_by_var[v])
             else:
@@ -452,13 +470,6 @@ class BinningProcess:
         )
 
         method = self.prebinning_method
-        task = (
-            "regression" if self._target_type == "continuous"
-            else "classification"
-        )
-        tt = self._target_type
-        cls = [0, 1] if tt == "binary" else classes
-        metrics = _metric_names(tt, classes)
 
         user = {
             v: np.unique(np.asarray(
@@ -468,10 +479,20 @@ class BinningProcess:
         }
         todo = [v for v in numeric if v not in user]
 
+        # fold target-type / class-list inference into the probe so
+        # the whole fit stays at two actions (probe + stats agg)
+        need_tt = self._target_type is None
+        need_classes = (
+            self._target_type == "multiclass" and self._classes is None
+        )
+        y_float = dict(work.dtypes).get(y, "double") in (
+            "double", "float") or dict(work.dtypes).get(y, "").startswith(
+            "decimal")
+
         per_var_cap = 4096
         n_hist = 256
         probs = np.linspace(0, 1, n_hist + 1)[1:-1]
-        if todo:
+        if todo or need_tt or need_classes:
             probe_aggs = []
             for v in todo:
                 probe_aggs.append(
@@ -483,7 +504,39 @@ class BinningProcess:
                         f"__clean_{v}", F.lit(probs), F.lit(10_000)
                     ).alias(f"q_{v}")
                 )
+            if need_tt and y_float:
+                # float target: binary iff values ⊆ {0, 1}; a single
+                # flag aggregate suffices (no distinct-value state)
+                probe_aggs.append(F.max(
+                    F.when(~F.col(y).isin(0.0, 1.0), 1).otherwise(0)
+                ).alias("__y_non01"))
+            elif need_tt or need_classes:
+                # integral target: class list needed anyway (≤~100
+                # classes by contract, like the reference)
+                probe_aggs.append(F.sort_array(
+                    F.collect_set(F.col(y))).alias("__y_classes"))
             probe = work.agg(*probe_aggs).first()
+            if need_tt:
+                if y_float:
+                    self._target_type = (
+                        "continuous" if probe["__y_non01"] else "binary")
+                else:
+                    ycls = [v for v in probe["__y_classes"] if v is not None]
+                    if set(ycls) <= {0, 1}:
+                        self._target_type = "binary"
+                    else:
+                        self._target_type = "multiclass"
+                        self._classes = classes = ycls
+            elif need_classes:
+                self._classes = classes = [
+                    v for v in probe["__y_classes"] if v is not None]
+
+        task = (
+            "regression" if self._target_type == "continuous"
+            else "classification"
+        )
+        tt = self._target_type
+        metrics = _metric_names(tt, classes)
         small, big, edges_by_var, raw_edges_by_var = [], [], {}, {}
         for v in todo:
             raw = [float(e) for e in (probe[f"q_{v}"] or [])]

@@ -163,6 +163,29 @@ def test_multiclass_binning(spark):
     assert out2.select("w2").distinct().count() >= 2
 
 
+def test_multiclass_binning_process(spark):
+    """Whole-process multiclass fit: target type + class list inferred
+    inside the fused probe job; per-variable binners get classes_."""
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(3000):
+        x1 = float(rng.uniform(0, 90))
+        x2 = float(rng.normal(30, 8))
+        cls = int(x1 // 30)
+        if rng.rand() < 0.2:
+            cls = int(rng.randint(0, 3))
+        rows.append((x1, x2, cls))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y int")
+    bp = BinningProcess(["x1", "x2"]).fit(df, "y")
+    assert bp._target_type == "multiclass"
+    assert bp._classes == [0, 1, 2]
+    assert all(list(b.classes_) == [0, 1, 2] for b in bp._binners.values())
+    out = bp.transform(df, metric="mean_woe")
+    assert out.filter(F.col("x1").isNull()).count() == 0
+    s = bp.summary()
+    assert set(s["name"]) == {"x1", "x2"}
+
+
 def test_multiclass_rejects_categorical(spark):
     df = spark.createDataFrame([("a", 0), ("b", 1), ("c", 2)],
                                "cat string, y int")
