@@ -330,13 +330,12 @@ def q_event_type_psi(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     """SimHash document fingerprints (16-bit): per-bit majority vote
-    over token hashes — one map-only pass."""
-    from optbinning_spark.pipeline.dedup import simhash_expr
+    over token hashes — one map-only pass, md5 computed once per
+    token via a staged projection."""
+    from optbinning_spark.pipeline.dedup import simhash
 
     docs = _documents(spark, sf_dir)
-    return docs.select(
-        "doc_id", simhash_expr(F.col("text"), n_bits=16).alias("simhash")
-    )
+    return simhash(docs, "text", "doc_id", n_bits=16)
 
 
 def q_doc_fingerprint(spark, sf_dir):

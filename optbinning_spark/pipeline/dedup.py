@@ -20,14 +20,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def shingles_expr(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (deterministic,
-    whitespace tokens)."""
-    words = F.split(text, " ")
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED words array
+    column. Callers must project the split() into a real column first:
+    codegen re-evaluates a non-aliased split() once per lambda
+    reference (measured ~4x slower on the jaccard pipeline)."""
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(n), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (deterministic,
+    whitespace tokens). Expression-level API: prefer the two-phase
+    projection via shingles_from_words inside DataFrame pipelines."""
+    return shingles_from_words(F.split(text, " "), n)
 
 
 def minhash_expr(text: Column, seed: int, shingle_n: int = 3) -> Column:
@@ -54,28 +62,33 @@ def minhash_signatures(
     k-bit slicing); a 16-hash signature costs 4 md5 calls per shingle
     instead of 16. mh{i} = lane (i % 4) of md5('s{i//4}|' || shingle).
     """
-    t = F.col(text_col)
-    sh = shingles_expr(t, shingle_n)
-
     # NB: F.transform treats a 2-arg lambda as (element, index) — use
     # single-arg closures from factories to bind loop variables.
     def _salted(k: int):
         salt = f"s{k}|"
-        return F.transform(sh, lambda s: F.md5(F.concat(F.lit(salt), s)))
+        return F.transform(
+            F.col("__sh"), lambda s: F.md5(F.concat(F.lit(salt), s)))
 
     def _lane_min(arr, lane: int):
         off = lane * 8 + 1
         return F.array_min(F.transform(arr, lambda h: F.substring(h, off, 8)))
 
-    # two-phase projection: materialize each salted md5 array ONCE,
-    # then take lane minima from the projected columns. Referencing
-    # the array expression directly from all 4 lane columns makes
-    # codegen recompute the md5 transform per output column
-    # (measured ~2.6x slower).
+    # staged projection: words, then the shingle array, then each
+    # salted md5 array — each materialized ONCE. Referencing the
+    # expression directly from downstream columns makes codegen
+    # recompute it per reference (measured ~2.6x slower for the md5
+    # transforms, ~4x for the split inside the shingle lambda).
     n_salts = (n_hashes + 3) // 4
-    stage1 = df.select(
-        F.col(id_col),
-        *[_salted(k).alias(f"__h{k}") for k in range(n_salts)],
+    stage1 = (
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+        .select(
+            F.col(id_col),
+            shingles_from_words(F.col("__w"), shingle_n).alias("__sh"))
+        .select(
+            F.col(id_col),
+            *[_salted(k).alias(f"__h{k}") for k in range(n_salts)],
+        )
     )
     cols = [F.col(id_col)]
     for i in range(n_hashes):
@@ -183,10 +196,11 @@ def ngram_jaccard_pairs(
 
     sh = (
         df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+        .select(
             F.col(id_col),
-            F.explode(F.array_distinct(shingles_expr(F.col(text_col), shingle_n))).alias(
-                "sh"
-            ),
+            F.explode(F.array_distinct(
+                shingles_from_words(F.col("__w"), shingle_n))).alias("sh"),
         )
     )
     rare = (
@@ -233,20 +247,19 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_expr(text: Column, n_bits: int = 32, shingle_n: int = 1) -> Column:
-    """SimHash over token (or shingle) md5s: per-bit majority vote.
-    Expressed with aggregate over the shingle array — map-only."""
-    sh = shingles_expr(text, shingle_n) if shingle_n > 1 else F.split(text, " ")
-    # take the top 32 bits of each md5 as a long
-    h = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+def simhash_from_hashes(hashes: Column, n_bits: int = 32) -> Column:
+    """SimHash from an ALREADY-MATERIALIZED array<long> of per-token
+    hashes (top 32 md5 bits): per-bit majority vote. Each vote is a
+    cheap bitwiseAND traversal; the md5s are computed once by the
+    caller's projection, not once per bit."""
 
     def _vote(mask: int):
         # single-arg lambdas only: 2-arg merge lambda is (acc, x)
         return F.aggregate(
-            sh,
+            hashes,
             F.lit(0),
-            lambda acc, s: acc
-            + F.when(h(s).bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
         )
 
     bits = []
@@ -257,3 +270,48 @@ def simhash_expr(text: Column, n_bits: int = 32, shingle_n: int = 1) -> Column:
     for bcol in bits[1:]:
         out = out + bcol
     return out
+
+
+def token_hashes_expr(tokens: Column) -> Column:
+    """Top 32 bits of md5(token) as array<long> — the simhash input."""
+    return F.transform(
+        tokens,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Per-document SimHash fingerprint (map-only). Staged projection:
+    tokens → per-token hash array (md5 ONCE per token) → n_bits
+    majority votes over the materialized long array."""
+    toks = F.split(F.col(text_col), " ")
+    if shingle_n > 1:
+        staged = df.select(
+            F.col(id_col), toks.alias("__w")
+        ).select(
+            F.col(id_col),
+            shingles_from_words(F.col("__w"), shingle_n).alias("__t"),
+        )
+    else:
+        staged = df.select(F.col(id_col), toks.alias("__t"))
+    hashed = staged.select(
+        F.col(id_col), token_hashes_expr(F.col("__t")).alias("__h"))
+    return hashed.select(
+        F.col(id_col),
+        simhash_from_hashes(F.col("__h"), n_bits).alias("simhash"),
+    )
+
+
+def simhash_expr(text: Column, n_bits: int = 32, shingle_n: int = 1) -> Column:
+    """SimHash over token (or shingle) md5s: per-bit majority vote.
+    Expression-level API — inside DataFrame pipelines prefer simhash()
+    which materializes the per-token hashes once instead of
+    recomputing every md5 once per output bit."""
+    sh = shingles_expr(text, shingle_n) if shingle_n > 1 else F.split(text, " ")
+    return simhash_from_hashes(token_hashes_expr(sh), n_bits)
