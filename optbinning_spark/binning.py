@@ -384,7 +384,7 @@ class _BaseOptimalBinning:
         # latency for 254 probs); the ndarray literal is a single call
         probs = np.linspace(0, 1, MAX_HISTOGRAM_BUCKETS + 1)[1:-1]
         probe = proj.agg(
-            F.approx_count_distinct(cx, rsd=0.02).alias("nd"),
+            F.approx_count_distinct(cx, rsd=0.05).alias("nd"),
             F.percentile_approx(cx, F.lit(probs), F.lit(10_000)).alias("edges"),
             F.min(cx).alias("vmin"),
             F.max(cx).alias("vmax"),
@@ -392,7 +392,7 @@ class _BaseOptimalBinning:
         self._probe_edges = None
         edges = sorted({float(e) for e in (probe["edges"] or [])})
         lower_edges = None
-        if probe["nd"] > cap * 1.05:
+        if probe["nd"] > cap * 1.1:
             # High cardinality: keep the fit at TWO jobs — aggregate
             # (sample_class, quantile bucket) instead of distinct
             # values, then snap proposed splits to bucket boundaries

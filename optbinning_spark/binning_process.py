@@ -497,7 +497,7 @@ class BinningProcess:
             for v in todo:
                 probe_aggs.append(
                     F.approx_count_distinct(
-                        f"__clean_{v}", rsd=0.02).alias(f"nd_{v}")
+                        f"__clean_{v}", rsd=0.05).alias(f"nd_{v}")
                 )
                 probe_aggs.append(
                     F.percentile_approx(
@@ -541,7 +541,7 @@ class BinningProcess:
         for v in todo:
             raw = [float(e) for e in (probe[f"q_{v}"] or [])]
             edges = sorted(set(raw))
-            if probe[f"nd_{v}"] <= per_var_cap * 1.05 or not edges:
+            if probe[f"nd_{v}"] <= per_var_cap * 1.1 or not edges:
                 small.append(v)
             else:
                 big.append(v)
