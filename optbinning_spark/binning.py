@@ -100,6 +100,7 @@ class _BaseOptimalBinning:
         outlier_params: dict | None = None,
         fix_lb: float | None = None,
         fix_ub: float | None = None,
+        prebinning_kwargs: dict | None = None,
     ):
         self.name = name
         self.dtype = dtype
@@ -129,6 +130,9 @@ class _BaseOptimalBinning:
         self.outlier_params = outlier_params
         self.fix_lb = fix_lb
         self.fix_ub = fix_ub
+        # X4 (reference binning.py:427-430): pre-binning parameter
+        # pass-through — overrides the derived CART/MDLP defaults
+        self.prebinning_kwargs = dict(prebinning_kwargs or {})
         if fix_lb is not None and fix_ub is not None and fix_lb > fix_ub:
             raise ValueError("fix_lb must be <= fix_ub")
 
@@ -492,15 +496,16 @@ class _BaseOptimalBinning:
         elif method == "mdlp":
             if task != "classification":
                 raise ValueError("mdlp requires a binary target")
-            prebin_splits = mdlp_splits(values, hist)
+            prebin_splits = mdlp_splits(values, hist, **self.prebinning_kwargs)
         else:
-            prebin_splits = cart_splits(
-                values, hist, task=task,
+            kw = dict(
                 max_leaf_nodes=self.max_n_prebins,
                 min_samples_leaf=self.min_prebin_size * float(
                     hist.sum() if task == "classification" else hist[:, 0].sum()
                 ),
             )
+            kw.update(self.prebinning_kwargs)
+            prebin_splits = cart_splits(values, hist, task=task, **kw)
         if lower_edges is not None and prebin_splits.size:
             from .operators.aggregation import snap_splits_to_edges
 

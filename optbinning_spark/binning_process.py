@@ -89,6 +89,7 @@ class BinningProcess:
         monotonic_trend: str | None = "auto",
         max_pvalue: float | None = None,
         prebinning_method: str = "cart",
+        prebinning_kwargs: dict | None = None,
     ):
         self.variable_names = list(variable_names)
         self.categorical_variables = set(categorical_variables or [])
@@ -106,6 +107,7 @@ class BinningProcess:
         self.monotonic_trend = monotonic_trend
         self.max_pvalue = max_pvalue
         self.prebinning_method = prebinning_method
+        self.prebinning_kwargs = dict(prebinning_kwargs or {})
 
         self._binners: dict[str, object] = {}
         self._support: dict[str, bool] = {}
@@ -210,6 +212,14 @@ class BinningProcess:
     def _fit_param(self, v, name, default):
         return self.binning_fit_params.get(v, {}).get(name, default)
 
+    def _prebin_kwargs(self, v, defaults: dict) -> dict:
+        """X4: derived CART/MDLP defaults, overridden by process-level
+        then per-variable prebinning_kwargs."""
+        kw = dict(defaults)
+        kw.update(self.prebinning_kwargs)
+        kw.update(self._fit_param(v, "prebinning_kwargs", {}))
+        return kw
+
     def _make_binner(self, v, dtype, splits):
         common = dict(
             name=v,
@@ -226,6 +236,7 @@ class BinningProcess:
             max_pvalue=self._fit_param(v, "max_pvalue", self.max_pvalue),
             special_codes=self._codes_for(v),
             cat_cutoff=self._fit_param(v, "cat_cutoff", None),
+            prebinning_kwargs=self._prebin_kwargs(v, {}),
         )
         if self._target_type == "binary":
             return OptimalBinning(**common)
@@ -343,15 +354,15 @@ class BinningProcess:
                     )
                     total_w = stats[:, 0].sum()
                 if method == "mdlp":
-                    splits_by_var[v] = mdlp_splits(values, stats)
+                    splits_by_var[v] = mdlp_splits(
+                        values, stats, **self._prebin_kwargs(v, {}))
                 else:
                     splits_by_var[v] = cart_splits(
-                        values,
-                        stats,
-                        task=task,
-                        max_leaf_nodes=self.max_n_prebins,
-                        min_samples_leaf=self.min_prebin_size * total_w,
-                    )
+                        values, stats, task=task,
+                        **self._prebin_kwargs(v, dict(
+                            max_leaf_nodes=self.max_n_prebins,
+                            min_samples_leaf=self.min_prebin_size * total_w,
+                        )))
             return splits_by_var
 
         # fallback: one multi-column quantile job for histogram
@@ -431,15 +442,15 @@ class BinningProcess:
                 )
                 total_w = stats[:, 0].sum()
             if method == "mdlp":
-                splits_by_var[v] = mdlp_splits(values, stats)
+                splits_by_var[v] = mdlp_splits(
+                    values, stats, **self._prebin_kwargs(v, {}))
             else:
                 splits_by_var[v] = cart_splits(
-                    values,
-                    stats,
-                    task=task,
-                    max_leaf_nodes=self.max_n_prebins,
-                    min_samples_leaf=self.min_prebin_size * total_w,
-                )
+                    values, stats, task=task,
+                    **self._prebin_kwargs(v, dict(
+                        max_leaf_nodes=self.max_n_prebins,
+                        min_samples_leaf=self.min_prebin_size * total_w,
+                    )))
         return splits_by_var
 
     # ------------------------------------------------------------------
@@ -715,13 +726,15 @@ class BinningProcess:
                     ])
                     total_w = hist[:, 0].sum()
                 if method == "mdlp":
-                    splits = mdlp_splits(values, hist)
+                    splits = mdlp_splits(
+                        values, hist, **self._prebin_kwargs(v, {}))
                 else:
                     splits = cart_splits(
                         values, hist, task=task,
-                        max_leaf_nodes=self.max_n_prebins,
-                        min_samples_leaf=self.min_prebin_size * total_w,
-                    )
+                        **self._prebin_kwargs(v, dict(
+                            max_leaf_nodes=self.max_n_prebins,
+                            min_samples_leaf=self.min_prebin_size * total_w,
+                        )))
                 if lower_edges is not None and splits.size:
                     splits = snap_splits_to_edges(
                         splits, values, lower_edges)

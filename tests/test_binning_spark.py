@@ -406,3 +406,28 @@ def test_high_cardinality_continuous_bucket_fit_is_exact(spark):
     _np.testing.assert_allclose(
         _np.array(clean["sum"], dtype=float),
         _np.array([r["s"] for r in chk], dtype=float), rtol=1e-9)
+
+
+def test_prebinning_kwargs_passthrough(spark):
+    """X4: prebinning_kwargs overrides the derived CART defaults at
+    both the single-variable and process level (per-variable wins)."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.binning import OptimalBinning
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+    )
+    b = OptimalBinning(prebinning_kwargs={"max_leaf_nodes": 4}).fit(
+        li, "l_extendedprice", "y")
+    assert len(b.splits) <= 3
+
+    bp = BinningProcess(
+        ["l_extendedprice", "l_discount"],
+        prebinning_kwargs={"max_leaf_nodes": 3},
+        binning_fit_params={
+            "l_extendedprice": {"prebinning_kwargs": {"max_leaf_nodes": 2}}
+        },
+    ).fit(li, "y")
+    assert len(bp.get_binned_variable("l_extendedprice").splits) <= 1
+    assert len(bp.get_binned_variable("l_discount").splits) <= 2
