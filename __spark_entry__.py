@@ -983,6 +983,19 @@ def q_ann_topk(spark, sf_dir):
     return lsh_bucketed_topk(emb, queries, dim=64, k=3, n_planes=4)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: driver-trained spherical-kmeans coarse
+    quantizer, inverted-list equi-join, n_probe closest lists per
+    query — the second ANN scale path."""
+    from optbinning_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=3)
+
+
 # -- driver contract -----------------------------------------------------
 
 
@@ -1049,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cart_splits": q_cart_splits,
         "mdlp_splits": q_mdlp_splits,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 

@@ -93,6 +93,128 @@ def cosine_pairs(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    n_iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Driver-side spherical k-means (k-means++ init, Lloyd) on a
+    bounded deterministic sample — the IVF coarse quantizer. At 100 TB
+    the training input stays a few thousand vectors (orderBy+limit is
+    a top-k, not a full sort); the returned centroids are row-unit-
+    normalized so dot product == cosine."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=float)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding on cosine distance (1 - dot)
+    idx = [int(rng.randint(len(X)))]
+    for _ in range(1, min(n_centroids, len(X))):
+        d = 1.0 - np.max(X @ X[idx].T, axis=1)
+        d = np.maximum(d, 0)
+        p = d / d.sum() if d.sum() > 0 else None
+        idx.append(int(rng.choice(len(X), p=p)))
+    C = X[idx].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def _centroid_dots_expr(vec: Column, centroids) -> Column:
+    """array<double> of dot(vec, centroid_c) for every centroid —
+    centroid weights inlined as literals (no broadcast state)."""
+    return F.array(*[
+        dot_expr(vec, F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ])
+
+
+def ivf_assign_expr(vec: Column, centroids) -> Column:
+    """1-based inverted-list id: argmax centroid dot product."""
+    dots = _centroid_dots_expr(vec, centroids)
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k: vectors are partitioned into inverted
+    lists by nearest centroid (map-only expression); each query probes
+    its ``n_probe`` closest lists, so the candidate join is an
+    equi-join on list_id instead of a cross join — the second
+    100 TB-scale ANN path next to lsh_bucketed_topk. With
+    ``n_probe == n_centroids`` the search is exhaustive and matches
+    brute_force_topk exactly."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("__e"),
+    ).withColumn("list_id", ivf_assign_expr(F.col("__e"), centroids))
+    n_probe = min(n_probe, len(centroids))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__q"),
+    ).withColumn(
+        "__probes",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        _centroid_dots_expr(F.col("__q"), centroids),
+                        lambda d, i: F.struct(
+                            (-d).alias("nd"), (i + 1).alias("list_id")),
+                    )
+                ),
+                lambda s: s["list_id"],
+            ),
+            1, n_probe,
+        ),
+    ).select(
+        "query_id", "__q", F.explode("__probes").alias("list_id")
+    )
+    scored = (
+        e.join(F.broadcast(q), "list_id")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine_expr(F.col("__e"), F.col("__q")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def hyperplane_signs_expr(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """LSH bucket key: sign pattern of dot products with n_planes
     pseudo-random hyperplanes. Plane weights are deterministic

@@ -97,6 +97,38 @@ def test_lsh_topk_self_bucket(vectors):
         assert -1.0001 <= r["cosine"] <= 1.0001
 
 
+def test_ivf_topk_exhaustive_matches_brute_force(spark):
+    """IVF with n_probe == n_centroids is exhaustive — identical to
+    the brute-force result, proving the inverted lists partition the
+    space without loss."""
+    from optbinning_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5").withColumnRenamed("vec_id", "query_id")
+    exact = brute_force_topk(emb, q, k=3).collect()
+    ivf = ivf_topk(emb, q, k=3, n_centroids=4, n_probe=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted([(r["query_id"], r["rank"], r["nbr_id"]) for r in ivf]) == \
+        sorted([(r["query_id"], r["rank"], r["nbr_id"]) for r in exact])
+
+
+def test_ivf_topk_probe_subset(spark):
+    """n_probe < n_centroids still returns k ranked neighbors per
+    query with valid cosine scores (approximate path)."""
+    from optbinning_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5").withColumnRenamed("vec_id", "query_id")
+    res = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2).collect()
+    by_query = {}
+    for r in res:
+        assert r["nbr_id"] != r["query_id"]
+        assert -1.0001 <= r["cosine"] <= 1.0001
+        by_query.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(by_query) == 5
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_query.values())
+
+
 def test_multimodal_plumbing(spark, docs):
     from optbinning_spark.pipeline.multimodal import (
         extract_features,
