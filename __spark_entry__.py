@@ -766,6 +766,23 @@ def q_doc_quality(spark, sf_dir):
     )
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenizer token counts (GPT-2-style regex:
+    contractions, letter/digit/punct runs) next to whitespace token
+    counts — map-only."""
+    from optbinning_spark.pipeline.text import (
+        bpe_token_count_expr,
+        token_count_expr,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count_expr(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def q_class_weight_agg(spark, sf_dir):
     """A12: 'balanced' class weights (N / (k * n_class), reference
     preprocessing.py:181-186) folded into sample weights, then
@@ -1051,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scenario_binning_table": q_scenario_binning_table,
         "lsh_candidates": q_lsh_candidates,
         "doc_quality": q_doc_quality,
+        "bpe_token_count": q_bpe_token_count,
         "class_weight_agg": q_class_weight_agg,
         "classification_metrics": q_classification_metrics,
         "regression_metrics": q_regression_metrics,
@@ -1437,6 +1455,14 @@ def oracle_sql() -> dict[str, str]:
                                 / CAST(len(words) AS DOUBLE), 1.0)) / 3.0,
                          6) AS quality
             FROM w
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+',
+                       0)) AS n_bpe_tokens
+            FROM documents
         """,
         "class_weight_agg": f"""
             WITH t AS (

@@ -37,6 +37,22 @@ def distinct_token_count_expr(text: Column) -> Column:
     return F.size(F.array_distinct(tokens_expr(text)))
 
 
+# GPT-2-style pre-tokenizer approximation: contractions, optional-space
+# letter runs, optional-space digit runs, optional-space punctuation
+# runs (whitespace itself is not a token). RE2-compatible so the same
+# pattern runs verbatim in the DuckDB oracle.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens_expr(text: Column) -> Column:
+    """Subword-ish tokens by the BPE pre-tokenizer regex."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    return F.size(bpe_tokens_expr(text))
+
+
 def avg_token_len_expr(text: Column) -> Column:
     toks = tokens_expr(text)
     total = F.aggregate(
