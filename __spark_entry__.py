@@ -783,6 +783,49 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+def q_wide_process_fit(spark, sf_dir):
+    """16-variable BinningProcess fit — the shape of the reference's
+    published Home-Credit benchmark (16 vars, 307k rows, 5.09s
+    single-core; README.rst:566-606) — over lineitem broadcast-joined
+    with orders. Still exactly two actions regardless of variable
+    count; returns the per-variable summary."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.sources.tables import orders as _orders
+
+    li = _lineitem(spark, sf_dir)
+    o = _orders(spark, sf_dir).drop("y")
+    df = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    def to_days(c):
+        # nanos-as-long (sf parquet with TIMESTAMP(NANOS)) or a real
+        # timestamp column — both become float days since epoch
+        if dict(df.dtypes)[c] == "bigint":
+            return F.col(c) / F.lit(8.64e13)
+        return F.datediff(
+            F.to_date(F.col(c)), F.to_date(F.lit("1970-01-01"))
+        ).cast("double")
+
+    df = (
+        df.withColumn("l_shipdays", to_days("l_shipdate"))
+        .withColumn("o_orderdays", to_days("o_orderdate"))
+        .withColumn(
+            "net_price", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .withColumn("disc_tax", F.col("l_discount") + F.col("l_tax"))
+    )
+    variables = [
+        "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdays",
+        "o_custkey", "o_totalprice", "o_orderdays", "net_price",
+        "disc_tax", "l_linestatus", "o_orderstatus", "o_orderpriority",
+    ]
+    bp = BinningProcess(variables).fit(df, "y")
+    s = bp.summary()
+    rows = [
+        (n, d, int(b), round(float(iv), 6))
+        for n, d, b, iv in zip(s["name"], s["dtype"], s["n_bins"], s["iv"])
+    ]
+    return spark.createDataFrame(rows, "name string, dtype string, n_bins int, iv double")
+
+
 def q_class_weight_agg(spark, sf_dir):
     """A12: 'balanced' class weights (N / (k * n_class), reference
     preprocessing.py:181-186) folded into sample weights, then
@@ -1069,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "doc_quality": q_doc_quality,
         "bpe_token_count": q_bpe_token_count,
+        "wide_process_fit": q_wide_process_fit,
         "class_weight_agg": q_class_weight_agg,
         "classification_metrics": q_classification_metrics,
         "regression_metrics": q_regression_metrics,

@@ -565,6 +565,12 @@ class OptimalBinning(_BaseOptimalBinning):
             *([F.col(w).alias("__w")] if w else []),
         )
         proj = self._apply_clean_filters(proj)
+        from .sources.tables import spread
+
+        # single-row-group parquet scans as ONE task; the projected
+        # slice is narrow, so a round-robin spread is far cheaper than
+        # a single-core aggregation (no-op on multi-split inputs)
+        proj = spread(df.sparkSession, proj)
         wcol = "__w" if w else None
         # Fused single-job path: for histogram-driven split proposals
         # the per-distinct-value stats feed the tree AND re-bucket into
@@ -816,6 +822,9 @@ class ContinuousOptimalBinning(_BaseOptimalBinning):
             *([F.col(w).alias("__w")] if w else []),
         )
         proj = self._apply_clean_filters(proj)
+        from .sources.tables import spread
+
+        proj = spread(df.sparkSession, proj)
         wcol = "__w" if w else None
         fused = self._fused_fit(proj, wcol, "regression")
         if fused == "done":

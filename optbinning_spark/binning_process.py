@@ -148,8 +148,17 @@ class BinningProcess:
         categorical = [v for v in self.variable_names if dtypes[v] == "categorical"]
 
         # normalized working frame: cleaned numeric cols (missing/special
-        # -> NULL) so downstream passes need no per-variable filters
-        work = df
+        # -> NULL) so downstream passes need no per-variable filters.
+        # spread() first: a single-row-group parquet scan is ONE task,
+        # which would single-thread the whole stacked aggregation
+        # (no-op on multi-split inputs, i.e. on any real cluster).
+        from .sources.tables import spread
+
+        work = spread(df.sparkSession, df.select(
+            *dict.fromkeys(
+                [y] + ([sample_weight] if sample_weight else [])
+                + self.variable_names)
+        ))
         for v in numeric:
             work = work.withColumn(
                 f"__clean_{v}",
