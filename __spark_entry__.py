@@ -1161,20 +1161,20 @@ def oracle_sql() -> dict[str, str]:
                      WHEN l_quantity IN (1.0, 2.0) THEN 'special:low'
                      WHEN l_quantity IN (25.0) THEN 'special:mid'
                      ELSE 'clean' END AS sample_class,
-                   count(*) AS n_rows, sum({y_li}) AS n_event
+                   count(*) AS n_rows, CAST(sum({y_li}) AS BIGINT) AS n_event
             FROM lineitem GROUP BY 1
         """,
         "prebin_counts": f"""
             SELECT {price_case} AS bin,
-                   sum(CASE WHEN {y_li} = 0 THEN 1 ELSE 0 END) AS n_nonevent,
-                   sum({y_li}) AS n_event
+                   CAST(sum(CASE WHEN {y_li} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonevent,
+                   CAST(sum({y_li}) AS BIGINT) AS n_event
             FROM lineitem GROUP BY 1
         """,
         "binning_table_fixed": f"""
             WITH agg AS (
               SELECT {price_case} AS bin, count(*) AS count,
-                     sum(CASE WHEN {y_li} = 0 THEN 1 ELSE 0 END) AS n_nonevent,
-                     sum({y_li}) AS n_event
+                     CAST(sum(CASE WHEN {y_li} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonevent,
+                     CAST(sum({y_li}) AS BIGINT) AS n_event
               FROM lineitem GROUP BY 1
             ), tot AS (
               SELECT sum(n_nonevent) AS t_ne, sum(n_event) AS t_ev FROM agg
@@ -1203,7 +1203,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_rate_order": f"""
             WITH agg AS (
-              SELECT o_orderpriority AS category, count(*) AS n_rows, sum({y_o}) AS n_event
+              SELECT o_orderpriority AS category, count(*) AS n_rows,
+                     CAST(sum({y_o}) AS BIGINT) AS n_event
               FROM orders GROUP BY 1
             )
             SELECT category, n_rows, n_event,
@@ -1224,14 +1225,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE
                      {' '.join(f"WHEN o_totalprice < mn + {i} * ((mx - mn) / 8.0) THEN {i - 1}" for i in range(1, 8))}
                      ELSE 7 END AS bin,
-                   count(*) AS count, sum({y_o}) AS n_event,
+                   count(*) AS count, CAST(sum({y_o}) AS BIGINT) AS n_event,
                    round(sum({y_o}) / CAST(count(*) AS DOUBLE), 6) AS event_rate
             FROM orders, mm GROUP BY 1
         """,
         "outlier_zscore": """
             WITH med AS (SELECT quantile_cont(c_acctbal, 0.5) AS m FROM customer),
             mad AS (SELECT quantile_cont(abs(c_acctbal - med.m), 0.5) AS d FROM customer, med)
-            SELECT sum(CASE WHEN 0.6745 * abs(c_acctbal - med.m) / mad.d > 3.5 THEN 1 ELSE 0 END) AS n_outliers,
+            SELECT CAST(sum(CASE WHEN 0.6745 * abs(c_acctbal - med.m) / mad.d > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                    count(*) AS n_total
             FROM customer, med, mad
         """,
@@ -1239,7 +1240,7 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
               SELECT quantile_cont(c_acctbal, 0.25) AS q1, quantile_cont(c_acctbal, 0.75) AS q3 FROM customer
             )
-            SELECT sum(CASE WHEN c_acctbal < q1 - 1.5 * (q3 - q1) OR c_acctbal > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS n_outliers,
+            SELECT CAST(sum(CASE WHEN c_acctbal < q1 - 1.5 * (q3 - q1) OR c_acctbal > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                    count(*) AS n_total
             FROM customer, q
         """,
@@ -1251,7 +1252,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN x IS NULL OR isnan(x) THEN 'missing'
                         WHEN x IN (0.0) THEN 'special:zero'
                         ELSE 'clean' END AS sample_class,
-                   count(*) AS n_rows, sum(y) AS n_event,
+                   count(*) AS n_rows, CAST(sum(y) AS BIGINT) AS n_event,
                    round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS event_rate
             FROM t GROUP BY 1
         """,
@@ -1397,27 +1398,27 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(net), 6) AS std_y,
                    round(min(net), 4) AS min_y,
                    round(max(net), 4) AS max_y,
-                   sum(CASE WHEN net = 0 THEN 1 ELSE 0 END) AS n_zeros
+                   CAST(sum(CASE WHEN net = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros
             FROM t GROUP BY 1
         """,
         "multiclass_bin_counts": f"""
             SELECT {price_case} AS bin,
-                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_class_r,
-                   sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_class_a,
-                   sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_class_n
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_class_r,
+                   CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_class_a,
+                   CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_class_n
             FROM lineitem GROUP BY 1
         """,
         "scenario_agg": f"""
             SELECT l_linestatus AS scenario, {price_case} AS bin,
-                   sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS n_nonevent,
-                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_event
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS n_nonevent,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_event
             FROM lineitem GROUP BY 1, 2
         """,
         "contingency_2d": f"""
             SELECT {_sql_bin_case('l_quantity', [15.0, 30.0, 45.0])} AS bin_x,
                    {_sql_bin_case('l_extendedprice', [30000.0, 60000.0, 90000.0])} AS bin_y,
-                   sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS n_nonevent,
-                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_event
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS n_nonevent,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_event
             FROM lineitem GROUP BY 1, 2
         """,
         "ks": f"""
@@ -1438,10 +1439,10 @@ def oracle_sql() -> dict[str, str]:
         "chi2_tests": f"""
             WITH agg AS (
               SELECT {price_case} AS bin,
-                     sum(CASE WHEN l_orderkey % 2 = 0 AND {y_li} = 0 THEN 1 ELSE 0 END) AS a_ne,
-                     sum(CASE WHEN l_orderkey % 2 = 0 AND {y_li} = 1 THEN 1 ELSE 0 END) AS a_ev,
-                     sum(CASE WHEN l_orderkey % 2 = 1 AND {y_li} = 0 THEN 1 ELSE 0 END) AS e_ne,
-                     sum(CASE WHEN l_orderkey % 2 = 1 AND {y_li} = 1 THEN 1 ELSE 0 END) AS e_ev
+                     CAST(sum(CASE WHEN l_orderkey % 2 = 0 AND {y_li} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_ne,
+                     CAST(sum(CASE WHEN l_orderkey % 2 = 0 AND {y_li} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_ev,
+                     CAST(sum(CASE WHEN l_orderkey % 2 = 1 AND {y_li} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS e_ne,
+                     CAST(sum(CASE WHEN l_orderkey % 2 = 1 AND {y_li} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS e_ev
               FROM lineitem GROUP BY 1
             )
             SELECT bin, a_ne, a_ev, e_ne, e_ev,
@@ -1523,10 +1524,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "classification_metrics": f"""
             WITH c AS (
-              SELECT sum(CASE WHEN l_discount >= 0.05 AND {y_li} = 1 THEN 1 ELSE 0 END) AS tp,
-                     sum(CASE WHEN l_discount >= 0.05 AND {y_li} = 0 THEN 1 ELSE 0 END) AS fp,
-                     sum(CASE WHEN l_discount < 0.05 AND {y_li} = 1 THEN 1 ELSE 0 END) AS fn,
-                     sum(CASE WHEN l_discount < 0.05 AND {y_li} = 0 THEN 1 ELSE 0 END) AS tn
+              SELECT CAST(sum(CASE WHEN l_discount >= 0.05 AND {y_li} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN l_discount >= 0.05 AND {y_li} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN l_discount < 0.05 AND {y_li} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                     CAST(sum(CASE WHEN l_discount < 0.05 AND {y_li} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
               FROM lineitem
             )
             SELECT tp, fp, fn, tn,
@@ -1625,9 +1626,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT b.bin, quantile_cont(abs(b.y - m.med), 0.5) AS mad
               FROM binned b JOIN med m USING (bin) GROUP BY 1
             )
-            SELECT sum(CASE WHEN s.mad > 0
+            SELECT CAST(sum(CASE WHEN s.mad > 0
                              AND 0.6745 * abs(b.y - m.med) / s.mad > 3.5
-                            THEN 1 ELSE 0 END) AS n_outliers,
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                    count(*) AS n_total
             FROM binned b JOIN med m USING (bin) JOIN mad s USING (bin)
         """,

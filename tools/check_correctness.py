@@ -26,14 +26,29 @@ TABLES = [
 ]
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, strict: bool = True) -> pd.DataFrame:
+    """Canonical form for value comparison.
+
+    strict=True emulates the driver's value hash: every cell is
+    rendered by repr, so an int64 20046 vs a float64 20046.0 (DuckDB
+    HUGEINT sums surface as floats in pandas) MISMATCHES — oracles
+    must CAST integer sums to BIGINT.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        try:
-            num = pd.to_numeric(df[c])
-            df[c] = num.astype("float64").round(9)
-        except (ValueError, TypeError):
-            df[c] = df[c].astype(str)
+        if strict:
+            if pd.api.types.is_integer_dtype(df[c]):
+                df[c] = df[c].astype("int64").map(repr)
+            elif pd.api.types.is_float_dtype(df[c]):
+                df[c] = df[c].astype("float64").map(repr)
+            else:
+                df[c] = df[c].map(repr)
+        else:
+            try:
+                num = pd.to_numeric(df[c])
+                df[c] = num.astype("float64").round(9)
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
