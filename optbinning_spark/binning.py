@@ -565,12 +565,11 @@ class OptimalBinning(_BaseOptimalBinning):
             *([F.col(w).alias("__w")] if w else []),
         )
         proj = self._apply_clean_filters(proj)
-        from .sources.tables import spread
-
-        # single-row-group parquet scans as ONE task; the projected
-        # slice is narrow, so a round-robin spread is far cheaper than
-        # a single-core aggregation (no-op on multi-split inputs)
-        proj = spread(df.sparkSession, proj)
+        # No spread() here: the numeric fit aggregation is cheap per
+        # row, so the round-robin shuffle costs more than it buys
+        # (measured 2.4x slower at sf0.1) and adds an AQE stage job
+        # per action, breaking the 2-action/<=4-job fit contract.
+        # Scan parallelism comes from input splits on a real cluster.
         wcol = "__w" if w else None
         # Fused single-job path: for histogram-driven split proposals
         # the per-distinct-value stats feed the tree AND re-bucket into
@@ -822,9 +821,8 @@ class ContinuousOptimalBinning(_BaseOptimalBinning):
             *([F.col(w).alias("__w")] if w else []),
         )
         proj = self._apply_clean_filters(proj)
-        from .sources.tables import spread
-
-        proj = spread(df.sparkSession, proj)
+        # No spread(): see _fit_numerical above — cheap per-row work,
+        # the repartition shuffle is a net loss + breaks the job contract.
         wcol = "__w" if w else None
         fused = self._fused_fit(proj, wcol, "regression")
         if fused == "done":

@@ -149,16 +149,15 @@ class BinningProcess:
 
         # normalized working frame: cleaned numeric cols (missing/special
         # -> NULL) so downstream passes need no per-variable filters.
-        # spread() first: a single-row-group parquet scan is ONE task,
-        # which would single-thread the whole stacked aggregation
-        # (no-op on multi-split inputs, i.e. on any real cluster).
-        from .sources.tables import spread
-
-        work = spread(df.sparkSession, df.select(
+        # No spread(): the stacked aggregation is map-side-combined and
+        # cheap per row — the round-robin shuffle measured as a net loss
+        # at sf0.1 and adds an AQE stage job per action (breaking the
+        # 2-action fit contract). Real clusters parallelize via splits.
+        work = df.select(
             *dict.fromkeys(
                 [y] + ([sample_weight] if sample_weight else [])
                 + self.variable_names)
-        ))
+        )
         for v in numeric:
             work = work.withColumn(
                 f"__clean_{v}",

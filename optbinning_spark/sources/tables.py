@@ -58,10 +58,16 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     long under ``spark.sql.legacy.parquet.nanosAsLong``; convert to a
     proper timestamp at microsecond precision."""
     ev = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         ev = ev.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    elif ts_type is not None and ts_type != "timestamp":
+        # TIMESTAMP_NTZ (or similar) is not a valid event-time column
+        # for watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); all
+        # consumers expect plain TIMESTAMP.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

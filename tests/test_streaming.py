@@ -133,9 +133,14 @@ def test_readstream_windowed_event_agg(spark, tmp_path):
 
     src = "/root/testdata/sf0.001/events.parquet"
     batch_ev = spark.read.parquet(src)
-    if dict(batch_ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(batch_ev.dtypes).get("ts")
+    if ts_type == "bigint":
         conv = lambda d: d.withColumn(  # noqa: E731
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif ts_type != "timestamp":
+        # TIMESTAMP_NTZ cannot carry a watermark; normalize like
+        # sources/tables.events().
+        conv = lambda d: d.withColumn("ts", F.col("ts").cast("timestamp"))  # noqa: E731
     else:
         conv = lambda d: d  # noqa: E731
 
