@@ -21,9 +21,12 @@ pre-pass.
 
 Supported monotonic trends: ascending, descending, auto_asc_desc,
 peak, valley, (auto / auto_heuristic via
-optbinning_spark.core.auto_monotonic), concave/convex fall back to
-peak/valley shapes with the additional curvature check applied
-per-transition on a 2-bin window (documented approximation).
+optbinning_spark.core.auto_monotonic), and EXACT concave/convex:
+the reference's all-triples curvature constraint
+(cp.py:433-457, e_a + e_c <= 2 e_b for every bin triple a < b < c)
+does not fit a last-bin DP state, so those two trends use a pruned
+depth-first partition enumeration with an O(1) incremental
+feasibility bound per appended bin (_solve_shape_enum).
 """
 
 from __future__ import annotations
@@ -260,11 +263,57 @@ def _solve_dp(
             V, RATE, feas, lo, hi, monotonic_trend, min_rate_diff, max_pvalue, pval_fn
         )
     if monotonic_trend in ("concave", "convex"):
-        # Approximation: concave rate profiles are peak-shaped, convex
-        # are valley-shaped; solve the corresponding shape constraint.
-        shape = "peak" if monotonic_trend == "concave" else "valley"
-        return _dp_run(V, RATE, feas, lo, hi, shape, min_rate_diff, max_pvalue, pval_fn)
+        return _solve_shape_enum(
+            V, RATE, feas, lo, hi, monotonic_trend, max_pvalue, pval_fn
+        )
     raise ValueError(f"unsupported monotonic_trend: {monotonic_trend}")
+
+
+def _solve_shape_enum(V, RATE, feas, lo, hi, shape, max_pvalue, pval_fn):
+    """Exact concave/convex solve (reference cp.py:433-457): the
+    constraint is e_a + e_c <= 2 * e_b for EVERY bin triple a < b < c
+    (concave; reversed for convex) — strictly stronger than
+    consecutive-triple curvature, so it does not fit the
+    last-bin-only DP state. Instead: depth-first enumeration of
+    partitions with O(1) incremental pruning — appending a bin with
+    rate r is feasible iff r <= m, where m = min over earlier pairs
+    (a, b) of (2 e_b - e_a); m updates as min(m, 2 r - max_rate).
+    Worst case (flat rates, nothing prunes) visits the full prefix
+    tree of 2^(n-1) partitions — n <= 20 prebins keeps that a
+    sub-second driver-side search; real rate profiles prune hard."""
+    n = V.shape[0]
+    sign = 1.0 if shape == "concave" else -1.0
+    best_val = NEG
+    best_segs = None
+    # stack frames: (start, i_next, segs, val, m, max_r, prev_j)
+    # iterative DFS to dodge recursion limits at n=20
+    stack = [(0, 0, [], 0.0, np.inf, -np.inf)]
+    while stack:
+        start, i0, segs, val, m, max_r = stack.pop()
+        for i in range(i0, n):
+            if not feas[start, i] or V[start, i] <= NEG / 2:
+                continue
+            r = sign * RATE[start, i]
+            if len(segs) >= 2 and r > m + 1e-12:
+                continue
+            if max_pvalue is not None and segs:
+                pj, pi = segs[-1]
+                if pval_fn(pj, pi, start, i) > max_pvalue:
+                    continue
+            nsegs = segs + [(start, i)]
+            nval = val + V[start, i]
+            nm = m if len(segs) < 1 else min(m, 2.0 * r - max_r)
+            nmax = max(max_r, r)
+            if i == n - 1:
+                if lo <= len(nsegs) <= hi and nval > best_val:
+                    best_val = nval
+                    best_segs = nsegs
+            elif len(nsegs) < hi:
+                stack.append((i + 1, i + 1, nsegs, nval, nm, nmax))
+        # (loop body handles all extensions of this prefix)
+    if best_segs is None:
+        return BinSolution([(0, n - 1)], 0.0, "INFEASIBLE", shape)
+    return BinSolution(best_segs, float(best_val), "OPTIMAL", shape)
 
 
 def _dp_run(V, RATE, feas, lo, hi, trend, min_diff, max_pvalue, pval_fn):
@@ -457,9 +506,50 @@ def solve_scenarios(
         d = _scenario_dp(V, feas, lo, hi, "descending", leg_ok_all, pval_ok)
         return a if a.objective >= d.objective else d
     if monotonic_trend in ("concave", "convex"):
-        shape = "peak" if monotonic_trend == "concave" else "valley"
-        return _scenario_dp(V, feas, lo, hi, shape, leg_ok_all, pval_ok)
+        # exact per-scenario curvature (reference cp.py:226-232 adds
+        # one concave/convex constraint set per scenario): run the
+        # shape enumerator with vector (m, max_r) state — one slot per
+        # scenario, all must stay feasible
+        sign = 1.0 if monotonic_trend == "concave" else -1.0
+        RATEs = np.stack([sign * er for er in ERs], axis=-1)  # [j,i,s]
+        return _solve_shape_enum_multi(
+            V, RATEs, feas, lo, hi, monotonic_trend, pval_ok
+        )
     return _scenario_dp(V, feas, lo, hi, monotonic_trend, leg_ok_all, pval_ok)
+
+
+def _solve_shape_enum_multi(V, RATEs, feas, lo, hi, shape, pval_ok):
+    """Concave/convex DFS enumeration with one (m, max_rate) pruning
+    pair per scenario (see _solve_shape_enum for the single-scenario
+    derivation)."""
+    n = V.shape[0]
+    n_s = RATEs.shape[-1]
+    best_val, best_segs = NEG, None
+    inf = np.full(n_s, np.inf)
+    ninf = np.full(n_s, -np.inf)
+    stack = [(0, [], 0.0, inf, ninf)]
+    while stack:
+        start, segs, val, m, max_r = stack.pop()
+        for i in range(start, n):
+            if not feas[start, i] or V[start, i] <= NEG / 2:
+                continue
+            r = RATEs[start, i]
+            if len(segs) >= 2 and (r > m + 1e-12).any():
+                continue
+            if segs and not pval_ok(segs[-1][0], segs[-1][1], start, i):
+                continue
+            nsegs = segs + [(start, i)]
+            nval = val + V[start, i]
+            nm = m if len(segs) < 1 else np.minimum(m, 2.0 * r - max_r)
+            nmax = np.maximum(max_r, r)
+            if i == n - 1:
+                if lo <= len(nsegs) <= hi and nval > best_val:
+                    best_val, best_segs = nval, nsegs
+            elif len(nsegs) < hi:
+                stack.append((i + 1, nsegs, nval, nm, nmax))
+    if best_segs is None:
+        return BinSolution([(0, n - 1)], 0.0, "INFEASIBLE", shape)
+    return BinSolution(best_segs, float(best_val), "OPTIMAL", shape)
 
 
 def _scenario_dp(V, feas, lo, hi, trend, leg_ok_all, pval_ok):

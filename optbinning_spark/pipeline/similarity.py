@@ -137,11 +137,12 @@ def train_ivf_centroids(
 
 
 def _centroid_dots_expr(vec: Column, centroids) -> Column:
-    """array<double> of dot(vec, centroid_c) for every centroid —
-    centroid weights inlined as literals (no broadcast state)."""
+    """array<double> of dot(vec, centroid_c) for every centroid. Each
+    centroid is ONE array Literal (not dim inlined terms), so codegen
+    width is O(n_centroids) regardless of embedding dim — at dim 4096
+    the old per-term inlining exceeded Janino limits."""
     return F.array(*[
-        dot_expr(vec, F.array(*[F.lit(float(x)) for x in c]))
-        for c in centroids
+        dot_expr(vec, F.lit([float(x) for x in c])) for c in centroids
     ])
 
 
@@ -215,23 +216,63 @@ def ivf_topk(
     )
 
 
+def plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1) for
+    (plane, dimension) — md5-derived, identical to the SQL oracle's
+    embedded literals, no RNG state."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{p}d{d}".encode()).hexdigest()[:8], 16)
+    return h / float(2**31) - 1.0
+
+
+def plane_weights(dim: int, n_planes: int) -> list[list[float]]:
+    return [[plane_weight(p, d) for d in range(dim)] for p in range(n_planes)]
+
+
 def hyperplane_signs_expr(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """LSH bucket key: sign pattern of dot products with n_planes
-    pseudo-random hyperplanes. Plane weights are deterministic
-    functions of (plane, dimension) via md5 -> [-1, 1); no state to
-    broadcast, reproducible in SQL."""
-    def weight(p: int, d: int) -> Column:
-        h = F.conv(F.substring(F.md5(F.lit(f"p{p}d{d}")), 1, 8), 16, 10).cast("double")
-        return h / F.lit(float(2**31)) - F.lit(1.0)
-
+    pseudo-random hyperplanes. Each plane's weight vector is ONE array
+    Literal fed through zip_with + aggregate, so codegen width is
+    O(n_planes) — independent of dim (the old per-term inlining was
+    O(dim * n_planes) expression nodes and fell over at dim >= 512).
+    Weights are deterministic md5 functions of (plane, dim index):
+    no broadcast state, reproducible in the DuckDB oracle."""
     bits = []
-    for p in range(n_planes):
-        s = None
-        for d in range(dim):
-            term = F.element_at(vec, d + 1) * weight(p, d)
-            s = term if s is None else s + term
-        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    for p, w in enumerate(plane_weights(dim, n_planes)):
+        dot = dot_expr(vec, F.lit(w))
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def bucketed_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for near-duplicate pairs: candidates are generated by
+    an equi-join on the hyperplane sign bucket (same-bucket vectors
+    only), then verified with EXACT cosine — no O(n^2) theta self-join
+    on the full table. Recall is traded for fan-in exactly like
+    lsh_bucketed_topk; raise n_planes for smaller buckets at scale."""
+    e = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__e"),
+    ).withColumn("bucket", hyperplane_signs_expr(F.col("__e"), dim, n_planes))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.__e"), F.col("b.__e")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def lsh_bucketed_topk(

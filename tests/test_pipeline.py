@@ -180,3 +180,51 @@ def test_cosine_pairs_symmetric_threshold(spark):
         a, b = vecs[r["id_a"]], vecs[r["id_b"]]
         expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r["cosine"] - expect) < 1e-5
+
+
+def test_bucketed_cosine_pairs_subset_of_exact(spark):
+    """The bucketed scale path returns a subset of the exact pairs
+    (same threshold), with identical cosines on the intersection, and
+    its plan has no theta self-join on the full table."""
+    from optbinning_spark.pipeline.similarity import (
+        bucketed_cosine_pairs,
+        cosine_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs(emb, threshold=0.3).collect()
+    }
+    bucketed = bucketed_cosine_pairs(emb, threshold=0.3, dim=64, n_planes=4)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in bucketed.collect()}
+    assert set(got) <= set(exact)
+    assert len(got) > 0
+    for k, v in got.items():
+        assert abs(v - exact[k]) < 1e-9
+    # scale guard: candidates come from an equi-join on bucket (hash
+    # join on the bucket key), not a cross/theta join over all pairs
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hyperplane_signs_wide_embedding_codegen(spark):
+    """dim-768 x 8 planes must not blow up codegen: weights are array
+    Literals (O(n_planes) expression nodes), not dim x planes inlined
+    multiply-adds."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from optbinning_spark.pipeline.similarity import hyperplane_signs_expr
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(768).tolist()) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = df.select(
+        "vec_id",
+        hyperplane_signs_expr(F.col("embedding"), 768, 8).alias("bucket"),
+    ).collect()
+    assert len(out) == 8
+    assert all(len(r["bucket"]) == 8 and set(r["bucket"]) <= {"0", "1"}
+               for r in out)

@@ -126,3 +126,74 @@ def test_multiclass_solver():
     # segments tile [0..3]
     flat = [i for s, e in sol.segments for i in range(s, e + 1)]
     assert flat == [0, 1, 2, 3]
+
+
+def _brute_force_shape(ne, ev, shape, lo=1, hi=99):
+    """Independent re-implementation of the reference's all-triples
+    concave/convex constraint (cp.py:433-457) by full enumeration."""
+    n = len(ne)
+    t_ev, t_ne = ev.sum(), ne.sum()
+    best = (-1e18, None)
+    for mask in range(1 << (n - 1)):
+        segs, s = [], 0
+        for k in range(n - 1):
+            if mask >> k & 1:
+                segs.append((s, k))
+                s = k + 1
+        segs.append((s, n - 1))
+        if not (lo <= len(segs) <= hi):
+            continue
+        evs = np.array([ev[a:b + 1].sum() for a, b in segs])
+        nes = np.array([ne[a:b + 1].sum() for a, b in segs])
+        if (evs <= 0).any() or (nes <= 0).any():
+            continue
+        er = evs / (evs + nes)
+        m = len(segs)
+        ok = True
+        for a in range(m):
+            for b in range(a + 1, m):
+                for c in range(b + 1, m):
+                    if shape == "concave" and er[a] + er[c] > 2 * er[b] + 1e-12:
+                        ok = False
+                    if shape == "convex" and er[a] + er[c] < 2 * er[b] - 1e-12:
+                        ok = False
+        if not ok:
+            continue
+        p, q = evs / t_ev, nes / t_ne
+        iv = ((p - q) * np.log(p / q)).sum()
+        if iv > best[0]:
+            best = (iv, segs)
+    return best
+
+
+def test_concave_convex_exact_vs_brute_force():
+    """The DFS shape enumerator returns the global optimum under the
+    reference's ALL-triples curvature constraint — randomized
+    cross-check against an independent full enumeration."""
+    rng = np.random.RandomState(0)
+    for trial in range(12):
+        n = rng.randint(3, 10)
+        ne = rng.randint(1, 50, n).astype(float)
+        ev = rng.randint(1, 50, n).astype(float)
+        for shape in ("concave", "convex"):
+            sol = solve_binary(ne, ev, monotonic_trend=shape)
+            bv, _ = _brute_force_shape(ne, ev, shape)
+            assert sol.status == "OPTIMAL"
+            assert abs(sol.objective - bv) < 1e-12, (trial, shape)
+
+
+def test_concave_rejects_convex_profile_merge():
+    """A sharply convex (valley) event-rate profile cannot keep its
+    shape under a concave constraint: the solver must merge/rearrange
+    rather than emit a valley sequence. (This is the case the old
+    peak-approximation got wrong.)"""
+    ne = np.array([20, 80, 80, 20], dtype=float)
+    ev = np.array([80, 20, 20, 80], dtype=float)  # rates .8 .2 .2 .8
+    sol = solve_binary(ne, ev, monotonic_trend="concave")
+    evs = [ev[s:e + 1].sum() for s, e in sol.segments]
+    nes = [ne[s:e + 1].sum() for s, e in sol.segments]
+    er = [e_ / (e_ + n_) for e_, n_ in zip(evs, nes)]
+    for a in range(len(er)):
+        for b in range(a + 1, len(er)):
+            for c in range(b + 1, len(er)):
+                assert er[a] + er[c] <= 2 * er[b] + 1e-12
