@@ -389,7 +389,7 @@ class _BaseOptimalBinning:
         probs = np.linspace(0, 1, MAX_HISTOGRAM_BUCKETS + 1)[1:-1]
         probe = proj.agg(
             F.approx_count_distinct(cx, rsd=0.05).alias("nd"),
-            F.percentile_approx(cx, F.lit(probs), F.lit(10_000)).alias("edges"),
+            F.percentile_approx(cx, F.lit(probs), F.lit(2_000)).alias("edges"),
             F.min(cx).alias("vmin"),
             F.max(cx).alias("vmax"),
         ).first()

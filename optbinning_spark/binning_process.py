@@ -149,15 +149,24 @@ class BinningProcess:
 
         # normalized working frame: cleaned numeric cols (missing/special
         # -> NULL) so downstream passes need no per-variable filters.
-        # No spread(): the stacked aggregation is map-side-combined and
-        # cheap per row — the round-robin shuffle measured as a net loss
-        # at sf0.1 and adds an AQE stage job per action (breaking the
-        # 2-action fit contract). Real clusters parallelize via splits.
+        # Per-row fit cost scales with the variable count, so the
+        # single-row-group repartition (spread) is a measured win only
+        # for WIDE fits: at 16 vars the probe + stacked aggregation are
+        # CPU-bound and a one-row-group scan pins them to one core
+        # (measured 14.7s -> ~7.5s at sf0.1), while at <= 7 vars the shuffle costs
+        # more than the parallelism buys (and the narrow fit keeps the
+        # 2-action/<=4-job plan contract, test_plan_quality.py:130).
+        # On a real cluster the input has many splits and spread() is a
+        # no-op either way.
         work = df.select(
             *dict.fromkeys(
                 [y] + ([sample_weight] if sample_weight else [])
                 + self.variable_names)
         )
+        if len(self.variable_names) >= 8:
+            from .sources.tables import spread
+
+            work = spread(df.sparkSession, work)
         for v in numeric:
             work = work.withColumn(
                 f"__clean_{v}",
@@ -165,7 +174,6 @@ class BinningProcess:
                     F.col(v).cast("double"), "numerical", self._codes_for(v)
                 ),
             )
-
         fused = None
         if fused_eligible:
             fused = self._fused_fit_stats(
@@ -520,7 +528,7 @@ class BinningProcess:
                 )
                 probe_aggs.append(
                     F.percentile_approx(
-                        f"__clean_{v}", F.lit(probs), F.lit(10_000)
+                        f"__clean_{v}", F.lit(probs), F.lit(2_000)
                     ).alias(f"q_{v}")
                 )
             if need_tt and y_float:

@@ -33,53 +33,64 @@ def _gini_impurity(class_w: np.ndarray) -> float:
     return float(1.0 - (p * p).sum())
 
 
-def _best_split_classification(values, W):
+def _best_split_classification(values, W, min_w: float = 0.0):
     """values: sorted distinct values (n,); W: per-value class weights
-    (n, k). Returns (gain, split_idx) maximizing weighted Gini decrease;
-    split at idx means threshold between values[idx] and values[idx+1]."""
+    (n, k). Returns (gain, split_idx) maximizing weighted Gini decrease
+    among splits whose children both weigh >= min_w; split at idx means
+    threshold between values[idx] and values[idx+1]. Fully vectorized
+    (the per-candidate Python loop was the driver-CART bottleneck on
+    4096-bucket histograms); float-op order matches the original loop
+    so proposed splits are bit-identical."""
     n = len(values)
     if n < 2:
         return None
+    left = np.cumsum(W, axis=0)  # left[i] = classes of values[0..i]
+    # totals via .sum (pairwise), not cumsum's sequential tail — keeps
+    # float results bit-identical to the original per-candidate loop
     total_w = W.sum(axis=0)
     total = total_w.sum()
     parent_imp = _gini_impurity(total_w)
-    left = np.cumsum(W, axis=0)  # left[i] = classes of values[0..i]
-    best = None
-    for i in range(n - 1):
-        lw = left[i]
-        rw = total_w - lw
-        nl, nr = lw.sum(), rw.sum()
-        if nl <= 0 or nr <= 0:
-            continue
-        child = (nl * _gini_impurity(lw) + nr * _gini_impurity(rw)) / total
-        gain = (parent_imp - child) * total
-        if best is None or gain > best[0]:
-            best = (gain, i)
-    return best
+    lw = left[:-1]
+    rw = total_w[None, :] - lw
+    nl = lw.sum(axis=1)
+    nr = rw.sum(axis=1)
+    valid = (nl > 0) & (nr > 0) & (nl >= min_w) & (nr >= min_w)
+    if not valid.any():
+        return None
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gl = 1.0 - ((lw / nl[:, None]) ** 2).sum(axis=1)
+        gr = 1.0 - ((rw / nr[:, None]) ** 2).sum(axis=1)
+    child = (nl * gl + nr * gr) / total
+    gain = (parent_imp - child) * total
+    gain = np.where(valid, gain, -np.inf)
+    i = int(np.argmax(gain))  # first max == the loop's strict-> argmax
+    return float(gain[i]), i
 
 
-def _best_split_regression(values, cnt, s1, s2):
-    """Variance-reduction split for a continuous target histogram."""
+def _best_split_regression(values, cnt, s1, s2, min_w: float = 0.0):
+    """Variance-reduction split for a continuous target histogram,
+    vectorized, children constrained to weight >= min_w."""
     n = len(values)
     if n < 2:
         return None
-    tc, t1 = cnt.sum(), s1.sum()
-    if tc <= 0:
-        return None
     cc = np.cumsum(cnt)
     c1 = np.cumsum(s1)
-    best = None
+    tc, t1 = cnt.sum(), s1.sum()  # pairwise, matching the original loop
+    if tc <= 0:
+        return None
+    nl = cc[:-1]
+    nr = tc - nl
+    valid = (nl > 0) & (nr > 0) & (nl >= min_w) & (nr >= min_w)
+    if not valid.any():
+        return None
+    sl = c1[:-1]
+    sr = t1 - sl
     parent_sse = -(t1 * t1) / tc
-    for i in range(n - 1):
-        nl, nr = cc[i], tc - cc[i]
-        if nl <= 0 or nr <= 0:
-            continue
-        sl, sr = c1[i], t1 - c1[i]
+    with np.errstate(divide="ignore", invalid="ignore"):
         child_sse = -(sl * sl) / nl - (sr * sr) / nr
-        gain = parent_sse - child_sse
-        if best is None or gain > best[0]:
-            best = (gain, i)
-    return best
+    gain = np.where(valid, parent_sse - child_sse, -np.inf)
+    i = int(np.argmax(gain))
+    return float(gain[i]), i
 
 
 def cart_splits(
@@ -110,62 +121,23 @@ def cart_splits(
 
     counter = itertools.count()  # tie-break for heap determinism
 
-    def node_weight(lo, hi):
-        if task == "classification":
-            return stats[lo : hi + 1].sum()
-        return stats[lo : hi + 1, 0].sum()
-
     def find_split(lo, hi):
+        # min_samples_leaf is enforced inside the vectorized argmax:
+        # the constrained best equals the old unconstrained-then-
+        # fallback scan (if the unconstrained argmax is feasible it IS
+        # the constrained argmax)
         v = values[lo : hi + 1]
         if task == "classification":
-            res = _best_split_classification(v, stats[lo : hi + 1])
+            res = _best_split_classification(
+                v, stats[lo : hi + 1], min_samples_leaf)
         else:
             s = stats[lo : hi + 1]
-            res = _best_split_regression(v, s[:, 0], s[:, 1], s[:, 2])
+            res = _best_split_regression(
+                v, s[:, 0], s[:, 1], s[:, 2], min_samples_leaf)
         if res is None:
             return None
         gain, idx = res
-        # honor min_samples_leaf on both children
-        while res is not None:
-            gain, idx = res
-            wl = node_weight(lo, lo + idx)
-            wr = node_weight(lo + idx + 1, hi)
-            if wl >= min_samples_leaf and wr >= min_samples_leaf:
-                return gain, lo + idx
-            res = _second_best(lo, hi, idx)
-        return None
-
-    def _second_best(lo, hi, skip_idx):
-        """Fallback scan honoring min_samples_leaf when argmax violates."""
-        v = values[lo : hi + 1]
-        m = len(v)
-        best = None
-        for i in range(m - 1):
-            wl = node_weight(lo, lo + i)
-            wr = node_weight(lo + i + 1, hi)
-            if wl < min_samples_leaf or wr < min_samples_leaf:
-                continue
-            if task == "classification":
-                sub = stats[lo : hi + 1]
-                lw = sub[: i + 1].sum(axis=0)
-                rw = sub.sum(axis=0) - lw
-                tot = lw.sum() + rw.sum()
-                child = (
-                    lw.sum() * _gini_impurity(lw) + rw.sum() * _gini_impurity(rw)
-                ) / tot
-                gain = (_gini_impurity(sub.sum(axis=0)) - child) * tot
-            else:
-                s = stats[lo : hi + 1]
-                tc, t1 = s[:, 0].sum(), s[:, 1].sum()
-                nl = s[: i + 1, 0].sum()
-                sl = s[: i + 1, 1].sum()
-                nr, sr = tc - nl, t1 - sl
-                if nl <= 0 or nr <= 0:
-                    continue
-                gain = -(t1 * t1) / tc + (sl * sl) / nl + (sr * sr) / nr
-            if best is None or gain > best[0]:
-                best = (gain, i)
-        return best
+        return gain, lo + idx
 
     heap = []
     first = find_split(0, n - 1)
