@@ -29,14 +29,68 @@ _EPS = 1e-15
 
 def _round_preserving_sum(values: np.ndarray) -> np.ndarray:
     """Largest-remainder rounding: integer points whose sum matches the
-    rounded sum — the same goal as the reference's MIP rounding
-    (rounding.py:13-110) without an integer program."""
+    rounded sum (kept as the fallback when the min/max-preserving
+    allocation is infeasible for a variable)."""
     floor = np.floor(values)
     residual = int(np.round(values.sum() - floor.sum()))
     order = np.argsort(-(values - floor))
     out = floor.copy()
     out[order[:residual]] += 1
     return out
+
+
+def _round_points_minmax(points: dict) -> dict:
+    """Reference-parity point rounding (rounding.py:13-110) WITHOUT an
+    integer program. The reference MIP minimizes the L1 rounding error
+    subject to Sum_i lb_i == rint(Sum_i min_j x_ij) and
+    Sum_i ub_i == rint(Sum_i max_j x_ij), where lb_i/ub_i are free
+    integers bounding variable i's rounded points below/above. Free
+    bounds make the equalities equivalent to
+        Sum_i min_j p_ij >= MinPoint  and  Sum_i max_j p_ij <= MaxPoint,
+    i.e. the minimum and maximum achievable TOTAL scores are preserved.
+    Clamping a point into [t_i, u_i] can only move it in one direction,
+    so the objective splits into independent convex per-variable costs
+    F_i(t) (raise low points to t) and G_i(u) (cap high points at u),
+    and each side is a separable convex allocation solved exactly by
+    the cheapest-marginal-move greedy below."""
+    names = list(points)
+    raw = {v: np.asarray(points[v], dtype=float) for v in names}
+    min_point = float(np.rint(sum(r.min() for r in raw.values())))
+    max_point = float(np.rint(sum(r.max() for r in raw.values())))
+    p = {v: np.rint(raw[v]) for v in names}
+
+    def l1(v, q):
+        return float(np.abs(q - raw[v]).sum())
+
+    # Greedy cheapest-marginal unit moves; exact for separable convex
+    # costs (each clamp step's marginal is non-decreasing). The number
+    # of steps is bounded by the rint slack, <= n_variables / 2 each
+    # side; the 10k guard is a safety net only.
+    for _ in range(10_000):  # raise minima until Sum min >= MinPoint
+        if sum(q.min() for q in p.values()) >= min_point:
+            break
+        best = None
+        for v in names:
+            q = np.maximum(p[v], p[v].min() + 1)
+            dc = l1(v, q) - l1(v, p[v])
+            if best is None or dc < best[0]:
+                best = (dc, v, q)
+        p[best[1]] = best[2]
+    for _ in range(10_000):  # lower maxima until Sum max <= MaxPoint
+        if sum(q.max() for q in p.values()) <= max_point:
+            break
+        best = None
+        for v in names:
+            if p[v].max() - 1 < p[v].min():
+                continue  # flat variable: lowering would break Sum min
+            q = np.minimum(p[v], p[v].max() - 1)
+            dc = l1(v, q) - l1(v, p[v])
+            if best is None or dc < best[0]:
+                best = (dc, v, q)
+        if best is None:  # degenerate: every variable flat
+            break
+        p[best[1]] = best[2]
+    return p
 
 
 def _driver_wls(X, y, w):
@@ -145,27 +199,42 @@ class Scorecard:
         if kind0 == "auto":
             kind0 = "logistic" if self._target_type == "binary" else "linear"
         wexpr = F.col(w) if w is not None else F.lit(1.0)
-        if kind0 == "huber":
-            # Huber loss is nonlinear in per-row residuals, so the
-            # (X, mean-label) group compression is invalid; IRLS runs
-            # on a bounded driver sample instead (the reference fits
-            # sklearn HuberRegressor fully in memory).
+        if kind0 == "huber" or not isinstance(kind0, str):
+            # Custom estimator object (X1, reference scorecard.py:37-39
+            # accepts any sklearn regressor/classifier) or Huber: the
+            # loss may be nonlinear in per-row residuals, so the
+            # (X, mean-label) group compression is invalid; the fit
+            # runs on a bounded DETERMINISTIC driver sample instead
+            # (orderBy on the feature columns + label -> TakeOrdered
+            # top-k, not a full sort; ties are identical rows, so two
+            # runs collect the same design matrix).
             cap = int(self.estimator_params.get("max_driver_rows", 100_000))
             rows = (
                 woe.select(
                     *self.selected_, F.col(y).alias("__y"),
                     wexpr.alias("__w"),
                 )
+                .orderBy(*self.selected_, "__y", "__w")
                 .limit(cap)
                 .collect()
             )
             X = np.array([[float(r[v]) for v in self.selected_] for r in rows])
             yy = np.array([float(r["__y"]) for r in rows])
             ww = np.array([float(r["__w"]) for r in rows])
-            return _driver_huber(
-                X, yy, ww,
-                epsilon=float(self.estimator_params.get("epsilon", 1.35)),
-            )
+            if kind0 == "huber":
+                return _driver_huber(
+                    X, yy, ww,
+                    epsilon=float(self.estimator_params.get("epsilon", 1.35)),
+                )
+            est = kind0
+            try:
+                est.fit(X, yy, sample_weight=ww)
+            except TypeError:  # estimator without sample_weight support
+                est.fit(X, yy)
+            coef = np.ravel(np.asarray(est.coef_, dtype=float))
+            intercept = np.ravel(np.asarray(
+                getattr(est, "intercept_", 0.0), dtype=float))
+            return list(coef), float(intercept[0] if intercept.size else 0.0)
         if kind0 == "logistic":
             woe = (
                 woe.groupBy(*self.selected_, y)
@@ -286,8 +355,10 @@ class Scorecard:
                 points[v] = points[v] - m
                 base += m
         if self.rounding:
-            for v in self.selected_:
-                points[v] = _round_preserving_sum(points[v])
+            # reference-parity rounding: preserve the min and max
+            # achievable total score (RoundingMIP semantics), not just
+            # the sum
+            points = _round_points_minmax(points)
             base = float(np.round(base))
         self.points_ = points
         self.base_points_ = float(base)
@@ -472,7 +543,10 @@ class Scorecard:
         d = {
             "class": "Scorecard",
             "binning_process": self.binning_process.to_dict(),
-            "estimator": self.estimator,
+            # custom estimator objects are not JSON-serializable; the
+            # saved model only needs the fitted points, so record a tag
+            "estimator": (self.estimator if isinstance(self.estimator, str)
+                          else f"custom:{type(self.estimator).__name__}"),
             "scaling_method": self.scaling_method,
             "scaling_method_params": self.scaling_method_params,
             "intercept_based": self.intercept_based,

@@ -96,6 +96,13 @@ class CentroidSketch:
     def total_weight(self):
         return float(self.weights.sum())
 
+    @property
+    def memory_size(self) -> int:
+        """T5 state-size accounting (reference binning_sketch.py:518-519
+        reports asizeof of the sketch): bytes held by the centroid
+        arrays. Bounded by 2 * max_size * 8 after compression."""
+        return int(self.values.nbytes + self.weights.nbytes)
+
     def quantiles(self, probs) -> np.ndarray:
         if len(self.values) == 0:
             return np.array([])
@@ -347,6 +354,22 @@ class OptimalBinningSketch:
         """Transform through the most recent solve."""
         return self._solved().transform(df, x, **kw)
 
+    @property
+    def memory_usage(self) -> int:
+        """T5: total sketch state size in bytes (reference
+        binning_sketch.py:518-519 reports MB via asizeof; this counts
+        the actual array/dict payload — the part that grows)."""
+        if self.dtype == "numerical":
+            total = sum(sk.memory_size for sk in self._sk.values())
+        else:
+            # category -> per-class weight vector
+            total = sum(
+                len(str(k).encode()) + np.asarray(v).nbytes
+                for k, v in self._cat.items()
+            )
+        # special/missing accumulators: fixed-size dicts of floats
+        return int(total)
+
     def information(self) -> str:
         """Sketch state report (reference binning_sketch.py:494-568)."""
         lines = [
@@ -354,6 +377,7 @@ class OptimalBinningSketch:
             f"  name           : {self.name}",
             f"  dtype          : {self.dtype}",
             f"  batches added  : {self.n_add}",
+            f"  sketch memory  : {self.memory_usage * 1e-6:.6f} MB",
         ]
         if self.dtype == "numerical":
             lines.append(

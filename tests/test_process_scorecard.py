@@ -471,3 +471,92 @@ def test_fused_process_fit_matches_fallback(spark):
     np.testing.assert_allclose(
         np.array(clean["count"], dtype=float),
         np.array([r["n"] for r in chk], dtype=float))
+
+
+def test_rounding_preserves_min_max_total_score():
+    """Reference RoundingMIP semantics (rounding.py:13-110): the
+    rounded points preserve the minimum and maximum achievable TOTAL
+    score (rint of the raw extremes), with minimal L1 movement —
+    verified against an exhaustive floor/ceil search."""
+    import itertools
+
+    from optbinning_spark.scorecard import _round_points_minmax
+
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        raw = {
+            f"v{i}": rng.uniform(-30, 30, rng.randint(2, 5))
+            for i in range(3)
+        }
+        out = _round_points_minmax(raw)
+        min_point = np.rint(sum(r.min() for r in raw.values()))
+        max_point = np.rint(sum(r.max() for r in raw.values()))
+        assert sum(p.min() for p in out.values()) >= min_point
+        assert sum(p.max() for p in out.values()) <= max_point
+        got_cost = sum(
+            np.abs(out[v] - raw[v]).sum() for v in raw
+        )
+        # exhaustive optimum over floor/ceil choices
+        names = list(raw)
+        flat = [(v, j) for v in names for j in range(len(raw[v]))]
+        best = None
+        for bits in itertools.product([0, 1], repeat=len(flat)):
+            cand = {v: np.floor(raw[v]).copy() for v in names}
+            for (v, j), b in zip(flat, bits):
+                cand[v][j] += b
+            if sum(c.min() for c in cand.values()) < min_point:
+                continue
+            if sum(c.max() for c in cand.values()) > max_point:
+                continue
+            cost = sum(np.abs(cand[v] - raw[v]).sum() for v in names)
+            if best is None or cost < best:
+                best = cost
+        assert best is not None
+        assert got_cost <= best + 1e-9
+
+
+def test_custom_estimator_plugin(fitted_process, wide_df):
+    """X1: any object with fit(X, y, sample_weight) + coef_/intercept_
+    drives the scorecard (reference scorecard.py:37-39)."""
+
+    class RidgeLike:
+        def fit(self, X, y, sample_weight=None):
+            w = np.ones(len(X)) if sample_weight is None else sample_weight
+            A = np.hstack([X, np.ones((len(X), 1))])
+            Aw = A * w[:, None]
+            beta = np.linalg.solve(
+                A.T @ Aw + 0.1 * np.eye(A.shape[1]), Aw.T @ y
+            )
+            self.coef_ = beta[:-1]
+            self.intercept_ = beta[-1]
+            return self
+
+    sc = Scorecard(
+        fitted_process,
+        estimator=RidgeLike(),
+        scaling_method="pdo_odds",
+        scaling_method_params={"pdo": 20, "odds": 50, "scorecard_points": 600},
+    )
+    sc.fit(wide_df, "y")
+    assert set(sc.coef_) == set(sc.selected_)
+    scores = sc.score(wide_df).select("score").limit(5).collect()
+    assert all(np.isfinite(r["score"]) for r in scores)
+    # save tags the custom estimator instead of failing to serialize
+    import tempfile, os
+
+    p = os.path.join(tempfile.mkdtemp(), "sc.json")
+    sc.save(p)
+    assert Scorecard.load(p).estimator.startswith("custom:")
+
+
+def test_huber_fit_deterministic(fitted_process, wide_df):
+    """Two consecutive huber fits produce identical coefficients (the
+    driver sample is order-stabilized, not an arbitrary limit)."""
+    df = wide_df.withColumn("yc", F.col("x1") * 2.0 + F.col("x2"))
+    coefs = []
+    for _ in range(2):
+        bp = BinningProcess(["x1", "x2"], prebinning_method="quantile")
+        sc = Scorecard(bp, estimator="huber")
+        sc.fit(df, "yc")
+        coefs.append(sorted(sc.coef_.items()))
+    assert coefs[0] == coefs[1]

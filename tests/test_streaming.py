@@ -232,3 +232,31 @@ def test_scenario_surface(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sb.binning_table_scenario(5)
+
+
+def test_sketch_memory_accounting(spark):
+    """T5: the sketch reports its state size; compression keeps it
+    bounded (reference binning_sketch.py:518-519 memory report)."""
+    import numpy as np
+
+    from optbinning_spark.streaming.sketch import (
+        CentroidSketch,
+        OptimalBinningSketch,
+    )
+
+    sk = CentroidSketch(max_size=64)
+    rng = np.random.RandomState(0)
+    sk.add(rng.uniform(0, 1, 10_000), np.ones(10_000))
+    assert sk.memory_size <= 2 * 64 * 8  # bounded after compression
+    big = CentroidSketch(max_size=4096)
+    big.add(rng.uniform(0, 1, 10_000), np.ones(10_000))
+    assert big.memory_size > sk.memory_size  # size tracks state
+
+    obs = OptimalBinningSketch(max_n_prebins=8)
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = df.withColumn(
+        "y", (F.col("l_returnflag") == "R").cast("int"))
+    obs.add(df, "l_extendedprice", "y")
+    assert obs.memory_usage > 0
+    report = obs.information()
+    assert "sketch memory" in report

@@ -38,11 +38,28 @@ def canon(df: pd.DataFrame, strict: bool = True) -> pd.DataFrame:
     for c in df.columns:
         if strict:
             if pd.api.types.is_integer_dtype(df[c]):
-                df[c] = df[c].astype("int64").map(repr)
+                # nullable Int64 with pd.NA raises on astype('int64');
+                # report that query as FAIL, don't abort the whole run
+                try:
+                    df[c] = df[c].astype("int64").map(repr)
+                except (ValueError, TypeError):
+                    df[c] = df[c].map(
+                        lambda v: "<NULL>" if pd.isna(v) else repr(int(v)))
             elif pd.api.types.is_float_dtype(df[c]):
                 df[c] = df[c].astype("float64").map(repr)
             else:
-                df[c] = df[c].map(repr)
+                # normalize nulls to one sentinel: Spark surfaces string
+                # NULLs as None (repr 'None'), DuckDB as NaN; guard
+                # pd.isna for array-valued cells (ambiguous truth)
+                def _obj_repr(v):
+                    try:
+                        if pd.isna(v):
+                            return "<NULL>"
+                    except (TypeError, ValueError):
+                        pass
+                    return repr(v)
+
+                df[c] = df[c].map(_obj_repr)
         else:
             try:
                 num = pd.to_numeric(df[c])
