@@ -607,7 +607,10 @@ def q_scorecard_scores(spark, sf_dir):
 
 
 def q_multiclass_binning_table(spark, sf_dir):
-    """Multiclass optimal binning (summed one-vs-rest JS objective)."""
+    """O7: multiclass optimal binning (summed one-vs-rest JS
+    objective) — oracle-checked by exhaustive partition enumeration
+    (unconstrained trends: the per-class auto heuristic is a decision
+    tree, not SQL)."""
     from optbinning_spark import MulticlassOptimalBinning
 
     df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
@@ -616,12 +619,21 @@ def q_multiclass_binning_table(spark, sf_dir):
         .when(F.col("l_returnflag") == "A", 1)
         .otherwise(2),
     )
-    mb = MulticlassOptimalBinning(prebinning_method="quantile")
-    mb.fit(df, "l_extendedprice", "y3")
-    pdf = mb.binning_table.build(add_totals=False)
-    num = pdf.select_dtypes("number").columns
-    pdf[num] = pdf[num].round(6)
-    return spark.createDataFrame(pdf)
+    mb = MulticlassOptimalBinning(prebinning_method="quantile",
+                                  max_n_prebins=8, monotonic_trend=None)
+    mb.fit(df, "l_quantity", "y3")
+    pdf = mb.binning_table.build(add_totals=True)
+    out = spark.createDataFrame(pdf)
+    cols = [
+        "bin", F.col("count").cast("long").alias("count"),
+        *[F.col(f"n_event_{c}").cast("long").alias(f"n_event_{c}")
+          for c in (0, 1, 2)],
+        *[F.round(f"event_rate_{c}", 6).alias(f"event_rate_{c}")
+          for c in (0, 1, 2)],
+        F.round("mean_woe", 6).alias("mean_woe"),
+        F.round("js", 6).alias("js"),
+    ]
+    return out.select(*cols)
 
 
 def q_sketch_binning_table(spark, sf_dir):
@@ -728,17 +740,67 @@ def q_scenario_agg(spark, sf_dir):
 
 
 def q_scenario_binning_table(spark, sf_dir):
-    """O9: shared-solution stochastic binning over linestatus
-    scenarios (driver DP on the per-scenario stats)."""
+    """O9: shared-solution stochastic binning — one split set
+    maximizing the scenario-weighted IV sum with per-scenario
+    monotonicity. Scenarios are two balanced populations (parity of
+    l_partkey) so no prebin is pure in either scenario and the whole
+    fit (pooled exact-quantile prebins -> shared DP) replays in the
+    DuckDB oracle."""
     from optbinning_spark.scenario_binning import SBOptimalBinning
 
-    df = _lineitem(spark, sf_dir)
-    sb = SBOptimalBinning(max_n_prebins=8, monotonic_trend="auto_asc_desc")
-    sb.fit(df, "l_extendedprice", "y", scenario_col="l_linestatus")
-    pdf = sb.binning_table.build(add_totals=False)
-    num = pdf.select_dtypes("number").columns
-    pdf[num] = pdf[num].round(6)
-    return spark.createDataFrame(pdf)
+    df = _lineitem(spark, sf_dir).withColumn(
+        "scen", F.when(F.col("l_partkey") % 2 == 0, "even").otherwise("odd")
+    )
+    sb = SBOptimalBinning(prebinning_method="quantile_exact",
+                          max_n_prebins=8, monotonic_trend="auto_asc_desc")
+    sb.fit(df, "l_quantity", "y", scenario_col="scen")
+    pdf = sb.binning_table.build(add_totals=True)
+    out = spark.createDataFrame(pdf)
+    return out.select(
+        "bin",
+        F.col("count").cast("long").alias("count"),
+        F.col("n_nonevent").cast("long").alias("n_nonevent"),
+        F.col("n_event").cast("long").alias("n_event"),
+        F.round("event_rate", 6).alias("event_rate"),
+        F.round("woe", 6).alias("woe"),
+        F.round("iv", 6).alias("iv"),
+    )
+
+
+def q_scorecard_scores_linear(spark, sf_dir):
+    """Scorecard end-to-end with the WLS closed form: continuous
+    target (net price), two exactly-replayable continuous binnings
+    (quantile prebins + pinned trends), mean transform, linear
+    estimator on the compressed design, raw (unscaled) points. The
+    DuckDB oracle replays the whole pipeline: both DPs, the per-row
+    mean features, the normal equations via Cramer's rule, and the
+    map-only score."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "net_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    bp = BinningProcess(
+        ["l_quantity", "l_discount"],
+        prebinning_method="quantile",
+        max_n_prebins=8,
+        binning_fit_params={
+            # net price trends DOWN with both variables in this
+            # synthetic data; descending keeps multi-bin solutions (an
+            # ascending constraint collapses to one bin at sf0.001,
+            # which would make the WLS design singular)
+            "l_quantity": {"monotonic_trend": "descending"},
+            "l_discount": {"monotonic_trend": "descending"},
+        },
+    )
+    sc = Scorecard(bp, estimator="linear", scaling_method="min_max",
+                   scaling_method_params={"min": 0, "max": 100})
+    sc.fit(df, "net_price")
+    out = sc.score(df)
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("score", 2).alias("score")
+    )
 
 
 def q_counterfactual(spark, sf_dir):
@@ -1155,25 +1217,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_stats": q_distribution_stats,
         "ann_topk": q_ann_topk,
         "near_dup_cosine_bucketed": q_near_dup_cosine_bucketed,
-        # -- rows-only in the driver window (solver/estimator-backed;
-        #    golden-parity tested) --
-        "scorecard_table": q_scorecard_table,
-        "scorecard_scores": q_scorecard_scores,
-        "wide_process_fit": q_wide_process_fit,
         "multiclass_binning_table": q_multiclass_binning_table,
+        "scenario_binning_table": q_scenario_binning_table,
+        "multimodal_features": q_multimodal_features,
+        "scorecard_scores_linear": q_scorecard_scores_linear,
         # -- tail (beyond the driver's 50-entry window; unit/golden
         #    tested) --
+        "scorecard_scores": q_scorecard_scores,
+        "scorecard_table": q_scorecard_table,
+        "wide_process_fit": q_wide_process_fit,
         "binning_2d_table": q_binning_2d_table,
         "sketch_binning_table": q_sketch_binning_table,
         "psi_variable_report": q_psi_variable_report,
         "continuous_binning_2d_table": q_continuous_binning_2d_table,
         "piecewise_transform": q_piecewise_transform,
         "counterfactual": q_counterfactual,
-        "scenario_binning_table": q_scenario_binning_table,
         "cart_splits": q_cart_splits,
         "mdlp_splits": q_mdlp_splits,
         "ivf_topk": q_ivf_topk,
-        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1536,6 +1597,302 @@ def _sql_binning_process_summary():
   {p}t2 AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev FROM {p}allrows)""")
     rows.append(_sql_process_summary_var("l_linestatus", "categorical", p))
     return "WITH " + ",".join(ctes) + "\n  UNION ALL".join(rows)
+
+
+def _dp_cte_continuous(xcol, yexpr, n_prebins, trend, p=""):
+    """Continuous-target DP CTE chain (quantile prebins, objective
+    |mean - total_mean|, monotone bin means). Ends with {p}sp and
+    {p}bseg(seg, cnt, s1, pb_lo, pb_hi, max_seg)."""
+    probs = ", ".join(f"{i}/{n_prebins}.0" for i in range(1, n_prebins))
+    mono = {"ascending": "mono_asc", "descending": "mono_desc",
+            "auto_asc_desc": "(mono_asc OR mono_desc)"}[trend]
+    pref = (", (CASE WHEN mono_asc THEN 0 ELSE 1 END)"
+            if trend == "auto_asc_desc" else "")
+    return f"""
+  {p}clean AS (
+    SELECT {xcol} AS x, {yexpr} AS y FROM lineitem
+    WHERE {xcol} IS NOT NULL AND NOT isnan({xcol})),
+  {p}sp AS (
+    SELECT list_sort(list_distinct(quantile_cont(x, [{probs}]))) AS splits
+    FROM {p}clean),
+  {p}pre AS (
+    SELECT len(list_filter(sp.splits, s -> c.x >= s)) AS pb,
+           count(*) AS cnt, sum(y) AS s1
+    FROM {p}clean c, {p}sp sp GROUP BY 1),
+  {p}tot AS (SELECT sum(cnt) AS t_n, sum(s1) / sum(cnt) AS mean_total
+             FROM {p}pre),
+  {p}masks AS (SELECT g AS mask FROM generate_series(0, 127) t(g)),
+  {p}segrows AS (
+    SELECT m.mask, pr.pb, pr.cnt, pr.s1,
+           bit_count(CAST(m.mask AS BIGINT) & ((1::BIGINT << pr.pb) - 1)) AS seg
+    FROM {p}masks m, {p}pre pr),
+  {p}segs AS (
+    SELECT mask, seg, sum(cnt) AS cnt, sum(s1) AS s1,
+           min(pb) AS pb_lo, max(pb) AS pb_hi
+    FROM {p}segrows GROUP BY mask, seg),
+  {p}segx AS (
+    SELECT s.*, s.s1 / s.cnt AS mean,
+           abs(s.s1 / s.cnt - t.mean_total) AS obj_term,
+           lag(s.s1 / s.cnt) OVER (PARTITION BY mask ORDER BY seg) AS mean_prev
+    FROM {p}segs s, {p}tot t),
+  {p}cand AS (
+    SELECT mask,
+           bool_and(mean_prev IS NULL OR mean >= mean_prev) AS mono_asc,
+           bool_and(mean_prev IS NULL OR mean <= mean_prev) AS mono_desc,
+           sum(obj_term) AS obj
+    FROM {p}segx GROUP BY mask),
+  {p}best AS (
+    SELECT mask FROM {p}cand WHERE {mono}
+    ORDER BY obj DESC{pref}, mask LIMIT 1),
+  {p}bseg AS (
+    SELECT s.seg, s.cnt, s.s1, s.pb_lo, s.pb_hi, max(s.seg) OVER () AS max_seg
+    FROM {p}segs s WHERE s.mask = (SELECT mask FROM {p}best))"""
+
+
+def _sql_scorecard_scores_linear():
+    """Full-pipeline oracle: two continuous DPs -> per-row bin-mean
+    features -> WLS normal equations solved by Cramer's rule ->
+    map-only score (intercept + sum of coef * bin mean)."""
+    net = "l_extendedprice * (1 - l_discount)"
+    chains = (_dp_cte_continuous("l_quantity", net, 8, "descending", "f1_")
+              + "," + _dp_cte_continuous("l_discount", net, 8,
+                                         "descending", "f2_"))
+    return f"""
+  WITH {chains},
+  rows_ AS (
+    SELECT l_orderkey, l_linenumber, l_quantity AS x1, l_discount AS x2,
+           {net} AS y
+    FROM lineitem),
+  r1 AS (
+    SELECT r.*, len(list_filter(sp.splits, s -> r.x1 >= s)) AS pb1
+    FROM rows_ r, f1_sp sp),
+  r2 AS (
+    SELECT r1.*, len(list_filter(sp.splits, s -> r1.x2 >= s)) AS pb2
+    FROM r1, f2_sp sp),
+  feat AS (
+    SELECT r2.l_orderkey, r2.l_linenumber, r2.y,
+           b1.s1 / b1.cnt AS f1, b2.s1 / b2.cnt AS f2
+    FROM r2
+    JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
+    JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
+  mu AS (
+    SELECT avg(f1) AS m1, avg(f2) AS m2, avg(y) AS my FROM feat),
+  -- centered two-pass sums (cond ~ 1, matching the engine's centered
+  -- WLS; uncentered Gram would lose ~8 digits to collinearity)
+  sums AS (
+    SELECT sum((f1 - mu.m1) * (f1 - mu.m1)) AS c11,
+           sum((f1 - mu.m1) * (f2 - mu.m2)) AS c12,
+           sum((f2 - mu.m2) * (f2 - mu.m2)) AS c22,
+           sum((f1 - mu.m1) * (y - mu.my)) AS c1y,
+           sum((f2 - mu.m2) * (y - mu.my)) AS c2y,
+           any_value(mu.m1) AS m1, any_value(mu.m2) AS m2,
+           any_value(mu.my) AS my
+    FROM feat, mu),
+  coef AS (
+    SELECT (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+           (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2,
+           my - (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) * m1
+              - (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) * m2 AS b0
+    FROM sums),
+  -- min_max scaling to [0, 100]: smin/smax are the extreme achievable
+  -- raw scores (per-variable min/max of coef * bin-mean + intercept)
+  ext AS (
+    SELECT (SELECT min(c.b1 * (b.s1 / b.cnt)) FROM f1_bseg b) AS min1,
+           (SELECT max(c.b1 * (b.s1 / b.cnt)) FROM f1_bseg b) AS max1,
+           (SELECT min(c.b2 * (b.s1 / b.cnt)) FROM f2_bseg b) AS min2,
+           (SELECT max(c.b2 * (b.s1 / b.cnt)) FROM f2_bseg b) AS max2,
+           c.b0, c.b1, c.b2
+    FROM coef c),
+  scale AS (
+    SELECT b0, b1, b2,
+           100.0 / ((max1 + max2 + b0) - (min1 + min2 + b0)) AS slope,
+           (min1 + min2 + b0) AS smin
+    FROM ext)
+  SELECT f.l_orderkey, f.l_linenumber,
+         round(0.0 + sc.slope * ((sc.b0 + sc.b1 * f.f1 + sc.b2 * f.f2) - sc.smin),
+               2) AS score
+  FROM feat f, scale sc"""
+
+
+def _sql_multiclass_binning_table():
+    """Multiclass DP oracle: same mask enumeration, objective = summed
+    one-vs-rest Jensen-Shannon, per-class feasibility, no trend."""
+    y3 = ("(CASE WHEN l_returnflag = 'R' THEN 0 "
+          "WHEN l_returnflag = 'A' THEN 1 ELSE 2 END)")
+    probs = ", ".join(f"{i}/8.0" for i in range(1, 8))
+    js_c = []
+    for c in range(3):
+        p = f"(ev{c} / t.tev{c})"
+        q = f"((cnt - ev{c}) / (t.tall - t.tev{c}))"
+        m = f"(({p} + {q}) / 2)"
+        js_c.append(
+            f"0.5 * (CASE WHEN ev{c} > 0 THEN {p} * ln({p} / {m}) ELSE 0 END"
+            f" + CASE WHEN cnt - ev{c} > 0 THEN {q} * ln({q} / {m}) ELSE 0 END)"
+        )
+    js_term = " + ".join(f"({t})" for t in js_c)
+    evsel = ", ".join(
+        f"count(*) FILTER (WHERE y = {c}) AS ev{c}" for c in range(3))
+    evsum = ", ".join(f"sum(ev{c}) AS ev{c}" for c in range(3))
+    feas = " AND ".join(
+        f"bool_and(ev{c} > 0 AND cnt - ev{c} > 0)" for c in range(3))
+    # table-row metrics (same totals; missing row is all zeros)
+    woe_c = " + ".join(
+        f"(CASE WHEN ev{c} > 0 AND cnt - ev{c} > 0 THEN "
+        f"ln(((cnt - ev{c}) / (t2.tall - t2.tev{c})) / (ev{c} / t2.tev{c}))"
+        f" ELSE 0 END)" for c in range(3))
+    js_row = js_term.replace("t.tev", "t2.tev").replace("t.tall", "t2.tall")
+    ers = ", ".join(
+        f"round(CASE WHEN cnt > 0 THEN ev{c} / CAST(cnt AS DOUBLE) "
+        f"ELSE 0 END, 6) AS event_rate_{c}" for c in range(3))
+    nevs = ", ".join(
+        f"CAST(ev{c} AS BIGINT) AS n_event_{c}" for c in range(3))
+    tot_nevs = ", ".join(
+        f"CAST(t2.tev{c} AS BIGINT)" for c in range(3))
+    tot_ers = ", ".join(
+        f"round(t2.tev{c} / CAST(t2.tall AS DOUBLE), 6)" for c in range(3))
+    return f"""
+  WITH clean AS (
+    SELECT l_quantity AS x, {y3} AS y FROM lineitem
+    WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)),
+  sp AS (
+    SELECT list_sort(list_distinct(quantile_cont(x, [{probs}]))) AS splits
+    FROM clean),
+  pre AS (
+    SELECT len(list_filter(sp.splits, s -> c.x >= s)) AS pb,
+           count(*) AS cnt, {evsel}
+    FROM clean c, sp GROUP BY 1),
+  tot AS (SELECT sum(cnt) AS tall, sum(ev0) AS tev0, sum(ev1) AS tev1,
+                 sum(ev2) AS tev2 FROM pre),
+  masks AS (SELECT g AS mask FROM generate_series(0, 127) t(g)),
+  segrows AS (
+    SELECT m.mask, pr.*,
+           bit_count(CAST(m.mask AS BIGINT) & ((1::BIGINT << pr.pb) - 1)) AS seg
+    FROM masks m, pre pr),
+  segs AS (
+    SELECT mask, seg, sum(cnt) AS cnt, {evsum},
+           min(pb) AS pb_lo, max(pb) AS pb_hi
+    FROM segrows GROUP BY mask, seg),
+  cand AS (
+    SELECT mask, {feas} AS feas,
+           sum({js_term}) AS obj
+    FROM segs s, tot t GROUP BY mask),
+  best AS (SELECT mask FROM cand WHERE feas ORDER BY obj DESC, mask LIMIT 1),
+  bseg AS (
+    SELECT s.*, max(s.seg) OVER () AS max_seg
+    FROM segs s WHERE s.mask = (SELECT mask FROM best)),
+  mrow AS (
+    SELECT count(*) AS cnt,
+           count(*) FILTER (WHERE y = 0) AS ev0,
+           count(*) FILTER (WHERE y = 1) AS ev1,
+           count(*) FILTER (WHERE y = 2) AS ev2
+    FROM (SELECT {y3} AS y FROM lineitem
+          WHERE l_quantity IS NULL OR isnan(l_quantity))),
+  allrows AS (
+    SELECT CASE WHEN seg = 0 AND seg = max_seg THEN '(-inf, inf)'
+                WHEN seg = 0 THEN '(-inf, ' || printf('%.2f', sp.splits[pb_hi + 1]) || ')'
+                WHEN seg = max_seg THEN '[' || printf('%.2f', sp.splits[pb_lo]) || ', inf)'
+                ELSE '[' || printf('%.2f', sp.splits[pb_lo]) || ', ' ||
+                     printf('%.2f', sp.splits[pb_hi + 1]) || ')' END AS bin,
+           cnt, ev0, ev1, ev2
+    FROM bseg, sp
+    UNION ALL SELECT 'Missing', cnt, ev0, ev1, ev2 FROM mrow),
+  t2 AS (SELECT sum(cnt) AS tall, sum(ev0) AS tev0, sum(ev1) AS tev1,
+                sum(ev2) AS tev2 FROM allrows)
+  SELECT bin, CAST(cnt AS BIGINT) AS count, {nevs}, {ers},
+         round(({woe_c}) / 3.0, 6) AS mean_woe,
+         round({js_row}, 6) AS js
+  FROM allrows, t2
+  UNION ALL
+  SELECT 'Totals', CAST(t2.tall AS BIGINT), {tot_nevs}, {tot_ers}, NULL,
+         (SELECT round(sum({js_row}), 6) FROM allrows, t2 t2)
+  FROM t2 t2"""
+
+
+def _sql_scenario_binning_table():
+    """Scenario DP oracle: pooled exact-quantile prebins, per-scenario
+    feasibility + monotonicity (both directions, ascending preferred on
+    ties), objective = equal-weighted sum of per-scenario IVs; the
+    reported table is the pooled (scenario-summed) binning table."""
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    probs = ", ".join(f"{i}/8.0" for i in range(1, 8))
+    return f"""
+  WITH clean AS (
+    SELECT l_quantity AS x, {y} AS y,
+           (CASE WHEN l_partkey % 2 = 0 THEN 'even' ELSE 'odd' END) AS scen
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)),
+  sp AS (
+    SELECT list_sort(list_distinct(quantile_cont(x, [{probs}]))) AS splits
+    FROM clean),
+  pre AS (
+    SELECT scen, len(list_filter(sp.splits, s -> c.x >= s)) AS pb,
+           count(*) FILTER (WHERE y = 0) AS ne,
+           count(*) FILTER (WHERE y = 1) AS ev
+    FROM clean c, sp GROUP BY 1, 2),
+  stot AS (SELECT scen, sum(ne) AS t_ne, sum(ev) AS t_ev FROM pre GROUP BY 1),
+  nsc AS (SELECT count(*) AS n_s FROM stot),
+  masks AS (SELECT g AS mask FROM generate_series(0, 127) t(g)),
+  segrows AS (
+    SELECT m.mask, pr.*,
+           bit_count(CAST(m.mask AS BIGINT) & ((1::BIGINT << pr.pb) - 1)) AS seg
+    FROM masks m, pre pr),
+  segscen AS (
+    SELECT mask, seg, scen, sum(ne) AS ne, sum(ev) AS ev,
+           min(pb) AS pb_lo, max(pb) AS pb_hi
+    FROM segrows GROUP BY mask, seg, scen),
+  segx AS (
+    SELECT s.*,
+           ev / CAST(ev + ne AS DOUBLE) AS er,
+           CASE WHEN ev > 0 AND ne > 0
+                THEN (ev / t.t_ev - ne / t.t_ne) * ln((ev / t.t_ev) / (ne / t.t_ne))
+                ELSE 0 END AS iv_term,
+           lag(ev / CAST(ev + ne AS DOUBLE))
+             OVER (PARTITION BY mask, scen ORDER BY seg) AS er_prev
+    FROM segscen s JOIN stot t USING (scen)),
+  cand AS (
+    SELECT mask,
+           bool_and(ev > 0 AND ne > 0) AS feas,
+           bool_and(er_prev IS NULL OR er >= er_prev) AS mono_asc,
+           bool_and(er_prev IS NULL OR er <= er_prev) AS mono_desc,
+           sum(iv_term) / (SELECT n_s FROM nsc) AS obj
+    FROM segx GROUP BY mask),
+  best AS (
+    SELECT mask FROM cand WHERE feas AND (mono_asc OR mono_desc)
+    ORDER BY obj DESC, (CASE WHEN mono_asc THEN 0 ELSE 1 END), mask LIMIT 1),
+  bseg AS (
+    SELECT seg, sum(ne) AS ne, sum(ev) AS ev,
+           min(pb_lo) AS pb_lo, max(pb_hi) AS pb_hi
+    FROM segscen WHERE mask = (SELECT mask FROM best)
+    GROUP BY seg),
+  bseg2 AS (SELECT b.*, max(seg) OVER () AS max_seg FROM bseg b),
+  mrow AS (
+    SELECT count(*) FILTER (WHERE y = 0) AS ne,
+           count(*) FILTER (WHERE y = 1) AS ev
+    FROM (SELECT {y} AS y FROM lineitem
+          WHERE l_quantity IS NULL OR isnan(l_quantity))),
+  allrows AS (
+    SELECT CASE WHEN seg = 0 AND seg = max_seg THEN '(-inf, inf)'
+                WHEN seg = 0 THEN '(-inf, ' || printf('%.2f', sp.splits[pb_hi + 1]) || ')'
+                WHEN seg = max_seg THEN '[' || printf('%.2f', sp.splits[pb_lo]) || ', inf)'
+                ELSE '[' || printf('%.2f', sp.splits[pb_lo]) || ', ' ||
+                     printf('%.2f', sp.splits[pb_hi + 1]) || ')' END AS bin,
+           ne, ev
+    FROM bseg2, sp
+    UNION ALL SELECT 'Missing', ne, ev FROM mrow),
+  t2 AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev, sum(ne + ev) AS t_all
+         FROM allrows)""" + _sql_binary_table_tail()
+
+
+def _sql_multimodal_features():
+    """The multimodal feature stub is deterministic: payload = utf8
+    bytes of text, n_bytes = octet_length, content_sha = first 4 bytes
+    of sha256 as a big-endian unsigned int."""
+    return """
+  SELECT doc_id, 'image' AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT)
+           AS content_sha
+  FROM documents"""
 
 
 def _sql_bucket_cte(n_planes=4, dim=64):
@@ -2097,6 +2454,10 @@ def oracle_sql() -> dict[str, str]:
         # so bucketing + exact cosine replay bit-for-bit in DuckDB.
         "ann_topk": _sql_ann_topk(),
         "near_dup_cosine_bucketed": _sql_near_dup_cosine_bucketed(),
+        "multiclass_binning_table": _sql_multiclass_binning_table(),
+        "scenario_binning_table": _sql_scenario_binning_table(),
+        "multimodal_features": _sql_multimodal_features(),
+        "scorecard_scores_linear": _sql_scorecard_scores_linear(),
     }
 
 

@@ -94,11 +94,25 @@ def _round_points_minmax(points: dict) -> dict:
 
 
 def _driver_wls(X, y, w):
-    """Weighted least squares via normal equations (exact)."""
-    A = np.hstack([X, np.ones((len(X), 1))])
-    Aw = A * w[:, None]
-    beta = np.linalg.solve(A.T @ Aw + 1e-12 * np.eye(A.shape[1]), Aw.T @ y)
-    return list(beta[:-1]), float(beta[-1])
+    """Weighted least squares via CENTERED normal equations. Centering
+    is an algebraic identity for the solution, but numerically
+    essential here: the WoE/mean features are near-collinear with the
+    intercept (large mean, small spread), so the uncentered Gram has
+    cond ~ (mean/std)^2 and the solve loses ~8 digits — enough to make
+    scores nondeterministic at rounding precision across collect
+    orders. Centered, the system is O(1)-conditioned."""
+    X = np.asarray(X, dtype=float)
+    wsum = w.sum()
+    xbar = (X * w[:, None]).sum(axis=0) / wsum
+    ybar = float((y * w).sum() / wsum)
+    Xc = X - xbar
+    yc = y - ybar
+    Xw = Xc * w[:, None]
+    beta = np.linalg.solve(
+        Xc.T @ Xw + 1e-12 * np.eye(X.shape[1]), Xw.T @ yc
+    )
+    intercept = ybar - float(xbar @ beta)
+    return list(beta), intercept
 
 
 def _driver_huber(X, y, w, epsilon=1.35, max_iter=100, tol=1e-9):
@@ -260,7 +274,11 @@ class Scorecard:
         max_driver_rows = int(self.estimator_params.get("max_driver_rows", 100_000))
         rows = None
         if reg == 0.0:
-            rows = woe.limit(max_driver_rows + 1).collect()
+            # deterministic order: the normal-equation sums are float
+            # and order-dependent at the last ulp; a stable orderBy
+            # makes consecutive fits bit-identical
+            rows = woe.orderBy(*self.selected_, y).limit(
+                max_driver_rows + 1).collect()
             if len(rows) > max_driver_rows:
                 rows = None
         if rows is not None:
