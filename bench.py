@@ -60,7 +60,9 @@ def main():
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for warm_q in ("optimal_binning_table", "minhash_signatures",
-                       "scorecard_scores", "jaccard_pairs"):
+                       "scorecard_scores", "jaccard_pairs",
+                       "wide_process_fit", "ann_topk",
+                       "near_dup_cosine_bucketed"):
             try:
                 qs[warm_q](spark, warm_dir).write.format("noop").mode(
                     "overwrite").save()

@@ -526,9 +526,21 @@ class BinningProcess:
                     F.approx_count_distinct(
                         f"__clean_{v}", rsd=0.05).alias(f"nd_{v}")
                 )
+                # quantile-grid edges from an INLINE ~5% sample (same
+                # single action): the edges only seed bucket
+                # boundaries for the high-cardinality snapping path —
+                # full-scan sketch insertion per variable is the probe
+                # bottleneck at any scale; at 100 TB you'd sample for
+                # edge-finding anyway. The sample gate is a VALUE hash
+                # (rand() is rejected inside aggregates): for the
+                # high-cardinality columns that actually use these
+                # edges, values are near-unique so this is row
+                # sampling, and it is fully deterministic.
+                cv = F.col(f"__clean_{v}")
                 probe_aggs.append(
                     F.percentile_approx(
-                        f"__clean_{v}", F.lit(probs), F.lit(2_000)
+                        F.when(F.pmod(F.hash(cv), F.lit(20)) == 0, cv),
+                        F.lit(probs), F.lit(2_000),
                     ).alias(f"q_{v}")
                 )
             if need_tt and y_float:

@@ -42,21 +42,25 @@ def brute_force_topk(
     """Exact top-k cosine neighbors. ``queries`` must be small (it is
     broadcast); the scan over ``embeddings`` is a single pass with no
     shuffle except the final per-query top-k."""
+    # norms are computed ONCE per side (map), not once per pair — the
+    # per-pair work is a single dot fold
     e = embeddings.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).cast("array<double>").alias("__e"),
-    )
+    ).withColumn("__en", norm_expr(F.col("__e")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__q"),
-    )
+    ).withColumn("__qn", norm_expr(F.col("__q")))
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("nbr_id") != F.col("query_id"))
         .select(
             "query_id",
             "nbr_id",
-            F.round(cosine_expr(F.col("__e"), F.col("__q")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("__e"), F.col("__q"))
+                / (F.col("__en") * F.col("__qn")), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -80,14 +84,16 @@ def cosine_pairs(
     e = embeddings.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__e"),
-    )
+    ).withColumn("__n", norm_expr(F.col("__e")))
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, F.col("a.__id") < F.col("b.__id"))
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(cosine_expr(F.col("a.__e"), F.col("b.__e")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("a.__e"), F.col("b.__e"))
+                / (F.col("a.__n") * F.col("b.__n")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -176,7 +182,9 @@ def ivf_topk(
     e = embeddings.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).cast("array<double>").alias("__e"),
-    ).withColumn("list_id", ivf_assign_expr(F.col("__e"), centroids))
+    ).withColumn(
+        "list_id", ivf_assign_expr(F.col("__e"), centroids)
+    ).withColumn("__en", norm_expr(F.col("__e")))
     n_probe = min(n_probe, len(centroids))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -197,7 +205,8 @@ def ivf_topk(
             1, n_probe,
         ),
     ).select(
-        "query_id", "__q", F.explode("__probes").alias("list_id")
+        "query_id", "__q", norm_expr(F.col("__q")).alias("__qn"),
+        F.explode("__probes").alias("list_id"),
     )
     scored = (
         e.join(F.broadcast(q), "list_id")
@@ -205,7 +214,9 @@ def ivf_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.round(cosine_expr(F.col("__e"), F.col("__q")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("__e"), F.col("__q"))
+                / (F.col("__en") * F.col("__qn")), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -261,7 +272,9 @@ def bucketed_cosine_pairs(
     e = embeddings.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__e"),
-    ).withColumn("bucket", hyperplane_signs_expr(F.col("__e"), dim, n_planes))
+    ).withColumn(
+        "bucket", hyperplane_signs_expr(F.col("__e"), dim, n_planes)
+    ).withColumn("__n", norm_expr(F.col("__e")))
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, "bucket")
@@ -269,7 +282,9 @@ def bucketed_cosine_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(cosine_expr(F.col("a.__e"), F.col("b.__e")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("a.__e"), F.col("b.__e"))
+                / (F.col("a.__n") * F.col("b.__n")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -291,18 +306,24 @@ def lsh_bucketed_topk(
     e = embeddings.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).cast("array<double>").alias("__e"),
-    ).withColumn("bucket", hyperplane_signs_expr(F.col("__e"), dim, n_planes))
+    ).withColumn(
+        "bucket", hyperplane_signs_expr(F.col("__e"), dim, n_planes)
+    ).withColumn("__en", norm_expr(F.col("__e")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__q"),
-    ).withColumn("bucket", hyperplane_signs_expr(F.col("__q"), dim, n_planes))
+    ).withColumn(
+        "bucket", hyperplane_signs_expr(F.col("__q"), dim, n_planes)
+    ).withColumn("__qn", norm_expr(F.col("__q")))
     scored = (
         e.join(F.broadcast(q), "bucket")
         .filter(F.col("nbr_id") != F.col("query_id"))
         .select(
             "query_id",
             "nbr_id",
-            F.round(cosine_expr(F.col("__e"), F.col("__q")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("__e"), F.col("__q"))
+                / (F.col("__en") * F.col("__qn")), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
