@@ -767,6 +767,26 @@ def q_scenario_binning_table(spark, sf_dir):
     )
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video-style frame sampling plumbing: 1:N mapInPandas fan-out;
+    the deterministic slice stub makes frame metadata SQL-checkable."""
+    from optbinning_spark.pipeline.multimodal import (
+        sample_frames,
+        synthetic_media_df,
+    )
+
+    docs = _documents(spark, sf_dir)
+    media = synthetic_media_df(spark, docs)
+    frames = sample_frames(media, n_frames=4)
+    # frame bytes themselves are asserted deterministic in
+    # tests/test_pipeline.py; the oracle checks the fan-out and the
+    # slice arithmetic (DuckDB cannot slice BLOBs, so no byte hash)
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.octet_length("frame").cast("long").alias("n_bytes"),
+    )
+
+
 def q_scorecard_scores_linear(spark, sf_dir):
     """Scorecard end-to-end with the WLS closed form: continuous
     target (net price), two exactly-replayable continuous binnings
@@ -1235,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cart_splits": q_cart_splits,
         "mdlp_splits": q_mdlp_splits,
         "ivf_topk": q_ivf_topk,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1883,6 +1904,20 @@ def _sql_scenario_binning_table():
          FROM allrows)""" + _sql_binary_table_tail()
 
 
+def _sql_multimodal_frames():
+    """Frame sampling oracle: frame i = byte range [i*step, (i+1)*step)
+    of the utf8 payload, step = max(len // 4, 1)."""
+    return """
+  WITH m AS (
+    SELECT doc_id, octet_length(encode(text)) AS len,
+           greatest(octet_length(encode(text)) // 4, 1) AS step
+    FROM documents)
+  SELECT doc_id, t.i AS frame_idx,
+         CAST(greatest(least(len - t.i * step, step), 0) AS BIGINT)
+           AS n_bytes
+  FROM m, generate_series(0, 3) t(i)"""
+
+
 def _sql_multimodal_features():
     """The multimodal feature stub is deterministic: payload = utf8
     bytes of text, n_bytes = octet_length, content_sha = first 4 bytes
@@ -2458,6 +2493,7 @@ def oracle_sql() -> dict[str, str]:
         "scenario_binning_table": _sql_scenario_binning_table(),
         "multimodal_features": _sql_multimodal_features(),
         "scorecard_scores_linear": _sql_scorecard_scores_linear(),
+        "multimodal_frames": _sql_multimodal_frames(),
     }
 
 

@@ -86,3 +86,82 @@ def synthetic_media_df(spark, docs: DataFrame, media_type: str = "image") -> Dat
         F.lit(64).alias("height"),
         F.lit(16000).alias("sample_rate"),
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, media binary, media_type string, width int, height int, "
+    "sample_rate int"
+)
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame binary, media_type string, "
+    "width int, height int"
+)
+
+
+def _resize_stub(payload: bytes, w: int, h: int,
+                 target_w: int, target_h: int) -> bytes:
+    """Deterministic fake resize: real deployments decode with PIL,
+    resize, re-encode. The fake keeps a deterministic function of
+    (payload, target) so the plumbing is testable: payload bytes are
+    tiled/truncated to the target 'pixel count'."""
+    n = max(target_w * target_h, 1)
+    src = payload or b"\x00"
+    reps = n // len(src) + 1
+    return (src * reps)[:n]
+
+
+def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
+                  batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas image resize over binary media columns — map-only,
+    Arrow-batched, schema-preserving (width/height updated). Swap
+    ``_resize_stub`` for PIL in a real deployment; everything else
+    (batching, schema, partitioning) is the production shape."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            resized = []
+            for m, t, w, h in zip(pdf["media"], pdf["media_type"],
+                                  pdf["width"], pdf["height"]):
+                if t != "image":
+                    raise NotImplementedError(
+                        f"resize for media_type={t}")
+                resized.append(_resize_stub(m, w, h, target_w, target_h))
+            out["media"] = resized
+            out["width"] = target_w
+            out["height"] = target_h
+            yield out[["doc_id", "media", "media_type", "width", "height",
+                       "sample_rate"]]
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4,
+                  batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas frame sampling: one input row fans out to
+    ``n_frames`` frame rows (the output batch is LARGER than the
+    input batch — mapInPandas handles 1:N naturally, unlike a scalar
+    pandas_udf). The decode is a deterministic stub (equal byte-range
+    slices stand in for pyav keyframe extraction); the row fan-out,
+    schema, and partition-preserving shape are real."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame": [],
+                    "media_type": [], "width": [], "height": []}
+            for did, m, t, w, h in zip(pdf["doc_id"], pdf["media"],
+                                       pdf["media_type"], pdf["width"],
+                                       pdf["height"]):
+                src = m or b"\x00"
+                step = max(len(src) // n_frames, 1)
+                for i in range(n_frames):
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(src[i * step:(i + 1) * step])
+                    rows["media_type"].append(t)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -228,3 +228,33 @@ def test_hyperplane_signs_wide_embedding_codegen(spark):
     assert len(out) == 8
     assert all(len(r["bucket"]) == 8 and set(r["bucket"]) <= {"0", "1"}
                for r in out)
+
+
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    """Resize keeps 1:1 rows with updated dims; frame sampling fans
+    out 1:n_frames rows — both map-only Arrow-batched kernels."""
+    from optbinning_spark.pipeline.multimodal import (
+        resize_images,
+        sample_frames,
+        synthetic_media_df,
+    )
+
+    import pyspark.sql.functions as F
+
+    media = synthetic_media_df(spark, docs)
+    n = media.count()
+    rs = resize_images(media, target_w=16, target_h=8)
+    got = rs.limit(5).collect()
+    assert rs.count() == n
+    assert all(r["width"] == 16 and r["height"] == 8 for r in got)
+    assert all(len(bytes(r["media"])) == 16 * 8 for r in got)
+
+    fr = sample_frames(media, n_frames=4)
+    assert fr.count() == n * 4
+    one = fr.filter(fr.doc_id == got[0]["doc_id"]).collect()
+    assert sorted(r["frame_idx"] for r in one) == [0, 1, 2, 3]
+    # deterministic: same call, same bytes
+    again = sample_frames(media, n_frames=4).filter(
+        F.col("doc_id") == got[0]["doc_id"]).collect()
+    assert [bytes(r["frame"]) for r in sorted(one, key=lambda r: r["frame_idx"])] == [
+        bytes(r["frame"]) for r in sorted(again, key=lambda r: r["frame_idx"])]
