@@ -542,3 +542,56 @@ def streaming_binning_query(
         .foreachBatch(_for_each_batch)
         .start()
     )
+
+
+def stateful_category_stats_stream(
+    events: DataFrame,
+    key_col: str,
+    y_col: str,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-key running (count, event count, event rate) — the A9 category
+    counter maintained as MANAGED state instead of a foreachBatch-held
+    sketch, so Spark checkpoints/restores it and a crashed query
+    resumes exactly. Order-independent (additive state), no watermark
+    required (T4 semantics). Returns a streaming DataFrame; attach any
+    sink.
+
+    This is the plumbing a per-domain streaming quality monitor needs
+    at 100 TB: state is partitioned by key across executors, each
+    micro-batch touches only the keys it contains, and emitted rows
+    are the freshest per-key aggregates."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, n long, n_event long, event_rate double"
+    )
+    state_schema = "n long, n_event long"
+
+    def _update(key, pdfs, state: GroupState):
+        n, ev = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            ev += int(pdf["__y"].sum())
+        state.update((n, ev))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "n_event": [ev],
+                "event_rate": [ev / max(n, 1)],
+            }
+        )
+
+    prepared = events.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -260,3 +260,55 @@ def test_sketch_memory_accounting(spark):
     assert obs.memory_usage > 0
     report = obs.information()
     assert "sketch memory" in report
+
+
+def test_stateful_category_stats_stream(spark, tmp_path):
+    """applyInPandasWithState managed state: per-key running counts
+    across micro-batches equal the batch groupBy; state survives
+    between triggers (maxFilesPerTrigger=1 forces multiple batches)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from optbinning_spark.streaming.sketch import (
+        stateful_category_stats_stream,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    indir = tmp_path / "ev_in"
+    indir.mkdir()
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    half = src.count() // 2
+    a = src.limit(half)
+    b = src.subtract(a)
+    a.coalesce(1).write.parquet(str(indir / "p0"))
+    b.coalesce(1).write.parquet(str(indir / "p1"))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(indir))
+    )
+    out = stateful_category_stats_stream(
+        stream, "event_type", "value")
+    q = (
+        out.writeStream.format("memory").queryName("cat_state")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per key = final running totals
+    got = (
+        spark.sql("SELECT * FROM cat_state").toPandas()
+        .sort_values(["event_type", "n"])
+        .groupby("event_type").last().reset_index()
+    )
+    want = (
+        src.groupBy(F.col("event_type").cast("string").alias("event_type"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("long")).alias("n_event"))
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    got = got.sort_values("event_type").reset_index(drop=True)
+    assert list(got["event_type"]) == list(want["event_type"])
+    assert list(got["n"]) == list(want["n"])
+    assert list(got["n_event"]) == list(want["n_event"])
