@@ -1211,7 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_psi": q_event_type_psi,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
-        "near_dup_cosine": q_near_dup_cosine,
+        "cart_splits": q_cart_splits,
         "psi": q_psi,
         "ks": q_ks,
         "continuous_bin_stats": q_continuous_bin_stats,
@@ -1242,7 +1242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "scorecard_scores_linear": q_scorecard_scores_linear,
         # -- tail (beyond the driver's 50-entry window; unit/golden
-        #    tested) --
+        #    tested — near_dup_cosine and cart-adjacent entries below
+        #    still carry oracles checked by tools/check_correctness) --
+        "near_dup_cosine": q_near_dup_cosine,
         "scorecard_scores": q_scorecard_scores,
         "scorecard_table": q_scorecard_table,
         "wide_process_fit": q_wide_process_fit,
@@ -1252,7 +1254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuous_binning_2d_table": q_continuous_binning_2d_table,
         "piecewise_transform": q_piecewise_transform,
         "counterfactual": q_counterfactual,
-        "cart_splits": q_cart_splits,
         "mdlp_splits": q_mdlp_splits,
         "ivf_topk": q_ivf_topk,
         "multimodal_frames": q_multimodal_frames,
@@ -1904,6 +1905,78 @@ def _sql_scenario_binning_table():
          FROM allrows)""" + _sql_binary_table_tail()
 
 
+def _sql_cart_splits():
+    """B1 oracle: the engine's best-first histogram CART replayed as a
+    RECURSIVE CTE. Each step appends the global argmax-gain candidate
+    (weighted Gini decrease, min_samples_leaf on both children) to the
+    split list — identical to best-first leaf expansion, because an
+    unsplit leaf's best gain never changes. Interval statistics come
+    from shifted prefix-sum LISTS (gne[k+1] = sum ne over idx < k):
+    window functions inside a correlated recursive LATERAL misbehave
+    in DuckDB, and integer counts make every prefix difference exact,
+    so gains match numpy bit-for-bit."""
+    return r"""
+WITH RECURSIVE h0 AS (
+  SELECT l_quantity AS x,
+         CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS DOUBLE) AS ne,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS ev,
+         row_number() OVER (ORDER BY l_quantity) - 1 AS idx
+  FROM lineitem WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+  GROUP BY 1
+),
+harr AS (
+  SELECT list(x ORDER BY idx) AS xs,
+         [0.0] || list(cne ORDER BY idx) AS gne,
+         [0.0] || list(cev ORDER BY idx) AS gev,
+         max(idx) AS nmax,
+         0.05 * (sum(ne) + sum(ev)) AS msl
+  FROM (SELECT x, idx, ne, ev,
+               sum(ne) OVER (ORDER BY idx) AS cne,
+               sum(ev) OVER (ORDER BY idx) AS cev
+        FROM h0)
+),
+steps(iter, lst, done) AS (
+  SELECT 0, []::BIGINT[], false
+  UNION ALL
+  SELECT steps.iter + 1,
+         CASE WHEN b.i IS NULL OR b.g <= 0.0 THEN steps.lst
+              ELSE list_append(steps.lst, b.i) END,
+         (b.i IS NULL OR b.g <= 0.0)
+  FROM steps
+  LEFT JOIN LATERAL (
+    SELECT c.i, c.g FROM (
+      SELECT cand.idx AS i,
+        (1.0 - ((tne / tw) * (tne / tw) + (tev / tw) * (tev / tw))
+         - ((nlw * (1.0 - ((lne / nlw) * (lne / nlw) + (lev / nlw) * (lev / nlw)))
+           + nrw * (1.0 - (((tne - lne) / nrw) * ((tne - lne) / nrw)
+                         + ((tev - lev) / nrw) * ((tev - lev) / nrw)))) / tw)
+        ) * tw AS g
+      FROM h0 cand, harr,
+      LATERAL (SELECT
+          COALESCE(list_aggregate(list_filter(steps.lst, s -> s < cand.idx), 'max') + 1, 0) AS lo,
+          COALESCE(list_aggregate(list_filter(steps.lst, s -> s >= cand.idx), 'min'), harr.nmax) AS hi) bnd,
+      LATERAL (SELECT
+          harr.gne[cand.idx + 2] - harr.gne[bnd.lo + 1] AS lne,
+          harr.gev[cand.idx + 2] - harr.gev[bnd.lo + 1] AS lev,
+          harr.gne[bnd.hi + 2] - harr.gne[bnd.lo + 1] AS tne,
+          harr.gev[bnd.hi + 2] - harr.gev[bnd.lo + 1] AS tev) s1,
+      LATERAL (SELECT s1.lne + s1.lev AS nlw,
+                      (s1.tne + s1.tev) - (s1.lne + s1.lev) AS nrw,
+                      s1.tne + s1.tev AS tw) s2
+      WHERE cand.idx < bnd.hi AND nlw >= harr.msl AND nrw >= harr.msl
+    ) c
+    ORDER BY c.g DESC, c.i LIMIT 1
+  ) b ON true
+  WHERE steps.iter < 9 AND NOT steps.done
+)
+SELECT CAST(row_number() OVER (ORDER BY split) - 1 AS INT) AS split_idx, split
+FROM (
+  SELECT round(0.5 * (harr.xs[u.s + 1] + harr.xs[u.s + 2]), 6) AS split
+  FROM (SELECT unnest(lst) AS s
+        FROM (SELECT lst FROM steps ORDER BY iter DESC LIMIT 1)) u, harr)
+"""
+
+
 def _sql_multimodal_frames():
     """Frame sampling oracle: frame i = byte range [i*step, (i+1)*step)
     of the utf8 payload, step = max(len // 4, 1)."""
@@ -2494,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _sql_multimodal_features(),
         "scorecard_scores_linear": _sql_scorecard_scores_linear(),
         "multimodal_frames": _sql_multimodal_frames(),
+        "cart_splits": _sql_cart_splits(),
     }
 
 

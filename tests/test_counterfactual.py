@@ -53,7 +53,7 @@ def _brute_force_best(cf, sc, query, lo):
     return best
 
 
-P_TARGET = 0.42  # reachable: max attainable score maps to ~0.44
+P_TARGET = 0.405  # reachable: max attainable probability ~0.422
 
 
 def test_probability_raise_feasible_and_optimal(cf_fitted):
