@@ -1122,19 +1122,22 @@ def q_cart_splits(spark, sf_dir):
 
 def q_mdlp_splits(spark, sf_dir):
     """B4: MDLP (Fayyad-Irani entropy with MDL stop) split proposal —
-    same single-agg sufficient stats, driver recursion."""
+    same single-agg sufficient stats, driver recursion, oracle-checked
+    by a recursive-CTE replay. The target depends strongly on x so the
+    MDL criterion accepts splits (weak targets are rejected outright,
+    which would make the check vacuous)."""
     from optbinning_spark.operators.preprocessing import clean_value_expr
     from optbinning_spark.operators.prebinning import compute_prebins
 
     df = (
         spark.read.parquet(_t(sf_dir, "lineitem"))
         .withColumn(
-            "__cx", clean_value_expr(F.col("l_extendedprice").cast("double"))
+            "__cx", clean_value_expr(F.col("l_quantity").cast("double"))
         )
         .withColumn(
             "y2",
             (
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) > 30000.0
+                F.col("l_quantity") * 1000 + F.col("l_extendedprice") > 50000.0
             ).cast("int"),
         )
     )
@@ -1143,7 +1146,7 @@ def q_mdlp_splits(spark, sf_dir):
         task="classification", classes=[0, 1],
     )
     return spark.createDataFrame(
-        [(i, round(float(s), 6)) for i, s in enumerate(splits)],
+        [(i, round(float(v), 6)) for i, v in enumerate(splits)],
         "split_idx int, split double",
     )
 
@@ -1977,6 +1980,98 @@ FROM (
 """
 
 
+
+
+def _sql_mdlp_splits():
+    """B4 oracle: Fayyad-Irani MDLP replayed as a RECURSIVE CTE over
+    an interval queue (the accepted-split SET is independent of
+    processing order). Per-interval best entropy split from exact
+    prefix-sum lists; candidates linspace-subsampled above 32 exactly
+    like the engine; MDL acceptance: gain > (log2(max(N-1,1)) +
+    log2(3^k - 2) - (k*E - kl*El - kr*Er)) / N."""
+    return """
+WITH RECURSIVE h0 AS (
+  SELECT l_quantity AS x,
+         CAST(count(*) FILTER (WHERE NOT (l_quantity * 1000 + l_extendedprice > 50000)) AS DOUBLE) AS ne,
+         CAST(count(*) FILTER (WHERE l_quantity * 1000 + l_extendedprice > 50000) AS DOUBLE) AS ev,
+         row_number() OVER (ORDER BY l_quantity) - 1 AS idx
+  FROM lineitem WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+  GROUP BY 1
+),
+harr AS (
+  SELECT list(x ORDER BY idx) AS xs,
+         [0.0] || list(cne ORDER BY idx) AS gne,
+         [0.0] || list(cev ORDER BY idx) AS gev,
+         max(idx) AS nmax
+  FROM (SELECT x, idx,
+               sum(ne) OVER (ORDER BY idx) AS cne,
+               sum(ev) OVER (ORDER BY idx) AS cev
+        FROM h0)
+),
+js AS (SELECT g AS j FROM generate_series(0, 63) t(g)),
+steps(pending, splits, it) AS (
+  SELECT [{'lo': 0, 'hi': (SELECT nmax FROM harr)}], []::BIGINT[], 0
+  UNION ALL
+  SELECT CASE WHEN b.acc THEN pending[2:] ||
+                   [{'lo': pending[1].lo, 'hi': b.bi},
+                    {'lo': b.bi + 1, 'hi': pending[1].hi}]
+              ELSE pending[2:] END,
+         CASE WHEN b.acc THEN list_append(steps.splits, b.bi)
+              ELSE steps.splits END,
+         steps.it + 1
+  FROM steps
+  LEFT JOIN LATERAL (
+    SELECT c.ci AS bi,
+           (c.gain > (log2(greatest(c.total - 1.0, 1.0))
+             + (log2(pow(3.0, c.k) - 2.0) - (c.k * c.pe - c.kl * c.el - c.kr * c.er))
+            ) / c.total
+            AND c.total >= 2.0) AS acc
+    FROM (
+      SELECT s2.ci,
+             s3.pe - ((s2.nlw * s3.el + s2.nrw * s3.er) / s2.total) AS gain,
+             s2.total, s3.pe, s3.el, s3.er,
+             (CASE WHEN s2.tne > 0 THEN 1 ELSE 0 END + CASE WHEN s2.tev > 0 THEN 1 ELSE 0 END)::DOUBLE AS k,
+             (CASE WHEN s2.lne > 0 THEN 1 ELSE 0 END + CASE WHEN s2.lev > 0 THEN 1 ELSE 0 END)::DOUBLE AS kl,
+             (CASE WHEN s2.rne > 0 THEN 1 ELSE 0 END + CASE WHEN s2.rev > 0 THEN 1 ELSE 0 END)::DOUBLE AS kr
+      FROM (
+        SELECT s1.*, s1.lne + s1.lev AS nlw, s1.rne + s1.rev AS nrw,
+               s1.tne + s1.tev AS total
+        FROM (
+          SELECT cand.ci,
+                 harr.gne[cand.ci + 2] - harr.gne[cur.lo + 1] AS lne,
+                 harr.gev[cand.ci + 2] - harr.gev[cur.lo + 1] AS lev,
+                 harr.gne[cur.hi + 2] - harr.gne[cand.ci + 2] AS rne,
+                 harr.gev[cur.hi + 2] - harr.gev[cand.ci + 2] AS rev,
+                 harr.gne[cur.hi + 2] - harr.gne[cur.lo + 1] AS tne,
+                 harr.gev[cur.hi + 2] - harr.gev[cur.lo + 1] AS tev
+          FROM (SELECT steps.pending[1].lo AS lo, steps.pending[1].hi AS hi) cur,
+               harr,
+               LATERAL (
+                 SELECT DISTINCT CASE WHEN (cur.hi - cur.lo) <= 32 THEN cur.lo + js.j
+                        ELSE cur.lo + CAST(trunc(js.j * ((cur.hi - cur.lo - 1) / 31.0)) AS BIGINT)
+                        END AS ci
+                 FROM js
+                 WHERE js.j < least(cur.hi - cur.lo, 32)) cand
+        ) s1
+        WHERE s1.lne + s1.lev > 0 AND s1.rne + s1.rev > 0
+      ) s2,
+      LATERAL (SELECT
+          (-(CASE WHEN s2.tne > 0 THEN (s2.tne / s2.total) * log2(s2.tne / s2.total) ELSE 0.0 END + CASE WHEN s2.tev > 0 THEN (s2.tev / s2.total) * log2(s2.tev / s2.total) ELSE 0.0 END)) AS pe,
+          (-(CASE WHEN s2.lne > 0 THEN (s2.lne / s2.nlw) * log2(s2.lne / s2.nlw) ELSE 0.0 END + CASE WHEN s2.lev > 0 THEN (s2.lev / s2.nlw) * log2(s2.lev / s2.nlw) ELSE 0.0 END)) AS el,
+          (-(CASE WHEN s2.rne > 0 THEN (s2.rne / s2.nrw) * log2(s2.rne / s2.nrw) ELSE 0.0 END + CASE WHEN s2.rev > 0 THEN (s2.rev / s2.nrw) * log2(s2.rev / s2.nrw) ELSE 0.0 END)) AS er) s3
+      ORDER BY gain DESC, s2.ci LIMIT 1
+    ) c
+  ) b ON true
+  WHERE len(steps.pending) > 0 AND steps.it < 200
+)
+SELECT CAST(row_number() OVER (ORDER BY split) - 1 AS INT) AS split_idx, split
+FROM (
+  SELECT round(0.5 * (harr.xs[u.s + 1] + harr.xs[u.s + 2]), 6) AS split
+  FROM (SELECT unnest(splits) AS s FROM (
+          SELECT splits FROM steps ORDER BY it DESC LIMIT 1)) u, harr)
+"""
+
+
 def _sql_multimodal_frames():
     """Frame sampling oracle: frame i = byte range [i*step, (i+1)*step)
     of the utf8 payload, step = max(len // 4, 1)."""
@@ -2568,6 +2663,7 @@ def oracle_sql() -> dict[str, str]:
         "scorecard_scores_linear": _sql_scorecard_scores_linear(),
         "multimodal_frames": _sql_multimodal_frames(),
         "cart_splits": _sql_cart_splits(),
+        "mdlp_splits": _sql_mdlp_splits(),
     }
 
 
