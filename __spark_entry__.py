@@ -654,13 +654,24 @@ def q_sketch_binning_table(spark, sf_dir):
 
 
 def q_psi_variable_report(spark, sf_dir):
-    """Per-variable PSI between two order populations (U4/M11)."""
+    """Per-variable PSI between two shipdate populations (U4/M11),
+    over each variable's DP-fitted bins — oracle-checked: variables
+    use the exact-histogram path with pinned trends, so the whole
+    chain (quantile prebins -> DP -> bucketized PSI) replays in SQL."""
     from optbinning_spark import BinningProcess
     from optbinning_spark.monitoring import ScorecardMonitoring
     from optbinning_spark.scorecard import Scorecard
 
     df = _lineitem(spark, sf_dir)
-    bp = BinningProcess(["l_quantity", "l_extendedprice"], prebinning_method="quantile")
+    bp = BinningProcess(
+        ["l_quantity", "l_discount"],
+        prebinning_method="quantile",
+        max_n_prebins=8,
+        binning_fit_params={
+            "l_quantity": {"monotonic_trend": "descending"},
+            "l_discount": {"monotonic_trend": "descending"},
+        },
+    )
     sc = Scorecard(bp)
     sc.fit(df, "y")
     exp = df.filter(F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
@@ -2072,6 +2083,43 @@ FROM (
 """
 
 
+def _sql_psi_variable_report():
+    """U4/M11 oracle: per-variable PSI over the DP-fitted bins — the
+    split derivation reuses the binary DP chain (same trends as the
+    query); PSI = sum (pa - pe) * ln((pa + eps)/(pe + eps)) over bins
+    present in either population; level thresholds 0.1 / 0.25."""
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    parts = []
+    for i, v in enumerate(("l_quantity", "l_discount")):
+        p = f"p{i}_"
+        chain = _dp_cte_binary("lineitem", v, y, 8, "descending", p)
+        parts.append(f"""{chain},
+  {p}pop AS (
+    SELECT len(list_filter(sp.splits, s -> l.{v} >= s)) AS pb,
+           (CASE WHEN l.l_shipdate >= TIMESTAMP '1999-01-01'
+                 THEN 'A' ELSE 'E' END) AS pop
+    FROM lineitem l, {p}sp sp),
+  {p}cnt AS (
+    SELECT b.seg,
+           count(*) FILTER (WHERE pop = 'A') AS ca,
+           count(*) FILTER (WHERE pop = 'E') AS ce
+    FROM {p}pop r JOIN {p}bseg b ON r.pb BETWEEN b.pb_lo AND b.pb_hi
+    GROUP BY b.seg),
+  {p}tot2 AS (SELECT sum(ca) AS ta, sum(ce) AS te FROM {p}cnt),
+  {p}psi AS (
+    SELECT round(sum((ca / t.ta - ce / t.te)
+           * ln((ca / t.ta + 1e-15) / (ce / t.te + 1e-15))), 6) AS psi
+    FROM {p}cnt, {p}tot2 t)""")
+        parts.append(f"""
+  SELECT '{v}' AS variable, psi,
+         (CASE WHEN psi < 0.1 THEN 'insignificant'
+               WHEN psi < 0.25 THEN 'requires investigation'
+               ELSE 'significant' END) AS level
+  FROM {p}psi""")
+    return ("WITH " + ",".join(parts[0::2])
+            + "\n  UNION ALL".join(parts[1::2]))
+
+
 def _sql_multimodal_frames():
     """Frame sampling oracle: frame i = byte range [i*step, (i+1)*step)
     of the utf8 payload, step = max(len // 4, 1)."""
@@ -2664,6 +2712,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": _sql_multimodal_frames(),
         "cart_splits": _sql_cart_splits(),
         "mdlp_splits": _sql_mdlp_splits(),
+        "psi_variable_report": _sql_psi_variable_report(),
     }
 
 
