@@ -431,3 +431,49 @@ def test_prebinning_kwargs_passthrough(spark):
     ).fit(li, "y")
     assert len(bp.get_binned_variable("l_extendedprice").splits) <= 1
     assert len(bp.get_binned_variable("l_discount").splits) <= 2
+
+
+def test_degenerate_inputs_fit_and_transform(spark):
+    """Constant column -> single (-inf, inf) bin; all-NULL column ->
+    Missing-only; NaN values route to Missing and transform cleanly.
+    On EXACT IV ties the DP prefers fewer bins (parsimony)."""
+    import pyspark.sql.functions as F
+
+    from optbinning_spark import OptimalBinning
+
+    df = spark.range(1000).select(
+        F.lit(5.0).alias("const_x"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+        F.when(F.col("id") % 10 == 0, float("nan"))
+        .otherwise(F.col("id").cast("double")).alias("nan_x"),
+        F.lit(None).cast("double").alias("null_x"),
+    )
+    # constant: one clean bin, zero splits, transform all-zero woe
+    ob = OptimalBinning(prebinning_method="quantile", max_n_prebins=4,
+                        monotonic_trend=None)
+    ob.fit(df, "const_x", "y")
+    assert len(ob.splits) == 0
+    t = ob.binning_table.build(add_totals=False)
+    assert t.loc[0, "bin"] == "(-inf, inf)"
+    assert t.loc[0, "count"] == 1000
+
+    # all-NULL: everything lands in Missing; transform yields the
+    # missing metric (0) for every row without errors
+    ob2 = OptimalBinning(prebinning_method="quantile", max_n_prebins=4,
+                         monotonic_trend=None)
+    ob2.fit(df, "null_x", "y")
+    t2 = ob2.binning_table.build(add_totals=False)
+    assert t2[t2["bin"] == "Missing"]["count"].iloc[0] == 1000
+    out2 = ob2.transform(df, "null_x", metric="woe", out_col="w")
+    r2 = out2.agg(F.count("w"), F.sum(F.abs("w"))).first()
+    assert r2[0] == 1000 and r2[1] == 0.0
+
+    # NaN mixes: 100 NaN rows -> Missing; clean rows transform finite
+    ob3 = OptimalBinning(prebinning_method="quantile", max_n_prebins=4,
+                         monotonic_trend=None)
+    ob3.fit(df, "nan_x", "y")
+    t3 = ob3.binning_table.build(add_totals=False)
+    assert t3[t3["bin"] == "Missing"]["count"].iloc[0] == 100
+    assert t3["count"].sum() == 1000
+    out3 = ob3.transform(df, "nan_x", metric="woe", out_col="w")
+    assert out3.filter(F.isnan("w") | F.col("w").isNull()).count() == 0
