@@ -829,8 +829,12 @@ def q_scorecard_scores_linear(spark, sf_dir):
                    scaling_method_params={"min": 0, "max": 100})
     sc.fit(df, "net_price")
     out = sc.score(df)
+    # + 0.0 normalizes IEEE signed zero: the min-score row lands at
+    # exactly 0 after min_max scaling, and round() can yield -0.0 on
+    # one engine and +0.0 on the other (repr-distinct in the hash)
     return out.select(
-        "l_orderkey", "l_linenumber", F.round("score", 2).alias("score")
+        "l_orderkey", "l_linenumber",
+        (F.round("score", 2) + F.lit(0.0)).alias("score"),
     )
 
 
@@ -1746,7 +1750,7 @@ def _sql_scorecard_scores_linear():
     FROM ext)
   SELECT f.l_orderkey, f.l_linenumber,
          round(0.0 + sc.slope * ((sc.b0 + sc.b1 * f.f1 + sc.b2 * f.f2) - sc.smin),
-               2) AS score
+               2) + 0.0 AS score
   FROM feat f, scale sc"""
 
 
