@@ -122,6 +122,7 @@ class OptimalPWBinning:
         n_subsamples: int = 200_000,
         lb: float | None = None,
         ub: float | None = None,
+        estimator=None,
     ):
         if not (0 <= int(degree) <= 5):
             raise ValueError("degree must be in [0, 5]")
@@ -129,6 +130,10 @@ class OptimalPWBinning:
             raise ValueError("loss must be l2|l1|huber|quantile")
         self.name = name
         self.objective = objective
+        # X6 (reference piecewise/base.py:215-233): custom estimator
+        # with fit + predict_proba for the binary target smoothing;
+        # None -> the built-in penalized-logistic equivalent
+        self.estimator = estimator
         self.degree = int(degree)
         self.continuity = continuity and self.degree >= 1
         # reference default: degree-d splines with C^{d-1} smoothness
@@ -225,8 +230,29 @@ class OptimalPWBinning:
         )
         n0, n1 = stats[:, 0], stats[:, 1]
         w = n0 + n1
-        beta = _penalized_logistic_1d(values, n1, w)
-        pred = 1.0 / (1.0 + np.exp(-(beta[0] + beta[1] * values)))
+        if self.estimator is not None:
+            # custom smoother (X6): weighted two-rows-per-value design
+            # reproduces the raw-row weighted likelihood exactly, so
+            # any sklearn-style classifier with sample_weight support
+            # plugs in without driver-side row expansion
+            X_fit = np.concatenate([values, values]).reshape(-1, 1)
+            y_fit = np.concatenate(
+                [np.zeros(len(values)), np.ones(len(values))])
+            w_fit = np.concatenate([n0, n1])
+            try:
+                self.estimator.fit(X_fit, y_fit, sample_weight=w_fit)
+            except TypeError:
+                keep = w_fit > 0
+                self.estimator.fit(
+                    np.repeat(X_fit[keep], w_fit[keep].astype(int), axis=0),
+                    np.repeat(y_fit[keep], w_fit[keep].astype(int)),
+                )
+            pred = np.asarray(
+                self.estimator.predict_proba(values.reshape(-1, 1))
+            )[:, -1]
+        else:
+            beta = _penalized_logistic_1d(values, n1, w)
+            pred = 1.0 / (1.0 + np.exp(-(beta[0] + beta[1] * values)))
         # reference base.py:439-449: monotonic trend from the ACTUAL
         # per-bin event rates over the optimal splits
         idx = (np.digitize(values, self.splits_) if len(self.splits_)

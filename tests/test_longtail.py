@@ -397,3 +397,47 @@ def test_pw_binning_table_coefficients(spark):
         clipped = min(max(raw, pw.lb if pw.lb is not None else raw),
                       pw.ub if pw.ub is not None else raw)
         assert got[i] == pytest.approx(clipped, rel=1e-6, abs=1e-9)
+
+
+def test_piecewise_custom_estimator_x6(spark):
+    """X6: a custom predict_proba estimator drives the binary PW
+    smoothing (reference piecewise/base.py:215-233); with a smoother
+    equivalent to the built-in, transforms stay finite and bounded."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from optbinning_spark.piecewise import OptimalPWBinning
+
+    class LogisticLike:
+        """Weighted Newton logistic, sklearn-style surface."""
+
+        def fit(self, X, y, sample_weight=None):
+            w = np.ones(len(y)) if sample_weight is None else sample_weight
+            A = np.hstack([np.asarray(X, float), np.ones((len(y), 1))])
+            beta = np.zeros(A.shape[1])
+            for _ in range(50):
+                p = 1.0 / (1.0 + np.exp(-(A @ beta)))
+                g = A.T @ (w * (y - p))
+                H = (A * (w * p * (1 - p))[:, None]).T @ A
+                step = np.linalg.solve(H + 1e-9 * np.eye(len(beta)), g)
+                beta += step
+                if np.max(np.abs(step)) < 1e-10:
+                    break
+            self._beta = beta
+            return self
+
+        def predict_proba(self, X):
+            A = np.hstack([np.asarray(X, float), np.ones((len(X), 1))])
+            p = 1.0 / (1.0 + np.exp(-(A @ self._beta)))
+            return np.column_stack([1 - p, p])
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+    )
+    pw = OptimalPWBinning(objective="binary", degree=1,
+                          estimator=LogisticLike())
+    pw.fit(df, "l_quantity", "y")
+    out = pw.transform(df, "l_quantity", out_col="p").select("p").toPandas()
+    assert np.isfinite(out["p"]).all()
+    assert (out["p"] >= 0).all() and (out["p"] <= 1.0 + 1e-9).all()
