@@ -197,3 +197,70 @@ def test_concave_rejects_convex_profile_merge():
         for b in range(a + 1, len(er)):
             for c in range(b + 1, len(er)):
                 assert er[a] + er[c] <= 2 * er[b] + 1e-12
+
+
+def test_dp_property_randomized_hypothesis():
+    """Property: for every trend and constraint combo, the DP objective
+    equals the exhaustive-enumeration maximum over feasible contiguous
+    partitions (hypothesis-driven input generation)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def brute(ne, ev, trend, min_n_bins, max_n_bins, min_bin_size):
+        n = len(ne)
+        t_ev, t_ne = ev.sum(), ne.sum()
+        total = t_ev + t_ne
+        best = None
+        for mask in range(1 << (n - 1)):
+            segs, s = [], 0
+            for k in range(n - 1):
+                if mask >> k & 1:
+                    segs.append((s, k))
+                    s = k + 1
+            segs.append((s, n - 1))
+            if not ((min_n_bins or 1) <= len(segs)
+                    <= (max_n_bins or n)):
+                continue
+            evs = np.array([ev[a:b + 1].sum() for a, b in segs])
+            nes = np.array([ne[a:b + 1].sum() for a, b in segs])
+            if (evs <= 0).any() or (nes <= 0).any():
+                continue
+            if min_bin_size is not None and (
+                    (evs + nes) < min_bin_size * total).any():
+                continue
+            er = evs / (evs + nes)
+            if trend == "ascending" and not all(
+                    er[i + 1] >= er[i] for i in range(len(er) - 1)):
+                continue
+            if trend == "descending" and not all(
+                    er[i + 1] <= er[i] for i in range(len(er) - 1)):
+                continue
+            p, q = evs / t_ev, nes / t_ne
+            iv = ((p - q) * np.log(p / q)).sum()
+            if best is None or iv > best:
+                best = iv
+        return best
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.tuples(st.integers(1, 40), st.integers(1, 40)),
+                 min_size=2, max_size=7),
+        st.sampled_from([None, "ascending", "descending"]),
+        st.sampled_from([None, 2]),
+        st.sampled_from([None, 3]),
+        st.sampled_from([None, 0.1]),
+    )
+    def check(pairs, trend, min_n_bins, max_n_bins, min_bin_size):
+        ne = np.array([p[0] for p in pairs], dtype=float)
+        ev = np.array([p[1] for p in pairs], dtype=float)
+        sol = solve_binary(
+            ne, ev, monotonic_trend=trend, min_n_bins=min_n_bins,
+            max_n_bins=max_n_bins, min_bin_size=min_bin_size)
+        expect = brute(ne, ev, trend, min_n_bins, max_n_bins, min_bin_size)
+        if expect is None:
+            assert sol.status == "INFEASIBLE"
+        else:
+            assert sol.status == "OPTIMAL"
+            assert abs(sol.objective - expect) < 1e-12
+
+    check()
