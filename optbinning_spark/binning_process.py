@@ -608,10 +608,22 @@ class BinningProcess:
             )
             work = buck.transform(work)
 
+        # hot-path key encoding: variable and sample_class are INTs in
+        # the exploded structs (per-row string allocation across
+        # n_vars x n_rows exploded records measurably dominates the
+        # aggregation hash cost); they decode back to names once on
+        # the tiny collected result below
+        from .operators.preprocessing import (
+            sample_class_code_expr,
+            sample_class_code_names,
+        )
+
+        var_list = list(numeric) + list(categorical)
+        var_id = {v: i for i, v in enumerate(var_list)}
         structs = []
         for v in numeric:
             c = F.col(v).cast("double")
-            sclass = sample_class_expr(c, "numerical", self._codes_for(v))
+            scode = sample_class_code_expr(c, "numerical", self._codes_for(v))
             cv = F.col(f"__clean_{v}")
             gv = (
                 F.when(cv.isNotNull(), F.col(f"__bkt_{v}").cast("double"))
@@ -619,20 +631,20 @@ class BinningProcess:
                 else cv
             )
             structs.append(F.struct(
-                F.lit(v).alias("variable"),
-                sclass.alias("sample_class"),
+                F.lit(var_id[v]).alias("variable"),
+                scode.alias("sample_class"),
                 gv.alias("gv"),
                 F.lit(None).cast("string").alias("key"),
                 cv.alias("cval"),
             ))
         for v in categorical:
             c = F.col(v)
-            sclass = sample_class_expr(c, "categorical", self._codes_for(v))
+            scode = sample_class_code_expr(c, "categorical", self._codes_for(v))
             structs.append(F.struct(
-                F.lit(v).alias("variable"),
-                sclass.alias("sample_class"),
+                F.lit(var_id[v]).alias("variable"),
+                scode.alias("sample_class"),
                 F.lit(None).cast("double").alias("gv"),
-                F.when(sclass == CLEAN, c.cast("string")).alias("key"),
+                F.when(scode == 0, c.cast("string")).alias("key"),
                 F.lit(None).cast("double").alias("cval"),
             ))
         wcol = F.col(w) if w else F.lit(1.0)
@@ -661,9 +673,19 @@ class BinningProcess:
         if len(rows) > cap:
             return None
 
+        # decode int keys back to the name/string view the per-variable
+        # reducers consume (one pass over the tiny collected result)
+        code_names = {
+            v: sample_class_code_names(self._codes_for(v))
+            for v in self.variable_names
+        }
         by_var: dict[str, list] = {v: [] for v in self.variable_names}
         for r in rows:
-            by_var[r["variable"]].append(r)
+            d = r.asDict()
+            vname = var_list[d["variable"]]
+            d["variable"] = vname
+            d["sample_class"] = code_names[vname][d["sample_class"]]
+            by_var[vname].append(_DictRow(d))
 
         def _vals(r):
             return {

@@ -69,6 +69,32 @@ def sample_class_expr(
     return expr.otherwise(F.lit(CLEAN))
 
 
+def sample_class_code_expr(
+    col: Column, dtype: str = "numerical", special_codes=None
+) -> Column:
+    """Integer-coded sample_class for hot aggregation paths: 0=clean,
+    1=missing, 2+i = i-th special group (normalize_special_codes
+    order, which is deterministic). String allocation per exploded row
+    dominates the stacked-fit aggregation's hashing cost; decoding
+    back to names happens once on the tiny collected result."""
+    groups = normalize_special_codes(special_codes)
+    expr = F.when(missing_predicate(col, dtype), F.lit(1))
+    for i, (name, values) in enumerate(groups.items()):
+        values = _typed_specials(values, dtype)
+        if values:
+            expr = expr.when(col.isin(values), F.lit(2 + i))
+    return expr.otherwise(F.lit(0))
+
+
+def sample_class_code_names(special_codes) -> dict[int, str]:
+    """Decode map for sample_class_code_expr: code -> the string
+    sample_class_expr would have produced."""
+    out = {0: CLEAN, 1: MISSING}
+    for i, name in enumerate(normalize_special_codes(special_codes)):
+        out[2 + i] = f"{SPECIAL_PREFIX}:{name}"
+    return out
+
+
 def clean_value_expr(col: Column, dtype: str = "numerical", special_codes=None) -> Column:
     """Value with missing/special rows nulled out, so aggregations over
     the clean partition need no separate filter."""
