@@ -28,6 +28,9 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
+    """Convenience pairwise cosine (public surface). The query paths
+    precompute per-side norms instead — see brute_force_topk — so the
+    per-pair work is a single dot fold."""
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
