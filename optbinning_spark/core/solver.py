@@ -280,16 +280,34 @@ def _solve_shape_enum(V, RATE, feas, lo, hi, shape, max_pvalue, pval_fn):
     (a, b) of (2 e_b - e_a); m updates as min(m, 2 r - max_rate).
     Worst case (flat rates, nothing prunes) visits the full prefix
     tree of 2^(n-1) partitions — n <= 20 prebins keeps that a
-    sub-second driver-side search; real rate profiles prune hard."""
+    seconds-scale driver-side search; real rate profiles prune hard.
+
+    Flat/near-flat profiles defeat the pruning and the tree grows
+    ~4x per +2 prebins, so the DFS carries a node budget
+    (``node_budget`` extension attempts, 2e6 ≈ 2-3 s — enough to
+    fully enumerate a flat n=20).  On exhaustion the search stops
+    and returns the best
+    COMPLETE partition found so far with status "FEASIBLE" (anytime
+    behavior); if none was completed yet it falls back to the
+    peak/valley DP shape approximation (concave ⊂ peak, convex ⊂
+    valley) and keeps the result only if it satisfies the all-triples
+    constraint."""
     n = V.shape[0]
     sign = 1.0 if shape == "concave" else -1.0
     best_val = NEG
     best_segs = None
-    # stack frames: (start, i_next, segs, val, m, max_r, prev_j)
+    node_budget = 2_000_000
+    nodes = 0
+    exhausted = False
+    # stack frames: 6-tuples (start, i_next, segs, val, m, max_r);
     # iterative DFS to dodge recursion limits at n=20
     stack = [(0, 0, [], 0.0, np.inf, -np.inf)]
     while stack:
         start, i0, segs, val, m, max_r = stack.pop()
+        if nodes >= node_budget:
+            exhausted = True
+            break
+        nodes += n - i0
         for i in range(i0, n):
             if not feas[start, i] or V[start, i] <= NEG / 2:
                 continue
@@ -311,9 +329,32 @@ def _solve_shape_enum(V, RATE, feas, lo, hi, shape, max_pvalue, pval_fn):
             elif len(nsegs) < hi:
                 stack.append((i + 1, i + 1, nsegs, nval, nm, nmax))
         # (loop body handles all extensions of this prefix)
+    if exhausted and best_segs is None:
+        # budget hit before any complete partition: approximate with
+        # the polynomial peak/valley DP and accept its answer only if
+        # it is genuinely concave/convex under the all-triples rule
+        approx = _dp_run(
+            V, RATE, feas, lo, hi,
+            "peak" if shape == "concave" else "valley",
+            0.0, max_pvalue, pval_fn,
+        )
+        if approx.status == "OPTIMAL":
+            rates = [sign * RATE[j, i] for j, i in approx.segments]
+            ok = all(
+                rates[a] + rates[c] <= 2.0 * rates[b] + 1e-12
+                for a in range(len(rates))
+                for b in range(a + 1, len(rates))
+                for c in range(b + 1, len(rates))
+            )
+            if ok:
+                return BinSolution(
+                    approx.segments, approx.objective, "FEASIBLE", shape)
+        return BinSolution([(0, n - 1)], 0.0, "INFEASIBLE", shape)
     if best_segs is None:
         return BinSolution([(0, n - 1)], 0.0, "INFEASIBLE", shape)
-    return BinSolution(best_segs, float(best_val), "OPTIMAL", shape)
+    return BinSolution(
+        best_segs, float(best_val),
+        "FEASIBLE" if exhausted else "OPTIMAL", shape)
 
 
 def _dp_run(V, RATE, feas, lo, hi, trend, min_diff, max_pvalue, pval_fn):

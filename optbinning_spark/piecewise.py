@@ -239,13 +239,34 @@ class OptimalPWBinning:
             y_fit = np.concatenate(
                 [np.zeros(len(values)), np.ones(len(values))])
             w_fit = np.concatenate([n0, n1])
+            import inspect
+
             try:
+                params = inspect.signature(self.estimator.fit).parameters
+                accepts_w = "sample_weight" in params or any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in params.values()
+                )
+            except (TypeError, ValueError):  # C-implemented fit
+                accepts_w = True
+            if accepts_w:
                 self.estimator.fit(X_fit, y_fit, sample_weight=w_fit)
-            except TypeError:
-                keep = w_fit > 0
+            else:
+                # Row-expansion fallback for estimators without
+                # sample_weight: rescale so the smallest positive weight
+                # rounds to >= 1 — fractional aggregated weights would
+                # otherwise be truncated to zero repeated rows. Signature
+                # inspection (not a bare except TypeError) so a
+                # TypeError raised INSIDE a user estimator's fit
+                # propagates instead of being silently retried.
+                pos = w_fit[w_fit > 0]
+                scale = (1.0 / float(pos.min())
+                         if pos.size and float(pos.min()) < 1.0 else 1.0)
+                w_int = np.rint(w_fit * scale).astype(int)
+                keep = w_int > 0
                 self.estimator.fit(
-                    np.repeat(X_fit[keep], w_fit[keep].astype(int), axis=0),
-                    np.repeat(y_fit[keep], w_fit[keep].astype(int)),
+                    np.repeat(X_fit[keep], w_int[keep], axis=0),
+                    np.repeat(y_fit[keep], w_int[keep]),
                 )
             pred = np.asarray(
                 self.estimator.predict_proba(values.reshape(-1, 1))

@@ -115,12 +115,16 @@ def train_ivf_centroids(
     bounded deterministic sample — the IVF coarse quantizer. At 100 TB
     the training input stays a few thousand vectors (orderBy+limit is
     a top-k, not a full sort); the returned centroids are row-unit-
-    normalized so dot product == cosine."""
+    normalized so dot product == cosine.  The sample is ordered by
+    ``xxhash64(id)``, not by ``id``: time-ordered corpora correlate id
+    with content, and a prefix sample would train the quantizer on a
+    temporal slice and silently degrade recall — hash order is a
+    deterministic uniform draw over the whole corpus."""
     import numpy as np
 
     rows = (
         embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col)), id_col)
         .limit(sample_size)
         .collect()
     )

@@ -27,18 +27,6 @@ from .binning_process import BinningProcess
 _EPS = 1e-15
 
 
-def _round_preserving_sum(values: np.ndarray) -> np.ndarray:
-    """Largest-remainder rounding: integer points whose sum matches the
-    rounded sum (kept as the fallback when the min/max-preserving
-    allocation is infeasible for a variable)."""
-    floor = np.floor(values)
-    residual = int(np.round(values.sum() - floor.sum()))
-    order = np.argsort(-(values - floor))
-    out = floor.copy()
-    out[order[:residual]] += 1
-    return out
-
-
 def _round_points_minmax(points: dict) -> dict:
     """Reference-parity point rounding (rounding.py:13-110) WITHOUT an
     integer program. The reference MIP minimizes the L1 rounding error
@@ -90,6 +78,13 @@ def _round_points_minmax(points: dict) -> dict:
         if best is None:  # degenerate: every variable flat
             break
         p[best[1]] = best[2]
+    if (sum(q.min() for q in p.values()) < min_point
+            or sum(q.max() for q in p.values()) > max_point):
+        # Allocation infeasible (degenerate flat variables): mirror the
+        # reference's back-up — plain nearest-integer rounding
+        # (scorecard.py:696-701 falls back to np.rint when the MIP is
+        # not OPTIMAL/FEASIBLE).
+        return {v: np.rint(raw[v]) for v in names}
     return p
 
 
@@ -218,17 +213,25 @@ class Scorecard:
             # accepts any sklearn regressor/classifier) or Huber: the
             # loss may be nonlinear in per-row residuals, so the
             # (X, mean-label) group compression is invalid; the fit
-            # runs on a bounded DETERMINISTIC driver sample instead
-            # (orderBy on the feature columns + label -> TakeOrdered
-            # top-k, not a full sort; ties are identical rows, so two
-            # runs collect the same design matrix).
+            # runs on a bounded DETERMINISTIC and UNIFORM driver
+            # sample.  Rows are ordered by a 64-bit hash of the full
+            # row (TakeOrdered top-k, not a full sort), so the capped
+            # sample spans the WoE/label distribution instead of its
+            # lexicographically-smallest corner — at 100 TB an
+            # orderBy(features) cap would hand the robust loss a
+            # systematically event-free slice (WoE is monotone in
+            # event rate).  Hash ties are identical rows, so two runs
+            # collect the same design matrix bit-for-bit.
             cap = int(self.estimator_params.get("max_driver_rows", 100_000))
-            rows = (
+            sel = (
                 woe.select(
                     *self.selected_, F.col(y).alias("__y"),
                     wexpr.alias("__w"),
                 )
-                .orderBy(*self.selected_, "__y", "__w")
+            )
+            hkey = F.xxhash64(*self.selected_, F.col("__y"), F.col("__w"))
+            rows = (
+                sel.orderBy(hkey, *self.selected_, "__y", "__w")
                 .limit(cap)
                 .collect()
             )

@@ -441,3 +441,74 @@ def test_piecewise_custom_estimator_x6(spark):
     out = pw.transform(df, "l_quantity", out_col="p").select("p").toPandas()
     assert np.isfinite(out["p"]).all()
     assert (out["p"] >= 0).all() and (out["p"] <= 1.0 + 1e-9).all()
+
+
+def test_piecewise_custom_estimator_no_sample_weight(spark):
+    """X6 estimator whose fit() lacks sample_weight: the signature is
+    inspected (not a bare except TypeError) and the fit runs on
+    weight-expanded rows with weights rescaled so fractional values
+    are not truncated to zero."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from optbinning_spark.piecewise import OptimalPWBinning
+
+    calls = {}
+
+    class NoWeight:
+        def fit(self, X, y):
+            calls["n_rows"] = len(y)
+            X = np.asarray(X, float)
+            A = np.hstack([X, np.ones((len(y), 1))])
+            beta = np.zeros(A.shape[1])
+            for _ in range(50):
+                p = 1.0 / (1.0 + np.exp(-(A @ beta)))
+                g = A.T @ (np.asarray(y) - p)
+                H = (A * (p * (1 - p))[:, None]).T @ A
+                step = np.linalg.solve(H + 1e-9 * np.eye(len(beta)), g)
+                beta += step
+                if np.max(np.abs(step)) < 1e-10:
+                    break
+            self._beta = beta
+            return self
+
+        def predict_proba(self, X):
+            A = np.hstack([np.asarray(X, float), np.ones((len(X), 1))])
+            p = 1.0 / (1.0 + np.exp(-(A @ self._beta)))
+            return np.column_stack([1 - p, p])
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+    )
+    pw = OptimalPWBinning(objective="binary", degree=1,
+                          estimator=NoWeight())
+    pw.fit(df, "l_quantity", "y")
+    assert calls["n_rows"] > 0  # expansion path actually ran
+    out = pw.transform(df, "l_quantity", out_col="p").select("p").toPandas()
+    assert np.isfinite(out["p"]).all()
+
+
+def test_piecewise_estimator_internal_typeerror_propagates(spark):
+    """A TypeError raised INSIDE a user estimator's fit must propagate
+    (the old bare `except TypeError` silently retried the
+    no-sample_weight fallback)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from optbinning_spark.piecewise import OptimalPWBinning
+
+    class Broken:
+        def fit(self, X, y, sample_weight=None):
+            raise TypeError("inner estimator bug")
+
+        def predict_proba(self, X):  # pragma: no cover
+            raise AssertionError("unreachable")
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+    )
+    pw = OptimalPWBinning(objective="binary", degree=1, estimator=Broken())
+    with pytest.raises(TypeError, match="inner estimator bug"):
+        pw.fit(df, "l_quantity", "y")

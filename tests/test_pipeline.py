@@ -258,3 +258,65 @@ def test_multimodal_resize_and_frame_sample(spark, docs):
         F.col("doc_id") == got[0]["doc_id"]).collect()
     assert [bytes(r["frame"]) for r in sorted(one, key=lambda r: r["frame_idx"])] == [
         bytes(r["frame"]) for r in sorted(again, key=lambda r: r["frame_idx"])]
+
+
+# ---------------------------------------------------------------------------
+# ANN recall@k — the number a 100 TB user actually cares about.
+# ---------------------------------------------------------------------------
+
+def _recall(approx_rows, exact_rows):
+    ex, ap = {}, {}
+    for r in exact_rows:
+        ex.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    for r in approx_rows:
+        ap.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    hits = sum(len(ap.get(q, set()) & s) for q, s in ex.items())
+    total = sum(len(s) for s in ex.values())
+    return hits / total
+
+
+@pytest.fixture(scope="module")
+def clustered_corpus(spark):
+    """600 vectors in 6 tight clusters with ids SORTED BY CLUSTER —
+    the adversarial time-ordered layout where a prefix sample trains
+    the quantizer on a temporal slice."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(6, 8))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(600):
+        v = centers[i // 100] + 0.05 * rng.normal(size=8)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_recall_on_id_sorted_clusters(clustered_corpus):
+    """Recall@5 >= 0.9 at n_probe=2 with sample_size (150) spanning
+    less than two clusters' id range: train_ivf_centroids samples in
+    xxhash64(id) order, so every cluster is represented.  A prefix
+    (orderBy(id).limit) sample would see clusters 0-1 only and
+    collapse recall for queries in clusters 2-5."""
+    from optbinning_spark.pipeline.similarity import (
+        brute_force_topk, ivf_topk, train_ivf_centroids)
+
+    emb = clustered_corpus
+    q = emb.filter("vec_id % 97 = 0").withColumnRenamed("vec_id", "query_id")
+    exact = brute_force_topk(emb, q, k=5).collect()
+    cents = train_ivf_centroids(emb, n_centroids=6, sample_size=150)
+    approx = ivf_topk(emb, q, k=5, n_probe=2, centroids=cents).collect()
+    assert _recall(approx, exact) >= 0.9
+
+
+def test_lsh_topk_recall(clustered_corpus):
+    """lsh_bucketed_topk recall@5 at a realistic plane count on the
+    clustered corpus."""
+    from optbinning_spark.pipeline.similarity import (
+        brute_force_topk, lsh_bucketed_topk)
+
+    emb = clustered_corpus
+    q = emb.filter("vec_id % 97 = 0").withColumnRenamed("vec_id", "query_id")
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = lsh_bucketed_topk(emb, q, dim=8, k=5, n_planes=2).collect()
+    assert _recall(approx, exact) >= 0.9

@@ -560,3 +560,24 @@ def test_huber_fit_deterministic(fitted_process, wide_df):
         sc.fit(df, "yc")
         coefs.append(sorted(sc.coef_.items()))
     assert coefs[0] == coefs[1]
+
+
+def test_huber_capped_sample_spans_distribution(spark):
+    """max_driver_rows smaller than the table: the driver sample is
+    xxhash64-ordered (uniform over the WoE/label distribution), so the
+    capped huber fit still recovers the true slope.  A prefix sample
+    over orderBy(features) would collect only the lowest-WoE bin — a
+    constant design column — and the fit would degenerate."""
+    rng = np.random.RandomState(11)
+    rows = []
+    for _ in range(4000):
+        x = float(rng.uniform(0, 10))
+        rows.append((x, float(3 * x + rng.normal(0, 0.5))))
+    df = spark.createDataFrame(rows, "x double, y double")
+    bp = BinningProcess(["x"], prebinning_method="quantile")
+    sc = Scorecard(bp, estimator="huber",
+                   estimator_params={"max_driver_rows": 400})
+    sc.fit(df, "y")
+    p = sc.predict(df.select("x").distinct())
+    err = np.mean([abs(r["prediction"] - 3 * r["x"]) for r in p.collect()])
+    assert err < 2.0

@@ -264,3 +264,42 @@ def test_dp_property_randomized_hypothesis():
             assert abs(sol.objective - expect) < 1e-12
 
     check()
+
+
+def test_shape_enum_node_budget_flat_profile():
+    """Flat event rates defeat the concave/convex DFS pruning (the
+    tree is the full 2^(n-1) prefix tree, ~4x per +2 prebins); the
+    node budget must bound the solve to seconds and return a valid
+    (anytime) solution instead of hanging the driver."""
+    import time
+
+    import numpy as np
+
+    from optbinning_spark.core.solver import solve_binary
+
+    n = 26
+    ne = np.full(n, 100.0)
+    ev = np.full(n, 50.0)
+    t0 = time.time()
+    sol = solve_binary(ne, ev, monotonic_trend="concave")
+    assert time.time() - t0 < 20.0
+    assert sol.status in ("OPTIMAL", "FEASIBLE")
+    # segments form a contiguous partition of [0, n)
+    assert sol.segments[0][0] == 0 and sol.segments[-1][1] == n - 1
+    for (a, b), (c, d) in zip(sol.segments, sol.segments[1:]):
+        assert c == b + 1
+    # flat profile: IV is 0 for any partition
+    assert abs(sol.objective) < 1e-9
+
+
+def test_shape_enum_still_exact_below_budget():
+    """Real (non-flat) profiles stay on the exact DFS path."""
+    import numpy as np
+
+    from optbinning_spark.core.solver import solve_binary
+
+    n = 12
+    ev = np.linspace(10, 80, n)
+    ne = 100 - ev
+    sol = solve_binary(ne, ev, monotonic_trend="concave")
+    assert sol.status == "OPTIMAL"
