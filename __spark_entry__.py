@@ -1191,6 +1191,50 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=3)
 
 
+def q_ivf_topk_pinned(spark, sf_dir):
+    """IVF ANN with PINNED canonical-basis centroids (e_0..e_3): the
+    list assignment, probe selection, inverted-list equi-join and
+    per-query top-k all become deterministic arithmetic, so the full
+    pipeline replays in the SQL oracle. The k-means-trained quantizer
+    path is covered separately by exhaustive-probe equality and
+    recall@k tests (tests/test_pipeline.py)."""
+    import numpy as np
+
+    from optbinning_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return ivf_topk(emb, queries, k=3, n_probe=2, centroids=np.eye(4, 64))
+
+
+PW_FIXED_SPLITS = [10.0, 25.0, 40.0]
+PW_FIXED_COEFS = [[0.10, 0.004], [0.05, 0.009], [0.30, -0.001], [0.20, 0.002]]
+PW_FIXED_CENTER, PW_FIXED_SCALE = 25.0, 14.5
+
+
+def q_piecewise_transform_fixed(spark, sf_dir):
+    """F6 transform surface with PINNED splits/coefficients (reference
+    piecewise/transformations.py:18-61 evaluation): per-bin Horner
+    polynomial on rescaled x, first-match bin routing — map-only and
+    fully SQL-replayable. The QP fit that PRODUCES coefficients is
+    golden/unit-tested (tests/test_longtail.py); this pins the
+    evaluation semantics under the driver's hash gate."""
+    from optbinning_spark.piecewise import piecewise_polynomial_expr
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem"))
+    p = piecewise_polynomial_expr(
+        F.col("l_quantity").cast("double"),
+        PW_FIXED_SPLITS, PW_FIXED_COEFS,
+        x_center=PW_FIXED_CENTER, x_scale=PW_FIXED_SCALE,
+    )
+    return df.select(
+        "l_orderkey", "l_linenumber",
+        (F.round(p, 6) + F.lit(0.0)).alias("p"),
+    )
+
+
 # -- driver contract -----------------------------------------------------
 
 
@@ -1211,8 +1255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- oracle-backed (hash-checked vs DuckDB) --
         "sample_class_counts": q_sample_class_counts,
         "prebin_counts": q_prebin_counts,
-        "binning_table_fixed": q_binning_table_fixed,
-        "woe_transform": q_woe_transform,
+        "ivf_topk_pinned": q_ivf_topk_pinned,
+        "piecewise_transform_fixed": q_piecewise_transform_fixed,
         "event_rate_order": q_event_rate_order,
         "quantile_splits": q_quantile_splits,
         "uniform_binning_table": q_uniform_binning_table,
@@ -1260,8 +1304,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "scorecard_scores_linear": q_scorecard_scores_linear,
         # -- tail (beyond the driver's 50-entry window; unit/golden
-        #    tested — near_dup_cosine and cart-adjacent entries below
-        #    still carry oracles checked by tools/check_correctness) --
+        #    tested — near_dup_cosine, the fixed-split pair rotated out
+        #    in round 4 (binning_table_fixed, woe_transform — their
+        #    surface is also covered by optimal_binning_table /
+        #    optimal_woe_transform / prebin_counts) and cart-adjacent
+        #    entries below still carry oracles checked by
+        #    tools/check_correctness) --
+        "binning_table_fixed": q_binning_table_fixed,
+        "woe_transform": q_woe_transform,
         "near_dup_cosine": q_near_dup_cosine,
         "scorecard_scores": q_scorecard_scores,
         "scorecard_table": q_scorecard_table,
@@ -2423,6 +2473,53 @@ def oracle_sql() -> dict[str, str]:
               AND round(list_cosine_similarity(
                     CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "ivf_topk_pinned": """
+            WITH e AS (
+              SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS ee,
+                     CASE WHEN CAST(embedding[1] AS DOUBLE) >= CAST(embedding[2] AS DOUBLE)
+                           AND CAST(embedding[1] AS DOUBLE) >= CAST(embedding[3] AS DOUBLE)
+                           AND CAST(embedding[1] AS DOUBLE) >= CAST(embedding[4] AS DOUBLE) THEN 1
+                          WHEN CAST(embedding[2] AS DOUBLE) >= CAST(embedding[3] AS DOUBLE)
+                           AND CAST(embedding[2] AS DOUBLE) >= CAST(embedding[4] AS DOUBLE) THEN 2
+                          WHEN CAST(embedding[3] AS DOUBLE) >= CAST(embedding[4] AS DOUBLE) THEN 3
+                          ELSE 4 END AS list_id
+              FROM embeddings
+            ), qd AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+                     c.c AS list_id, CAST(embedding[c.c] AS DOUBLE) AS d
+              FROM embeddings, (SELECT unnest([1, 2, 3, 4]) AS c) c
+              WHERE vec_id < 5
+            ), probes AS (
+              SELECT query_id, qe, list_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY d DESC, list_id ASC) AS pr
+                FROM qd) WHERE pr <= 2
+            ), scored AS (
+              SELECT p.query_id, e.nbr_id,
+                     round(list_cosine_similarity(e.ee, p.qe), 6) AS cosine
+              FROM e JOIN probes p USING (list_id)
+              WHERE e.nbr_id <> p.query_id
+            )
+            SELECT query_id, nbr_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "piecewise_transform_fixed": """
+            WITH t AS (
+              SELECT l_orderkey, l_linenumber,
+                     (CAST(l_quantity AS DOUBLE) - 25.0) / 14.5 AS xs,
+                     CAST(l_quantity AS DOUBLE) AS x
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   round(CASE WHEN x < 10.0 THEN 0.10 + xs * 0.004
+                              WHEN x < 25.0 THEN 0.05 + xs * 0.009
+                              WHEN x < 40.0 THEN 0.30 + xs * (-0.001)
+                              ELSE 0.20 + xs * 0.002 END, 6) + 0.0 AS p
+            FROM t
         """,
         "embedding_topk": """
             WITH q AS (

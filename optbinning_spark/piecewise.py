@@ -28,6 +28,35 @@ from .operators.preprocessing import numeric_bin_expr
 _EPS = 1e-15
 
 
+def piecewise_polynomial_expr(col, splits, coefs, x_center=0.0,
+                              x_scale=1.0, lb=None, ub=None):
+    """Pure piecewise-polynomial column expression over fixed splits
+    and per-bin coefficients on the rescaled input (reference
+    piecewise/transformations.py:18-61 evaluation semantics): bin i is
+    ``col < splits[i]`` first-match, each bin evaluates its polynomial
+    by Horner on ``(col - x_center) / x_scale``, and the result is
+    clipped to [lb, ub]. Map-only and SQL-replayable — shared by the
+    fitted transform and by fixed-coefficient (oracle-checked)
+    transforms."""
+    xs = (col - F.lit(float(x_center))) / F.lit(float(x_scale))
+    expr = None
+    for i in range(len(splits) + 1):
+        c = list(coefs[i])
+        val = F.lit(float(c[-1]))
+        for cc in c[-2::-1]:
+            val = F.lit(float(cc)) + xs * val
+        if i < len(splits):
+            cond = col < float(splits[i])
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        else:
+            expr = expr.otherwise(val) if expr is not None else val
+    if lb is not None:
+        expr = F.greatest(expr, F.lit(float(lb)))
+    if ub is not None:
+        expr = F.least(expr, F.lit(float(ub)))
+    return expr
+
+
 def _active_set_qp(H, f, Aeq, G, h, max_iter=200):
     """Minimize 0.5 x'Hx - f'x s.t. Aeq x = 0, G x <= h, by a primal
     active-set method (tiny dense systems; <= ~40 constraints here).
@@ -652,24 +681,10 @@ class OptimalPWBinning:
     def transform_expr(self, col, metric: str = "mean",
                        metric_special=0, metric_missing=0):
         self._check()
-        splits = list(self.splits_)
-        xs = (col - F.lit(self._xc)) / F.lit(self._xs)
-        expr = None
-        for i in range(len(splits) + 1):
-            # Horner evaluation of the bin polynomial on rescaled x
-            coefs = self.coefs_[i]
-            val = F.lit(float(coefs[-1]))
-            for c in coefs[-2::-1]:
-                val = F.lit(float(c)) + xs * val
-            if i < len(splits):
-                cond = col < float(splits[i])
-                expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-            else:
-                expr = expr.otherwise(val) if expr is not None else val
-        if self.lb is not None:
-            expr = F.greatest(expr, F.lit(float(self.lb)))
-        if self.ub is not None:
-            expr = F.least(expr, F.lit(float(self.ub)))
+        expr = piecewise_polynomial_expr(
+            col, list(self.splits_), self.coefs_,
+            x_center=self._xc, x_scale=self._xs, lb=self.lb, ub=self.ub,
+        )
         if metric == "woe":
             # reference transform_event_rate_to_woe
             # (transformations.py:19-37): log((1/er - 1) * tE/tNE) with
