@@ -71,18 +71,35 @@ def main():
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # best-of-2: single-JVM local mode has multi-second run-to-run
-        # noise (GC, page cache); the minimum is the steady-state
-        # throughput the query actually has
+        # best-of-3: single-JVM local mode has multi-second run-to-run
+        # noise (GC, page cache) — round 3 showed unchanged sub-second
+        # queries drifting +-50% under best-of-2, enough to mask a
+        # real 30% regression. Cache policy: catalog cache cleared
+        # after every rep so no rep can ride a previous rep's cached
+        # plan/data; the minimum of 3 is the steady-state throughput.
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
+
+    # Scale-ladder point: the stock sf0.1 parquet is single-row-group,
+    # so local[N] barely parallelizes the scan and per-query times
+    # understate cluster behavior. Rewrite the tables once into a
+    # 32-file layout (same rows, multi-task scan) and time a
+    # scan-heavy subset once each — the delta vs the single-file
+    # numbers is the scan-parallelism headroom a real cluster gets.
+    scale: dict = {}
+    try:
+        scale = _scale_section(spark, sf_dir, qs)
+    except Exception as e:  # scale probe must never break the contract
+        scale = {"error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -91,10 +108,50 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "scale_multirowgroup": scale,
             }
         )
     )
     spark.stop()
+
+
+SCALE_QUERIES = [
+    "wide_process_fit",
+    "optimal_woe_transform",
+    "exact_dedup",
+    "jaccard_pairs",
+    "scorecard_scores",
+]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _scale_section(spark, sf_dir, qs, n_files=32):
+    import shutil
+    import tempfile
+
+    mrg = os.path.join(tempfile.gettempdir(),
+                       f"spark_graft_mrg_{os.path.basename(sf_dir.rstrip('/'))}")
+    marker = os.path.join(mrg, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(mrg, ignore_errors=True)
+        os.makedirs(mrg, exist_ok=True)
+        for t in TABLES:
+            src = f"{sf_dir}/{t}.parquet"
+            if not os.path.exists(src):
+                continue
+            (spark.read.parquet(src).repartition(n_files)
+             .write.mode("overwrite").parquet(f"{mrg}/{t}.parquet"))
+        open(marker, "w").close()
+    out = {}
+    for name in SCALE_QUERIES:
+        t0 = time.time()
+        qs[name](spark, mrg).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+    return {"n_files": n_files, "queries": out,
+            "total": round(sum(out.values()), 3)}
 
 
 if __name__ == "__main__":

@@ -101,6 +101,7 @@ class _BaseOptimalBinning:
         fix_lb: float | None = None,
         fix_ub: float | None = None,
         prebinning_kwargs: dict | None = None,
+        cat_salt_partitions: int | None = None,
     ):
         self.name = name
         self.dtype = dtype
@@ -130,6 +131,9 @@ class _BaseOptimalBinning:
         self.outlier_params = outlier_params
         self.fix_lb = fix_lb
         self.fix_ub = fix_ub
+        # power-law skew hardening for the categorical fit aggregation
+        # (salted two-phase groupBy; see categorical_value_stats)
+        self.cat_salt_partitions = cat_salt_partitions
         # X4 (reference binning.py:427-430): pre-binning parameter
         # pass-through — overrides the derived CART/MDLP defaults
         self.prebinning_kwargs = dict(prebinning_kwargs or {})
@@ -649,7 +653,9 @@ class OptimalBinning(_BaseOptimalBinning):
 
     def _fit_categorical(self, df, x, y, w):
         cats, missing, specials, tail = categorical_value_stats(
-            df, x, y, w, special_codes=self.special_codes, target_type="binary"
+            df, x, y, w, special_codes=self.special_codes,
+            target_type="binary",
+            salt_partitions=self.cat_salt_partitions,
         )
         self._finalize_categorical(cats, missing, specials, x, tail=tail)
 
@@ -899,6 +905,7 @@ class ContinuousOptimalBinning(_BaseOptimalBinning):
         cats, missing, specials, tail = categorical_value_stats(
             df, x, y, w, special_codes=self.special_codes,
             target_type="continuous",
+            salt_partitions=self.cat_salt_partitions,
         )
         self._finalize_categorical(cats, missing, specials, x, tail=tail)
 

@@ -156,3 +156,51 @@ def test_jaccard_single_scan(spark):
     plan = _plan(q)
     assert plan.count("Scan parquet") == 1, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_salted_categorical_agg_two_stage_and_correct(spark):
+    """salt_partitions triggers a salted two-phase aggregation — phase
+    1 keyed by (category, partition-salt), phase 2 re-reducing per
+    category — so a power-law hot key spreads over S reducers instead
+    of one. Plan: two hash-partitioned exchanges, the first including
+    the salt key. Results: identical to the unsalted path on a skewed
+    fixture."""
+    from optbinning_spark.operators.aggregation import (
+        categorical_value_stats,
+    )
+
+    # power-law fixture: one category holds ~90% of rows
+    rows = []
+    for i in range(5000):
+        cat = "hot" if i % 10 else f"c{i % 97}"
+        rows.append((cat, i % 3 == 0 and 1 or 0))
+    df = spark.createDataFrame(rows, "cat string, y int").repartition(8)
+
+    plain = categorical_value_stats(df, "cat", "y", None)
+    salted = categorical_value_stats(df, "cat", "y", None,
+                                     salt_partitions=8)
+    assert plain[0] == salted[0]  # per-category stats identical
+    assert plain[1] == salted[1] and plain[2] == salted[2]
+
+    # plan shape: build the salted grouped df directly for inspection
+    from optbinning_spark.operators.aggregation import (
+        _agg_exprs, _merge_exprs, _metric_names)
+    from optbinning_spark.operators.preprocessing import (
+        CLEAN, sample_class_expr)
+
+    c = F.col("cat")
+    sclass = sample_class_expr(c, "categorical", None)
+    two_stage = (
+        df.groupBy(
+            sclass.alias("sample_class"),
+            F.when(sclass == CLEAN, c).alias("category"),
+            F.pmod(F.spark_partition_id(), F.lit(8)).alias("__salt"),
+        )
+        .agg(*_agg_exprs("y", None, "binary", None))
+        .groupBy("sample_class", "category")
+        .agg(*_merge_exprs(_metric_names("binary", None)))
+    )
+    plan = _plan(two_stage)
+    assert plan.count("Exchange hashpartitioning") >= 2, plan
+    # phase-1 grouping carries the partition-id salt key
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
