@@ -516,11 +516,37 @@ class BinningProcess:
             "double", "float") or dict(work.dtypes).get(y, "").startswith(
             "decimal")
 
+        # Local-parallelism spread: a coarse-grained source (e.g. a
+        # single-row-group parquet file) yields a handful of scan
+        # partitions, serializing both fit aggregations on a few cores
+        # while the rest idle. When the scan grain is coarser than
+        # half the available parallelism, one round-robin repartition
+        # spreads the probe sketches AND the exploded stacked
+        # aggregation across every core. On a real multi-file 100 TB
+        # table partitions >> parallelism, so the gate never fires and
+        # no shuffle is added.
+        par = work.sparkSession.sparkContext.defaultParallelism
+        try:
+            n_part = work.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover — exotic plans
+            n_part = par
+        if n_part < max(2, par // 2):
+            work = work.repartition(par)
+
         per_var_cap = 4096
         n_hist = 256
         probs = np.linspace(0, 1, n_hist + 1)[1:-1]
         if todo or need_tt or need_classes:
             probe_aggs = []
+            # ONE shared literal Column for the probability grid and
+            # accuracy: F.lit over a 255-element array costs ~500 py4j
+            # round-trips; rebuilding it inside the per-variable loop
+            # multiplied that into ~7k driver calls (~2 s of socket
+            # latency on a 16-variable fit). Columns are immutable —
+            # one literal serves every percentile_approx.
+            probs_lit = F.lit(probs)
+            acc_lit = F.lit(2_000)
+            sample_mod = F.lit(20)
             for v in todo:
                 probe_aggs.append(
                     F.approx_count_distinct(
@@ -539,8 +565,8 @@ class BinningProcess:
                 cv = F.col(f"__clean_{v}")
                 probe_aggs.append(
                     F.percentile_approx(
-                        F.when(F.pmod(F.hash(cv), F.lit(20)) == 0, cv),
-                        F.lit(probs), F.lit(2_000),
+                        F.when(F.pmod(F.hash(cv), sample_mod) == 0, cv),
+                        probs_lit, acc_lit,
                     ).alias(f"q_{v}")
                 )
             if need_tt and y_float:
