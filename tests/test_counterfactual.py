@@ -135,3 +135,37 @@ def test_hierarchical_method(cf_fitted):
                   objectives={"proximity": 1.0, "closeness": 0.0})
     assert (cf._cfs[0]["objval"]["proximity"]
             <= solo._cfs[0]["objval"]["proximity"] * 1.1 + 1e-9)
+
+
+def test_golden_counterfactual_drift_guard(cf_fitted):
+    """Pinned end-to-end counterfactuals (reference contract
+    counterfactual.py:201-668: generate -> display with outcome): the
+    exact chosen bins, outcome probability and objective values for a
+    fixed fitted scorecard and query. Guards the B&B search and
+    objective weighting against silent drift — any change to the
+    search, candidate ordering, or proximity scaling shows up here."""
+    cf, _ = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0,
+             "l_discount": 0.01}
+    for method in ("weighted", "hierarchical"):
+        cf.generate(query, y=P_TARGET, outcome_type="probability",
+                    hard_constraints=["min_outcome"], method=method)
+        assert cf.status_ == "OPTIMAL"
+        row = cf.display(show_only_changes=False).iloc[0]
+        assert row["l_quantity"] == "[9.50, 13.50)"
+        assert row["l_extendedprice"] == "(-inf, 7099.14)"
+        assert row["l_discount"] == "(-inf, 0.04)"
+        assert row["outcome"] == pytest.approx(0.4058378655713213, rel=1e-9)
+        assert row["proximity"] == pytest.approx(0.9377054259835678, rel=1e-9)
+        assert row["closeness"] == pytest.approx(1.6326174067427088, rel=1e-9)
+        assert row["n_changes"] == 1
+    # diverse-set golden: assignments and cost ordering
+    cf.generate(query, y=P_TARGET, outcome_type="probability",
+                hard_constraints=["min_outcome"], n_cf=3)
+    assert [tuple(c["assignment"]) for c in cf._cfs] == [
+        (1, 0, 0), (1, 3, 0), (1, 0, 4)]
+    out = cf.display(show_only_changes=False)
+    np.testing.assert_allclose(
+        out["outcome"], [0.40583787, 0.41000044, 0.41814935], rtol=1e-6)
+    np.testing.assert_allclose(
+        out["proximity"], [0.93770543, 1.0, 1.17256153], rtol=1e-6)

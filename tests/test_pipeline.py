@@ -320,3 +320,42 @@ def test_lsh_topk_recall(clustered_corpus):
     exact = brute_force_topk(emb, q, k=5).collect()
     approx = lsh_bucketed_topk(emb, q, dim=8, k=5, n_planes=2).collect()
     assert _recall(approx, exact) >= 0.9
+
+
+def test_decode_features_stub_fallback():
+    """Without codec libraries (this container) — or with them but an
+    undecodable payload — decode_features returns the deterministic
+    stub vector, keeping the mapInPandas pipeline total."""
+    import numpy as np
+
+    from optbinning_spark.pipeline.multimodal import (
+        _decode_stub, decode_features)
+
+    payload = b"definitely not a PNG"
+    got = decode_features(payload, "image")
+    np.testing.assert_array_equal(got, _decode_stub(payload, "image"))
+    got_a = decode_features(payload, "audio")
+    np.testing.assert_array_equal(got_a, _decode_stub(payload, "audio"))
+    with pytest.raises(NotImplementedError):
+        decode_features(payload, "video")
+
+
+def test_decode_features_real_path_when_pil_exists():
+    """Conditional: when Pillow is installed, a real PNG decodes to
+    the 64-dim grayscale thumbnail feature (skipped in containers
+    without codec libs)."""
+    import numpy as np
+
+    from optbinning_spark.pipeline.multimodal import _pil, decode_features
+
+    Image = _pil()
+    if Image is None:
+        pytest.skip("Pillow not installed — stub path covered elsewhere")
+    from io import BytesIO
+
+    img = Image.new("RGB", (32, 16), color=(200, 10, 10))
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    feat = decode_features(buf.getvalue(), "image")
+    assert feat.shape == (64,)
+    assert np.all((feat >= 0.0) & (feat <= 1.0))

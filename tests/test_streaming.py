@@ -312,3 +312,50 @@ def test_stateful_category_stats_stream(spark, tmp_path):
     assert list(got["event_type"]) == list(want["event_type"])
     assert list(got["n"]) == list(want["n"])
     assert list(got["n_event"]) == list(want["n_event"])
+
+
+def test_streaming_solve_cadence_and_convergence(spark, batches, tmp_path):
+    """End-to-end trigger-cadence contract (reference
+    binning_sketch.py:570-647 usage): maxFilesPerTrigger=1 yields one
+    deterministic micro-batch per file; with solve_every=2 the solve
+    callback fires on every second add, and the final emitted binning
+    table converges to the batch fit on the unioned data."""
+    src = str(tmp_path / "cadence_src")
+    for i, b in enumerate(batches[:4]):
+        # one file per logical batch so maxFilesPerTrigger=1 maps
+        # files to micro-batches 1:1
+        b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("x double, y int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sk = OptimalBinningSketch(monotonic_trend="ascending")
+    solved = []
+    q = streaming_binning_query(
+        stream, sk, "x", "y", solve_every=2,
+        on_solve=lambda ob, epoch: solved.append((sk.n_add, ob)),
+    )
+    q.processAllAvailable()
+    q.stop()
+    # 4 single-file micro-batches -> solves after adds 2 and 4
+    assert sk.n_add == 4
+    assert [n for n, _ in solved] == [2, 4]
+    # intermediate solve saw half the data, final solve all of it
+    assert solved[0][1].binning_table.count.sum() == pytest.approx(2000)
+    final = solved[-1][1]
+    assert final.binning_table.count.sum() == pytest.approx(4000)
+    # convergence to the batch fit on the union
+    full = batches[0]
+    for b in batches[1:4]:
+        full = full.union(b)
+    ob_batch = OptimalBinning(prebinning_method="quantile",
+                              monotonic_trend="ascending")
+    ob_batch.fit(full, "x", "y")
+    assert final.binning_table.iv == pytest.approx(
+        ob_batch.binning_table.iv, rel=0.15)
+    rates = [
+        r for r, k in zip(final.binning_table.event_rate,
+                          final.binning_table.kinds) if k == "clean"
+    ]
+    assert all(rates[i + 1] >= rates[i] for i in range(len(rates) - 1))
