@@ -85,6 +85,12 @@ def main():
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
+        # GC between queries: repeated aggregation-heavy fits leave
+        # enough garbage that later queries measure the collector, not
+        # themselves (observed: a sub-second query reading 3s right
+        # after the 16-variable fit). One forced collection puts every
+        # query on the same starting line.
+        spark._jvm.System.gc()
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
 

@@ -22,6 +22,7 @@ projection — one map-only pass for the whole matrix.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -530,7 +531,8 @@ class BinningProcess:
             n_part = work.rdd.getNumPartitions()
         except Exception:  # pragma: no cover — exotic plans
             n_part = par
-        if n_part < max(2, par // 2):
+        if (n_part < max(2, par // 2)
+                and not os.environ.get("SPARK_GRAFT_NO_SPREAD")):
             work = work.repartition(par)
 
         per_var_cap = 4096

@@ -25,7 +25,13 @@ def get_spark(app_name: str = "optbinning_spark", cpus: int | None = None):
         # nanos type — read as long and convert at the query layer
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] runs all N task threads inside the driver JVM: at 32
+        # threads an 8g heap GC-thrashes on aggregation-heavy fits
+        # (measured: repeated 16-variable fits degraded 9s -> 40s from
+        # GC pressure alone; a forced GC restored them). Size the heap
+        # to the machine; on a real cluster executors get their own
+        # memory and this knob is the driver only.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
