@@ -177,9 +177,28 @@ class BinningProcess:
             )
         fused = None
         if fused_eligible:
-            fused = self._fused_fit_stats(
-                work, numeric, categorical, y, sample_weight, classes
-            )
+            # The fused fit reads the working set exactly TWICE (probe
+            # action + stats action); persisting the cleaned frame at
+            # MEMORY_AND_DISK lets the second action skip the scan +
+            # broadcast join + spread exchange. Deliberately only for
+            # wide fits: that is where the recomputed join/shuffle is
+            # material, and where the fit is the whole job. (At 100 TB
+            # this is the standard two-pass persist trade — one
+            # executor-local write/read vs recomputing a joined scan;
+            # MEMORY_AND_DISK spills instead of OOMing.)
+            persisted = None
+            if len(self.variable_names) >= 8:
+                from pyspark import StorageLevel
+
+                work = work.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted = work
+            try:
+                fused = self._fused_fit_stats(
+                    work, numeric, categorical, y, sample_weight, classes
+                )
+            finally:
+                if persisted is not None:
+                    persisted.unpersist()
             classes = self._classes  # probe may have resolved them
         if fused is not None:
             splits_by_var, stats_by_var = fused
@@ -517,24 +536,15 @@ class BinningProcess:
             "double", "float") or dict(work.dtypes).get(y, "").startswith(
             "decimal")
 
-        # Local-parallelism spread: a coarse-grained source (e.g. a
-        # single-row-group parquet file) yields a handful of scan
-        # partitions, serializing both fit aggregations on a few cores
-        # while the rest idle. When the scan grain is coarser than
-        # half the available parallelism, one round-robin repartition
-        # spreads the probe sketches AND the exploded stacked
-        # aggregation across every core. On a real multi-file 100 TB
-        # table partitions >> parallelism, so the gate never fires and
-        # no shuffle is added.
-        par = work.sparkSession.sparkContext.defaultParallelism
-        try:
-            n_part = work.rdd.getNumPartitions()
-        except Exception:  # pragma: no cover — exotic plans
-            n_part = par
-        if (n_part < max(2, par // 2)
-                and not os.environ.get("SPARK_GRAFT_NO_SPREAD")):
-            work = work.repartition(par)
-
+        # NOTE on local parallelism: wide fits (>= 8 variables) get a
+        # round-robin spread() at fit() entry, because there the
+        # exploded stacked aggregation is CPU-bound and a one-row-group
+        # scan pins it to one core. Narrow fits deliberately get NO
+        # repartition here: an interleaved A/B at sf0.1 showed the
+        # shuffle costing ~3x the whole fit (binning_process_summary
+        # 1.4s unshuffled vs 4.6s shuffled, scorecard fit 2.1s vs
+        # 3.7s) — the per-row work at <= 7 variables is too cheap to
+        # amortize a full-data exchange.
         per_var_cap = 4096
         n_hist = 256
         probs = np.linspace(0, 1, n_hist + 1)[1:-1]
@@ -550,6 +560,11 @@ class BinningProcess:
             acc_lit = F.lit(2_000)
             sample_mod = F.lit(20)
             for v in todo:
+                # NB: the distinct count must run over ALL rows — the
+                # 5% gate below is a VALUE-hash sample (whole values in
+                # or out), so a sampled count would read ~nd/20 for any
+                # mid-cardinality column and misclassify it as exact-
+                # path "small", changing the produced splits.
                 probe_aggs.append(
                     F.approx_count_distinct(
                         f"__clean_{v}", rsd=0.05).alias(f"nd_{v}")

@@ -127,12 +127,32 @@ def lsh_candidate_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (id_a < id_b),
     deduplicated across bands. One shuffle on band_key; the join is
-    within-bucket only."""
+    within-bucket only.
+
+    ``max_bucket_size`` is the hot-bucket skew guard for the 100 TB
+    regime: a band bucket of B docs emits B*(B-1)/2 pairs, so one
+    degenerate bucket (boilerplate text, empty docs) can dominate the
+    whole job — 10^6 identical docs would emit 5*10^11 pairs through
+    a single reducer. Buckets larger than the cap are dropped entirely
+    (the standard "too-common band" rule: members that frequent are
+    either exact dups — handled upstream by exact_dedup_groups — or
+    not meaningfully similar). The cap is applied via a pre-join
+    groupBy(count) on the same key as the join, so AQE coalesces the
+    exchange; default None preserves uncapped semantics."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     bands = lsh_bands(sig, id_col, n_hashes, band_size)
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+        bands = bands.join(ok, ["band", "band_key"])
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -315,3 +335,142 @@ def simhash_expr(text: Column, n_bits: int = 32, shingle_n: int = 1) -> Column:
     recomputing every md5 once per output bit."""
     sh = shingles_expr(text, shingle_n) if shingle_n > 1 else F.split(text, " ")
     return simhash_from_hashes(token_hashes_expr(sh), n_bits)
+
+
+# -- duplicate clustering (connected components) --------------------------
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node u links each STRICTLY LARGER
+    neighbor v to m(u) = min(N(u) ∪ {u}).
+
+    Join-based formulation — the textbook map-reduce version groups
+    each node's full neighbor list, which on a hot node (a boilerplate
+    near-dup cluster of 10^7 docs) is a single-reducer OOM. Computing
+    m(u) with groupBy().min() and joining it back keeps every stage
+    streaming: partial aggregation map-side, no materialized
+    neighbor sets anywhere."""
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("src").agg(F.min("dst").alias("__mn"))
+    mins = mins.select(
+        "src", F.least(F.col("src"), F.col("__mn")).alias("__m"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small; every node u links
+    itself and each smaller neighbor to m(u) = min of its smaller
+    neighborhood. Same join-based shape as _large_star."""
+    d = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = d.groupBy("src").agg(F.min("dst").alias("__m"))
+    self_links = mins.select("src", F.col("__m").alias("dst"))
+    neigh_links = (
+        d.join(mins, "src")
+        .filter(F.col("dst") != F.col("__m"))
+        .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+    )
+    return self_links.unionByName(neigh_links).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected edge list — the
+    transitive-closure step a dedup pipeline needs between "candidate
+    pairs" and "keep one doc per duplicate group".
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): converges in
+    O(log^2 n) rounds on ANY graph shape — unlike plain min-label
+    propagation, which needs O(diameter) rounds and dies on long
+    chain-shaped dup clusters. Each round is two shuffles (groupBy
+    min + equi-join on the same key); lineage is truncated per round
+    with an eager localCheckpoint so the plan stays O(1) deep (on a
+    real cluster set spark.sparkContext.setCheckpointDir and swap in
+    .checkpoint() for executor-loss resilience; the driver loop is
+    fine — each round's stats are a 1-row aggregate).
+
+    Returns (node, component): one row per distinct node of ``pairs``,
+    component = the minimum node id of its connected component.
+    """
+    e = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # convergence probe: the canonical edge set is stable once the
+        # forest is a set of depth-1 stars. count + order-independent
+        # hash fold is a 1-row action per round (bit_xor, not sum:
+        # edges are distinct so xor can't cancel a repeat, and it
+        # can't overflow under ANSI mode).
+        stats = e.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("chk"),
+        ).first()
+        cur = (stats["n"], stats["chk"])
+        if cur == prev:
+            break
+        prev = cur
+    # converged: every edge is (member, root). Roots appear only as
+    # dst — union them in as their own component.
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component")).distinct()
+    return members.unionByName(roots).distinct()
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: MinHash → LSH bands →
+    candidate pairs → connected components → (doc_id, cluster_id,
+    is_canonical). Docs in no candidate pair are singleton clusters of
+    themselves. The keep-list for dedup is ``is_canonical`` (the
+    minimum doc id of each cluster — deterministic, join-free to
+    apply: filter is_canonical).
+
+    Reference parity note: the reference engine has no dedup surface;
+    this is the brief-driven LLM-pipeline operator family
+    (SURVEY.md §2 extension)."""
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, n_hashes, band_size, shingle_n,
+        max_bucket_size=max_bucket_size)
+    cc = connected_components(pairs, "id_a", "id_b")
+    docs = df.select(F.col(id_col))
+    joined = docs.join(cc, docs[id_col] == cc["node"], "left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return joined.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("is_canonical"),
+    )

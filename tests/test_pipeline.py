@@ -359,3 +359,105 @@ def test_decode_features_real_path_when_pil_exists():
     feat = decode_features(buf.getvalue(), "image")
     assert feat.shape == (64,)
     assert np.all((feat >= 0.0) & (feat <= 1.0))
+
+
+# -- connected components / duplicate clustering --------------------------
+
+
+def _brute_components(edges, nodes=None):
+    """Union-find ground truth: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for x in list(parent) + list(nodes or []):
+        out[x] = find(x)
+    return out
+
+
+def test_connected_components_random_graph(spark):
+    import random
+
+    from optbinning_spark.pipeline.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    want = _brute_components(edges)
+    assert got == want
+
+
+def test_connected_components_path_graph(spark):
+    """Worst case for plain min-propagation (diameter = n). The
+    large-star/small-star alternation must converge inside the
+    iteration budget and still find one component."""
+    from optbinning_spark.pipeline.dedup import connected_components
+
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    rows = connected_components(df, max_iter=10).collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_duplicate_clusters_end_to_end(spark):
+    """duplicate_clusters == union-find over lsh_candidate_pairs, with
+    singletons for unpaired docs and is_canonical = min-id member."""
+    from optbinning_spark.pipeline.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(docs).collect()
+    ]
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want = _brute_components(pairs, nodes=all_ids)
+    got = duplicate_clusters(docs).collect()
+    assert len(got) == len(all_ids)
+    for r in got:
+        assert r["cluster_id"] == want[r["doc_id"]]
+        assert r["is_canonical"] == (r["cluster_id"] == r["doc_id"])
+    # at least one real multi-doc cluster exists in the fixture
+    assert any(not r["is_canonical"] for r in got)
+
+
+def test_lsh_max_bucket_size_guard(spark):
+    """Hot-bucket cap: identical docs all share every band bucket; a
+    cap below the group size must drop those buckets' pairs while
+    leaving small-bucket pairs intact."""
+    from optbinning_spark.pipeline.dedup import lsh_candidate_pairs
+
+    rows = [(i, "common boilerplate text repeated everywhere "
+                "the same words every time") for i in range(10)]
+    rows += [(100, "a unique document about spark partitioning"),
+             (101, "a unique document about spark partitioning")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    uncapped = lsh_candidate_pairs(df).collect()
+    capped = lsh_candidate_pairs(df, max_bucket_size=5).collect()
+    big = {(a, b) for a, b in ((r["id_a"], r["id_b"]) for r in uncapped)
+           if a < 100}
+    assert len(big) == 45  # 10 choose 2 — uncapped keeps the hot bucket
+    capped_set = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in capped_set
+    assert not any(a < 100 for a, _ in capped_set)
