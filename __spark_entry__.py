@@ -504,6 +504,19 @@ def q_lsh_candidates(spark, sf_dir):
     return lsh_candidate_pairs(docs, n_hashes=8, band_size=2)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate clustering: LSH candidate pairs closed into
+    connected components (large-star/small-star), one row per doc
+    with its cluster id (= min doc_id of the component) and the
+    canonical keep flag. Oracle: the full pipeline — minhash, bands,
+    pairs AND the transitive closure — replayed in SQL (recursive
+    CTE reachability + min-label)."""
+    from optbinning_spark.pipeline.dedup import duplicate_clusters
+
+    docs = _documents(spark, sf_dir)
+    return duplicate_clusters(docs, n_hashes=8, band_size=2)
+
+
 def q_multimodal_features(spark, sf_dir):
     from optbinning_spark.pipeline.multimodal import (
         extract_features,
@@ -1286,7 +1299,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contingency_2d": q_contingency_2d,
         "outlier_yquantile": q_outlier_yquantile,
         "scenario_agg": q_scenario_agg,
-        "lsh_candidates": q_lsh_candidates,
+        # dedup_clusters subsumes lsh_candidates (its oracle replays
+        # minhash + bands + pairs AND the transitive closure), so it
+        # takes the window slot; lsh_candidates keeps its oracle in
+        # the tail for tools/check_correctness
+        "dedup_clusters": q_dedup_clusters,
         "doc_quality": q_doc_quality,
         "bpe_token_count": q_bpe_token_count,
         "class_weight_agg": q_class_weight_agg,
@@ -1312,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    tools/check_correctness) --
         "binning_table_fixed": q_binning_table_fixed,
         "woe_transform": q_woe_transform,
+        "lsh_candidates": q_lsh_candidates,
         "near_dup_cosine": q_near_dup_cosine,
         "scorecard_scores": q_scorecard_scores,
         "scorecard_table": q_scorecard_table,
@@ -2652,6 +2670,51 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
+        """,
+        # dedup_clusters: the lsh_candidates pipeline + transitive
+        # closure. Reachability by recursive CTE (UNION dedups, so the
+        # recursion terminates), component = min reachable node.
+        "dedup_clusters": """
+            WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            sh AS (
+              SELECT doc_id, unnest([array_to_string(words[i:i+2], ' ')
+                                     FOR i IN generate_series(1, len(words)-2)]) AS s
+              FROM w
+            ), h AS (
+              SELECT doc_id, md5('s0|' || s) AS h0, md5('s1|' || s) AS h1 FROM sh
+            ), sig AS (
+              SELECT doc_id,
+                     min(substr(h0, 1, 8)) AS mh0, min(substr(h0, 9, 8)) AS mh1,
+                     min(substr(h0, 17, 8)) AS mh2, min(substr(h0, 25, 8)) AS mh3,
+                     min(substr(h1, 1, 8)) AS mh4, min(substr(h1, 9, 8)) AS mh5,
+                     min(substr(h1, 17, 8)) AS mh6, min(substr(h1, 25, 8)) AS mh7
+              FROM h GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+              UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+              UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+              UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ), sym AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+               WHERE s.b <> r.a
+            ), comp AS (
+              SELECT a AS node, LEAST(a, MIN(b)) AS component
+              FROM reach GROUP BY a
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+                   (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_canonical
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         "doc_quality": f"""
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)

@@ -395,6 +395,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of an undirected edge list — the
     transitive-closure step a dedup pipeline needs between "candidate
@@ -411,6 +412,14 @@ def connected_components(
     .checkpoint() for executor-loss resilience; the driver loop is
     fine — each round's stats are a 1-row aggregate).
 
+    ``driver_threshold``: an edge set that fits comfortably on the
+    driver (default 1M edges ≈ 16 MB) is solved with an in-memory
+    union-find instead — each distributed round costs ~6 small
+    shuffles of fixed overhead, so for the common case (candidate
+    pairs are a tiny fraction of the corpus even at 100 TB) the
+    single collect is strictly cheaper. The distributed loop is the
+    unbounded-scale path; results are identical (tested).
+
     Returns (node, component): one row per distinct node of ``pairs``,
     component = the minimum node id of its connected component.
     """
@@ -420,6 +429,30 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if e.count() <= driver_threshold:
+        parent: dict = {}
+
+        def _find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # one collect, not toLocalIterator: the threshold already
+        # bounds the payload (~16 MB at 1M edges), and per-partition
+        # iterator fetches cost one job round-trip each
+        for r in e.collect():
+            ra, rb = _find(r["src"]), _find(r["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = [(x, _find(x)) for x in parent]
+        schema = e.select(
+            F.col("src").alias("node"), F.col("src").alias("component")
+        ).schema
+        return pairs.sparkSession.createDataFrame(out, schema)
     prev = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

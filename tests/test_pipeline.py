@@ -396,12 +396,19 @@ def test_connected_components_random_graph(spark):
     ]
     edges = [e for e in edges if e[0] != e[1]]
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    want = _brute_components(edges)
+    # distributed star-contraction path (driver fast path disabled)
     got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert got == want
+    # driver union-find fast path (default) must agree exactly
+    got_drv = {
         r["node"]: r["component"]
         for r in connected_components(df).collect()
     }
-    want = _brute_components(edges)
-    assert got == want
+    assert got_drv == want
 
 
 def test_connected_components_path_graph(spark):
@@ -413,7 +420,7 @@ def test_connected_components_path_graph(spark):
     n = 64
     edges = [(i, i + 1) for i in range(n - 1)]
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
-    rows = connected_components(df, max_iter=10).collect()
+    rows = connected_components(df, max_iter=10, driver_threshold=0).collect()
     assert len(rows) == n
     assert {r["component"] for r in rows} == {0}
 
