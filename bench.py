@@ -44,6 +44,8 @@ HEADLINE = [
     # scale-path ANN: bucketed candidate equi-joins + exact verify
     "ann_topk",
     "near_dup_cosine_bucketed",
+    # LSH pairs closed into duplicate groups (connected components)
+    "dedup_clusters",
 ]
 
 

@@ -168,13 +168,18 @@ class BinningProcess:
             from .sources.tables import spread
 
             work = spread(df.sparkSession, work)
-        for v in numeric:
-            work = work.withColumn(
-                f"__clean_{v}",
+        # ONE select for all clean columns — a withColumn loop re-runs
+        # analysis per column (quadratic in variable count; measurable
+        # driver latency on wide fits)
+        work = work.select(
+            "*",
+            *[
                 clean_value_expr(
                     F.col(v).cast("double"), "numerical", self._codes_for(v)
-                ),
-            )
+                ).alias(f"__clean_{v}")
+                for v in numeric
+            ],
+        )
         fused = None
         if fused_eligible:
             # The fused fit reads the working set exactly TWICE (probe
