@@ -599,6 +599,43 @@ def q_scorecard_table(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+def q_scorecard_table_linear(spark, sf_dir):
+    """Scorecard TABLE (per-bin points) for the WLS linear pipeline —
+    the same fit as scorecard_scores_linear, exposing the O12 point
+    scaling itself: min_max slope/shift applied to coef * bin-mean
+    plus the per-variable intercept share. Bins are keyed positionally
+    (bin_index) so the oracle needs no label formatting."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "net_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    bp = BinningProcess(
+        ["l_quantity", "l_discount"],
+        prebinning_method="quantile",
+        max_n_prebins=8,
+        binning_fit_params={
+            "l_quantity": {"monotonic_trend": "descending"},
+            "l_discount": {"monotonic_trend": "descending"},
+        },
+    )
+    sc = Scorecard(bp, estimator="linear", scaling_method="min_max",
+                   scaling_method_params={"min": 0, "max": 100})
+    sc.fit(df, "net_price")
+    pdf = sc.table()
+    rows = []
+    for v in ("l_quantity", "l_discount"):
+        sub = pdf[pdf["variable"] == v].reset_index(drop=True)
+        for i in range(len(sub)):
+            rows.append((
+                v, int(i), int(sub["count"][i]),
+                round(float(sub["points"][i]) + 0.0, 6) + 0.0,
+            ))
+    return spark.createDataFrame(
+        rows, "variable string, bin_index int, count bigint, points double")
+
+
 def q_scorecard_scores(spark, sf_dir):
     """Map-only scorecard scoring over every row."""
     from optbinning_spark import BinningProcess
@@ -1333,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_cosine": q_near_dup_cosine,
         "scorecard_scores": q_scorecard_scores,
         "scorecard_table": q_scorecard_table,
+        "scorecard_table_linear": q_scorecard_table_linear,
         "wide_process_fit": q_wide_process_fit,
         "binning_2d_table": q_binning_2d_table,
         "sketch_binning_table": q_sketch_binning_table,
@@ -1820,6 +1858,73 @@ def _sql_scorecard_scores_linear():
          round(0.0 + sc.slope * ((sc.b0 + sc.b1 * f.f1 + sc.b2 * f.f2) - sc.smin),
                2) + 0.0 AS score
   FROM feat f, scale sc"""
+
+
+def _sql_scorecard_table_linear():
+    """Same pipeline as _sql_scorecard_scores_linear up to the WLS
+    coefficients, then the O12 min_max point allocation per bin:
+    points_v(bin) = slope * coef_v * bin_mean + (shift + slope*b0)/n
+    with slope = (hi-lo)/(smax-smin), shift = lo - slope*smin and
+    smin/smax the extreme achievable raw scores."""
+    net = "l_extendedprice * (1 - l_discount)"
+    chains = (_dp_cte_continuous("l_quantity", net, 8, "descending", "f1_")
+              + "," + _dp_cte_continuous("l_discount", net, 8,
+                                         "descending", "f2_"))
+    return f"""
+  WITH {chains},
+  rows_ AS (
+    SELECT l_quantity AS x1, l_discount AS x2, {net} AS y FROM lineitem),
+  r1 AS (
+    SELECT r.*, len(list_filter(sp.splits, s -> r.x1 >= s)) AS pb1
+    FROM rows_ r, f1_sp sp),
+  r2 AS (
+    SELECT r1.*, len(list_filter(sp.splits, s -> r1.x2 >= s)) AS pb2
+    FROM r1, f2_sp sp),
+  feat AS (
+    SELECT r2.y, b1.s1 / b1.cnt AS f1, b2.s1 / b2.cnt AS f2
+    FROM r2
+    JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
+    JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
+  mu AS (
+    SELECT avg(f1) AS m1, avg(f2) AS m2, avg(y) AS my FROM feat),
+  sums AS (
+    SELECT sum((f1 - mu.m1) * (f1 - mu.m1)) AS c11,
+           sum((f1 - mu.m1) * (f2 - mu.m2)) AS c12,
+           sum((f2 - mu.m2) * (f2 - mu.m2)) AS c22,
+           sum((f1 - mu.m1) * (y - mu.my)) AS c1y,
+           sum((f2 - mu.m2) * (y - mu.my)) AS c2y,
+           any_value(mu.m1) AS m1, any_value(mu.m2) AS m2,
+           any_value(mu.my) AS my
+    FROM feat, mu),
+  coef AS (
+    SELECT (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+           (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2,
+           my - (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) * m1
+              - (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) * m2 AS b0
+    FROM sums),
+  ext AS (
+    SELECT (SELECT min(c.b1 * (b.s1 / b.cnt)) FROM f1_bseg b) AS min1,
+           (SELECT max(c.b1 * (b.s1 / b.cnt)) FROM f1_bseg b) AS max1,
+           (SELECT min(c.b2 * (b.s1 / b.cnt)) FROM f2_bseg b) AS min2,
+           (SELECT max(c.b2 * (b.s1 / b.cnt)) FROM f2_bseg b) AS max2,
+           c.b0, c.b1, c.b2
+    FROM coef c),
+  scale AS (
+    SELECT b0, b1, b2,
+           100.0 / ((max1 + max2 + b0) - (min1 + min2 + b0)) AS slope,
+           0.0 - 100.0 / ((max1 + max2 + b0) - (min1 + min2 + b0))
+               * (min1 + min2 + b0) AS shift
+    FROM ext)
+  SELECT 'l_quantity' AS variable, CAST(b.seg AS INT) AS bin_index,
+         CAST(b.cnt AS BIGINT) AS count,
+         round(sc.slope * sc.b1 * (b.s1 / b.cnt)
+               + (sc.shift + sc.slope * sc.b0) / 2, 6) + 0.0 AS points
+  FROM f1_bseg b, scale sc
+  UNION ALL
+  SELECT 'l_discount', CAST(b.seg AS INT), CAST(b.cnt AS BIGINT),
+         round(sc.slope * sc.b2 * (b.s1 / b.cnt)
+               + (sc.shift + sc.slope * sc.b0) / 2, 6) + 0.0
+  FROM f2_bseg b, scale sc"""
 
 
 def _sql_multiclass_binning_table():
@@ -2873,6 +2978,7 @@ def oracle_sql() -> dict[str, str]:
         "scenario_binning_table": _sql_scenario_binning_table(),
         "multimodal_features": _sql_multimodal_features(),
         "scorecard_scores_linear": _sql_scorecard_scores_linear(),
+        "scorecard_table_linear": _sql_scorecard_table_linear(),
         "multimodal_frames": _sql_multimodal_frames(),
         "cart_splits": _sql_cart_splits(),
         "mdlp_splits": _sql_mdlp_splits(),

@@ -359,3 +359,117 @@ def test_streaming_solve_cadence_and_convergence(spark, batches, tmp_path):
                           final.binning_table.kinds) if k == "clean"
     ]
     assert all(rates[i + 1] >= rates[i] for i in range(len(rates) - 1))
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """One survivor per distinct content hash; a duplicate arriving in
+    a LATER batch is always suppressed (within a batch the survivor is
+    an arbitrary member — dropDuplicates makes no ordering promise)."""
+    from optbinning_spark.streaming.dedup import streaming_exact_dedup
+
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+         (3, "alpha beta gamma")],
+        "doc_id: long, text: string")
+    b1.write.parquet(str(indir / "b1.parquet"))
+    stream = spark.readStream.schema(b1.schema).parquet(str(indir) + "/*")
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory").queryName("sdedup")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame(
+            [(4, "delta epsilon zeta"), (5, "eta theta iota")],
+            "doc_id: long, text: string")
+        b2.write.parquet(str(indir / "b2.parquet"))
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.sql(
+            "SELECT doc_id FROM sdedup").collect()}
+    finally:
+        q.stop()
+    # one of {1, 3} (same-batch dup pair, arbitrary survivor), 2, and
+    # 5; 4 duplicates batch-1 content so it must NOT appear
+    assert len(got) == 3
+    assert 4 not in got
+    assert 2 in got and 5 in got
+    assert got & {1, 3}
+
+
+def test_streaming_signature_dedup_matches_batch_signatures(spark, tmp_path):
+    """Signature-level suppression: doc pairs with IDENTICAL minhash
+    signatures collapse to the first sighting; the streamed
+    signature_key must equal md5(concat of the batch operator's
+    mh0..mh7) for every doc."""
+    from optbinning_spark.pipeline.dedup import minhash_signatures
+    from optbinning_spark.streaming.dedup import streaming_signature_dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(50)
+    # batch signature keys
+    sig = minhash_signatures(docs, n_hashes=8)
+    batch_keys = {
+        r["doc_id"]: r["k"]
+        for r in sig.select(
+            "doc_id",
+            F.md5(F.concat_ws(
+                "|", *[f"mh{i}" for i in range(8)])).alias("k"),
+        ).collect()
+    }
+    indir = tmp_path / "sig_in"
+    indir.mkdir()
+    docs.write.parquet(str(indir / "b1.parquet"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(indir) + "/*")
+    q = (
+        streaming_signature_dedup(stream, n_hashes=8)
+        .writeStream.format("memory").queryName("sigdedup")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT doc_id, signature_key FROM sigdedup").collect()
+    finally:
+        q.stop()
+    for r in rows:
+        assert r["signature_key"] == batch_keys[r["doc_id"]]
+    # exactly one survivor per distinct signature
+    assert len(rows) == len({v for v in batch_keys.values()})
+
+
+def test_streaming_exact_dedup_watermarked_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: dedup within the horizon
+    still suppresses dups that arrive in a later batch."""
+    import datetime as dt
+
+    from optbinning_spark.streaming.dedup import streaming_exact_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    indir = tmp_path / "wm_in"
+    indir.mkdir()
+    schema = "doc_id: long, text: string, ts: timestamp"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta", t0), (2, "gamma delta", t0)], schema)
+    b1.write.parquet(str(indir / "b1.parquet"))
+    stream = spark.readStream.schema(b1.schema).parquet(str(indir) + "/*")
+    q = (
+        streaming_exact_dedup(stream, ts_col="ts", delay="1 hour")
+        .writeStream.format("memory").queryName("wmdedup")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame(
+            [(3, "alpha beta", t0 + dt.timedelta(minutes=5)),
+             (4, "new text here", t0 + dt.timedelta(minutes=5))], schema)
+        b2.write.parquet(str(indir / "b2.parquet"))
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.sql(
+            "SELECT doc_id FROM wmdedup").collect()}
+    finally:
+        q.stop()
+    assert got == {1, 2, 4}
