@@ -328,6 +328,20 @@ def q_event_type_psi(spark, sf_dir):
     )
 
 
+def q_event_psi_monitor(spark, sf_dir):
+    """Streaming drift monitor, batch-checked: the SAME plan
+    streaming_psi_monitor builds (map-side bucketize -> one windowed
+    aggregation -> PSI fold) runs identically over the batch events
+    table (watermark is a no-op in batch), so the oracle hash-checks
+    the streaming operator's arithmetic end-to-end."""
+    from optbinning_spark.streaming.monitor import streaming_psi_monitor
+
+    ev = _events(spark, sf_dir)
+    return streaming_psi_monitor(
+        ev, "value", [50.0, 150.0], [0.3, 0.4, 0.3],
+        ts_col="ts", window="1 day", delay="1 hour")
+
+
 def q_simhash(spark, sf_dir):
     """SimHash document fingerprints (16-bit): per-bit majority vote
     over token hashes — one map-only pass, md5 computed once per
@@ -1320,7 +1334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "event_window_stats": q_event_window_stats,
-        "event_type_psi": q_event_type_psi,
+        # the windowed drift monitor (streaming plan, batch-checked)
+        # takes event_type_psi's slot — both are M11 PSI over events,
+        # and the monitor adds windowing + drift levels on top;
+        # event_type_psi keeps its oracle in the tail
+        "event_psi_monitor": q_event_psi_monitor,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "cart_splits": q_cart_splits,
@@ -1371,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorecard_scores": q_scorecard_scores,
         "scorecard_table": q_scorecard_table,
         "scorecard_table_linear": q_scorecard_table_linear,
+        "event_type_psi": q_event_type_psi,
         "wide_process_fit": q_wide_process_fit,
         "binning_2d_table": q_binning_2d_table,
         "sketch_binning_table": q_sketch_binning_table,
@@ -2979,6 +2998,41 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _sql_multimodal_features(),
         "scorecard_scores_linear": _sql_scorecard_scores_linear(),
         "scorecard_table_linear": _sql_scorecard_table_linear(),
+        # event_psi_monitor: streaming_psi_monitor's exact plan over
+        # the batch events table. splits [50, 150], expected
+        # [0.3, 0.4, 0.3]; psi term (a-e)*ln(a/e), empty bins -> 0.
+        "event_psi_monitor": """
+            WITH agg AS (
+              SELECT date_trunc('day', ts) AS window_start,
+                     count(*) AS n_events,
+                     count(*) FILTER (WHERE value < 50.0) AS n0,
+                     count(*) FILTER (WHERE value >= 50.0 AND value < 150.0) AS n1,
+                     count(*) FILTER (WHERE value >= 150.0) AS n2
+              FROM events GROUP BY 1
+            ), p AS (
+              SELECT window_start,
+                     window_start + INTERVAL 1 DAY AS window_end,
+                     CAST(n_events AS BIGINT) AS n_events,
+                     round(
+                       (CASE WHEN n0 > 0 THEN
+                          (n0 / CAST(n_events AS DOUBLE) - 0.3)
+                          * ln(n0 / CAST(n_events AS DOUBLE) / 0.3) ELSE 0 END)
+                     + (CASE WHEN n1 > 0 THEN
+                          (n1 / CAST(n_events AS DOUBLE) - 0.4)
+                          * ln(n1 / CAST(n_events AS DOUBLE) / 0.4) ELSE 0 END)
+                     + (CASE WHEN n2 > 0 THEN
+                          (n2 / CAST(n_events AS DOUBLE) - 0.3)
+                          * ln(n2 / CAST(n_events AS DOUBLE) / 0.3) ELSE 0 END),
+                       6) + 0.0 AS psi
+              FROM agg
+            )
+            SELECT window_start, window_end, n_events, psi,
+                   CASE WHEN psi < 0.1 THEN 'insignificant'
+                        WHEN psi < 0.25 THEN 'requires investigation'
+                        ELSE 'significant' END AS drift_level,
+                   psi >= 0.25 AS breach
+            FROM p
+        """,
         "multimodal_frames": _sql_multimodal_frames(),
         "cart_splits": _sql_cart_splits(),
         "mdlp_splits": _sql_mdlp_splits(),

@@ -473,3 +473,63 @@ def test_streaming_exact_dedup_watermarked_state(spark, tmp_path):
     finally:
         q.stop()
     assert got == {1, 2, 4}
+
+
+def test_streaming_psi_monitor(spark, tmp_path):
+    """Windowed PSI drift alarm: a window matching the baseline mix
+    reads ~0 PSI, a drifted window breaches; values equal the batch
+    PSI formula on the same counts."""
+    import datetime as dt
+    import math
+
+    from optbinning_spark.streaming.monitor import streaming_psi_monitor
+
+    splits = [10.0, 20.0]                 # 3 bins: <10, [10,20), >=20
+    expected = [0.5, 0.3, 0.2]
+    day1 = dt.datetime(2026, 1, 1, 0, 30)
+    day2 = dt.datetime(2026, 1, 2, 0, 30)
+    rows = []
+    # day 1: exactly the expected mix over 100 events
+    for i in range(50):
+        rows.append((5.0, day1))
+    for i in range(30):
+        rows.append((15.0, day1))
+    for i in range(20):
+        rows.append((25.0, day1))
+    # day 2: drifted hard (all mass in the last bin)
+    for i in range(100):
+        rows.append((25.0, day2))
+    indir = tmp_path / "psi_in"
+    indir.mkdir()
+    schema = "score: double, ts: timestamp"
+    b1 = spark.createDataFrame(rows, schema)
+    b1.write.parquet(str(indir / "b1.parquet"))
+    stream = spark.readStream.schema(b1.schema).parquet(str(indir) + "/*")
+    q = (
+        streaming_psi_monitor(
+            stream, "score", splits, expected,
+            ts_col="ts", window="1 day", delay="1 hour")
+        .writeStream.format("memory").queryName("psimon")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # flush: a far-future event advances the watermark past both
+        # windows so append mode finalizes them
+        spark.createDataFrame(
+            [(0.0, dt.datetime(2026, 1, 10))], schema
+        ).write.parquet(str(indir / "b2.parquet"))
+        q.processAllAvailable()
+        got = {
+            r["window_start"].day: r
+            for r in spark.sql("SELECT * FROM psimon").collect()
+        }
+    finally:
+        q.stop()
+    assert got[1]["psi"] == 0.0 and got[1]["drift_level"] == "insignificant"
+    assert not got[1]["breach"]
+    # day-2 PSI: only bin 3 populated -> (1-0.2)*ln(1/0.2)
+    want = (1.0 - 0.2) * math.log(1.0 / 0.2)
+    assert abs(got[2]["psi"] - round(want, 6)) < 1e-9
+    assert got[2]["drift_level"] == "significant" and got[2]["breach"]
+    assert got[1]["n_events"] == 100 and got[2]["n_events"] == 100
