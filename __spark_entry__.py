@@ -352,6 +352,18 @@ def q_simhash(spark, sf_dir):
     return simhash(docs, "text", "doc_id", n_bits=16)
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """Banded SimHash near-dup pairs: band-slice equi-join + exact
+    bit_count(xor) verify; exact (recall 1.0) for hamming <=
+    n_bands - 1 by pigeonhole."""
+    from optbinning_spark.pipeline.dedup import simhash_candidate_pairs
+
+    docs = _documents(spark, sf_dir)
+    return simhash_candidate_pairs(
+        docs, n_bits=16, n_bands=4, max_hamming=3, shingle_n=1
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling polynomial fingerprint of the token stream (order
     sensitive, mod 2^31-1) — map-only."""
@@ -1385,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binning_table_fixed": q_binning_table_fixed,
         "woe_transform": q_woe_transform,
         "lsh_candidates": q_lsh_candidates,
+        "simhash_pairs": q_simhash_pairs,
         "near_dup_cosine": q_near_dup_cosine,
         "scorecard_scores": q_scorecard_scores,
         "scorecard_table": q_scorecard_table,
@@ -2595,6 +2608,21 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, tot
         """,
         "simhash": _simhash_oracle_sql(16),
+        # simhash_pairs: banded fingerprint join; width 16/4 = 4 bits
+        "simhash_pairs": f"""
+            WITH fp AS ({_simhash_oracle_sql(16)}),
+            bands AS (
+              SELECT doc_id, simhash, t.b AS band,
+                     (simhash >> (t.b * 4)) & 15 AS band_key
+              FROM fp, generate_series(0, 3) t(b)
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "doc_fingerprint": """
             SELECT doc_id,
                    list_reduce(

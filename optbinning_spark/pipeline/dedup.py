@@ -272,6 +272,11 @@ def simhash_from_hashes(hashes: Column, n_bits: int = 32) -> Column:
     hashes (top 32 md5 bits): per-bit majority vote. Each vote is a
     cheap bitwiseAND traversal; the md5s are computed once by the
     caller's projection, not once per bit."""
+    if n_bits > 32:
+        # the token hashes carry 32 independent bits; bit b votes on
+        # hash bit b % 32, so n_bits > 32 would silently emit copies
+        # of bits 0-31 (zero extra discrimination)
+        raise ValueError("simhash supports at most 32 bits per token hash")
 
     def _vote(mask: int):
         # single-arg lambdas only: 2-arg merge lambda is (acc, x)
@@ -335,6 +340,79 @@ def simhash_expr(text: Column, n_bits: int = 32, shingle_n: int = 1) -> Column:
     recomputing every md5 once per output bit."""
     sh = shingles_expr(text, shingle_n) if shingle_n > 1 else F.split(text, " ")
     return simhash_from_hashes(token_hashes_expr(sh), n_bits)
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    shingle_n: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band the fingerprint into
+    ``n_bands`` contiguous bit slices, equi-join docs sharing any
+    band slice, verify Hamming distance <= ``max_hamming``.
+
+    By pigeonhole, any pair within Hamming distance <= n_bands - 1
+    agrees on at least one full band, so with the default
+    max_hamming = n_bands - 1 the banded join is EXACT (recall 1.0)
+    while never comparing all pairs — the same bucket-join shape as
+    MinHash-LSH (one shuffle on the band key), with the verify step a
+    cheap bit_count(xor) instead of a shingle intersection.
+
+    ``max_bucket_size``: same too-common-band guard as
+    lsh_candidate_pairs (a degenerate slice bucket emits B^2/2
+    candidate pairs).
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            "banded SimHash is only exact for max_hamming <= n_bands-1; "
+            f"got max_hamming={max_hamming}, n_bands={n_bands}")
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    fp = simhash(df, text_col, id_col, n_bits, shingle_n)
+    bands = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask)).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ])).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.band_key")
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+        bands = bands.join(ok, ["band", "band_key"])
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
 
 
 # -- duplicate clustering (connected components) --------------------------

@@ -468,3 +468,36 @@ def test_lsh_max_bucket_size_guard(spark):
     capped_set = {(r["id_a"], r["id_b"]) for r in capped}
     assert (100, 101) in capped_set
     assert not any(a < 100 for a, _ in capped_set)
+
+
+def test_simhash_banded_pairs_exact(spark):
+    """Pigeonhole exactness: with max_hamming = n_bands - 1 the banded
+    join must find EXACTLY the brute-force Hamming pairs."""
+    from optbinning_spark.pipeline.dedup import simhash, simhash_candidate_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fps = {r["doc_id"]: r["simhash"]
+           for r in simhash(docs, n_bits=16).collect()}
+    ids = sorted(fps)
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidate_pairs(
+            docs, n_bits=16, n_bands=4, max_hamming=3).collect()
+    }
+    assert got == want
+    assert want  # fixture has at least one near-dup pair
+
+
+def test_simhash_banded_pairs_rejects_bad_config(spark):
+    import pytest as _pt
+
+    from optbinning_spark.pipeline.dedup import simhash_candidate_pairs
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
+    with _pt.raises(ValueError):
+        simhash_candidate_pairs(docs, n_bands=4, max_hamming=4)
