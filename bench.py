@@ -154,10 +154,17 @@ def _scale_section(spark, sf_dir, qs, n_files=32):
         open(marker, "w").close()
     out = {}
     for name in SCALE_QUERIES:
-        t0 = time.time()
-        qs[name](spark, mrg).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+        best = None
+        # min-of-2: single-shot scale numbers showed +-50% run-to-run
+        # noise in round 4 (enough to read as a layout regression)
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, mrg).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        out[name] = round(best, 3)
     return {"n_files": n_files, "queries": out,
             "total": round(sum(out.values()), 3)}
 
