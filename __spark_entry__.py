@@ -352,6 +352,28 @@ def q_simhash(spark, sf_dir):
     return simhash(docs, "text", "doc_id", n_bits=16)
 
 
+def q_doc_split_assignment(spark, sf_dir):
+    """Deterministic train/val/test split by salted-md5 hash gate —
+    map-only, partition-independent, reproducible on any cluster."""
+    from optbinning_spark.pipeline.sampling import hash_split
+
+    docs = _documents(spark, sf_dir)
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+def q_stratified_doc_sample(spark, sf_dir):
+    """Deterministic per-language quota sampling: downsample 'en' to
+    30%, keep other languages whole. Pure map-side filter."""
+    from optbinning_spark.pipeline.sampling import stratified_hash_sample
+
+    docs = _documents(spark, sf_dir)
+    return stratified_hash_sample(
+        docs, "lang", {"en": 0.3}, default_fraction=1.0
+    ).select("doc_id", "lang")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Banded SimHash near-dup pairs: band-slice equi-join + exact
     bit_count(xor) verify; exact (recall 1.0) for hamming <=
@@ -1398,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_transform": q_woe_transform,
         "lsh_candidates": q_lsh_candidates,
         "simhash_pairs": q_simhash_pairs,
+        "doc_split_assignment": q_doc_split_assignment,
+        "stratified_doc_sample": q_stratified_doc_sample,
         "near_dup_cosine": q_near_dup_cosine,
         "scorecard_scores": q_scorecard_scores,
         "scorecard_table": q_scorecard_table,
@@ -2608,6 +2632,28 @@ def oracle_sql() -> dict[str, str]:
             FROM agg, tot
         """,
         "simhash": _simhash_oracle_sql(16),
+        # doc_split_assignment / stratified_doc_sample: salted-md5
+        # uniform gate u = int(md5(salt|key)[:8])/2^32, replayed
+        # exactly (Spark conv(substr(md5)) == DuckDB ::BIGINT of 0x)
+        "doc_split_assignment": """
+            WITH u AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
+        """,
+        "stratified_doc_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0
+                  < (CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END)
+        """,
         # simhash_pairs: banded fingerprint join; width 16/4 = 4 bits
         "simhash_pairs": f"""
             WITH fp AS ({_simhash_oracle_sql(16)}),

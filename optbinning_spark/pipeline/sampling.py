@@ -1,0 +1,81 @@
+"""Deterministic sampling / dataset-split operators.
+
+A 100 TB training-data pipeline needs REPRODUCIBLE sampling: the same
+document must land in the same split on every run, on every cluster,
+regardless of partitioning — which rules out ``rand()`` (per-task
+seeds) and ``df.sample`` (partition-order dependent). Everything here
+gates on a salted md5 of a stable key instead:
+
+    u(key) = int(md5(salt | key)[:8 hex]) / 2^32   in [0, 1)
+
+- map-only (no shuffle, no state), safe under retries/speculation;
+- the salt decorrelates independent sampling decisions on the same key
+  (e.g. a split gate and a downstream subsample gate);
+- md5 (not xxhash) so every operator is replayable in ANSI SQL for the
+  DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_U32 = float(1 << 32)
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) from a stable key: the top 32 bits
+    of md5(salt | key) scaled. Same key + salt -> same value anywhere."""
+    h = F.md5(F.concat(F.lit(f"{salt}|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_U32)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by
+    cumulative thresholds over the key's uniform hash. Deterministic,
+    disjoint, exhaustive (fractions must sum to 1 within 1e-9);
+    map-only so it composes with any downstream plan at any scale."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = hash_uniform(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        expr = (F.when(u < acc, name) if expr is None
+                else expr.when(u < acc, name))
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1]))
+    return df.select("*", expr.alias("split"))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows: stratum s
+    keeps rows with u(id) < fractions.get(s, default_fraction). The
+    standard quota-rebalancing step (e.g. downsample dominant
+    languages, keep all of rare ones) as a pure map-side filter — no
+    per-stratum counts, no shuffle, exact reproducibility."""
+    u = hash_uniform(F.col(id_col), salt)
+    s = F.col(strata_col)
+    thr = None
+    for k, frac in fractions.items():
+        cond = s == F.lit(k)
+        thr = (F.when(cond, float(frac)) if thr is None
+               else thr.when(cond, float(frac)))
+    thr = (F.lit(float(default_fraction)) if thr is None
+           else thr.otherwise(float(default_fraction)))
+    return df.filter(u < thr)

@@ -501,3 +501,60 @@ def test_simhash_banded_pairs_rejects_bad_config(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
     with _pt.raises(ValueError):
         simhash_candidate_pairs(docs, n_bands=4, max_hamming=4)
+
+
+# -- deterministic sampling / splits --------------------------------------
+
+
+def test_hash_split_disjoint_exhaustive_deterministic(spark):
+    from optbinning_spark.pipeline.sampling import hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", fr).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", fr).collect()}
+    assert a == b  # bit-stable across runs
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= set(fr)
+    assert sum(c.values()) == n  # exhaustive
+    assert abs(c["train"] / n - 0.8) < 0.06  # 500 docs, ~2 sigma
+    # different salt -> different assignment (decorrelated)
+    c2 = {r["doc_id"]: r["split"]
+          for r in hash_split(docs, "doc_id", fr, salt="other").collect()}
+    assert c2 != a
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    import pytest as _pt
+
+    from optbinning_spark.pipeline.sampling import hash_split
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    with _pt.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_hash_sample(spark):
+    from optbinning_spark.pipeline.sampling import stratified_hash_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    langs = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    major = max(langs, key=langs.get)
+    out = stratified_hash_sample(
+        docs, "lang", {major: 0.3}, default_fraction=1.0)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # non-major strata kept whole; major downsampled to ~30%
+    for k, v in langs.items():
+        if k != major:
+            assert got.get(k) == v
+    assert 0.1 < got[major] / langs[major] < 0.5
+    # deterministic: same rows both times
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in stratified_hash_sample(
+        docs, "lang", {major: 0.3}, default_fraction=1.0).collect()}
+    assert ids1 == ids2
