@@ -558,3 +558,24 @@ def test_stratified_hash_sample(spark):
     ids2 = {r["doc_id"] for r in stratified_hash_sample(
         docs, "lang", {major: 0.3}, default_fraction=1.0).collect()}
     assert ids1 == ids2
+
+
+def test_connected_components_empty_and_no_pairs(spark):
+    from optbinning_spark.pipeline.dedup import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    empty = spark.createDataFrame([], "id_a: long, id_b: long")
+    assert connected_components(empty).count() == 0
+    assert connected_components(empty, driver_threshold=0).count() == 0
+    # corpus with no near-dups: every doc is its own canonical cluster
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "red orange yellow green blue indigo violet")],
+        "doc_id: long, text: string")
+    rows = duplicate_clusters(docs).collect()
+    assert len(rows) == 3
+    assert all(r["is_canonical"] and r["cluster_id"] == r["doc_id"]
+               for r in rows)

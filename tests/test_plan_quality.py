@@ -208,3 +208,26 @@ def test_salted_categorical_agg_two_stage_and_correct(spark):
     assert plan.count("Exchange hashpartitioning") >= 2, plan
     # phase-1 grouping carries the partition-id salt key
     assert "SPARK_PARTITION_ID" in plan.upper(), plan
+
+
+def test_sampling_ops_are_map_only(spark):
+    """hash_split and stratified_hash_sample must add NO exchange and
+    preserve scan-level column pruning — they are pure map-side gates
+    a 100 TB pipeline can fuse into any scan."""
+    from optbinning_spark.pipeline.sampling import (
+        hash_split,
+        stratified_hash_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    split = hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1}) \
+        .select("doc_id", "split")
+    plan = _plan(split)
+    assert "Exchange" not in plan, plan
+    samp = stratified_hash_sample(
+        docs, "lang", {"en": 0.3}, default_fraction=1.0
+    ).select("doc_id", "lang")
+    plan2 = _plan(samp)
+    assert "Exchange" not in plan2, plan2
+    # column pruning reaches the scan: text is never read
+    assert "text" not in plan2.split("ReadSchema")[-1], plan2
