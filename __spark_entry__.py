@@ -792,6 +792,98 @@ def q_contingency_2d(spark, sf_dir):
     )
 
 
+def q_binning_2d_pinned(spark, sf_dir):
+    """O8 on a pinned 2x2 grid: user splits (x=25, y=30000) make the
+    rectangle cover SQL-enumerable — a 2x2 grid has exactly 8
+    rectangle partitions, so the oracle enumerates all of them,
+    applies the min_bin_size=0.3 feasibility rule per rectangle, and
+    takes the IV argmax; output is the winning partition's per-rect
+    stats (sorted by corner, so the solver's internal rect order
+    doesn't matter)."""
+    from optbinning_spark.binning_2d import OptimalBinning2D
+
+    df = _lineitem(spark, sf_dir)
+    ob = OptimalBinning2D(
+        prebinning_method="quantile",
+        max_n_prebins_x=2, max_n_prebins_y=2,
+        min_bin_size=0.3,
+        user_splits_x=[25.0], user_splits_y=[30000.0],
+    )
+    ob.fit(df, "l_quantity", "l_extendedprice", "y")
+    rows = []
+    for i, (r1, r2, c1, c2) in enumerate(ob.rects_):
+        rows.append((
+            int(r1), int(r2), int(c1), int(c2),
+            int(ob.count_[i]),
+            int(ob.n_nonevent_[i]),
+            int(ob.n_event_[i]),
+            round(float(ob.woe_[i]) + 0.0, 6) + 0.0,
+            round(float(ob.iv_per_bin_[i]) + 0.0, 6) + 0.0,
+        ))
+    rows.sort()
+    return spark.createDataFrame(
+        rows,
+        "r1 int, r2 int, c1 int, c2 int, count bigint, "
+        "n_nonevent bigint, n_event bigint, woe double, iv double")
+
+
+def _sql_binning_2d_pinned():
+    """All 8 rectangle partitions of the pinned 2x2 grid, feasibility
+    (ne>0, ev>0, count >= 0.3*total) per rectangle, IV argmax."""
+    # rect id -> (r1, r2, c1, c2) over prebin indices (x-axis = r)
+    rects = [(0, 1, 0, 1), (0, 1, 1, 2), (1, 2, 0, 1), (1, 2, 1, 2),
+             (0, 1, 0, 2), (1, 2, 0, 2), (0, 2, 0, 1), (0, 2, 1, 2),
+             (0, 2, 0, 2)]
+    parts = [[8], [4, 5], [6, 7], [0, 1, 2, 3],
+             [4, 2, 3], [5, 0, 1], [6, 1, 3], [7, 0, 2]]
+    rsel = " UNION ALL ".join(
+        f"SELECT {i} AS rid, {r1} AS r1, {r2} AS r2, {c1} AS c1, {c2} AS c2, "
+        f"(SELECT coalesce(sum(ne),0) FROM cells WHERE bx >= {r1} AND bx < {r2} "
+        f"AND by >= {c1} AND by < {c2}) AS ne, "
+        f"(SELECT coalesce(sum(ev),0) FROM cells WHERE bx >= {r1} AND bx < {r2} "
+        f"AND by >= {c1} AND by < {c2}) AS ev"
+        for i, (r1, r2, c1, c2) in enumerate(rects))
+    psel = " UNION ALL ".join(
+        f"SELECT {p} AS pid, {rid} AS rid"
+        for p, rids in enumerate(parts) for rid in rids)
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    return f"""
+  WITH cells AS (
+    SELECT (CASE WHEN l_quantity < 25.0 THEN 0 ELSE 1 END) AS bx,
+           (CASE WHEN l_extendedprice < 30000.0 THEN 0 ELSE 1 END) AS by,
+           CAST(count(*) FILTER (WHERE {y} = 0) AS DOUBLE) AS ne,
+           CAST(count(*) FILTER (WHERE {y} = 1) AS DOUBLE) AS ev
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+      AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+    GROUP BY 1, 2),
+  tot AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev FROM cells),
+  rectstats AS ({rsel}),
+  rectx AS (
+    SELECT r.*,
+           (r.ne > 0 AND r.ev > 0
+            AND r.ne + r.ev >= 0.3 * (t.t_ne + t.t_ev)) AS feas,
+           (r.ev / t.t_ev - r.ne / t.t_ne)
+             * ln((r.ev / t.t_ev) / (r.ne / t.t_ne)) AS term,
+           t.t_ne, t.t_ev
+    FROM rectstats r, tot t),
+  partrects AS ({psel}),
+  cand AS (
+    SELECT p.pid, bool_and(x.feas) AS feas, sum(x.term) AS obj
+    FROM partrects p JOIN rectx x ON x.rid = p.rid
+    GROUP BY p.pid),
+  best AS (SELECT pid FROM cand WHERE feas ORDER BY obj DESC, pid LIMIT 1)
+  SELECT x.r1, x.r2, x.c1, x.c2,
+         CAST(x.ne + x.ev AS BIGINT) AS count,
+         CAST(x.ne AS BIGINT) AS n_nonevent,
+         CAST(x.ev AS BIGINT) AS n_event,
+         round(ln((x.ne / x.t_ne) / (x.ev / x.t_ev)), 6) + 0.0 AS woe,
+         round(x.term, 6) + 0.0 AS iv
+  FROM partrects p
+  JOIN rectx x ON x.rid = p.rid
+  WHERE p.pid = (SELECT pid FROM best)"""
+
+
 def q_binning_2d_table(spark, sf_dir):
     """O8: 2-D optimal binning via guillotine-partition DP."""
     from optbinning_spark.binning_2d import OptimalBinning2D
@@ -1429,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_psi": q_event_type_psi,
         "wide_process_fit": q_wide_process_fit,
         "binning_2d_table": q_binning_2d_table,
+        "binning_2d_pinned": q_binning_2d_pinned,
         "sketch_binning_table": q_sketch_binning_table,
         "psi_variable_report": q_psi_variable_report,
         "continuous_binning_2d_table": q_continuous_binning_2d_table,
@@ -3072,6 +3165,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _sql_multimodal_features(),
         "scorecard_scores_linear": _sql_scorecard_scores_linear(),
         "scorecard_table_linear": _sql_scorecard_table_linear(),
+        "binning_2d_pinned": _sql_binning_2d_pinned(),
         # event_psi_monitor: streaming_psi_monitor's exact plan over
         # the batch events table. splits [50, 150], expected
         # [0.3, 0.4, 0.3]; psi term (a-e)*ln(a/e), empty bins -> 0.

@@ -58,6 +58,8 @@ class OptimalBinning2D:
         min_bin_size: float | None = None,
         divergence: str = "iv",
         show_digits: int = 2,
+        user_splits_x=None,
+        user_splits_y=None,
     ):
         self.name_x = name_x
         self.name_y = name_y
@@ -69,6 +71,11 @@ class OptimalBinning2D:
         self.min_bin_size = min_bin_size
         self.divergence = divergence
         self.show_digits = show_digits
+        # pinned axis grids (B6 analog for the 2-D grid strategy):
+        # skip the prebinning proposal entirely and solve on the given
+        # edges — also what makes the rectangle DP SQL-replayable
+        self.user_splits_x = user_splits_x
+        self.user_splits_y = user_splits_y
         self._fitted = False
 
     def fit(self, df: DataFrame, x: str, y: str, target: str):
@@ -81,7 +88,10 @@ class OptimalBinning2D:
         )
         # axis prebins: per-axis 1-D proposal vs the target (reference
         # "grid" strategy, binning_2d.py:627-665)
-        if self.prebinning_method == "cart":
+        if self.user_splits_x is not None and self.user_splits_y is not None:
+            qx = list(self.user_splits_x)
+            qy = list(self.user_splits_y)
+        elif self.prebinning_method == "cart":
             from .operators.prebinning import compute_prebins
 
             qx = compute_prebins(
