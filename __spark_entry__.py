@@ -897,6 +897,86 @@ def q_binning_2d_table(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+def q_continuous_binning_2d_pinned(spark, sf_dir):
+    """O8 continuous on a pinned 2x2 grid (x=l_quantity split 25,
+    y=l_discount split 0.05, target l_extendedprice): same 8-partition
+    SQL enumeration as binning_2d_pinned with the |mean - total_mean|
+    objective and min_bin_size feasibility."""
+    from optbinning_spark.binning_2d import ContinuousOptimalBinning2D
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem"))
+    ob = ContinuousOptimalBinning2D(
+        prebinning_method="quantile",
+        max_n_prebins_x=2, max_n_prebins_y=2,
+        min_bin_size=0.3,
+        user_splits_x=[25.0], user_splits_y=[0.05],
+    )
+    ob.fit(df, "l_quantity", "l_discount", "l_extendedprice")
+    rows = []
+    for i, (r1, r2, c1, c2) in enumerate(ob.rects_):
+        rows.append((
+            int(r1), int(r2), int(c1), int(c2),
+            int(ob.count_[i]),
+            round(float(ob.mean_[i]) + 0.0, 4) + 0.0,
+            round(float(ob.iv_values_[i]) + 0.0, 6) + 0.0,
+        ))
+    rows.sort()
+    return spark.createDataFrame(
+        rows,
+        "r1 int, r2 int, c1 int, c2 int, count bigint, "
+        "mean double, iv double")
+
+
+def _sql_continuous_binning_2d_pinned():
+    rects = [(0, 1, 0, 1), (0, 1, 1, 2), (1, 2, 0, 1), (1, 2, 1, 2),
+             (0, 1, 0, 2), (1, 2, 0, 2), (0, 2, 0, 1), (0, 2, 1, 2),
+             (0, 2, 0, 2)]
+    parts = [[8], [4, 5], [6, 7], [0, 1, 2, 3],
+             [4, 2, 3], [5, 0, 1], [6, 1, 3], [7, 0, 2]]
+    rsel = " UNION ALL ".join(
+        f"SELECT {i} AS rid, {r1} AS r1, {r2} AS r2, {c1} AS c1, {c2} AS c2, "
+        f"(SELECT coalesce(sum(n),0) FROM cells WHERE bx >= {r1} AND bx < {r2} "
+        f"AND by >= {c1} AND by < {c2}) AS n, "
+        f"(SELECT coalesce(sum(s1),0) FROM cells WHERE bx >= {r1} AND bx < {r2} "
+        f"AND by >= {c1} AND by < {c2}) AS s1"
+        for i, (r1, r2, c1, c2) in enumerate(rects))
+    psel = " UNION ALL ".join(
+        f"SELECT {p} AS pid, {rid} AS rid"
+        for p, rids in enumerate(parts) for rid in rids)
+    return f"""
+  WITH cells AS (
+    SELECT (CASE WHEN l_quantity < 25.0 THEN 0 ELSE 1 END) AS bx,
+           (CASE WHEN l_discount < 0.05 THEN 0 ELSE 1 END) AS by,
+           CAST(count(*) AS DOUBLE) AS n,
+           sum(l_extendedprice) AS s1
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+      AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+      AND l_discount IS NOT NULL AND NOT isnan(l_discount)
+    GROUP BY 1, 2),
+  tot AS (SELECT sum(n) AS t_n, sum(s1) / sum(n) AS t_mean FROM cells),
+  rectstats AS ({rsel}),
+  rectx AS (
+    SELECT r.*,
+           (r.n > 0 AND r.n >= 0.3 * t.t_n) AS feas,
+           abs(r.s1 / r.n - t.t_mean) AS term,
+           t.t_n, t.t_mean
+    FROM rectstats r, tot t),
+  partrects AS ({psel}),
+  cand AS (
+    SELECT p.pid, bool_and(x.feas) AS feas, sum(x.term) AS obj
+    FROM partrects p JOIN rectx x ON x.rid = p.rid
+    GROUP BY p.pid),
+  best AS (SELECT pid FROM cand WHERE feas ORDER BY obj DESC, pid LIMIT 1)
+  SELECT x.r1, x.r2, x.c1, x.c2,
+         CAST(x.n AS BIGINT) AS count,
+         round(x.s1 / x.n, 4) + 0.0 AS mean,
+         round(abs(x.s1 / x.n - x.t_mean) * x.n / x.t_n, 6) + 0.0 AS iv
+  FROM partrects p
+  JOIN rectx x ON x.rid = p.rid
+  WHERE p.pid = (SELECT pid FROM best)"""
+
+
 def q_continuous_binning_2d_table(spark, sf_dir):
     """O8 continuous: 2-D mean-objective rectangle binning."""
     from optbinning_spark.binning_2d import ContinuousOptimalBinning2D
@@ -1522,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wide_process_fit": q_wide_process_fit,
         "binning_2d_table": q_binning_2d_table,
         "binning_2d_pinned": q_binning_2d_pinned,
+        "continuous_binning_2d_pinned": q_continuous_binning_2d_pinned,
         "sketch_binning_table": q_sketch_binning_table,
         "psi_variable_report": q_psi_variable_report,
         "continuous_binning_2d_table": q_continuous_binning_2d_table,
@@ -3166,6 +3247,7 @@ def oracle_sql() -> dict[str, str]:
         "scorecard_scores_linear": _sql_scorecard_scores_linear(),
         "scorecard_table_linear": _sql_scorecard_table_linear(),
         "binning_2d_pinned": _sql_binning_2d_pinned(),
+        "continuous_binning_2d_pinned": _sql_continuous_binning_2d_pinned(),
         # event_psi_monitor: streaming_psi_monitor's exact plan over
         # the batch events table. splits [50, 150], expected
         # [0.3, 0.4, 0.3]; psi term (a-e)*ln(a/e), empty bins -> 0.

@@ -374,7 +374,10 @@ class ContinuousOptimalBinning2D(OptimalBinning2D):
             & F.col(x).isNotNull() & ~F.isnan(F.col(x).cast("double"))
             & F.col(y).isNotNull() & ~F.isnan(F.col(y).cast("double"))
         )
-        if self.prebinning_method == "cart":
+        if self.user_splits_x is not None and self.user_splits_y is not None:
+            qx = list(self.user_splits_x)
+            qy = list(self.user_splits_y)
+        elif self.prebinning_method == "cart":
             from .operators.prebinning import compute_prebins
 
             qx = compute_prebins(
