@@ -1523,7 +1523,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_golden_parity.py, tests/test_*).
     return {
         # -- oracle-backed (hash-checked vs DuckDB) --
-        "sample_class_counts": q_sample_class_counts,
+        # binning_2d_pinned takes sample_class_counts' window slot (the
+        # P1 sample-class expression remains driver-covered through
+        # special_missing_stats, its strict superset); the 2-D
+        # rectangle solver was the last big solver family without a
+        # driver-grade oracle. sample_class_counts keeps its oracle in
+        # the tail for tools/check_correctness.
+        "binning_2d_pinned": q_binning_2d_pinned,
         "prebin_counts": q_prebin_counts,
         "ivf_topk_pinned": q_ivf_topk_pinned,
         "piecewise_transform_fixed": q_piecewise_transform_fixed,
@@ -1601,7 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_psi": q_event_type_psi,
         "wide_process_fit": q_wide_process_fit,
         "binning_2d_table": q_binning_2d_table,
-        "binning_2d_pinned": q_binning_2d_pinned,
+        "sample_class_counts": q_sample_class_counts,
         "continuous_binning_2d_pinned": q_continuous_binning_2d_pinned,
         "sketch_binning_table": q_sketch_binning_table,
         "psi_variable_report": q_psi_variable_report,
