@@ -417,6 +417,18 @@ def q_near_dup_cosine_bucketed(spark, sf_dir):
     return bucketed_cosine_pairs(emb, threshold=0.4, dim=64, n_planes=4)
 
 
+def q_embedding_dedup_clusters(spark, sf_dir):
+    """Embedding-space duplicate groups: bucketed cosine pairs closed
+    into connected components; oracle replays buckets, pairs AND the
+    transitive closure (recursive CTE)."""
+    from optbinning_spark.pipeline.similarity import (
+        embedding_duplicate_clusters,
+    )
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return embedding_duplicate_clusters(emb, threshold=0.4, dim=64, n_planes=4)
+
+
 def q_psi(spark, sf_dir):
     """J6 + M11: PSI between two order populations on fixed bins."""
     df = spark.read.parquet(_t(sf_dir, "orders"))
@@ -1609,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binning_2d_table": q_binning_2d_table,
         "sample_class_counts": q_sample_class_counts,
         "continuous_binning_2d_pinned": q_continuous_binning_2d_pinned,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "sketch_binning_table": q_sketch_binning_table,
         "psi_variable_report": q_psi_variable_report,
         "continuous_binning_2d_table": q_continuous_binning_2d_table,
@@ -2603,6 +2616,32 @@ def _sql_near_dup_cosine_bucketed():
   WHERE a.vec_id < bb.vec_id AND round({cos}, 6) >= 0.4""")
 
 
+def _sql_embedding_dedup_clusters():
+    """Bucketed near-dup pairs + recursive-CTE transitive closure +
+    min-label components, with singletons from the full table."""
+    cos = _SQL_COS.format(a="a.v", b="bb.v")
+    return ("WITH RECURSIVE " + _sql_bucket_cte() + f""",
+  pairs AS (
+    SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+    FROM b a JOIN b bb USING (bucket)
+    WHERE a.vec_id < bb.vec_id AND round({cos}, 6) >= 0.4),
+  sym AS (
+    SELECT id_a AS na, id_b AS nb FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs),
+  reach(na, nb) AS (
+    SELECT na, nb FROM sym
+    UNION
+    SELECT r.na, s.nb FROM reach r JOIN sym s ON r.nb = s.na
+     WHERE s.nb <> r.na),
+  comp AS (
+    SELECT na AS node, LEAST(na, MIN(nb)) AS component
+    FROM reach GROUP BY na)
+  SELECT e.vec_id,
+         CAST(COALESCE(c.component, e.vec_id) AS BIGINT) AS cluster_id,
+         (COALESCE(c.component, e.vec_id) = e.vec_id) AS is_canonical
+  FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id""")
+
+
 def oracle_sql() -> dict[str, str]:
     price_case = _sql_bin_case("l_extendedprice", PRICE_SPLITS)
     order_case = _sql_bin_case("o_totalprice", ORDER_SPLITS)
@@ -3254,6 +3293,7 @@ def oracle_sql() -> dict[str, str]:
         "scorecard_table_linear": _sql_scorecard_table_linear(),
         "binning_2d_pinned": _sql_binning_2d_pinned(),
         "continuous_binning_2d_pinned": _sql_continuous_binning_2d_pinned(),
+        "embedding_dedup_clusters": _sql_embedding_dedup_clusters(),
         # event_psi_monitor: streaming_psi_monitor's exact plan over
         # the batch events table. splits [50, 150], expected
         # [0.3, 0.4, 0.3]; psi term (a-e)*ln(a/e), empty bins -> 0.

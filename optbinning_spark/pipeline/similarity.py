@@ -339,3 +339,32 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def embedding_duplicate_clusters(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space duplicate groups: bucketed cosine near-dup
+    pairs closed into connected components — the same
+    pairs -> closure -> canonical-keep-list shape as the text-side
+    ``duplicate_clusters``, on the embedding table. Vectors in no
+    qualifying pair are singleton clusters of themselves;
+    ``is_canonical`` (minimum id per cluster) is the keep-list."""
+    from .dedup import connected_components
+
+    pairs = bucketed_cosine_pairs(
+        embeddings, threshold, dim, n_planes, id_col, vec_col)
+    cc = connected_components(pairs, "id_a", "id_b")
+    ids = embeddings.select(F.col(id_col))
+    joined = ids.join(cc, ids[id_col] == cc["node"], "left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return joined.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("is_canonical"),
+    )

@@ -579,3 +579,22 @@ def test_connected_components_empty_and_no_pairs(spark):
     assert len(rows) == 3
     assert all(r["is_canonical"] and r["cluster_id"] == r["doc_id"]
                for r in rows)
+
+
+def test_embedding_duplicate_clusters(spark):
+    """Embedding clusters == union-find over bucketed cosine pairs,
+    singletons included."""
+    from optbinning_spark.pipeline.similarity import (
+        bucketed_cosine_pairs,
+        embedding_duplicate_clusters,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             bucketed_cosine_pairs(emb, 0.4, dim=64, n_planes=4).collect()]
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    want = _brute_components(pairs, nodes=ids)
+    got = embedding_duplicate_clusters(emb, 0.4, dim=64, n_planes=4).collect()
+    assert len(got) == len(ids)
+    for r in got:
+        assert r["cluster_id"] == want[r["vec_id"]]
