@@ -746,6 +746,57 @@ def q_multiclass_binning_table(spark, sf_dir):
     return out.select(*cols)
 
 
+def q_sketch_categorical_merge(spark, sf_dir):
+    """T1+T2+T3 with EXACT state: categorical sketch counters are
+    exact, so add(half) + add(half) + merge + solve must reproduce the
+    batch categorical DP bit-for-bit — the oracle IS the batch
+    categorical oracle."""
+    from optbinning_spark.streaming.sketch import OptimalBinningSketch
+
+    df = _orders(spark, sf_dir)
+    s1 = OptimalBinningSketch(dtype="categorical", monotonic_trend="ascending")
+    s2 = OptimalBinningSketch(dtype="categorical", monotonic_trend="ascending")
+    s1.add(df.filter(F.col("o_orderkey") % 2 == 0), "o_orderpriority", "y")
+    s2.add(df.filter(F.col("o_orderkey") % 2 == 1), "o_orderpriority", "y")
+    s1.merge(s2)
+    ob = s1.solve()
+    return spark.createDataFrame(ob.binning_table.build()).select(
+        "bin",
+        F.col("count").cast("long").alias("count"),
+        F.col("n_nonevent").cast("long").alias("n_nonevent"),
+        F.col("n_event").cast("long").alias("n_event"),
+        F.round("event_rate", 6).alias("event_rate"),
+        F.round("woe", 6).alias("woe"),
+    )
+
+
+def q_sketch_binning_exact(spark, sf_dir):
+    """Numerical sketch path with LOSSLESS centroid state: sketch_size
+    8192 retains every per-add 512-grid centroid, so the only
+    transformations are the documented deterministic ones — the
+    per-add equi-width grid snap and the midpoint-interpolated
+    quantile splits — and the whole add/add/solve pipeline replays
+    exactly in SQL (per-half grids, weighted midpoint interpolation,
+    DP enumeration)."""
+    from optbinning_spark.streaming.sketch import OptimalBinningSketch
+
+    df = _lineitem(spark, sf_dir)
+    sk = OptimalBinningSketch(
+        monotonic_trend="descending", max_n_prebins=8, sketch_size=8192)
+    sk.add(df.filter(F.col("l_orderkey") % 2 == 0), "l_quantity", "y")
+    sk.add(df.filter(F.col("l_orderkey") % 2 == 1), "l_quantity", "y")
+    ob = sk.solve()
+    return spark.createDataFrame(ob.binning_table.build()).select(
+        "bin",
+        F.col("count").cast("long").alias("count"),
+        F.col("n_nonevent").cast("long").alias("n_nonevent"),
+        F.col("n_event").cast("long").alias("n_event"),
+        F.round("event_rate", 6).alias("event_rate"),
+        F.round("woe", 6).alias("woe"),
+        F.round("iv", 6).alias("iv"),
+    )
+
+
 def q_sketch_binning_table(spark, sf_dir):
     """Streaming sketch path: add per batch -> merge -> solve."""
     from optbinning_spark.streaming.sketch import OptimalBinningSketch
@@ -1623,6 +1674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuous_binning_2d_pinned": q_continuous_binning_2d_pinned,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "sketch_binning_table": q_sketch_binning_table,
+        "sketch_binning_exact": q_sketch_binning_exact,
+        "sketch_categorical_merge": q_sketch_categorical_merge,
         "psi_variable_report": q_psi_variable_report,
         "continuous_binning_2d_table": q_continuous_binning_2d_table,
         "piecewise_transform": q_piecewise_transform,
@@ -1644,22 +1697,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # masks just duplicate partitions — harmless for an argmax.
 
 
-def _dp_cte_binary(table, xcol, ycond, n_prebins, trend, p=""):
+def _dp_cte_binary(table, xcol, ycond, n_prebins, trend, p="",
+                   head_cte=None):
     """CTE chain (no WITH keyword) ending in {p}bseg = the engine's
     optimal segments, plus {p}sp (splits), {p}allrows (+Missing row)
-    and {p}t2 (table totals). Quantile prebins, binary target."""
+    and {p}t2 (table totals). Quantile prebins, binary target.
+
+    ``head_cte`` overrides the default {p}clean/{p}sp pair: callers
+    supply CTE text (no WITH) defining {p}clean(x, y) and
+    {p}sp(splits) — used by the sketch oracle, whose splits come from
+    the centroid midpoint interpolation rather than quantile_cont."""
     probs = ", ".join(f"{i}/{n_prebins}.0" for i in range(1, n_prebins))
     mono = {"ascending": "mono_asc", "descending": "mono_desc",
             "auto_asc_desc": "(mono_asc OR mono_desc)"}[trend]
     pref = (", (CASE WHEN mono_asc THEN 0 ELSE 1 END)"
             if trend == "auto_asc_desc" else "")
-    return f"""
+    head = head_cte if head_cte is not None else f"""
   {p}clean AS (
     SELECT {xcol} AS x, {ycond} AS y FROM {table}
     WHERE {xcol} IS NOT NULL AND NOT isnan({xcol})),
   {p}sp AS (
     SELECT list_sort(list_distinct(quantile_cont(x, [{probs}]))) AS splits
-    FROM {p}clean),
+    FROM {p}clean)"""
+    return head + f""",
   {p}pre AS (
     SELECT len(list_filter(sp.splits, s -> c.x >= s)) AS pb,
            count(*) FILTER (WHERE y = 0) AS ne,
@@ -1734,6 +1794,62 @@ def _sql_binary_table_tail(p=""):
            round(t2.t_ev / CAST(t2.t_all AS DOUBLE), 6), NULL,
            (SELECT round(sum({iv}), 6) FROM {p}allrows, {p}t2 t2)
     FROM {p}t2 t2"""
+
+
+def _sql_sketch_binning_exact():
+    """Lossless-sketch oracle: per-half 512-bucket grid snap (the
+    documented per-add bounded histogram), weighted MIDPOINT quantile
+    interpolation (np.interp over cum - w/2, exact parenthesization),
+    then the standard DP enumeration + table tail."""
+    y = "(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    halves = []
+    for h in (0, 1):
+        halves.append(f"""
+  mm{h} AS (
+    SELECT min(l_quantity) AS mn, max(l_quantity) AS mx,
+           (max(l_quantity) - min(l_quantity)) / 512.0 AS step
+    FROM lineitem
+    WHERE l_orderkey % 2 = {h}
+      AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)),
+  g{h} AS (
+    SELECT CASE WHEN m.mx = m.mn THEN l.l_quantity
+                ELSE m.mn + floor((l.l_quantity - m.mn) / m.step) * m.step
+                     + m.step / 2.0 END AS x,
+           {y} AS y
+    FROM lineitem l, mm{h} m
+    WHERE l.l_orderkey % 2 = {h}
+      AND l.l_quantity IS NOT NULL AND NOT isnan(l.l_quantity))""")
+    head = ",".join(halves) + """,
+  clean AS (SELECT x, y FROM g0 UNION ALL SELECT x, y FROM g1),
+  cw AS (SELECT x, CAST(count(*) AS DOUBLE) AS w FROM clean GROUP BY x),
+  cum AS (SELECT x, w, sum(w) OVER (ORDER BY x) AS c,
+                 sum(w) OVER () AS tot
+          FROM cw),
+  pos AS (SELECT x, c - w / 2.0 AS pos, tot FROM cum),
+  probs AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) / 8.0 AS pr),
+  ip AS (
+    SELECT p.pr, t.tot, lo.x AS xlo, lo.pos AS plo,
+           hi.x AS xhi, hi.pos AS phi
+    FROM probs p
+    CROSS JOIN (SELECT any_value(tot) AS tot FROM pos) t
+    LEFT JOIN LATERAL (
+      SELECT x, pos FROM pos WHERE pos <= p.pr * t.tot
+      ORDER BY pos DESC LIMIT 1) lo ON true
+    LEFT JOIN LATERAL (
+      SELECT x, pos FROM pos WHERE pos >= p.pr * t.tot
+      ORDER BY pos LIMIT 1) hi ON true),
+  spv AS (
+    SELECT CASE WHEN plo IS NULL THEN xhi
+                WHEN phi IS NULL THEN xlo
+                WHEN phi = plo THEN xlo
+                ELSE ((xhi - xlo) / (phi - plo)) * (pr * tot - plo) + xlo
+           END AS s
+    FROM ip),
+  sp AS (SELECT list_sort(list_distinct(list(s))) AS splits FROM spv)"""
+    ym = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    return ("WITH " + _dp_cte_binary(
+        "lineitem", "l_quantity", ym, 8, "descending", head_cte=head)
+        + _sql_binary_table_tail())
 
 
 def _sql_optimal_binning_table():
@@ -3281,6 +3397,8 @@ def oracle_sql() -> dict[str, str]:
         "optimal_woe_transform": _sql_optimal_woe_transform(),
         "continuous_binning_table": _sql_continuous_binning_table(),
         "categorical_optimal_binning": _sql_categorical_optimal_binning(),
+        "sketch_categorical_merge": _sql_categorical_optimal_binning(),
+        "sketch_binning_exact": _sql_sketch_binning_exact(),
         "binning_process_summary": _sql_binning_process_summary(),
         # ANN oracles: plane weights are deterministic md5 literals,
         # so bucketing + exact cosine replay bit-for-bit in DuckDB.
