@@ -3418,7 +3418,8 @@ def oracle_sql() -> dict[str, str]:
         "event_psi_monitor": """
             WITH agg AS (
               SELECT date_trunc('day', ts) AS window_start,
-                     count(*) AS n_events,
+                     count(*) FILTER (WHERE value IS NOT NULL
+                                      AND NOT isnan(value)) AS n_events,
                      count(*) FILTER (WHERE value < 50.0) AS n0,
                      count(*) FILTER (WHERE value >= 50.0 AND value < 150.0) AS n1,
                      count(*) FILTER (WHERE value >= 150.0) AS n2

@@ -74,6 +74,11 @@ class OptimalBinning2D:
         # pinned axis grids (B6 analog for the 2-D grid strategy):
         # skip the prebinning proposal entirely and solve on the given
         # edges — also what makes the rectangle DP SQL-replayable
+        if (user_splits_x is None) != (user_splits_y is None):
+            raise ValueError(
+                "user_splits_x and user_splits_y must be provided "
+                "together (a single pinned axis would silently fall "
+                "back to proposed splits on BOTH axes)")
         self.user_splits_x = user_splits_x
         self.user_splits_y = user_splits_y
         self._fitted = False

@@ -22,7 +22,6 @@ projection — one map-only pass for the whole matrix.
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
 from pyspark.sql import DataFrame

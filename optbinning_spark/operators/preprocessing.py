@@ -119,7 +119,13 @@ def numeric_bin_expr(col: Column, splits) -> Column:
     splits = list(splits)
     if not splits:
         return F.when(col.isNotNull(), F.lit(0))
-    expr = F.when(col < float(splits[0]), F.lit(0))
+    # the NULL guard must be explicit: NULL < x is NULL, so without it
+    # NULL would fall through every WHEN into the otherwise() and land
+    # in the LAST bin (observed skewing the streaming PSI monitor).
+    # NaN deliberately still lands in the last bin — NaN < x is false,
+    # matching np.digitize(nan) == len(splits).
+    expr = F.when(col.isNull(), F.lit(None).cast("int")).when(
+        col < float(splits[0]), F.lit(0))
     for i, s in enumerate(splits[1:], start=1):
         expr = expr.when(col < float(s), F.lit(i))
     return expr.otherwise(F.lit(len(splits)))

@@ -272,10 +272,11 @@ class OptimalPWBinning:
 
             try:
                 params = inspect.signature(self.estimator.fit).parameters
-                accepts_w = "sample_weight" in params or any(
-                    p.kind is inspect.Parameter.VAR_KEYWORD
-                    for p in params.values()
-                )
+                # EXPLICIT sample_weight parameter only: a **kwargs fit
+                # may just forward to an inner estimator without weight
+                # support, and passing sample_weight would crash where
+                # the row-expansion fallback succeeds
+                accepts_w = "sample_weight" in params
             except (TypeError, ValueError):  # C-implemented fit
                 accepts_w = True
             if accepts_w:
@@ -291,6 +292,16 @@ class OptimalPWBinning:
                 pos = w_fit[w_fit > 0]
                 scale = (1.0 / float(pos.min())
                          if pos.size and float(pos.min()) < 1.0 else 1.0)
+                # bound the blow-up: scale = 1/min_weight can multiply
+                # the repeated-row total by max_w/min_w (one 1e-4
+                # weight next to 1e6 counts would ask np.repeat for
+                # ~1e10 rows). Cap the expanded design at ~1M rows —
+                # beyond that the tiny weights are statistically
+                # irrelevant to the fit anyway.
+                total = float(w_fit.sum())
+                max_rows = 1_000_000
+                if total * scale > max_rows:
+                    scale = max_rows / max(total, 1.0)
                 w_int = np.rint(w_fit * scale).astype(int)
                 keep = w_int > 0
                 self.estimator.fit(

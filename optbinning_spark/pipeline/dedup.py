@@ -48,20 +48,21 @@ def minhash_expr(text: Column, seed: int, shingle_n: int = 3) -> Column:
     )
 
 
-def minhash_signatures(
+def staged_minhash_arrays(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_hashes: int = 8,
-    shingle_n: int = 3,
+    text_col: str,
+    shingle_n: int,
+    n_hashes: int,
+    keep_cols: list,
 ) -> DataFrame:
-    """Per-document MinHash signature columns mh0..mh{n-1}. Map-only.
-
-    Cost optimization: md5 is 128 bits = four independent 32-bit
-    lanes, so each salted md5 yields FOUR hash functions (standard
-    k-bit slicing); a 16-hash signature costs 4 md5 calls per shingle
-    instead of 16. mh{i} = lane (i % 4) of md5('s{i//4}|' || shingle).
-    """
+    """Shared staging for every MinHash consumer (batch signatures AND
+    streaming signature dedup use THIS — one definition of the
+    salt/lane layout, so the two can't drift): project words, then the
+    shingle array, then each salted md5 array __h{k} — each
+    materialized ONCE. Referencing the expression directly from
+    downstream columns makes codegen recompute it per reference
+    (measured ~2.6x slower for the md5 transforms, ~4x for the split
+    inside the shingle lambda)."""
     # NB: F.transform treats a 2-arg lambda as (element, index) — use
     # single-arg closures from factories to bind loop variables.
     def _salted(k: int):
@@ -69,32 +70,48 @@ def minhash_signatures(
         return F.transform(
             F.col("__sh"), lambda s: F.md5(F.concat(F.lit(salt), s)))
 
+    n_salts = (n_hashes + 3) // 4
+    return (
+        df.select(*keep_cols, F.split(F.col(text_col), " ").alias("__w"))
+        .select(
+            *keep_cols,
+            shingles_from_words(F.col("__w"), shingle_n).alias("__sh"))
+        .select(
+            *keep_cols,
+            *[_salted(k).alias(f"__h{k}") for k in range(n_salts)],
+        )
+    )
+
+
+def minhash_lane_cols(n_hashes: int) -> list:
+    """The mh0..mh{n-1} lane expressions over staged __h{k} arrays:
+    mh{i} = min over shingles of lane (i % 4) of md5('s{i//4}|' || s).
+    md5 is 128 bits = four independent 32-bit lanes, so each salted
+    md5 yields FOUR hash functions (standard k-bit slicing) — a
+    16-hash signature costs 4 md5 calls per shingle instead of 16."""
     def _lane_min(arr, lane: int):
         off = lane * 8 + 1
         return F.array_min(F.transform(arr, lambda h: F.substring(h, off, 8)))
 
-    # staged projection: words, then the shingle array, then each
-    # salted md5 array — each materialized ONCE. Referencing the
-    # expression directly from downstream columns makes codegen
-    # recompute it per reference (measured ~2.6x slower for the md5
-    # transforms, ~4x for the split inside the shingle lambda).
-    n_salts = (n_hashes + 3) // 4
-    stage1 = (
-        df.select(
-            F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
-        .select(
-            F.col(id_col),
-            shingles_from_words(F.col("__w"), shingle_n).alias("__sh"))
-        .select(
-            F.col(id_col),
-            *[_salted(k).alias(f"__h{k}") for k in range(n_salts)],
-        )
-    )
-    cols = [F.col(id_col)]
+    cols = []
     for i in range(n_hashes):
         salt, lane = divmod(i, 4)
         cols.append(_lane_min(F.col(f"__h{salt}"), lane).alias(f"mh{i}"))
-    return stage1.select(*cols)
+    return cols
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature columns mh0..mh{n-1}. Map-only;
+    see staged_minhash_arrays / minhash_lane_cols for the layout."""
+    staged = staged_minhash_arrays(
+        df, text_col, shingle_n, n_hashes, [F.col(id_col)])
+    return staged.select(F.col(id_col), *minhash_lane_cols(n_hashes))
 
 
 def lsh_bands(
@@ -145,14 +162,7 @@ def lsh_candidate_pairs(
     exchange; default None preserves uncapped semantics."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     bands = lsh_bands(sig, id_col, n_hashes, band_size)
-    if max_bucket_size is not None:
-        ok = (
-            bands.groupBy("band", "band_key")
-            .agg(F.count("*").alias("__bsz"))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
-        bands = bands.join(ok, ["band", "band_key"])
+    bands = _cap_buckets(bands, max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -167,6 +177,23 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def _cap_buckets(bands: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Too-common-band guard shared by every banded pair generator
+    (MinHash-LSH and SimHash): drop buckets with more than
+    ``max_bucket_size`` members before the self-join. The count runs
+    on the same key as the join, so AQE coalesces the exchange;
+    None = uncapped."""
+    if max_bucket_size is None:
+        return bands
+    ok = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("__bsz"))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+    return bands.join(ok, ["band", "band_key"])
 
 
 def exact_dedup_groups(
@@ -386,14 +413,7 @@ def simhash_candidate_pairs(
             for b in range(n_bands)
         ])).alias("b"),
     ).select(id_col, "simhash", "b.band", "b.band_key")
-    if max_bucket_size is not None:
-        ok = (
-            bands.groupBy("band", "band_key")
-            .agg(F.count("*").alias("__bsz"))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
-        bands = bands.join(ok, ["band", "band_key"])
+    bands = _cap_buckets(bands, max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
     ham = F.bit_count(
@@ -554,6 +574,25 @@ def connected_components(
     return members.unionByName(roots).distinct()
 
 
+def clusters_from_pairs(
+    entities: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared closure step for every dedup family (text LSH and
+    embedding cosine both use THIS): candidate pairs -> connected
+    components -> (id, cluster_id, is_canonical) over ALL entities,
+    with unpaired entities as singleton clusters of themselves and
+    the minimum id per cluster as the canonical keep-list."""
+    cc = connected_components(pairs, "id_a", "id_b")
+    ids = entities.select(F.col(id_col))
+    joined = ids.join(cc, ids[id_col] == cc["node"], "left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return joined.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("is_canonical"),
+    )
+
+
 def duplicate_clusters(
     df: DataFrame,
     text_col: str = "text",
@@ -576,12 +615,4 @@ def duplicate_clusters(
     pairs = lsh_candidate_pairs(
         df, text_col, id_col, n_hashes, band_size, shingle_n,
         max_bucket_size=max_bucket_size)
-    cc = connected_components(pairs, "id_a", "id_b")
-    docs = df.select(F.col(id_col))
-    joined = docs.join(cc, docs[id_col] == cc["node"], "left")
-    cluster = F.coalesce(F.col("component"), F.col(id_col))
-    return joined.select(
-        F.col(id_col),
-        cluster.alias("cluster_id"),
-        (cluster == F.col(id_col)).alias("is_canonical"),
-    )
+    return clusters_from_pairs(df, pairs, id_col)

@@ -66,26 +66,36 @@ def _soundfile():
         return None
 
 
-def decode_features(payload: bytes, media_type: str) -> np.ndarray:
+def decode_features(payload: bytes, media_type: str,
+                    Image=None, sf=None) -> np.ndarray:
     """Real decode when the codec library exists, deterministic stub
-    otherwise. Image: PIL grayscale 8x8 thumbnail -> 64-dim [0,1]
+    otherwise. Image: PIL grayscale 8x4 thumbnail -> 32-dim [0,1]
     feature. Audio: soundfile waveform -> 32-bin amplitude histogram.
     Undecodable payloads (or absent libraries) fall back to
-    ``_decode_stub`` so the pipeline stays total — the fallback is a
-    different VALUE but the same shape/dtype contract."""
+    ``_decode_stub``, and ALL paths emit 32 floats — one shape/dtype
+    contract regardless of which decoder ran, so a batch mixing real
+    decodes and fallbacks stays rectangular for downstream
+    fixed-dim consumers.
+
+    ``Image``/``sf`` let batch callers resolve the libraries ONCE per
+    batch instead of re-attempting the import per row (a failed import
+    is not cached by Python, so a per-row miss re-runs the full
+    sys.path search)."""
     if media_type == "image":
-        Image = _pil()
+        if Image is None:
+            Image = _pil()
         if Image is not None:
             try:
                 from io import BytesIO
 
                 img = Image.open(BytesIO(payload)).convert("L")
-                img = img.resize((8, 8))
+                img = img.resize((8, 4))
                 return (np.asarray(img, dtype=np.float32) / 255.0).ravel()
             except Exception:
                 pass
     elif media_type == "audio":
-        sf = _soundfile()
+        if sf is None:
+            sf = _soundfile()
         if sf is not None:
             try:
                 from io import BytesIO
@@ -108,9 +118,10 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     preserved (map-only — no shuffle)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image, sf = _pil(), _soundfile()  # resolve once per task
         for pdf in batches:
             feats = [
-                decode_features(m, t).tolist()
+                decode_features(m, t, Image=Image, sf=sf).tolist()
                 for m, t in zip(pdf["media"], pdf["media_type"])
             ]
             yield pd.DataFrame(

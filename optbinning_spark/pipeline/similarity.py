@@ -355,16 +355,8 @@ def embedding_duplicate_clusters(
     ``duplicate_clusters``, on the embedding table. Vectors in no
     qualifying pair are singleton clusters of themselves;
     ``is_canonical`` (minimum id per cluster) is the keep-list."""
-    from .dedup import connected_components
+    from .dedup import clusters_from_pairs
 
     pairs = bucketed_cosine_pairs(
         embeddings, threshold, dim, n_planes, id_col, vec_col)
-    cc = connected_components(pairs, "id_a", "id_b")
-    ids = embeddings.select(F.col(id_col))
-    joined = ids.join(cc, ids[id_col] == cc["node"], "left")
-    cluster = F.coalesce(F.col("component"), F.col(id_col))
-    return joined.select(
-        F.col(id_col),
-        cluster.alias("cluster_id"),
-        (cluster == F.col(id_col)).alias("is_canonical"),
-    )
+    return clusters_from_pairs(embeddings, pairs, id_col)

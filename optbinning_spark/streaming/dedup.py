@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..pipeline.dedup import shingles_from_words
+from ..pipeline.dedup import minhash_lane_cols, staged_minhash_arrays
 
 
 def streaming_exact_dedup(
@@ -72,37 +72,14 @@ def streaming_signature_dedup(
     per-key stores cannot express — so candidates-by-band remain the
     batch path (``duplicate_clusters``). The signature key is the
     md5 of the SAME mh0..mh{n-1} lane values as the batch
-    ``minhash_signatures`` operator (per-lane mins of the salted md5
-    slices), so stream and batch agree exactly on what "identical
-    signature" means (tested).
+    ``minhash_signatures`` operator — both are built from the shared
+    staged_minhash_arrays / minhash_lane_cols helpers, so there is ONE
+    definition of the salt/lane layout and stream and batch cannot
+    drift (agreement also tested).
     """
-    n_salts = (n_hashes + 3) // 4
-    # staged projection, same as the batch operator: words -> shingle
-    # array -> each salted md5 array materialized ONCE (codegen
-    # re-evaluates non-aliased arrays once per downstream reference)
-    staged = (
-        stream.select(
-            "*", F.split(F.col(text_col), " ").alias("__w"))
-        .select(
-            "*", shingles_from_words(F.col("__w"), shingle_n).alias("__sh"))
-        .select(
-            "*",
-            *[
-                F.transform(
-                    F.col("__sh"),
-                    (lambda salt: lambda s: F.md5(
-                        F.concat(F.lit(salt), s)))(f"s{k}|"),
-                ).alias(f"__h{k}")
-                for k in range(n_salts)
-            ],
-        )
-    )
-    lanes = []
-    for i in range(n_hashes):
-        salt, lane = divmod(i, 4)
-        off = lane * 8 + 1
-        lanes.append(F.array_min(F.transform(
-            F.col(f"__h{salt}"), lambda h: F.substring(h, off, 8))))
+    staged = staged_minhash_arrays(
+        stream, text_col, shingle_n, n_hashes, ["*"])
+    lanes = [c for c in minhash_lane_cols(n_hashes)]
     out = staged.select(
         *stream.columns,
         F.md5(F.concat_ws("|", *lanes)).alias("signature_key"))

@@ -54,6 +54,12 @@ def streaming_psi_monitor(
             f"expected_props must have {n_bins} entries (len(splits)+1), "
             f"got {len(expected_props)}")
 
+    # drift is measured over OBSERVED values: NULL/NaN rows are dropped
+    # from both the bin counts and n_events (a NULL would otherwise be
+    # invisible to every bin while still inflating the denominator)
+    stream = stream.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double")))
     b = numeric_bin_expr(F.col(value_col), splits)
     win = F.window(F.col(ts_col), window)
     counts = [

@@ -477,3 +477,25 @@ def test_degenerate_inputs_fit_and_transform(spark):
     assert t3["count"].sum() == 1000
     out3 = ob3.transform(df, "nan_x", metric="woe", out_col="w")
     assert out3.filter(F.isnan("w") | F.col("w").isNull()).count() == 0
+
+
+def test_numeric_bin_expr_null_to_null(spark):
+    """Docstring contract: NULL in -> NULL out (regression: NULL used
+    to fall through every WHEN into the last bin). NaN still lands in
+    the last bin, matching np.digitize."""
+    from optbinning_spark.operators.preprocessing import numeric_bin_expr
+
+    df = spark.createDataFrame(
+        [(1.0,), (15.0,), (None,), (float("nan"),)], "x: double")
+    rows = df.select(
+        numeric_bin_expr(F.col("x"), [10.0, 20.0]).alias("b")).collect()
+    assert [r["b"] for r in rows] == [0, 1, None, 2]
+
+
+def test_binning_2d_one_sided_user_splits_rejected(spark):
+    import pytest as _pt
+
+    from optbinning_spark.binning_2d import OptimalBinning2D
+
+    with _pt.raises(ValueError):
+        OptimalBinning2D(user_splits_x=[25.0])

@@ -342,7 +342,7 @@ def test_decode_features_stub_fallback():
 
 def test_decode_features_real_path_when_pil_exists():
     """Conditional: when Pillow is installed, a real PNG decodes to
-    the 64-dim grayscale thumbnail feature (skipped in containers
+    the 32-dim grayscale thumbnail feature (skipped in containers
     without codec libs)."""
     import numpy as np
 
@@ -357,7 +357,7 @@ def test_decode_features_real_path_when_pil_exists():
     buf = BytesIO()
     img.save(buf, format="PNG")
     feat = decode_features(buf.getvalue(), "image")
-    assert feat.shape == (64,)
+    assert feat.shape == (32,)
     assert np.all((feat >= 0.0) & (feat <= 1.0))
 
 

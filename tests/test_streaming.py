@@ -533,3 +533,23 @@ def test_streaming_psi_monitor(spark, tmp_path):
     assert abs(got[2]["psi"] - round(want, 6)) < 1e-9
     assert got[2]["drift_level"] == "significant" and got[2]["breach"]
     assert got[1]["n_events"] == 100 and got[2]["n_events"] == 100
+
+
+def test_psi_monitor_drops_null_and_nan_values(spark):
+    """NULL/NaN value rows must be excluded from BOTH the bin counts
+    and n_events (regression: numeric_bin_expr's otherwise() used to
+    sweep NULL into the last bin, skewing PSI)."""
+    import datetime as dt
+
+    from optbinning_spark.streaming.monitor import streaming_psi_monitor
+
+    t = dt.datetime(2026, 3, 1, 1, 0)
+    rows = ([(5.0, t)] * 5 + [(15.0, t)] * 3 + [(25.0, t)] * 2
+            + [(None, t), (float("nan"), t)])
+    df = spark.createDataFrame(rows, "score: double, ts: timestamp")
+    got = streaming_psi_monitor(
+        df, "score", [10.0, 20.0], [0.5, 0.3, 0.2],
+        ts_col="ts", window="1 day").collect()
+    assert len(got) == 1
+    assert got[0]["n_events"] == 10  # the 2 null/nan rows don't count
+    assert got[0]["psi"] == 0.0      # exact expected mix -> zero drift
