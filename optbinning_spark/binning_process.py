@@ -181,6 +181,19 @@ class BinningProcess:
         )
         fused = None
         if fused_eligible:
+            # raw numeric columns with NO special codes are dead weight
+            # past this point (their sample class is derivable from the
+            # clean column — see _fused_fit_stats), so dropping them
+            # here shrinks the spread shuffle and the persisted cache
+            # by roughly half on the common all-clean wide fit
+            from .operators.preprocessing import normalize_special_codes
+
+            droppable = [
+                v for v in numeric
+                if not normalize_special_codes(self._codes_for(v))
+            ]
+            if droppable:
+                work = work.drop(*droppable)
             # The fused fit reads the working set exactly TWICE (probe
             # action + stats action); persisting the cleaned frame at
             # MEMORY_AND_DISK lets the second action skip the scan +
@@ -665,13 +678,24 @@ class BinningProcess:
             sample_class_code_names,
         )
 
+        from .operators.preprocessing import normalize_special_codes
+
         var_list = list(numeric) + list(categorical)
         var_id = {v: i for i, v in enumerate(var_list)}
         structs = []
         for v in numeric:
-            c = F.col(v).cast("double")
-            scode = sample_class_code_expr(c, "numerical", self._codes_for(v))
             cv = F.col(f"__clean_{v}")
+            codes = self._codes_for(v)
+            if normalize_special_codes(codes):
+                scode = sample_class_code_expr(
+                    F.col(v).cast("double"), "numerical", codes)
+            else:
+                # no special codes: clean NULL <=> raw missing, so the
+                # sample class derives from the clean column alone and
+                # fit() can drop the raw column from the shuffled /
+                # cached working set (roughly halves its width on the
+                # common all-clean wide fit)
+                scode = F.when(cv.isNull(), F.lit(1)).otherwise(F.lit(0))
             gv = (
                 F.when(cv.isNotNull(), F.col(f"__bkt_{v}").cast("double"))
                 if v in edges_by_var
