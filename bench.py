@@ -129,6 +129,8 @@ SCALE_QUERIES = [
     "exact_dedup",
     "jaccard_pairs",
     "scorecard_scores",
+    "dedup_clusters",
+    "ann_topk",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

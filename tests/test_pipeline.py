@@ -598,3 +598,29 @@ def test_embedding_duplicate_clusters(spark):
     assert len(got) == len(ids)
     for r in got:
         assert r["cluster_id"] == want[r["vec_id"]]
+
+
+def test_connected_components_property(spark):
+    """Hypothesis sweep: for random small graphs the driver union-find
+    path must equal the pure-Python ground truth (the distributed path
+    is pinned to it by test_connected_components_random_graph)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from optbinning_spark.pipeline.dedup import connected_components
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=40))
+    def run(edges):
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            return
+        df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        got = {r["node"]: r["component"]
+               for r in connected_components(df).collect()}
+        assert got == _brute_components(edges)
+
+    run()
