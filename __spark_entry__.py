@@ -374,6 +374,19 @@ def q_stratified_doc_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_doc_normalize(spark, sf_dir):
+    """Canonical text normalization (lowercase, punct -> space,
+    whitespace collapse) plus the content hash of the normalized form
+    — the exact-dedup key robust to case/punctuation noise."""
+    from optbinning_spark.pipeline.text import normalize_text_expr
+
+    docs = _documents(spark, sf_dir)
+    norm = normalize_text_expr(F.col("text"))
+    return docs.select(
+        "doc_id", norm.alias("norm_text"),
+        F.md5(norm).alias("norm_hash"))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Banded SimHash near-dup pairs: band-slice equi-join + exact
     bit_count(xor) verify; exact (recall 1.0) for hamming <=
@@ -1661,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_transform": q_woe_transform,
         "lsh_candidates": q_lsh_candidates,
         "simhash_pairs": q_simhash_pairs,
+        "doc_normalize": q_doc_normalize,
         "doc_split_assignment": q_doc_split_assignment,
         "stratified_doc_sample": q_stratified_doc_sample,
         "near_dup_cosine": q_near_dup_cosine,
@@ -2988,6 +3002,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                     / 4294967296.0
                   < (CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END)
+        """,
+        "doc_normalize": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS norm_text
+              FROM documents
+            )
+            SELECT doc_id, norm_text, md5(norm_text) AS norm_hash FROM n
         """,
         # simhash_pairs: banded fingerprint join; width 16/4 = 4 bits
         "simhash_pairs": f"""

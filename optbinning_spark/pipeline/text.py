@@ -135,3 +135,26 @@ def document_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.round(type_token_ratio_expr(t), 6).alias("type_token_ratio"),
         F.round(quality_score_expr(t), 6).alias("quality_score"),
     )
+
+
+def normalize_text_expr(
+    text: Column,
+    lowercase: bool = True,
+    strip_punct: bool = True,
+    collapse_ws: bool = True,
+) -> Column:
+    """Canonical text normalization for dedup pipelines — the standard
+    pre-hashing step (lowercase, punctuation stripped to spaces,
+    whitespace collapsed + trimmed) so near-identical docs that differ
+    only in case/punctuation hash identically. Pure JVM expressions
+    (regexp_replace/lower/trim) — map-only, RE2-compatible patterns,
+    replayable in ANSI SQL for the oracle."""
+    out = text
+    if lowercase:
+        out = F.lower(out)
+    if strip_punct:
+        out = F.regexp_replace(out, r"[^a-z0-9\s]" if lowercase
+                               else r"[^A-Za-z0-9\s]", " ")
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

@@ -624,3 +624,15 @@ def test_connected_components_property(spark):
         assert got == _brute_components(edges)
 
     run()
+
+
+def test_normalize_text_expr(spark):
+    from optbinning_spark.pipeline.text import normalize_text_expr
+
+    df = spark.createDataFrame(
+        [(1, "Hello,   World! (v2)"), (2, "hello world v2")],
+        "doc_id: long, text: string")
+    rows = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", normalize_text_expr(F.col("text")).alias("n")).collect()}
+    assert rows[1] == "hello world v2"
+    assert rows[1] == rows[2]  # case/punct noise collapses to one key
