@@ -672,6 +672,84 @@ def q_scorecard_table(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+def q_scorecard_scores_logistic(spark, sf_dir):
+    """The logistic-IRLS scorecard path, hash-checked end-to-end: a
+    one-variable scorecard keeps the compressed design tiny (2 x
+    n_bins rows), so the DuckDB oracle replays the binning DP, the
+    (woe, y) -> weight design compression AND the Newton/IRLS
+    iteration itself — a recursive CTE carrying (b0, b1) with the
+    closed-form 2x2 Cramer step, the same +-35 logit clip, 1e-10 ridge
+    and 1e-10 step tolerance as _driver_logistic — then the map-only
+    score b0 + b1 * woe(bin)."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    df = _lineitem(spark, sf_dir)
+    bp = BinningProcess(
+        ["l_quantity"],
+        prebinning_method="quantile",
+        max_n_prebins=8,
+        monotonic_trend="descending",
+    )
+    sc = Scorecard(bp)  # estimator auto -> logistic, no scaling
+    sc.fit(df, "y")
+    return sc.score(df).select(
+        "l_orderkey", "l_linenumber",
+        (F.round(F.col("score"), 4) + F.lit(0.0)).alias("score"),
+    )
+
+
+def _sql_scorecard_scores_logistic():
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    woe_b = ("CASE WHEN b.ev > 0 AND b.ne > 0 THEN "
+             "ln((b.ne / t2.t_ne) / (b.ev / t2.t_ev)) ELSE 0 END")
+    # one Newton step by Cramer on the 2x2 system (g, H as in
+    # _driver_logistic, incl. the 1e-10 ridge on the diagonal)
+    s1 = "(s.gx * s.h0 - s.g0 * s.hx) / (s.hxx * s.h0 - s.hx * s.hx)"
+    s0 = "(s.g0 * s.hxx - s.gx * s.hx) / (s.hxx * s.h0 - s.hx * s.hx)"
+    return ("WITH RECURSIVE "
+            + _dp_cte_binary("lineitem", "l_quantity", y, 8, "descending")
+            + f""",
+  des AS (
+    SELECT {woe_b} AS x, CAST(0 AS DOUBLE) AS y, CAST(b.ne AS DOUBLE) AS w
+    FROM bseg b, t2 WHERE b.ne > 0
+    UNION ALL
+    SELECT {woe_b}, CAST(1 AS DOUBLE), CAST(b.ev AS DOUBLE)
+    FROM bseg b, t2 WHERE b.ev > 0),
+  irls(it, b1, b0, stp) AS (
+    SELECT 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+    UNION ALL
+    SELECT r.it + 1, r.b1 + {s1}, r.b0 + {s0},
+           greatest(abs({s1}), abs({s0}))
+    FROM irls r, LATERAL (
+      SELECT sum(q.w * (q.y - q.p) * q.x) AS gx,
+             sum(q.w * (q.y - q.p)) AS g0,
+             sum(q.w * q.p * (1 - q.p) * q.x * q.x) + 1e-10 AS hxx,
+             sum(q.w * q.p * (1 - q.p) * q.x) AS hx,
+             sum(q.w * q.p * (1 - q.p)) + 1e-10 AS h0
+      FROM (
+        SELECT d.x, d.y, d.w,
+               1.0 / (1.0 + exp(-(greatest(-35.0,
+                 least(35.0, r.b1 * d.x + r.b0))))) AS p
+        FROM des d) q
+    ) s
+    WHERE r.it < 100 AND r.stp >= 1e-10),
+  beta AS (SELECT b1, b0 FROM irls ORDER BY it DESC LIMIT 1),
+  segwoe AS (
+    SELECT b.pb_lo, b.pb_hi, {woe_b} AS woe FROM bseg b, t2),
+  rowpb AS (
+    SELECT l.l_orderkey, l.l_linenumber,
+           CASE WHEN l.l_quantity IS NULL OR isnan(l.l_quantity) THEN NULL
+                ELSE len(list_filter(sp.splits, s -> l.l_quantity >= s))
+           END AS pb
+    FROM lineitem l, sp)
+  SELECT r.l_orderkey, r.l_linenumber,
+         round(bt.b0 + bt.b1 * COALESCE(w.woe, 0.0), 4) + 0.0 AS score
+  FROM rowpb r
+  LEFT JOIN segwoe w ON r.pb BETWEEN w.pb_lo AND w.pb_hi
+  CROSS JOIN beta bt""")
+
+
 def q_scorecard_table_linear(spark, sf_dir):
     """Scorecard TABLE (per-bin points) for the WLS linear pipeline —
     the same fit as scorecard_scores_linear, exposing the O12 point
@@ -1681,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorecard_scores": q_scorecard_scores,
         "scorecard_table": q_scorecard_table,
         "scorecard_table_linear": q_scorecard_table_linear,
+        "scorecard_scores_logistic": q_scorecard_scores_logistic,
         "event_type_psi": q_event_type_psi,
         "wide_process_fit": q_wide_process_fit,
         "binning_2d_table": q_binning_2d_table,
@@ -3433,6 +3512,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _sql_multimodal_features(),
         "scorecard_scores_linear": _sql_scorecard_scores_linear(),
         "scorecard_table_linear": _sql_scorecard_table_linear(),
+        "scorecard_scores_logistic": _sql_scorecard_scores_logistic(),
         "binning_2d_pinned": _sql_binning_2d_pinned(),
         "continuous_binning_2d_pinned": _sql_continuous_binning_2d_pinned(),
         "embedding_dedup_clusters": _sql_embedding_dedup_clusters(),
