@@ -1708,7 +1708,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "cart_splits": q_cart_splits,
-        "psi": q_psi,
+        # the IRLS-replay scorecard oracle takes psi's window slot
+        # (M11 PSI stays driver-covered through event_psi_monitor —
+        # windowed PSI with the same arithmetic plus drift levels);
+        # psi keeps its oracle in the tail for tools/check_correctness
+        "scorecard_scores_logistic": q_scorecard_scores_logistic,
         "ks": q_ks,
         "continuous_bin_stats": q_continuous_bin_stats,
         "multiclass_bin_counts": q_multiclass_bin_counts,
@@ -1759,7 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorecard_scores": q_scorecard_scores,
         "scorecard_table": q_scorecard_table,
         "scorecard_table_linear": q_scorecard_table_linear,
-        "scorecard_scores_logistic": q_scorecard_scores_logistic,
+        "psi": q_psi,
         "event_type_psi": q_event_type_psi,
         "wide_process_fit": q_wide_process_fit,
         "binning_2d_table": q_binning_2d_table,
