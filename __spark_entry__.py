@@ -750,6 +750,67 @@ def _sql_scorecard_scores_logistic():
   CROSS JOIN beta bt""")
 
 
+def _sql_scorecard_scores_huber():
+    """Huber IRLS oracle (recursive CTE): WLS start (unit weights,
+    1e-12 ridge) then per-iteration reweighting wi = min(1, eps*sigma
+    / |res|) with sigma = max(1.4826 * MAD(res), 1e-12), exactly the
+    engine's _driver_huber (scorecard.py:113-135) — median/MAD are
+    multiset statistics so DuckDB's quantile_cont(0.5) replays
+    numpy's interpolated median bit-for-bit; stopping rule
+    max|new-old| < 1e-9 * (1 + max|old|) carried as (stp, ref) on
+    each recursion row."""
+    net = "l_extendedprice * (1 - l_discount)"
+    # new-beta Cramer on the 2x2 ridged weighted normal equations
+    nb1 = "(s.sxy * s.s11 - s.sy * s.sx) / (s.sxx * s.s11 - s.sx * s.sx)"
+    nb0 = "(s.sy * s.sxx - s.sxy * s.sx) / (s.sxx * s.s11 - s.sx * s.sx)"
+    return ("WITH RECURSIVE "
+            + _dp_cte_continuous("l_quantity", net, 8, "descending", "")
+            + f""",
+  rows_ AS (
+    SELECT l_orderkey, l_linenumber, l_quantity AS xq, {net} AS y
+    FROM lineitem),
+  rpb AS (
+    SELECT r.*, len(list_filter(sp.splits, s -> r.xq >= s)) AS pb
+    FROM rows_ r, sp),
+  feat AS (
+    SELECT rpb.l_orderkey, rpb.l_linenumber, rpb.y,
+           b.s1 / b.cnt AS x
+    FROM rpb JOIN bseg b ON rpb.pb BETWEEN b.pb_lo AND b.pb_hi),
+  irls(it, b1, b0, stp, ref) AS (
+    SELECT 0,
+           (s.sxy * s.s11 - s.sy * s.sx) / (s.sxx * s.s11 - s.sx * s.sx),
+           (s.sy * s.sxx - s.sxy * s.sx) / (s.sxx * s.s11 - s.sx * s.sx),
+           CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)
+    FROM (
+      SELECT sum(x * x) + 1e-12 AS sxx, sum(x) AS sx,
+             count(*) + 1e-12 AS s11, sum(x * y) AS sxy, sum(y) AS sy
+      FROM feat) s
+    UNION ALL
+    SELECT r.it + 1, {nb1}, {nb0},
+           greatest(abs({nb1} - r.b1), abs({nb0} - r.b0)),
+           1.0 + greatest(abs(r.b1), abs(r.b0))
+    FROM irls r, LATERAL (
+      WITH resid AS (
+        SELECT f.x, f.y, f.y - (r.b1 * f.x + r.b0) AS res FROM feat f),
+      m1 AS (SELECT median(res) AS med FROM resid),
+      sg AS (SELECT greatest(1.4826 * median(abs(res - m1.med)), 1e-12)
+                      AS sigma
+             FROM resid, m1),
+      wr AS (SELECT x, y,
+                    least(1.0, 1.35 * sg.sigma
+                               / greatest(abs(res), 1e-12)) AS wi
+             FROM resid, sg)
+      SELECT sum(wi * x * x) + 1e-12 AS sxx, sum(wi * x) AS sx,
+             sum(wi) + 1e-12 AS s11, sum(wi * x * y) AS sxy,
+             sum(wi * y) AS sy
+      FROM wr) s
+    WHERE r.it < 100 AND r.stp >= 1e-9 * r.ref),
+  beta AS (SELECT b1, b0 FROM irls ORDER BY it DESC LIMIT 1)
+  SELECT f.l_orderkey, f.l_linenumber,
+         round(bt.b0 + bt.b1 * f.x, 2) + 0.0 AS score
+  FROM feat f CROSS JOIN beta bt""")
+
+
 def q_scorecard_table_linear(spark, sf_dir):
     """Scorecard TABLE (per-bin points) for the WLS linear pipeline —
     the same fit as scorecard_scores_linear, exposing the O12 point
@@ -1262,6 +1323,42 @@ def q_scorecard_scores_linear(spark, sf_dir):
     )
 
 
+def q_scorecard_scores_huber(spark, sf_dir):
+    """Scorecard end-to-end with the HUBER robust estimator (X1 — the
+    reference README's continuous example fits
+    HuberRegressor(epsilon=1.35); reference scorecard.py:611-625 fits
+    any sklearn estimator on the transformed X): one exactly-
+    replayable continuous binning (quantile prebins + pinned trend),
+    mean transform, IRLS with the normalized-MAD concomitant scale on
+    the full design (below the driver cap, so the hash-ordered sample
+    is the whole table), raw (unscaled) points. The DuckDB oracle
+    replays the DP, the per-row bin-mean feature, the WLS start, and
+    every Huber reweighting step (median/MAD in SQL) as a recursive
+    CTE — extending the IRLS machinery of scorecard_scores_logistic
+    to the robust-loss estimator."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "net_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    bp = BinningProcess(
+        ["l_quantity"],
+        prebinning_method="quantile",
+        max_n_prebins=8,
+        binning_fit_params={
+            "l_quantity": {"monotonic_trend": "descending"},
+        },
+    )
+    sc = Scorecard(bp, estimator="huber")
+    sc.fit(df, "net_price")
+    out = sc.score(df)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        (F.round("score", 2) + F.lit(0.0)).alias("score"),
+    )
+
+
 def q_counterfactual(spark, sf_dir):
     """O15: counterfactual explanations — exact branch-and-bound over
     bin assignments; Mahalanobis inputs from one Spark agg."""
@@ -1713,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windowed PSI with the same arithmetic plus drift levels);
         # psi keeps its oracle in the tail for tools/check_correctness
         "scorecard_scores_logistic": q_scorecard_scores_logistic,
+        "scorecard_scores_huber": q_scorecard_scores_huber,
         "ks": q_ks,
         "continuous_bin_stats": q_continuous_bin_stats,
         "multiclass_bin_counts": q_multiclass_bin_counts,
@@ -2829,6 +2927,31 @@ def _sql_near_dup_cosine_bucketed():
   WHERE a.vec_id < bb.vec_id AND round({cos}, 6) >= 0.4""")
 
 
+def _sql_doc_split_assignment():
+    """Split-gate oracle generated from split_thresholds() — the SAME
+    fsum-derived constants the engine's hash_split gates on, rendered
+    with repr() (shortest round-tripping decimal), so engine and
+    oracle compare u against bit-identical doubles."""
+    from optbinning_spark.pipeline.sampling import split_thresholds
+
+    thr = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    whens = "\n                        ".join(
+        f"WHEN u < {t!r} THEN '{name}'" for name, t in thr.items()
+    )
+    return f"""
+            WITH u AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE {whens}
+                        ELSE 'test' END AS split
+            FROM u
+        """
+
+
 def _sql_embedding_dedup_clusters():
     """Bucketed near-dup pairs + recursive-CTE transitive closure +
     min-label components, with singletons from the full table."""
@@ -3066,20 +3189,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle_sql(16),
         # doc_split_assignment / stratified_doc_sample: salted-md5
         # uniform gate u = int(md5(salt|key)[:8])/2^32, replayed
-        # exactly (Spark conv(substr(md5)) == DuckDB ::BIGINT of 0x)
-        "doc_split_assignment": """
-            WITH u AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                       / 4294967296.0 AS u
-              FROM documents
-            )
-            SELECT doc_id,
-                   CASE WHEN u < 0.8 THEN 'train'
-                        WHEN u < 0.9 THEN 'val'
-                        ELSE 'test' END AS split
-            FROM u
-        """,
+        # exactly (Spark conv(substr(md5)) == DuckDB ::BIGINT of 0x).
+        # Thresholds are generated from split_thresholds() — the SAME
+        # fsum-derived constants the engine gates on — so no boundary
+        # doc can ever straddle engine-vs-oracle float drift.
+        "doc_split_assignment": _sql_doc_split_assignment(),
         "stratified_doc_sample": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -3517,6 +3631,7 @@ def oracle_sql() -> dict[str, str]:
         "scorecard_scores_linear": _sql_scorecard_scores_linear(),
         "scorecard_table_linear": _sql_scorecard_table_linear(),
         "scorecard_scores_logistic": _sql_scorecard_scores_logistic(),
+        "scorecard_scores_huber": _sql_scorecard_scores_huber(),
         "binning_2d_pinned": _sql_binning_2d_pinned(),
         "continuous_binning_2d_pinned": _sql_continuous_binning_2d_pinned(),
         "embedding_dedup_clusters": _sql_embedding_dedup_clusters(),
@@ -3525,13 +3640,19 @@ def oracle_sql() -> dict[str, str]:
         # [0.3, 0.4, 0.3]; psi term (a-e)*ln(a/e), empty bins -> 0.
         "event_psi_monitor": """
             WITH agg AS (
+              -- filter NULL/NaN BEFORE windowing, exactly as the
+              -- engine does: otherwise an all-NULL window would emit
+              -- an n_events=0 row the engine never produces, and
+              -- DuckDB's total float ordering would count NaN into
+              -- the top bin the engine excludes
               SELECT date_trunc('day', ts) AS window_start,
-                     count(*) FILTER (WHERE value IS NOT NULL
-                                      AND NOT isnan(value)) AS n_events,
+                     count(*) AS n_events,
                      count(*) FILTER (WHERE value < 50.0) AS n0,
                      count(*) FILTER (WHERE value >= 50.0 AND value < 150.0) AS n1,
                      count(*) FILTER (WHERE value >= 150.0) AS n2
-              FROM events GROUP BY 1
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY 1
             ), p AS (
               SELECT window_start,
                      window_start + INTERVAL 1 DAY AS window_end,

@@ -552,6 +552,7 @@ def connected_components(
         ).schema
         return pairs.sparkSession.createDataFrame(out, schema)
     prev = None
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # convergence probe: the canonical edge set is stable once the
@@ -565,8 +566,20 @@ def connected_components(
         ).first()
         cur = (stats["n"], stats["chk"])
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # the members/roots decode below assumes depth-1 stars; a
+        # non-converged edge set would silently emit non-minimal or
+        # duplicate labels. O(log^2 n) rounds means 25 iterations
+        # covers any real graph, so exhaustion signals a bug or an
+        # absurd max_iter — fail loudly rather than decode garbage.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds (large-star/small-star needs O(log^2 n)); raise "
+            "max_iter"
+        )
     # converged: every edge is (member, root). Roots appear only as
     # dst — union them in as their own component.
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
@@ -593,6 +606,45 @@ def clusters_from_pairs(
     )
 
 
+def verify_pairs_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact-verify candidate pairs by shingle-set Jaccard: keep only
+    pairs with |Sa ∩ Sb| / |Sa ∪ Sb| >= min_jaccard. The
+    false-positive guard between LSH banding and transitive closure —
+    without it a single band collision (probability ~J^band_size per
+    band) merges two unrelated docs, and connected components
+    amplifies any false edge into a merged cluster.
+
+    Physical strategy: candidate pairs are a tiny fraction of the
+    corpus, so two equi-joins pull each side's (bounded, per-doc)
+    distinct-shingle array onto the pair row; the Jaccard is then a
+    pure array expression. Shuffles on doc id only — never wider than
+    the candidate set."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            shingles_from_words(F.split(F.col(text_col), " "), shingle_n)
+        ).alias("__sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size(F.array_union("__sa", "__sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(union > 0)
+        .filter(inter / union >= F.lit(float(min_jaccard)))
+        .select("id_a", "id_b")
+    )
+
+
 def duplicate_clusters(
     df: DataFrame,
     text_col: str = "text",
@@ -601,13 +653,21 @@ def duplicate_clusters(
     band_size: int = 2,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    jaccard_threshold: float | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering: MinHash → LSH bands →
-    candidate pairs → connected components → (doc_id, cluster_id,
-    is_canonical). Docs in no candidate pair are singleton clusters of
-    themselves. The keep-list for dedup is ``is_canonical`` (the
-    minimum doc id of each cluster — deterministic, join-free to
-    apply: filter is_canonical).
+    candidate pairs → [optional exact Jaccard verify] → connected
+    components → (doc_id, cluster_id, is_canonical). Docs in no
+    candidate pair are singleton clusters of themselves. The keep-list
+    for dedup is ``is_canonical`` (the minimum doc id of each cluster
+    — deterministic, join-free to apply: filter is_canonical).
+
+    ``jaccard_threshold``: when set, candidate pairs are exact-verified
+    on shingle-set Jaccard before closure (mirrors
+    bucketed_cosine_pairs' exact-verify step on the embedding side) —
+    the guard against a lone band collision transitively merging
+    unrelated docs and dropping non-duplicates from the keep-list.
+    None preserves the raw-LSH semantics.
 
     Reference parity note: the reference engine has no dedup surface;
     this is the brief-driven LLM-pipeline operator family
@@ -615,4 +675,7 @@ def duplicate_clusters(
     pairs = lsh_candidate_pairs(
         df, text_col, id_col, n_hashes, band_size, shingle_n,
         max_bucket_size=max_bucket_size)
+    if jaccard_threshold is not None:
+        pairs = verify_pairs_jaccard(
+            df, pairs, text_col, id_col, shingle_n, jaccard_threshold)
     return clusters_from_pairs(df, pairs, id_col)

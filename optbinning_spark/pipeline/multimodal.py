@@ -4,12 +4,14 @@ Media payloads are opaque ``binary`` columns with typed metadata
 structs. The decode/feature kernels run as Arrow-batched
 ``mapInPandas`` (the correct Spark shape for CPU-heavy per-row work:
 vectorized batch in, batch out, scan-parallel, no shuffle). The
-actual codec calls dispatch through ``decode_features``: when
-Pillow/soundfile are importable the REAL decoder runs; otherwise (or
-for undecodable payloads) the deterministic ``_decode_stub`` keeps the
-pipeline total. No image/audio libraries exist in this container, so
-the stub is what the tests and oracles pin; a deployment that installs
-Pillow gets real decoding with no code change.
+actual codec calls dispatch through ``decode_features`` in THREE
+tiers: (1) when Pillow/soundfile are importable the full codec runs;
+(2) otherwise a stdlib-only decoder handles uncompressed formats —
+binary PPM/PGM images and RIFF WAV audio — so a REAL decode executes
+even in containers without codec libraries (this tier is what CI
+exercises un-skipped); (3) undecodable payloads fall back to the
+deterministic ``_decode_stub`` that keeps the pipeline total. All
+tiers honor one 32-float shape/dtype contract.
 """
 
 from __future__ import annotations
@@ -66,16 +68,103 @@ def _soundfile():
         return None
 
 
+def _decode_ppm(payload: bytes):
+    """Stdlib-only decoder for binary PPM (P6) / PGM (P5): returns a
+    2-D grayscale float32 array in [0, 1], or None if the payload is
+    not a well-formed binary netpbm image. This is the middle decode
+    tier — a REAL pixel decode with zero dependencies, so CI in
+    codec-free containers still executes a genuine decode path."""
+    try:
+        if not payload or payload[:2] not in (b"P5", b"P6"):
+            return None
+        pos = 2
+        fields = []
+        while len(fields) < 3:
+            # skip whitespace and '#' comment lines between tokens
+            while pos < len(payload) and payload[pos:pos + 1].isspace():
+                pos += 1
+            if payload[pos:pos + 1] == b"#":
+                nl = payload.index(b"\n", pos)
+                pos = nl + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace byte after maxval
+        w, h, maxval = fields
+        if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+            return None
+        ch = 3 if payload[:2] == b"P6" else 1
+        bpv = 2 if maxval > 255 else 1
+        need = w * h * ch * bpv
+        raw = payload[pos:pos + need]
+        if len(raw) != need:
+            return None
+        dt = ">u2" if bpv == 2 else np.uint8
+        arr = np.frombuffer(raw, dtype=dt).astype(np.float32) / maxval
+        arr = arr.reshape(h, w, ch)
+        return arr.mean(axis=2) if ch == 3 else arr[:, :, 0]
+    except Exception:
+        return None
+
+
+def _decode_wav(payload: bytes):
+    """Stdlib ``wave`` decoder for RIFF WAV: returns the mono-folded
+    float32 waveform in [-1, 1], or None for non-WAV payloads or
+    sample widths the stdlib can't express."""
+    try:
+        import wave
+        from io import BytesIO
+
+        with wave.open(BytesIO(payload)) as wf:
+            sw = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+        if sw == 2:
+            arr = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+        elif sw == 1:
+            arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32)
+                   - 128.0) / 128.0
+        elif sw == 4:
+            arr = np.frombuffer(frames, dtype="<i4").astype(
+                np.float32) / 2147483648.0
+        else:
+            return None
+        return arr
+    except Exception:
+        return None
+
+
+def _nn_resize(gray: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor 2-D resample (the stdlib tier's resize kernel:
+    index arithmetic only, no codec)."""
+    h, w = gray.shape
+    ri = np.arange(target_h) * h // target_h
+    ci = np.arange(target_w) * w // target_w
+    return gray[ri][:, ci]
+
+
+def _audio_hist(wave: np.ndarray) -> np.ndarray:
+    """Shared audio feature: 32-bin amplitude histogram over [-1, 1],
+    normalized — identical whether the waveform came from soundfile
+    or the stdlib wave tier."""
+    wave = np.asarray(wave, dtype=np.float32).ravel()
+    hist, _ = np.histogram(wave, bins=32, range=(-1.0, 1.0))
+    total = max(float(hist.sum()), 1.0)
+    return (hist / total).astype(np.float32)
+
+
 def decode_features(payload: bytes, media_type: str,
                     Image=None, sf=None) -> np.ndarray:
-    """Real decode when the codec library exists, deterministic stub
-    otherwise. Image: PIL grayscale 8x4 thumbnail -> 32-dim [0,1]
-    feature. Audio: soundfile waveform -> 32-bin amplitude histogram.
-    Undecodable payloads (or absent libraries) fall back to
-    ``_decode_stub``, and ALL paths emit 32 floats — one shape/dtype
+    """Three-tier decode. Image: grayscale 8x4 thumbnail -> 32-dim
+    [0,1] feature (tier 1: PIL any format; tier 2: stdlib binary
+    PPM/PGM parse + nearest-neighbor resample). Audio: waveform ->
+    32-bin amplitude histogram (tier 1: soundfile; tier 2: stdlib
+    ``wave`` for RIFF WAV). Tier 3 for undecodable payloads is
+    ``_decode_stub``. ALL tiers emit 32 floats — one shape/dtype
     contract regardless of which decoder ran, so a batch mixing real
-    decodes and fallbacks stays rectangular for downstream
-    fixed-dim consumers.
+    decodes and fallbacks stays rectangular for downstream fixed-dim
+    consumers.
 
     ``Image``/``sf`` let batch callers resolve the libraries ONCE per
     batch instead of re-attempting the import per row (a failed import
@@ -93,6 +182,9 @@ def decode_features(payload: bytes, media_type: str,
                 return (np.asarray(img, dtype=np.float32) / 255.0).ravel()
             except Exception:
                 pass
+        gray = _decode_ppm(payload)
+        if gray is not None:
+            return _nn_resize(gray, 8, 4).astype(np.float32).ravel()
     elif media_type == "audio":
         if sf is None:
             sf = _soundfile()
@@ -101,12 +193,12 @@ def decode_features(payload: bytes, media_type: str,
                 from io import BytesIO
 
                 wave, _sr = sf.read(BytesIO(payload), dtype="float32")
-                wave = np.asarray(wave, dtype=np.float32).ravel()
-                hist, _ = np.histogram(wave, bins=32, range=(-1.0, 1.0))
-                total = max(float(hist.sum()), 1.0)
-                return (hist / total).astype(np.float32)
+                return _audio_hist(wave)
             except Exception:
                 pass
+        wave = _decode_wav(payload)
+        if wave is not None:
+            return _audio_hist(wave)
     return _decode_stub(payload, media_type)
 
 
@@ -199,6 +291,13 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
                     return img.resize((target_w, target_h)).tobytes()
                 except Exception:
                     pass
+            # stdlib tier: real pixel resample for binary PPM/PGM,
+            # same 1-byte-per-pixel grayscale output contract
+            gray = _decode_ppm(m)
+            if gray is not None:
+                return (
+                    _nn_resize(gray, target_w, target_h) * 255.0
+                ).astype(np.uint8).tobytes()
             return _resize_stub(m, w, h, target_w, target_h)
 
         for pdf in batches:

@@ -30,6 +30,29 @@ def hash_uniform(key: Column, salt: str = "") -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_U32)
 
 
+def split_thresholds(fractions: dict[str, float]) -> dict[str, float]:
+    """Cumulative gate thresholds for :func:`hash_split`, one per
+    non-final split name. Computed with ``math.fsum`` over each prefix
+    (correctly-rounded, order-independent of intermediate rounding) so
+    engine and oracle can gate on BIT-IDENTICAL constants: a naive
+    running sum gives 0.8+0.1 = 0.9000000000000002 while an oracle
+    written with the decimal literal 0.9 gates differently — sub-ulp
+    today, but any doc whose u lands between the two constants would
+    flip splits between engine and oracle. Oracle SQL must be
+    generated from repr() of THESE values (see
+    __spark_entry__.doc_split_assignment)."""
+    import math
+
+    total = math.fsum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    return {
+        name: math.fsum(fractions[n] for n in names[: i + 1])
+        for i, name in enumerate(names[:-1])
+    }
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -39,16 +62,16 @@ def hash_split(
     """Assign every row to a named split (train/val/test/...) by
     cumulative thresholds over the key's uniform hash. Deterministic,
     disjoint, exhaustive (fractions must sum to 1 within 1e-9);
-    map-only so it composes with any downstream plan at any scale."""
-    total = sum(fractions.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"fractions must sum to 1, got {total}")
+    map-only so it composes with any downstream plan at any scale.
+    Thresholds come from :func:`split_thresholds` (fsum per prefix)
+    so they are reproducible constants, not accumulation-order
+    artifacts."""
+    thresholds = split_thresholds(fractions)
     u = hash_uniform(F.col(id_col), salt)
     expr = None
-    acc = 0.0
     names = list(fractions)
     for name in names[:-1]:
-        acc += fractions[name]
+        acc = thresholds[name]
         expr = (F.when(u < acc, name) if expr is None
                 else expr.when(u < acc, name))
     expr = (F.lit(names[-1]) if expr is None
