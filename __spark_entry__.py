@@ -590,6 +590,20 @@ def q_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(docs, n_hashes=8, band_size=2)
 
 
+def q_dedup_clusters_dist(spark, sf_dir):
+    """dedup_clusters with the DISTRIBUTED closure forced
+    (driver_threshold=0): the large-star/small-star loop itself runs
+    and is timed/regression-guarded, instead of the driver union-find
+    fast path the small candidate set would normally take. Same
+    result set, same oracle, different physical path — this is the
+    100 TB shape."""
+    from optbinning_spark.pipeline.dedup import duplicate_clusters
+
+    docs = _documents(spark, sf_dir)
+    return duplicate_clusters(
+        docs, n_hashes=8, band_size=2, driver_threshold=0)
+
+
 def q_multimodal_features(spark, sf_dir):
     from optbinning_spark.pipeline.multimodal import (
         extract_features,
@@ -1802,7 +1816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the monitor adds windowing + drift levels on top;
         # event_type_psi keeps its oracle in the tail
         "event_psi_monitor": q_event_psi_monitor,
-        "simhash": q_simhash,
+        # simhash_pairs takes simhash's window slot (strict superset:
+        # its oracle replays the fingerprints AND the banded join +
+        # hamming verify); simhash keeps its oracle in the tail
+        "simhash_pairs": q_simhash_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         "cart_splits": q_cart_splits,
         # the IRLS-replay scorecard oracle takes psi's window slot
@@ -1819,9 +1836,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuous_binning_table": q_continuous_binning_table,
         "categorical_optimal_binning": q_categorical_optimal_binning,
         "binning_process_summary": q_binning_process_summary,
-        "contingency_2d": q_contingency_2d,
+        # doc_normalize takes contingency_2d's slot (A5 2-D
+        # contingency stays driver-covered through binning_2d_pinned,
+        # whose oracle replays the grid aggregation as its first
+        # stage); dedup_clusters_dist takes scenario_agg's slot (O9
+        # scenario aggregation stays covered through
+        # scenario_binning_table, whose oracle replays it); both keep
+        # their oracles in the tail for tools/check_correctness
+        "doc_normalize": q_doc_normalize,
         "outlier_yquantile": q_outlier_yquantile,
-        "scenario_agg": q_scenario_agg,
+        "dedup_clusters_dist": q_dedup_clusters_dist,
         # dedup_clusters subsumes lsh_candidates (its oracle replays
         # minhash + bands + pairs AND the transitive closure), so it
         # takes the window slot; lsh_candidates keeps its oracle in
@@ -1833,7 +1857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_metrics": q_classification_metrics,
         "regression_metrics": q_regression_metrics,
         "indices_bins_transform": q_indices_bins_transform,
-        "mean_transform": q_mean_transform,
+        # mean_transform rotated to the tail: the F4 per-row bin-mean
+        # transform is driver-covered through scorecard_scores_linear
+        # and scorecard_scores_huber, whose oracles replay it row-wise
         "unknown_category_transform": q_unknown_category_transform,
         "chi2_tests": q_chi2_tests,
         "distribution_stats": q_distribution_stats,
@@ -1853,8 +1879,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binning_table_fixed": q_binning_table_fixed,
         "woe_transform": q_woe_transform,
         "lsh_candidates": q_lsh_candidates,
-        "simhash_pairs": q_simhash_pairs,
-        "doc_normalize": q_doc_normalize,
+        "simhash": q_simhash,
+        "contingency_2d": q_contingency_2d,
+        "scenario_agg": q_scenario_agg,
+        "mean_transform": q_mean_transform,
         "doc_split_assignment": q_doc_split_assignment,
         "stratified_doc_sample": q_stratified_doc_sample,
         "near_dup_cosine": q_near_dup_cosine,
@@ -3003,7 +3031,7 @@ def oracle_sql() -> dict[str, str]:
         )
     )
 
-    return {
+    sql = {
         "sample_class_counts": f"""
             SELECT CASE
                      WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 'missing'
@@ -3682,6 +3710,10 @@ def oracle_sql() -> dict[str, str]:
         "mdlp_splits": _sql_mdlp_splits(),
         "psi_variable_report": _sql_psi_variable_report(),
     }
+    # dedup_clusters_dist forces the distributed star loop but is
+    # value-identical to the driver fast path — same oracle.
+    sql["dedup_clusters_dist"] = sql["dedup_clusters"]
+    return sql
 
 
 def _simhash_oracle_sql(n_bits: int) -> str:

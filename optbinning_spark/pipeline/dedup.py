@@ -494,6 +494,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 25,
     driver_threshold: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of an undirected edge list — the
     transitive-closure step a dedup pipeline needs between "candidate
@@ -518,16 +519,27 @@ def connected_components(
     single collect is strictly cheaper. The distributed loop is the
     unbounded-scale path; results are identical (tested).
 
+    ``stats``: pass a dict to observe execution — filled with
+    ``path`` ("driver" | "distributed"), ``edges``, and ``rounds``
+    (star rounds run; 0 on the driver path). This is how tests pin
+    the O(log^2 n) round bound instead of trusting it.
+
     Returns (node, component): one row per distinct node of ``pairs``,
     component = the minimum node id of its connected component.
     """
+    if stats is None:
+        stats = {}
     e = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if e.count() <= driver_threshold:
+    n_edges = e.count()
+    stats["edges"] = n_edges
+    if n_edges <= driver_threshold:
+        stats["path"] = "driver"
+        stats["rounds"] = 0
         parent: dict = {}
 
         def _find(x):
@@ -551,20 +563,24 @@ def connected_components(
             F.col("src").alias("node"), F.col("src").alias("component")
         ).schema
         return pairs.sparkSession.createDataFrame(out, schema)
+    stats["path"] = "distributed"
     prev = None
     converged = False
+    rounds = 0
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        stats["rounds"] = rounds
         # convergence probe: the canonical edge set is stable once the
         # forest is a set of depth-1 stars. count + order-independent
         # hash fold is a 1-row action per round (bit_xor, not sum:
         # edges are distinct so xor can't cancel a repeat, and it
         # can't overflow under ANSI mode).
-        stats = e.agg(
+        probe = e.agg(
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("src", "dst")).alias("chk"),
         ).first()
-        cur = (stats["n"], stats["chk"])
+        cur = (probe["n"], probe["chk"])
         if cur == prev:
             converged = True
             break
@@ -588,14 +604,18 @@ def connected_components(
 
 
 def clusters_from_pairs(
-    entities: DataFrame, pairs: DataFrame, id_col: str
+    entities: DataFrame, pairs: DataFrame, id_col: str,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Shared closure step for every dedup family (text LSH and
     embedding cosine both use THIS): candidate pairs -> connected
     components -> (id, cluster_id, is_canonical) over ALL entities,
     with unpaired entities as singleton clusters of themselves and
-    the minimum id per cluster as the canonical keep-list."""
-    cc = connected_components(pairs, "id_a", "id_b")
+    the minimum id per cluster as the canonical keep-list.
+    ``driver_threshold`` passes through to connected_components
+    (0 forces the distributed star loop)."""
+    cc = connected_components(
+        pairs, "id_a", "id_b", driver_threshold=driver_threshold)
     ids = entities.select(F.col(id_col))
     joined = ids.join(cc, ids[id_col] == cc["node"], "left")
     cluster = F.coalesce(F.col("component"), F.col(id_col))
@@ -654,6 +674,7 @@ def duplicate_clusters(
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
     jaccard_threshold: float | None = None,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering: MinHash → LSH bands →
     candidate pairs → [optional exact Jaccard verify] → connected
@@ -678,4 +699,5 @@ def duplicate_clusters(
     if jaccard_threshold is not None:
         pairs = verify_pairs_jaccard(
             df, pairs, text_col, id_col, shingle_n, jaccard_threshold)
-    return clusters_from_pairs(df, pairs, id_col)
+    return clusters_from_pairs(
+        df, pairs, id_col, driver_threshold=driver_threshold)

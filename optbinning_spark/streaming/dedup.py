@@ -33,6 +33,20 @@ from pyspark.sql import functions as F
 from ..pipeline.dedup import minhash_lane_cols, staged_minhash_arrays
 
 
+def state_store_rows(query) -> int | None:
+    """Observable state size of a running dedup stream: total rows
+    held across the query's stateful operators, read from the last
+    progress report. This is the T5 memory-accounting hook for the
+    dedup family — the documented state bounds (dedup horizon with a
+    watermark, distinct-key count without) are ASSERTABLE numbers,
+    not prose. Returns None before the first progress report."""
+    p = query.lastProgress
+    if not p:
+        return None
+    return sum(int(op.get("numRowsTotal", 0))
+               for op in p.get("stateOperators", []))
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",

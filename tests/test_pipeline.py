@@ -745,6 +745,70 @@ def test_connected_components_property(spark):
     run()
 
 
+def test_connected_components_chain_rounds(spark):
+    """A path graph — the worst case for plain min-label propagation
+    (O(diameter) rounds) — closes in O(log^2 n) star rounds: the
+    distributed loop is FORCED (driver_threshold=0) on a 2000-node
+    chain and its observed round count must stay logarithmic, not
+    linear. Also pins correctness: every node labels to component 0."""
+    from optbinning_spark.pipeline.dedup import connected_components
+
+    n = 2000
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    stats = {}
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               df, driver_threshold=0, stats=stats).collect()}
+    assert stats["path"] == "distributed"
+    assert stats["edges"] == n - 1
+    # log2(2000)^2 ~ 120 is the theoretical bound; star contraction
+    # converges far faster in practice — 20 is a tight regression
+    # guard that a propagation-style bug (O(n) rounds) cannot pass
+    assert 1 <= stats["rounds"] <= 20
+    assert len(got) == n
+    assert all(c == 0 for c in got.values())
+
+
+def test_connected_components_driver_stats(spark):
+    """The driver fast path reports itself through the same stats
+    contract (path/edges/rounds)."""
+    from optbinning_spark.pipeline.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long")
+    stats = {}
+    got = {r["node"]: r["component"]
+           for r in connected_components(df, stats=stats).collect()}
+    assert stats == {"path": "driver", "edges": 3, "rounds": 0}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_jaccard_verify(spark):
+    """jaccard_threshold kills false-positive band collisions before
+    transitive closure: two docs sharing one rare band but dissimilar
+    shingle sets must NOT merge, while true near-dups still do."""
+    from optbinning_spark.pipeline.dedup import (
+        duplicate_clusters, lsh_candidate_pairs)
+
+    near_a = "the quick brown fox jumps over the lazy dog today"
+    near_b = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [(1, near_a), (2, near_b),
+         (3, "completely different text about spark engines and scale"),
+         (4, "another unrelated document discussing binning tables")],
+        "doc_id: long, text: string")
+    verified = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(
+        docs, n_hashes=8, band_size=2, jaccard_threshold=0.5).collect()}
+    # true near-dups merge; everything else stays singleton
+    assert verified[1] == verified[2] == 1
+    assert verified[3] == 3 and verified[4] == 4
+    # and the verify step is strictly a subset filter of the raw pairs
+    raw = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(
+        docs, n_hashes=8, band_size=2).collect()}
+    assert (1, 2) in raw
+
+
 def test_normalize_text_expr(spark):
     from optbinning_spark.pipeline.text import normalize_text_expr
 

@@ -389,6 +389,13 @@ def test_streaming_exact_dedup(spark, tmp_path):
         q.processAllAvailable()
         got = {r["doc_id"] for r in spark.sql(
             "SELECT doc_id FROM sdedup").collect()}
+        # T5 memory accounting: without a watermark, state = one row
+        # per DISTINCT content hash ever seen (3 across both batches)
+        # — the documented unbounded-state caveat as an observable
+        # number, not prose
+        from optbinning_spark.streaming.dedup import state_store_rows
+
+        assert state_store_rows(q) == 3
     finally:
         q.stop()
     # one of {1, 3} (same-batch dup pair, arbitrary survivor), 2, and
@@ -470,6 +477,14 @@ def test_streaming_exact_dedup_watermarked_state(spark, tmp_path):
         q.processAllAvailable()
         got = {r["doc_id"] for r in spark.sql(
             "SELECT doc_id FROM wmdedup").collect()}
+        # T5: the watermarked store is bounded by keys inside the
+        # dedup horizon — all 3 distinct hashes are within 1h of the
+        # max event time here, so exactly 3 state rows (eviction of
+        # out-of-horizon keys is Spark's dropDuplicatesWithinWatermark
+        # contract; this pins that our plan actually engages it)
+        from optbinning_spark.streaming.dedup import state_store_rows
+
+        assert state_store_rows(q) == 3
     finally:
         q.stop()
     assert got == {1, 2, 4}
