@@ -1373,6 +1373,55 @@ def q_scorecard_scores_huber(spark, sf_dir):
     )
 
 
+def q_counterfactual_pinned(spark, sf_dir):
+    """O15 with a SQL-enumerable search space: 2-variable linear
+    scorecard (the exactly-replayable pinned DP chains), proximity-
+    only objective, continuous min_outcome constraint. The candidate
+    space is |bins(x)| x |bins(y)| <= 64 assignments, so the DuckDB
+    oracle enumerates ALL of them (cross join), applies the same
+    feasibility gate (score >= target) and the same weighted-L1
+    proximity cost (wrange = 1/range of per-bin points), and takes
+    the 2 cheapest — which is exactly what the engine's exact
+    branch-and-bound must return (reference counterfactual mip.py
+    objective, problem_data.py:36-46 wrange)."""
+    from optbinning_spark import BinningProcess, Counterfactual
+    from optbinning_spark.scorecard import Scorecard
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "net_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    bp = BinningProcess(
+        ["l_quantity", "l_discount"],
+        prebinning_method="quantile",
+        max_n_prebins=8,
+        binning_fit_params={
+            "l_quantity": {"monotonic_trend": "descending"},
+            "l_discount": {"monotonic_trend": "descending"},
+        },
+    )
+    sc = Scorecard(bp, estimator="linear").fit(df, "net_price")
+    cf = Counterfactual(sc).fit(df)
+    vals, _ = cf._candidates()
+    coefs = [sc.coef_[v] for v in cf.variables_]
+    smax = sc.intercept_ + sum(float(max(c * v))
+                               for c, v in zip(coefs, vals))
+    smin = sc.intercept_ + sum(float(min(c * v))
+                               for c, v in zip(coefs, vals))
+    target = smin + 0.6 * (smax - smin)
+    cf.generate(
+        {"l_quantity": 10.0, "l_discount": 0.03}, y=target,
+        outcome_type="continuous", hard_constraints=["min_outcome"],
+        n_cf=2, objectives={"proximity": 1.0, "closeness": 0.0})
+    rows = [
+        (int(s["assignment"][0]), int(s["assignment"][1]),
+         round(float(s["score"]), 6) + 0.0,
+         round(float(s["cost"]), 6) + 0.0)
+        for s in cf._cfs
+    ]
+    return spark.createDataFrame(
+        rows, "b1 int, b2 int, score double, cost double")
+
+
 def q_counterfactual(spark, sf_dir):
     """O15: counterfactual explanations — exact branch-and-bound over
     bin assignments; Mahalanobis inputs from one Spark agg."""
@@ -1844,7 +1893,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scenario_binning_table, whose oracle replays it); both keep
         # their oracles in the tail for tools/check_correctness
         "doc_normalize": q_doc_normalize,
-        "outlier_yquantile": q_outlier_yquantile,
+        # counterfactual_pinned takes outlier_yquantile's slot (the
+        # outlier family keeps two in-window reps, zscore + iqr;
+        # yquantile keeps its oracle in the tail) — O15 was the last
+        # solver family with no driver-window hash check; the pinned
+        # 2-variable search space is exhaustively enumerated in SQL
+        "counterfactual_pinned": q_counterfactual_pinned,
         "dedup_clusters_dist": q_dedup_clusters_dist,
         # dedup_clusters subsumes lsh_candidates (its oracle replays
         # minhash + bands + pairs AND the transitive closure), so it
@@ -1883,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contingency_2d": q_contingency_2d,
         "scenario_agg": q_scenario_agg,
         "mean_transform": q_mean_transform,
+        "outlier_yquantile": q_outlier_yquantile,
         "doc_split_assignment": q_doc_split_assignment,
         "stratified_doc_sample": q_stratified_doc_sample,
         "near_dup_cosine": q_near_dup_cosine,
@@ -2446,6 +2501,91 @@ def _sql_scorecard_scores_linear():
          round(0.0 + sc.slope * ((sc.b0 + sc.b1 * f.f1 + sc.b2 * f.f2) - sc.smin),
                2) + 0.0 AS score
   FROM feat f, scale sc"""
+
+
+def _sql_counterfactual_pinned():
+    """Exhaustive-enumeration oracle for the pinned counterfactual:
+    same two DP chains + WLS coef as the linear scorecard oracle, then
+    ALL <=64 bin assignments cross-joined, feasibility-gated on the
+    min_outcome score target, costed with the weighted-L1 proximity
+    (wrange = 1/range of per-bin points), cheapest two win."""
+    net = "l_extendedprice * (1 - l_discount)"
+    chains = (_dp_cte_continuous("l_quantity", net, 8, "descending", "f1_")
+              + "," + _dp_cte_continuous("l_discount", net, 8,
+                                         "descending", "f2_"))
+    return f"""
+  WITH {chains},
+  rows_ AS (
+    SELECT l_orderkey, l_linenumber, l_quantity AS x1, l_discount AS x2,
+           {net} AS y
+    FROM lineitem),
+  r1 AS (
+    SELECT r.*, len(list_filter(sp.splits, s -> r.x1 >= s)) AS pb1
+    FROM rows_ r, f1_sp sp),
+  r2 AS (
+    SELECT r1.*, len(list_filter(sp.splits, s -> r1.x2 >= s)) AS pb2
+    FROM r1, f2_sp sp),
+  feat AS (
+    SELECT r2.y, b1.s1 / b1.cnt AS f1, b2.s1 / b2.cnt AS f2
+    FROM r2
+    JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
+    JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
+  mu AS (
+    SELECT avg(f1) AS m1, avg(f2) AS m2, avg(y) AS my FROM feat),
+  sums AS (
+    SELECT sum((f1 - mu.m1) * (f1 - mu.m1)) AS c11,
+           sum((f1 - mu.m1) * (f2 - mu.m2)) AS c12,
+           sum((f2 - mu.m2) * (f2 - mu.m2)) AS c22,
+           sum((f1 - mu.m1) * (y - mu.my)) AS c1y,
+           sum((f2 - mu.m2) * (y - mu.my)) AS c2y,
+           any_value(mu.m1) AS m1, any_value(mu.m2) AS m2,
+           any_value(mu.my) AS my
+    FROM feat, mu),
+  coef AS (
+    SELECT (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+           (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2,
+           my - (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) * m1
+              - (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) * m2 AS b0
+    FROM sums),
+  -- per-variable candidate points (coef * bin mean), their ranges,
+  -- the query's original bins, and the achievable score extremes
+  cand1 AS (SELECT b.seg, co.b1 * (b.s1 / b.cnt) AS pt
+            FROM f1_bseg b, coef co),
+  cand2 AS (SELECT b.seg, co.b2 * (b.s1 / b.cnt) AS pt
+            FROM f2_bseg b, coef co),
+  wr AS (
+    SELECT 1.0 / greatest((SELECT max(pt) - min(pt) FROM cand1), 1e-9)
+             AS w1,
+           1.0 / greatest((SELECT max(pt) - min(pt) FROM cand2), 1e-9)
+             AS w2),
+  orig1 AS (
+    SELECT c.pt FROM f1_sp sp
+    JOIN f1_bseg b
+      ON len(list_filter(sp.splits, s -> 10.0 >= s))
+           BETWEEN b.pb_lo AND b.pb_hi
+    JOIN cand1 c ON c.seg = b.seg),
+  orig2 AS (
+    SELECT c.pt FROM f2_sp sp
+    JOIN f2_bseg b
+      ON len(list_filter(sp.splits, s -> 0.03 >= s))
+           BETWEEN b.pb_lo AND b.pb_hi
+    JOIN cand2 c ON c.seg = b.seg),
+  tgt AS (
+    SELECT co.b0 + (SELECT min(pt) FROM cand1)
+                 + (SELECT min(pt) FROM cand2) AS smin,
+           co.b0 + (SELECT max(pt) FROM cand1)
+                 + (SELECT max(pt) FROM cand2) AS smax,
+           co.b0 AS b0
+    FROM coef co),
+  enum AS (
+    SELECT c1.seg AS b1, c2.seg AS b2,
+           t.b0 + c1.pt + c2.pt AS score,
+           w.w1 * abs(c1.pt - o1.pt) + w.w2 * abs(c2.pt - o2.pt) AS cost
+    FROM cand1 c1, cand2 c2, tgt t, wr w, orig1 o1, orig2 o2
+    WHERE t.b0 + c1.pt + c2.pt >= t.smin + 0.6 * (t.smax - t.smin))
+  SELECT CAST(b1 AS INTEGER) AS b1, CAST(b2 AS INTEGER) AS b2,
+         round(score, 6) + 0.0 AS score, round(cost, 6) + 0.0 AS cost
+  FROM enum ORDER BY cost LIMIT 2"""
 
 
 def _sql_scorecard_table_linear():
@@ -3660,6 +3800,7 @@ def oracle_sql() -> dict[str, str]:
         "scorecard_table_linear": _sql_scorecard_table_linear(),
         "scorecard_scores_logistic": _sql_scorecard_scores_logistic(),
         "scorecard_scores_huber": _sql_scorecard_scores_huber(),
+        "counterfactual_pinned": _sql_counterfactual_pinned(),
         "binning_2d_pinned": _sql_binning_2d_pinned(),
         "continuous_binning_2d_pinned": _sql_continuous_binning_2d_pinned(),
         "embedding_dedup_clusters": _sql_embedding_dedup_clusters(),
