@@ -666,6 +666,40 @@ def q_binning_process_summary(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+def q_wide_summary_pinned(spark, sf_dir):
+    """The flagship wide-fit code path with a hash oracle: 8 variables
+    (5 exact-histogram numerics incl. a derived column + 3
+    categoricals) over lineitem broadcast-joined with orders — the
+    same join + spread + MEMORY_AND_DISK persist + fused two-action
+    stacked aggregation wide_process_fit takes, but with pinned
+    ascending trends and quantile prebins so every variable's DP and
+    table metrics replay exactly in SQL."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.sources.tables import orders as _ot
+
+    li = _lineitem(spark, sf_dir)
+    o = _ot(spark, sf_dir).drop("y")
+    df = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .withColumn("disc_tax", F.col("l_discount") + F.col("l_tax"))
+    )
+    bp = BinningProcess(
+        ["l_quantity", "l_discount", "l_tax", "l_linenumber", "disc_tax",
+         "l_linestatus", "o_orderpriority", "o_orderstatus"],
+        categorical_variables=[
+            "l_linestatus", "o_orderpriority", "o_orderstatus"],
+        prebinning_method="quantile",
+        max_n_prebins=8,
+        monotonic_trend="ascending",
+    )
+    bp.fit(df, "y")
+    pdf = bp.summary()[["name", "dtype", "n_bins", "iv", "js", "gini", "ks"]]
+    for c in ("iv", "js", "gini", "ks"):
+        pdf[c] = pdf[c].round(6)
+    pdf["n_bins"] = pdf["n_bins"].astype("int64")
+    return spark.createDataFrame(pdf)
+
+
 def q_scorecard_table(spark, sf_dir):
     """Scorecard: binning + MLlib logistic + pdo_odds points."""
     from optbinning_spark import BinningProcess
@@ -1884,7 +1918,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimal_woe_transform": q_optimal_woe_transform,
         "continuous_binning_table": q_continuous_binning_table,
         "categorical_optimal_binning": q_categorical_optimal_binning,
-        "binning_process_summary": q_binning_process_summary,
+        # wide_summary_pinned takes binning_process_summary's slot —
+        # strict superset: same summary mechanism over MORE variables
+        # (8: triggers the spread+persist wide path), a broadcast
+        # join, a derived column, and three categorical DP chains;
+        # binning_process_summary keeps its oracle in the tail
+        "wide_summary_pinned": q_wide_summary_pinned,
         # doc_normalize takes contingency_2d's slot (A5 2-D
         # contingency stays driver-covered through binning_2d_pinned,
         # whose oracle replays the grid aggregation as its first
@@ -1938,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scenario_agg": q_scenario_agg,
         "mean_transform": q_mean_transform,
         "outlier_yquantile": q_outlier_yquantile,
+        "binning_process_summary": q_binning_process_summary,
         "doc_split_assignment": q_doc_split_assignment,
         "stratified_doc_sample": q_stratified_doc_sample,
         "near_dup_cosine": q_near_dup_cosine,
@@ -2328,23 +2368,19 @@ def _sql_process_summary_var(name, dtype, p):
                 FROM {p}bseg)) AS ks"""
 
 
-def _sql_binning_process_summary():
-    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
-    num_vars = ["l_quantity", "l_discount", "l_tax"]
-    ctes, rows = [], []
-    for i, v in enumerate(num_vars):
-        p = f"v{i}_"
-        ctes.append(_dp_cte_binary("lineitem", v, y, 8, "ascending", p))
-        rows.append(_sql_process_summary_var(v, "numerical", p))
-    # l_linestatus: categorical, 2 categories -> ordinal prebins
-    p = "vc_"
-    ctes.append(f"""
+def _sql_cat_dp_cte(table, col, y, p):
+    """Categorical binary DP chain: per-category counts -> event-rate
+    ordinal ordering (ties by category string, matching
+    _finalize_categorical) -> exhaustive contiguous-partition
+    enumeration with the ascending trend -> {p}bseg/{p}allrows/{p}t2
+    (same tail contract as _dp_cte_binary)."""
+    return f"""
   {p}cat AS (
-    SELECT l_linestatus AS cat,
+    SELECT {col} AS cat,
            count(*) FILTER (WHERE y = 0) AS ne,
            count(*) FILTER (WHERE y = 1) AS ev
-    FROM (SELECT l_linestatus, {y} AS y FROM lineitem
-          WHERE l_linestatus IS NOT NULL)
+    FROM (SELECT {col}, {y} AS y FROM {table}
+          WHERE {col} IS NOT NULL)
     GROUP BY 1),
   {p}pre AS (
     SELECT cat, ne, ev,
@@ -2380,11 +2416,53 @@ def _sql_binning_process_summary():
   {p}mrow AS (
     SELECT count(*) FILTER (WHERE y = 0) AS ne,
            count(*) FILTER (WHERE y = 1) AS ev
-    FROM (SELECT {y} AS y FROM lineitem WHERE l_linestatus IS NULL)),
+    FROM (SELECT {y} AS y FROM {table} WHERE {col} IS NULL)),
   {p}allrows AS (
     SELECT ne, ev FROM {p}bseg UNION ALL SELECT ne, ev FROM {p}mrow),
-  {p}t2 AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev FROM {p}allrows)""")
+  {p}t2 AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev FROM {p}allrows)"""
+
+
+def _sql_binning_process_summary():
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    num_vars = ["l_quantity", "l_discount", "l_tax"]
+    ctes, rows = [], []
+    for i, v in enumerate(num_vars):
+        p = f"v{i}_"
+        ctes.append(_dp_cte_binary("lineitem", v, y, 8, "ascending", p))
+        rows.append(_sql_process_summary_var(v, "numerical", p))
+    # l_linestatus: categorical, 2 categories -> ordinal prebins
+    p = "vc_"
+    ctes.append(_sql_cat_dp_cte("lineitem", "l_linestatus", y, p))
     rows.append(_sql_process_summary_var("l_linestatus", "categorical", p))
+    return "WITH " + ",".join(ctes) + "\n  UNION ALL".join(rows)
+
+
+def _sql_wide_summary_pinned():
+    """The flagship wide-fit path (>= 8 variables: spread + persist +
+    fused stacked aggregation over a broadcast lineitem x orders join
+    with derived features) replayed variable-by-variable: five binary
+    DP chains on the exact-histogram numeric path + three categorical
+    ordinal-DP chains, all over the SAME joined relation the engine
+    fits. This closes the '16-variable mixed fit has no oracle' gap
+    at the mechanism level — every stage of the wide path (join,
+    derived columns, probe + stacked agg, per-variable DP, table
+    metrics) is hash-checked end-to-end."""
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    tbl = ("(SELECT l.*, o.o_orderpriority, o.o_orderstatus, "
+           "l.l_discount + l.l_tax AS disc_tax FROM lineitem l "
+           "JOIN orders o ON l.l_orderkey = o.o_orderkey)")
+    num_vars = ["l_quantity", "l_discount", "l_tax", "l_linenumber",
+                "disc_tax"]
+    cat_vars = ["l_linestatus", "o_orderpriority", "o_orderstatus"]
+    ctes, rows = [], []
+    for i, v in enumerate(num_vars):
+        p = f"w{i}_"
+        ctes.append(_dp_cte_binary(tbl, v, y, 8, "ascending", p))
+        rows.append(_sql_process_summary_var(v, "numerical", p))
+    for i, v in enumerate(cat_vars):
+        p = f"wc{i}_"
+        ctes.append(_sql_cat_dp_cte(tbl, v, y, p))
+        rows.append(_sql_process_summary_var(v, "categorical", p))
     return "WITH " + ",".join(ctes) + "\n  UNION ALL".join(rows)
 
 
@@ -3801,6 +3879,7 @@ def oracle_sql() -> dict[str, str]:
         "scorecard_scores_logistic": _sql_scorecard_scores_logistic(),
         "scorecard_scores_huber": _sql_scorecard_scores_huber(),
         "counterfactual_pinned": _sql_counterfactual_pinned(),
+        "wide_summary_pinned": _sql_wide_summary_pinned(),
         "binning_2d_pinned": _sql_binning_2d_pinned(),
         "continuous_binning_2d_pinned": _sql_continuous_binning_2d_pinned(),
         "embedding_dedup_clusters": _sql_embedding_dedup_clusters(),

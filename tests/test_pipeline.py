@@ -809,6 +809,55 @@ def test_duplicate_clusters_jaccard_verify(spark):
     assert (1, 2) in raw
 
 
+def test_verify_pairs_jaccard_matches_bruteforce(spark):
+    """verify_pairs_jaccard keeps exactly the candidate pairs whose
+    shingle-set Jaccard clears the threshold — pinned against a pure
+    Python recomputation on the same shingle definition."""
+    from optbinning_spark.pipeline.dedup import verify_pairs_jaccard
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "a b c d e f g x",
+        3: "a b c d q r s t",
+        4: "z y x w v u t s",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id: long, text: string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "id_a: long, id_b: long")
+
+    def shingles(t, n=3):
+        w = t.split(" ")
+        return {" ".join(w[i:i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+    def jac(a, b):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        return len(sa & sb) / len(sa | sb)
+
+    for thr in (0.2, 0.5, 0.8):
+        got = {(r["id_a"], r["id_b"]) for r in verify_pairs_jaccard(
+            docs, pairs, min_jaccard=thr).collect()}
+        want = {(a, b) for a, b in [(1, 2), (1, 3), (1, 4), (2, 3)]
+                if jac(a, b) >= thr}
+        assert got == want, (thr, got, want)
+
+
+def test_split_thresholds_fsum_exact():
+    """split_thresholds must produce the correctly-rounded prefix sums
+    (fsum), not accumulation artifacts: 0.8 + 0.1 must gate on the
+    double nearest 0.9, bit-identical to the decimal literal an oracle
+    would write."""
+    from optbinning_spark.pipeline.sampling import split_thresholds
+
+    thr = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert thr == {"train": 0.8, "val": 0.9}
+    assert repr(thr["val"]) == "0.9"  # NOT 0.9000000000000002
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.4})
+
+
 def test_normalize_text_expr(spark):
     from optbinning_spark.pipeline.text import normalize_text_expr
 
