@@ -154,14 +154,48 @@ class Counterfactual:
         max_changes: int | None = None,
         actionable_features: list | None = None,
         hard_constraints: list | None = None,
+        soft_constraints: dict | None = None,
         priority_tol: float = 0.1,
         max_nodes: int = 200_000,
     ):
+        """``hard_constraints`` may include the pairwise diversity
+        constraints of the reference's multi-CF MIP
+        (multi_mip.py:99-105): "diversity_features" — two generated
+        CFs may not change the identical feature SET — and
+        "diversity_values" — a feature changed by two CFs must take
+        different bins in each. Enforced sequentially: each accepted
+        CF is the exact cost-minimal assignment satisfying the
+        constraints against the previously accepted ones.
+
+        ``soft_constraints`` is a dict {name: weight} as in the
+        reference (counterfactual.py:336-339): "diff_outcome" adds
+        weight * |outcome - y| to the objective (mip.py:326-336,
+        obj q_p + q_m), where outcome is the raw score for continuous
+        and the EXACT sigmoid of the score for probability — the
+        reference linearizes the sigmoid piecewise for MIP
+        feasibility; the driver search needs no linearization, so this
+        engine is strictly more accurate there. "diversity_features" /
+        "diversity_values" add weight * (pairwise changed-feature /
+        changed-bin agreement terms) exactly as the reference's
+        minimized objective does (multi_mip.py:52-53,422-437),
+        evaluated against the already-accepted CFs."""
         if not self._fitted:
             raise ValueError("call fit(df) before generate")
         sc = self.scorecard
         weights = dict(DEFAULT_OBJECTIVES, **(objectives or {}))
         hard_constraints = list(hard_constraints or [])
+        soft_constraints = dict(soft_constraints or {})
+        bad = set(soft_constraints) - {
+            "diff_outcome", "diversity_features", "diversity_values"}
+        if bad:
+            raise ValueError(f"unknown soft constraints {sorted(bad)}")
+        if any(not isinstance(v, (int, float)) or v <= 0
+               for v in soft_constraints.values()):
+            raise ValueError("soft constraint values must be positive")
+        if outcome_type == "binary" and "diff_outcome" in soft_constraints:
+            raise ValueError(
+                "diff_outcome is not a valid soft constraint for binary "
+                "outcomes (reference counterfactual.py SOFT_CONSTRAINTS)")
 
         vals, labels = self._candidates()
         p = len(self.variables_)
@@ -192,19 +226,23 @@ class Counterfactual:
                 lo = t
             if "max_outcome" in hard_constraints:
                 hi = t
-            if not hard_constraints:
+            if ("min_outcome" not in hard_constraints
+                    and "max_outcome" not in hard_constraints
+                    and "diff_outcome" not in soft_constraints):
                 raise ValueError(
                     "probability outcome requires min_outcome/max_outcome "
-                    "hard constraints")
+                    "hard constraints or the diff_outcome soft constraint")
         elif outcome_type == "continuous":
             if "min_outcome" in hard_constraints:
                 lo = float(y)
             if "max_outcome" in hard_constraints:
                 hi = float(y)
-            if not hard_constraints:
+            if ("min_outcome" not in hard_constraints
+                    and "max_outcome" not in hard_constraints
+                    and "diff_outcome" not in soft_constraints):
                 raise ValueError(
                     "continuous outcome requires min_outcome/max_outcome "
-                    "hard constraints")
+                    "hard constraints or the diff_outcome soft constraint")
         else:
             raise ValueError(f"unknown outcome_type {outcome_type}")
 
@@ -216,10 +254,14 @@ class Counterfactual:
         )
         budget = p if max_changes is None else int(max_changes)
 
+        soft_kw = dict(soft=soft_constraints, y_target=float(y),
+                       otype=outcome_type,
+                       hard_diversity=[c for c in hard_constraints
+                                       if c.startswith("diversity")])
         if method == "weighted":
             sols = self._search(
                 vals, coef, intercept, pts, pts0, wrange, orig_bin, lo, hi,
-                actionable, budget, weights, n_cf, max_nodes)
+                actionable, budget, weights, n_cf, max_nodes, **soft_kw)
         elif method == "hierarchical":
             # lexicographic: optimize objectives in descending weight;
             # re-search constraining earlier objectives to (1+tol)*best
@@ -230,7 +272,8 @@ class Counterfactual:
                 w1 = {k: (1.0 if k == name else 0.0) for k in weights}
                 sols = self._search(
                     vals, coef, intercept, pts, pts0, wrange, orig_bin, lo,
-                    hi, actionable, budget, w1, n_cf, max_nodes, caps=caps)
+                    hi, actionable, budget, w1, n_cf, max_nodes, caps=caps,
+                    **soft_kw)
                 if not sols:
                     break
                 caps[name] = sols[0]["objval"][name] * (1.0 + priority_tol) + _EPS
@@ -247,11 +290,63 @@ class Counterfactual:
     # ------------------------------------------------------------------
     def _search(self, vals, coef, intercept, pts, pts0, wrange, orig_bin,
                 lo, hi, actionable, budget, weights, n_cf, max_nodes,
-                caps=None):
-        """Exact lazy-A* branch-and-bound over per-feature bin choices."""
+                caps=None, soft=None, y_target=0.0, otype="binary",
+                hard_diversity=()):
+        """Exact lazy-A* branch-and-bound over per-feature bin choices.
+
+        Soft terms (diff_outcome, diversity penalties vs the
+        already-accepted CFs) and the closeness term are
+        non-separable, so they enter at COMPLETION: a completed node
+        is re-inserted with its true cost whenever that exceeds its
+        priority, and accepted only when popped with priority == its
+        CURRENT true cost (the accepted set can only grow, and every
+        added term is >= 0, so costs are monotone and the lazy
+        mechanism stays exact — each accepted CF is cost-minimal
+        given the previously accepted ones). Hard diversity
+        constraints filter at acceptance."""
+        soft = soft or {}
         p = len(vals)
         w_prox = weights.get("proximity", 0.0)
         w_close = weights.get("closeness", 0.0)
+        w_diff = soft.get("diff_outcome", 0.0)
+        w_sdf = soft.get("diversity_features", 0.0)
+        w_sdv = soft.get("diversity_values", 0.0)
+
+        def _changed_set(assign):
+            return frozenset(
+                i for i in range(p)
+                if orig_bin[i] is None or assign[i] != orig_bin[i])
+
+        def _soft_extra(assign, score, accepted):
+            extra = 0.0
+            if w_diff:
+                f = score if otype == "continuous" else 1.0 / (
+                    1.0 + np.exp(-np.clip(score, -35, 35)))
+                extra += w_diff * abs(f - y_target)
+            if w_sdf or w_sdv:
+                s_new = _changed_set(assign)
+                for acc in accepted:
+                    s_old = _changed_set(acc["assignment"])
+                    if w_sdf:  # XOR of changed-feature indicators
+                        extra += w_sdf * len(s_new ^ s_old)
+                    if w_sdv:  # one-hot bin XOR: 2 per differing pick
+                        extra += w_sdv * 2 * sum(
+                            1 for i in range(p)
+                            if assign[i] != acc["assignment"][i])
+            return extra
+
+        def _hard_div_ok(assign, accepted):
+            s_new = _changed_set(assign)
+            for acc in accepted:
+                s_old = _changed_set(acc["assignment"])
+                if ("diversity_features" in hard_diversity
+                        and s_new == s_old):
+                    return False
+                if "diversity_values" in hard_diversity and any(
+                        assign[i] == acc["assignment"][i]
+                        for i in s_new & s_old):
+                    return False
+            return True
         contrib = [coef[i] * vals[i] for i in range(p)]
         # suffix score bounds for feasibility pruning
         suf_min = np.zeros(p + 1)
@@ -282,9 +377,12 @@ class Counterfactual:
                 woe_vec = np.array([vals[i][assign[i]] for i in range(p)])
                 close = float(np.abs(self._F.T @ (woe_vec - self._mu)).sum()) / p
                 prox = float(sum(prox_only[i][assign[i]] for i in range(p)))
-                true_cost = w_prox * prox + w_close * close
+                true_cost = (w_prox * prox + w_close * close
+                             + _soft_extra(assign, score, accepted))
                 if true_cost > prio + _EPS:
-                    # closeness made it costlier: re-insert with true cost
+                    # closeness/soft terms made it costlier (the
+                    # diversity penalties also grow as CFs are
+                    # accepted): re-insert with the current true cost
                     heapq.heappush(
                         heap, (true_cost, next(counter), p, assign, score,
                                true_cost, changes))
@@ -295,6 +393,10 @@ class Counterfactual:
                 ):
                     continue
                 if assign in seen_assign:
+                    continue
+                if not _hard_div_ok(assign, accepted):
+                    # permanently excluded by an already-accepted CF
+                    seen_assign.add(assign)
                     continue
                 seen_assign.add(assign)
                 accepted.append({

@@ -169,3 +169,98 @@ def test_golden_counterfactual_drift_guard(cf_fitted):
         out["outcome"], [0.40583787, 0.41000044, 0.41814935], rtol=1e-6)
     np.testing.assert_allclose(
         out["proximity"], [0.93770543, 1.0, 1.17256153], rtol=1e-6)
+
+
+def test_hard_diversity_values_constraint(cf_fitted):
+    """diversity_values (reference multi_mip.py:99-102): a feature
+    changed by two CFs must take DIFFERENT bins in each — brute-force
+    verified pairwise on the accepted set."""
+    cf, _ = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0,
+             "l_discount": 0.01}
+    cf.generate(query, y=P_TARGET, outcome_type="probability",
+                hard_constraints=["min_outcome", "diversity_values"],
+                n_cf=3)
+    assert cf.status_ == "OPTIMAL" and len(cf._cfs) >= 2
+    orig = [cf._query_bin(v, query[v]) for v in cf.variables_]
+    p = len(orig)
+    for a, b in itertools.combinations(cf._cfs, 2):
+        sa = {i for i in range(p) if a["assignment"][i] != orig[i]}
+        sb = {i for i in range(p) if b["assignment"][i] != orig[i]}
+        for i in sa & sb:
+            assert a["assignment"][i] != b["assignment"][i]
+    # costs still non-decreasing: each CF exact-minimal given priors
+    costs = [c["cost"] for c in cf._cfs]
+    assert costs == sorted(costs)
+
+
+def test_hard_diversity_features_constraint(cf_fitted):
+    """diversity_features (multi_mip.py:104-105): no two CFs may
+    change the identical feature SET."""
+    cf, _ = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0,
+             "l_discount": 0.01}
+    cf.generate(query, y=P_TARGET, outcome_type="probability",
+                hard_constraints=["min_outcome", "diversity_features"],
+                n_cf=3)
+    assert len(cf._cfs) >= 2
+    orig = [cf._query_bin(v, query[v]) for v in cf.variables_]
+    p = len(orig)
+    sets = [frozenset(i for i in range(p) if c["assignment"][i] != orig[i])
+            for c in cf._cfs]
+    assert len(set(sets)) == len(sets)
+
+
+def test_soft_diff_outcome_continuous(cf_fitted):
+    """diff_outcome soft constraint (reference mip.py:326-336): with
+    NO hard outcome bound, the search trades weight * |score - y|
+    against proximity — brute-force verified as the exact optimum of
+    that combined objective."""
+    cf, sc = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0,
+             "l_discount": 0.01}
+    y_t = 0.05
+    w = 5.0
+    cf.generate(query, y=y_t, outcome_type="continuous", n_cf=1,
+                soft_constraints={"diff_outcome": w})
+    assert cf.status_ == "OPTIMAL"
+    vals, _ = cf._candidates()
+    p = len(cf.variables_)
+    coef = np.array([sc.coef_[v] for v in cf.variables_])
+    orig_bin = [cf._query_bin(v, query[v]) for v in cf.variables_]
+    orig_woe = np.array([vals[i][orig_bin[i]] for i in range(p)])
+    pts = [coef[i] * vals[i] for i in range(p)]
+    pts0 = coef * orig_woe
+    wrange = np.array(
+        [1.0 / max(float(pt.max() - pt.min()), 1e-9) for pt in pts])
+    best = None
+    for assign in itertools.product(*[range(len(v)) for v in vals]):
+        score = sc.intercept_ + sum(
+            coef[i] * vals[i][assign[i]] for i in range(p))
+        cost = sum(wrange[i] * abs(pts[i][assign[i]] - pts0[i])
+                   for i in range(p)) + w * abs(score - y_t)
+        if best is None or cost < best:
+            best = cost
+    assert cf._cfs[0]["cost"] == pytest.approx(best, rel=1e-9)
+
+
+def test_soft_constraint_validation(cf_fitted):
+    cf, _ = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0,
+             "l_discount": 0.01}
+    with pytest.raises(ValueError, match="unknown soft"):
+        cf.generate(query, y=0.4, outcome_type="probability",
+                    hard_constraints=["min_outcome"],
+                    soft_constraints={"nope": 1.0})
+    with pytest.raises(ValueError, match="positive"):
+        cf.generate(query, y=0.4, outcome_type="probability",
+                    hard_constraints=["min_outcome"],
+                    soft_constraints={"diff_outcome": -1.0})
+    with pytest.raises(ValueError, match="binary"):
+        cf.generate(query, y=1, outcome_type="binary",
+                    soft_constraints={"diff_outcome": 1.0})
+    # continuous with ONLY a soft diff_outcome is valid (reference
+    # counterfactual.py:179-198 accepts it in lieu of min/max_outcome)
+    cf.generate(query, y=0.0, outcome_type="continuous",
+                soft_constraints={"diff_outcome": 1.0})
+    assert cf.status_ == "OPTIMAL"
