@@ -1,0 +1,62 @@
+"""Training-data pipeline: dedup -> quality filter -> split -> ANN.
+
+The LLM-data operator family over the `documents` / `embeddings`
+tables: exact + near-duplicate removal with a canonical keep-list,
+heuristic quality scoring, deterministic train/val/test assignment,
+and embedding similarity search.
+
+Run:  python examples/data_pipeline.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# runnable from anywhere: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from optbinning_spark import get_spark
+from optbinning_spark.pipeline.dedup import duplicate_clusters
+from optbinning_spark.pipeline.sampling import hash_split
+from optbinning_spark.pipeline.similarity import brute_force_topk
+from optbinning_spark.pipeline.text import quality_score_expr
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001"):
+    spark = get_spark("data_pipeline", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # near-duplicate clustering: MinHash -> LSH bands -> exact Jaccard
+    # verify -> connected components; keep one doc per cluster
+    clusters = duplicate_clusters(
+        docs, n_hashes=8, band_size=2, jaccard_threshold=0.5)
+    keep = clusters.filter("is_canonical").select("doc_id")
+    deduped = docs.join(keep, "doc_id")
+    print("docs:", docs.count(), "-> after dedup:", deduped.count())
+
+    # heuristic quality score (pure expressions, map-only)
+    quality = deduped.select(
+        "doc_id",
+        quality_score_expr(F.col("text")).alias("quality_score"))
+    quality.orderBy(F.desc("quality_score")).show(5)
+
+    # deterministic split: same doc -> same split on ANY cluster/run
+    split = hash_split(deduped, "doc_id",
+                       {"train": 0.9, "val": 0.05, "test": 0.05})
+    split.groupBy("split").count().show()
+
+    # embedding similarity: exact cosine top-k for a few query vectors
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter("vec_id % 101 = 0")
+               .withColumnRenamed("vec_id", "query_id"))
+    brute_force_topk(emb, queries, k=3).show(9)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
