@@ -1090,9 +1090,11 @@ def q_binning_2d_pinned(spark, sf_dir):
         "n_nonevent bigint, n_event bigint, woe double, iv double")
 
 
-def _sql_binning_2d_pinned():
-    """All 8 rectangle partitions of the pinned 2x2 grid, feasibility
-    (ne>0, ev>0, count >= 0.3*total) per rectangle, IV argmax."""
+def _sql_binning_2d_binary_8part(bx_case, by_case, head_cte=""):
+    """All 8 rectangle partitions of a 2x2 grid, feasibility
+    (ne>0, ev>0, count >= 0.3*total) per rectangle, IV argmax.
+    ``bx_case``/``by_case`` produce the 0/1 prebin index per row —
+    pinned literals or data-derived split subqueries."""
     # rect id -> (r1, r2, c1, c2) over prebin indices (x-axis = r)
     rects = [(0, 1, 0, 1), (0, 1, 1, 2), (1, 2, 0, 1), (1, 2, 1, 2),
              (0, 1, 0, 2), (1, 2, 0, 2), (0, 2, 0, 1), (0, 2, 1, 2),
@@ -1111,9 +1113,9 @@ def _sql_binning_2d_pinned():
         for p, rids in enumerate(parts) for rid in rids)
     y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
     return f"""
-  WITH cells AS (
-    SELECT (CASE WHEN l_quantity < 25.0 THEN 0 ELSE 1 END) AS bx,
-           (CASE WHEN l_extendedprice < 30000.0 THEN 0 ELSE 1 END) AS by,
+  WITH {head_cte}cells AS (
+    SELECT ({bx_case}) AS bx,
+           ({by_case}) AS by,
            CAST(count(*) FILTER (WHERE {y} = 0) AS DOUBLE) AS ne,
            CAST(count(*) FILTER (WHERE {y} = 1) AS DOUBLE) AS ev
     FROM lineitem
@@ -1145,6 +1147,62 @@ def _sql_binning_2d_pinned():
   FROM partrects p
   JOIN rectx x ON x.rid = p.rid
   WHERE p.pid = (SELECT pid FROM best)"""
+
+
+def _sql_binning_2d_pinned():
+    return _sql_binning_2d_binary_8part(
+        "CASE WHEN l_quantity < 25.0 THEN 0 ELSE 1 END",
+        "CASE WHEN l_extendedprice < 30000.0 THEN 0 ELSE 1 END")
+
+
+def _sql_binning_2d_median():
+    """Unpinned quantile path: the 2x2 grid's splits are the axis
+    MEDIANS, derived in SQL from the same jointly-filtered rows the
+    engine's exact-percentile path sees (F.percentile == DuckDB
+    quantile_cont, linear interpolation)."""
+    head = """med AS (
+    SELECT quantile_cont(l_quantity, 0.5) AS mx,
+           quantile_cont(l_extendedprice, 0.5) AS my
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+      AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+  """
+    return _sql_binning_2d_binary_8part(
+        "CASE WHEN l_quantity < (SELECT mx FROM med) THEN 0 ELSE 1 END",
+        "CASE WHEN l_extendedprice < (SELECT my FROM med) THEN 0 ELSE 1 END",
+        head_cte=head)
+
+
+def q_binning_2d_median(spark, sf_dir):
+    """O8 with UNPINNED quantile prebins: the 2x2 grid's splits are
+    the data-derived axis medians via the new cardinality-gated exact
+    percentile path (binning_2d._quantile_axis_splits) — previously
+    only user-pinned 2-D grids were SQL-replayable; now the quantile
+    split derivation itself is inside the hash check."""
+    from optbinning_spark.binning_2d import OptimalBinning2D
+
+    df = _lineitem(spark, sf_dir)
+    ob = OptimalBinning2D(
+        prebinning_method="quantile",
+        max_n_prebins_x=2, max_n_prebins_y=2,
+        min_bin_size=0.3,
+    )
+    ob.fit(df, "l_quantity", "l_extendedprice", "y")
+    rows = []
+    for i, (r1, r2, c1, c2) in enumerate(ob.rects_):
+        rows.append((
+            int(r1), int(r2), int(c1), int(c2),
+            int(ob.count_[i]),
+            int(ob.n_nonevent_[i]),
+            int(ob.n_event_[i]),
+            round(float(ob.woe_[i]) + 0.0, 6) + 0.0,
+            round(float(ob.iv_per_bin_[i]) + 0.0, 6) + 0.0,
+        ))
+    rows.sort()
+    return spark.createDataFrame(
+        rows,
+        "r1 int, r2 int, c1 int, c2 int, count bigint, "
+        "n_nonevent bigint, n_event bigint, woe double, iv double")
 
 
 def q_binning_2d_table(spark, sf_dir):
@@ -1988,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_psi": q_event_type_psi,
         "wide_process_fit": q_wide_process_fit,
         "binning_2d_table": q_binning_2d_table,
+        "binning_2d_median": q_binning_2d_median,
         "sample_class_counts": q_sample_class_counts,
         "continuous_binning_2d_pinned": q_continuous_binning_2d_pinned,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
@@ -3880,6 +3939,7 @@ def oracle_sql() -> dict[str, str]:
         "scorecard_scores_huber": _sql_scorecard_scores_huber(),
         "counterfactual_pinned": _sql_counterfactual_pinned(),
         "wide_summary_pinned": _sql_wide_summary_pinned(),
+        "binning_2d_median": _sql_binning_2d_median(),
         "binning_2d_pinned": _sql_binning_2d_pinned(),
         "continuous_binning_2d_pinned": _sql_continuous_binning_2d_pinned(),
         "embedding_dedup_clusters": _sql_embedding_dedup_clusters(),

@@ -39,6 +39,48 @@ from .operators.preprocessing import numeric_bin_expr
 _EPS = 1e-15
 
 
+def _quantile_axis_splits(df, x, y, n_prebins_x, n_prebins_y,
+                          max_exact_distinct=100_000):
+    """Quantile-grid splits for BOTH axes in one fused aggregation.
+
+    Exact ``F.percentile`` (linear interpolation — identical to
+    np.percentile and DuckDB quantile_cont, so the quantile path is
+    SQL-oracle-replayable) when both axes are moderate-cardinality;
+    past the gate, Spark's GK ``approxQuantile`` — the exact
+    aggregate keeps a value->count map per axis, which only bounds
+    memory when the distinct count does. Mirrors the 1-D fit's
+    cardinality-gated exact/approx split (binning_process
+    _fused_fit_stats). Action count is unchanged vs the previous two
+    approxQuantile calls: one HLL probe + one fused percentile agg.
+    """
+    import numpy as _np
+
+    px = list(_np.linspace(0, 1, n_prebins_x + 1)[1:-1])
+    py = list(_np.linspace(0, 1, n_prebins_y + 1)[1:-1])
+    if not px and not py:
+        return [], []
+    probe = df.agg(
+        F.approx_count_distinct(x, rsd=0.05).alias("nx"),
+        F.approx_count_distinct(y, rsd=0.05).alias("ny"),
+    ).first()
+    if (probe["nx"] <= max_exact_distinct
+            and probe["ny"] <= max_exact_distinct):
+        aggs = []
+        if px:
+            aggs.append(F.percentile(
+                F.col(x).cast("double"),
+                F.array(*[F.lit(p) for p in px])).alias("qx"))
+        if py:
+            aggs.append(F.percentile(
+                F.col(y).cast("double"),
+                F.array(*[F.lit(p) for p in py])).alias("qy"))
+        row = df.agg(*aggs).first()
+        return (list(row["qx"]) if px else [],
+                list(row["qy"]) if py else [])
+    return (df.approxQuantile(x, px, 1e-4) if px else [],
+            df.approxQuantile(y, py, 1e-4) if py else [])
+
+
 def _prefix2d(m: np.ndarray) -> np.ndarray:
     p = np.zeros((m.shape[0] + 1, m.shape[1] + 1))
     p[1:, 1:] = np.cumsum(np.cumsum(m, axis=0), axis=1)
@@ -112,10 +154,8 @@ class OptimalBinning2D:
                 task="classification", classes=[0, 1],
             )
         else:
-            px = list(np.linspace(0, 1, self.max_n_prebins_x + 1)[1:-1])
-            py = list(np.linspace(0, 1, self.max_n_prebins_y + 1)[1:-1])
-            qx = df.approxQuantile(x, px, 1e-4)
-            qy = df.approxQuantile(y, py, 1e-4)
+            qx, qy = _quantile_axis_splits(
+                df, x, y, self.max_n_prebins_x, self.max_n_prebins_y)
         self.splits_x_ = np.unique(np.asarray(qx, dtype=float))
         self.splits_y_ = np.unique(np.asarray(qy, dtype=float))
         nx = len(self.splits_x_) + 1
@@ -398,10 +438,8 @@ class ContinuousOptimalBinning2D(OptimalBinning2D):
                 task="regression",
             )
         else:
-            px = list(np.linspace(0, 1, self.max_n_prebins_x + 1)[1:-1])
-            py = list(np.linspace(0, 1, self.max_n_prebins_y + 1)[1:-1])
-            qx = df.approxQuantile(x, px, 1e-4)
-            qy = df.approxQuantile(y, py, 1e-4)
+            qx, qy = _quantile_axis_splits(
+                df, x, y, self.max_n_prebins_x, self.max_n_prebins_y)
         self.splits_x_ = np.unique(np.asarray(qx, dtype=float))
         self.splits_y_ = np.unique(np.asarray(qy, dtype=float))
         nx = len(self.splits_x_) + 1
