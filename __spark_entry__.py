@@ -859,6 +859,48 @@ def _sql_scorecard_scores_huber():
   FROM feat f CROSS JOIN beta bt""")
 
 
+def q_scorecard_table_pdo(spark, sf_dir):
+    """Scorecard TABLE under pdo_odds scaling (the O12 branch the
+    min_max oracle does not cover): points_v(bin) = -factor * coef_v *
+    bin_mean + offset/n - factor*intercept/n with factor = pdo/ln 2,
+    offset = scorecard_points - factor*ln(odds) — reference
+    scorecard.py compute_scorecard_points."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "net_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    bp = BinningProcess(
+        ["l_quantity", "l_discount"],
+        prebinning_method="quantile",
+        max_n_prebins=8,
+        binning_fit_params={
+            "l_quantity": {"monotonic_trend": "descending"},
+            "l_discount": {"monotonic_trend": "descending"},
+        },
+    )
+    sc = Scorecard(bp, estimator="linear", scaling_method="pdo_odds",
+                   scaling_method_params={"pdo": 20, "odds": 50,
+                                          "scorecard_points": 600})
+    sc.fit(df, "net_price")
+    pdf = sc.table()
+    rows = []
+    for v in ("l_quantity", "l_discount"):
+        sub = pdf[pdf["variable"] == v].reset_index(drop=True)
+        for i in range(len(sub)):
+            rows.append((
+                v, int(i), int(sub["count"][i]),
+                # 2 decimals: pdo_odds points on this continuous target
+                # are ~1e6 in magnitude, so 6-decimal rounding would
+                # demand 1e-12 relative agreement — below summation-
+                # order noise between numpy and DuckDB
+                round(float(sub["points"][i]) + 0.0, 2) + 0.0,
+            ))
+    return spark.createDataFrame(
+        rows, "variable string, bin_index int, count bigint, points double")
+
+
 def q_scorecard_table_linear(spark, sf_dir):
     """Scorecard TABLE (per-bin points) for the WLS linear pipeline —
     the same fit as scorecard_scores_linear, exposing the O12 point
@@ -2042,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorecard_scores": q_scorecard_scores,
         "scorecard_table": q_scorecard_table,
         "scorecard_table_linear": q_scorecard_table_linear,
+        "scorecard_table_pdo": q_scorecard_table_pdo,
         "psi": q_psi,
         "event_type_psi": q_event_type_psi,
         "wide_process_fit": q_wide_process_fit,
@@ -2790,6 +2833,31 @@ def _sql_scorecard_table_linear():
          round(sc.slope * sc.b2 * (b.s1 / b.cnt)
                + (sc.shift + sc.slope * sc.b0) / 2, 6) + 0.0
   FROM f2_bseg b, scale sc"""
+
+
+def _sql_scorecard_table_pdo():
+    """Same WLS pipeline as _sql_scorecard_table_linear, pdo_odds
+    allocation: factor = pdo/ln 2, offset = sp - factor*ln(odds);
+    points_v(bin) = -factor*coef_v*mean + offset/n - factor*b0/n."""
+    import math as _math
+
+    factor = 20.0 / _math.log(2)
+    offset = 600.0 - factor * _math.log(50.0)
+    base = _sql_scorecard_table_linear()
+    head, _, _tail = base.partition("  ext AS (")
+    return head + f"""  pdo AS (
+    SELECT b0, b1, b2, {factor!r} AS factor, {offset!r} AS offset
+    FROM coef)
+  SELECT 'l_quantity' AS variable, CAST(b.seg AS INT) AS bin_index,
+         CAST(b.cnt AS BIGINT) AS count,
+         round(-sc.factor * sc.b1 * (b.s1 / b.cnt)
+               + sc.offset / 2 - sc.factor * sc.b0 / 2, 2) + 0.0 AS points
+  FROM f1_bseg b, pdo sc
+  UNION ALL
+  SELECT 'l_discount', CAST(b.seg AS INT), CAST(b.cnt AS BIGINT),
+         round(-sc.factor * sc.b2 * (b.s1 / b.cnt)
+               + sc.offset / 2 - sc.factor * sc.b0 / 2, 2) + 0.0
+  FROM f2_bseg b, pdo sc"""
 
 
 def _sql_multiclass_binning_table():
@@ -3940,6 +4008,7 @@ def oracle_sql() -> dict[str, str]:
         "counterfactual_pinned": _sql_counterfactual_pinned(),
         "wide_summary_pinned": _sql_wide_summary_pinned(),
         "binning_2d_median": _sql_binning_2d_median(),
+        "scorecard_table_pdo": _sql_scorecard_table_pdo(),
         "binning_2d_pinned": _sql_binning_2d_pinned(),
         "continuous_binning_2d_pinned": _sql_continuous_binning_2d_pinned(),
         "embedding_dedup_clusters": _sql_embedding_dedup_clusters(),
