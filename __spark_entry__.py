@@ -901,6 +901,44 @@ def q_scorecard_table_pdo(spark, sf_dir):
         rows, "variable string, bin_index int, count bigint, points double")
 
 
+def q_scorecard_table_rebased(spark, sf_dir):
+    """O13 intercept re-basing under hash check: same pinned pdo_odds
+    pipeline, intercept_based=True — each variable's minimum points
+    re-based to 0 (the shift accumulates into base_points_). The
+    oracle subtracts the per-variable window minimum."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "net_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    bp = BinningProcess(
+        ["l_quantity", "l_discount"],
+        prebinning_method="quantile",
+        max_n_prebins=8,
+        binning_fit_params={
+            "l_quantity": {"monotonic_trend": "descending"},
+            "l_discount": {"monotonic_trend": "descending"},
+        },
+    )
+    sc = Scorecard(bp, estimator="linear", scaling_method="pdo_odds",
+                   scaling_method_params={"pdo": 20, "odds": 50,
+                                          "scorecard_points": 600},
+                   intercept_based=True)
+    sc.fit(df, "net_price")
+    pdf = sc.table()
+    rows = []
+    for v in ("l_quantity", "l_discount"):
+        sub = pdf[pdf["variable"] == v].reset_index(drop=True)
+        for i in range(len(sub)):
+            rows.append((
+                v, int(i), int(sub["count"][i]),
+                round(float(sub["points"][i]) + 0.0, 2) + 0.0,
+            ))
+    return spark.createDataFrame(
+        rows, "variable string, bin_index int, count bigint, points double")
+
+
 def q_scorecard_table_linear(spark, sf_dir):
     """Scorecard TABLE (per-bin points) for the WLS linear pipeline —
     the same fit as scorecard_scores_linear, exposing the O12 point
@@ -2085,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorecard_table": q_scorecard_table,
         "scorecard_table_linear": q_scorecard_table_linear,
         "scorecard_table_pdo": q_scorecard_table_pdo,
+        "scorecard_table_rebased": q_scorecard_table_rebased,
         "psi": q_psi,
         "event_type_psi": q_event_type_psi,
         "wide_process_fit": q_wide_process_fit,
@@ -2835,10 +2874,11 @@ def _sql_scorecard_table_linear():
   FROM f2_bseg b, scale sc"""
 
 
-def _sql_scorecard_table_pdo():
-    """Same WLS pipeline as _sql_scorecard_table_linear, pdo_odds
-    allocation: factor = pdo/ln 2, offset = sp - factor*ln(odds);
-    points_v(bin) = -factor*coef_v*mean + offset/n - factor*b0/n."""
+def _sql_pdo_raw_cte():
+    """Shared pdo_odds allocation CTEs: WLS pipeline head + an
+    unrounded per-bin points relation ``raw(variable, bin_index,
+    count, pts)`` — pdo_odds points
+    -factor*coef_v*mean + offset/n - factor*b0/n."""
     import math as _math
 
     factor = 20.0 / _math.log(2)
@@ -2847,17 +2887,39 @@ def _sql_scorecard_table_pdo():
     head, _, _tail = base.partition("  ext AS (")
     return head + f"""  pdo AS (
     SELECT b0, b1, b2, {factor!r} AS factor, {offset!r} AS offset
-    FROM coef)
-  SELECT 'l_quantity' AS variable, CAST(b.seg AS INT) AS bin_index,
-         CAST(b.cnt AS BIGINT) AS count,
-         round(-sc.factor * sc.b1 * (b.s1 / b.cnt)
-               + sc.offset / 2 - sc.factor * sc.b0 / 2, 2) + 0.0 AS points
-  FROM f1_bseg b, pdo sc
-  UNION ALL
-  SELECT 'l_discount', CAST(b.seg AS INT), CAST(b.cnt AS BIGINT),
-         round(-sc.factor * sc.b2 * (b.s1 / b.cnt)
-               + sc.offset / 2 - sc.factor * sc.b0 / 2, 2) + 0.0
-  FROM f2_bseg b, pdo sc"""
+    FROM coef),
+  raw AS (
+    SELECT 'l_quantity' AS variable, CAST(b.seg AS INT) AS bin_index,
+           CAST(b.cnt AS BIGINT) AS count,
+           -sc.factor * sc.b1 * (b.s1 / b.cnt)
+             + sc.offset / 2 - sc.factor * sc.b0 / 2 AS pts
+    FROM f1_bseg b, pdo sc
+    UNION ALL
+    SELECT 'l_discount', CAST(b.seg AS INT), CAST(b.cnt AS BIGINT),
+           -sc.factor * sc.b2 * (b.s1 / b.cnt)
+             + sc.offset / 2 - sc.factor * sc.b0 / 2
+    FROM f2_bseg b, pdo sc)"""
+
+
+def _sql_scorecard_table_pdo():
+    """pdo_odds points (see _sql_pdo_raw_cte), rounded to 2 decimals
+    (~1e6 magnitude: finer rounding would sit below cross-engine
+    summation noise)."""
+    return _sql_pdo_raw_cte() + """
+  SELECT variable, bin_index, count,
+         round(pts, 2) + 0.0 AS points
+  FROM raw"""
+
+
+def _sql_scorecard_table_rebased():
+    """O13 intercept re-basing: each variable's minimum points shifts
+    to 0 (window min per variable) BEFORE rounding, matching
+    _build_points' intercept_based branch."""
+    return _sql_pdo_raw_cte() + """
+  SELECT variable, bin_index, count,
+         round(pts - min(pts) OVER (PARTITION BY variable), 2)
+           + 0.0 AS points
+  FROM raw"""
 
 
 def _sql_multiclass_binning_table():
@@ -4009,6 +4071,7 @@ def oracle_sql() -> dict[str, str]:
         "wide_summary_pinned": _sql_wide_summary_pinned(),
         "binning_2d_median": _sql_binning_2d_median(),
         "scorecard_table_pdo": _sql_scorecard_table_pdo(),
+        "scorecard_table_rebased": _sql_scorecard_table_rebased(),
         "binning_2d_pinned": _sql_binning_2d_pinned(),
         "continuous_binning_2d_pinned": _sql_continuous_binning_2d_pinned(),
         "embedding_dedup_clusters": _sql_embedding_dedup_clusters(),
