@@ -2015,7 +2015,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rectangle solver was the last big solver family without a
         # driver-grade oracle. sample_class_counts keeps its oracle in
         # the tail for tools/check_correctness.
-        "binning_2d_pinned": q_binning_2d_pinned,
+        # binning_2d_median upgrades binning_2d_pinned's slot: same
+        # 8-partition rectangle check, but the 2x2 splits are now
+        # DATA-DERIVED axis medians (the exact-percentile quantile
+        # path is inside the hash), not user-pinned constants; the
+        # pinned variant keeps its oracle in the tail (it still
+        # covers the user_splits_x/y path)
+        "binning_2d_median": q_binning_2d_median,
         "prebin_counts": q_prebin_counts,
         "ivf_topk_pinned": q_ivf_topk_pinned,
         "piecewise_transform_fixed": q_piecewise_transform_fixed,
@@ -2128,7 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_psi": q_event_type_psi,
         "wide_process_fit": q_wide_process_fit,
         "binning_2d_table": q_binning_2d_table,
-        "binning_2d_median": q_binning_2d_median,
+        "binning_2d_pinned": q_binning_2d_pinned,
         "sample_class_counts": q_sample_class_counts,
         "continuous_binning_2d_pinned": q_continuous_binning_2d_pinned,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
