@@ -81,6 +81,34 @@ def test_binning_2d(spark):
     assert max(rates[b] for b in hot_bins) > 0.5
 
 
+def test_binning_2d_quantile_exact_vs_approx_gate(spark):
+    """The 2-D quantile prebin path is cardinality-gated: exact
+    F.percentile below the gate, GK approxQuantile above it. Both
+    paths must produce near-identical splits on moderate data (the
+    approx path is 1e-4 relative-rank), and the exact path's medians
+    must equal numpy's exactly."""
+    import numpy as np
+
+    from optbinning_spark.binning_2d import _quantile_axis_splits
+
+    rng = np.random.RandomState(5)
+    xs = rng.uniform(0, 100, 3000)
+    ys = rng.normal(50, 10, 3000)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xs, ys)],
+        "x double, y double")
+    qx, qy = _quantile_axis_splits(df, "x", "y", 2, 2)
+    assert qx[0] == pytest.approx(float(np.percentile(xs, 50)), abs=0)
+    assert qy[0] == pytest.approx(float(np.percentile(ys, 50)), abs=0)
+    # force the approx fallback: gate of 0 distinct values
+    ax, ay = _quantile_axis_splits(df, "x", "y", 2, 2,
+                                   max_exact_distinct=0)
+    assert ax[0] == pytest.approx(qx[0], rel=1e-2)
+    assert ay[0] == pytest.approx(qy[0], rel=1e-2)
+    # degenerate 1x1 grid: no splits, no jobs needed
+    assert _quantile_axis_splits(df, "x", "y", 1, 1) == ([], [])
+
+
 def test_binning_2d_woe_transform(spark):
     rng = np.random.RandomState(3)
     rows = [
