@@ -257,13 +257,31 @@ def _sf1_section(spark, sf_dir, qs, t_start, copies=10, budget_s=420):
         open(marker, "w").close()
     out = {}
     for name in SF1_QUERIES:
-        if time.time() - t_start > budget_s + 120:
+        if time.time() - t_start > budget_s + 150:
             out[name] = None  # deadline: partial ladder, still honest
             continue
-        t0 = time.time()
-        qs[name](spark, sf1).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+        # min-of-2: the first run of a freshly-written dataset mostly
+        # measures page-cache population (observed 19.6s cold vs 6.7s
+        # warm for the wide fit) — the slope the ladder exists to show
+        # needs the warm number. NB: sf1 numbers carry HOST-level
+        # noise this harness cannot remove — profiling (r5,
+        # SPARK_GRAFT_FIT_DEBUG phase stamps) showed the fit's stats
+        # stage swinging 2.3s..13.4s across reps with every
+        # engine-side factor pinned (persist on/off/level, heap size,
+        # GC algorithm), while the same stages are rep-stable when
+        # the machine is quiet; /proc load avg ~10 with no local
+        # process explains it. Read slopes from the MEDIAN of rounds,
+        # not one artifact.
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf1).write.format("noop").mode(
+                "overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+            gc.collect()
+        out[name] = round(best, 3)
     spark._jvm.System.gc()
     done = [v for v in out.values() if v is not None]
     return {"copies": copies, "queries": out,

@@ -22,12 +22,25 @@ projection — one map-only pass for the whole matrix.
 from __future__ import annotations
 
 import json
+import os as _os
+import time as _time
 
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .binning import ContinuousOptimalBinning, OptimalBinning, _infer_dtype
+
+
+def _dbg(phase: str, t0: float):
+    """SPARK_GRAFT_FIT_DEBUG=1: per-phase wall times of the fused fit
+    to stderr — the tool that localized the sf1 variance (see
+    tools/profile_aging.py)."""
+    if _os.environ.get("SPARK_GRAFT_FIT_DEBUG"):
+        import sys
+
+        print(f"[fit-debug] {phase}: {_time.time() - t0:.2f}s",
+              file=sys.stderr, flush=True)
 from .core.tree import cart_splits, mdlp_splits
 from .multiclass_binning import MulticlassOptimalBinning
 from .operators.aggregation import _agg_exprs, _metric_names, assemble_bin_stats
@@ -227,7 +240,11 @@ class BinningProcess:
                     and not _os.environ.get("SPARK_GRAFT_NO_PERSIST")):
                 from pyspark import StorageLevel
 
-                work = work.persist(StorageLevel.MEMORY_AND_DISK)
+                level = getattr(
+                    StorageLevel,
+                    _os.environ.get("SPARK_GRAFT_PERSIST_LEVEL",
+                                    "MEMORY_AND_DISK"))
+                work = work.persist(level)
                 persisted = work
             try:
                 fused = self._fused_fit_stats(
@@ -646,7 +663,9 @@ class BinningProcess:
                 # classes by contract, like the reference)
                 probe_aggs.append(F.sort_array(
                     F.collect_set(F.col(y))).alias("__y_classes"))
+            _t_probe = _time.time()
             probe = work.agg(*probe_aggs).first()
+            _dbg("probe_agg", _t_probe)
             if need_tt:
                 if y_float:
                     self._target_type = (
@@ -806,7 +825,9 @@ class BinningProcess:
                 "variable", "sample_class", "gv", "key"
             ).agg(F.max("cval").alias("vmax"),
                   *_agg_exprs("__y", "__w", tt, classes))
+        _t_stats = _time.time()
         rows = grouped.limit(cap + 1).collect()
+        _dbg("stats_agg", _t_stats)
         if len(rows) > cap:
             return None
 
