@@ -604,6 +604,49 @@ def q_dedup_clusters_dist(spark, sf_dir):
         docs, n_hashes=8, band_size=2, driver_threshold=0)
 
 
+def q_dup_ngram_spans(spark, sf_dir):
+    """Exact substring-duplicate span detection (Lee et al. 2021-style
+    training-data dedup preprocessing): every (doc, word-position)
+    whose 5-gram occurs >= 2 times corpus-wide. One scan + one
+    window count over the hashed n-gram key — no join."""
+    from optbinning_spark.pipeline.dedup import duplicate_ngram_spans
+
+    docs = _documents(spark, sf_dir)
+    out = duplicate_ngram_spans(docs, n=5, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("start_word").cast("int").alias("start_word"),
+        F.col("end_word").cast("int").alias("end_word"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
+def q_gopher_flags(spark, sf_dir):
+    """Gopher-style heuristic quality gates as named boolean columns
+    plus the conjunction keep flag — map-only, per-rule observable."""
+    from optbinning_spark.pipeline.text import gopher_quality_flags
+
+    docs = _documents(spark, sf_dir)
+    return gopher_quality_flags(
+        docs, min_words=30, min_avg_word_len=4.0
+    ).select("doc_id", "ok_word_count", "ok_avg_word_len",
+             "ok_symbol_ratio", "ok_alpha_ratio", "ok_stopwords", "keep")
+
+
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark decontamination: distinct 6-grams shared with a
+    pretend eval set (docs with doc_id % 20 == 0); inverted-index
+    equi-join on hashed n-grams, per-doc count, flag."""
+    from optbinning_spark.pipeline.dedup import ngram_contamination
+
+    docs = _documents(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 20 == 0)
+    out = ngram_contamination(docs, ref, n=6, min_shared=1)
+    return out.select(
+        "doc_id", F.col("n_shared").cast("long").alias("n_shared"),
+        "contaminated")
+
+
 def q_multimodal_features(spark, sf_dir):
     from optbinning_spark.pipeline.multimodal import (
         extract_features,
@@ -2148,6 +2191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mdlp_splits": q_mdlp_splits,
         "ivf_topk": q_ivf_topk,
         "multimodal_frames": q_multimodal_frames,
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "gopher_flags": q_gopher_flags,
+        "doc_contamination": q_doc_contamination,
     }
 
 
@@ -3368,6 +3414,45 @@ def _sql_near_dup_cosine_bucketed():
   WHERE a.vec_id < bb.vec_id AND round({cos}, 6) >= 0.4""")
 
 
+def _sql_gopher_flags():
+    """Gopher-gate oracle: every rule expression replicated over the
+    same single-space token array the engine uses."""
+    sw = ", ".join(
+        f"'{s}'" for s in
+        ["the", "a", "an", "and", "or", "of", "to", "in", "is", "for",
+         "on", "with"])
+    return f"""
+            WITH w AS (
+              SELECT doc_id, text, string_split(text, ' ') AS ws
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     list_sum(list_transform(ws, x -> len(x)))::DOUBLE
+                       / len(ws) AS avg_len,
+                     len(string_split(text, '#')) - 1
+                       + len(regexp_split_to_array(text, '\\.\\.\\.')) - 1
+                       AS n_symbols,
+                     len(list_filter(ws,
+                         x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                     len(list_filter([{sw}],
+                         s -> list_contains(ws, s))) AS sw_hits
+              FROM w)
+            SELECT doc_id,
+                   n_words >= 30 AND n_words <= 100000 AS ok_word_count,
+                   avg_len >= 4.0 AND avg_len <= 10.0 AS ok_avg_word_len,
+                   n_symbols <= 0.1 * n_words AS ok_symbol_ratio,
+                   n_alpha >= 0.8 * n_words AS ok_alpha_ratio,
+                   sw_hits >= 2 AS ok_stopwords,
+                   (n_words >= 30 AND n_words <= 100000)
+                   AND (avg_len >= 4.0 AND avg_len <= 10.0)
+                   AND (n_symbols <= 0.1 * n_words)
+                   AND (n_alpha >= 0.8 * n_words)
+                   AND (sw_hits >= 2) AS keep
+            FROM m
+        """
+
+
 def _sql_doc_split_assignment():
     """Split-gate oracle generated from split_thresholds() — the SAME
     fsum-derived constants the engine's hash_split gates on, rendered
@@ -4078,6 +4163,50 @@ def oracle_sql() -> dict[str, str]:
         "binning_2d_median": _sql_binning_2d_median(),
         "scorecard_table_pdo": _sql_scorecard_table_pdo(),
         "scorecard_table_rebased": _sql_scorecard_table_rebased(),
+        # dup_ngram_spans: positional 5-grams, corpus-wide counts,
+        # spans where count >= 2 (string n-grams in the oracle vs
+        # hashed keys in the engine — value-identical absent a 2^-64
+        # collision)
+        "dup_ngram_spans": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            gi AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws) - 4)) AS i
+              FROM w WHERE len(ws) >= 5),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(ws[i:i+4], ' ') AS ng
+              FROM gi),
+            c AS (SELECT ng, count(*) AS cnt FROM g GROUP BY 1)
+            SELECT g.doc_id,
+                   CAST(g.pos AS INTEGER) AS start_word,
+                   CAST(g.pos + 5 AS INTEGER) AS end_word,
+                   CAST(c.cnt AS BIGINT) AS n_occurrences
+            FROM g JOIN c USING (ng) WHERE c.cnt >= 2
+        """,
+        "gopher_flags": _sql_gopher_flags(),
+        "doc_contamination": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            gi AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws) - 5)) AS i
+              FROM w WHERE len(ws) >= 6),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ws[i:i+5], ' ') AS ng
+              FROM gi),
+            ref AS (SELECT DISTINCT ng FROM g WHERE doc_id % 20 = 0),
+            sh AS (
+              SELECT g.doc_id, count(*) AS n FROM g
+              JOIN ref USING (ng) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(sh.n, 0) AS BIGINT) AS n_shared,
+                   coalesce(sh.n, 0) >= 1 AS contaminated
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN sh USING (doc_id)
+        """,
         "binning_2d_pinned": _sql_binning_2d_pinned(),
         "continuous_binning_2d_pinned": _sql_continuous_binning_2d_pinned(),
         "embedding_dedup_clusters": _sql_embedding_dedup_clusters(),

@@ -712,3 +712,156 @@ def duplicate_clusters(
             df, pairs, text_col, id_col, shingle_n, jaccard_threshold)
     return clusters_from_pairs(
         df, pairs, id_col, driver_threshold=driver_threshold)
+
+
+# -- exact substring-duplicate spans (training-data dedup) ----------------
+
+def positioned_ngrams(words: Column, n: int) -> Column:
+    """Array of (pos, ngram) structs over a materialized words array —
+    the positional sibling of shingles_from_words (0-based word
+    offsets), shared by span detection and decontamination."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(n), F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(words, i + 1, n)).alias("ng"),
+        ),
+    )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_count: int = 2,
+    hash_ngrams: bool = True,
+) -> DataFrame:
+    """Exact substring-duplicate span detection — the preprocessing
+    behind exact-substring training-data dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": cut
+    every span whose n-gram occurs elsewhere in the corpus). Returns
+    one row per (doc, word position) whose n-gram's CORPUS-WIDE
+    occurrence count reaches ``min_count``: (doc_id, start_word,
+    end_word, n_occurrences). Downstream cutters merge overlapping
+    spans per doc (merge_word_spans) and splice the text.
+
+    Physical strategy (the 100 TB shape): one scan, explode positioned
+    n-grams, ONE window count over the n-gram key — no join, no
+    inverted-index materialization; the window's sort spills. With
+    ``hash_ngrams`` the key that rides the shuffle is an 8-byte
+    xxhash64 instead of an ~n-word string (same trade as
+    ngram_jaccard_pairs; collisions ~2^-64, deterministic)."""
+    from pyspark.sql import Window as W
+
+    g = (
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+        .filter(F.size("__w") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(positioned_ngrams(F.col("__w"), n)).alias("g"),
+        )
+        .select(F.col(id_col), F.col("g.pos").alias("pos"),
+                F.col("g.ng").alias("ng"))
+    )
+    if hash_ngrams:
+        g = g.select(id_col, "pos", F.xxhash64("ng").alias("ng"))
+    return (
+        g.withColumn("n_occurrences",
+                     F.count("*").over(W.partitionBy("ng")))
+        .filter(F.col("n_occurrences") >= min_count)
+        .select(
+            F.col(id_col),
+            F.col("pos").alias("start_word"),
+            (F.col("pos") + n).alias("end_word"),
+            F.col("n_occurrences"),
+        )
+    )
+
+
+def merge_word_spans(
+    spans: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merge overlapping/adjacent [start_word, end_word) spans per doc
+    (gaps-and-islands with a running-max window) — turns
+    duplicate_ngram_spans' per-position hits into the minimal cut
+    list. One shuffle on the doc key; window sorts spill."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("start_word")
+    with_prev = spans.withColumn(
+        "__prev_max_end",
+        F.max("end_word").over(
+            w.rowsBetween(W.unboundedPreceding, -1)),
+    )
+    islands = with_prev.withColumn(
+        "__island",
+        F.sum(
+            F.when(
+                F.col("__prev_max_end").isNull()
+                | (F.col("start_word") > F.col("__prev_max_end")), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("start_word").alias("start_word"),
+            F.max("end_word").alias("end_word"),
+        )
+        .drop("__island")
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+    hash_ngrams: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per document, the number of DISTINCT
+    word n-grams shared with ANY reference (eval-set) document —
+    the standard n-gram-overlap contamination test. Returns
+    (doc_id, n_shared, contaminated).
+
+    Physical strategy: the reference's distinct n-gram set is usually
+    tiny relative to the corpus (eval sets are small) — distinct-
+    reduce it, equi-join the corpus's distinct per-doc n-grams against
+    it (broadcastable when small; AQE decides), count per doc. With
+    ``hash_ngrams`` both sides join on an 8-byte key."""
+    def side(frame, col, keep):
+        out = (
+            frame.select(*keep, F.split(F.col(col), " ").alias("__w"))
+            .filter(F.size("__w") >= n)
+            .select(
+                *keep,
+                F.explode(F.array_distinct(
+                    F.transform(
+                        positioned_ngrams(F.col("__w"), n),
+                        lambda s: s["ng"])
+                )).alias("ng"),
+            )
+        )
+        if hash_ngrams:
+            out = out.select(*keep, F.xxhash64("ng").alias("ng"))
+        return out
+
+    corpus = side(df, text_col, [F.col(id_col)]).distinct()
+    ref = side(reference, ref_text_col, []).distinct()
+    shared = corpus.join(ref, "ng").groupBy(id_col).agg(
+        F.count("*").alias("n_shared"))
+    ids = df.select(F.col(id_col)).distinct()
+    return (
+        ids.join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared
+             ).alias("contaminated"),
+        )
+    )

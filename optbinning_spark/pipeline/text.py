@@ -158,3 +158,60 @@ def normalize_text_expr(
     if collapse_ws:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out
+
+
+# -- Gopher-style document quality gates ----------------------------------
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style heuristic quality gates (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", appendix A1.1 rules) as one map-only
+    projection: each rule is a named boolean column and ``keep`` is
+    their conjunction, so a 100 TB corpus filter is a pure
+    whole-stage-codegen scan with per-rule observability (aggregate
+    the booleans to see which rule rejects how much).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_avg_word_len, max_avg_word_len]; symbol-to-word ratio
+    ('#' or ellipsis) <= max_symbol_word_ratio; fraction of words
+    containing an alphabetic character >= min_alpha_word_ratio; at
+    least ``min_stopword_hits`` distinct common stopwords present."""
+    t = F.col(text_col)
+    words = tokens_expr(t)  # single-space tokens, like every text op
+    n_words = F.size(words)
+    avg_len = avg_token_len_expr(t)
+    n_symbols = (
+        F.size(F.split(t, "#")) - 1
+        + F.size(F.split(t, r"\.\.\.")) - 1
+    )
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    sw_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in DEFAULT_STOPWORDS]),
+        lambda s: F.array_contains(words, s)))
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_avg_word_len": (avg_len >= min_avg_word_len)
+                           & (avg_len <= max_avg_word_len),
+        "ok_symbol_ratio": n_symbols
+                           <= max_symbol_word_ratio * n_words,
+        "ok_alpha_ratio": n_alpha_words
+                          >= min_alpha_word_ratio * n_words,
+        "ok_stopwords": sw_hits >= min_stopword_hits,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        "*",
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )

@@ -868,3 +868,71 @@ def test_normalize_text_expr(spark):
         "doc_id", normalize_text_expr(F.col("text")).alias("n")).collect()}
     assert rows[1] == "hello world v2"
     assert rows[1] == rows[2]  # case/punct noise collapses to one key
+
+
+def test_duplicate_ngram_spans_and_merge(spark):
+    """Span detection + gaps-and-islands merge, brute-force checked:
+    two docs sharing a 4-gram produce position-exact spans; merging
+    overlapping hits yields the minimal cut list."""
+    from optbinning_spark.pipeline.dedup import (
+        duplicate_ngram_spans, merge_word_spans)
+
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [(1, f"x1 {shared} y1 z1"),
+         (2, f"p2 q2 {shared} epsilon r2"),
+         (3, "all words here are unique ones only")],
+        "doc_id: long, text: string")
+    spans = duplicate_ngram_spans(docs, n=4, min_count=2)
+    got = {(r["doc_id"], r["start_word"], r["end_word"],
+            r["n_occurrences"]) for r in spans.collect()}
+    # doc1: shared at words 1..5; doc2: at words 2..6 — only the
+    # exact shared 4-gram occurs twice corpus-wide
+    assert got == {(1, 1, 5, 2), (2, 2, 6, 2)}
+    # overlapping + disjoint spans merge per doc
+    raw = spark.createDataFrame(
+        [(1, 0, 4), (1, 2, 6), (1, 10, 14), (2, 5, 9)],
+        "doc_id: long, start_word: long, end_word: long")
+    merged = {(r["doc_id"], r["start_word"], r["end_word"])
+              for r in merge_word_spans(raw).collect()}
+    assert merged == {(1, 0, 6), (1, 10, 14), (2, 5, 9)}
+
+
+def test_ngram_contamination_flags_eval_overlap(spark):
+    """Docs sharing an n-gram with the reference set are flagged with
+    the DISTINCT shared count; clean docs report 0."""
+    from optbinning_spark.pipeline.dedup import ngram_contamination
+
+    eval_line = "the quick brown fox jumps over"
+    docs = spark.createDataFrame(
+        [(1, f"prefix {eval_line} suffix words here"),
+         (2, "completely unrelated text with different tokens inside"),
+         (3, f"{eval_line} {eval_line}")],  # repeated: still distinct grams
+        "doc_id: long, text: string")
+    ref = spark.createDataFrame(
+        [(100, eval_line)], "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["n_shared"], r["contaminated"])
+           for r in ngram_contamination(docs, ref, n=6).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)  # distinct-gram counting, not positions
+
+
+def test_gopher_flags_rules(spark):
+    """Each Gopher gate fires on a targeted violation."""
+    from optbinning_spark.pipeline.text import gopher_quality_flags
+
+    long_ok = " ".join(["the", "and", "with"] * 4 + ["wordy"] * 28)
+    short = "too short entirely"
+    symbols = " ".join(["the", "and"] * 6 + ["####"] * 20)
+    no_alpha = " ".join(["the", "and"] * 4 + ["123"] * 30)
+    docs = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, symbols), (4, no_alpha)],
+        "doc_id: long, text: string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(
+        docs, min_words=20, min_avg_word_len=0.0,
+        min_stopword_hits=2).collect()}
+    assert got[1]["keep"]
+    assert not got[2]["ok_word_count"] and not got[2]["keep"]
+    assert not got[3]["ok_symbol_ratio"] and not got[3]["keep"]
+    assert not got[4]["ok_alpha_ratio"] and not got[4]["keep"]
