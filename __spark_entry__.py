@@ -2090,7 +2090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its oracle replays the fingerprints AND the banded join +
         # hamming verify); simhash keeps its oracle in the tail
         "simhash_pairs": q_simhash_pairs,
-        "doc_fingerprint": q_doc_fingerprint,
+        # dup_ngram_spans takes doc_fingerprint's slot (both are
+        # n-gram fingerprinting; spans adds corpus-wide counting and
+        # the position-exact dedup surface; doc_fingerprint keeps its
+        # oracle in the tail)
+        "dup_ngram_spans": q_dup_ngram_spans,
         "cart_splits": q_cart_splits,
         # the IRLS-replay scorecard oracle takes psi's window slot
         # (M11 PSI stays driver-covered through event_psi_monitor —
@@ -2131,7 +2135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # takes the window slot; lsh_candidates keeps its oracle in
         # the tail for tools/check_correctness
         "dedup_clusters": q_dedup_clusters,
-        "doc_quality": q_doc_quality,
+        # gopher_flags takes doc_quality's slot (the five-rule gate
+        # family strictly contains the scalar quality score's
+        # signals; doc_quality keeps its oracle in the tail)
+        "gopher_flags": q_gopher_flags,
         "bpe_token_count": q_bpe_token_count,
         "class_weight_agg": q_class_weight_agg,
         "classification_metrics": q_classification_metrics,
@@ -2157,6 +2164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    entries below still carry oracles checked by
         #    tools/check_correctness) --
         "binning_table_fixed": q_binning_table_fixed,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_quality": q_doc_quality,
         "woe_transform": q_woe_transform,
         "lsh_candidates": q_lsh_candidates,
         "simhash": q_simhash,
@@ -2191,8 +2200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mdlp_splits": q_mdlp_splits,
         "ivf_topk": q_ivf_topk,
         "multimodal_frames": q_multimodal_frames,
-        "dup_ngram_spans": q_dup_ngram_spans,
-        "gopher_flags": q_gopher_flags,
         "doc_contamination": q_doc_contamination,
     }
 

@@ -814,6 +814,46 @@ def merge_word_spans(
     )
 
 
+def cut_word_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_cut",
+) -> DataFrame:
+    """Splice duplicated spans OUT of the text — the final step of
+    exact-substring dedup (detect → merge_word_spans → cut). Word
+    positions inside any [start_word, end_word) span are dropped and
+    the remainder re-joined with single spaces.
+
+    Physical strategy: per-doc span lists are tiny (bounded by the
+    merged cut list), so they aggregate to one array per doc and join
+    back on the doc key — one shuffle each side; the splice itself is
+    a pure array expression (zip words with positions, filter by span
+    membership, re-concat), fully inside codegen. Docs with no spans
+    pass through unchanged (left join + coalesce)."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("start_word").alias("s"),
+                     F.col("end_word").alias("e"))).alias("__spans"))
+    joined = df.join(per_doc, id_col, "left")
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(words) - 1)
+    kept = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (i >= sp["s"]) & (i < sp["e"])),
+    )
+    cut = F.concat_ws(
+        " ", F.transform(kept, lambda i: F.element_at(words, i + 1)))
+    return joined.select(
+        *df.columns,
+        F.when(F.col("__spans").isNull(), F.col(text_col))
+        .otherwise(cut).alias(out_col),
+    )
+
+
 def ngram_contamination(
     df: DataFrame,
     reference: DataFrame,

@@ -936,3 +936,23 @@ def test_gopher_flags_rules(spark):
     assert not got[2]["ok_word_count"] and not got[2]["keep"]
     assert not got[3]["ok_symbol_ratio"] and not got[3]["keep"]
     assert not got[4]["ok_alpha_ratio"] and not got[4]["keep"]
+
+
+def test_cut_word_spans_end_to_end(spark):
+    """detect -> merge -> cut: the duplicated 4-gram is spliced out of
+    both docs; span-free docs pass through untouched."""
+    from optbinning_spark.pipeline.dedup import (
+        cut_word_spans, duplicate_ngram_spans, merge_word_spans)
+
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [(1, f"x1 {shared} y1 z1"),
+         (2, f"p2 q2 {shared} epsilon r2"),
+         (3, "all words here are unique ones only")],
+        "doc_id: long, text: string")
+    spans = merge_word_spans(duplicate_ngram_spans(docs, n=4, min_count=2))
+    got = {r["doc_id"]: r["text_cut"]
+           for r in cut_word_spans(docs, spans).collect()}
+    assert got[1] == "x1 y1 z1"
+    assert got[2] == "p2 q2 epsilon r2"
+    assert got[3] == "all words here are unique ones only"
