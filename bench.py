@@ -52,6 +52,9 @@ HEADLINE = [
     # regression in the star rounds can't hide behind the driver
     # union-find fast path
     "dedup_clusters_dist",
+    # exact substring-duplicate span detection (scan + window over the
+    # hashed n-gram key — the newest scan-heavy pipeline family)
+    "dup_ngram_spans",
 ]
 
 

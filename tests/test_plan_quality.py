@@ -162,6 +162,20 @@ def test_jaccard_single_scan(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
 
 
+def test_dup_ngram_spans_single_scan_no_join(spark):
+    """Span detection must stay one linear pipeline: a single parquet
+    scan, the corpus-wide count as a window (not a join), so the only
+    wide dependency is one spillable sort-exchange on the hashed
+    n-gram key."""
+    from optbinning_spark.pipeline.dedup import duplicate_ngram_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = duplicate_ngram_spans(docs, n=5, min_count=2)
+    plan = _plan(q)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
 def test_salted_categorical_agg_two_stage_and_correct(spark):
     """salt_partitions triggers a salted two-phase aggregation — phase
     1 keyed by (category, partition-salt), phase 2 re-reducing per
