@@ -1,0 +1,72 @@
+"""Training-data pipeline operators (the LLM-scale companion to the
+binning engine): deduplication, similarity search, text analysis,
+sampling, and multimodal plumbing. One import surface so a pipeline
+reads top-to-bottom:
+
+    from optbinning_spark.pipeline import (
+        duplicate_clusters, gopher_quality_flags, hash_split, ...)
+"""
+
+from .dedup import (
+    connected_components,
+    cut_word_spans,
+    duplicate_clusters,
+    duplicate_ngram_spans,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    merge_word_spans,
+    minhash_signatures,
+    ngram_contamination,
+    ngram_jaccard_pairs,
+    simhash,
+    verify_pairs_jaccard,
+)
+from .multimodal import extract_features, resize_images, sample_frames
+from .sampling import hash_split, hash_uniform, stratified_hash_sample
+from .similarity import (
+    brute_force_topk,
+    bucketed_cosine_pairs,
+    cosine_pairs,
+    embedding_duplicate_clusters,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+from .text import (
+    document_stats,
+    gopher_quality_flags,
+    lang_id_expr,
+    normalize_text_expr,
+    quality_score_expr,
+)
+
+__all__ = [
+    "brute_force_topk",
+    "bucketed_cosine_pairs",
+    "connected_components",
+    "cosine_pairs",
+    "cut_word_spans",
+    "document_stats",
+    "duplicate_clusters",
+    "duplicate_ngram_spans",
+    "embedding_duplicate_clusters",
+    "exact_dedup_groups",
+    "extract_features",
+    "gopher_quality_flags",
+    "hash_split",
+    "hash_uniform",
+    "ivf_topk",
+    "lang_id_expr",
+    "lsh_bucketed_topk",
+    "lsh_candidate_pairs",
+    "merge_word_spans",
+    "minhash_signatures",
+    "ngram_contamination",
+    "ngram_jaccard_pairs",
+    "normalize_text_expr",
+    "quality_score_expr",
+    "resize_images",
+    "sample_frames",
+    "simhash",
+    "stratified_hash_sample",
+    "verify_pairs_jaccard",
+]
