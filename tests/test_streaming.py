@@ -568,3 +568,55 @@ def test_psi_monitor_drops_null_and_nan_values(spark):
     assert len(got) == 1
     assert got[0]["n_events"] == 10  # the 2 null/nan rows don't count
     assert got[0]["psi"] == 0.0      # exact expected mix -> zero drift
+
+
+def test_batch_fitted_transform_and_score_on_stream(spark, tmp_path):
+    """WoE transform and scorecard scoring are pure map-side column
+    expressions, so a batch-fitted model applies UNCHANGED to a
+    stream (no foreachBatch, no state) — the standard fit-offline /
+    score-online deployment. Streamed values must equal the batch
+    path bit-for-bit."""
+    from optbinning_spark import BinningProcess, OptimalBinning
+    from optbinning_spark.scorecard import Scorecard
+
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+    )
+    ob = OptimalBinning(prebinning_method="quantile",
+                        monotonic_trend="descending")
+    ob.fit(batch, "l_quantity", "y")
+    bp = BinningProcess(["l_quantity", "l_discount"],
+                        prebinning_method="quantile")
+    sc = Scorecard(bp, scaling_method="min_max",
+                   scaling_method_params={"min": 0, "max": 100})
+    sc.fit(batch, "y")
+
+    sample = batch.limit(200)
+    indir = tmp_path / "score_in"
+    indir.mkdir()
+    sample.write.parquet(str(indir / "b1.parquet"))
+    stream = spark.readStream.schema(sample.schema).parquet(
+        str(indir) + "/*")
+    streamed = sc.score(
+        ob.transform(stream, "l_quantity", metric="woe"))
+    q = (streamed.writeStream.format("memory").queryName("scored")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["l_orderkey"], r["l_linenumber"]):
+               (r["l_quantity_woe"], r["score"])
+               for r in spark.sql(
+                   "SELECT l_orderkey, l_linenumber, l_quantity_woe, "
+                   "score FROM scored").collect()}
+    finally:
+        q.stop()
+    want = {(r["l_orderkey"], r["l_linenumber"]):
+            (r["l_quantity_woe"], r["score"])
+            for r in sc.score(
+                ob.transform(sample, "l_quantity", metric="woe")
+            ).select("l_orderkey", "l_linenumber", "l_quantity_woe",
+                     "score").collect()}
+    # NB: (l_orderkey, l_linenumber) can repeat in lineitem; both
+    # sides keyed the same way, so equal dicts still prove equality
+    assert got == want and len(got) > 0
