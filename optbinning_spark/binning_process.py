@@ -611,8 +611,10 @@ class BinningProcess:
             # latency on a 16-variable fit). Columns are immutable —
             # one literal serves every percentile_approx.
             probs_lit = F.lit(probs)
-            acc_lit = F.lit(2_000)
-            sample_mod = F.lit(20)
+            acc_lit = F.lit(int(_os.environ.get(
+                "SPARK_GRAFT_PROBE_ACC", "2000")))
+            sample_mod = F.lit(int(_os.environ.get(
+                "SPARK_GRAFT_PROBE_MOD", "20")))
             for v in todo:
                 # NB: the distinct count must run over ALL rows — the
                 # 5% gate below is a VALUE-hash sample (whole values in
