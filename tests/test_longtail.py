@@ -540,3 +540,27 @@ def test_piecewise_estimator_internal_typeerror_propagates(spark):
     pw = OptimalPWBinning(objective="binary", degree=1, estimator=Broken())
     with pytest.raises(TypeError, match="inner estimator bug"):
         pw.fit(df, "l_quantity", "y")
+
+
+def test_plot_methods_cleanly_gated_without_matplotlib(spark):
+    """Every plot surface raises a clear ImportError (not an
+    AttributeError mid-render) when matplotlib is absent — the
+    optional-dependency contract a headless deployment relies on."""
+    import importlib.util
+
+    import pytest as _pt
+
+    if importlib.util.find_spec("matplotlib") is not None:
+        _pt.skip("matplotlib installed: gating not exercised")
+    import numpy as np
+
+    from optbinning_spark import OptimalBinning
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(float(rng.uniform(0, 10)), int(rng.rand() < 0.3))
+         for _ in range(500)], "x double, y int")
+    ob = OptimalBinning(prebinning_method="quantile")
+    ob.fit(df, "x", "y")
+    with _pt.raises(ImportError, match="matplotlib"):
+        ob.binning_table.plot()
