@@ -520,7 +520,14 @@ def connected_components(
     with an eager localCheckpoint so the plan stays O(1) deep (on a
     real cluster set spark.sparkContext.setCheckpointDir and swap in
     .checkpoint() for executor-loss resilience; the driver loop is
-    fine — each round's stats are a 1-row aggregate).
+    fine — each round's stats are a 1-row aggregate). Hub-node skew:
+    the per-round groupBy-min is algebraic (map-side partials absorb
+    hubs), and the equi-join back on the hub key is exactly the shape
+    AQE's skew-join splitting handles (adaptive.skewJoin is on by
+    default in this engine's sessions) — large-star itself then
+    shrinks the hub by pointing its heavy neighbors at the minimum,
+    which is WHY the alternating-star algorithm, unlike label
+    propagation, does not accumulate hub pressure across rounds.
 
     ``driver_threshold``: an edge set that fits comfortably on the
     driver (default 1M edges ≈ 16 MB) is solved with an in-memory
