@@ -633,6 +633,16 @@ def q_gopher_flags(spark, sf_dir):
              "ok_symbol_ratio", "ok_alpha_ratio", "ok_stopwords", "keep")
 
 
+def q_repetition_flags(spark, sf_dir):
+    """Intra-document repetition gates (Gopher repetition family,
+    word-level): top-2/3-gram coverage fractions + duplicate-word
+    fraction + per-rule flags, one tagged explode."""
+    from optbinning_spark.pipeline.text import repetition_flags
+
+    docs = _documents(spark, sf_dir)
+    return repetition_flags(docs)
+
+
 def q_doc_contamination(spark, sf_dir):
     """Benchmark decontamination: distinct 6-grams shared with a
     pretend eval set (docs with doc_id % 20 == 0); inverted-index
@@ -2201,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "multimodal_frames": q_multimodal_frames,
         "doc_contamination": q_doc_contamination,
+        "repetition_flags": q_repetition_flags,
     }
 
 
@@ -4193,6 +4204,56 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN c USING (ng) WHERE c.cnt >= 2
         """,
         "gopher_flags": _sql_gopher_flags(),
+        # repetition_flags: per-doc top n-gram coverage + dup-word
+        # fraction; unrounded values feed the boolean gates exactly
+        # as the engine computes them
+        "repetition_flags": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            st AS (
+              SELECT doc_id, len(ws) AS nw,
+                     len(list_distinct(ws)) AS ndw FROM w),
+            g2 AS (
+              SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS ng
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(
+                               1, greatest(len(ws) - 1, 1))) AS i
+                    FROM w)),
+            g3 AS (
+              SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS ng
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(
+                               1, greatest(len(ws) - 2, 1))) AS i
+                    FROM w)),
+            t2 AS (SELECT doc_id, max(c) AS t FROM (
+                     SELECT doc_id, ng, count(*) AS c
+                     FROM g2 GROUP BY 1, 2) GROUP BY 1),
+            t3 AS (SELECT doc_id, max(c) AS t FROM (
+                     SELECT doc_id, ng, count(*) AS c
+                     FROM g3 GROUP BY 1, 2) GROUP BY 1),
+            m AS (
+              SELECT s.doc_id, s.nw, s.ndw,
+                     coalesce(t2.t, 0) AS c2, coalesce(t3.t, 0) AS c3
+              FROM st s
+              LEFT JOIN t2 USING (doc_id)
+              LEFT JOIN t3 USING (doc_id))
+            SELECT doc_id,
+                   round(c2 * 2 / greatest(nw, 1), 6) + 0.0
+                     AS top2gram_fraction,
+                   round(c3 * 3 / greatest(nw, 1), 6) + 0.0
+                     AS top3gram_fraction,
+                   round(1.0 - ndw / CAST(greatest(nw, 1) AS DOUBLE), 6)
+                     + 0.0 AS dup_word_fraction,
+                   c2 * 2 / greatest(nw, 1) <= 0.20 AS ok_top2gram,
+                   c3 * 3 / greatest(nw, 1) <= 0.18 AS ok_top3gram,
+                   1.0 - ndw / CAST(greatest(nw, 1) AS DOUBLE) <= 0.60
+                     AS ok_dup_words,
+                   (c2 * 2 / greatest(nw, 1) <= 0.20)
+                   AND (c3 * 3 / greatest(nw, 1) <= 0.18)
+                   AND (1.0 - ndw / CAST(greatest(nw, 1) AS DOUBLE)
+                        <= 0.60) AS keep
+            FROM m
+        """,
         "doc_contamination": """
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

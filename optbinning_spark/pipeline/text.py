@@ -162,6 +162,79 @@ def normalize_text_expr(
 
 # -- Gopher-style document quality gates ----------------------------------
 
+def repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top2_fraction: float = 0.20,
+    max_top3_fraction: float = 0.18,
+    max_dup_word_fraction: float = 0.60,
+) -> DataFrame:
+    """Intra-document repetition gates (the Gopher repetition-removal
+    family, word-level): fraction of words covered by the single most
+    frequent 2-gram / 3-gram, and the duplicate-word fraction
+    (1 - distinct/total). Heavily repetitive docs (boilerplate,
+    degenerate generations) fail the ``keep`` conjunction.
+
+    Physical strategy: one scan, ONE tagged explode emitting both
+    n-gram sizes (struct(n, gram)), count per (doc, n, gram), max per
+    (doc, n) folded to columns with conditional aggregates, joined
+    back to the per-doc word stats. Shuffles only on the doc/gram
+    keys — no per-doc quadratic expression work, so a 100k-word doc
+    costs O(len) not O(len^2)."""
+    from .dedup import shingles_from_words
+
+    w = F.split(F.col(text_col), " ")
+
+    # NB: single-arg closures from a factory — pyspark treats a 2-arg
+    # transform lambda as (element, index), so `lambda g, n=n` would
+    # silently tag grams with their POSITION instead of the size
+    def _tagged(n: int):
+        return F.transform(
+            shingles_from_words(w, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("ng")))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(w).alias("__nw"),
+        F.size(F.array_distinct(w)).alias("__ndw"),
+        F.flatten(F.array(_tagged(2), _tagged(3))).alias("__grams"),
+    )
+    stats = base.select(id_col, "__nw", "__ndw")
+    tops = (
+        base.select(F.col(id_col), F.explode("__grams").alias("g"))
+        .groupBy(id_col, "g.n", "g.ng")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("c"))).alias("__t2"),
+            F.max(F.when(F.col("n") == 3, F.col("c"))).alias("__t3"),
+        )
+    )
+    j = stats.join(tops, id_col, "left")
+    top2 = (F.coalesce("__t2", F.lit(0)) * 2
+            / F.greatest(F.col("__nw"), F.lit(1))).cast("double")
+    top3 = (F.coalesce("__t3", F.lit(0)) * 3
+            / F.greatest(F.col("__nw"), F.lit(1))).cast("double")
+    dupw = (1.0 - F.col("__ndw")
+            / F.greatest(F.col("__nw"), F.lit(1))).cast("double")
+    flags = {
+        "ok_top2gram": top2 <= max_top2_fraction,
+        "ok_top3gram": top3 <= max_top3_fraction,
+        "ok_dup_words": dupw <= max_dup_word_fraction,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return j.select(
+        id_col,
+        F.round(top2, 6).alias("top2gram_fraction"),
+        F.round(top3, 6).alias("top3gram_fraction"),
+        F.round(dupw, 6).alias("dup_word_fraction"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )
+
 def gopher_quality_flags(
     df: DataFrame,
     text_col: str = "text",

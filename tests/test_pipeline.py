@@ -956,3 +956,24 @@ def test_cut_word_spans_end_to_end(spark):
     assert got[1] == "x1 y1 z1"
     assert got[2] == "p2 q2 epsilon r2"
     assert got[3] == "all words here are unique ones only"
+
+
+def test_repetition_flags_rules(spark):
+    """Repetition gates, hand-computable fixtures: a degenerate
+    repeated-bigram doc fails top2gram; a diverse doc passes all."""
+    from optbinning_spark.pipeline.text import repetition_flags
+
+    rep = " ".join(["spam", "ham"] * 15)          # one bigram dominates
+    ok = " ".join(f"w{i}" for i in range(30))     # all distinct
+    docs = spark.createDataFrame(
+        [(1, rep), (2, ok)], "doc_id: long, text: string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_flags(docs).collect()}
+    # "spam ham" occurs 15 times over 30 words -> coverage 1.0
+    assert got[1]["top2gram_fraction"] == 1.0
+    assert not got[1]["ok_top2gram"] and not got[1]["keep"]
+    assert got[1]["dup_word_fraction"] == pytest.approx(
+        1.0 - 2 / 30, abs=1e-6)
+    assert got[2]["top2gram_fraction"] == pytest.approx(
+        1 * 2 / 30, abs=1e-6)
+    assert got[2]["dup_word_fraction"] == 0.0
+    assert got[2]["keep"]
