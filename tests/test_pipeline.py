@@ -977,3 +977,26 @@ def test_repetition_flags_rules(spark):
         1 * 2 / 30, abs=1e-6)
     assert got[2]["dup_word_fraction"] == 0.0
     assert got[2]["keep"]
+
+
+def test_hashed_keys_match_exact_string_keys(spark):
+    """hash_shingles/hash_ngrams=True must be value-identical to the
+    exact string-keyed paths (collisions are ~2^-64): pinned on the
+    sf0.001 documents so a hashing regression cannot ship silently."""
+    from optbinning_spark.pipeline.dedup import (
+        duplicate_ngram_spans, ngram_jaccard_pairs)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(200)
+    a = {(r["id_a"], r["id_b"], r["n_common"], r["jaccard"])
+         for r in ngram_jaccard_pairs(docs, hash_shingles=True).collect()}
+    b = {(r["id_a"], r["id_b"], r["n_common"], r["jaccard"])
+         for r in ngram_jaccard_pairs(docs, hash_shingles=False).collect()}
+    assert a == b and len(a) > 0
+    sa = {(r["doc_id"], r["start_word"], r["end_word"], r["n_occurrences"])
+          for r in duplicate_ngram_spans(
+              docs, n=5, hash_ngrams=True).collect()}
+    sb = {(r["doc_id"], r["start_word"], r["end_word"], r["n_occurrences"])
+          for r in duplicate_ngram_spans(
+              docs, n=5, hash_ngrams=False).collect()}
+    assert sa == sb and len(sa) > 0
