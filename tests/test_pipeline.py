@@ -1000,3 +1000,46 @@ def test_hashed_keys_match_exact_string_keys(spark):
           for r in duplicate_ngram_spans(
               docs, n=5, hash_ngrams=False).collect()}
     assert sa == sb and len(sa) > 0
+
+
+def test_merge_word_spans_property(spark):
+    """Hypothesis sweep: merge_word_spans equals the classic driver
+    interval-merge on random span sets (per-doc, overlap + adjacency
+    semantics: [a,b) and [b,c) merge)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from optbinning_spark.pipeline.dedup import merge_word_spans
+
+    def brute(spans):
+        out = {}
+        by_doc = {}
+        for d, s, e in spans:
+            by_doc.setdefault(d, []).append((s, e))
+        for d, ivs in by_doc.items():
+            ivs.sort()
+            merged = [list(ivs[0])]
+            for s, e in ivs[1:]:
+                if s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            out[d] = {(s, e) for s, e in merged}
+        return out
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 30), st.integers(1, 10)),
+        min_size=1, max_size=25))
+    def run(raw):
+        spans = [(d, s, s + ln) for d, s, ln in raw]
+        df = spark.createDataFrame(
+            spans, "doc_id: long, start_word: long, end_word: long")
+        got = {}
+        for r in merge_word_spans(df).collect():
+            got.setdefault(r["doc_id"], set()).add(
+                (r["start_word"], r["end_word"]))
+        assert got == brute(spans)
+
+    run()
