@@ -237,7 +237,13 @@ def _sf1_section(spark, sf_dir, qs, t_start, copies=10, budget_s=420):
 
     sf1 = os.path.join(tempfile.gettempdir(), "spark_graft_sf1")
     marker = os.path.join(sf1, "_READY")
-    if not os.path.exists(marker):
+    # version token: a change to the replication scheme (tables, key
+    # offsets, token salting) must invalidate a cached build from an
+    # earlier bench run, or the ladder would silently time stale data
+    stamp = f"v2-{copies}-" + ",".join(sorted(_SF1_TABLES))
+    fresh = (os.path.exists(marker)
+             and open(marker).read().strip() == stamp)
+    if not fresh:
         import shutil
 
         shutil.rmtree(sf1, ignore_errors=True)
@@ -257,7 +263,8 @@ def _sf1_section(spark, sf_dir, qs, t_start, copies=10, budget_s=420):
             (reduce(lambda a, b: a.unionByName(b), parts)
              .repartition(32).write.mode("overwrite")
              .parquet(f"{sf1}/{t}.parquet"))
-        open(marker, "w").close()
+        with open(marker, "w") as fh:
+            fh.write(stamp)
     out = {}
     for name in SF1_QUERIES:
         if time.time() - t_start > budget_s + 150:
