@@ -643,6 +643,43 @@ def q_repetition_flags(spark, sf_dir):
     return repetition_flags(docs)
 
 
+_MIX_WEIGHTS = {"en": 0.5, "es": 0.3, "de": 0.2}
+
+
+def q_mixture_rates(spark, sf_dir):
+    """Data-mixing rates: per-language keep rates realizing a 50/30/20
+    token mixture by downsampling only (B = min_s tokens_s/w_s);
+    fr/zh get rate 0. Fully distributed — no driver collect."""
+    from optbinning_spark.pipeline.sampling import mixture_sampling_rates
+
+    docs = _documents(spark, sf_dir)
+    return mixture_sampling_rates(docs, "lang", _MIX_WEIGHTS)
+
+
+def _sql_mixture_rates():
+    """Oracle generated from the SAME normalized weight constants the
+    engine derives (repr round-trip), so both sides gate on
+    bit-identical doubles."""
+    total = sum(_MIX_WEIGHTS.values())
+    norm = {k: v / total for k, v in _MIX_WEIGHTS.items()}
+    case = " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in norm.items())
+    return f"""
+            WITH per AS (
+              SELECT lang AS stratum, count(*) AS n_docs,
+                     sum(len(string_split(text, ' '))) AS n_tokens,
+                     CASE lang {case} ELSE 0.0 END AS w
+              FROM documents GROUP BY 1),
+            b AS (SELECT min(n_tokens / w) AS B FROM per WHERE w > 0)
+            SELECT stratum, n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(w, 6) AS target_weight,
+                   round(CASE WHEN w > 0
+                              THEN least(1.0, w * b.B / n_tokens)
+                              ELSE 0.0 END, 6) AS rate
+            FROM per, b
+        """
+
+
 def q_doc_contamination(spark, sf_dir):
     """Benchmark decontamination: distinct 6-grams shared with a
     pretend eval set (docs with doc_id % 20 == 0); inverted-index
@@ -2212,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "doc_contamination": q_doc_contamination,
         "repetition_flags": q_repetition_flags,
+        "mixture_rates": q_mixture_rates,
     }
 
 
@@ -4207,6 +4245,7 @@ def oracle_sql() -> dict[str, str]:
         # repetition_flags: per-doc top n-gram coverage + dup-word
         # fraction; unrounded values feed the boolean gates exactly
         # as the engine computes them
+        "mixture_rates": _sql_mixture_rates(),
         "repetition_flags": """
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -22,7 +22,12 @@ from .dedup import (
     verify_pairs_jaccard,
 )
 from .multimodal import extract_features, resize_images, sample_frames
-from .sampling import hash_split, hash_uniform, stratified_hash_sample
+from .sampling import (
+    hash_split,
+    hash_uniform,
+    mixture_sampling_rates,
+    stratified_hash_sample,
+)
 from .similarity import (
     brute_force_topk,
     bucketed_cosine_pairs,
@@ -34,6 +39,7 @@ from .similarity import (
 from .text import (
     document_stats,
     gopher_quality_flags,
+    repetition_flags,
     lang_id_expr,
     normalize_text_expr,
     quality_score_expr,
@@ -60,10 +66,12 @@ __all__ = [
     "lsh_candidate_pairs",
     "merge_word_spans",
     "minhash_signatures",
+    "mixture_sampling_rates",
     "ngram_contamination",
     "ngram_jaccard_pairs",
     "normalize_text_expr",
     "quality_score_expr",
+    "repetition_flags",
     "resize_images",
     "sample_frames",
     "simhash",

@@ -79,6 +79,70 @@ def hash_split(
     return df.select("*", expr.alias("split"))
 
 
+def mixture_sampling_rates(
+    df: DataFrame,
+    strata_col: str,
+    target_weights: dict[str, float],
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum keep rates that realize a target token MIXTURE by
+    downsampling only (the standard data-mixing step: e.g. 60/30/10
+    across domains/languages). The achievable token budget without
+    upsampling is B = min_s tokens_s / w_s; stratum s then keeps
+    rate_s = w_s * B / tokens_s (<= 1, and exactly 1 for the binding
+    stratum). Strata not in ``target_weights`` get rate 0.
+
+    Fully distributed — one aggregation per stratum plus a 1-row
+    budget aggregate joined back; NO driver collect, so the output
+    composes straight into :func:`stratified_hash_sample`:
+
+        rates = mixture_sampling_rates(docs, "lang", w)
+        keep = {r["stratum"]: r["rate"] for r in rates.collect()}
+        sampled = stratified_hash_sample(docs, "lang", keep)
+
+    Returns (stratum, n_docs, n_tokens, target_weight, rate)."""
+    from .text import token_count_expr
+
+    total = sum(target_weights.values())
+    if total <= 0:
+        raise ValueError("target weights must sum to a positive value")
+    # weight lookup over the GROUPED stratum column (the raw strata
+    # column no longer exists after the aggregation)
+    st = F.col("stratum")
+    wexpr = None
+    for k, v in target_weights.items():
+        cond = st == F.lit(k)
+        norm = float(v) / total
+        wexpr = (F.when(cond, norm) if wexpr is None
+                 else wexpr.when(cond, norm))
+    wexpr = F.lit(0.0) if wexpr is None else wexpr.otherwise(F.lit(0.0))
+    per = (
+        df.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count_expr(F.col(text_col))).alias("n_tokens"),
+        )
+        .withColumn("target_weight", wexpr)
+    )
+    budget = per.filter(F.col("target_weight") > 0).agg(
+        F.min(F.col("n_tokens") / F.col("target_weight")).alias("__B"))
+    return (
+        per.crossJoin(F.broadcast(budget))
+        .select(
+            "stratum", "n_docs", "n_tokens",
+            F.round("target_weight", 6).alias("target_weight"),
+            F.round(
+                F.when(
+                    F.col("target_weight") > 0,
+                    F.least(
+                        F.lit(1.0),
+                        F.col("target_weight") * F.col("__B")
+                        / F.col("n_tokens"))).otherwise(0.0),
+                6).alias("rate"),
+        )
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str,

@@ -1043,3 +1043,34 @@ def test_merge_word_spans_property(spark):
         assert got == brute(spans)
 
     run()
+
+
+def test_mixture_sampling_rates_chain(spark):
+    """Mixing rates realize the target token mixture when chained into
+    stratified_hash_sample: the binding stratum keeps rate 1.0, and
+    expected post-sample token shares equal the targets."""
+    import pytest as _pt
+
+    from optbinning_spark.pipeline.sampling import (
+        mixture_sampling_rates, stratified_hash_sample)
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 80 else "fr", "w " * 10) for i in range(100)],
+        "doc_id: long, lang: string, text: string")
+    rates = {r["stratum"]: r for r in mixture_sampling_rates(
+        docs, "lang", {"en": 0.5, "fr": 0.5}).collect()}
+    # fr has 20 docs vs en's 80: fr binds at rate 1.0, en keeps 1/4
+    assert rates["fr"]["rate"] == 1.0
+    assert rates["en"]["rate"] == _pt.approx(0.25, abs=1e-6)
+    # expected tokens: en 80*11*0.25 == fr 20*11*1.0 (text is "w "*10
+    # -> 11 single-space tokens)
+    en_exp = rates["en"]["n_tokens"] * rates["en"]["rate"]
+    fr_exp = rates["fr"]["n_tokens"] * rates["fr"]["rate"]
+    assert en_exp == _pt.approx(fr_exp, rel=1e-9)
+    # chains directly into the deterministic sampler
+    keep = {k: float(v["rate"]) for k, v in rates.items()}
+    sampled = stratified_hash_sample(docs, "lang", keep)
+    got = {r["lang"]: r["cnt"] for r in sampled.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert got["fr"] == 20           # rate 1.0 keeps everything
+    assert 10 <= got.get("en", 0) <= 35  # hash-gate around 20 of 80
