@@ -75,8 +75,10 @@ def _quantile_axis_splits(df, x, y, n_prebins_x, n_prebins_y,
                 F.col(y).cast("double"),
                 F.array(*[F.lit(p) for p in py])).alias("qy"))
         row = df.agg(*aggs).first()
-        return (list(row["qx"]) if px else [],
-                list(row["qy"]) if py else [])
+        # F.percentile returns NULL on an empty (or fully NULL/NaN
+        # filtered) input — degrade to no splits, like approxQuantile
+        return (list(row["qx"] or []) if px else [],
+                list(row["qy"] or []) if py else [])
     return (df.approxQuantile(x, px, 1e-4) if px else [],
             df.approxQuantile(y, py, 1e-4) if py else [])
 

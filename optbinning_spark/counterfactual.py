@@ -175,10 +175,12 @@ class Counterfactual:
         reference linearizes the sigmoid piecewise for MIP
         feasibility; the driver search needs no linearization, so this
         engine is strictly more accurate there. "diversity_features" /
-        "diversity_values" add weight * (pairwise changed-feature /
-        changed-bin agreement terms) exactly as the reference's
-        minimized objective does (multi_mip.py:52-53,422-437),
-        evaluated against the already-accepted CFs."""
+        "diversity_values" REWARD being different from the
+        already-accepted CFs, matching the reference's negated
+        objectives (multi_mip.py:422-435,448-450: the MIP minimizes
+        weight * (-pairwise XOR)); internally this is implemented as
+        the equivalent shifted penalty weight * (bound - XOR) per
+        accepted pair so every A* cost term stays >= 0."""
         if not self._fitted:
             raise ValueError("call fit(df) before generate")
         sc = self.scorecard
@@ -324,15 +326,37 @@ class Counterfactual:
                     1.0 + np.exp(-np.clip(score, -35, 35)))
                 extra += w_diff * abs(f - y_target)
             if w_sdf or w_sdv:
+                # The reference NEGATES obj_diversity_features /
+                # obj_diversity_values (multi_mip.py:448-450): the MIP
+                # minimizes weight * (-XOR), i.e. REWARDS difference
+                # from the other CFs. An A*-additive term must stay
+                # >= 0 for the lazy-completion argument, so we add the
+                # equivalent shifted penalty w * (bound - XOR) per
+                # accepted pair: the per-pair constant (bound = p for
+                # features, 2p for values) is identical for every
+                # candidate given the same accepted set, so the argmin
+                # matches the reference, and each term is >= 0 so
+                # costs stay monotone in |accepted|.
                 s_new = _changed_set(assign)
                 for acc in accepted:
                     s_old = _changed_set(acc["assignment"])
-                    if w_sdf:  # XOR of changed-feature indicators
-                        extra += w_sdf * len(s_new ^ s_old)
-                    if w_sdv:  # one-hot bin XOR: 2 per differing pick
-                        extra += w_sdv * 2 * sum(
-                            1 for i in range(p)
-                            if assign[i] != acc["assignment"][i])
+                    if w_sdf:  # penalize changed-set AGREEMENT
+                        extra += w_sdf * (p - len(s_new ^ s_old))
+                    if w_sdv:
+                        # one-hot bin XOR (multi_mip.py:93-97,429-435;
+                        # z encodes the CHANGE, all-zero when the
+                        # feature is unchanged): both changed to
+                        # different bins -> 2, exactly one changed
+                        # -> 1, same pick / neither changed -> 0.
+                        xor = 0
+                        for i in range(p):
+                            c1, c2 = i in s_new, i in s_old
+                            if c1 and c2:
+                                if assign[i] != acc["assignment"][i]:
+                                    xor += 2
+                            elif c1 or c2:
+                                xor += 1
+                        extra += w_sdv * (2 * p - xor)
             return extra
 
         def _hard_div_ok(assign, accepted):

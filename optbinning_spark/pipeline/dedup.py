@@ -664,11 +664,18 @@ def verify_pairs_jaccard(
     distinct-shingle array onto the pair row; the Jaccard is then a
     pure array expression. Shuffles on doc id only — never wider than
     the candidate set."""
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            shingles_from_words(F.split(F.col(text_col), " "), shingle_n)
-        ).alias("__sh"),
+    # materialize the split FIRST (shingles_from_words docstring: an
+    # inline split is re-evaluated per lambda reference in codegen,
+    # ~4x measured on the jaccard pipeline)
+    sh = (
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles_from_words(F.col("__w"), shingle_n)
+            ).alias("__sh"),
+        )
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))

@@ -100,29 +100,40 @@ def mixture_sampling_rates(
         keep = {r["stratum"]: r["rate"] for r in rates.collect()}
         sampled = stratified_hash_sample(docs, "lang", keep)
 
+    A stratum named in ``target_weights`` but ABSENT from ``df`` is
+    emitted as a zero-token row (n_docs = n_tokens = 0) rather than
+    silently dropped: with 0 available tokens its budget
+    tokens_s / w_s is 0, so B = 0 and every rate is 0 — the honest
+    downsample-only answer for an unrealizable mixture, and visible
+    to the caller instead of a renormalized-over-the-wrong-total one.
+
     Returns (stratum, n_docs, n_tokens, target_weight, rate)."""
     from .text import token_count_expr
 
     total = sum(target_weights.values())
     if total <= 0:
         raise ValueError("target weights must sum to a positive value")
-    # weight lookup over the GROUPED stratum column (the raw strata
-    # column no longer exists after the aggregation)
-    st = F.col("stratum")
-    wexpr = None
-    for k, v in target_weights.items():
-        cond = st == F.lit(k)
-        norm = float(v) / total
-        wexpr = (F.when(cond, norm) if wexpr is None
-                 else wexpr.when(cond, norm))
-    wexpr = F.lit(0.0) if wexpr is None else wexpr.otherwise(F.lit(0.0))
+    # broadcast the (tiny) target dict and FULL outer join so both
+    # unweighted data strata (rate 0) and weighted-but-absent strata
+    # (zero-token row) appear in the output
+    tgt = df.sparkSession.createDataFrame(
+        [(k, float(v) / total) for k, v in target_weights.items()],
+        ["__stratum_t", "__weight_t"],
+    )
+    grouped = df.groupBy(F.col(strata_col).alias("__stratum_d")).agg(
+        F.count("*").alias("__n_docs"),
+        F.sum(token_count_expr(F.col(text_col))).alias("__n_tokens"),
+    )
     per = (
-        df.groupBy(F.col(strata_col).alias("stratum"))
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(token_count_expr(F.col(text_col))).alias("n_tokens"),
+        grouped.join(F.broadcast(tgt),
+                     grouped["__stratum_d"] == tgt["__stratum_t"],
+                     "full_outer")
+        .select(
+            F.coalesce("__stratum_d", "__stratum_t").alias("stratum"),
+            F.coalesce("__n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("__n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("__weight_t", F.lit(0.0)).alias("target_weight"),
         )
-        .withColumn("target_weight", wexpr)
     )
     budget = per.filter(F.col("target_weight") > 0).agg(
         F.min(F.col("n_tokens") / F.col("target_weight")).alias("__B"))
@@ -133,7 +144,7 @@ def mixture_sampling_rates(
             F.round("target_weight", 6).alias("target_weight"),
             F.round(
                 F.when(
-                    F.col("target_weight") > 0,
+                    (F.col("target_weight") > 0) & (F.col("n_tokens") > 0),
                     F.least(
                         F.lit(1.0),
                         F.col("target_weight") * F.col("__B")

@@ -264,3 +264,91 @@ def test_soft_constraint_validation(cf_fitted):
     cf.generate(query, y=0.0, outcome_type="continuous",
                 soft_constraints={"diff_outcome": 1.0})
     assert cf.status_ == "OPTIMAL"
+
+
+def _soft_div_brute(cf, sc, query, lo, first_assign, w, kind):
+    """Exact optimum of proximity + shifted soft-diversity penalty
+    against one accepted CF (reference multi_mip.py:422-435,448-450:
+    the MIP minimizes weight * (-pairwise XOR); the engine's shifted
+    form adds weight * (bound - XOR) per accepted pair)."""
+    vals, _ = cf._candidates()
+    p = len(cf.variables_)
+    coef = np.array([sc.coef_[v] for v in cf.variables_])
+    orig_bin = [cf._query_bin(v, query.get(v)) for v in cf.variables_]
+    orig_woe = np.array([vals[i][orig_bin[i]] for i in range(p)])
+    pts = [coef[i] * vals[i] for i in range(p)]
+    pts0 = coef * orig_woe
+    wrange = np.array(
+        [1.0 / max(float(pt.max() - pt.min()), 1e-9) for pt in pts])
+    s_old = frozenset(
+        i for i in range(p) if first_assign[i] != orig_bin[i])
+    best = None
+    for assign in itertools.product(*[range(len(v)) for v in vals]):
+        if assign == tuple(first_assign):
+            continue
+        score = sc.intercept_ + sum(
+            coef[i] * vals[i][assign[i]] for i in range(p))
+        if score < lo:
+            continue
+        prox = sum(wrange[i] * abs(pts[i][assign[i]] - pts0[i])
+                   for i in range(p))
+        s_new = frozenset(
+            i for i in range(p) if assign[i] != orig_bin[i])
+        if kind == "features":
+            extra = w * (p - len(s_new ^ s_old))
+        else:  # one-hot bin XOR: z encodes the CHANGE
+            xor = 0
+            for i in range(p):
+                c1, c2 = i in s_new, i in s_old
+                if c1 and c2:
+                    if assign[i] != first_assign[i]:
+                        xor += 2
+                elif c1 or c2:
+                    xor += 1
+            extra = w * (2 * p - xor)
+        cost = prox + extra
+        if best is None or cost < best:
+            best = cost
+    return best
+
+
+@pytest.mark.parametrize("kind", ["features", "values"])
+def test_soft_diversity_brute_force(cf_fitted, kind):
+    """Soft diversity steers later CFs to DIFFER from accepted ones
+    (reference multi_mip.py compute_objectives negates the diversity
+    XOR sums). Brute-force verified: CF #2's cost is the exact
+    optimum of proximity + w * (bound - XOR) vs CF #1."""
+    cf, sc = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0,
+             "l_discount": 0.01}
+    w = 0.25
+    cf.generate(query, y=P_TARGET, outcome_type="probability",
+                hard_constraints=["min_outcome"],
+                soft_constraints={f"diversity_{kind}": w}, n_cf=2)
+    assert cf.status_ == "OPTIMAL" and len(cf._cfs) == 2
+    lo = np.log(P_TARGET / (1 - P_TARGET))
+    # CF #1 is the unconditional proximity optimum (no pairs yet)
+    assert cf._cfs[0]["cost"] == pytest.approx(
+        _brute_force_best(cf, sc, query, lo), rel=1e-9)
+    best2 = _soft_div_brute(
+        cf, sc, query, lo, cf._cfs[0]["assignment"], w, kind)
+    assert cf._cfs[1]["cost"] == pytest.approx(best2, rel=1e-9)
+
+
+def test_soft_diversity_rewards_difference(cf_fitted):
+    """Directional check (the round-5 sign bug steered CFs to be
+    SIMILAR): with a dominant diversity_features weight, CF #2 must
+    not change the identical feature set as CF #1 whenever a
+    different feasible set exists."""
+    cf, sc = cf_fitted
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0,
+             "l_discount": 0.01}
+    cf.generate(query, y=P_TARGET, outcome_type="probability",
+                hard_constraints=["min_outcome"],
+                soft_constraints={"diversity_features": 100.0}, n_cf=2)
+    assert len(cf._cfs) == 2
+    orig = [cf._query_bin(v, query[v]) for v in cf.variables_]
+    p = len(orig)
+    sets = [frozenset(i for i in range(p) if c["assignment"][i] != orig[i])
+            for c in cf._cfs]
+    assert sets[0] != sets[1]

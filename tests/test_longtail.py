@@ -107,6 +107,10 @@ def test_binning_2d_quantile_exact_vs_approx_gate(spark):
     assert ay[0] == pytest.approx(qy[0], rel=1e-2)
     # degenerate 1x1 grid: no splits, no jobs needed
     assert _quantile_axis_splits(df, "x", "y", 1, 1) == ([], [])
+    # empty input: F.percentile returns NULL — the exact path must
+    # degrade to no splits like approxQuantile, not raise TypeError
+    empty = df.filter("x > 1e12")
+    assert _quantile_axis_splits(empty, "x", "y", 2, 2) == ([], [])
 
 
 def test_binning_2d_woe_transform(spark):

@@ -1074,3 +1074,23 @@ def test_mixture_sampling_rates_chain(spark):
         F.count("*").alias("cnt")).collect()}
     assert got["fr"] == 20           # rate 1.0 keeps everything
     assert 10 <= got.get("en", 0) <= 35  # hash-gate around 20 of 80
+
+
+def test_mixture_sampling_rates_absent_stratum(spark):
+    """A stratum named in target_weights but absent from df must
+    surface as a zero-token row and drive the achievable budget (so
+    every rate) to 0 — not be silently dropped with the remaining
+    shares normalized over the full weight sum."""
+    from optbinning_spark.pipeline.sampling import mixture_sampling_rates
+
+    docs = spark.createDataFrame(
+        [(i, "en", "w " * 10) for i in range(10)],
+        "doc_id: long, lang: string, text: string")
+    rows = {r["stratum"]: r for r in mixture_sampling_rates(
+        docs, "lang", {"en": 0.5, "fr": 0.5}).collect()}
+    assert set(rows) == {"en", "fr"}
+    assert rows["fr"]["n_docs"] == 0 and rows["fr"]["n_tokens"] == 0
+    assert rows["fr"]["rate"] == 0.0
+    # the mixture is unrealizable by downsampling alone: B = 0
+    assert rows["en"]["rate"] == 0.0
+    assert rows["en"]["target_weight"] == 0.5
