@@ -590,6 +590,13 @@ def q_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(docs, n_hashes=8, band_size=2)
 
 
+# filled by q_dedup_clusters_dist on every call: path/edges/rounds of
+# the star loop, so bench.py can emit the round count next to the wall
+# time (an algorithmic regression — rounds creeping up — is then
+# visible, not just its symptom)
+LAST_CC_STATS: dict = {}
+
+
 def q_dedup_clusters_dist(spark, sf_dir):
     """dedup_clusters with the DISTRIBUTED closure forced
     (driver_threshold=0): the large-star/small-star loop itself runs
@@ -600,8 +607,10 @@ def q_dedup_clusters_dist(spark, sf_dir):
     from optbinning_spark.pipeline.dedup import duplicate_clusters
 
     docs = _documents(spark, sf_dir)
+    LAST_CC_STATS.clear()
     return duplicate_clusters(
-        docs, n_hashes=8, band_size=2, driver_threshold=0)
+        docs, n_hashes=8, band_size=2, driver_threshold=0,
+        stats=LAST_CC_STATS)
 
 
 def q_dup_ngram_spans(spark, sf_dir):
@@ -4001,9 +4010,16 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
               UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
               UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+            ), capped AS (
+              -- too-common-band cap (engine default max_bucket_size=1000)
+              SELECT doc_id, band, band_key FROM (
+                SELECT doc_id, band, band_key,
+                       count(*) OVER (PARTITION BY band, band_key) AS bsz
+                FROM bands)
+              WHERE bsz <= 1000
             )
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
+            FROM capped a JOIN capped b
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
         """,
@@ -4030,9 +4046,16 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
               UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
               UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+            ), capped AS (
+              -- too-common-band cap (engine default max_bucket_size=1000)
+              SELECT doc_id, band, band_key FROM (
+                SELECT doc_id, band, band_key,
+                       count(*) OVER (PARTITION BY band, band_key) AS bsz
+                FROM bands)
+              WHERE bsz <= 1000
             ), pairs AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
+              FROM capped a JOIN capped b
                 ON a.band = b.band AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id
             ), sym AS (

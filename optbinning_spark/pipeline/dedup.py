@@ -144,7 +144,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (id_a < id_b),
     deduplicated across bands. One shuffle on band_key; the join is
@@ -159,7 +159,10 @@ def lsh_candidate_pairs(
     either exact dups — handled upstream by exact_dedup_groups — or
     not meaningfully similar). The cap is applied via a pre-join
     groupBy(count) on the same key as the join, so AQE coalesces the
-    exchange; default None preserves uncapped semantics."""
+    exchange. The default (1000, the conventional too-common cutoff:
+    a capped bucket still admits ~500k pairs) is ON because the
+    production path must be skew-safe without opt-in; pass None to
+    explicitly run uncapped."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     bands = lsh_bands(sig, id_col, n_hashes, band_size)
     bands = _cap_buckets(bands, max_bucket_size)
@@ -218,6 +221,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: int = 20,
     min_jaccard: float = 0.2,
     hash_shingles: bool = True,
+    use_window: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
@@ -227,18 +231,41 @@ def ngram_jaccard_pairs(
     computed on the capped shingle sets of both docs, so the metric is
     consistent.
 
-    Physical strategy — ONE linear pipeline, no joins, no duplicated
-    subtrees: the df-cap is a window count over the shingle key
-    (row-streaming, sort-based, spillable — safe for arbitrarily hot
-    shingles); a second window over the doc key counts each doc's
+    Physical strategy: explode distinct shingles once, cap by document
+    frequency, then one window over the doc key counts each doc's
     surviving shingles so the Jaccard denominators travel WITH the
     rows; the surviving groups — each <= max_doc_freq ids, so bounded
     arrays — collect (id, size) structs and emit candidate pairs by
     array combination; one final pair aggregation computes the
-    intersection counts. This replaces the shingle self-join AND the
-    doc-size broadcast joins (a docs-sized broadcast would not survive
-    a 100 TB corpus; nothing here is ever wider than the capped
-    inverted index).
+    intersection counts. Nothing here is ever wider than the capped
+    inverted index (no docs-sized broadcast, no shingle self-join on
+    uncapped data).
+
+    ``use_window`` picks the df-cap's physical shape (A/B'd on the
+    organic sf1 corpus and an adversarial boilerplate fixture —
+    tools/ab_window_vs_agg.py; both paths are value-identical,
+    pinned by tests):
+
+    - True (default — measured faster in every regime we can build):
+      single-scan window count over the shingle key. One evaluation
+      of the shingle subtree, one shuffle, one sort. Measured:
+      3.6s at organic sf1 (10% boilerplate), 3.2s at 30%
+      boilerplate — vs 6.5s/7.1s for the two-phase shuffle join and
+      4.2s for its broadcast variant. Hot keys are cheaper than they
+      look: a shingle's window partition holds at most one row per
+      DOC (the explode is over array_distinct), the sort key is 8
+      bytes, and a multi-million-row partition sorts in seconds
+      (an adversarial spans-side probe with a ~1.6M-row hot key still
+      ran the window at 11.0s vs 23.3s two-phase). The true failure
+      mode needs a SINGLE key with hundreds of millions of rows —
+      one straggler task sorting while the cluster idles.
+    - False (the escape hatch for exactly that corpus): two-phase
+      ``groupBy(sh).count()`` + semi-join back. Map-side partials
+      absorb arbitrarily hot keys (one row per map task) and the join
+      back is an equi-join AQE's skew-join splitting can split. Costs
+      a second evaluation of the shingle subtree plus a full-volume
+      join shuffle — the measured ~2x at every scale we could build,
+      which is why it is not the default.
     """
     from pyspark.sql import Window as W
 
@@ -252,7 +279,7 @@ def ngram_jaccard_pairs(
         )
     )
     if hash_shingles:
-        # shrink the key that rides through BOTH sort-windows and the
+        # shrink the key that rides through the shuffles and the
         # inverted-index groupBy from a ~15-40 byte string to 8 bytes:
         # measured 13% end-to-end at sf0.1 AND at 10x (value-identical
         # output on both). Set equality under xxhash64 differs from
@@ -261,11 +288,20 @@ def ngram_jaccard_pairs(
         # deterministic (the same corpus always hashes the same way).
         # hash_shingles=False keeps exact string-set semantics.
         sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
-    rare = (
-        sh.withColumn("df_", F.count("*").over(W.partitionBy("sh")))
-        .filter(F.col("df_") <= max_doc_freq)
-        .drop("df_")
-    )
+    if use_window:
+        rare = (
+            sh.withColumn("df_", F.count("*").over(W.partitionBy("sh")))
+            .filter(F.col("df_") <= max_doc_freq)
+            .drop("df_")
+        )
+    else:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_doc_freq)
+            .select("sh")
+        )
+        rare = sh.join(keep, "sh")
     # post-cap shingle count per doc = the Jaccard set size
     sized = rare.withColumn(
         "n_sh", F.count("*").over(W.partitionBy(id_col))
@@ -388,7 +424,7 @@ def simhash_candidate_pairs(
     n_bands: int = 4,
     max_hamming: int = 3,
     shingle_n: int = 1,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band the fingerprint into
     ``n_bands`` contiguous bit slices, equi-join docs sharing any
@@ -403,7 +439,7 @@ def simhash_candidate_pairs(
 
     ``max_bucket_size``: same too-common-band guard as
     lsh_candidate_pairs (a degenerate slice bucket emits B^2/2
-    candidate pairs).
+    candidate pairs); capped by default, None = explicit uncapped.
     """
     if max_hamming > n_bands - 1:
         raise ValueError(
@@ -506,6 +542,7 @@ def connected_components(
     max_iter: int = 25,
     driver_threshold: int = 1_000_000,
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of an undirected edge list — the
     transitive-closure step a dedup pipeline needs between "candidate
@@ -517,10 +554,13 @@ def connected_components(
     propagation, which needs O(diameter) rounds and dies on long
     chain-shaped dup clusters. Each round is two shuffles (groupBy
     min + equi-join on the same key); lineage is truncated per round
-    with an eager localCheckpoint so the plan stays O(1) deep (on a
-    real cluster set spark.sparkContext.setCheckpointDir and swap in
-    .checkpoint() for executor-loss resilience; the driver loop is
-    fine — each round's stats are a 1-row aggregate). Hub-node skew:
+    with an eager checkpoint so the plan stays O(1) deep. With
+    ``checkpoint_dir`` set, rounds checkpoint to RELIABLE storage
+    (HDFS/S3 path on a real cluster — an executor loss replays from
+    the last round, not the whole closure); the default None uses
+    localCheckpoint, the right call in local mode where executor ==
+    driver anyway (the driver loop itself is fine — each round's
+    stats are a 1-row aggregate). Hub-node skew:
     the per-round groupBy-min is algebraic (map-side partials absorb
     hubs), and the equi-join back on the hub key is exactly the shape
     AQE's skew-join splitting handles (adaptive.skewJoin is on by
@@ -547,11 +587,18 @@ def connected_components(
     """
     if stats is None:
         stats = {}
-    e = (
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(frame):
+            return frame.checkpoint(eager=True)
+    else:
+        def _ckpt(frame):
+            return frame.localCheckpoint(eager=True)
+    e = _ckpt(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_edges = e.count()
     stats["edges"] = n_edges
@@ -586,7 +633,7 @@ def connected_components(
     converged = False
     rounds = 0
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _ckpt(_small_star(_large_star(e)))
         rounds += 1
         stats["rounds"] = rounds
         # convergence probe: the canonical edge set is stable once the
@@ -624,16 +671,19 @@ def connected_components(
 def clusters_from_pairs(
     entities: DataFrame, pairs: DataFrame, id_col: str,
     driver_threshold: int = 1_000_000,
+    checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Shared closure step for every dedup family (text LSH and
     embedding cosine both use THIS): candidate pairs -> connected
     components -> (id, cluster_id, is_canonical) over ALL entities,
     with unpaired entities as singleton clusters of themselves and
     the minimum id per cluster as the canonical keep-list.
-    ``driver_threshold`` passes through to connected_components
-    (0 forces the distributed star loop)."""
+    ``driver_threshold`` / ``checkpoint_dir`` / ``stats`` pass through
+    to connected_components (0 forces the distributed star loop)."""
     cc = connected_components(
-        pairs, "id_a", "id_b", driver_threshold=driver_threshold)
+        pairs, "id_a", "id_b", driver_threshold=driver_threshold,
+        checkpoint_dir=checkpoint_dir, stats=stats)
     ids = entities.select(F.col(id_col))
     joined = ids.join(cc, ids[id_col] == cc["node"], "left")
     cluster = F.coalesce(F.col("component"), F.col(id_col))
@@ -697,9 +747,11 @@ def duplicate_clusters(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
     jaccard_threshold: float | None = None,
     driver_threshold: int = 1_000_000,
+    checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering: MinHash → LSH bands →
     candidate pairs → [optional exact Jaccard verify] → connected
@@ -715,6 +767,12 @@ def duplicate_clusters(
     unrelated docs and dropping non-duplicates from the keep-list.
     None preserves the raw-LSH semantics.
 
+    ``max_bucket_size`` defaults to the finite too-common-band cap
+    (1000) — the production-shaped entry point must be skew-safe
+    without opt-in; None runs uncapped. ``checkpoint_dir`` / ``stats``
+    pass through to connected_components (reliable lineage truncation
+    on a real cluster / round-count observability).
+
     Reference parity note: the reference engine has no dedup surface;
     this is the brief-driven LLM-pipeline operator family
     (SURVEY.md §2 extension)."""
@@ -725,7 +783,8 @@ def duplicate_clusters(
         pairs = verify_pairs_jaccard(
             df, pairs, text_col, id_col, shingle_n, jaccard_threshold)
     return clusters_from_pairs(
-        df, pairs, id_col, driver_threshold=driver_threshold)
+        df, pairs, id_col, driver_threshold=driver_threshold,
+        checkpoint_dir=checkpoint_dir, stats=stats)
 
 
 # -- exact substring-duplicate spans (training-data dedup) ----------------
@@ -750,6 +809,7 @@ def duplicate_ngram_spans(
     n: int = 10,
     min_count: int = 2,
     hash_ngrams: bool = True,
+    use_window: bool = True,
 ) -> DataFrame:
     """Exact substring-duplicate span detection — the preprocessing
     behind exact-substring training-data dedup (Lee et al. 2021,
@@ -760,12 +820,24 @@ def duplicate_ngram_spans(
     end_word, n_occurrences). Downstream cutters merge overlapping
     spans per doc (merge_word_spans) and splice the text.
 
-    Physical strategy (the 100 TB shape): one scan, explode positioned
-    n-grams, ONE window count over the n-gram key — no join, no
-    inverted-index materialization; the window's sort spills. With
+    Physical strategy: explode positioned n-grams; with
     ``hash_ngrams`` the key that rides the shuffle is an 8-byte
     xxhash64 instead of an ~n-word string (same trade as
-    ngram_jaccard_pairs; collisions ~2^-64, deterministic)."""
+    ngram_jaccard_pairs; collisions ~2^-64, deterministic).
+
+    ``use_window`` picks the occurrence count's physical shape (same
+    trade as ngram_jaccard_pairs — see its docstring for the full A/B):
+    True (default) = single-scan window count over the n-gram key —
+    measured 1.9s at organic sf1 vs 4.4s two-phase, and still 2x
+    faster (11.0s vs 23.3s) on an adversarial fixture where 30% of
+    600k docs share a periodic boilerplate block (~1.6M rows on the
+    hottest key). Unlike the jaccard side, positioned n-grams are NOT
+    per-doc-distinct, so a pathological corpus (hundreds of millions
+    of occurrences of ONE n-gram) can make the window's hot partition
+    a straggler; False = two-phase ``groupBy(ng).count()`` +
+    equi-join back for exactly that corpus, where map-side partials
+    absorb the hot key, AQE can split the join, and the count side is
+    PRE-FILTERED to n-grams reaching ``min_count``."""
     from pyspark.sql import Window as W
 
     g = (
@@ -781,16 +853,24 @@ def duplicate_ngram_spans(
     )
     if hash_ngrams:
         g = g.select(id_col, "pos", F.xxhash64("ng").alias("ng"))
-    return (
-        g.withColumn("n_occurrences",
-                     F.count("*").over(W.partitionBy("ng")))
-        .filter(F.col("n_occurrences") >= min_count)
-        .select(
-            F.col(id_col),
-            F.col("pos").alias("start_word"),
-            (F.col("pos") + n).alias("end_word"),
-            F.col("n_occurrences"),
+    if use_window:
+        hot = (
+            g.withColumn("n_occurrences",
+                         F.count("*").over(W.partitionBy("ng")))
+            .filter(F.col("n_occurrences") >= min_count)
         )
+    else:
+        counts = (
+            g.groupBy("ng")
+            .agg(F.count("*").alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= F.lit(min_count))
+        )
+        hot = g.join(counts, "ng")
+    return hot.select(
+        F.col(id_col),
+        F.col("pos").alias("start_word"),
+        (F.col("pos") + n).alias("end_word"),
+        F.col("n_occurrences"),
     )
 
 

@@ -579,7 +579,7 @@ def test_lsh_max_bucket_size_guard(spark):
     rows += [(100, "a unique document about spark partitioning"),
              (101, "a unique document about spark partitioning")]
     df = spark.createDataFrame(rows, "doc_id: long, text: string")
-    uncapped = lsh_candidate_pairs(df).collect()
+    uncapped = lsh_candidate_pairs(df, max_bucket_size=None).collect()
     capped = lsh_candidate_pairs(df, max_bucket_size=5).collect()
     big = {(a, b) for a, b in ((r["id_a"], r["id_b"]) for r in uncapped)
            if a < 100}
@@ -1094,3 +1094,81 @@ def test_mixture_sampling_rates_absent_stratum(spark):
     # the mixture is unrealizable by downsampling alone: B = 0
     assert rows["en"]["rate"] == 0.0
     assert rows["en"]["target_weight"] == 0.5
+
+
+def test_lsh_bucket_cap_default_on(spark):
+    """The too-common-band cap defaults ON (max_bucket_size=1000): a
+    degenerate bucket of 1001 identical docs emits ZERO pairs through
+    the default path instead of B(B-1)/2 ≈ 500k, while normal pairs
+    survive; None is the explicit uncapped opt-out."""
+    from optbinning_spark.pipeline.dedup import lsh_candidate_pairs
+
+    rows = [(i, "common boilerplate text repeated everywhere "
+                "the same words every time") for i in range(1001)]
+    rows += [(2000, "a unique document about spark partitioning"),
+             (2001, "a unique document about spark partitioning")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r["id_a"], r["id_b"])
+           for r in lsh_candidate_pairs(df).collect()}
+    assert got == {(2000, 2001)}
+
+
+def test_connected_components_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches per-round lineage truncation from
+    localCheckpoint to RELIABLE .checkpoint() (executor-loss-safe on a
+    real cluster); the distributed star loop must write checkpoints
+    under the dir and produce output identical to the default."""
+    import os
+
+    from optbinning_spark.pipeline.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(0, 300, 1) if (i + 1) % 50 != 0]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    base = {(r["node"], r["component"])
+            for r in connected_components(df, driver_threshold=0).collect()}
+    ckpt = str(tmp_path / "cc_ckpt")
+    stats: dict = {}
+    got = {(r["node"], r["component"])
+           for r in connected_components(
+               df, driver_threshold=0, checkpoint_dir=ckpt,
+               stats=stats).collect()}
+    assert got == base
+    assert stats["path"] == "distributed" and stats["rounds"] >= 1
+    # reliable checkpoints actually landed on disk
+    found = [fn for _, _, fns in os.walk(ckpt) for fn in fns]
+    assert found, "no checkpoint files written under checkpoint_dir"
+
+
+def test_ngram_use_window_modes_value_identical(spark):
+    """The window df-cap/occurrence-count and the two-phase
+    groupBy+join escape hatch must produce IDENTICAL rows (the A/B in
+    tools/ab_window_vs_agg.py picked the window as default on
+    measured speed; this pins that the flag changes only the physical
+    plan, never the result)."""
+    from optbinning_spark.pipeline.dedup import (
+        duplicate_ngram_spans,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for fn, kw in ((ngram_jaccard_pairs, {}),
+                   (duplicate_ngram_spans, {"n": 5})):
+        win = sorted(map(tuple, fn(docs, use_window=True, **kw).collect()))
+        agg = sorted(map(tuple, fn(docs, use_window=False, **kw).collect()))
+        assert win == agg and len(win) > 0
+
+
+def test_ngram_default_is_window_plan(spark):
+    """Pins the A/B-chosen default: duplicate_ngram_spans' default
+    plan counts occurrences with a Window (single scan), while
+    use_window=False swaps in the aggregate+join shape (no Window
+    operator anywhere in that plan)."""
+    from optbinning_spark.pipeline.dedup import duplicate_ngram_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dflt = duplicate_ngram_spans(docs, n=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    twop = duplicate_ngram_spans(docs, n=5, use_window=False)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Window" in dflt
+    assert "Window" not in twop and "Join" in twop
