@@ -103,7 +103,7 @@ class BinningProcess:
         max_pvalue: float | None = None,
         prebinning_method: str = "cart",
         prebinning_kwargs: dict | None = None,
-        cat_salt_threshold: int = 65_536,
+        cat_salt_threshold: int | None = None,
     ):
         self.variable_names = list(variable_names)
         self.categorical_variables = set(categorical_variables or [])
@@ -122,10 +122,23 @@ class BinningProcess:
         self.max_pvalue = max_pvalue
         self.prebinning_method = prebinning_method
         self.prebinning_kwargs = dict(prebinning_kwargs or {})
-        # auto-salt gate: when the fused fit's probe sees a
-        # categorical whose approx distinct count exceeds this, the
-        # stacked aggregation switches to the salted two-phase plan
-        # automatically (no per-variable config needed)
+        # salt gate: when set and the fused fit's probe sees a
+        # categorical whose approx distinct count exceeds it, the
+        # stacked aggregation switches to the salted two-phase plan.
+        # Default OFF (None): the salt is per-partition-CONSTANT, so
+        # it can only spread REDUCE-side load across reducers — and
+        # the fit's aggregations are all algebraic, so map-side
+        # partial aggregation already shrinks every key (hot or not)
+        # to one row per map task before the shuffle. Measured on
+        # organic 6M-row fixtures (round 6, tools + bench salt_ab):
+        # salted loses in EVERY regime — 15.2s vs 9.8s at 200k
+        # distinct uniform, 99.8s vs 88.4s at 2M distinct, 19.7s vs
+        # 9.9s with a 50%-hot key (the case it was built for). The
+        # parameter remains for explicit opt-in (e.g. a custom
+        # non-algebraic aggregation grafted onto the stacked plan,
+        # where partial aggregation cannot absorb the hot key); the
+        # salted algebra itself is exact and value-identical
+        # (test_plan_quality pins both facts).
         self.cat_salt_threshold = cat_salt_threshold
 
         self._binners: dict[str, object] = {}
@@ -642,18 +655,19 @@ class BinningProcess:
                         probs_lit, acc_lit,
                     ).alias(f"q_{v}")
                 )
-            # auto-salt probe (X7 skew hardening): categorical
-            # cardinality rides the SAME probe action (HLL state, no
-            # extra scan) and decides below whether the stacked
-            # aggregation needs the salted two-phase plan. Only
-            # collected when the probe runs anyway — a fit with no
-            # numeric proposals and a known target keeps its 1-action
-            # plan and simply fits unsalted.
-            for v in categorical:
-                probe_aggs.append(
-                    F.approx_count_distinct(
-                        F.col(v), rsd=0.05).alias(f"ndc_{v}")
-                )
+            # opt-in salt probe (X7): categorical cardinality rides
+            # the SAME probe action (HLL state, no extra scan) and
+            # decides below whether the stacked aggregation takes the
+            # salted two-phase plan. Only collected when a threshold
+            # is SET (default None skips the HLLs entirely) and the
+            # probe runs anyway — a fit with no numeric proposals and
+            # a known target keeps its 1-action plan.
+            if self.cat_salt_threshold is not None:
+                for v in categorical:
+                    probe_aggs.append(
+                        F.approx_count_distinct(
+                            F.col(v), rsd=0.05).alias(f"ndc_{v}")
+                    )
             if need_tt and y_float:
                 # float target: binary iff values ⊆ {0, 1}; a single
                 # flag aggregate suffices (no distinct-value state)
@@ -685,15 +699,18 @@ class BinningProcess:
         else:
             probe = None
 
-        # auto-salt decision from the probe's HLL counts: past the
-        # threshold the stacked aggregation's first phase could
-        # overflow the hash-agg map and fall back to sort-based
-        # aggregation, so pre-split every key across up to
-        # defaultParallelism reducers and re-reduce with the exact
-        # merge algebra (identical results; proven value-equal by
-        # test_plan_quality's salted-vs-unsalted check)
+        # opt-in salt decision from the probe's HLL counts (rides the
+        # probe action for free): past an EXPLICIT threshold,
+        # pre-split every key across up to defaultParallelism reducers
+        # and re-reduce with the exact merge algebra (identical
+        # results; proven value-equal by test_plan_quality's
+        # salted-vs-unsalted check). Off by default — see the
+        # cat_salt_threshold comment in __init__ for the round-6
+        # measurements showing the salt loses in every regime for
+        # these algebraic aggregations.
         salt_s = None
-        if probe is not None and categorical:
+        if (probe is not None and categorical
+                and self.cat_salt_threshold is not None):
             try:
                 if any(probe[f"ndc_{v}"] > self.cat_salt_threshold
                        for v in categorical):

@@ -253,6 +253,17 @@ def test_auto_salt_engages_on_high_cardinality_categorical(spark):
     unsalted = fit(10**9)  # never triggers
     assert salted._stats_salt_partitions and salted._stats_salt_partitions > 1
     assert unsalted._stats_salt_partitions is None
+    # round 6: the DEFAULT is off (cat_salt_threshold=None) — the salt
+    # only spreads reduce-side load, which partial aggregation already
+    # absorbs for the algebraic fit aggs (measured slower in every
+    # regime; see bench.py _salt_ab / binning_process.__init__)
+    from optbinning_spark import BinningProcess as _BP
+
+    dflt = _BP(["cat", "num"], categorical_variables=["cat"],
+               prebinning_method="quantile")
+    assert dflt.cat_salt_threshold is None
+    dflt.fit(df, "y")
+    assert dflt._stats_salt_partitions is None
     # value-identical across the two physical plans
     ts = salted.get_binned_variable("cat").binning_table.build()
     tu = unsalted.get_binned_variable("cat").binning_table.build()
