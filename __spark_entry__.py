@@ -1693,6 +1693,58 @@ def q_counterfactual_pinned(spark, sf_dir):
         rows, "b1 int, b2 int, score double, cost double")
 
 
+def q_counterfactual_mahalanobis_pinned(spark, sf_dir):
+    """O15's Cholesky-closeness objective, SQL-replayed: same pinned
+    2-variable setup as counterfactual_pinned but with
+    objectives={proximity: 1, closeness: 1}. The engine computes
+    close = |F^T (woe - mu)|_1 / p with F = cholesky(inv(cov + ridge))
+    from one Spark aggregation (reference problem_data.py:52-55,
+    mip.py Mahalanobis m_p/m_m terms); for p = 2 the inverse and the
+    Cholesky factor are closed-form, so the DuckDB oracle enumerates
+    all assignments with the IDENTICAL cost — the round-5 rows-only
+    gap on the closeness branch, closed."""
+    from optbinning_spark import BinningProcess, Counterfactual
+    from optbinning_spark.scorecard import Scorecard
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "net_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    bp = BinningProcess(
+        ["l_quantity", "l_discount"],
+        prebinning_method="quantile",
+        max_n_prebins=8,
+        binning_fit_params={
+            "l_quantity": {"monotonic_trend": "descending"},
+            "l_discount": {"monotonic_trend": "descending"},
+        },
+    )
+    sc = Scorecard(bp, estimator="linear").fit(df, "net_price")
+    cf = Counterfactual(sc).fit(df)
+    vals, _ = cf._candidates()
+    coefs = [sc.coef_[v] for v in cf.variables_]
+    smax = sc.intercept_ + sum(float(max(c * v))
+                               for c, v in zip(coefs, vals))
+    smin = sc.intercept_ + sum(float(min(c * v))
+                               for c, v in zip(coefs, vals))
+    target = smin + 0.6 * (smax - smin)
+    cf.generate(
+        {"l_quantity": 10.0, "l_discount": 0.03}, y=target,
+        outcome_type="continuous", hard_constraints=["min_outcome"],
+        n_cf=2, objectives={"proximity": 1.0, "closeness": 1.0})
+    # cost rounds at 5 decimals (not the family's usual 6): numpy's
+    # LAPACK inv+cholesky and the oracle's closed-form 2x2 algebra
+    # agree to ~1 ulp at the 6th decimal, which the repr-hash compare
+    # would read as a mismatch
+    rows = [
+        (int(s["assignment"][0]), int(s["assignment"][1]),
+         round(float(s["score"]), 6) + 0.0,
+         round(float(s["cost"]), 5) + 0.0)
+        for s in cf._cfs
+    ]
+    return spark.createDataFrame(
+        rows, "b1 int, b2 int, score double, cost double")
+
+
 def q_counterfactual(spark, sf_dir):
     """O15: counterfactual explanations — exact branch-and-bound over
     bin assignments; Mahalanobis inputs from one Spark agg."""
@@ -2185,6 +2237,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # solver family with no driver-window hash check; the pinned
         # 2-variable search space is exhaustively enumerated in SQL
         "counterfactual_pinned": q_counterfactual_pinned,
+        # counterfactual_mahalanobis_pinned takes
+        # scorecard_scores_linear's slot (the centered-WLS linear
+        # estimator surface stays in-window: BOTH counterfactual
+        # oracles replay the same Cramer WLS 'coef' CTE, and the
+        # logistic/huber scorecard scores remain in-window;
+        # scorecard_scores_linear keeps its oracle in the tail) —
+        # closes the round-5 rows-only gap on the Cholesky-closeness
+        # objective via a closed-form 2x2 inverse+Cholesky in SQL
+        "counterfactual_mahalanobis_pinned":
+            q_counterfactual_mahalanobis_pinned,
         "dedup_clusters_dist": q_dedup_clusters_dist,
         # dedup_clusters subsumes lsh_candidates (its oracle replays
         # minhash + bands + pairs AND the transitive closure), so it
@@ -2211,7 +2273,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiclass_binning_table": q_multiclass_binning_table,
         "scenario_binning_table": q_scenario_binning_table,
         "multimodal_features": q_multimodal_features,
-        "scorecard_scores_linear": q_scorecard_scores_linear,
         # -- tail (beyond the driver's 50-entry window; unit/golden
         #    tested — near_dup_cosine, the fixed-split pair rotated out
         #    in round 4 (binning_table_fixed, woe_transform — their
@@ -2220,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    entries below still carry oracles checked by
         #    tools/check_correctness) --
         "binning_table_fixed": q_binning_table_fixed,
+        "scorecard_scores_linear": q_scorecard_scores_linear,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
         "woe_transform": q_woe_transform,
@@ -2921,6 +2983,116 @@ def _sql_counterfactual_pinned():
     WHERE t.b0 + c1.pt + c2.pt >= t.smin + 0.6 * (t.smax - t.smin))
   SELECT CAST(b1 AS INTEGER) AS b1, CAST(b2 AS INTEGER) AS b2,
          round(score, 6) + 0.0 AS score, round(cost, 6) + 0.0 AS cost
+  FROM enum ORDER BY cost LIMIT 2"""
+
+
+def _sql_counterfactual_mahalanobis_pinned():
+    """counterfactual_pinned's enumeration plus the Cholesky-closeness
+    term in closed form: cov (ddof=1) of the two mean-transformed
+    features from centered sums, the engine's ridge
+    (1e-8 * trace/p), A = inv(cov + ridge*I) by the 2x2 adjugate,
+    L = cholesky(A) lower (l00 = sqrt(a11), l10 = a12/l00,
+    l11 = sqrt(a22 - a12^2/a11)), and
+    close = (|l00*d1 + l10*d2| + |l11*d2|) / 2 with d = val - mu over
+    the candidate bin MEANS (not the coef-scaled points)."""
+    net = "l_extendedprice * (1 - l_discount)"
+    chains = (_dp_cte_continuous("l_quantity", net, 8, "descending", "f1_")
+              + "," + _dp_cte_continuous("l_discount", net, 8,
+                                         "descending", "f2_"))
+    return f"""
+  WITH {chains},
+  rows_ AS (
+    SELECT l_quantity AS x1, l_discount AS x2, {net} AS y FROM lineitem),
+  r1 AS (
+    SELECT r.*, len(list_filter(sp.splits, s -> r.x1 >= s)) AS pb1
+    FROM rows_ r, f1_sp sp),
+  r2 AS (
+    SELECT r1.*, len(list_filter(sp.splits, s -> r1.x2 >= s)) AS pb2
+    FROM r1, f2_sp sp),
+  feat AS (
+    SELECT r2.y, b1.s1 / b1.cnt AS f1, b2.s1 / b2.cnt AS f2
+    FROM r2
+    JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
+    JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
+  mu AS (
+    SELECT avg(f1) AS m1, avg(f2) AS m2, avg(y) AS my FROM feat),
+  sums AS (
+    SELECT count(*) AS n,
+           sum((f1 - mu.m1) * (f1 - mu.m1)) AS c11,
+           sum((f1 - mu.m1) * (f2 - mu.m2)) AS c12,
+           sum((f2 - mu.m2) * (f2 - mu.m2)) AS c22,
+           sum((f1 - mu.m1) * (y - mu.my)) AS c1y,
+           sum((f2 - mu.m2) * (y - mu.my)) AS c2y,
+           any_value(mu.m1) AS m1, any_value(mu.m2) AS m2,
+           any_value(mu.my) AS my
+    FROM feat, mu),
+  coef AS (
+    SELECT (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+           (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2,
+           my - (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) * m1
+              - (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) * m2 AS b0
+    FROM sums),
+  -- sample covariance (np.cov ddof=1) + the engine's ridge, then the
+  -- closed-form 2x2 inverse and its lower Cholesky factor
+  mah0 AS (
+    SELECT m1, m2,
+           c11 / (n - 1) AS v11, c12 / (n - 1) AS v12,
+           c22 / (n - 1) AS v22,
+           1e-8 * (c11 / (n - 1) + c22 / (n - 1)) / 2 AS ridge
+    FROM sums),
+  mah1 AS (
+    SELECT m1, m2, v12,
+           v11 + ridge AS v11r, v22 + ridge AS v22r,
+           (v11 + ridge) * (v22 + ridge) - v12 * v12 AS det
+    FROM mah0),
+  amat AS (
+    SELECT m1, m2, v22r / det AS a11, -v12 / det AS a12,
+           v11r / det AS a22
+    FROM mah1),
+  fmat AS (
+    SELECT m1, m2, sqrt(a11) AS l00, a12 / sqrt(a11) AS l10,
+           sqrt(a22 - a12 * a12 / a11) AS l11
+    FROM amat),
+  cand1 AS (SELECT b.seg, b.s1 / b.cnt AS val,
+                   co.b1 * (b.s1 / b.cnt) AS pt
+            FROM f1_bseg b, coef co),
+  cand2 AS (SELECT b.seg, b.s1 / b.cnt AS val,
+                   co.b2 * (b.s1 / b.cnt) AS pt
+            FROM f2_bseg b, coef co),
+  wr AS (
+    SELECT 1.0 / greatest((SELECT max(pt) - min(pt) FROM cand1), 1e-9)
+             AS w1,
+           1.0 / greatest((SELECT max(pt) - min(pt) FROM cand2), 1e-9)
+             AS w2),
+  orig1 AS (
+    SELECT c.pt FROM f1_sp sp
+    JOIN f1_bseg b
+      ON len(list_filter(sp.splits, s -> 10.0 >= s))
+           BETWEEN b.pb_lo AND b.pb_hi
+    JOIN cand1 c ON c.seg = b.seg),
+  orig2 AS (
+    SELECT c.pt FROM f2_sp sp
+    JOIN f2_bseg b
+      ON len(list_filter(sp.splits, s -> 0.03 >= s))
+           BETWEEN b.pb_lo AND b.pb_hi
+    JOIN cand2 c ON c.seg = b.seg),
+  tgt AS (
+    SELECT co.b0 + (SELECT min(pt) FROM cand1)
+                 + (SELECT min(pt) FROM cand2) AS smin,
+           co.b0 + (SELECT max(pt) FROM cand1)
+                 + (SELECT max(pt) FROM cand2) AS smax,
+           co.b0 AS b0
+    FROM coef co),
+  enum AS (
+    SELECT c1.seg AS b1, c2.seg AS b2,
+           t.b0 + c1.pt + c2.pt AS score,
+           w.w1 * abs(c1.pt - o1.pt) + w.w2 * abs(c2.pt - o2.pt)
+           + (abs(f.l00 * (c1.val - f.m1) + f.l10 * (c2.val - f.m2))
+              + abs(f.l11 * (c2.val - f.m2))) / 2 AS cost
+    FROM cand1 c1, cand2 c2, tgt t, wr w, orig1 o1, orig2 o2, fmat f
+    WHERE t.b0 + c1.pt + c2.pt >= t.smin + 0.6 * (t.smax - t.smin))
+  SELECT CAST(b1 AS INTEGER) AS b1, CAST(b2 AS INTEGER) AS b2,
+         round(score, 6) + 0.0 AS score, round(cost, 5) + 0.0 AS cost
   FROM enum ORDER BY cost LIMIT 2"""
 
 
@@ -4238,6 +4410,8 @@ def oracle_sql() -> dict[str, str]:
         "scorecard_scores_logistic": _sql_scorecard_scores_logistic(),
         "scorecard_scores_huber": _sql_scorecard_scores_huber(),
         "counterfactual_pinned": _sql_counterfactual_pinned(),
+        "counterfactual_mahalanobis_pinned":
+            _sql_counterfactual_mahalanobis_pinned(),
         "wide_summary_pinned": _sql_wide_summary_pinned(),
         "binning_2d_median": _sql_binning_2d_median(),
         "scorecard_table_pdo": _sql_scorecard_table_pdo(),

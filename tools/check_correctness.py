@@ -123,6 +123,20 @@ def main():
         print(f"PASS {name}: {len(a)} rows  ({time.time()-t0:.1f}s)")
         n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    # keep the README's generated oracle-count honest (round-5 verdict:
+    # the hand-maintained sentence went stale one commit after landing)
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from update_readme_counts import generated_sentence
+
+        readme = open(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "README.md")).read()
+        if generated_sentence() not in readme:
+            print("NOTE: README oracle-count is stale — run "
+                  "tools/update_readme_counts.py")
+    except Exception:
+        pass
     spark.stop()
     return 1 if n_fail else 0
 
