@@ -624,13 +624,21 @@ class BinningProcess:
             # latency on a 16-variable fit). Columns are immutable —
             # one literal serves every percentile_approx.
             probs_lit = F.lit(probs)
+            # sketch accuracy 1000 (rank error ~0.1%, vs the 0.4%
+            # bucket width the 256-edge grid needs) and a 2% value
+            # sample: the percentile sketches dominate the probe on
+            # wide fits, and an interleaved A/B at organic sf1 (6M
+            # joined rows, r6) read (2000, 20) as the consistently
+            # slowest corner — min-of-3 9.5s vs 6.8-7.6s for any
+            # cheaper setting, with the edges only seeding bucket
+            # boundaries for the high-cardinality snapping path
             acc_lit = F.lit(int(_os.environ.get(
-                "SPARK_GRAFT_PROBE_ACC", "2000")))
+                "SPARK_GRAFT_PROBE_ACC", "1000")))
             sample_mod = F.lit(int(_os.environ.get(
-                "SPARK_GRAFT_PROBE_MOD", "20")))
+                "SPARK_GRAFT_PROBE_MOD", "50")))
             for v in todo:
                 # NB: the distinct count must run over ALL rows — the
-                # 5% gate below is a VALUE-hash sample (whole values in
+                # sample gate below is a VALUE-hash sample (whole values in
                 # or out), so a sampled count would read ~nd/20 for any
                 # mid-cardinality column and misclassify it as exact-
                 # path "small", changing the produced splits.
@@ -638,7 +646,7 @@ class BinningProcess:
                     F.approx_count_distinct(
                         f"__clean_{v}", rsd=0.05).alias(f"nd_{v}")
                 )
-                # quantile-grid edges from an INLINE ~5% sample (same
+                # quantile-grid edges from an INLINE ~2% sample (same
                 # single action): the edges only seed bucket
                 # boundaries for the high-cardinality snapping path —
                 # full-scan sketch insertion per variable is the probe
