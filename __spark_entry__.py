@@ -363,6 +363,23 @@ def q_doc_split_assignment(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def q_dsir_logweights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023): score every
+    doc by hashed-n-gram likelihood ratio against a target corpus
+    (here the Spanish slice). Two bounded bucket-count aggregations +
+    a map-only ordered fold over an array-literal ratio table — no
+    join in the scoring pass. log_weight rounds at 5 (python math.log
+    on the driver vs DuckDB ln differ ~1 ulp per bucket, ~1e-13 after
+    a 100-feature fold)."""
+    from optbinning_spark.pipeline.sampling import dsir_log_weights
+
+    docs = _documents(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "es")
+    w = dsir_log_weights(docs, target, n_buckets=4096)
+    return w.select(
+        "doc_id", (F.round("log_weight", 5) + 0.0).alias("log_weight"))
+
+
 def q_stratified_doc_sample(spark, sf_dir):
     """Deterministic per-language quota sampling: downsample 'en' to
     30%, keep other languages whole. Pure map-side filter."""
@@ -2257,7 +2274,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family strictly contains the scalar quality score's
         # signals; doc_quality keeps its oracle in the tail)
         "gopher_flags": q_gopher_flags,
-        "bpe_token_count": q_bpe_token_count,
+        # dsir_logweights takes bpe_token_count's slot (token-stat
+        # counting stays in-window via doc_token_stats and the
+        # gopher_flags length/repetition signals; bpe_token_count
+        # keeps its oracle in the tail) — NEW round-6 surface:
+        # DSIR importance weights for training-data selection
+        "dsir_logweights": q_dsir_logweights,
         "class_weight_agg": q_class_weight_agg,
         "classification_metrics": q_classification_metrics,
         "regression_metrics": q_regression_metrics,
@@ -2281,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    entries below still carry oracles checked by
         #    tools/check_correctness) --
         "binning_table_fixed": q_binning_table_fixed,
+        "bpe_token_count": q_bpe_token_count,
         "scorecard_scores_linear": q_scorecard_scores_linear,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
@@ -3690,6 +3713,54 @@ def _sql_gopher_flags():
         """
 
 
+def _sql_dsir_logweights():
+    """Full DSIR replay: unigram+bigram features bucketed by the same
+    top-32-md5-bits hash (the '0x'||substr idiom proven by the simhash
+    oracle), Laplace-1 bucket log-ratios over generate_series LEFT
+    JOIN (absent buckets get the smoothing-only ratio, like the
+    engine's dense driver table), and the per-doc sum as a STRICT
+    left fold (list_reduce over the prepended 0.0) of the
+    bucket-sorted ratio list — the same summation order as the
+    engine's F.aggregate over array_sort, so the only cross-engine
+    noise is ln() ulp (~1e-13 after the fold; both sides round at 5).
+    """
+    return """
+  WITH fb AS (
+    SELECT doc_id, lang,
+           list_transform(
+             list_concat(
+               ws,
+               [array_to_string(ws[i:i+1], ' ')
+                FOR i IN generate_series(1, len(ws) - 1)]),
+             f -> ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096) AS bs
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+          FROM documents)),
+  tcnt AS (
+    SELECT b, count(*) AS n
+    FROM (SELECT unnest(bs) AS b FROM fb WHERE lang = 'es') GROUP BY b),
+  rcnt AS (
+    SELECT b, count(*) AS n
+    FROM (SELECT unnest(bs) AS b FROM fb) GROUP BY b),
+  tot AS (
+    SELECT (SELECT coalesce(sum(n), 0) FROM tcnt) + 4096.0 AS tt,
+           (SELECT coalesce(sum(n), 0) FROM rcnt) + 4096.0 AS rt),
+  ratio AS (
+    SELECT g.b,
+           ln((coalesce(t.n, 0) + 1.0) / tot.tt)
+         - ln((coalesce(r.n, 0) + 1.0) / tot.rt) AS lr
+    FROM generate_series(0, 4095) AS g(b)
+    LEFT JOIN tcnt t ON t.b = g.b
+    LEFT JOIN rcnt r ON r.b = g.b, tot),
+  rl AS (SELECT list(lr ORDER BY b) AS lrs FROM ratio)
+  SELECT doc_id,
+         round(list_reduce(
+             list_prepend(0.0::DOUBLE,
+               list_transform(list_sort(bs),
+                              b -> rl.lrs[CAST(b AS INT) + 1])),
+             (a, x) -> a + x), 5) + 0.0 AS log_weight
+  FROM fb, rl"""
+
+
 def _sql_doc_split_assignment():
     """Split-gate oracle generated from split_thresholds() — the SAME
     fsum-derived constants the engine's hash_split gates on, rendered
@@ -3957,6 +4028,7 @@ def oracle_sql() -> dict[str, str]:
         # fsum-derived constants the engine gates on — so no boundary
         # doc can ever straddle engine-vs-oracle float drift.
         "doc_split_assignment": _sql_doc_split_assignment(),
+        "dsir_logweights": _sql_dsir_logweights(),
         "stratified_doc_sample": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

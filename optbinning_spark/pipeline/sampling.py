@@ -177,3 +177,112 @@ def stratified_hash_sample(
     thr = (F.lit(float(default_fraction)) if thr is None
            else thr.otherwise(float(default_fraction)))
     return df.filter(u < thr)
+
+
+# -- DSIR-style importance resampling (data selection) --------------------
+
+def _dsir_features(text: Column, n_buckets: int) -> Column:
+    """Hashed n-gram features of one document: word unigrams + word
+    bigrams, each mapped to a bucket id in [0, n_buckets) via the top
+    32 md5 bits (md5, not xxhash, so the DuckDB oracle can replay the
+    hash — same trade as hash_uniform). Docs with fewer than 2 words
+    contribute unigrams only (the sequence guard matters: Spark's
+    sequence(0, -1) would DESCEND, fabricating a bigram)."""
+    words = F.split(text, " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - F.lit(2)),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(words, bigrams),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ),
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every ``raw`` document by how much its hashed
+    n-gram feature distribution looks like the ``target`` corpus,
+
+        log w(doc) = sum_f [ log p_target(b_f) - log p_raw(b_f) ]
+
+    over the doc's (unigram + bigram) feature occurrences, with
+    Laplace-``smoothing`` bucket probabilities. Returns
+    (id_col, log_weight); feed to :func:`dsir_gumbel_sample` (the
+    paper's resampling step) or threshold directly.
+
+    Physical strategy (the 100 TB shape): two bucket-count
+    aggregations — map-side partials absorb everything, output is
+    BOUNDED at ``n_buckets`` rows each — collected to a driver-side
+    log-ratio table that ships back as ONE array literal (the same
+    trick as the fit probe's probability grid: one py4j literal, not
+    n_buckets round trips). Scoring is then a map-only fold per doc
+    (no join, no shuffle): features are array_sort-ed before the fold
+    so the floating-point sum has ONE well-defined order — the DuckDB
+    oracle folds the identically-sorted list and matches at 1e-5.
+
+    Driver memory is O(n_buckets) — a parameter, not data-dependent.
+    """
+    import math
+
+    feats = _dsir_features(F.col(text_col), n_buckets)
+
+    def counts(df):
+        rows = (
+            df.select(F.explode(_dsir_features(
+                F.col(text_col), n_buckets)).alias("b"))
+            .groupBy("b").agg(F.count("*").alias("n"))
+            .collect()
+        )
+        return {int(r["b"]): int(r["n"]) for r in rows}
+
+    tc = counts(target)
+    rc = counts(raw)
+    t_tot = float(sum(tc.values())) + smoothing * n_buckets
+    r_tot = float(sum(rc.values())) + smoothing * n_buckets
+    ratio = [
+        math.log((tc.get(b, 0) + smoothing) / t_tot)
+        - math.log((rc.get(b, 0) + smoothing) / r_tot)
+        for b in range(n_buckets)
+    ]
+    ratio_lit = F.lit(ratio)
+    log_w = F.aggregate(
+        F.array_sort(feats),
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(ratio_lit, b.cast("int") + 1),
+    )
+    return raw.select(F.col(id_col), log_w.alias("log_weight"))
+
+
+def dsir_gumbel_sample(
+    weighted: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+    salt: str = "dsir",
+) -> DataFrame:
+    """The resampling step: sample ``k`` docs without replacement with
+    probability proportional to exp(log_weight) via the Gumbel-top-k
+    trick — key = log_w + Gumbel(0,1), take the k largest. The Gumbel
+    noise is -log(-log(u)) over the deterministic per-doc uniform
+    (hash_uniform), so the draw is reproducible under retries and
+    repartitioning like every sampler in this module. orderBy+limit
+    compiles to Spark's TakeOrderedAndProject (per-partition top-k +
+    driver merge — no global sort)."""
+    u = hash_uniform(F.col(id_col), salt)
+    key = F.col(weight_col) - F.log(-F.log(u))
+    return weighted.orderBy(key.desc()).limit(k)

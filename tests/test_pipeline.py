@@ -1172,3 +1172,68 @@ def test_ngram_default_is_window_plan(spark):
         .queryExecution().executedPlan().toString()
     assert "Window" in dflt
     assert "Window" not in twop and "Join" in twop
+
+
+def test_dsir_log_weights_brute_force(spark):
+    """DSIR importance weights (Xie et al. 2023) against a numpy
+    replay on a tiny fixture: hashed unigram+bigram bucket counts,
+    Laplace-1 ratios, per-doc summed log-ratio."""
+    import hashlib
+    import math
+
+    from optbinning_spark.pipeline.sampling import dsir_log_weights
+
+    NB = 64
+    rows = [
+        (0, "the cat sat"),
+        (1, "the dog sat"),
+        (2, "unrelated words entirely"),
+        (3, "the cat ran"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id in (0, 3)")  # cat-flavored target
+
+    def feats(text):
+        ws = text.split(" ")
+        fs = list(ws)
+        fs += [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+        return [int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % NB
+                for f in fs]
+
+    tc, rc = {}, {}
+    for i, t in rows:
+        for b in feats(t):
+            rc[b] = rc.get(b, 0) + 1
+            if i in (0, 3):
+                tc[b] = tc.get(b, 0) + 1
+    tt = sum(tc.values()) + NB
+    rt = sum(rc.values()) + NB
+    expect = {}
+    for i, t in rows:
+        expect[i] = sum(
+            math.log((tc.get(b, 0) + 1) / tt)
+            - math.log((rc.get(b, 0) + 1) / rt)
+            for b in feats(t))
+    got = {r["doc_id"]: r["log_weight"] for r in
+           dsir_log_weights(docs, target, n_buckets=NB).collect()}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], rel=1e-12)
+    # target-flavored docs outscore the unrelated one
+    assert min(got[0], got[3]) > got[2]
+
+
+def test_dsir_gumbel_sample_deterministic_and_biased(spark):
+    """Gumbel-top-k resampling: reproducible across invocations and
+    partitionings (hash-derived noise), and enriched toward
+    high-weight docs."""
+    from optbinning_spark.pipeline.sampling import dsir_gumbel_sample
+
+    rows = [(i, 3.0 if i < 50 else -3.0) for i in range(500)]
+    w = spark.createDataFrame(rows, "doc_id long, log_weight double")
+    a = sorted(r["doc_id"] for r in dsir_gumbel_sample(w, 40).collect())
+    b = sorted(r["doc_id"] for r in
+               dsir_gumbel_sample(w.repartition(7), 40).collect())
+    assert a == b and len(a) == 40
+    # exp(6) ~ 400x relative odds: the 50 hot docs dominate the draw
+    assert sum(1 for i in a if i < 50) >= 30
