@@ -380,6 +380,16 @@ def q_dsir_logweights(spark, sf_dir):
         "doc_id", (F.round("log_weight", 5) + 0.0).alias("log_weight"))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking: fixed 32-token windows with 8-token
+    overlap, map-only posexplode flatMap (no shuffle/UDF; a 1M-token
+    doc re-parallelizes into ~40k independent rows downstream)."""
+    from optbinning_spark.pipeline.text import chunk_documents
+
+    docs = _documents(spark, sf_dir)
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
 def q_stratified_doc_sample(spark, sf_dir):
     """Deterministic per-language quota sampling: downsample 'en' to
     30%, keep other languages whole. Pure map-side filter."""
@@ -2280,8 +2290,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps its oracle in the tail) — NEW round-6 surface:
         # DSIR importance weights for training-data selection
         "dsir_logweights": q_dsir_logweights,
+        # doc_chunks takes classification_metrics' slot (M12 stays
+        # covered in-window by regression_metrics' shared
+        # perf-metrics machinery plus the ks/psi family;
+        # classification_metrics keeps its oracle in the tail) —
+        # NEW round-6 surface: context-window chunking flatMap
+        "doc_chunks": q_doc_chunks,
         "class_weight_agg": q_class_weight_agg,
-        "classification_metrics": q_classification_metrics,
         "regression_metrics": q_regression_metrics,
         "indices_bins_transform": q_indices_bins_transform,
         # mean_transform rotated to the tail: the F4 per-row bin-mean
@@ -2304,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    tools/check_correctness) --
         "binning_table_fixed": q_binning_table_fixed,
         "bpe_token_count": q_bpe_token_count,
+        "classification_metrics": q_classification_metrics,
         "scorecard_scores_linear": q_scorecard_scores_linear,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
@@ -3713,6 +3729,28 @@ def _sql_gopher_flags():
         """
 
 
+def _sql_doc_chunks():
+    """Chunking replay: start offsets by stepped generate_series with
+    the same keep rule (s == 0 OR s < n - overlap, dropping non-initial
+    starts that sit entirely inside the previous chunk's overlap);
+    chunk_id = start / step because the filter only ever removes the
+    trailing start."""
+    chunk, ov = 32, 8
+    step = chunk - ov
+    return f"""
+  WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  s AS (
+    SELECT doc_id, ws,
+           unnest([x FOR x IN generate_series(0, len(ws) - 1, {step})
+                   IF x = 0 OR x < len(ws) - {ov}]) AS st
+    FROM w)
+  SELECT doc_id,
+         CAST(st / {step} AS INTEGER) AS chunk_id,
+         array_to_string(ws[st + 1 : st + {chunk}], ' ') AS text,
+         CAST(least({chunk}, len(ws) - st) AS INTEGER) AS n_tokens
+  FROM s"""
+
+
 def _sql_dsir_logweights():
     """Full DSIR replay: unigram+bigram features bucketed by the same
     top-32-md5-bits hash (the '0x'||substr idiom proven by the simhash
@@ -4029,6 +4067,7 @@ def oracle_sql() -> dict[str, str]:
         # doc can ever straddle engine-vs-oracle float drift.
         "doc_split_assignment": _sql_doc_split_assignment(),
         "dsir_logweights": _sql_dsir_logweights(),
+        "doc_chunks": _sql_doc_chunks(),
         "stratified_doc_sample": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -288,3 +288,56 @@ def gopher_quality_flags(
         *[v.alias(k) for k, v in flags.items()],
         keep.alias("keep"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the context-window chunking step between a cleaned corpus and
+    sequence packing. Chunk c starts at word offset
+    c * (chunk_tokens - overlap) and takes ``chunk_tokens`` words
+    (the final chunk is shorter); every word position is covered and
+    consecutive chunks share ``overlap`` words.
+
+    Map-only flatMap via expressions: one sequence of start offsets
+    per doc, posexplode of the sliced windows — no shuffle, no UDF,
+    output rows ≈ corpus_tokens / (chunk_tokens - overlap) regardless
+    of document-length skew (a 1M-token doc becomes ~2k independent
+    rows, so downstream per-chunk work re-parallelizes).
+
+    Returns (id_col, chunk_id, text, n_tokens)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    # greatest() guard: sequence(0, negative) would DESCEND in Spark.
+    # Drop non-initial starts inside the previous chunk's overlap
+    # (s >= n - overlap): they would re-emit already-covered words and
+    # contribute zero new tokens.
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
+        lambda s: (s == 0) | (s < n - F.lit(overlap)),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(words, s + 1, chunk_tokens))
+            .alias("text"),
+            F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.col("c.text").alias("text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )

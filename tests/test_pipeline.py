@@ -1237,3 +1237,36 @@ def test_dsir_gumbel_sample_deterministic_and_biased(spark):
     assert a == b and len(a) == 40
     # exp(6) ~ 400x relative odds: the 50 hot docs dominate the draw
     assert sum(1 for i in a if i < 50) >= 30
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunking invariants on arbitrary lengths: every word position
+    covered exactly once outside overlaps, consecutive chunks share
+    exactly `overlap` words (except a shorter tail), no chunk is
+    fully contained in its predecessor, reassembly recovers the doc."""
+    from optbinning_spark.pipeline.text import chunk_documents
+
+    texts = {i: " ".join(f"t{i}_{j}" for j in range(n))
+             for i, n in enumerate([1, 2, 7, 8, 9, 15, 16, 17, 40])}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    chunk, ov = 8, 3
+    rows = chunk_documents(docs, chunk_tokens=chunk, overlap=ov).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    for i, text in texts.items():
+        words = text.split(" ")
+        cs = [by_doc[i][k] for k in sorted(by_doc[i])]
+        # n_tokens is honest and chunk_ids are dense from 0
+        assert [c["chunk_id"] for c in cs] == list(range(len(cs)))
+        seen = []
+        for k, c in enumerate(cs):
+            toks = c["text"].split(" ")
+            assert len(toks) == c["n_tokens"] <= chunk
+            start = k * (chunk - ov)
+            assert toks == words[start:start + chunk]
+            if k > 0:  # adds at least one new token
+                assert start + len(toks) > start + ov
+            seen.extend(toks[ov:] if k else toks)
+        assert seen == words  # full coverage, no gaps/dups

@@ -296,3 +296,18 @@ def test_sampling_ops_are_map_only(spark):
     assert "Exchange" not in plan2, plan2
     # column pruning reaches the scan: text is never read
     assert "text" not in plan2.split("ReadSchema")[-1], plan2
+
+
+def test_dsir_scoring_is_map_only(spark):
+    """DSIR's scoring pass must be a single Project over the scan —
+    the ratio table rides as an array literal, so there is no join,
+    no exchange, and no second evaluation of the corpus in the
+    per-doc weight plan (the two bounded bucket-count aggregations
+    run eagerly inside dsir_log_weights, before this plan exists)."""
+    from optbinning_spark.pipeline.sampling import dsir_log_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = dsir_log_weights(docs, docs.filter("lang = 'es'"), n_buckets=256)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
