@@ -390,6 +390,18 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style pack-then-chop: corpus tokens laid back-to-back per
+    shard (= lang) in doc order, cut at 512-token boundaries; one row
+    per doc x sequence intersection. Per-shard window cumsum (the
+    scale path: shards pack in parallel, no global sort), then pure
+    integer arithmetic — the oracle is exact, no float tolerance."""
+    from optbinning_spark.pipeline.text import pack_sequences
+
+    docs = _documents(spark, sf_dir)
+    return pack_sequences(docs, seq_tokens=512, shard_col="lang")
+
+
 def q_stratified_doc_sample(spark, sf_dir):
     """Deterministic per-language quota sampling: downsample 'en' to
     30%, keep other languages whole. Pure map-side filter."""
@@ -2296,6 +2308,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classification_metrics keeps its oracle in the tail) —
         # NEW round-6 surface: context-window chunking flatMap
         "doc_chunks": q_doc_chunks,
+        # pack_sequences takes distribution_stats' slot (A8 monitoring
+        # distributions stay covered in-window by the event_psi_monitor
+        # family sharing the same bin-distribution aggregation;
+        # distribution_stats keeps its oracle in the tail) — NEW
+        # round-6 surface: per-shard pack-then-chop sequence packing
+        "pack_sequences": q_pack_sequences,
         "class_weight_agg": q_class_weight_agg,
         "regression_metrics": q_regression_metrics,
         "indices_bins_transform": q_indices_bins_transform,
@@ -2304,7 +2322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and scorecard_scores_huber, whose oracles replay it row-wise
         "unknown_category_transform": q_unknown_category_transform,
         "chi2_tests": q_chi2_tests,
-        "distribution_stats": q_distribution_stats,
         "ann_topk": q_ann_topk,
         "near_dup_cosine_bucketed": q_near_dup_cosine_bucketed,
         "multiclass_binning_table": q_multiclass_binning_table,
@@ -2320,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binning_table_fixed": q_binning_table_fixed,
         "bpe_token_count": q_bpe_token_count,
         "classification_metrics": q_classification_metrics,
+        "distribution_stats": q_distribution_stats,
         "scorecard_scores_linear": q_scorecard_scores_linear,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
@@ -3729,6 +3747,32 @@ def _sql_gopher_flags():
         """
 
 
+def _sql_pack_sequences():
+    """Exact packing replay: the same per-shard preceding-rows cumsum
+    (ROWS UNBOUNDED PRECEDING..1 PRECEDING), stepped seq-id span via
+    generate_series, and integer slice arithmetic."""
+    L = 512
+    n = "len(string_split(text, ' '))"
+    return f"""
+  WITH base AS (
+    SELECT lang AS shard, doc_id, CAST({n} AS BIGINT) AS n,
+           CAST(coalesce(sum({n}) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS a
+    FROM documents),
+  e AS (
+    SELECT shard, doc_id, a, n,
+           unnest(generate_series(a // {L}, (a + n - 1) // {L})) AS seq_id
+    FROM base WHERE n > 0)
+  SELECT shard, seq_id, doc_id,
+         greatest(a, seq_id * {L}) - a AS doc_start,
+         greatest(a, seq_id * {L}) - seq_id * {L} AS seq_offset,
+         least(a + n, (seq_id + 1) * {L})
+           - greatest(a, seq_id * {L}) AS n_tokens
+  FROM e"""
+
+
 def _sql_doc_chunks():
     """Chunking replay: start offsets by stepped generate_series with
     the same keep rule (s == 0 OR s < n - overlap, dropping non-initial
@@ -4068,6 +4112,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_assignment": _sql_doc_split_assignment(),
         "dsir_logweights": _sql_dsir_logweights(),
         "doc_chunks": _sql_doc_chunks(),
+        "pack_sequences": _sql_pack_sequences(),
         "stratified_doc_sample": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

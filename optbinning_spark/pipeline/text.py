@@ -341,3 +341,71 @@ def chunk_documents(
             F.col("c.n_tokens").alias("n_tokens"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing (pack-then-chop): lay the corpus
+    tokens back-to-back in (shard, doc_id) order and cut at
+    ``seq_tokens`` boundaries — documents cross sequence boundaries,
+    every sequence except each shard's last is exactly full. Returns
+    one row per (document x sequence) intersection:
+
+        (shard?, seq_id, id_col, doc_start, seq_offset, n_tokens)
+
+    i.e. tokens [doc_start, doc_start + n_tokens) of the doc land at
+    [seq_offset, ...) of sequence seq_id. A trainer materializes
+    sequence seq_id by concatenating its rows ordered by seq_offset.
+
+    Physical strategy: packing needs a running token total, i.e. a
+    total order — which on 100 TB must NOT mean one global sort to a
+    single reducer. ``shard_col`` scopes the order: the cumulative
+    sum runs per shard (one window sort per shard, spillable), packs
+    never cross shards, and shards pack in parallel — the standard
+    per-shard packing of large training pipelines (shard = file /
+    split / date). With shard_col=None the whole input is one shard:
+    exact single-stream semantics, single-reducer sort — fine for
+    bounded inputs, documented as the non-scale path.
+
+    Everything after the cumsum is INTEGER arithmetic (sequence ids
+    and offsets), so the DuckDB oracle replays it exactly."""
+    from pyspark.sql import Window as W
+
+    if seq_tokens <= 0:
+        raise ValueError("seq_tokens must be positive")
+    shard = F.col(shard_col) if shard_col else F.lit(0)
+    w = (W.partitionBy(shard).orderBy(F.col(id_col))
+         .rowsBetween(W.unboundedPreceding, -1))
+    n = token_count_expr(F.col(text_col))
+    base = df.select(
+        *( [F.col(shard_col).alias("shard")] if shard_col else [] ),
+        F.col(id_col),
+        n.alias("__n"),
+        F.coalesce(F.sum(n).over(w), F.lit(0)).alias("__a"),
+    )
+    L = F.lit(seq_tokens)
+    s0 = (F.col("__a") / L).cast("long")
+    s1 = ((F.col("__a") + F.col("__n") - 1) / L).cast("long")
+    seqs = F.sequence(s0, s1)
+    out = base.filter(F.col("__n") > 0).select(
+        *( ["shard"] if shard_col else [] ),
+        F.col(id_col),
+        F.col("__a"), F.col("__n"),
+        F.explode(seqs).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("__a"), F.col("seq_id") * L)
+    hi = F.least(F.col("__a") + F.col("__n"),
+                 (F.col("seq_id") + 1) * L)
+    return out.select(
+        *( ["shard"] if shard_col else [] ),
+        "seq_id",
+        id_col,
+        (lo - F.col("__a")).cast("long").alias("doc_start"),
+        (lo - F.col("seq_id") * L).cast("long").alias("seq_offset"),
+        (hi - lo).cast("long").alias("n_tokens"),
+    )

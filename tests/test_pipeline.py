@@ -1270,3 +1270,67 @@ def test_chunk_documents_coverage_and_overlap(spark):
                 assert start + len(toks) > start + ov
             seen.extend(toks[ov:] if k else toks)
         assert seen == words  # full coverage, no gaps/dups
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants per shard: token conservation, every
+    sequence except the shard's last exactly full, offsets tile each
+    sequence contiguously from 0, doc slices cover each doc in order."""
+    from optbinning_spark.pipeline.text import pack_sequences
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(60):
+        n = int(rng.randint(1, 40))
+        rows.append((i, "ab" if i % 2 else "cd",
+                     " ".join(f"t{i}_{j}" for j in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, sh string, text string")
+    L = 16
+    out = pack_sequences(docs, seq_tokens=L, shard_col="sh").collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    tok_by_shard = {}
+    for i, sh, t in rows:
+        tok_by_shard[sh] = tok_by_shard.get(sh, 0) + len(t.split(" "))
+    for sh, rs in by_shard.items():
+        assert sum(r["n_tokens"] for r in rs) == tok_by_shard[sh]
+        seqs = {}
+        for r in rs:
+            seqs.setdefault(r["seq_id"], []).append(r)
+        last = max(seqs)
+        for sid, parts in seqs.items():
+            parts.sort(key=lambda r: r["seq_offset"])
+            # contiguous tiling from offset 0
+            off = 0
+            for p in parts:
+                assert p["seq_offset"] == off
+                off += p["n_tokens"]
+            assert off == (L if sid != last else off)
+            assert off <= L
+        # per-doc slices are in order and cover the doc
+        by_doc = {}
+        for r in rs:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, _, t in rows:
+            if i not in by_doc:
+                continue
+            ps = sorted(by_doc[i], key=lambda r: r["doc_start"])
+            pos = 0
+            for p in ps:
+                assert p["doc_start"] == pos
+                pos += p["n_tokens"]
+            assert pos == len(t.split(" "))
+
+
+def test_pack_sequences_single_shard_and_validation(spark):
+    from optbinning_spark.pipeline.text import pack_sequences
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    rows = pack_sequences(docs, seq_tokens=2).collect()
+    assert {(r["seq_id"], r["doc_start"], r["n_tokens"]) for r in rows} == \
+        {(0, 0, 2), (1, 2, 1)}
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(docs, seq_tokens=0)
