@@ -617,11 +617,14 @@ def q_lsh_candidates(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Near-duplicate clustering: LSH candidate pairs closed into
-    connected components (large-star/small-star), one row per doc
-    with its cluster id (= min doc_id of the component) and the
-    canonical keep flag. Oracle: the full pipeline — minhash, bands,
-    pairs AND the transitive closure — replayed in SQL (recursive
+    """Near-duplicate clustering: LSH candidate pairs, exact
+    shingle-Jaccard verify (default 0.5 — the guard that kept the
+    organic-sf1 boilerplate from transitively merging 4,615 docs into
+    one cluster), closure into connected components
+    (large-star/small-star), one row per doc with its cluster id
+    (= min doc_id of the component) and the canonical keep flag.
+    Oracle: the full pipeline — minhash, bands, pairs, the Jaccard
+    verify AND the transitive closure — replayed in SQL (recursive
     CTE reachability + min-label)."""
     from optbinning_spark.pipeline.dedup import duplicate_clusters
 
@@ -4386,9 +4389,21 @@ def oracle_sql() -> dict[str, str]:
               FROM capped a JOIN capped b
                 ON a.band = b.band AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id
+            ), sets_ AS (
+              -- engine default jaccard_threshold=0.5: exact-verify on
+              -- distinct-shingle sets before the closure
+              SELECT doc_id, list(DISTINCT s) AS ss FROM sh GROUP BY doc_id
+            ), vpairs AS (
+              SELECT p.id_a, p.id_b
+              FROM pairs p
+              JOIN sets_ sa ON sa.doc_id = p.id_a
+              JOIN sets_ sb ON sb.doc_id = p.id_b
+              WHERE len(list_distinct(list_concat(sa.ss, sb.ss))) > 0
+                AND len(list_intersect(sa.ss, sb.ss))::DOUBLE
+                    / len(list_distinct(list_concat(sa.ss, sb.ss))) >= 0.5
             ), sym AS (
-              SELECT id_a AS a, id_b AS b FROM pairs
-              UNION ALL SELECT id_b, id_a FROM pairs
+              SELECT id_a AS a, id_b AS b FROM vpairs
+              UNION ALL SELECT id_b, id_a FROM vpairs
             ), reach(a, b) AS (
               SELECT a, b FROM sym
               UNION

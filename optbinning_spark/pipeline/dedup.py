@@ -748,7 +748,7 @@ def duplicate_clusters(
     band_size: int = 2,
     shingle_n: int = 3,
     max_bucket_size: int | None = 1000,
-    jaccard_threshold: float | None = None,
+    jaccard_threshold: float | None = 0.5,
     driver_threshold: int = 1_000_000,
     checkpoint_dir: str | None = None,
     stats: dict | None = None,
@@ -760,12 +760,19 @@ def duplicate_clusters(
     for dedup is ``is_canonical`` (the minimum doc id of each cluster
     — deterministic, join-free to apply: filter is_canonical).
 
-    ``jaccard_threshold``: when set, candidate pairs are exact-verified
-    on shingle-set Jaccard before closure (mirrors
+    ``jaccard_threshold``: candidate pairs are exact-verified on
+    shingle-set Jaccard before closure (mirrors
     bucketed_cosine_pairs' exact-verify step on the embedding side) —
-    the guard against a lone band collision transitively merging
-    unrelated docs and dropping non-duplicates from the keep-list.
-    None preserves the raw-LSH semantics.
+    the guard against band collisions transitively merging unrelated
+    docs and dropping non-duplicates from the keep-list. ON by
+    default (0.5) as of round 6, with measured cause: on the organic
+    sf1 corpus (50k docs, 10% sharing one boilerplate 10-gram) the
+    raw-LSH closure produced a single 4,615-doc mega-cluster —
+    deduping on is_canonical would have deleted ~9% of the corpus,
+    almost all non-duplicates — while the verified closure's largest
+    cluster is 10 (the genuinely-planted cross-shard viral docs).
+    None opts out to raw-LSH semantics (closure == union-find over
+    the banded candidate pairs).
 
     ``max_bucket_size`` defaults to the finite too-common-band cap
     (1000) — the production-shaped entry point must be skew-safe

@@ -559,7 +559,10 @@ def test_duplicate_clusters_end_to_end(spark):
     ]
     all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
     want = _brute_components(pairs, nodes=all_ids)
-    got = duplicate_clusters(docs).collect()
+    # jaccard_threshold=None: this test pins the RAW-LSH closure
+    # (union-find over the banded candidate pairs); the verified
+    # default is covered by test_duplicate_clusters_default_verifies
+    got = duplicate_clusters(docs, jaccard_threshold=None).collect()
     assert len(got) == len(all_ids)
     for r in got:
         assert r["cluster_id"] == want[r["doc_id"]]
@@ -694,7 +697,7 @@ def test_connected_components_empty_and_no_pairs(spark):
          (2, "one two three four five six seven"),
          (3, "red orange yellow green blue indigo violet")],
         "doc_id: long, text: string")
-    rows = duplicate_clusters(docs).collect()
+    rows = duplicate_clusters(docs, jaccard_threshold=None).collect()
     assert len(rows) == 3
     assert all(r["is_canonical"] and r["cluster_id"] == r["doc_id"]
                for r in rows)
@@ -1334,3 +1337,27 @@ def test_pack_sequences_single_shard_and_validation(spark):
         {(0, 0, 2), (1, 2, 1)}
     with pytest.raises(ValueError, match="positive"):
         pack_sequences(docs, seq_tokens=0)
+
+
+def test_duplicate_clusters_default_verifies(spark):
+    """The production default exact-verifies candidate pairs
+    (jaccard_threshold=0.5): docs sharing ONLY a boilerplate prefix
+    must not transitively merge, while real near-dups still do. This
+    pins the round-6 default flip — on the organic sf1 corpus the raw
+    closure produced a 4,615-doc mega-cluster (9% of the corpus wrongly
+    dropped by the keep-list); verified, the largest cluster is the
+    10 planted cross-shard dups."""
+    from optbinning_spark.pipeline.dedup import duplicate_clusters
+
+    bp = "licensed under the apache license version two point zero see"
+    rows = [(i, f"{bp} unique{i} content{i} entirely{i} different{i} "
+                f"words{i} here{i} now{i} more{i} filler{i}")
+            for i in range(12)]
+    rows += [(100, "real duplicate text about spark window aggregation"),
+             (101, "real duplicate text about spark window aggregation")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(docs).collect()}
+    assert got[100] == got[101] == 100          # true dups merge
+    for i in range(12):                          # boilerplate does not
+        assert got[i] == i
