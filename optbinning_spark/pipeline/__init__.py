@@ -23,6 +23,8 @@ from .dedup import (
 )
 from .multimodal import extract_features, resize_images, sample_frames
 from .sampling import (
+    dsir_gumbel_sample,
+    dsir_log_weights,
     hash_split,
     hash_uniform,
     mixture_sampling_rates,
@@ -37,7 +39,9 @@ from .similarity import (
     lsh_bucketed_topk,
 )
 from .text import (
+    chunk_documents,
     document_stats,
+    pack_sequences,
     gopher_quality_flags,
     repetition_flags,
     lang_id_expr,
@@ -50,8 +54,11 @@ __all__ = [
     "bucketed_cosine_pairs",
     "connected_components",
     "cosine_pairs",
+    "chunk_documents",
     "cut_word_spans",
     "document_stats",
+    "dsir_gumbel_sample",
+    "dsir_log_weights",
     "duplicate_clusters",
     "duplicate_ngram_spans",
     "embedding_duplicate_clusters",
@@ -70,6 +77,7 @@ __all__ = [
     "ngram_contamination",
     "ngram_jaccard_pairs",
     "normalize_text_expr",
+    "pack_sequences",
     "quality_score_expr",
     "repetition_flags",
     "resize_images",
