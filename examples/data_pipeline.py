@@ -1,4 +1,5 @@
-"""Training-data pipeline: dedup -> quality filter -> split -> ANN.
+"""Training-data pipeline: dedup -> quality -> DSIR select -> split
+-> chunk -> pack -> ANN.
 
 The LLM-data operator family over the `documents` / `embeddings`
 tables: exact + near-duplicate removal with a canonical keep-list,
@@ -20,9 +21,17 @@ from pyspark.sql import functions as F
 
 from optbinning_spark import get_spark
 from optbinning_spark.pipeline.dedup import duplicate_clusters
-from optbinning_spark.pipeline.sampling import hash_split
+from optbinning_spark.pipeline.sampling import (
+    dsir_gumbel_sample,
+    dsir_log_weights,
+    hash_split,
+)
 from optbinning_spark.pipeline.similarity import brute_force_topk
-from optbinning_spark.pipeline.text import quality_score_expr
+from optbinning_spark.pipeline.text import (
+    chunk_documents,
+    pack_sequences,
+    quality_score_expr,
+)
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001"):
@@ -49,6 +58,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     split = hash_split(deduped, "doc_id",
                        {"train": 0.9, "val": 0.05, "test": 0.05})
     split.groupBy("split").count().show()
+
+    # DSIR data selection: weight docs toward a target distribution
+    # (here: the Spanish slice), then Gumbel-top-k resample
+    weights = dsir_log_weights(deduped, deduped.filter("lang = 'es'"),
+                               n_buckets=2048)
+    selected = dsir_gumbel_sample(weights, k=200).join(deduped, "doc_id")
+    print("DSIR-selected lang mix:")
+    selected.groupBy("lang").count().orderBy(F.desc("count")).show()
+
+    # context-window chunking + per-shard sequence packing
+    chunks = chunk_documents(selected, chunk_tokens=64, overlap=8)
+    packed = pack_sequences(selected, seq_tokens=256, shard_col="lang")
+    print("chunks:", chunks.count(), "packed slices:", packed.count(),
+          "sequences:",
+          packed.select("shard", "seq_id").distinct().count())
 
     # embedding similarity: exact cosine top-k for a few query vectors
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
