@@ -402,6 +402,21 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, seq_tokens=512, shard_col="lang")
 
 
+def q_quality_top_fraction(spark, sf_dir):
+    """Per-domain quality-budget selection: keep the top 30% of each
+    language by the heuristic quality score (a global cut would let
+    one high-scoring domain crowd out the mixture). One window rank
+    per stratum; deterministic tie-break on doc_id."""
+    from optbinning_spark.pipeline.sampling import stratified_top_fraction
+    from optbinning_spark.pipeline.text import quality_score_expr
+
+    docs = _documents(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "lang",
+        F.round(quality_score_expr(F.col("text")), 6).alias("q"))
+    return stratified_top_fraction(scored, "lang", "q", 0.3)
+
+
 def q_stratified_doc_sample(spark, sf_dir):
     """Deterministic per-language quota sampling: downsample 'en' to
     30%, keep other languages whole. Pure map-side filter."""
@@ -2317,6 +2332,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distribution_stats keeps its oracle in the tail) — NEW
         # round-6 surface: per-shard pack-then-chop sequence packing
         "pack_sequences": q_pack_sequences,
+        # quality_top_fraction takes chi2_tests' slot (M9's scipy-free
+        # special_math surface stays pinned by tests/test_special_math
+        # and the in-window classification/regression metrics that
+        # consume the same distributions; chi2_tests keeps its oracle
+        # in the tail) — NEW round-6 surface: per-domain quality-budget
+        # selection (window rank per stratum)
+        "quality_top_fraction": q_quality_top_fraction,
         "class_weight_agg": q_class_weight_agg,
         "regression_metrics": q_regression_metrics,
         "indices_bins_transform": q_indices_bins_transform,
@@ -2324,7 +2346,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transform is driver-covered through scorecard_scores_linear
         # and scorecard_scores_huber, whose oracles replay it row-wise
         "unknown_category_transform": q_unknown_category_transform,
-        "chi2_tests": q_chi2_tests,
         "ann_topk": q_ann_topk,
         "near_dup_cosine_bucketed": q_near_dup_cosine_bucketed,
         "multiclass_binning_table": q_multiclass_binning_table,
@@ -2341,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "classification_metrics": q_classification_metrics,
         "distribution_stats": q_distribution_stats,
+        "chi2_tests": q_chi2_tests,
         "scorecard_scores_linear": q_scorecard_scores_linear,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
@@ -3750,6 +3772,31 @@ def _sql_gopher_flags():
         """
 
 
+def _sql_quality_top_fraction():
+    """Replay: the doc_quality score expression, then the same
+    row_number-over-(score desc, doc_id) rank per language with the
+    ceil(frac * n) keep rule."""
+    score = """round((least(len(words) / 100.0, 1.0)
+             + len(list_distinct(words)) / CAST(len(words) AS DOUBLE)
+             + least(5.0 * len([x FOR x IN words IF x IN
+                 ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'for',
+                  'on', 'with')]) / CAST(len(words) AS DOUBLE), 1.0))
+             / 3.0, 6)"""
+    return f"""
+  WITH scored AS (
+    SELECT doc_id, lang, {score} AS q
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS words
+          FROM documents)),
+  ranked AS (
+    SELECT doc_id, lang, q,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY q DESC, doc_id) AS rk,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM scored)
+  SELECT doc_id, lang, q FROM ranked
+  WHERE rk <= ceil(0.3 * n)"""
+
+
 def _sql_pack_sequences():
     """Exact packing replay: the same per-shard preceding-rows cumsum
     (ROWS UNBOUNDED PRECEDING..1 PRECEDING), stepped seq-id span via
@@ -4116,6 +4163,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logweights": _sql_dsir_logweights(),
         "doc_chunks": _sql_doc_chunks(),
         "pack_sequences": _sql_pack_sequences(),
+        "quality_top_fraction": _sql_quality_top_fraction(),
         "stratified_doc_sample": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

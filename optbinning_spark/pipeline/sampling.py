@@ -286,3 +286,48 @@ def dsir_gumbel_sample(
     u = hash_uniform(F.col(id_col), salt)
     key = F.col(weight_col) - F.log(-F.log(u))
     return weighted.orderBy(key.desc()).limit(k)
+
+
+def stratified_top_fraction(
+    df: DataFrame,
+    strata_col: str,
+    score_col: str,
+    fraction: float | dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum quality-budget selection: keep the top ``fraction``
+    of each stratum by ``score_col`` (a global cut would let one
+    high-scoring domain crowd out every other — the standard
+    per-domain quality filter keeps the mixture while raising the
+    bar). ``fraction`` is a single float or a per-stratum dict
+    (missing strata keep everything; the reference semantics of a
+    budget nobody set).
+
+    Deterministic: ties break by ``id_col``, so the same corpus
+    always keeps the same rows on any cluster/partitioning.
+
+    Physical strategy: one window rank per stratum (single shuffle on
+    the stratum key; the sort spills). Rank, not percent_rank, against
+    a per-stratum count carried by the same window — emitted rows are
+    exactly ceil(fraction * n_stratum)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(strata_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col))
+    ranked = df.select(
+        "*",
+        F.row_number().over(w).alias("__rk"),
+        F.count("*").over(W.partitionBy(strata_col)).alias("__n"),
+    )
+    if isinstance(fraction, dict):
+        expr = None
+        for k, v in fraction.items():
+            cond = F.col(strata_col) == F.lit(k)
+            expr = (F.when(cond, float(v)) if expr is None
+                    else expr.when(cond, float(v)))
+        frac = (F.lit(1.0) if expr is None
+                else expr.otherwise(F.lit(1.0)))
+    else:
+        frac = F.lit(float(fraction))
+    keep = F.col("__rk") <= F.ceil(frac * F.col("__n"))
+    return ranked.filter(keep).drop("__rk", "__n")

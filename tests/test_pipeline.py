@@ -1361,3 +1361,35 @@ def test_duplicate_clusters_default_verifies(spark):
     assert got[100] == got[101] == 100          # true dups merge
     for i in range(12):                          # boilerplate does not
         assert got[i] == i
+
+
+def test_stratified_top_fraction(spark):
+    """Per-stratum budget selection: exact ceil(frac*n) rows per
+    stratum, the kept rows are the stratum's highest scores, ties
+    break deterministically by id, per-stratum dict budgets apply and
+    unnamed strata keep everything."""
+    from optbinning_spark.pipeline.sampling import stratified_top_fraction
+
+    rows = [(i, "a" if i < 10 else "b", float(i % 7)) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, s string, score double")
+    out = stratified_top_fraction(df, "s", "score", 0.4).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["s"], []).append(r)
+    assert len(by["a"]) == 4   # ceil(0.4 * 10)
+    assert len(by["b"]) == 6   # ceil(0.4 * 15)
+    # kept = the top scores of each stratum (with id tie-break)
+    def brute(stratum, frac):
+        import math
+        members = [(sc, i) for i, s2, sc in rows if s2 == stratum]
+        members.sort(key=lambda t: (-t[0], t[1]))
+        k = math.ceil(frac * len(members))
+        return {i for _, i in members[:k]}
+    assert {r["doc_id"] for r in by["a"]} == brute("a", 0.4)
+    assert {r["doc_id"] for r in by["b"]} == brute("b", 0.4)
+    # dict budgets: only 'a' capped, 'b' keeps everything
+    out2 = stratified_top_fraction(df, "s", "score", {"a": 0.2}).collect()
+    by2 = {}
+    for r in out2:
+        by2.setdefault(r["s"], []).append(r)
+    assert len(by2["a"]) == 2 and len(by2["b"]) == 15
