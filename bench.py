@@ -55,6 +55,11 @@ HEADLINE = [
     # exact substring-duplicate span detection (scan + window over the
     # hashed n-gram key — the newest scan-heavy pipeline family)
     "dup_ngram_spans",
+    # round-6 data-selection / packing family
+    "dsir_logweights",
+    "doc_chunks",
+    "pack_sequences",
+    "quality_top_fraction",
 ]
 
 
@@ -193,6 +198,8 @@ SCALE_QUERIES = [
     "scorecard_scores",
     "dedup_clusters",
     "ann_topk",
+    "dsir_logweights",
+    "pack_sequences",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
