@@ -620,3 +620,41 @@ def test_batch_fitted_transform_and_score_on_stream(spark, tmp_path):
     # NB: (l_orderkey, l_linenumber) can repeat in lineitem; both
     # sides keyed the same way, so equal dicts still prove equality
     assert got == want and len(got) > 0
+
+
+def test_chunking_and_quality_gates_on_stream(spark, tmp_path):
+    """chunk_documents and gopher_quality_flags are pure map-side
+    expressions (posexplode + column predicates), so they apply
+    UNCHANGED to a stream — the online half of a curation pipeline.
+    Streamed output must equal the batch path exactly."""
+    from optbinning_spark.pipeline.text import (
+        chunk_documents,
+        gopher_quality_flags,
+    )
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src_dir = str(tmp_path / "docs_stream")
+    batch.write.parquet(src_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+
+    streamed = gopher_quality_flags(
+        chunk_documents(stream, chunk_tokens=16, overlap=4),
+        min_words=4)
+    assert streamed.isStreaming
+    q = (streamed.writeStream.format("memory").queryName("chunked")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["doc_id"], r["chunk_id"]): (r["text"], r["ok_word_count"])
+               for r in spark.sql(
+                   "SELECT doc_id, chunk_id, text, ok_word_count "
+                   "FROM chunked").collect()}
+    finally:
+        q.stop()
+    want = {(r["doc_id"], r["chunk_id"]): (r["text"], r["ok_word_count"])
+            for r in gopher_quality_flags(
+                chunk_documents(batch, chunk_tokens=16, overlap=4),
+                min_words=4)
+            .select("doc_id", "chunk_id", "text", "ok_word_count")
+            .collect()}
+    assert got == want and len(got) > 500
