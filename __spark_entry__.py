@@ -363,6 +363,26 @@ def q_doc_split_assignment(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+_BM25_QUERIES = [(0, "spark window hash"), (1, "filter group query"),
+                 (2, "stream batch sort")]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-k retrieval over the documents corpus for a
+    pinned 3-query batch: one corpus term-frequency aggregation, query
+    terms broadcast (no corpus shuffle keyed by query), window top-k.
+    Scores rounded at 6 (sum-order ulp)."""
+    from optbinning_spark.pipeline.similarity import bm25_topk
+
+    docs = _documents(spark, sf_dir)
+    qs = spark.createDataFrame(_BM25_QUERIES,
+                               "query_id long, query_text string")
+    out = bm25_topk(docs, qs, k=5)
+    return out.select(
+        "query_id", "nbr_id",
+        (F.round("score", 6) + 0.0).alias("score"), "rank")
+
+
 def q_dsir_logweights(spark, sf_dir):
     """DSIR-style importance weights (Xie et al. 2023): score every
     doc by hashed-n-gram likelihood ratio against a target corpus
@@ -2233,7 +2253,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prebin_counts": q_prebin_counts,
         "ivf_topk_pinned": q_ivf_topk_pinned,
         "piecewise_transform_fixed": q_piecewise_transform_fixed,
-        "event_rate_order": q_event_rate_order,
         "quantile_splits": q_quantile_splits,
         "uniform_binning_table": q_uniform_binning_table,
         "outlier_zscore": q_outlier_zscore,
@@ -2320,6 +2339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps its oracle in the tail) — NEW round-6 surface:
         # DSIR importance weights for training-data selection
         "dsir_logweights": q_dsir_logweights,
+        # bm25_topk takes event_rate_order's slot (J4/W1 event-rate
+        # ordering is replayed INSIDE categorical_optimal_binning's
+        # in-window DP oracle chain; event_rate_order keeps its oracle
+        # in the tail) — NEW round-6 surface: BM25 lexical retrieval
+        "bm25_topk": q_bm25_topk,
         # doc_chunks takes classification_metrics' slot (M12 stays
         # covered in-window by regression_metrics' shared
         # perf-metrics machinery plus the ks/psi family;
@@ -2363,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_metrics": q_classification_metrics,
         "distribution_stats": q_distribution_stats,
         "chi2_tests": q_chi2_tests,
+        "event_rate_order": q_event_rate_order,
         "scorecard_scores_linear": q_scorecard_scores_linear,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
@@ -3845,6 +3870,52 @@ def _sql_doc_chunks():
   FROM s"""
 
 
+def _sql_bm25_topk():
+    """BM25 replay: per-(doc, term) tf + doc length, corpus N/avgdl,
+    df restricted to the pinned query terms, the same Okapi formula,
+    row_number over (score DESC, doc id). Both sides rank on the
+    UNROUNDED score (exact ties break by doc id identically) and
+    round the emitted score at 6."""
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    return f"""
+  WITH q(query_id, query_text) AS (VALUES {vals}),
+  qterms AS (
+    SELECT DISTINCT query_id, unnest(string_split(query_text, ' ')) AS t
+    FROM q),
+  tf AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           unnest(string_split(text, ' ')) AS t
+    FROM documents),
+  tfg AS (
+    SELECT doc_id, dl, t, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+  stats AS (
+    SELECT count(*)::DOUBLE AS N,
+           avg(len(string_split(text, ' '))) AS avgdl
+    FROM documents),
+  dft AS (
+    SELECT tfg.t, count(*) AS df
+    FROM tfg JOIN (SELECT DISTINCT t FROM qterms) qt ON qt.t = tfg.t
+    GROUP BY tfg.t),
+  scored AS (
+    SELECT qt.query_id, tfg.doc_id,
+           sum(ln(1.0 + (s.N - dft.df + 0.5) / (dft.df + 0.5))
+               * tfg.tf * 2.2
+               / (tfg.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfg.dl / s.avgdl))
+           ) AS score
+    FROM tfg
+    JOIN qterms qt ON qt.t = tfg.t
+    JOIN dft ON dft.t = tfg.t, stats s
+    GROUP BY qt.query_id, tfg.doc_id),
+  ranked AS (
+    SELECT query_id, doc_id AS nbr_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank
+    FROM scored)
+  SELECT query_id, nbr_id, round(score, 6) + 0.0 AS score,
+         CAST(rank AS INTEGER) AS rank
+  FROM ranked WHERE rank <= 5"""
+
+
 def _sql_dsir_logweights():
     """Full DSIR replay: unigram+bigram features bucketed by the same
     top-32-md5-bits hash (the '0x'||substr idiom proven by the simhash
@@ -4161,6 +4232,7 @@ def oracle_sql() -> dict[str, str]:
         # doc can ever straddle engine-vs-oracle float drift.
         "doc_split_assignment": _sql_doc_split_assignment(),
         "dsir_logweights": _sql_dsir_logweights(),
+        "bm25_topk": _sql_bm25_topk(),
         "doc_chunks": _sql_doc_chunks(),
         "pack_sequences": _sql_pack_sequences(),
         "quality_top_fraction": _sql_quality_top_fraction(),

@@ -31,6 +31,7 @@ from .sampling import (
     stratified_hash_sample,
 )
 from .similarity import (
+    bm25_topk,
     brute_force_topk,
     bucketed_cosine_pairs,
     cosine_pairs,
@@ -50,6 +51,7 @@ from .text import (
 )
 
 __all__ = [
+    "bm25_topk",
     "brute_force_topk",
     "bucketed_cosine_pairs",
     "connected_components",

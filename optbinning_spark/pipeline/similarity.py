@@ -360,3 +360,96 @@ def embedding_duplicate_clusters(
     pairs = bucketed_cosine_pairs(
         embeddings, threshold, dim, n_planes, id_col, vec_col)
     return clusters_from_pairs(embeddings, pairs, id_col)
+
+
+# -- lexical retrieval (BM25) ---------------------------------------------
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical top-k retrieval (Robertson-Sparck Jones idf with
+    the standard +1 floor, Okapi tf saturation) — the keyword
+    counterpart of the embedding ANN family:
+
+        score(q, d) = sum_{t in q} idf(t) * tf(t,d) * (k1 + 1)
+                      / (tf(t,d) + k1 * (1 - b + b * |d| / avgdl))
+        idf(t) = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+
+    Physical strategy (the 100 TB shape): the corpus side is ONE
+    explode + groupBy((doc, term)) for term frequencies — map-side
+    combinable, output bounded by total tokens; document frequency
+    and corpus stats ride a second bounded aggregation. The query set
+    is small by contract (a retrieval batch), so distinct query terms
+    BROADCAST onto the corpus term table (map-only semi-join — no
+    all-pairs, no corpus shuffle keyed by query); per-(query, doc)
+    scores reduce with one groupBy and rank with one window over the
+    query key. Ties break by doc id (deterministic).
+
+    Returns (query_id, doc_id aliased to ``nbr_id``, score, rank).
+    """
+    from pyspark.sql import Window as W
+
+    words = F.split(F.col(text_col), " ")
+    # per-doc term frequencies + doc length (tokens)
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.size(words).alias("__dl"),
+            F.explode(words).alias("t"),
+        )
+        .groupBy(id_col, "__dl", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    # corpus stats: N, avgdl (one tiny agg), df per term (bounded by
+    # the distinct-term count; only QUERY terms are kept below)
+    stats = docs.select(F.size(words).alias("__dl")).agg(
+        F.count("*").alias("N"), F.avg("__dl").alias("avgdl")).first()
+    n_docs, avgdl = float(stats["N"]), float(stats["avgdl"])
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(F.array_distinct(
+                F.split(F.col(query_text_col), " "))).alias("t"),
+        )
+        .distinct()
+    )
+    df_t = (
+        tf.join(F.broadcast(qterms.select("t").distinct()), "t")
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = F.log(F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        tf.join(F.broadcast(qterms), "t")
+        .join(F.broadcast(df_t), "t")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (idf * F.col("tf") * (1.0 + k1)
+             / (F.col("tf")
+                + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avgdl)))
+             ).alias("__s"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__s").alias("score"))
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col))
+    return (
+        scored.select(
+            query_id_col,
+            F.col(id_col).alias("nbr_id"),
+            F.col("score"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

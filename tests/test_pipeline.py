@@ -1393,3 +1393,44 @@ def test_stratified_top_fraction(spark):
     for r in out2:
         by2.setdefault(r["s"], []).append(r)
     assert len(by2["a"]) == 2 and len(by2["b"]) == 15
+
+
+def test_bm25_topk_brute_force(spark):
+    """BM25 scores and ranking pinned against a pure-Python Okapi
+    computation (idf floor variant ln(1 + (N-df+.5)/(df+.5)))."""
+    import math
+
+    from optbinning_spark.pipeline.similarity import bm25_topk
+
+    corpus = [
+        (0, "spark window aggregation engine"),
+        (1, "spark spark spark streaming"),
+        (2, "cooking recipes for dinner tonight"),
+        (3, "window functions in sql engine"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "spark engine")],
+                               "query_id long, query_text string")
+    got = [(r["nbr_id"], r["score"], r["rank"]) for r in
+           bm25_topk(docs, qs, k=4).orderBy("rank").collect()]
+
+    N = len(corpus)
+    dls = {i: len(t.split(" ")) for i, t in corpus}
+    avgdl = sum(dls.values()) / N
+    def df(t): return sum(1 for _, x in corpus if t in x.split(" "))
+    def score(i):
+        s = 0.0
+        toks = corpus[i][1].split(" ")
+        for t in ("spark", "engine"):
+            tf = toks.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[i] / avgdl))
+        return s
+    want = sorted(((i, score(i)) for i in range(4) if score(i) > 0),
+                  key=lambda t: (-t[1], t[0]))
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gi, gs, gr), (wi, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+    assert [g[2] for g in got] == list(range(1, len(want) + 1))
