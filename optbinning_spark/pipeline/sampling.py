@@ -236,6 +236,9 @@ def dsir_log_weights(
     oracle folds the identically-sorted list and matches at 1e-5.
 
     Driver memory is O(n_buckets) — a parameter, not data-dependent.
+    A NULL-text doc contributes nothing to either corpus count and
+    emits a NULL log_weight (no features to score) — filter or
+    coalesce downstream as the selection policy dictates.
     """
     import math
 

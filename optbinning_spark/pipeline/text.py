@@ -310,10 +310,15 @@ def chunk_documents(
     of document-length skew (a 1M-token doc becomes ~2k independent
     rows, so downstream per-chunk work re-parallelizes).
 
-    Returns (id_col, chunk_id, text, n_tokens)."""
+    Returns (id_col, chunk_id, text, n_tokens). NULL-text docs are
+    dropped (no tokens to chunk — without the filter the NULL words
+    array would fabricate one empty chunk with a wrong token count);
+    an empty string is one ''-token, consistent with the module's
+    whitespace tokenizer everywhere else."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
+    df = df.filter(F.col(text_col).isNotNull())
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     # greatest() guard: sequence(0, negative) would DESCEND in Spark.
@@ -373,7 +378,8 @@ def pack_sequences(
     bounded inputs, documented as the non-scale path.
 
     Everything after the cumsum is INTEGER arithmetic (sequence ids
-    and offsets), so the DuckDB oracle replays it exactly."""
+    and offsets), so the DuckDB oracle replays it exactly. NULL-text
+    docs carry no tokens and emit no slice (the __n > 0 filter)."""
     from pyspark.sql import Window as W
 
     if seq_tokens <= 0:

@@ -1434,3 +1434,29 @@ def test_bm25_topk_brute_force(spark):
     for (gi, gs, gr), (wi, ws) in zip(got, want):
         assert gs == pytest.approx(ws, rel=1e-12)
     assert [g[2] for g in got] == list(range(1, len(want) + 1))
+
+
+def test_round6_ops_null_text_semantics(spark):
+    """NULL-text rows: chunking and packing drop them (no tokens),
+    DSIR emits a NULL log_weight, BM25 simply never retrieves them —
+    none of the four fabricates data from a NULL words array."""
+    from optbinning_spark.pipeline.sampling import dsir_log_weights
+    from optbinning_spark.pipeline.similarity import bm25_topk
+    from optbinning_spark.pipeline.text import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame([(0, "a b c"), (1, None), (2, "")],
+                                 "doc_id long, text string")
+    chunks = chunk_documents(docs, chunk_tokens=2, overlap=0).collect()
+    assert {r["doc_id"] for r in chunks} == {0, 2}
+    packed = pack_sequences(docs, seq_tokens=2).collect()
+    assert {r["doc_id"] for r in packed} == {0, 2}
+    w = {r["doc_id"]: r["log_weight"]
+         for r in dsir_log_weights(docs, docs, n_buckets=16).collect()}
+    assert w[1] is None and w[0] is not None
+    qs = spark.createDataFrame([(0, "a")],
+                               "query_id long, query_text string")
+    hits = bm25_topk(docs, qs, k=3).collect()
+    assert {r["nbr_id"] for r in hits} == {0}
