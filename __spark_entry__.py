@@ -383,6 +383,22 @@ def q_bm25_topk(spark, sf_dir):
         (F.round("score", 6) + 0.0).alias("score"), "rank")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style fluency scoring: interpolated Laplace bigram LM
+    trained on the English slice, perplexity per doc. Two bounded LM
+    aggregations + token-key left joins + per-doc ORDERED fold (the
+    summation order both engines share). Rounds at 5."""
+    from optbinning_spark.pipeline.text import ngram_lm_perplexity
+
+    docs = _documents(spark, sf_dir)
+    lm = docs.filter(F.col("lang") == "en")
+    out = ngram_lm_perplexity(docs, lm)
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.round("cross_entropy", 5) + 0.0).alias("cross_entropy"),
+        (F.round("perplexity", 5) + 0.0).alias("perplexity"))
+
+
 def q_dsir_logweights(spark, sf_dir):
     """DSIR-style importance weights (Xie et al. 2023): score every
     doc by hashed-n-gram likelihood ratio against a target corpus
@@ -2287,7 +2303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorecard_scores_logistic": q_scorecard_scores_logistic,
         "scorecard_scores_huber": q_scorecard_scores_huber,
         "ks": q_ks,
-        "continuous_bin_stats": q_continuous_bin_stats,
         "multiclass_bin_counts": q_multiclass_bin_counts,
         "optimal_binning_table": q_optimal_binning_table,
         "optimal_woe_transform": q_optimal_woe_transform,
@@ -2339,6 +2354,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps its oracle in the tail) — NEW round-6 surface:
         # DSIR importance weights for training-data selection
         "dsir_logweights": q_dsir_logweights,
+        # lm_perplexity takes continuous_bin_stats' slot (A3 per-prebin
+        # continuous stats are replayed as the FIRST stage of
+        # continuous_binning_table's in-window DP oracle;
+        # continuous_bin_stats keeps its oracle in the tail) — NEW
+        # round-6 surface: CCNet-style bigram-LM fluency scoring
+        "lm_perplexity": q_lm_perplexity,
         # bm25_topk takes event_rate_order's slot (J4/W1 event-rate
         # ordering is replayed INSIDE categorical_optimal_binning's
         # in-window DP oracle chain; event_rate_order keeps its oracle
@@ -2388,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_stats": q_distribution_stats,
         "chi2_tests": q_chi2_tests,
         "event_rate_order": q_event_rate_order,
+        "continuous_bin_stats": q_continuous_bin_stats,
         "scorecard_scores_linear": q_scorecard_scores_linear,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
@@ -3870,6 +3892,59 @@ def _sql_doc_chunks():
   FROM s"""
 
 
+def _sql_lm_perplexity():
+    """LM-perplexity replay: unigram/bigram counts over the English
+    slice, the same interpolated Laplace formula per (pos, prev, w)
+    via LEFT joins, and the per-doc STRICT left fold of the
+    pos-ordered log-prob list (list_reduce over list(lp ORDER BY
+    pos)) — the same summation order as the engine's fold over the
+    array_sort-ed collect_list, so only ln() ulp separates the
+    engines (both round at 5)."""
+    return """
+  WITH lm AS (SELECT text FROM documents WHERE lang = 'en'),
+  uni AS (
+    SELECT w, count(*) AS c1
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM lm)
+    GROUP BY w),
+  st AS (SELECT sum(c1)::DOUBLE AS T, count(*)::DOUBLE AS V FROM uni),
+  bi AS (
+    SELECT s.v AS v, s.w AS w, count(*) AS c2
+    FROM (SELECT unnest([struct_pack(v := ws[i-1], w := ws[i])
+                         FOR i IN generate_series(2, len(ws))]) AS s
+          FROM (SELECT string_split(text, ' ') AS ws FROM lm))
+    GROUP BY s.v, s.w),
+  dg AS (
+    SELECT doc_id, n, s.pos AS pos, s.w AS w, s.v AS v
+    FROM (SELECT doc_id, len(ws) AS n,
+                 unnest([struct_pack(pos := i - 1, w := ws[i],
+                         v := CASE WHEN i > 1 THEN ws[i-1] END)
+                         FOR i IN generate_series(1, len(ws))]) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents))),
+  lp AS (
+    SELECT dg.doc_id, dg.n, dg.pos,
+           ln(CASE WHEN dg.v IS NULL
+                THEN (coalesce(uw.c1, 0) + 1.0) / (st.T + st.V)
+                ELSE 0.9 * (coalesce(b.c2, 0) + 1.0)
+                         / (coalesce(uv.c1, 0) + st.V)
+                   + 0.1 * (coalesce(uw.c1, 0) + 1.0) / (st.T + st.V)
+              END) AS lp
+    FROM dg
+    LEFT JOIN uni uw ON uw.w = dg.w
+    LEFT JOIN uni uv ON uv.w = dg.v
+    LEFT JOIN bi b ON b.v = dg.v AND b.w = dg.w, st),
+  folded AS (
+    SELECT doc_id, any_value(n) AS n,
+           -list_reduce(list_prepend(0.0::DOUBLE,
+                                     list(lp ORDER BY pos)),
+                        (a, x) -> a + x) / any_value(n) AS ce
+    FROM lp GROUP BY doc_id)
+  SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         round(ce, 5) + 0.0 AS cross_entropy,
+         round(exp(ce), 5) + 0.0 AS perplexity
+  FROM folded"""
+
+
 def _sql_bm25_topk():
     """BM25 replay: per-(doc, term) tf + doc length, corpus N/avgdl,
     df restricted to the pinned query terms, the same Okapi formula,
@@ -4233,6 +4308,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_assignment": _sql_doc_split_assignment(),
         "dsir_logweights": _sql_dsir_logweights(),
         "bm25_topk": _sql_bm25_topk(),
+        "lm_perplexity": _sql_lm_perplexity(),
         "doc_chunks": _sql_doc_chunks(),
         "pack_sequences": _sql_pack_sequences(),
         "quality_top_fraction": _sql_quality_top_fraction(),

@@ -42,6 +42,7 @@ from .similarity import (
 from .text import (
     chunk_documents,
     document_stats,
+    ngram_lm_perplexity,
     pack_sequences,
     gopher_quality_flags,
     repetition_flags,
@@ -78,6 +79,7 @@ __all__ = [
     "mixture_sampling_rates",
     "ngram_contamination",
     "ngram_jaccard_pairs",
+    "ngram_lm_perplexity",
     "normalize_text_expr",
     "pack_sequences",
     "quality_score_expr",

@@ -415,3 +415,101 @@ def pack_sequences(
         (lo - F.col("seq_id") * L).cast("long").alias("seq_offset"),
         (hi - lo).cast("long").alias("n_tokens"),
     )
+
+
+def ngram_lm_perplexity(
+    docs: DataFrame,
+    lm_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.9,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style fluency filter: score every doc by the perplexity
+    of an interpolated Laplace-smoothed bigram language model trained
+    on ``lm_corpus`` (usually a trusted high-quality slice) —
+    low-perplexity docs read like the reference corpus, high ones are
+    noise. Per token:
+
+        P(w | v) = lam * (c2(v,w) + a) / (c1(v) + a*V)
+                 + (1 - lam) * (c1(w) + a) / (T + a*V)
+
+    (first token: unigram only); cross_entropy = -mean(ln P),
+    perplexity = exp(cross_entropy).
+
+    Physical strategy: two LM-count aggregations over the reference
+    corpus (map-side combinable, output bounded by its distinct uni-/
+    bigrams); scoring explodes (pos, prev, w) and LEFT-joins the
+    count tables on token keys (equi-joins, AQE-managed — the LM
+    tables are data-sized, so no broadcast/literal shipping like the
+    bucketed DSIR ratio table). The per-doc sum folds an
+    array_sort-ed (pos, logp) list so the floating-point summation
+    order is well-defined — the DuckDB oracle folds the identical
+    ordering and matches at 1e-5.
+
+    Returns (id_col, n_tokens, cross_entropy, perplexity); NULL-text
+    docs are dropped."""
+    from pyspark.sql import Window as W  # noqa: F401
+
+    def grams(df2):
+        words = F.split(F.col(text_col), " ")
+        return df2.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col),
+            F.posexplode(words).alias("pos", "w"),
+            F.size(words).alias("__n"),
+            words.alias("__ws"),
+        ).select(
+            id_col, "pos", "w", "__n",
+            F.when(F.col("pos") > 0,
+                   F.element_at(F.col("__ws"), F.col("pos"))).alias("v"),
+        )
+    uni = (
+        lm_corpus.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c1"))
+    )
+    stats = uni.agg(F.sum("c1").alias("T"), F.count("*").alias("V")).first()
+    T, V = float(stats["T"] or 0), float(stats["V"] or 0)
+    bi = (
+        grams(lm_corpus.select(
+            F.monotonically_increasing_id().alias(id_col), text_col))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v", "w").agg(F.count("*").alias("c2"))
+    )
+    g = grams(docs)
+    g = (
+        g.join(uni.alias("uw"), g["w"] == F.col("uw.w"), "left")
+        .select(g[id_col], g["pos"], g["w"], g["v"], g["__n"],
+                F.coalesce(F.col("uw.c1"), F.lit(0)).alias("c1w"))
+    )
+    g = (
+        g.join(uni.alias("uv"), g["v"] == F.col("uv.w"), "left")
+        .select(g[id_col], g["pos"], g["w"], g["v"], g["__n"], g["c1w"],
+                F.coalesce(F.col("uv.c1"), F.lit(0)).alias("c1v"))
+    )
+    g = (
+        g.join(bi.alias("b"),
+               (g["v"] == F.col("b.v")) & (g["w"] == F.col("b.w")), "left")
+        .select(g[id_col], g["pos"], g["v"], g["__n"], g["c1w"], g["c1v"],
+                F.coalesce(F.col("b.c2"), F.lit(0)).alias("c2"))
+    )
+    p_uni = (F.col("c1w") + alpha) / F.lit(T + alpha * V)
+    p_bi = (F.col("c2") + alpha) / (F.col("c1v") + F.lit(alpha * V))
+    p = F.when(F.col("v").isNull(), p_uni).otherwise(
+        F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+    per_tok = g.select(id_col, "__n", "pos", F.log(p).alias("lp"))
+    folded = (
+        per_tok.groupBy(id_col, "__n")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("pos", "lp"))).alias("lps"))
+        .select(
+            F.col(id_col),
+            F.col("__n").alias("n_tokens"),
+            (-F.aggregate(F.col("lps"), F.lit(0.0),
+                          lambda acc, x: acc + x["lp"])
+             / F.col("__n")).alias("cross_entropy"),
+        )
+    )
+    return folded.select(
+        id_col, "n_tokens", "cross_entropy",
+        F.exp("cross_entropy").alias("perplexity"))

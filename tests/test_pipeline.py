@@ -1460,3 +1460,46 @@ def test_round6_ops_null_text_semantics(spark):
                                "query_id long, query_text string")
     hits = bm25_topk(docs, qs, k=3).collect()
     assert {r["nbr_id"] for r in hits} == {0}
+
+
+def test_ngram_lm_perplexity_brute_force(spark):
+    """Interpolated Laplace bigram LM pinned against a pure-Python
+    recomputation; fluent text scores lower perplexity than OOV junk;
+    NULL-text docs drop."""
+    import math
+    from collections import Counter
+
+    from optbinning_spark.pipeline.text import ngram_lm_perplexity
+
+    lm_rows = [(0, "the cat sat on the mat"), (1, "the dog sat on the rug")]
+    lm = spark.createDataFrame(lm_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "zebra quantum flux"), (2, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_lm_perplexity(docs, lm).collect()}
+    assert 2 not in got
+    assert got[0]["perplexity"] < got[1]["perplexity"]
+
+    toks = [w for _, t in lm_rows for w in t.split(" ")]
+    c1 = Counter(toks)
+    T, V = len(toks), len(c1)
+    bigr = Counter()
+    for _, t in lm_rows:
+        ws = t.split(" ")
+        for i in range(1, len(ws)):
+            bigr[(ws[i - 1], ws[i])] += 1
+
+    def p(w, v=None):
+        pu = (c1.get(w, 0) + 1.0) / (T + V)
+        if v is None:
+            return pu
+        return (0.9 * (bigr.get((v, w), 0) + 1.0) / (c1.get(v, 0) + V)
+                + 0.1 * pu)
+
+    for i, text in ((0, "the cat sat"), (1, "zebra quantum flux")):
+        ws = text.split(" ")
+        lps = [math.log(p(ws[0]))] + [
+            math.log(p(ws[j], ws[j - 1])) for j in range(1, len(ws))]
+        ce = -sum(lps) / len(ws)
+        assert got[i]["cross_entropy"] == pytest.approx(ce, rel=1e-12)
+        assert got[i]["perplexity"] == pytest.approx(math.exp(ce), rel=1e-12)
