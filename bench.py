@@ -60,6 +60,8 @@ HEADLINE = [
     "doc_chunks",
     "pack_sequences",
     "quality_top_fraction",
+    "bm25_topk",
+    "lm_perplexity",
 ]
 
 
