@@ -568,3 +568,56 @@ def test_plot_methods_cleanly_gated_without_matplotlib(spark):
     ob.fit(df, "x", "y")
     with _pt.raises(ImportError, match="matplotlib"):
         ob.binning_table.plot()
+
+
+def test_pack_and_chunk_property(spark):
+    """Hypothesis property: for ANY document length profile, packing
+    conserves tokens with exact tiling and chunking covers each doc
+    exactly once outside overlaps."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from optbinning_spark.pipeline.text import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(lens=st.lists(st.integers(min_value=1, max_value=33),
+                         min_size=1, max_size=12),
+           L=st.integers(min_value=2, max_value=16))
+    def run(lens, L):
+        rows = [(i, " ".join(f"t{i}_{j}" for j in range(n)))
+                for i, n in enumerate(lens)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        packed = pack_sequences(docs, seq_tokens=L).collect()
+        assert sum(r["n_tokens"] for r in packed) == sum(lens)
+        seqs = {}
+        for r in packed:
+            seqs.setdefault(r["seq_id"], []).append(r)
+        for sid, parts in seqs.items():
+            parts.sort(key=lambda r: r["seq_offset"])
+            off = 0
+            for p in parts:
+                assert p["seq_offset"] == off
+                off += p["n_tokens"]
+            assert off <= L
+            if sid != max(seqs):
+                assert off == L
+        ov = max(0, L // 3)
+        if ov < L:
+            chunks = chunk_documents(
+                docs, chunk_tokens=L, overlap=ov).collect()
+            by_doc = {}
+            for r in chunks:
+                by_doc.setdefault(r["doc_id"], []).append(r)
+            for i, text in rows:
+                words = text.split(" ")
+                cs = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+                seen = []
+                for k, c in enumerate(cs):
+                    toks = c["text"].split(" ")
+                    seen.extend(toks[ov:] if k else toks)
+                assert seen == words
+
+    run()

@@ -311,3 +311,22 @@ def test_dsir_scoring_is_map_only(spark):
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_bm25_and_perplexity_plan_shapes(spark):
+    """BM25's query-side joins must be broadcasts (no corpus shuffle
+    keyed by the query set) and neither retrieval/fluency plan may
+    contain a cartesian product."""
+    from optbinning_spark.pipeline.similarity import bm25_topk
+    from optbinning_spark.pipeline.text import ngram_lm_perplexity
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qs = spark.createDataFrame([(0, "spark window hash")],
+                               "query_id long, query_text string")
+    p1 = bm25_topk(docs, qs, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Cartesian" not in p1
+    assert p1.count("BroadcastHashJoin") >= 2  # qterms + df_t sides
+    p2 = ngram_lm_perplexity(docs, docs.filter("lang = 'en'")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in p2
