@@ -48,6 +48,21 @@ def main():
         print("README.md oracle-count updated")
     else:
         print("README.md oracle-count already current")
+    # COVERAGE.md header carries the same counts — regenerate them too
+    import __spark_entry__ as E
+
+    n_q, n_o = len(E.queries()), len(E.oracle_sql())
+    cpath = os.path.join(ROOT, "COVERAGE.md")
+    csrc = open(cpath).read()
+    cpat = re.compile(
+        r"oracle-backed, and \d+ of the \d+ registered queries carry "
+        r"oracles —")
+    cnew = cpat.sub(
+        f"oracle-backed, and {n_o} of the {n_q} registered queries "
+        "carry oracles —", csrc)
+    if cnew != csrc:
+        open(cpath, "w").write(cnew)
+        print("COVERAGE.md oracle-count updated")
 
 
 if __name__ == "__main__":
