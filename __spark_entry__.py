@@ -399,6 +399,34 @@ def q_lm_perplexity(spark, sf_dir):
         (F.round("perplexity", 5) + 0.0).alias("perplexity"))
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing with deterministically INJECTED PII (the clean
+    synthetic corpus would make a zero-redaction oracle trivial):
+    every 5th doc gains an email, every 7th an IPv4, every 11th an
+    international phone; redact_pii replaces each with a typed
+    placeholder and counts per kind. Map-only regexp expressions,
+    RE2 patterns replayed verbatim by the oracle."""
+    from optbinning_spark.pipeline.text import redact_pii
+
+    docs = _documents(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(
+                F.lit(" contact user"), F.col("doc_id"),
+                F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.concat(
+                F.lit(" from 10.0."), F.col("doc_id") % 256,
+                F.lit(".1"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.concat(
+                F.lit(" call +1 555 "), F.lpad(F.col("doc_id") % 100, 3, "0"),
+                F.lit(" 1234"))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(injected)
+
+
 def q_dsir_logweights(spark, sf_dir):
     """DSIR-style importance weights (Xie et al. 2023): score every
     doc by hashed-n-gram likelihood ratio against a target corpus
@@ -2303,7 +2331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorecard_scores_logistic": q_scorecard_scores_logistic,
         "scorecard_scores_huber": q_scorecard_scores_huber,
         "ks": q_ks,
-        "multiclass_bin_counts": q_multiclass_bin_counts,
         "optimal_binning_table": q_optimal_binning_table,
         "optimal_woe_transform": q_optimal_woe_transform,
         "continuous_binning_table": q_continuous_binning_table,
@@ -2360,6 +2387,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # continuous_bin_stats keeps its oracle in the tail) — NEW
         # round-6 surface: CCNet-style bigram-LM fluency scoring
         "lm_perplexity": q_lm_perplexity,
+        # pii_redaction takes multiclass_bin_counts' slot (A4 per-class
+        # prebin counts are the first stage of multiclass_binning_table's
+        # in-window DP oracle; multiclass_bin_counts keeps its oracle in
+        # the tail) — NEW round-6 surface: PII scrubbing with injected
+        # fixtures so the redaction hashes are non-trivial
+        "pii_redaction": q_pii_redaction,
         # bm25_topk takes event_rate_order's slot (J4/W1 event-rate
         # ordering is replayed INSIDE categorical_optimal_binning's
         # in-window DP oracle chain; event_rate_order keeps its oracle
@@ -2410,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_tests": q_chi2_tests,
         "event_rate_order": q_event_rate_order,
         "continuous_bin_stats": q_continuous_bin_stats,
+        "multiclass_bin_counts": q_multiclass_bin_counts,
         "scorecard_scores_linear": q_scorecard_scores_linear,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
@@ -3892,6 +3926,44 @@ def _sql_doc_chunks():
   FROM s"""
 
 
+def _sql_pii_redaction():
+    """Replay: the same injected-PII construction, then the engine's
+    RE2 patterns verbatim — counts via regexp_extract_all length,
+    replacement nested in sorted-kind order (email, ipv4, phone) with
+    the 'g' flag (Spark regexp_replace is global by default)."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    phone = r"\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{3,4}\b"
+    return f"""
+  WITH injected AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || doc_id || '@example.com'
+                ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' from 10.0.' || (doc_id % 256) || '.1'
+                ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                THEN ' call +1 555 ' || lpad((doc_id % 100)::VARCHAR, 3, '0')
+                     || ' 1234'
+                ELSE '' END AS text
+    FROM documents)
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{email}', '[PII:email]', 'g'),
+             '{ipv4}', '[PII:ipv4]', 'g'),
+           '{phone}', '[PII:phone]', 'g') AS text,
+         CAST(len(regexp_extract_all(text, '{email}')) AS INTEGER)
+           AS n_email,
+         CAST(len(regexp_extract_all(text, '{ipv4}')) AS INTEGER)
+           AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '{phone}')) AS INTEGER)
+           AS n_phone
+  FROM injected"""
+
+
 def _sql_lm_perplexity():
     """LM-perplexity replay: unigram/bigram counts over the English
     slice, the same interpolated Laplace formula per (pos, prev, w)
@@ -4309,6 +4381,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logweights": _sql_dsir_logweights(),
         "bm25_topk": _sql_bm25_topk(),
         "lm_perplexity": _sql_lm_perplexity(),
+        "pii_redaction": _sql_pii_redaction(),
         "doc_chunks": _sql_doc_chunks(),
         "pack_sequences": _sql_pack_sequences(),
         "quality_top_fraction": _sql_quality_top_fraction(),

@@ -44,6 +44,7 @@ from .text import (
     document_stats,
     ngram_lm_perplexity,
     pack_sequences,
+    redact_pii,
     gopher_quality_flags,
     repetition_flags,
     lang_id_expr,
@@ -83,6 +84,7 @@ __all__ = [
     "normalize_text_expr",
     "pack_sequences",
     "quality_score_expr",
+    "redact_pii",
     "repetition_flags",
     "resize_images",
     "sample_frames",

@@ -513,3 +513,41 @@ def ngram_lm_perplexity(
     return folded.select(
         id_col, "n_tokens", "cross_entropy",
         F.exp("cross_entropy").alias("perplexity"))
+
+
+# PII patterns — RE2-compatible (no lookarounds/backrefs) so the SAME
+# pattern strings run verbatim in Spark codegen and the DuckDB oracle
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{3,4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+    token: str = "[PII:{kind}]",
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace email / IPv4 /
+    international-phone matches with a typed placeholder and count the
+    redactions per kind — the standard pre-release curation step.
+    Pure regexp_replace / regexp_count expressions (map-only, JVM
+    codegen, no UDF); patterns are RE2-compatible so the DuckDB
+    oracle replays them verbatim. Replacement order is the sorted
+    pattern-name order (deterministic; a placeholder never matches a
+    later pattern — the brackets are outside every character class).
+
+    Returns (id_col, text [redacted], n_<kind> per pattern)."""
+    patterns = patterns if patterns is not None else PII_PATTERNS
+    out = F.col(text_col)
+    counts = []
+    for kind in sorted(patterns):
+        pat = patterns[kind]
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("int").alias(f"n_{kind}"))
+        out = F.regexp_replace(out, pat, token.format(kind=kind))
+    return df.select(F.col(id_col), out.alias("text"), *counts)

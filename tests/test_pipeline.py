@@ -1503,3 +1503,23 @@ def test_ngram_lm_perplexity_brute_force(spark):
         ce = -sum(lps) / len(ws)
         assert got[i]["cross_entropy"] == pytest.approx(ce, rel=1e-12)
         assert got[i]["perplexity"] == pytest.approx(math.exp(ce), rel=1e-12)
+
+
+def test_redact_pii(spark):
+    """PII scrubbing: typed placeholders, per-kind counts, clean text
+    untouched, digit-bearing vocab tokens (w00042) not false-flagged."""
+    from optbinning_spark.pipeline.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [(0, "reach jane.doe+x@mail.example.org or +1 555 123 4567 now"),
+         (1, "host 10.0.42.7 and 192.168.0.1 up; w00042 is a token"),
+         (2, "clean text only")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[0]["n_email"] == 1 and got[0]["n_phone"] == 1
+    assert "[PII:email]" in got[0]["text"]
+    assert "[PII:phone]" in got[0]["text"]
+    assert "jane" not in got[0]["text"]
+    assert got[1]["n_ipv4"] == 2 and "w00042" in got[1]["text"]
+    assert got[2]["text"] == "clean text only"
+    assert got[2]["n_email"] == got[2]["n_ipv4"] == got[2]["n_phone"] == 0
