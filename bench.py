@@ -62,6 +62,7 @@ HEADLINE = [
     "quality_top_fraction",
     "bm25_topk",
     "lm_perplexity",
+    "pii_redaction",
 ]
 
 
