@@ -31,6 +31,7 @@ from optbinning_spark.pipeline.text import (
     chunk_documents,
     pack_sequences,
     quality_score_expr,
+    redact_pii,
 )
 
 
@@ -39,6 +40,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # PII scrubbing first — nothing downstream sees raw identifiers
+    docs = redact_pii(docs).join(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .drop("text"), "doc_id")
 
     # near-duplicate clustering: MinHash -> LSH bands -> exact Jaccard
     # verify -> connected components; keep one doc per cluster
