@@ -1523,3 +1523,39 @@ def test_redact_pii(spark):
     assert got[1]["n_ipv4"] == 2 and "w00042" in got[1]["text"]
     assert got[2]["text"] == "clean text only"
     assert got[2]["n_email"] == got[2]["n_ipv4"] == got[2]["n_phone"] == 0
+
+
+def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL corpus source/sink: enforced schema (no inference pass),
+    malformed lines quarantined under PERMISSIVE, round-trip through
+    the compressed sink preserves rows, FAILFAST raises."""
+    import pytest as _pt
+
+    from optbinning_spark.sources.corpus import (
+        quarantine_split,
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    raw = tmp_path / "in"
+    raw.mkdir()
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1"}',
+        '{"doc_id": 2, "text": "hola mundo", "lang": "es", "source": "s2"}',
+        'this is not json at all',
+        '{"doc_id": 3, "lang": "fr", "source": "s3"}',  # missing text
+    ]
+    (raw / "part0.jsonl").write_text("\n".join(lines))
+    df = read_jsonl_corpus(spark, str(raw))
+    clean, quarantined = quarantine_split(df)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    assert quarantined.count() == 2
+    out = tmp_path / "out"
+    write_jsonl_corpus(clean, str(out), partitions=2)
+    back = read_jsonl_corpus(spark, str(out))
+    clean2, q2 = quarantine_split(back)
+    assert sorted((r["doc_id"], r["text"]) for r in clean2.collect()) == \
+        sorted((r["doc_id"], r["text"]) for r in clean.collect())
+    assert q2.count() == 0
+    with _pt.raises(Exception):
+        read_jsonl_corpus(spark, str(raw), mode="FAILFAST").collect()
