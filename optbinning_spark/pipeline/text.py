@@ -467,6 +467,11 @@ def ngram_lm_perplexity(
         lm_corpus.filter(F.col(text_col).isNotNull())
         .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .groupBy("w").agg(F.count("*").alias("c1"))
+        # materialize the vocab table ONCE: it feeds the T/V stats
+        # action and TWO scoring joins (w and prev-word sides) — left
+        # as lineage, the reference-corpus scan would re-run for each
+        # consumer (4 scans of lm_corpus instead of 2)
+        .localCheckpoint(eager=True)
     )
     stats = uni.agg(F.sum("c1").alias("T"), F.count("*").alias("V")).first()
     T, V = float(stats["T"] or 0), float(stats["V"] or 0)
