@@ -395,8 +395,11 @@ def pack_sequences(
         F.coalesce(F.sum(n).over(w), F.lit(0)).alias("__a"),
     )
     L = F.lit(seq_tokens)
-    s0 = (F.col("__a") / L).cast("long")
-    s1 = ((F.col("__a") + F.col("__n") - 1) / L).cast("long")
+    # integer division (div), NOT double '/': past 2^53 cumulative
+    # tokens the double quotient loses ulps and misassigns sequence
+    # ids — exactly the regime a 100 TB corpus reaches
+    s0 = F.expr(f"__a div {seq_tokens}")
+    s1 = F.expr(f"(__a + __n - 1) div {seq_tokens}")
     seqs = F.sequence(s0, s1)
     out = base.filter(F.col("__n") > 0).select(
         *( ["shard"] if shard_col else [] ),
