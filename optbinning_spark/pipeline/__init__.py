@@ -29,6 +29,7 @@ from .sampling import (
     hash_uniform,
     mixture_sampling_rates,
     stratified_hash_sample,
+    stratified_top_fraction,
 )
 from .similarity import (
     bm25_topk,
@@ -90,5 +91,6 @@ __all__ = [
     "sample_frames",
     "simhash",
     "stratified_hash_sample",
+    "stratified_top_fraction",
     "verify_pairs_jaccard",
 ]
