@@ -1559,3 +1559,30 @@ def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path):
     assert q2.count() == 0
     with _pt.raises(Exception):
         read_jsonl_corpus(spark, str(raw), mode="FAILFAST").collect()
+
+
+def test_organic_generator_deterministic():
+    """tools/gen_sf1_organic shards are seed-deterministic: the same
+    (shard, seed) yields byte-identical content — the property the
+    cached _READY stamp and cross-round slope comparisons rely on."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_sf1_organic import (
+        _documents_shard,
+        _viral_docs,
+        _vocab,
+        _zipf_p,
+    )
+
+    vocab = _vocab(1000)
+    zp = _zipf_p(1000, 1.2)
+    viral = _viral_docs(np.random.RandomState(42), vocab, zp)
+    a = _documents_shard(3, 42, 10, 0.1, vocab, zp, viral, n_docs=200)
+    viral2 = _viral_docs(np.random.RandomState(42), vocab, zp)
+    b = _documents_shard(3, 42, 10, 0.1, vocab, zp, viral2, n_docs=200)
+    assert a.equals(b)
+    c = _documents_shard(4, 42, 10, 0.1, vocab, zp, viral, n_docs=200)
+    assert not a.column("text").equals(c.column("text"))
