@@ -243,8 +243,9 @@ class BinningProcess:
             # no-spread 7.11s, neither 6.21s — each knob is a clear
             # win WITH the other; the SPARK_GRAFT_NO_PERSIST /
             # SPARK_GRAFT_NO_SPREAD env gates re-run the experiment.
-            # The trade HOLDS at 10x data (sf1 ladder, 6M joined
-            # rows): persist 6.72s vs no-persist 6.91s — the win
+            # The trade HOLDS at 10x data (r5 ladder / r6 organic
+            # sf1, 6M joined rows): persist 6.72s vs no-persist
+            # 6.91s — the win
             # narrows as the scan parallelizes better, exactly the
             # expected asymptote (persist saves one recompute of the
             # join+clean projection; both sides scale with cores).
