@@ -427,6 +427,27 @@ def q_pii_redaction(spark, sf_dir):
     return redact_pii(injected)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Dolma-style paragraph-level exact dedup with an injected shared
+    footer (every 4th doc): the repeated paragraph survives only at
+    its minimum (doc, position); docs reassemble from surviving
+    paragraphs. One algebraic min per paragraph hash — no window over
+    the corpus-hot boilerplate key."""
+    from optbinning_spark.pipeline.dedup import paragraph_dedup
+
+    docs = _documents(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("\n\nshared footer disclaimer applies"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return paragraph_dedup(injected)
+
+
 def q_dsir_logweights(spark, sf_dir):
     """DSIR-style importance weights (Xie et al. 2023): score every
     doc by hashed-n-gram likelihood ratio against a target corpus
@@ -2294,7 +2315,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned variant keeps its oracle in the tail (it still
         # covers the user_splits_x/y path)
         "binning_2d_median": q_binning_2d_median,
-        "prebin_counts": q_prebin_counts,
         "ivf_topk_pinned": q_ivf_topk_pinned,
         "piecewise_transform_fixed": q_piecewise_transform_fixed,
         "quantile_splits": q_quantile_splits,
@@ -2393,6 +2413,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the tail) — NEW round-6 surface: PII scrubbing with injected
         # fixtures so the redaction hashes are non-trivial
         "pii_redaction": q_pii_redaction,
+        # paragraph_dedup takes prebin_counts' slot (A1/J1 per-prebin
+        # binary counts + the numeric bin range-join are the first
+        # stage of optimal_binning_table's in-window DP oracle;
+        # prebin_counts keeps its oracle in the tail) — NEW round-6
+        # surface: Dolma-style paragraph-level dedup
+        "paragraph_dedup": q_paragraph_dedup,
         # bm25_topk takes event_rate_order's slot (J4/W1 event-rate
         # ordering is replayed INSIDE categorical_optimal_binning's
         # in-window DP oracle chain; event_rate_order keeps its oracle
@@ -2444,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rate_order": q_event_rate_order,
         "continuous_bin_stats": q_continuous_bin_stats,
         "multiclass_bin_counts": q_multiclass_bin_counts,
+        "prebin_counts": q_prebin_counts,
         "scorecard_scores_linear": q_scorecard_scores_linear,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
@@ -3926,6 +3953,45 @@ def _sql_doc_chunks():
   FROM s"""
 
 
+def _sql_paragraph_dedup():
+    """Replay: same footer injection, split on the literal separator,
+    keeper election by min over the packed (doc, pos) integer key
+    (equivalent to the engine's lexicographic struct min — positions
+    stay far below the 2^20 pack base), reassembly via the
+    pos-ordered list."""
+    return r"""
+  WITH injected AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 4 = 0
+                     THEN e'\n\nshared footer disclaimer applies'
+                     ELSE '' END AS text
+    FROM documents),
+  parts AS (
+    SELECT doc_id, s.pos AS pos, s.para AS para
+    FROM (SELECT doc_id,
+                 unnest([struct_pack(pos := i - 1, para := ps[i])
+                         FOR i IN generate_series(1, len(ps))]) AS s
+          FROM (SELECT doc_id, string_split(text, e'\n\n') AS ps
+                FROM injected))),
+  first_ AS (
+    SELECT para, min(doc_id * 1048576 + pos) AS k
+    FROM parts GROUP BY para),
+  kept AS (
+    SELECT p.doc_id, p.pos, p.para
+    FROM parts p JOIN first_ f ON f.para = p.para
+    WHERE f.k = p.doc_id * 1048576 + p.pos),
+  keptagg AS (
+    SELECT doc_id,
+           array_to_string(list(para ORDER BY pos), e'\n\n') AS text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id),
+  cnt AS (SELECT doc_id, count(*) AS n_paragraphs FROM parts GROUP BY doc_id)
+  SELECT c.doc_id, coalesce(k.text, '') AS text,
+         c.n_paragraphs,
+         CAST(coalesce(k.n_kept, 0) AS INTEGER) AS n_kept
+  FROM cnt c LEFT JOIN keptagg k ON k.doc_id = c.doc_id"""
+
+
 def _sql_pii_redaction():
     """Replay: the same injected-PII construction, then the engine's
     RE2 patterns verbatim — counts via regexp_extract_all length,
@@ -4382,6 +4448,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _sql_bm25_topk(),
         "lm_perplexity": _sql_lm_perplexity(),
         "pii_redaction": _sql_pii_redaction(),
+        "paragraph_dedup": _sql_paragraph_dedup(),
         "doc_chunks": _sql_doc_chunks(),
         "pack_sequences": _sql_pack_sequences(),
         "quality_top_fraction": _sql_quality_top_fraction(),

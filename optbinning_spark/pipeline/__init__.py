@@ -9,6 +9,7 @@ reads top-to-bottom:
 
 from .dedup import (
     connected_components,
+    paragraph_dedup,
     cut_word_spans,
     duplicate_clusters,
     duplicate_ngram_spans,
@@ -84,6 +85,7 @@ __all__ = [
     "ngram_lm_perplexity",
     "normalize_text_expr",
     "pack_sequences",
+    "paragraph_dedup",
     "quality_score_expr",
     "redact_pii",
     "repetition_flags",

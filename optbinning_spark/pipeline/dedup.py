@@ -1018,3 +1018,68 @@ def ngram_contamination(
              ).alias("contaminated"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Paragraph-granularity exact dedup (the Dolma/CCNet paragraph
+    step): a paragraph repeated ANYWHERE in the corpus survives only
+    at its first occurrence (minimum (doc, position)); every doc is
+    reassembled from its surviving paragraphs in original order.
+    Catches boilerplate blocks (headers, navigation, disclaimers)
+    that document-level dedup can never remove because the documents
+    hosting them differ.
+
+    Physical strategy: split + posexplode (map-only), ONE groupBy on
+    the paragraph md5 to elect the keeper (algebraic min of the
+    packed (doc, pos) key — map-side partials absorb a corpus-hot
+    boilerplate paragraph), broadcast-free equi-join back on the hash,
+    and one per-doc sort_array-ed collect_list to reassemble (bounded
+    by paragraphs-per-doc). With ``keep_first`` False, repeated
+    paragraphs are dropped from EVERY doc (pure boilerplate removal).
+
+    Returns (id_col, text [reassembled], n_paragraphs, n_kept)."""
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+            "__pos", "__para"),
+    ).withColumn("__h", F.xxhash64("__para"))
+    # elect the keeper per paragraph hash: min of the packed (doc,
+    # pos) key — one algebraic agg, no window over the hot hash
+    first = (
+        parts.groupBy("__h")
+        .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                            F.col("__pos").alias("p"))).alias("__k"),
+             F.count("*").alias("__occ"))
+    )
+    joined = parts.join(first, "__h")
+    if keep_first:
+        kept = joined.filter(
+            (F.col("__k.d") == F.col(id_col))
+            & (F.col("__k.p") == F.col("__pos")))
+    else:
+        kept = joined.filter(F.col("__occ") == 1)
+    return (
+        joined.groupBy(id_col)
+        .agg(F.count("*").alias("n_paragraphs"))
+        .join(
+            kept.groupBy(id_col).agg(
+                F.concat_ws(sep, F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("__pos", "__para"))),
+                    lambda s: s["__para"])).alias("text"),
+                F.count("*").alias("n_kept"),
+            ),
+            id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_paragraphs",
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        )
+    )

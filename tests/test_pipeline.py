@@ -1586,3 +1586,28 @@ def test_organic_generator_deterministic():
     assert a.equals(b)
     c = _documents_shard(4, 42, 10, 0.1, vocab, zp, viral, n_docs=200)
     assert not a.column("text").equals(c.column("text"))
+
+
+def test_paragraph_dedup(spark):
+    """Paragraph-level dedup: a corpus-shared paragraph survives only
+    at its minimum (doc, position); docs reassemble in order;
+    keep_first=False removes repeated paragraphs everywhere."""
+    from optbinning_spark.pipeline.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "intro text\n\nSHARED DISCLAIMER\n\nbody zero"),
+         (1, "other intro\n\nSHARED DISCLAIMER\n\nbody one"),
+         (2, "SHARED DISCLAIMER"),
+         (3, "all original content")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert got[0]["text"] == "intro text\n\nSHARED DISCLAIMER\n\nbody zero"
+    assert got[0]["n_paragraphs"] == 3 and got[0]["n_kept"] == 3
+    assert got[1]["text"] == "other intro\n\nbody one"
+    assert got[1]["n_kept"] == 2
+    assert got[2]["text"] == "" and got[2]["n_kept"] == 0
+    assert got[3]["text"] == "all original content"
+    strict = {r["doc_id"]: r for r in
+              paragraph_dedup(docs, keep_first=False).collect()}
+    assert strict[0]["text"] == "intro text\n\nbody zero"
+    assert "SHARED" not in strict[0]["text"]
