@@ -63,6 +63,7 @@ HEADLINE = [
     "bm25_topk",
     "lm_perplexity",
     "pii_redaction",
+    "paragraph_dedup",
 ]
 
 
