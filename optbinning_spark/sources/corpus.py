@@ -81,3 +81,32 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         | F.col("text").isNull()
     clean = df.filter(~bad).drop("_corrupt_record")
     return clean, df.filter(bad)
+
+
+def quarantine_metrics(df: DataFrame) -> DataFrame:
+    """Per-input-file quarantine metrics for a PERMISSIVE JSONL read:
+    one row per source file with total / parse-failed / missing-required
+    -field / quarantined counts, so a bad upstream shard is identified
+    by NAME instead of showing up only as a corpus-wide drop rate.
+
+    One bounded aggregation (output cardinality = number of input
+    files); ``input_file_name()`` is a task-local constant, so the
+    grouping adds no extra scan. Call on the frame as returned by
+    :func:`read_jsonl_corpus` (before joins, which lose file lineage).
+    """
+    bad_parse = F.col("_corrupt_record").isNotNull()
+    # rows that parsed but violate the document contract
+    missing_req = (~bad_parse) & (
+        F.col("doc_id").isNull() | F.col("text").isNull())
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(bad_parse.cast("long")).alias("corrupt_rows"),
+            F.sum(missing_req.cast("long")).alias("missing_field_rows"),
+        )
+        .withColumn(
+            "quarantined_rows",
+            F.col("corrupt_rows") + F.col("missing_field_rows"))
+        .orderBy("file")
+    )

@@ -1561,6 +1561,42 @@ def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path):
         read_jsonl_corpus(spark, str(raw), mode="FAILFAST").collect()
 
 
+def test_jsonl_quarantine_metrics_per_file(spark, tmp_path):
+    """Per-input-file quarantine metrics: a corrupt shard is identified
+    by file NAME with separate parse-failure vs missing-required-field
+    counts, while a clean shard reports zero quarantined rows."""
+    from optbinning_spark.sources.corpus import (
+        quarantine_metrics,
+        read_jsonl_corpus,
+    )
+
+    raw = tmp_path / "in"
+    raw.mkdir()
+    (raw / "good.jsonl").write_text("\n".join([
+        '{"doc_id": 1, "text": "alpha", "lang": "en", "source": "a"}',
+        '{"doc_id": 2, "text": "beta", "lang": "en", "source": "a"}',
+        '{"doc_id": 3, "text": "gamma", "lang": "en", "source": "a"}',
+    ]))
+    (raw / "bad.jsonl").write_text("\n".join([
+        '{"doc_id": 4, "text": "delta", "lang": "en", "source": "b"}',
+        "{{{ truncated garbage",
+        "not json either",
+        '{"doc_id": 5, "lang": "fr", "source": "b"}',   # missing text
+        '{"text": "orphan", "lang": "fr", "source": "b"}',  # missing id
+    ]))
+    m = {r["file"].rsplit("/", 1)[-1].split("?")[0]: r
+         for r in quarantine_metrics(
+             read_jsonl_corpus(spark, str(raw))).collect()}
+    assert set(m) == {"good.jsonl", "bad.jsonl"}
+    good, bad = m["good.jsonl"], m["bad.jsonl"]
+    assert (good["rows"], good["corrupt_rows"],
+            good["missing_field_rows"], good["quarantined_rows"]) == \
+        (3, 0, 0, 0)
+    assert (bad["rows"], bad["corrupt_rows"],
+            bad["missing_field_rows"], bad["quarantined_rows"]) == \
+        (5, 2, 2, 4)
+
+
 def test_organic_generator_deterministic():
     """tools/gen_sf1_organic shards are seed-deterministic: the same
     (shard, seed) yields byte-identical content — the property the
