@@ -154,6 +154,18 @@ def main():
     except Exception as e:  # scale probe must never break the contract
         scale = {"error": str(e)[:200]}
 
+    # Crossover regression watch (pinned round-6 measured decisions):
+    # window <= two-phase for the n-gram count shape, and unsalted <=
+    # salted for the categorical fit (checked inside _salt_ab below).
+    # A Spark-version or data-shape change that flips either crossover
+    # must fail LOUDLY — in the compact contract line, not a buried
+    # artifact field.
+    watch: dict = {}
+    try:
+        watch = _regression_watch(spark, sf_dir, t_start)
+    except Exception as e:
+        watch = {"error": str(e)[:200]}
+
     # sf1 scale point: ORGANIC data (fresh-seeded shards — Zipf vocab,
     # real dup structure, growing key cardinality; tools/
     # gen_sf1_organic.py), replacing the round-5 ladder of 10
@@ -175,6 +187,16 @@ def main():
     # wide_process_fit number; the single-file figure stays reported
     # above as the worst-case-layout bound.
     primary_wide = (scale.get("queries", {}) or {}).get("wide_process_fit")
+
+    # collect every inversion across the watch sections so the compact
+    # line carries the verdict even if the full artifact is unread
+    watch_failed = [k for k, v in watch.items()
+                    if isinstance(v, dict) and v.get("inverted")]
+    if (sf1.get("salt_ab") or {}).get("inverted"):
+        watch_failed.append("salt_ab")
+    for w in watch_failed:
+        print(f"REGRESSION WATCH INVERTED: {w} — a pinned crossover "
+              f"flipped; see bench_out.json", file=sys.stderr)
 
     # Full artifact goes to a FILE: round 6's stdout line (32 queries +
     # two scale sections) overflowed the driver's stdout-tail capture,
@@ -200,6 +222,8 @@ def main():
             "cluster-written table has; headline 'queries' "
             "retains the single-file worst case"),
         "scale_multirowgroup": scale,
+        "regression_watch": watch,
+        "regression_watch_failed": watch_failed,
         "sf1_organic": sf1,
     }
     out_path = os.path.join(
@@ -230,6 +254,7 @@ def main():
                 "queries": times,
                 "sf": sf,
                 "primary_wide_process_fit": primary_wide,
+                "regression_watch_failed": watch_failed,
                 "full_artifact": out_path,
             }
         )
@@ -295,6 +320,46 @@ def _scale_section(spark, sf_dir, qs, n_files=32):
         out[name] = min(reps[name])
     return {"n_files": n_files, "queries": out, "rep_samples": reps,
             "total": round(sum(out.values()), 3)}
+
+
+def _regression_watch(spark, sf_dir, t_start, budget_s=540, reps=3):
+    """Pinned crossover assertions for the round-6 measured defaults
+    (the watch VERDICT r6/r7 asked for). Each entry re-times both sides
+    of a decision the code hard-wires, and sets ``inverted`` when the
+    chosen side lost by more than the margin — a Spark upgrade or
+    data-shape change that flips a crossover then fails loudly in the
+    bench contract line instead of silently shipping the wrong default.
+
+    1. ``window_vs_two_phase``: n-gram hot-key counting uses ONE window
+       (use_window=True default) — measured ~2x faster than the
+       two-phase groupBy+join in every regime (tools/ab_window_vs_agg).
+       Inverted when window > 1.15 * two_phase (min-of-N), i.e. the
+       structural 2x advantage has not merely narrowed but flipped.
+    2. ``salt_vs_unsalted`` is covered by _salt_ab in the sf1 section
+       (unsalted default; margin 1.25 there — thinner measured gap).
+
+    The same checks run as hard pytest asserts under SPARK_GRAFT_SLOW=1
+    (tests/test_regression_watch.py)."""
+    if time.time() - t_start > budget_s:
+        return {"skipped": f"deadline ({budget_s}s) reached"}
+    from optbinning_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sec: dict = {}
+    for tag, mode in (("window", True), ("two_phase", False)):
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            ngram_jaccard_pairs(docs, use_window=mode).write.format(
+                "noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+            gc.collect()
+        sec[tag] = {"reps": samples, "min": min(samples)}
+    spark._jvm.System.gc()
+    inverted = sec["window"]["min"] > sec["two_phase"]["min"] * 1.15
+    return {"window_vs_two_phase": {**sec, "margin": 1.15,
+                                    "inverted": inverted}}
 
 
 def _sf1_organic_section(spark, qs, t_start, budget_s=420):
@@ -436,6 +501,14 @@ def _salt_ab(spark, sf1_dir):
         if label == "salted":
             out["salt_engaged"] = bool(bp._stats_salt_partitions)
     spark._jvm.System.gc()
+    # crossover watch: the default is UNSALTED (cat_salt_threshold=
+    # None, round-6 measured decision — map-side partial aggregation
+    # absorbs hot keys for algebraic aggs). Inverted = unsalted lost
+    # by >25% (thinner measured gap than the window A/B: r7 showed
+    # unsalted 5.11 s vs salted 6.18 s), meaning the default should be
+    # re-examined.
+    out["margin"] = 1.25
+    out["inverted"] = out["unsalted"] > out["salted"] * 1.25
     return out
 
 
