@@ -1964,6 +1964,45 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+def q_bpe_subword_count(spark, sf_dir):
+    """Tokenizer-faithful BPE subword counts (pipeline/bpe.py: pinned
+    40-merge vocab trained by tools/train_bpe_vocab.py, Sennrich-2016
+    spec, applied as pure nested-replace expressions — JVM codegen,
+    no UDF) next to the whitespace and pre-tokenizer counts, so the
+    three token accountings are directly comparable per doc. The
+    DuckDB oracle replays the identical merge list byte-for-byte
+    (bpe_token_count_sql)."""
+    from optbinning_spark.pipeline.bpe import bpe_token_count_col
+    from optbinning_spark.pipeline.text import (
+        bpe_token_count_expr,
+        token_count_expr,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count_expr(F.col("text")).cast("int")
+        .alias("n_pretokens"),
+        bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_pack_sequences_bpe(spark, sf_dir):
+    """Sequence packing measured in REAL BPE subword tokens
+    (token_counter="bpe", pinned mini vocab) — the r7 ask: anyone
+    training on packed output needs tokenizer-faithful offsets, not
+    whitespace words. Same per-shard cumsum/chop arithmetic as the
+    whitespace variant (whose oracle stays in the tail); the oracle
+    recomputes the identical BPE counts in SQL and replays the
+    integer packing exactly."""
+    from optbinning_spark.pipeline.text import pack_sequences
+
+    docs = _documents(spark, sf_dir)
+    return pack_sequences(docs, seq_tokens=512, shard_col="lang",
+                          token_counter="bpe")
+
+
 def q_wide_process_fit(spark, sf_dir):
     """16-variable BinningProcess fit — the shape of the reference's
     published Home-Credit benchmark (16 vars, 307k rows, 5.09s
@@ -2322,7 +2361,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_zscore": q_outlier_zscore,
         "outlier_iqr": q_outlier_iqr,
         "special_missing_stats": q_special_missing_stats,
-        "doc_token_stats": q_doc_token_stats,
+        # bpe_subword_count takes doc_token_stats' slot (round 8): the
+        # per-doc whitespace token count is a COLUMN of the new query,
+        # and the remaining doc-stat signals (avg word len, stopword /
+        # type-token ratios) stay in-window via gopher_flags;
+        # doc_token_stats keeps its oracle in the tail — NEW round-8
+        # surface: tokenizer-faithful BPE subword accounting under the
+        # pinned mini vocab, replayed merge-for-merge by DuckDB
+        "bpe_subword_count": q_bpe_subword_count,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
@@ -2430,12 +2476,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classification_metrics keeps its oracle in the tail) —
         # NEW round-6 surface: context-window chunking flatMap
         "doc_chunks": q_doc_chunks,
-        # pack_sequences takes distribution_stats' slot (A8 monitoring
-        # distributions stay covered in-window by the event_psi_monitor
-        # family sharing the same bin-distribution aggregation;
-        # distribution_stats keeps its oracle in the tail) — NEW
-        # round-6 surface: per-shard pack-then-chop sequence packing
-        "pack_sequences": q_pack_sequences,
+        # pack_sequences_bpe takes pack_sequences' slot (round 8): the
+        # per-shard cumsum/chop integer arithmetic is IDENTICAL — only
+        # the token counter upgraded from whitespace words to the
+        # pinned-vocab BPE subwords the r7 verdict asked for;
+        # pack_sequences keeps its whitespace oracle in the tail.
+        # (Slot lineage: pack_sequences had taken distribution_stats'
+        # slot in round 6; distribution_stats stays tail-oracled.)
+        "pack_sequences_bpe": q_pack_sequences_bpe,
         # quality_top_fraction takes chi2_tests' slot (M9's scipy-free
         # special_math surface stays pinned by tests/test_special_math
         # and the in-window classification/regression metrics that
@@ -2463,6 +2511,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    entries below still carry oracles checked by
         #    tools/check_correctness) --
         "binning_table_fixed": q_binning_table_fixed,
+        # rotated out round 8 (covers: ws token stats via
+        # bpe_subword_count + gopher_flags; ws packing arithmetic via
+        # pack_sequences_bpe's identical cumsum) — oracles still
+        # checked by tools/check_correctness
+        "doc_token_stats": q_doc_token_stats,
+        "pack_sequences": q_pack_sequences,
         "bpe_token_count": q_bpe_token_count,
         "classification_metrics": q_classification_metrics,
         "distribution_stats": q_distribution_stats,
@@ -3905,30 +3959,55 @@ def _sql_quality_top_fraction():
   WHERE rk <= ceil(0.3 * n)"""
 
 
-def _sql_pack_sequences():
+def _sql_pack_sequences(n=None):
     """Exact packing replay: the same per-shard preceding-rows cumsum
     (ROWS UNBOUNDED PRECEDING..1 PRECEDING), stepped seq-id span via
-    generate_series, and integer slice arithmetic."""
+    generate_series, and integer slice arithmetic. ``n`` is the SQL
+    token-count expression (default: whitespace words; the BPE
+    variant passes bpe_token_count_sql's nested-replace replay)."""
     L = 512
-    n = "len(string_split(text, ' '))"
+    n = n or "len(string_split(text, ' '))"
     return f"""
   WITH base AS (
-    SELECT lang AS shard, doc_id, CAST({n} AS BIGINT) AS n,
-           CAST(coalesce(sum({n}) OVER (
-             PARTITION BY lang ORDER BY doc_id
+    SELECT lang AS shard, doc_id, CAST({n} AS BIGINT) AS n
+    FROM documents),
+  cum AS (
+    SELECT shard, doc_id, n,
+           CAST(coalesce(sum(n) OVER (
+             PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS BIGINT) AS a
-    FROM documents),
+    FROM base),
   e AS (
     SELECT shard, doc_id, a, n,
            unnest(generate_series(a // {L}, (a + n - 1) // {L})) AS seq_id
-    FROM base WHERE n > 0)
+    FROM cum WHERE n > 0)
   SELECT shard, seq_id, doc_id,
          greatest(a, seq_id * {L}) - a AS doc_start,
          greatest(a, seq_id * {L}) - seq_id * {L} AS seq_offset,
          least(a + n, (seq_id + 1) * {L})
            - greatest(a, seq_id * {L}) AS n_tokens
   FROM e"""
+
+
+def _sql_pack_sequences_bpe():
+    from optbinning_spark.pipeline.bpe import bpe_token_count_sql
+
+    return _sql_pack_sequences(n=bpe_token_count_sql("text"))
+
+
+def _sql_bpe_subword_count():
+    from optbinning_spark.pipeline.bpe import bpe_token_count_sql
+    from optbinning_spark.pipeline.text import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER)
+           AS n_pretokens,
+         {bpe_token_count_sql('text')} AS n_bpe_tokens
+  FROM documents"""
 
 
 def _sql_doc_chunks():
@@ -4451,6 +4530,8 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _sql_paragraph_dedup(),
         "doc_chunks": _sql_doc_chunks(),
         "pack_sequences": _sql_pack_sequences(),
+        "pack_sequences_bpe": _sql_pack_sequences_bpe(),
+        "bpe_subword_count": _sql_bpe_subword_count(),
         "quality_top_fraction": _sql_quality_top_fraction(),
         "stratified_doc_sample": """
             SELECT doc_id, lang FROM documents

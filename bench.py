@@ -58,7 +58,12 @@ HEADLINE = [
     # round-6 data-selection / packing family
     "dsir_logweights",
     "doc_chunks",
-    "pack_sequences",
+    # round-8: packing measured in real BPE subwords (whitespace
+    # pack_sequences rotated out of the window with it), plus the
+    # 3-way token-accounting scan — the nested-replace tokenizer is
+    # scan-shaped work worth a slope
+    "pack_sequences_bpe",
+    "bpe_subword_count",
     "quality_top_fraction",
     "bm25_topk",
     "lm_perplexity",
@@ -271,7 +276,7 @@ SCALE_QUERIES = [
     "dedup_clusters",
     "ann_topk",
     "dsir_logweights",
-    "pack_sequences",
+    "pack_sequences_bpe",
     # round-6 operators, added r7 so their 100 TB arguments carry
     # slope evidence instead of being design-only (VERDICT r6 item 3)
     "bm25_topk",

@@ -296,13 +296,26 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_tokens: int = 512,
     overlap: int = 64,
+    token_counter: str = "whitespace",
+    merges=None,
 ) -> DataFrame:
     """Split documents into fixed-size token windows with overlap —
     the context-window chunking step between a cleaned corpus and
-    sequence packing. Chunk c starts at word offset
-    c * (chunk_tokens - overlap) and takes ``chunk_tokens`` words
-    (the final chunk is shorter); every word position is covered and
-    consecutive chunks share ``overlap`` words.
+    sequence packing. Chunk c starts at token offset
+    c * (chunk_tokens - overlap) and takes ``chunk_tokens`` tokens
+    (the final chunk is shorter); every token position is covered and
+    consecutive chunks share ``overlap`` tokens.
+
+    ``token_counter`` picks the tokenization the windows are measured
+    in: ``"whitespace"`` (space-split words, chunk text joined by
+    ' ') or ``"bpe"`` — REAL subword boundaries under the pinned (or
+    passed) BPE ``merges`` (pipeline.bpe; expression-only, still
+    map-only/no UDF). BPE tokens carry their GPT-2-style leading
+    space, so chunk text is their plain concatenation; a chunk that
+    starts mid-word starts at a subword boundary — exactly what a
+    trainer's tokenizer would see, and the boundaries SHIFT vs
+    whitespace counting (asserted in tests/test_bpe.py). Whitespace
+    runs collapse to the single spaces the pre-tokenizer keeps.
 
     Map-only flatMap via expressions: one sequence of start offsets
     per doc, posexplode of the sliced windows — no shuffle, no UDF,
@@ -313,13 +326,23 @@ def chunk_documents(
     Returns (id_col, chunk_id, text, n_tokens). NULL-text docs are
     dropped (no tokens to chunk — without the filter the NULL words
     array would fabricate one empty chunk with a wrong token count);
-    an empty string is one ''-token, consistent with the module's
-    whitespace tokenizer everywhere else."""
+    an empty string is one ''-token under the whitespace tokenizer
+    (consistent with the module's other text ops) and zero chunks
+    under BPE."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    if token_counter not in ("whitespace", "bpe"):
+        raise ValueError("token_counter must be 'whitespace' or 'bpe'")
     step = chunk_tokens - overlap
     df = df.filter(F.col(text_col).isNotNull())
-    words = F.split(F.col(text_col), " ")
+    if token_counter == "bpe":
+        from .bpe import bpe_tokens_col
+
+        words = bpe_tokens_col(F.col(text_col), merges)
+        join_sep = ""
+    else:
+        words = F.split(F.col(text_col), " ")
+        join_sep = " "
     n = F.size(words)
     # greatest() guard: sequence(0, negative) would DESCEND in Spark.
     # Drop non-initial starts inside the previous chunk's overlap
@@ -332,7 +355,7 @@ def chunk_documents(
     chunks = F.transform(
         starts,
         lambda s: F.struct(
-            F.concat_ws(" ", F.slice(words, s + 1, chunk_tokens))
+            F.array_join(F.slice(words, s + 1, chunk_tokens), join_sep)
             .alias("text"),
             F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
         ),
@@ -354,6 +377,8 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     shard_col: str | None = None,
+    token_counter: str = "whitespace",
+    merges=None,
 ) -> DataFrame:
     """GPT-style sequence packing (pack-then-chop): lay the corpus
     tokens back-to-back in (shard, doc_id) order and cut at
@@ -379,15 +404,29 @@ def pack_sequences(
 
     Everything after the cumsum is INTEGER arithmetic (sequence ids
     and offsets), so the DuckDB oracle replays it exactly. NULL-text
-    docs carry no tokens and emit no slice (the __n > 0 filter)."""
+    docs carry no tokens and emit no slice (the __n > 0 filter).
+
+    ``token_counter="bpe"`` measures documents in REAL subword tokens
+    under the pinned (or passed) BPE ``merges`` (pipeline.bpe) instead
+    of whitespace words — token offsets then index the doc's BPE token
+    array, matching what a trainer materializes. Still one expression:
+    the cumsum/pack arithmetic is unchanged and stays exactly
+    SQL-replayable (the oracle computes the same BPE counts)."""
     from pyspark.sql import Window as W
 
     if seq_tokens <= 0:
         raise ValueError("seq_tokens must be positive")
+    if token_counter not in ("whitespace", "bpe"):
+        raise ValueError("token_counter must be 'whitespace' or 'bpe'")
     shard = F.col(shard_col) if shard_col else F.lit(0)
     w = (W.partitionBy(shard).orderBy(F.col(id_col))
          .rowsBetween(W.unboundedPreceding, -1))
-    n = token_count_expr(F.col(text_col))
+    if token_counter == "bpe":
+        from .bpe import bpe_token_count_col
+
+        n = bpe_token_count_col(F.col(text_col), merges).cast("long")
+    else:
+        n = token_count_expr(F.col(text_col))
     base = df.select(
         *( [F.col(shard_col).alias("shard")] if shard_col else [] ),
         F.col(id_col),
