@@ -1,12 +1,17 @@
-"""Training-data pipeline: dedup -> quality -> DSIR select -> split
--> chunk -> pack -> ANN.
+"""Training-data pipeline: PII -> paragraph dedup -> quality gates ->
+near-dup dedup -> DSIR select -> split -> chunk -> pack -> ANN, with a
+stage-by-stage row/token audit table.
 
 The LLM-data operator family over the `documents` / `embeddings`
-tables: exact + near-duplicate removal with a canonical keep-list,
-heuristic quality scoring, deterministic train/val/test assignment,
-and embedding similarity search.
+tables, wired the way a real curation run is: every stage that can
+drop or rewrite content reports (docs, tokens, delta) so the cost of
+each gate is visible — the number-one operational question of a
+curation pipeline ("where did my corpus go?").
 
 Run:  python examples/data_pipeline.py [sf_dir]   (default sf0.001)
+CI:   tests/test_pipeline.py::test_data_pipeline_example_runs runs
+      this at sf0.01 end-to-end and asserts the audit is printed and
+      monotone where it must be.
 """
 
 from __future__ import annotations
@@ -20,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from optbinning_spark import get_spark
-from optbinning_spark.pipeline.dedup import duplicate_clusters
+from optbinning_spark.pipeline.bpe import bpe_token_count_col
+from optbinning_spark.pipeline.dedup import (
+    duplicate_clusters,
+    paragraph_dedup,
+)
 from optbinning_spark.pipeline.sampling import (
     dsir_gumbel_sample,
     dsir_log_weights,
@@ -29,56 +38,117 @@ from optbinning_spark.pipeline.sampling import (
 from optbinning_spark.pipeline.similarity import brute_force_topk
 from optbinning_spark.pipeline.text import (
     chunk_documents,
+    gopher_quality_flags,
     pack_sequences,
-    quality_score_expr,
     redact_pii,
+    repetition_flags,
+    token_count_expr,
 )
+
+
+def _audit_row(df, stage, note=""):
+    """(stage, docs, ws_tokens) in ONE aggregation."""
+    r = df.agg(
+        F.count("*").alias("docs"),
+        F.sum(token_count_expr(F.col("text"))).alias("tokens"),
+    ).first()
+    return {"stage": stage, "docs": int(r["docs"]),
+            "tokens": int(r["tokens"] or 0), "note": note}
+
+
+def print_audit(audit):
+    prev = None
+    print(f"\n{'stage':<22}{'docs':>8}{'tokens':>10}"
+          f"{'d_docs':>8}{'d_tokens':>10}  note")
+    for a in audit:
+        dd = "" if prev is None else f"{a['docs'] - prev['docs']:+d}"
+        dt = "" if prev is None else f"{a['tokens'] - prev['tokens']:+d}"
+        print(f"{a['stage']:<22}{a['docs']:>8}{a['tokens']:>10}"
+              f"{dd:>8}{dt:>10}  {a['note']}")
+        prev = a
+    print()
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001"):
     spark = get_spark("data_pipeline", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
+    audit = []
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    audit.append(_audit_row(docs, "raw"))
 
     # PII scrubbing first — nothing downstream sees raw identifiers
-    docs = redact_pii(docs).join(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .drop("text"), "doc_id")
+    meta = docs.drop("text")
+    red = redact_pii(docs)
+    n_red = red.agg(*[F.sum(c).alias(c) for c in
+                      ("n_email", "n_ipv4", "n_phone")]).first()
+    docs = red.select("doc_id", "text").join(meta, "doc_id")
+    audit.append(_audit_row(
+        docs, "pii_redacted",
+        f"redactions: email={n_red['n_email']} ipv4={n_red['n_ipv4']} "
+        f"phone={n_red['n_phone']}"))
+
+    # paragraph-level exact dedup (Dolma step): a paragraph repeated
+    # anywhere survives only at its first occurrence — removes
+    # boilerplate blocks doc-level dedup can't touch
+    pd_out = paragraph_dedup(docs).select(
+        "doc_id", "text", "n_paragraphs", "n_kept")
+    docs = pd_out.select("doc_id", "text").join(meta, "doc_id")
+    audit.append(_audit_row(docs, "paragraph_dedup",
+                            "first occurrence kept"))
+
+    # Gopher quality + repetition gates (map-only booleans; the join
+    # is doc_id-equi on the repetition aggregate)
+    g = gopher_quality_flags(docs, min_words=5, min_stopword_hits=0)
+    rep = repetition_flags(docs).select("doc_id",
+                                        F.col("keep").alias("rep_keep"))
+    gated = (g.join(rep, "doc_id")
+             .filter(F.col("keep") & F.col("rep_keep"))
+             .drop("keep", "rep_keep", *[c for c in g.columns
+                                         if c.startswith("ok_")]))
+    audit.append(_audit_row(gated, "quality_gates",
+                            "gopher + repetition rules"))
+    docs = gated
 
     # near-duplicate clustering: MinHash -> LSH bands -> exact Jaccard
     # verify -> connected components; keep one doc per cluster
     clusters = duplicate_clusters(
         docs, n_hashes=8, band_size=2, jaccard_threshold=0.5)
     keep = clusters.filter("is_canonical").select("doc_id")
-    deduped = docs.join(keep, "doc_id")
-    print("docs:", docs.count(), "-> after dedup:", deduped.count())
-
-    # heuristic quality score (pure expressions, map-only)
-    quality = deduped.select(
-        "doc_id",
-        quality_score_expr(F.col("text")).alias("quality_score"))
-    quality.orderBy(F.desc("quality_score")).show(5)
-
-    # deterministic split: same doc -> same split on ANY cluster/run
-    split = hash_split(deduped, "doc_id",
-                       {"train": 0.9, "val": 0.05, "test": 0.05})
-    split.groupBy("split").count().show()
+    docs = docs.join(keep, "doc_id")
+    audit.append(_audit_row(docs, "near_dup_dedup",
+                            "one canonical doc per cluster"))
 
     # DSIR data selection: weight docs toward a target distribution
     # (here: the Spanish slice), then Gumbel-top-k resample
-    weights = dsir_log_weights(deduped, deduped.filter("lang = 'es'"),
+    weights = dsir_log_weights(docs, docs.filter("lang = 'es'"),
                                n_buckets=2048)
-    selected = dsir_gumbel_sample(weights, k=200).join(deduped, "doc_id")
-    print("DSIR-selected lang mix:")
-    selected.groupBy("lang").count().orderBy(F.desc("count")).show()
+    k = max(50, docs.count() // 3)
+    selected = dsir_gumbel_sample(weights, k=k).join(docs, "doc_id")
+    audit.append(_audit_row(selected, "dsir_selected",
+                            f"gumbel top-{k} toward lang=es"))
 
-    # context-window chunking + per-shard sequence packing
-    chunks = chunk_documents(selected, chunk_tokens=64, overlap=8)
-    packed = pack_sequences(selected, seq_tokens=256, shard_col="lang")
+    # deterministic split: same doc -> same split on ANY cluster/run
+    split = hash_split(selected, "doc_id",
+                       {"train": 0.9, "val": 0.05, "test": 0.05})
+    mix = {r["split"]: r["count"] for r in
+           split.groupBy("split").count().collect()}
+    train = split.filter("split = 'train'").drop("split")
+    audit.append(_audit_row(train, "train_split", f"split mix: {mix}"))
+
+    # context-window chunking + per-shard sequence packing, measured
+    # in REAL subword tokens (pinned mini BPE vocab)
+    chunks = chunk_documents(train, chunk_tokens=64, overlap=8,
+                             token_counter="bpe")
+    packed = pack_sequences(train, seq_tokens=256, shard_col="lang",
+                            token_counter="bpe")
+    n_bpe = train.agg(F.sum(bpe_token_count_col(F.col("text")))).first()[0]
     print("chunks:", chunks.count(), "packed slices:", packed.count(),
           "sequences:",
-          packed.select("shard", "seq_id").distinct().count())
+          packed.select("shard", "seq_id").distinct().count(),
+          "bpe tokens packed:", n_bpe)
+
+    print_audit(audit)
 
     # embedding similarity: exact cosine top-k for a few query vectors
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
