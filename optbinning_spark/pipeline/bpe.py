@@ -60,6 +60,7 @@ __all__ = [
     "bpe_token_count_sql",
     "bpe_apply_python",
     "bpe_token_count_pandas_udf",
+    "load_merges_txt",
 ]
 
 SEP = "\x1e"  # ASCII record separator: never legitimate in corpus text
@@ -161,6 +162,44 @@ def bpe_apply_python(text: str, merges=None,
                 s = s.replace(pat, rep)
         out.extend(x for x in s.split(SEP) if x)
     return out
+
+
+def load_merges_txt(path_or_lines, space_symbol: str = "Ġ",
+                    max_merges: int | None = None) -> list[tuple[str, str]]:
+    """Parse a GPT-2-format ``merges.txt`` into the merge-list shape
+    every function here takes: one ``left right`` pair per line,
+    ``#``-prefixed header lines skipped, the byte-level space marker
+    (Ġ, U+0120 — GPT-2 maps the space byte there) translated back to
+    a literal leading space to match this module's codepoint-level
+    pre-tokens.
+
+    Caveat: GPT-2 merges are defined over its byte-to-unicode
+    alphabet; after the Ġ mapping the frequent ASCII merges (the head
+    of the file, which is what ``max_merges`` keeps) behave
+    identically here, but merges involving multi-byte codepoints
+    would not — pass a codepoint-level merge list for non-ASCII
+    corpora. ``path_or_lines`` is a file path or an iterable of
+    lines."""
+    if isinstance(path_or_lines, str):
+        with open(path_or_lines, encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+    else:
+        lines = list(path_or_lines)
+    merges: list[tuple[str, str]] = []
+    for ln in lines:
+        ln = ln.rstrip("\n")
+        if not ln or ln.startswith("#"):
+            continue
+        parts = ln.split(" ")
+        if len(parts) != 2:
+            raise ValueError(f"malformed merges.txt line: {ln!r}")
+        a, b = (p.replace(space_symbol, " ") for p in parts)
+        if SEP in a or SEP in b:
+            raise ValueError("merge symbols may not contain chr(30)")
+        merges.append((a, b))
+        if max_merges is not None and len(merges) >= max_merges:
+            break
+    return merges
 
 
 def bpe_token_count_pandas_udf(merges=None,

@@ -194,6 +194,26 @@ def test_trainer_deterministic():
     assert a == b and 0 < len(a) <= 10
 
 
+def test_load_merges_txt(tmp_path):
+    """GPT-2 merges.txt round-trip: Ġ-marked pairs load back into the
+    module's merge shape, header and count-cap honored."""
+    from optbinning_spark.pipeline.bpe import load_merges_txt
+
+    lines = ["#version: 0.2"] + [
+        f"{a.replace(' ', 'Ġ')} {b.replace(' ', 'Ġ')}"
+        for a, b in MINI_MERGES]
+    p = tmp_path / "merges.txt"
+    p.write_text("\n".join(lines) + "\n")
+    assert load_merges_txt(str(p)) == MINI_MERGES
+    assert load_merges_txt(lines, max_merges=5) == MINI_MERGES[:5]
+    # loaded merges tokenize identically to the pinned literal
+    text = "the window order column scan"
+    assert bpe_apply_python(text, load_merges_txt(lines)) == \
+        bpe_apply_python(text)
+    with pytest.raises(ValueError):
+        load_merges_txt(["a b c"])
+
+
 def test_null_and_empty_text(spark):
     df = spark.createDataFrame(
         [(1, None), (2, ""), (3, "ab")], "doc_id long, text string")
