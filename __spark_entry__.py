@@ -451,16 +451,28 @@ def q_paragraph_dedup(spark, sf_dir):
 def q_dsir_logweights(spark, sf_dir):
     """DSIR-style importance weights (Xie et al. 2023): score every
     doc by hashed-n-gram likelihood ratio against a target corpus
-    (here the Spanish slice). Two bounded bucket-count aggregations +
-    a map-only ordered fold over an array-literal ratio table — no
-    join in the scoring pass. log_weight rounds at 5 (python math.log
-    on the driver vs DuckDB ln differ ~1 ulp per bucket, ~1e-13 after
-    a 100-feature fold)."""
-    from optbinning_spark.pipeline.sampling import dsir_log_weights
+    (here the Spanish slice). Uses the materialized-features path
+    (sampling.py dsir_features): tokenize+hash+bucket ONCE over the
+    text, localCheckpoint the compact (doc_id, array<long>) frame,
+    then run both bounded bucket-count aggregations AND the map-only
+    ordered-fold scoring over integers — one text scan instead of
+    three, byte-identical output to the direct path (SCALING.md r8:
+    6.7 s vs 18.7 s at organic sf1). log_weight rounds at 5 (python
+    math.log on the driver vs DuckDB ln differ ~1 ulp per bucket,
+    ~1e-13 after a 100-feature fold)."""
+    from optbinning_spark.pipeline.sampling import (
+        dsir_features,
+        dsir_log_weights,
+    )
 
     docs = _documents(spark, sf_dir)
-    target = docs.filter(F.col("lang") == "es")
-    w = dsir_log_weights(docs, target, n_buckets=4096)
+    # lang rides through the feature frame so the target slice is a
+    # filter on the SAME materialized integers — no join-back
+    feats = dsir_features(docs, n_buckets=4096,
+                          keep=("lang",)).localCheckpoint(eager=True)
+    target = feats.filter(F.col("lang") == "es")
+    w = dsir_log_weights(feats, target, n_buckets=4096,
+                         features_col="features")
     return w.select(
         "doc_id", (F.round("log_weight", 5) + 0.0).alias("log_weight"))
 

@@ -210,6 +210,7 @@ def dsir_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Materialize the hashed-n-gram features of each document as a
     compact ``(id_col, features array<long>)`` frame — the exact
@@ -218,9 +219,11 @@ def dsir_features(
     write this frame (ints compress to a fraction of the text bytes),
     then run both the count aggregation and the scoring pass over it
     via ``features_col="features"``. One expensive text scan + two
-    cheap integer scans instead of two text scans."""
+    cheap integer scans instead of two text scans. ``keep`` carries
+    extra columns through (e.g. the stratum the target slice filters
+    on) so no join-back is needed."""
     return df.select(
-        F.col(id_col),
+        F.col(id_col), *[F.col(c) for c in keep],
         _dsir_features(F.col(text_col), n_buckets).alias("features"))
 
 

@@ -313,6 +313,34 @@ def test_dsir_scoring_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_bpe_counting_is_map_only(spark):
+    """BPE token counting must stay a single Project over the scan —
+    the whole vocabulary rides as expression literals, so there is no
+    exchange, no join, and no UDF node (the JVM evaluates every
+    merge); BPE packing adds exactly the one window exchange the
+    per-shard cumsum needs, nothing more."""
+    from pyspark.sql import functions as F
+
+    from optbinning_spark.pipeline.bpe import bpe_token_count_col
+    from optbinning_spark.pipeline.text import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cnt = docs.select(
+        "doc_id", bpe_token_count_col(F.col("text")).alias("n"))
+    plan = cnt._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "Python" not in plan  # no UDF — pure JVM expressions
+    # column pruning survives the nested-replace tower
+    assert "lang" not in plan.split("ReadSchema")[-1], plan
+
+    packed = pack_sequences(docs, seq_tokens=128, shard_col="lang",
+                            token_counter="bpe")
+    p2 = packed._jdf.queryExecution().executedPlan().toString()
+    assert p2.count("Exchange") == 1, p2  # the window's shard shuffle
+    assert "Python" not in p2
+
+
 def test_bm25_and_perplexity_plan_shapes(spark):
     """BM25's query-side joins must be broadcasts (no corpus shuffle
     keyed by the query set) and neither retrieval/fluency plan may
