@@ -61,6 +61,8 @@ __all__ = [
     "bpe_apply_python",
     "bpe_token_count_pandas_udf",
     "load_merges_txt",
+    "bpe_vocab",
+    "bpe_token_ids_col",
 ]
 
 SEP = "\x1e"  # ASCII record separator: never legitimate in corpus text
@@ -162,6 +164,51 @@ def bpe_apply_python(text: str, merges=None,
                 s = s.replace(pat, rep)
         out.extend(x for x in s.split(SEP) if x)
     return out
+
+
+def bpe_vocab(merges=None, base_chars: str | None = None
+              ) -> dict[str, int]:
+    """Deterministic token->id vocabulary for a merge list: id 0 is
+    UNK (any symbol outside the vocab — e.g. a codepoint unseen at
+    training time), ids 1..len(base) are the base characters in
+    codepoint order, then one id per merge in rank order (a merged
+    symbol's id is fixed by its rank, exactly like a GPT-2 vocab
+    built from merges.txt). ``base_chars`` defaults to printable
+    ASCII + space."""
+    merges = MINI_MERGES if merges is None else merges
+    if base_chars is None:
+        base_chars = " " + "".join(
+            chr(c) for c in range(33, 127))
+    vocab: dict[str, int] = {}
+    next_id = 1
+    for ch in sorted(set(base_chars)):
+        vocab[ch] = next_id
+        next_id += 1
+    for a, b in merges:
+        sym = a + b
+        if sym not in vocab:
+            vocab[sym] = next_id
+            next_id += 1
+    return vocab
+
+
+def bpe_token_ids_col(text: Column, merges=None,
+                      vocab: dict[str, int] | None = None) -> Column:
+    """Array of integer token ids — what a trainer actually consumes
+    after packing. Tokens map through the :func:`bpe_vocab` table
+    shipped as a map literal (broadcast-by-literal, no join, no UDF);
+    out-of-vocabulary symbols map to UNK=0 rather than dropping, so
+    sequence lengths stay equal to :func:`bpe_token_count_col`."""
+    merges = MINI_MERGES if merges is None else merges
+    vocab = bpe_vocab(merges) if vocab is None else vocab
+    pairs: list[Column] = []
+    for sym, i in vocab.items():
+        pairs.append(F.lit(sym))
+        pairs.append(F.lit(i))
+    vmap = F.create_map(*pairs)
+    toks = bpe_tokens_col(text, merges)
+    return F.transform(toks,
+                       lambda t: F.coalesce(vmap[t], F.lit(0)))
 
 
 def load_merges_txt(path_or_lines, space_symbol: str = "Ġ",

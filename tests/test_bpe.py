@@ -214,6 +214,35 @@ def test_load_merges_txt(tmp_path):
         load_merges_txt(["a b c"])
 
 
+def test_token_ids_roundtrip(spark):
+    """Token ids: stable (rank-derived), length-preserving (OOV maps
+    to UNK=0, never dropped), and invertible for in-vocab tokens."""
+    from optbinning_spark.pipeline.bpe import (
+        bpe_token_ids_col,
+        bpe_vocab,
+    )
+
+    v = bpe_vocab()
+    assert 0 not in v.values()               # 0 reserved for UNK
+    assert len(set(v.values())) == len(v)    # ids unique
+    inv = {i: s for s, i in v.items()}
+    df = spark.createDataFrame(
+        [(1, "the window order"), (2, "w00042 café")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        bpe_tokens_col(F.col("text")).alias("toks"),
+        bpe_token_ids_col(F.col("text")).alias("ids")).collect()}
+    for r in rows.values():
+        assert len(r["toks"]) == len(r["ids"])
+        for tok, i in zip(r["toks"], r["ids"]):
+            if i != 0:
+                assert inv[i] == tok
+    # 'é' is outside the ASCII base vocab -> its symbol maps to UNK
+    assert 0 in rows[2]["ids"]
+    assert 0 not in rows[1]["ids"]
+
+
 def test_null_and_empty_text(spark):
     df = spark.createDataFrame(
         [(1, None), (2, ""), (3, "ab")], "doc_id long, text string")
