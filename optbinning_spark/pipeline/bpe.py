@@ -134,9 +134,12 @@ def bpe_token_count_sql(col: str, merges=None,
     merges = MINI_MERGES if merges is None else merges
     clean = f"replace({col}, chr(30), '')"
     toks = f"regexp_extract_all({clean}, {_sql_quote(pattern)})"
-    expr = ("array_to_string(list_transform(" + toks +
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — without it a zero-pre-token doc (empty or
+    # whitespace-only text) oracles NULL against Spark's 0
+    expr = ("coalesce(array_to_string(list_transform(" + toks +
             ", t -> chr(30) || regexp_replace(t, '(.)', "
-            "'\\1' || chr(30), 'g')), '')")
+            "'\\1' || chr(30), 'g')), ''), '')")
     for a, b in merges:
         pat = _sql_quote(SEP + a + SEP + b + SEP)
         rep = _sql_quote(SEP + a + b + SEP)

@@ -243,6 +243,37 @@ def test_token_ids_roundtrip(spark):
     assert 0 not in rows[1]["ids"]
 
 
+def test_fuzz_spark_vs_duckdb_unicode(spark):
+    """Seeded cross-engine fuzz: 60 random strings mixing ASCII
+    words, punctuation runs, accented letters, CJK, digits and odd
+    whitespace — Spark (java.util.regex + replace) and DuckDB (RE2 +
+    replace) must agree on the BPE count for every one. Guards the
+    \\p{L}/\\p{N} class agreement and the separator encoding beyond
+    the ASCII corpus the oracle runs on."""
+    import random
+
+    import duckdb
+
+    rnd = random.Random(88)
+    pieces = ["the", "window", "w00042", "naïve", "café", "über",
+              "日本語", "データ", "42", "3.14", "...", "!!", "'s",
+              "#tag", "a-b", "x", " ", "  ", "\t"]
+    rows = []
+    for i in range(60):
+        n = rnd.randint(1, 12)
+        rows.append((i, "".join(rnd.choice(pieces) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", bpe_token_count_col(F.col("text")).alias("n")).collect()}
+    con = duckdb.connect()
+    con.execute("create table t(doc_id bigint, text varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    sql = f"select doc_id, {bpe_token_count_sql('text')} as n from t"
+    for doc_id, n in con.execute(sql).fetchall():
+        assert got[doc_id] == n, (doc_id, got[doc_id], n,
+                                  rows[doc_id][1])
+
+
 def test_null_and_empty_text(spark):
     df = spark.createDataFrame(
         [(1, None), (2, ""), (3, "ab")], "doc_id long, text string")
