@@ -1,0 +1,87 @@
+"""Cross-engine expression fuzz: the per-row text expressions whose
+DuckDB replays the oracle gate depends on, evaluated by BOTH engines
+over a seeded corpus of adversarial strings (empty, whitespace-only,
+unicode letters, CJK, tabs/newlines, regex metacharacters, PII-ish
+shapes, chr(30) separators).
+
+The driver's oracle gate only ever sees the ASCII testdata corpus, so
+a Java-regex-vs-RE2 or NULL-vs-empty divergence on unusual input
+stays latent until a real corpus hits it — this file front-runs that
+(it already caught DuckDB's array_to_string([]) = NULL in the BPE
+counter, fixed in pipeline/bpe.py)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from optbinning_spark.pipeline.text import (
+    PII_PATTERNS,
+    bpe_token_count_expr,
+    normalize_text_expr,
+    token_count_expr,
+)
+
+def _q(pat: str) -> str:
+    """SQL string literal (single quotes doubled; DuckDB treats
+    backslash literally in standard quoted strings, like the inline
+    oracle SQL in __spark_entry__ does)."""
+    return "'" + pat.replace("'", "''") + "'"
+
+
+def _corpus():
+    rnd = random.Random(1889)
+    pieces = [
+        "", " ", "  ", "\t", "\n", "the", "Window", "w00042", "naïve",
+        "ÜBER", "日本語", "2.5", "...", "#", "a@b.cd", "x@y.com",
+        "10.0.0.1", "+1 555 123 4567", "1.2.3.4.5", "[PII:email]",
+        "a-b_c", "(x)", "'s", "don't", "\x1e", "$5", "100%",
+    ]
+    rows = []
+    for i in range(80):
+        n = rnd.randint(0, 10)
+        sep = rnd.choice(["", " ", "  "])
+        rows.append((i, sep.join(rnd.choice(pieces) for _ in range(n))))
+    rows += [(80, ""), (81, "   "), (82, "\t\t"), (83, "日本語 データ")]
+    return rows
+
+
+CASES = [
+    # (name, spark column builder, duckdb SQL expression over `text`)
+    ("ws_token_count",
+     lambda c: token_count_expr(c).cast("long"),
+     "CAST(len(string_split(text, ' ')) AS BIGINT)"),
+    ("pretoken_count",
+     lambda c: bpe_token_count_expr(c).cast("long"),
+     "CAST(len(regexp_extract_all(text, " + _q(
+         r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+")
+     + ")) AS BIGINT)"),
+    ("normalize",
+     lambda c: normalize_text_expr(c),
+     "trim(regexp_replace(regexp_replace(lower(text), "
+     "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"),
+] + [
+    (f"pii_{kind}",
+     (lambda p: lambda c: F.regexp_count(c, F.lit(p)).cast("long"))(pat),
+     "CAST(len(regexp_extract_all(text, " + _q(pat) + ")) AS BIGINT)")
+    for kind, pat in sorted(PII_PATTERNS.items())
+]
+
+
+@pytest.mark.parametrize("name,spark_fn,sql", CASES,
+                         ids=[c[0] for c in CASES])
+def test_expression_cross_engine(spark, name, spark_fn, sql):
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["v"] for r in df.select(
+        "doc_id", spark_fn(F.col("text")).alias("v")).collect()}
+    con = duckdb.connect()
+    con.execute("create table t(doc_id bigint, text varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    for doc_id, v in con.execute(
+            f"select doc_id, {sql} as v from t").fetchall():
+        assert got[doc_id] == v, (
+            name, doc_id, got[doc_id], v, rows[doc_id][1])
