@@ -71,6 +71,47 @@ CASES = [
 ]
 
 
+def test_hash_uniform_cross_engine_extreme_keys(spark):
+    """hash_uniform is the gate every split/sample/DSIR-subsample
+    rides on; its DuckDB replay ('0x'||substr(md5)::BIGINT / 2^32)
+    must be BIT-identical for any key — fuzzed over extreme longs
+    (0, +-1, int64 min/max, powers of two, randoms) and string keys
+    with regex/quote metacharacters."""
+    import random
+
+    from optbinning_spark.pipeline.sampling import hash_uniform
+
+    rnd = random.Random(30)
+    longs = [0, 1, -1, 2**63 - 1, -2**63, 10**18, -10**18,
+             *[rnd.getrandbits(63) * rnd.choice((1, -1))
+               for _ in range(40)]]
+    rows = [(i, v) for i, v in enumerate(longs)]
+    df = spark.createDataFrame(rows, "i long, k long")
+    got = {r["i"]: r["u"] for r in df.select(
+        "i", hash_uniform(F.col("k"), "split").alias("u")).collect()}
+    con = duckdb.connect()
+    con.execute("create table t(i bigint, k bigint)")
+    con.executemany("insert into t values (?, ?)", rows)
+    sql = ("select i, ('0x' || substr(md5('split|' || "
+           "CAST(k AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 as u "
+           "from t")
+    for i, u in con.execute(sql).fetchall():
+        assert got[i] == u, (i, longs[i], got[i], u)
+
+    skeys = ["", " ", "a'b", 'a"b', "a\\b", "naïve", "日本", "w%s_",
+             "-0.0", "1e308"]
+    rows2 = [(i, k) for i, k in enumerate(skeys)]
+    df2 = spark.createDataFrame(rows2, "i long, k string")
+    got2 = {r["i"]: r["u"] for r in df2.select(
+        "i", hash_uniform(F.col("k"), "s2").alias("u")).collect()}
+    con.execute("create table t2(i bigint, k varchar)")
+    con.executemany("insert into t2 values (?, ?)", rows2)
+    sql2 = ("select i, ('0x' || substr(md5('s2|' || k), 1, 8))::BIGINT"
+            " / 4294967296.0 as u from t2")
+    for i, u in con.execute(sql2).fetchall():
+        assert got2[i] == u, (i, skeys[i], got2[i], u)
+
+
 @pytest.mark.parametrize("name,spark_fn,sql", CASES,
                          ids=[c[0] for c in CASES])
 def test_expression_cross_engine(spark, name, spark_fn, sql):
