@@ -581,6 +581,27 @@ def q_near_dup_cosine_bucketed(spark, sf_dir):
     return bucketed_cosine_pairs(emb, threshold=0.4, dim=64, n_planes=4)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-quantizer
+    cluster assignment (pinned deterministic centroids so the oracle
+    can embed identical literals at any SF), within-cluster cosine
+    near-dup pairs, and the keep-lowest-centroid-sim rule. Map-only
+    assignment + equi-join pairing with the default cluster-size skew
+    cap (mirrored in the oracle) — the web-scale semantic-dedup
+    shape. No reference counterpart (beyond-scope pipeline family)."""
+    from optbinning_spark.pipeline.similarity import (
+        pinned_centroids,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    # k=16: the SemDeDup cost lever is MORE clusters (smaller
+    # equi-join buckets), not a looser cap — halves the pair fan-in
+    # vs k=8 at every measured scale
+    return semantic_dedup(
+        emb, threshold=0.4, centroids=pinned_centroids(16, 64))
+
+
 def q_embedding_dedup_clusters(spark, sf_dir):
     """Embedding-space duplicate groups: bucketed cosine pairs closed
     into connected components; oracle replays buckets, pairs AND the
@@ -2511,7 +2532,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and scorecard_scores_huber, whose oracles replay it row-wise
         "unknown_category_transform": q_unknown_category_transform,
         "ann_topk": q_ann_topk,
-        "near_dup_cosine_bucketed": q_near_dup_cosine_bucketed,
+        # semantic_dedup takes near_dup_cosine_bucketed's slot
+        # (round 8): the hyperplane-bucket candidate machinery stays
+        # in-window via ann_topk (same _sql_bucket_cte + cosine fold);
+        # semantic_dedup adds the SemDeDup quantizer assignment and
+        # keep rule on top of the same exact-cosine pair join.
+        # near_dup_cosine_bucketed keeps its oracle in the tail.
+        "semantic_dedup": q_semantic_dedup,
         "multiclass_binning_table": q_multiclass_binning_table,
         "scenario_binning_table": q_scenario_binning_table,
         "multimodal_features": q_multimodal_features,
@@ -2530,6 +2557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "pack_sequences": q_pack_sequences,
         "bpe_token_count": q_bpe_token_count,
+        # rotated out round 8 for semantic_dedup (same exact-cosine
+        # pair machinery; hyperplane buckets stay in-window via
+        # ann_topk) — oracle still checked by tools/check_correctness
+        "near_dup_cosine_bucketed": q_near_dup_cosine_bucketed,
         "classification_metrics": q_classification_metrics,
         "distribution_stats": q_distribution_stats,
         "chi2_tests": q_chi2_tests,
@@ -3899,6 +3930,53 @@ def _sql_ann_topk():
   WHERE rank <= 3""")
 
 
+def _sql_semantic_dedup(n_centroids=8, dim=64, threshold=0.4,
+                        max_cluster_size=1000):
+    """SemDeDup replay: the SAME pinned unit-norm centroid literals
+    the engine embeds (pinned_centroids), dots rounded to 6 dp BEFORE
+    the argmax (cross-engine ulp safety), within-cluster pair join
+    (with the same cluster-size skew cap — pairing skips clusters
+    above the cap), both-direction edge list, and the
+    keep-lowest-(centroid_sim, id) rule as an anti-join."""
+    from optbinning_spark.pipeline.similarity import pinned_centroids
+
+    cents = pinned_centroids(n_centroids, dim)
+    dots = ", ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(repr(x) for x in c) + "]), 6)"
+        for c in cents)
+    return f"""
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  d AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+               [{dots}] AS dots
+        FROM e),
+  asg AS (SELECT vec_id, v, nrm,
+                 list_position(dots, list_aggregate(dots, 'max'))::INTEGER
+                   AS cluster_id,
+                 round(list_aggregate(dots, 'max') / nrm, 6) + 0.0
+                   AS centroid_sim
+          FROM d),
+  csz AS (SELECT cluster_id, count(*) AS n FROM asg GROUP BY cluster_id),
+  pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   a.centroid_sim AS sa, b.centroid_sim AS sb
+            FROM asg a JOIN asg b
+              ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+            JOIN csz ON csz.cluster_id = a.cluster_id
+            WHERE csz.n <= {max_cluster_size}
+              AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+                  >= {threshold}),
+  edges AS (SELECT ia AS id, sb AS nb_sim, ib AS nb_id, sa AS my_sim
+            FROM pairs
+            UNION ALL
+            SELECT ib, sa, ia, sb FROM pairs),
+  drops AS (SELECT DISTINCT id FROM edges
+            WHERE nb_sim < my_sim
+               OR (nb_sim = my_sim AND nb_id < id))
+  SELECT a.vec_id AS id, a.cluster_id, a.centroid_sim,
+         dr.id IS NULL AS keep
+  FROM asg a LEFT JOIN drops dr ON a.vec_id = dr.id"""
+
+
 def _sql_near_dup_cosine_bucketed():
     cos = _SQL_COS.format(a="a.v", b="bb.v")
     return ("WITH " + _sql_bucket_cte() + f"""
@@ -5002,6 +5080,9 @@ def oracle_sql() -> dict[str, str]:
         # so bucketing + exact cosine replay bit-for-bit in DuckDB.
         "ann_topk": _sql_ann_topk(),
         "near_dup_cosine_bucketed": _sql_near_dup_cosine_bucketed(),
+        # SemDeDup: pinned-centroid literals, rounded-argmax cluster
+        # assignment, within-cluster pair join + keep rule, all in SQL
+        "semantic_dedup": _sql_semantic_dedup(n_centroids=16),
         "multiclass_binning_table": _sql_multiclass_binning_table(),
         "scenario_binning_table": _sql_scenario_binning_table(),
         "multimodal_features": _sql_multimodal_features(),

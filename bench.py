@@ -44,7 +44,10 @@ HEADLINE = [
     "wide_process_fit",
     # scale-path ANN: bucketed candidate equi-joins + exact verify
     "ann_topk",
-    "near_dup_cosine_bucketed",
+    # round 8: SemDeDup takes near_dup_cosine_bucketed's headline slot
+    # (same exact-cosine pair join, plus quantizer assignment and the
+    # keep rule — a strict superset of the timed work)
+    "semantic_dedup",
     # LSH pairs closed into duplicate groups (connected components)
     "dedup_clusters",
     # the same closure with the DISTRIBUTED large-star/small-star loop

@@ -362,6 +362,155 @@ def embedding_duplicate_clusters(
     return clusters_from_pairs(embeddings, pairs, id_col)
 
 
+def pinned_centroids(n_centroids: int, dim: int) -> list[list[float]]:
+    """Deterministic unit-norm pseudo-random centroids — the same
+    md5-derived construction as ``plane_weights`` (disjoint key
+    namespace), so a data-independent quantizer whose literals the
+    DuckDB oracle can embed identically at ANY scale factor. Use
+    ``train_ivf_centroids`` for a data-adapted quantizer when oracle
+    replay is not required."""
+    import math
+
+    cents = []
+    for c in range(n_centroids):
+        w = [plane_weight(100_000 + c, d) for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in w)) or 1.0
+        cents.append([x / n for x in w])
+    return cents
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float,
+    centroids=None,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 1000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with a coarse quantizer, then remove semantic
+    near-duplicates WITHIN each cluster only — pairwise cosine never
+    crosses cluster boundaries, which is what makes the method run at
+    web scale (the paper prunes LAION/C4 with k = 50,000 clusters).
+
+    Shape: assignment is a map-only pass (centroids travel as array
+    literals, argmax-dot per row — no shuffle, no UDF); candidate
+    pairing is an equi-join on ``cluster_id`` (never an all-pairs
+    theta join); the keep decision is one aggregation over the pair
+    list. At 100 TB the knobs are ``n_centroids`` (more clusters =
+    smaller equi-join buckets; the assignment cost is O(k) per row
+    and stays map-only) and ``max_cluster_size`` (skew guard: a
+    cluster larger than the cap skips pairing and keeps all members —
+    a too-coarse quantizer region is diagnosed, not quadratically
+    joined; raise k instead of raising the cap). The cap is ON by
+    default (1000, same posture as minhash_lsh_pairs'
+    max_bucket_size: the production path must be skew-safe without
+    opt-in — measured: k=8 over just 20k vectors is ~25M candidate
+    pairs uncapped); pass None to explicitly run uncapped.
+
+    Keep rule (deterministic SemDeDup variant): within each cluster,
+    a vector is dropped iff some near-duplicate neighbor (round-6
+    cosine >= ``threshold``) precedes it in (centroid_sim, id) order
+    — i.e. of any duplicate group the member with the LOWEST
+    similarity to its centroid survives, the paper's keep-low-sim
+    choice (§3.2), with the id as a total tiebreak.
+
+    Returns (id, cluster_id, centroid_sim, keep).
+
+    ``centroids=None`` trains the real spherical k-means quantizer
+    (``train_ivf_centroids``); pass ``pinned_centroids(k, dim)`` for
+    the data-independent variant the SQL oracle replays exactly.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__e"),
+    )
+    # round the per-centroid dots BEFORE the argmax so the cluster
+    # choice is replayable cross-engine (raw doubles can differ in the
+    # last ulp between Spark's fold and DuckDB's list_dot_product;
+    # at 6 dp they cannot)
+    dots = F.transform(
+        _centroid_dots_expr(F.col("__e"), centroids),
+        lambda d: F.round(d, 6),
+    )
+    asg = (
+        e.withColumn("__dots", dots)
+        .withColumn(
+            "cluster_id",
+            F.array_position(
+                F.col("__dots"), F.array_max(F.col("__dots"))).cast("int"))
+        .withColumn(
+            # centroids are unit-norm, so cos(v, c) == dot / |v|; the
+            # "+ 0.0" normalizes a rounded -0.0 (repr-hash gotcha)
+            "centroid_sim",
+            F.round(
+                F.array_max(F.col("__dots")) / norm_expr(F.col("__e")), 6)
+            + F.lit(0.0))
+        .select("id", "__e", norm_expr(F.col("__e")).alias("__n"),
+                "cluster_id", "centroid_sim")
+    )
+    if max_cluster_size is not None:
+        sizes = asg.groupBy("cluster_id").agg(F.count("*").alias("__csz"))
+        asg = asg.join(F.broadcast(sizes), "cluster_id").withColumn(
+            "__pairable", F.col("__csz") <= max_cluster_size)
+    else:
+        asg = asg.withColumn("__pairable", F.lit(True))
+    a, b = asg.alias("a"), asg.alias("b")
+    # one direction per pair would suffice for detection, but the keep
+    # rule needs each member's view of its neighbors — emit both
+    # directions from the a.id < b.id join instead of joining twice
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter((F.col("a.id") < F.col("b.id"))
+                & F.col("a.__pairable") & F.col("b.__pairable"))
+        .select(
+            "a.id", "b.id",
+            F.round(
+                dot_expr(F.col("a.__e"), F.col("b.__e"))
+                / (F.col("a.__n") * F.col("b.__n")), 6).alias("__cos"),
+            F.col("a.centroid_sim").alias("__sa"),
+            F.col("b.centroid_sim").alias("__sb"),
+        )
+        .filter(F.col("__cos") >= threshold)
+    )
+    # both directions of every edge from ONE evaluation of the pair
+    # join (a unionByName of two selects over `pairs` would run the
+    # join — the expensive stage — twice)
+    edges = pairs.select(
+        F.explode(F.array(
+            F.struct(
+                F.col("a.id").alias("id"),
+                F.col("__sb").alias("nb_sim"),
+                F.col("b.id").alias("nb_id"),
+                F.col("__sa").alias("my_sim")),
+            F.struct(
+                F.col("b.id").alias("id"),
+                F.col("__sa").alias("nb_sim"),
+                F.col("a.id").alias("nb_id"),
+                F.col("__sb").alias("my_sim")),
+        )).alias("__s")
+    ).select("__s.*")
+    dropped = (
+        edges.filter(
+            (F.col("nb_sim") < F.col("my_sim"))
+            | ((F.col("nb_sim") == F.col("my_sim"))
+               & (F.col("nb_id") < F.col("id"))))
+        .select("id").distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        asg.join(dropped, "id", "left")
+        .select(
+            "id", "cluster_id", "centroid_sim",
+            (~F.coalesce(F.col("__drop"), F.lit(False))).alias("keep"),
+        )
+    )
+
+
 # -- lexical retrieval (BM25) ---------------------------------------------
 
 def bm25_topk(

@@ -209,6 +209,73 @@ def test_bucketed_cosine_pairs_subset_of_exact(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup keep rule: no near-dup edge survives with BOTH
+    endpoints kept (the higher-(centroid_sim, id) endpoint of every
+    qualifying pair is always dropped), every vector appears exactly
+    once, and the candidate join is an equi-join on cluster_id."""
+    from optbinning_spark.pipeline.similarity import (
+        pinned_centroids,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = pinned_centroids(8, 64)
+    res = semantic_dedup(emb, threshold=0.4, centroids=cents)
+    rows = {r["id"]: r for r in res.collect()}
+    assert len(rows) == emb.count()
+    assert any(not r["keep"] for r in rows.values())  # threshold bites
+    # recompute pairwise cosine within clusters driver-side and check
+    # the no-kept-edge invariant + the drop direction
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in emb.collect()}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ra, rb = rows[a], rows[b]
+            if ra["cluster_id"] != rb["cluster_id"]:
+                continue
+            va, vb = vecs[a], vecs[b]
+            cos = round(float(va @ vb / (np.linalg.norm(va)
+                                         * np.linalg.norm(vb))), 6)
+            if cos >= 0.4:
+                # the endpoint later in (centroid_sim, id) order must
+                # have been dropped
+                hi = rb if (ra["centroid_sim"], a) < (rb["centroid_sim"], b) \
+                    else ra
+                assert not hi["keep"], (a, b, cos)
+    # cluster ids come from the pinned quantizer: bounded range
+    assert all(1 <= r["cluster_id"] <= 8 for r in rows.values())
+    # scale guard: no cartesian/theta join anywhere in the plan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_knobs(spark):
+    """Degenerate knobs: an unreachable threshold keeps everything;
+    max_cluster_size=1 disables pairing (keeps everything); the
+    trained-quantizer path (centroids=None) is deterministic."""
+    from optbinning_spark.pipeline.similarity import (
+        pinned_centroids,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    cents = pinned_centroids(8, 64)
+    hi = semantic_dedup(emb, threshold=1.01, centroids=cents)
+    assert hi.filter("keep").count() == n
+    capped = semantic_dedup(emb, threshold=0.4, centroids=cents,
+                            max_cluster_size=1)
+    assert capped.filter("keep").count() == n
+    t1 = semantic_dedup(emb, threshold=0.4, n_centroids=4)
+    t2 = semantic_dedup(emb, threshold=0.4, n_centroids=4)
+    assert sorted(map(tuple, t1.collect())) == sorted(map(tuple, t2.collect()))
+
+
 def test_hyperplane_signs_wide_embedding_codegen(spark):
     """dim-768 x 8 planes must not blow up codegen: weights are array
     Literals (O(n_planes) expression nodes), not dim x planes inlined
