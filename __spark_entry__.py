@@ -749,6 +749,28 @@ def q_lsh_candidates(spark, sf_dir):
     return lsh_candidate_pairs(docs, n_hashes=8, band_size=2)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Snapshot-refresh near-dup dedup: even doc_ids play the
+    already-indexed history corpus — their ``lsh_bands`` output IS
+    the persisted index a production refresh would read back — and
+    odd doc_ids are the new batch. Only the new batch is banded and
+    joined against the index; history-vs-history is never re-paired.
+    Oracle replays minhash + bands for both populations, the
+    COMBINED-bucket-size cap, and the min-colliding-id rule."""
+    from optbinning_spark.pipeline.dedup import (
+        incremental_lsh_dedup,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    docs = _documents(spark, sf_dir)
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = lsh_bands(
+        minhash_signatures(hist, n_hashes=8), n_hashes=8, band_size=2)
+    return incremental_lsh_dedup(new, idx, n_hashes=8, band_size=2)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate clustering: LSH candidate pairs, exact
     shingle-Jaccard verify (default 0.5 — the guard that kept the
@@ -2404,7 +2426,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_subword_count": q_bpe_subword_count,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
-        "minhash_signatures": q_minhash_signatures,
+        # incremental_dedup takes minhash_signatures' slot (round 8):
+        # the staged minhash-lane construction stays in-window via
+        # dedup_clusters' oracle (8-hash replay) and incremental_dedup
+        # itself, which adds the snapshot-refresh band-index join on
+        # top; minhash_signatures keeps its oracle in the tail.
+        "incremental_dedup": q_incremental_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "event_window_stats": q_event_window_stats,
@@ -2561,6 +2588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pair machinery; hyperplane buckets stay in-window via
         # ann_topk) — oracle still checked by tools/check_correctness
         "near_dup_cosine_bucketed": q_near_dup_cosine_bucketed,
+        # rotated out round 8 for incremental_dedup (minhash lanes
+        # stay in-window via dedup_clusters' 8-hash replay) — oracle
+        # still checked by tools/check_correctness
+        "minhash_signatures": q_minhash_signatures,
         "classification_metrics": q_classification_metrics,
         "distribution_stats": q_distribution_stats,
         "chi2_tests": q_chi2_tests,
@@ -4860,6 +4891,48 @@ def oracle_sql() -> dict[str, str]:
             FROM capped a JOIN capped b
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
+        """,
+        # incremental_dedup: the same minhash/band construction over
+        # BOTH populations (even doc_ids = indexed history, odd = new
+        # batch), cap on the COMBINED bucket size, then the refresh
+        # rule: a new doc is dup iff it shares a bucket with history
+        # or a lower-id new doc; dup_of = min colliding id.
+        "incremental_dedup": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            sh AS (
+              SELECT doc_id, unnest([array_to_string(words[i:i+2], ' ')
+                                     FOR i IN generate_series(1, len(words)-2)]) AS s
+              FROM w
+            ), h AS (
+              SELECT doc_id, md5('s0|' || s) AS h0, md5('s1|' || s) AS h1 FROM sh
+            ), sig AS (
+              SELECT doc_id,
+                     min(substr(h0, 1, 8)) AS mh0, min(substr(h0, 9, 8)) AS mh1,
+                     min(substr(h0, 17, 8)) AS mh2, min(substr(h0, 25, 8)) AS mh3,
+                     min(substr(h1, 1, 8)) AS mh4, min(substr(h1, 9, 8)) AS mh5,
+                     min(substr(h1, 17, 8)) AS mh6, min(substr(h1, 25, 8)) AS mh7
+              FROM h GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+              UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+              UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+              UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+            ), capped AS (
+              SELECT doc_id, band, band_key, doc_id % 2 = 1 AS isnew FROM (
+                SELECT doc_id, band, band_key,
+                       count(*) OVER (PARTITION BY band, band_key) AS bsz
+                FROM bands)
+              WHERE bsz <= 1000
+            ), coll AS (
+              SELECT n.doc_id AS id, min(o.doc_id) AS dup_of
+              FROM capped n JOIN capped o
+                ON n.band = o.band AND n.band_key = o.band_key
+               AND n.isnew AND ((NOT o.isnew) OR o.doc_id < n.doc_id)
+              GROUP BY 1
+            )
+            SELECT d.doc_id AS id, c.dup_of, c.dup_of IS NULL AS keep
+            FROM documents d LEFT JOIN coll c ON d.doc_id = c.id
+            WHERE d.doc_id % 2 = 1
         """,
         # dedup_clusters: the lsh_candidates pipeline + transitive
         # closure. Reachability by recursive CTE (UNION dedups, so the

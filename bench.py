@@ -31,7 +31,10 @@ HEADLINE = [
     "ks",
     "doc_token_stats",
     "exact_dedup",
-    "minhash_signatures",
+    # round 8: snapshot-refresh dedup takes minhash_signatures'
+    # headline slot (its map-only lane construction is a strict
+    # subset of this query's work: index build + delta band join)
+    "incremental_dedup",
     "jaccard_pairs",
     "embedding_topk",
     "continuous_binning_table",
@@ -349,6 +352,10 @@ SCALE_QUERIES = [
     "ann_topk",
     "dsir_logweights",
     "pack_sequences_bpe",
+    # round 8: the quantizer-bucketed pair join is the one new shape
+    # with quadratic risk — its slope under organic growth is the
+    # evidence the cluster-size cap + k lever work
+    "semantic_dedup",
     # round-6 operators, added r7 so their 100 TB arguments carry
     # slope evidence instead of being design-only (VERDICT r6 item 3)
     "bm25_topk",

@@ -213,6 +213,72 @@ def exact_dedup_groups(
     )
 
 
+def incremental_lsh_dedup(
+    new_df: DataFrame,
+    history_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Corpus-refresh (snapshot-over-snapshot) near-dup dedup: band
+    only the NEW batch and join it against the persisted band index —
+    history-vs-history is NEVER re-paired. This is the 100 TB refresh
+    shape: the state carried between snapshots is exactly what
+    ``lsh_bands(minhash_signatures(...))`` emits ((id, band,
+    band_key) — a few rows per doc), so the previous run's band
+    write IS the index, and each refresh costs
+    O(|new| + index equi-join), not O(|corpus|^2) re-clustering.
+
+    A new doc is flagged as a duplicate iff it shares any band bucket
+    with a history doc or with a lower-id doc of its own batch;
+    ``dup_of`` is the minimum such colliding id (which may itself be
+    flagged, in a new-batch chain — the same canonical-chain
+    convention as min-id clustering). The too-common-band cap is
+    applied to the COMBINED (history + new) bucket size, so a refresh
+    decides exactly as a from-scratch batch run over the union would.
+
+    ``history_bands`` must carry (id_col, band, band_key) built with
+    the same (n_hashes, band_size, shingle_n).
+
+    Returns (id, dup_of, keep) for every row of ``new_df``.
+    """
+    new_bands = lsh_bands(
+        minhash_signatures(new_df, text_col, id_col, n_hashes, shingle_n),
+        id_col, n_hashes, band_size)
+    all_bands = (
+        history_bands.select(
+            F.col(id_col), "band", "band_key",
+            F.lit(False).alias("__new"))
+        .unionByName(new_bands.select(
+            F.col(id_col), "band", "band_key",
+            F.lit(True).alias("__new")))
+    )
+    capped = _cap_buckets(all_bands, max_bucket_size)
+    n = capped.filter(F.col("__new")).alias("n")
+    o = capped.alias("o")
+    dup_of = (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_key") == F.col("o.band_key"))
+            & (
+                (~F.col("o.__new"))
+                | (F.col(f"o.{id_col}") < F.col(f"n.{id_col}"))
+            ),
+        )
+        .groupBy(F.col(f"n.{id_col}").alias("id"))
+        .agg(F.min(F.col(f"o.{id_col}")).alias("dup_of"))
+    )
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(dup_of, "id", "left")
+        .select("id", "dup_of", F.col("dup_of").isNull().alias("keep"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -47,6 +47,57 @@ def test_lsh_candidates_include_exact_dups(docs):
     assert (0, 3) not in pairs
 
 
+def test_incremental_dedup_matches_batch(docs, spark):
+    """The snapshot-refresh decision over (history | new) must equal
+    what a from-scratch batch pairing over the union would conclude
+    for the new docs: dup iff a batch candidate pair links the new
+    doc to history or to a lower-id new doc."""
+    from optbinning_spark.pipeline.dedup import (
+        incremental_lsh_dedup,
+        lsh_bands,
+    )
+
+    hist = docs.filter(F.col("doc_id") % 2 == 0)   # 0, 2, 4
+    new = docs.filter(F.col("doc_id") % 2 == 1)    # 1, 3
+    idx = lsh_bands(
+        minhash_signatures(hist, n_hashes=8), n_hashes=8, band_size=2)
+    got = {r["id"]: r for r in
+           incremental_lsh_dedup(new, idx, n_hashes=8, band_size=2).collect()}
+    assert set(got) == {1, 3}
+    # doc 1 is an exact dup of history doc 0; doc 3 is unique
+    assert got[1]["keep"] is False and got[1]["dup_of"] == 0
+    assert got[3]["keep"] is True and got[3]["dup_of"] is None
+    # general cross-check vs the batch pair generator over the union
+    batch = {(r["id_a"], r["id_b"]) for r in
+             lsh_candidate_pairs(docs, n_hashes=8, band_size=2).collect()}
+    for nid, r in got.items():
+        # qualifying colliders: any lower-id doc (history or new), or
+        # a higher-id history doc
+        linked = {a for a, b in batch if b == nid} | \
+                 {b for a, b in batch if a == nid and b % 2 == 0}
+        assert (not r["keep"]) == bool(linked), (nid, linked)
+
+
+def test_incremental_dedup_empty_history(docs, spark):
+    """With an empty index the refresh degrades to within-batch
+    dedup: the lowest id of each colliding group survives."""
+    from optbinning_spark.pipeline.dedup import (
+        incremental_lsh_dedup,
+        lsh_bands,
+    )
+
+    empty_idx = lsh_bands(
+        minhash_signatures(docs.filter(F.lit(False)), n_hashes=8),
+        n_hashes=8, band_size=2)
+    got = {r["id"]: r for r in
+           incremental_lsh_dedup(docs, empty_idx, n_hashes=8,
+                                 band_size=2).collect()}
+    assert len(got) == 5
+    assert got[0]["keep"] is True
+    assert got[1]["keep"] is False and got[1]["dup_of"] == 0
+    assert got[3]["keep"] is True
+
+
 def test_jaccard_pairs(docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
              ngram_jaccard_pairs(docs, max_doc_freq=10, min_jaccard=0.1).collect()}
