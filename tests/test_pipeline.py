@@ -305,6 +305,26 @@ def test_semantic_dedup_invariants(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_arrow_parity(spark):
+    """The Arrow scale path (matmul assignment + per-cluster gram
+    matrix) must reproduce the expr path EXACTLY — same cluster ids,
+    centroid sims and keep flags — on the fixture corpus at two
+    quantizer sizes."""
+    from optbinning_spark.pipeline.similarity import (
+        pinned_centroids,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for k in (8, 16):
+        cents = pinned_centroids(k, 64)
+        a = sorted(map(tuple, semantic_dedup(
+            emb, 0.4, centroids=cents).collect()))
+        b = sorted(map(tuple, semantic_dedup(
+            emb, 0.4, centroids=cents, method="arrow").collect()))
+        assert a == b
+
+
 def test_semantic_dedup_knobs(spark):
     """Degenerate knobs: an unreachable threshold keeps everything;
     max_cluster_size=1 disables pairing (keeps everything); the
