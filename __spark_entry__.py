@@ -363,6 +363,19 @@ def q_doc_split_assignment(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def q_shard_assignment(spark, sf_dir):
+    """Reproducible global training shuffle: two-level (shard, pos)
+    addressing of the salted-hash permutation — shard is a map-only
+    contiguous u-range gate, pos a per-shard window rank; no global
+    sort. Oracle replays the md5 u, the floor gate and the
+    row_number rank."""
+    from optbinning_spark.pipeline.sampling import global_shuffle_shards
+
+    docs = _documents(spark, sf_dir)
+    return global_shuffle_shards(docs, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "pos")
+
+
 _BM25_QUERIES = [(0, "spark window hash"), (1, "filter group query"),
                  (2, "stream batch sort")]
 
@@ -2611,6 +2624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_yquantile": q_outlier_yquantile,
         "binning_process_summary": q_binning_process_summary,
         "doc_split_assignment": q_doc_split_assignment,
+        # round 8: reproducible global training shuffle — two-level
+        # (shard, pos) addressing, no global sort
+        "shard_assignment": q_shard_assignment,
         "stratified_doc_sample": q_stratified_doc_sample,
         "near_dup_cosine": q_near_dup_cosine,
         "scorecard_scores": q_scorecard_scores,
@@ -4644,6 +4660,26 @@ def oracle_sql() -> dict[str, str]:
         # fsum-derived constants the engine gates on — so no boundary
         # doc can ever straddle engine-vs-oracle float drift.
         "doc_split_assignment": _sql_doc_split_assignment(),
+        # shard_assignment: same md5 u, the floor(u*n) contiguous
+        # range gate (least-guarded like the engine) and the
+        # per-shard (u, id) row_number rank
+        "shard_assignment": """
+            WITH u AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM documents
+            ), s AS (
+              SELECT doc_id, u,
+                     least(CAST(floor(u * 8) AS INTEGER), 7) AS shard
+              FROM u
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY u, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM s
+        """,
         "dsir_logweights": _sql_dsir_logweights(),
         "bm25_topk": _sql_bm25_topk(),
         "lm_perplexity": _sql_lm_perplexity(),

@@ -79,6 +79,47 @@ def hash_split(
     return df.select("*", expr.alias("split"))
 
 
+def global_shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Reproducible corpus-wide training shuffle with (shard, pos)
+    addressing — what a data loader needs to stream a 100 TB corpus
+    in a uniform random order, resume mid-epoch, and re-shuffle per
+    epoch (change the salt).
+
+    The global order is (u, id) where u = hash_uniform(id, salt) — a
+    deterministic uniform permutation independent of input
+    partitioning. Rather than a full global sort, the permutation is
+    addressed two-level: ``shard = floor(u * n_shards)`` (map-only;
+    contiguous u-ranges, so concatenating shards 0..n-1 IS the global
+    order) and ``pos`` = rank of u within the shard (ONE hash
+    shuffle + per-shard sort — each shard sorts independently, no
+    total-order range exchange, no driver coordination). Readers that
+    interleave shards still see a uniform order because u is uniform
+    within every shard.
+
+    Returns ``df`` plus (shard int, pos long); pos is 0-based and
+    dense within each shard.
+    """
+    from pyspark.sql import Window as W
+
+    u = hash_uniform(F.col(id_col), salt)
+    d = df.select("*", u.alias("__u")).withColumn(
+        "shard",
+        # u < 1 so floor(u * n) < n mathematically; least() guards
+        # the one float edge where u * n rounds up to exactly n
+        F.least(F.floor(F.col("__u") * n_shards).cast("int"),
+                F.lit(n_shards - 1)))
+    w = W.partitionBy("shard").orderBy(F.col("__u"), F.col(id_col))
+    return (
+        d.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__u")
+    )
+
+
 def mixture_sampling_rates(
     df: DataFrame,
     strata_col: str,

@@ -787,6 +787,42 @@ def test_hash_split_disjoint_exhaustive_deterministic(spark):
     assert c2 != a
 
 
+def test_global_shuffle_shards_is_addressed_permutation(spark):
+    """(shard, pos) is a dense 0-based addressing of a deterministic
+    permutation; concatenating shards 0..n-1 reproduces the global
+    (u, id) order; changing the salt re-shuffles."""
+    import hashlib
+
+    from optbinning_spark.pipeline.sampling import global_shuffle_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    rows = global_shuffle_shards(docs, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "pos").collect()
+    assert len(rows) == n
+    addr = {(r["shard"], r["pos"]) for r in rows}
+    assert len(addr) == n  # unique addresses
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))  # dense per shard
+    # concatenated order == global (u, id) order recomputed driver-side
+    def u(doc_id):
+        h = hashlib.md5(f"shuffle|{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) / 2**32
+
+    concat = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["shard"], r["pos"]))]
+    expect = [d for _, d in sorted((u(r["doc_id"]), r["doc_id"]) for r in rows)]
+    assert concat == expect
+    # epoch re-shuffle: a different salt permutes differently
+    other = [r["doc_id"] for r in sorted(
+        global_shuffle_shards(docs, "doc_id", 8, salt="epoch1").select(
+            "doc_id", "shard", "pos").collect(),
+        key=lambda r: (r["shard"], r["pos"]))]
+    assert other != concat
+
+
 def test_hash_split_rejects_bad_fractions(spark):
     import pytest as _pt
 
