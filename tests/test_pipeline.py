@@ -1865,6 +1865,32 @@ def test_data_pipeline_example_runs():
     assert "bpe tokens packed:" in out
 
 
+def test_corpus_refresh_example_runs():
+    """The snapshot-refresh example runs at sf0.01: three snapshots
+    replayed against a persisted band index, per-round classification
+    printed, and the final keep count conserved."""
+    import re
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "examples/corpus_refresh.py",
+         "/root/testdata/sf0.01"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "round 0: bootstrap" in out
+    for rnd in (1, 2):
+        assert re.search(
+            rf"^round {rnd}: new=\d+ dup_vs_history=\d+ "
+            rf"dup_within_batch=\d+ kept=\d+ index_rows=\d+", out, re.M), \
+            out[-2000:]
+    m = re.search(r"^REFRESH_OK (\d+) (\d+)", out, re.M)
+    assert m, out[-2000:]
+    kept, total = int(m.group(1)), int(m.group(2))
+    assert 0 < kept <= total == 500
+
+
 def test_organic_generator_deterministic():
     """tools/gen_sf1_organic shards are seed-deterministic: the same
     (shard, seed) yields byte-identical content — the property the
