@@ -31,7 +31,7 @@ def cosine_expr(a: Column, b: Column) -> Column:
     """Convenience pairwise cosine (public surface). The query paths
     precompute per-side norms instead — see brute_force_topk — so the
     per-pair work is a single dot fold."""
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
 def brute_force_topk(
@@ -61,9 +61,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.round(
-                dot_expr(F.col("__e"), F.col("__q"))
-                / (F.col("__en") * F.col("__qn")), 6).alias("cosine"),
+            F.round(F.try_divide(
+                dot_expr(F.col("__e"), F.col("__q")),
+                F.col("__en") * F.col("__qn")), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -94,9 +94,9 @@ def cosine_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(
-                dot_expr(F.col("a.__e"), F.col("b.__e"))
-                / (F.col("a.__n") * F.col("b.__n")), 6).alias("cosine"),
+            F.round(F.try_divide(
+                dot_expr(F.col("a.__e"), F.col("b.__e")),
+                F.col("a.__n") * F.col("b.__n")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -221,9 +221,9 @@ def ivf_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.round(
-                dot_expr(F.col("__e"), F.col("__q"))
-                / (F.col("__en") * F.col("__qn")), 6).alias("cosine"),
+            F.round(F.try_divide(
+                dot_expr(F.col("__e"), F.col("__q")),
+                F.col("__en") * F.col("__qn")), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -289,9 +289,9 @@ def bucketed_cosine_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(
-                dot_expr(F.col("a.__e"), F.col("b.__e"))
-                / (F.col("a.__n") * F.col("b.__n")), 6).alias("cosine"),
+            F.round(F.try_divide(
+                dot_expr(F.col("a.__e"), F.col("b.__e")),
+                F.col("a.__n") * F.col("b.__n")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -328,9 +328,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.round(
-                dot_expr(F.col("__e"), F.col("__q"))
-                / (F.col("__en") * F.col("__qn")), 6).alias("cosine"),
+            F.round(F.try_divide(
+                dot_expr(F.col("__e"), F.col("__q")),
+                F.col("__en") * F.col("__qn")), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -461,11 +461,16 @@ def semantic_dedup(
                 F.col("__dots"), F.array_max(F.col("__dots"))).cast("int"))
         .withColumn(
             # centroids are unit-norm, so cos(v, c) == dot / |v|; the
-            # "+ 0.0" normalizes a rounded -0.0 (repr-hash gotcha)
+            # "+ 0.0" normalizes a rounded -0.0 (repr-hash gotcha).
+            # A zero-norm vector (failed encoder output) gets NULL on
+            # every path — Spark's 0/0 is NaN but DuckDB's is NULL,
+            # so without the guard the oracle diverges (fuzz-caught)
             "centroid_sim",
-            F.round(
-                F.array_max(F.col("__dots")) / norm_expr(F.col("__e")), 6)
-            + F.lit(0.0))
+            F.when(norm_expr(F.col("__e")) == 0, F.lit(None)).otherwise(
+                F.round(
+                    F.array_max(F.col("__dots")) / norm_expr(F.col("__e")),
+                    6)
+                + F.lit(0.0)))
         .select("id", "__e", norm_expr(F.col("__e")).alias("__n"),
                 "cluster_id", "centroid_sim")
     )
@@ -485,9 +490,9 @@ def semantic_dedup(
                 & F.col("a.__pairable") & F.col("b.__pairable"))
         .select(
             "a.id", "b.id",
-            F.round(
-                dot_expr(F.col("a.__e"), F.col("b.__e"))
-                / (F.col("a.__n") * F.col("b.__n")), 6).alias("__cos"),
+            F.round(F.try_divide(
+                dot_expr(F.col("a.__e"), F.col("b.__e")),
+                F.col("a.__n") * F.col("b.__n")), 6).alias("__cos"),
             F.col("a.centroid_sim").alias("__sa"),
             F.col("b.centroid_sim").alias("__sb"),
         )
@@ -562,7 +567,13 @@ def _semantic_dedup_arrow(
             dots = np.round(X @ C.T, 6)   # rounded BEFORE argmax,
             cl = dots.argmax(axis=1)      # like the expr path
             nrm = np.sqrt((X * X).sum(axis=1))
-            sim = np.round(dots[np.arange(len(X)), cl] / nrm, 6) + 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = np.round(
+                    dots[np.arange(len(X)), cl] / nrm, 6) + 0.0
+            # zero-norm vectors: NULL, matching the expr path and the
+            # DuckDB oracle (a float NaN would survive Arrow as NaN)
+            sim = pd.array(raw, dtype="Float64")
+            sim[nrm == 0] = pd.NA
             yield pd.DataFrame({
                 "id": pdf[id_col].to_numpy(),
                 "cluster_id": (cl + 1).astype("int32"),
@@ -583,7 +594,12 @@ def _semantic_dedup_arrow(
             X = np.array(pdf["__e"].tolist(), dtype=np.float64)
             U = X / pdf["__nrm"].to_numpy()[:, None]
             order = np.lexsort(
-                (pdf["id"].to_numpy(), pdf["centroid_sim"].to_numpy()))
+                (pdf["id"].to_numpy(),
+                 # NULL sims (zero-norm vectors) sort as NaN = last;
+                 # they can neither drop nor be dropped (their gram
+                 # entries are NaN, every >= compare is False)
+                 pdf["centroid_sim"].to_numpy(
+                     dtype="float64", na_value=np.nan)))
             S = np.round(U[order] @ U[order].T, 6)
             keep[order] = ~np.any(np.triu(S >= threshold, 1), axis=0)
         out = pdf[["id", "cluster_id", "centroid_sim"]].copy()

@@ -126,3 +126,53 @@ def test_expression_cross_engine(spark, name, spark_fn, sql):
             f"select doc_id, {sql} as v from t").fetchall():
         assert got[doc_id] == v, (
             name, doc_id, got[doc_id], v, rows[doc_id][1])
+
+
+def test_semantic_dedup_cross_engine_adversarial_vectors(spark, tmp_path):
+    """semantic_dedup's full oracle replayed over an ADVERSARIAL
+    embedding table the driver corpus never contains: the zero vector
+    (0/0 centroid_sim — Spark NaN vs DuckDB NULL without the guard),
+    exact duplicates (cosine exactly 1, centroid_sim ties broken by
+    id), negated and scaled copies, one-hot axes and near-tie
+    vectors. All three paths must agree: expr, arrow, and the SQL."""
+    import random
+
+    import __spark_entry__ as entry_mod
+    from optbinning_spark.pipeline.similarity import (
+        pinned_centroids,
+        semantic_dedup,
+    )
+
+    rnd = random.Random(4133)
+    dim = 64
+    vecs = [
+        [0.0] * dim,                                   # zero vector
+        [1.0] + [0.0] * (dim - 1),                     # one-hot
+        [1.0] + [0.0] * (dim - 1),                     # exact dup
+        [-1.0] + [0.0] * (dim - 1),                    # negation
+        [2.0] + [0.0] * (dim - 1),                     # scaled copy
+        [1e-9] * dim,                                  # tiny norm
+        [1.0] * dim,                                   # constant
+    ] + [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pq = str(tmp_path / "embeddings.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    emb = spark.read.parquet(pq)
+
+    cents = pinned_centroids(8, dim)
+    a = sorted(map(tuple, semantic_dedup(
+        emb, 0.4, centroids=cents).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        emb, 0.4, centroids=cents, method="arrow").collect()))
+    assert a == b
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from read_parquet('{pq}/*.parquet')")
+    sql = entry_mod._sql_semantic_dedup(n_centroids=8, dim=dim)
+    got_sql = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert a == got_sql, (a[:3], got_sql[:3])
+    # the zero vector: NULL sim, kept, never paired — on every path
+    z = [r for r in a if r[0] == 0][0]
+    assert z[2] is None and z[3] is True
