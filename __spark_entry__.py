@@ -490,6 +490,39 @@ def q_dsir_logweights(spark, sf_dir):
         "doc_id", (F.round("log_weight", 5) + 0.0).alias("log_weight"))
 
 
+def q_nb_quality_score(spark, sf_dir):
+    """fastText-style model-based quality filtering (CCNet / LLaMA
+    curation step) as multinomial Naive Bayes over the DSIR hashed
+    unigram+bigram bucket space: train on a deterministic hash-split
+    half of the corpus (reference class = the Spanish slice), score
+    EVERY doc with the map-only ordered LLR fold (one array literal,
+    no join, no shuffle — the dsir_logweights physical shape plus a
+    prior bias). Training is one bounded bucket aggregation with
+    per-class sums (mergeable -> streaming/sharded training). Uses
+    the materialized-features path (one text scan feeds train AND
+    score — tokenize/hash/bucket once, localCheckpoint the compact
+    integer frame; 16.1 s -> ~5 s at sf0.01). The oracle replays
+    split gate, counts, smoothing, prior and the bucket-sorted fold;
+    log_odds rounds at 5 (ln ulp noise only)."""
+    from optbinning_spark.pipeline.classify import nb_score, nb_train
+    from optbinning_spark.pipeline.sampling import (
+        dsir_features,
+        hash_uniform,
+    )
+
+    docs = _documents(spark, sf_dir)
+    feats = dsir_features(docs, n_buckets=4096,
+                          keep=("lang",)).localCheckpoint(eager=True)
+    train = feats.filter(
+        hash_uniform(F.col("doc_id"), "nbtrain") < 0.5
+    ).withColumn("is_ref", F.col("lang") == "es")
+    model = nb_train(train, "is_ref", n_buckets=4096,
+                     features_col="features")
+    s = nb_score(feats, model, features_col="features")
+    return s.select(
+        "doc_id", (F.round("log_odds", 5) + 0.0).alias("log_odds"))
+
+
 def q_doc_chunks(spark, sf_dir):
     """Context-window chunking: fixed 32-token windows with 8-token
     overlap, map-only posexplode flatMap (no shuffle/UDF; a 1M-token
@@ -2437,7 +2470,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # surface: tokenizer-faithful BPE subword accounting under the
         # pinned mini vocab, replayed merge-for-merge by DuckDB
         "bpe_subword_count": q_bpe_subword_count,
-        "lang_id": q_lang_id,
+        # nb_quality_score takes lang_id's slot (round 8): both are
+        # bag-of-tokens text classifiers — the marker-based language
+        # CASE stays tail-oracled while the supervised generalization
+        # (fastText-style NB quality filter: hash-split train set,
+        # bounded per-class bucket counts, map-only LLR fold) joins
+        # the window; lang_id keeps its oracle in the tail
+        "nb_quality_score": q_nb_quality_score,
         "exact_dedup": q_exact_dedup,
         # incremental_dedup takes minhash_signatures' slot (round 8):
         # the staged minhash-lane construction stays in-window via
@@ -2605,6 +2644,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stay in-window via dedup_clusters' 8-hash replay) — oracle
         # still checked by tools/check_correctness
         "minhash_signatures": q_minhash_signatures,
+        # rotated out round 8 for nb_quality_score (the supervised
+        # bag-of-tokens classifier; marker CASE covered there and by
+        # gopher_flags' expression family) — oracle still checked by
+        # tools/check_correctness
+        "lang_id": q_lang_id,
         "classification_metrics": q_classification_metrics,
         "distribution_stats": q_distribution_stats,
         "chi2_tests": q_chi2_tests,
@@ -4393,6 +4437,58 @@ def _sql_dsir_logweights():
   FROM fb, rl"""
 
 
+def _sql_nb_quality_score():
+    """Full NB-classifier replay: the nbtrain hash gate (same
+    '0x'||substr idiom as the split oracle), unigram+bigram features
+    bucketed by the top-32-md5-bits hash, Laplace-1 per-class bucket
+    LLRs over generate_series LEFT JOIN (absent buckets get the
+    smoothing-only ratio, like the engine's dense driver table), the
+    ln(np)-ln(nn) prior, and the per-doc score as a STRICT left fold
+    of the bucket-sorted LLR list — same summation order as the
+    engine's F.aggregate over array_sort; both sides round at 5."""
+    return """
+  WITH fb AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5('nbtrain|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0 < 0.5 AS is_train,
+           list_transform(
+             list_concat(
+               ws,
+               [array_to_string(ws[i:i+1], ' ')
+                FOR i IN generate_series(1, len(ws) - 1)]),
+             f -> ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096) AS bs
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+          FROM documents)),
+  cnt AS (
+    SELECT b,
+           sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS pos,
+           sum(CASE WHEN lang = 'es' THEN 0 ELSE 1 END) AS neg
+    FROM (SELECT lang, unnest(bs) AS b FROM fb WHERE is_train)
+    GROUP BY b),
+  pr AS (
+    SELECT sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS np,
+           count(*) AS n
+    FROM fb WHERE is_train),
+  tot AS (
+    SELECT (SELECT coalesce(sum(pos), 0) FROM cnt) + 4096.0 AS pt,
+           (SELECT coalesce(sum(neg), 0) FROM cnt) + 4096.0 AS nt),
+  w AS (
+    SELECT g.b,
+           ln((coalesce(c.pos, 0) + 1.0) / tot.pt)
+         - ln((coalesce(c.neg, 0) + 1.0) / tot.nt) AS lr
+    FROM generate_series(0, 4095) AS g(b)
+    LEFT JOIN cnt c ON c.b = g.b, tot),
+  wl AS (SELECT list(lr ORDER BY b) AS lrs FROM w),
+  prior AS (SELECT ln(np) - ln(n - np) AS lpo FROM pr)
+  SELECT doc_id,
+         round(prior.lpo + list_reduce(
+             list_prepend(0.0::DOUBLE,
+               list_transform(list_sort(bs),
+                              b -> wl.lrs[CAST(b AS INT) + 1])),
+             (a, x) -> a + x), 5) + 0.0 AS log_odds
+  FROM fb, wl, prior"""
+
+
 def _sql_doc_split_assignment():
     """Split-gate oracle generated from split_thresholds() — the SAME
     fsum-derived constants the engine's hash_split gates on, rendered
@@ -4681,6 +4777,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "dsir_logweights": _sql_dsir_logweights(),
+        "nb_quality_score": _sql_nb_quality_score(),
         "bm25_topk": _sql_bm25_topk(),
         "lm_perplexity": _sql_lm_perplexity(),
         "pii_redaction": _sql_pii_redaction(),
