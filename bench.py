@@ -356,6 +356,10 @@ SCALE_QUERIES = [
     # with quadratic risk — its slope under organic growth is the
     # evidence the cluster-size cap + k lever work
     "semantic_dedup",
+    # round 8: the NB quality classifier — train agg is bounded at
+    # n_buckets, scoring is a shuffle-free fold; slope should track
+    # the corpus scan
+    "nb_quality_score",
     # round-6 operators, added r7 so their 100 TB arguments carry
     # slope evidence instead of being design-only (VERDICT r6 item 3)
     "bm25_topk",

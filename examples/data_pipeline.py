@@ -1,6 +1,6 @@
 """Training-data pipeline: PII -> paragraph dedup -> quality gates ->
-near-dup dedup -> DSIR select -> split -> chunk -> pack -> ANN, with a
-stage-by-stage row/token audit table.
+NB quality model -> near-dup dedup -> DSIR select -> split -> chunk ->
+pack -> ANN, with a stage-by-stage row/token audit table.
 
 The LLM-data operator family over the `documents` / `embeddings`
 tables, wired the way a real curation run is: every stage that can
@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from optbinning_spark import get_spark
 from optbinning_spark.pipeline.bpe import bpe_token_count_col
+from optbinning_spark.pipeline.classify import nb_filter, nb_train
 from optbinning_spark.pipeline.dedup import (
     duplicate_clusters,
     paragraph_dedup,
@@ -108,7 +109,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
                                          if c.startswith("ok_")]))
     audit.append(_audit_row(gated, "quality_gates",
                             "gopher + repetition rules"))
-    docs = gated
+
+    # model-based quality filter (the CCNet/LLaMA fastText step):
+    # distill the heuristic gate decisions into an NB bag-of-n-gram
+    # classifier, then keep only gated docs the model ALSO scores
+    # gate-passing-like — the smooth ensemble of the sharp rules. At
+    # 100 TB the trained model (one array literal) can gate the next
+    # batch as a pure map, without re-running the gate aggregations.
+    labeled = g.join(rep, "doc_id").withColumn(
+        "y", (F.col("keep") & F.col("rep_keep")).cast("int"))
+    try:
+        model = nb_train(labeled, "y", n_buckets=2048)
+        docs = nb_filter(gated, model, min_log_odds=0.0)
+        audit.append(_audit_row(
+            docs, "nb_quality_filter",
+            f"NB LLR gate distilled from {labeled.count()} gate labels"))
+    except ValueError:  # gates passed/failed everything: no classes
+        docs = gated
+        last = audit[-1]
+        audit.append({"stage": "nb_quality_filter", "docs": last["docs"],
+                      "tokens": last["tokens"],
+                      "note": "skipped: gate labels single-class"})
 
     # near-duplicate clustering: MinHash -> LSH bands -> exact Jaccard
     # verify -> connected components; keep one doc per cluster

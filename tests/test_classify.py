@@ -131,3 +131,26 @@ def test_nb_prior_and_llr_closed_form(spark):
         model.llr[b] for b in sorted([bucket("aa"), bucket("aa"),
                                       bucket("aa aa")]))
     assert scored[0] == pytest.approx(want0, rel=1e-12)
+
+
+def test_nb_score_on_structured_stream(spark, tmp_path, corpus):
+    """The scoring fold is stateless/map-only, so a trained model
+    gates a readStream source unchanged (the 100 TB deploy shape:
+    train once on a labeled batch, score the firehose)."""
+    train = corpus.filter(F.col("label").isNotNull())
+    model = nb_train(train, "label", n_buckets=512)
+    src = str(tmp_path / "stream_src")
+    corpus.filter(F.col("label").isNotNull()).write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = (nb_score(stream, model)
+         .writeStream.format("memory").queryName("nb_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r["log_odds"]
+               for r in spark.sql("SELECT * FROM nb_stream").collect()}
+    finally:
+        q.stop()
+    want = {r["doc_id"]: r["log_odds"]
+            for r in nb_score(train, model).collect()}
+    assert got == want
