@@ -490,6 +490,36 @@ def q_dsir_logweights(spark, sf_dir):
         "doc_id", (F.round("log_weight", 5) + 0.0).alias("log_weight"))
 
 
+def q_training_sequences(spark, sf_dir):
+    """The training-shard sink's materialization
+    (sources/training_shards.py): packed 128-token BPE sequences with
+    span-level provenance — the pack PLAN (per-shard cumsum, already
+    oracled via pack_sequences_bpe) joined back to per-doc token-id
+    arrays, sliced, and assembled with one bounded per-sequence
+    aggregation. input_ids and the provenance spans are serialized to
+    CSV strings on BOTH sides so the hash compares exact integers,
+    not engine array reprs."""
+    from optbinning_spark.sources.training_shards import (
+        build_training_sequences,
+    )
+
+    docs = _documents(spark, sf_dir)
+    seqs = build_training_sequences(docs, 128, shard_col="lang")
+    prov = F.concat_ws(";", F.transform(
+        F.col("provenance"),
+        lambda p: F.concat_ws(
+            ":", p["doc_id"].cast("string"),
+            p["doc_start"].cast("string"),
+            p["seq_offset"].cast("string"),
+            p["n_tokens"].cast("string"))))
+    return seqs.select(
+        "shard", "seq_id", "n_tokens",
+        F.concat_ws(",", F.transform(
+            F.col("input_ids"),
+            lambda x: x.cast("string"))).alias("ids_csv"),
+        prov.alias("prov_csv"))
+
+
 def q_nb_quality_score(spark, sf_dir):
     """fastText-style model-based quality filtering (CCNet / LLaMA
     curation step) as multinomial Naive Bayes over the DSIR hashed
@@ -2595,7 +2625,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pack_sequences keeps its whitespace oracle in the tail.
         # (Slot lineage: pack_sequences had taken distribution_stats'
         # slot in round 6; distribution_stats stays tail-oracled.)
-        "pack_sequences_bpe": q_pack_sequences_bpe,
+        # training_sequences takes pack_sequences_bpe's slot (round
+        # 8): it CONTAINS the pack plan (same cumsum/chop replayed in
+        # its oracle) and additionally materializes + verifies the
+        # token-id sequences and provenance spans the sink writes;
+        # pack_sequences_bpe keeps its oracle in the tail
+        "training_sequences": q_training_sequences,
         # quality_top_fraction takes chi2_tests' slot (M9's scipy-free
         # special_math surface stays pinned by tests/test_special_math
         # and the in-window classification/regression metrics that
@@ -2635,6 +2670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked by tools/check_correctness
         "doc_token_stats": q_doc_token_stats,
         "pack_sequences": q_pack_sequences,
+        # rotated out round 8 for training_sequences (which replays
+        # the same pack plan and adds id materialization) — oracle
+        # still checked by tools/check_correctness
+        "pack_sequences_bpe": q_pack_sequences_bpe,
         "bpe_token_count": q_bpe_token_count,
         # rotated out round 8 for semantic_dedup (same exact-cosine
         # pair machinery; hyperplane buckets stay in-window via
@@ -4177,6 +4216,67 @@ def _sql_pack_sequences_bpe():
     return _sql_pack_sequences(n=bpe_token_count_sql("text"))
 
 
+def _sql_training_sequences():
+    """Materialized-sequence replay: BPE token SYMBOL lists
+    (bpe_tokens_sql — the same merged-string nested replaces), ids
+    via a 134-row VALUES vocab LEFT JOIN re-assembled in position
+    order (parallel unnest zips positionally in DuckDB), then the
+    exact pack arithmetic of _sql_pack_sequences, list-sliced pieces
+    concatenated in seq_offset order, and provenance spans as an
+    ordered string_agg."""
+    from optbinning_spark.pipeline.bpe import (
+        _sql_quote,
+        bpe_tokens_sql,
+        bpe_vocab,
+    )
+
+    L = 128
+    vals = ", ".join(f"({_sql_quote(sym)}, {i})"
+                     for sym, i in bpe_vocab().items())
+    return f"""
+  WITH tk AS (
+    SELECT doc_id, lang AS shard, {bpe_tokens_sql('text')} AS toks
+    FROM documents),
+  tp AS (
+    SELECT doc_id, shard, unnest(toks) AS sym,
+           unnest(generate_series(1, len(toks))) AS pos
+    FROM tk),
+  vocab(sym, id) AS (VALUES {vals}),
+  ids AS (
+    SELECT doc_id, shard, list(coalesce(v.id, 0) ORDER BY pos) AS ids
+    FROM tp LEFT JOIN vocab v USING (sym)
+    GROUP BY doc_id, shard),
+  cum AS (
+    SELECT shard, doc_id, ids, CAST(len(ids) AS BIGINT) AS n,
+           CAST(coalesce(sum(len(ids)) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS a
+    FROM ids),
+  e AS (
+    SELECT shard, doc_id, ids, a, n,
+           unnest(generate_series(a // {L}, (a + n - 1) // {L}))
+             AS seq_id
+    FROM cum WHERE n > 0),
+  cut AS (
+    SELECT shard, seq_id, doc_id,
+           greatest(a, seq_id * {L}) - a AS doc_start,
+           greatest(a, seq_id * {L}) - seq_id * {L} AS seq_offset,
+           least(a + n, (seq_id + 1) * {L})
+             - greatest(a, seq_id * {L}) AS nt,
+           ids[greatest(a, seq_id * {L}) - a + 1
+               : least(a + n, (seq_id + 1) * {L}) - a] AS piece
+    FROM e)
+  SELECT shard, seq_id,
+         CAST(sum(nt) AS BIGINT) AS n_tokens,
+         array_to_string(flatten(list(
+           list_transform(piece, x -> CAST(x AS VARCHAR))
+           ORDER BY seq_offset)), ',') AS ids_csv,
+         string_agg(doc_id || ':' || doc_start || ':' || seq_offset
+                    || ':' || nt, ';' ORDER BY seq_offset) AS prov_csv
+  FROM cut GROUP BY shard, seq_id"""
+
+
 def _sql_bpe_subword_count():
     from optbinning_spark.pipeline.bpe import bpe_token_count_sql
     from optbinning_spark.pipeline.text import BPE_TOKEN_PATTERN
@@ -4785,6 +4885,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _sql_doc_chunks(),
         "pack_sequences": _sql_pack_sequences(),
         "pack_sequences_bpe": _sql_pack_sequences_bpe(),
+        "training_sequences": _sql_training_sequences(),
         "bpe_subword_count": _sql_bpe_subword_count(),
         "quality_top_fraction": _sql_quality_top_fraction(),
         "stratified_doc_sample": """

@@ -58,6 +58,7 @@ __all__ = [
     "bpe_tokens_col",
     "bpe_token_count_col",
     "bpe_token_count_sql",
+    "bpe_tokens_sql",
     "bpe_apply_python",
     "bpe_token_count_pandas_udf",
     "load_merges_txt",
@@ -125,13 +126,12 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def bpe_token_count_sql(col: str, merges=None,
-                        pattern: str = BPE_TOKEN_PATTERN) -> str:
-    """The DuckDB replay of :func:`bpe_token_count_col`: identical
-    pre-tokenizer regex (RE2 both sides), identical symbol encoding,
-    identical two-pass replace per merge. ``col`` is a SQL expression
-    for the text column."""
-    merges = MINI_MERGES if merges is None else merges
+def _merged_sql(col: str, merges,
+                pattern: str = BPE_TOKEN_PATTERN) -> tuple[str, str]:
+    """(merged-string expr, pre-token-list expr) — the shared DuckDB
+    replay core: identical pre-tokenizer regex (RE2 both sides),
+    identical symbol encoding, identical two-pass replace per merge.
+    ``col`` is a SQL expression for the text column."""
     clean = f"replace({col}, chr(30), '')"
     toks = f"regexp_extract_all({clean}, {_sql_quote(pattern)})"
     # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
@@ -144,9 +144,28 @@ def bpe_token_count_sql(col: str, merges=None,
         pat = _sql_quote(SEP + a + SEP + b + SEP)
         rep = _sql_quote(SEP + a + b + SEP)
         expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    return expr, toks
+
+
+def bpe_token_count_sql(col: str, merges=None,
+                        pattern: str = BPE_TOKEN_PATTERN) -> str:
+    """The DuckDB replay of :func:`bpe_token_count_col`."""
+    merges = MINI_MERGES if merges is None else merges
+    expr, toks = _merged_sql(col, merges, pattern)
     n_sep = (f"(length({expr}) - "
              f"length(replace({expr}, chr(30), '')))")
     return f"CAST(({n_sep} - len({toks})) AS INTEGER)"
+
+
+def bpe_tokens_sql(col: str, merges=None,
+                   pattern: str = BPE_TOKEN_PATTERN) -> str:
+    """The DuckDB replay of :func:`bpe_tokens_col`: the list of BPE
+    token SYMBOLS of ``col`` (split the merged string on the
+    separator, drop empties)."""
+    merges = MINI_MERGES if merges is None else merges
+    expr, _ = _merged_sql(col, merges, pattern)
+    return (f"list_filter(string_split({expr}, chr(30)), "
+            f"x -> x <> '')")
 
 
 def bpe_apply_python(text: str, merges=None,

@@ -1,0 +1,179 @@
+"""Training-shard sink — the pipeline's last mile: materialize packed
+token-id sequences and write them as shard-partitioned parquet with an
+integrity manifest.
+
+``pack_sequences`` (pipeline/text.py) emits the packing PLAN (which
+token span of which document lands where); a trainer consumes
+MATERIALIZED fixed-length ``input_ids`` rows plus two operational
+guarantees a 100 TB run cannot skip:
+
+- **provenance**: every sequence carries the (doc_id, doc_start,
+  seq_offset, n_tokens) spans that built it, so any training example
+  is attributable back to source documents (takedown/audit path);
+- **a manifest**: per-shard sequence/token counts and an
+  order-insensitive content hash, written beside the data, so a
+  resumed or mirrored copy of the dataset is verifiable without
+  re-deriving it from the raw corpus (``validate_training_shards``).
+
+Physical strategy: the packing plan is the per-shard window cumsum of
+``pack_sequences``; materialization joins the plan's span rows back to
+per-doc BPE token-id arrays (one id-equi-join) and assembles each
+sequence with ONE bounded aggregation (a sequence holds at most
+``seq_tokens`` ids, so per-group state is a parameter, not data).
+Shards write in parallel via ``partitionBy``; the manifest is one
+bounded per-shard aggregation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.bpe import bpe_token_ids_col
+from ..pipeline.text import pack_sequences
+
+
+def build_training_sequences(
+    df: DataFrame,
+    seq_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    merges=None,
+) -> DataFrame:
+    """Materialize packed sequences as one row per (shard, seq_id):
+
+        (shard, seq_id, input_ids array<int>, n_tokens,
+         provenance array<struct<seq_offset, doc_id, doc_start,
+                                 n_tokens>>)
+
+    Token ids are BPE ids under ``merges`` (pipeline.bpe pinned mini
+    vocab by default; pass ``load_merges_txt(...)`` output for a real
+    GPT-2 vocabulary). Every sequence except each shard's last is
+    exactly ``seq_tokens`` long — the pack-then-chop contract."""
+    spans = pack_sequences(df, seq_tokens, text_col=text_col,
+                           id_col=id_col, shard_col=shard_col,
+                           token_counter="bpe", merges=merges)
+    if shard_col is None:
+        spans = spans.select(F.lit(0).alias("shard"), "*")
+    ids = df.select(
+        F.col(id_col),
+        bpe_token_ids_col(F.col(text_col), merges).alias("__ids"))
+    pieces = spans.join(ids, id_col).select(
+        "shard", "seq_id", "seq_offset",
+        # doc_start is 0-based; slice() is 1-based
+        F.slice(F.col("__ids"), F.col("doc_start").cast("int") + 1,
+                F.col("n_tokens").cast("int")).alias("piece"),
+        F.struct("seq_offset", F.col(id_col).alias("doc_id"),
+                 "doc_start", "n_tokens").alias("prov"),
+    )
+    assembled = pieces.groupBy("shard", "seq_id").agg(
+        # array_sort on struct arrays orders by the first field
+        # (seq_offset, unique within a sequence), so the flatten
+        # concatenates pieces in position order
+        F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("seq_offset", "piece"))),
+            lambda x: x["piece"])).alias("input_ids"),
+        F.array_sort(F.collect_list("prov")).alias("provenance"),
+    )
+    return assembled.select(
+        "shard", "seq_id", "input_ids",
+        F.size("input_ids").cast("long").alias("n_tokens"),
+        "provenance")
+
+
+def _seq_hash() -> F.Column:
+    """Order-insensitive per-shard content hash: sum over sequences of
+    the top-32-md5-bits of "seq_id:ids..." (bigint sum of 32-bit
+    values cannot overflow before ~2^31 sequences per shard)."""
+    key = F.concat_ws(
+        ":", F.col("seq_id").cast("string"),
+        F.concat_ws(",", F.transform(F.col("input_ids"),
+                                     lambda x: x.cast("string"))))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    seq_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    merges=None,
+) -> dict:
+    """Materialize (see :func:`build_training_sequences`) and write
+    ``out_dir/sequences/shard=*/...parquet`` plus
+    ``out_dir/manifest.json``. Returns the manifest dict:
+
+        {"seq_tokens": ..., "shards": {shard: {"n_sequences": ...,
+         "n_tokens": ..., "content_hash": ...}}, "totals": {...}}
+    """
+    seqs = build_training_sequences(
+        df, seq_tokens, text_col=text_col, id_col=id_col,
+        shard_col=shard_col, merges=merges)
+    (seqs.write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(out_dir, "sequences")))
+    rows = (
+        seqs.groupBy("shard").agg(
+            F.count("*").alias("n_sequences"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(_seq_hash()).alias("content_hash"))
+        .collect())
+    manifest = {
+        "seq_tokens": seq_tokens,
+        "shards": {
+            str(r["shard"]): {
+                "n_sequences": int(r["n_sequences"]),
+                "n_tokens": int(r["n_tokens"]),
+                "content_hash": int(r["content_hash"]),
+            } for r in rows},
+        "totals": {
+            "n_sequences": sum(int(r["n_sequences"]) for r in rows),
+            "n_tokens": sum(int(r["n_tokens"]) for r in rows),
+        },
+    }
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
+def read_training_shards(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "sequences"))
+
+
+def validate_training_shards(spark: SparkSession, out_dir: str) -> dict:
+    """Recompute per-shard counts + content hash from the parquet on
+    disk and compare with manifest.json. Returns
+    {shard: {"ok": bool, ...expected/actual on mismatch}}; a shard
+    present in only one side reports ok=False. This is the resume /
+    mirror integrity check — it never touches the raw corpus."""
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    actual = {
+        str(r["shard"]): (int(r["n_sequences"]), int(r["n_tokens"]),
+                          int(r["content_hash"]))
+        for r in read_training_shards(spark, out_dir)
+        .groupBy("shard").agg(
+            F.count("*").alias("n_sequences"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(_seq_hash()).alias("content_hash"))
+        .collect()}
+    report = {}
+    for shard in sorted(set(manifest["shards"]) | set(actual)):
+        want = manifest["shards"].get(shard)
+        got = actual.get(shard)
+        want_t = ((want["n_sequences"], want["n_tokens"],
+                   want["content_hash"]) if want else None)
+        ok = want_t is not None and got is not None and want_t == got
+        entry = {"ok": ok}
+        if not ok:
+            entry["expected"] = want_t
+            entry["actual"] = got
+        report[shard] = entry
+    return report
