@@ -678,6 +678,23 @@ def q_semantic_dedup(spark, sf_dir):
         emb, threshold=0.4, centroids=pinned_centroids(16, 64))
 
 
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Topic-balanced downsampling (similarity.py
+    cluster_balanced_sample): nearest-pinned-centroid assignment +
+    deterministic per-cluster hash gate, keeping 25% of every cluster
+    — one map-only pass, mixture-preserving by construction. The
+    oracle replays centroid literals, rounded argmax and the salted
+    md5 gate."""
+    from optbinning_spark.pipeline.similarity import (
+        cluster_balanced_sample,
+        pinned_centroids,
+    )
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return cluster_balanced_sample(
+        emb, fraction=0.25, centroids=pinned_centroids(16, 64))
+
+
 def q_embedding_dedup_clusters(spark, sf_dir):
     """Embedding-space duplicate groups: bucketed cosine pairs closed
     into connected components; oracle replays buckets, pairs AND the
@@ -2688,6 +2705,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gopher_flags' expression family) — oracle still checked by
         # tools/check_correctness
         "lang_id": q_lang_id,
+        # tail-registered round 8 (no rotation): topic-balanced
+        # downsampling — composition of the SemDeDup quantizer
+        # assignment and the stratified hash gate, oracle-checked by
+        # tools/check_correctness
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "classification_metrics": q_classification_metrics,
         "distribution_stats": q_distribution_stats,
         "chi2_tests": q_chi2_tests,
@@ -4107,6 +4129,30 @@ def _sql_semantic_dedup(n_centroids=8, dim=64, threshold=0.4,
   FROM asg a LEFT JOIN drops dr ON a.vec_id = dr.id"""
 
 
+def _sql_cluster_balanced_sample(n_centroids=16, dim=64, fraction=0.25,
+                                 salt="cluster_sample"):
+    """cluster_balanced_sample replay: the same pinned centroid
+    literals and 6-dp rounded argmax as the SemDeDup oracle, gated by
+    the salted-md5 hash_uniform threshold."""
+    from optbinning_spark.pipeline.similarity import pinned_centroids
+
+    cents = pinned_centroids(n_centroids, dim)
+    dots = ", ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(repr(x) for x in c) + "]), 6)"
+        for c in cents)
+    return f"""
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  d AS (SELECT vec_id, [{dots}] AS dots FROM e),
+  asg AS (SELECT vec_id,
+                 list_position(dots, list_aggregate(dots, 'max'))::INTEGER
+                   AS cluster_id
+          FROM d)
+  SELECT vec_id, cluster_id FROM asg
+  WHERE ('0x' || substr(md5('{salt}|' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < {fraction}"""
+
+
 def _sql_near_dup_cosine_bucketed():
     cos = _SQL_COS.format(a="a.v", b="bb.v")
     return ("WITH " + _sql_bucket_cte() + f"""
@@ -4878,6 +4924,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dsir_logweights": _sql_dsir_logweights(),
         "nb_quality_score": _sql_nb_quality_score(),
+        "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "bm25_topk": _sql_bm25_topk(),
         "lm_perplexity": _sql_lm_perplexity(),
         "pii_redaction": _sql_pii_redaction(),

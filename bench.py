@@ -70,6 +70,11 @@ HEADLINE = [
     # scan-shaped work worth a slope
     "pack_sequences_bpe",
     "bpe_subword_count",
+    # round 8 additions: the materialized training-shard sequences
+    # (pack plan + id join + bounded assembly) and the NB quality
+    # classifier (bounded count train + shuffle-free LLR scoring)
+    "training_sequences",
+    "nb_quality_score",
     "quality_top_fraction",
     "bm25_topk",
     "lm_perplexity",
@@ -351,7 +356,9 @@ SCALE_QUERIES = [
     "dedup_clusters",
     "ann_topk",
     "dsir_logweights",
-    "pack_sequences_bpe",
+    # round 8: training_sequences supersedes pack_sequences_bpe here
+    # (same pack plan + the id materialization the sink writes)
+    "training_sequences",
     # round 8: the quantizer-bucketed pair join is the one new shape
     # with quadratic risk — its slope under organic growth is the
     # evidence the cluster-size cap + k lever work

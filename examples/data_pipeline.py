@@ -1,6 +1,7 @@
 """Training-data pipeline: PII -> paragraph dedup -> quality gates ->
 NB quality model -> near-dup dedup -> DSIR select -> split -> chunk ->
-pack -> ANN, with a stage-by-stage row/token audit table.
+pack -> training-shard sink (manifest-validated) -> ANN, with a
+stage-by-stage row/token audit table.
 
 The LLM-data operator family over the `documents` / `embeddings`
 tables, wired the way a real curation run is: every stage that can
@@ -18,6 +19,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 
 # runnable from anywhere: put the repo root on sys.path
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -37,6 +39,10 @@ from optbinning_spark.pipeline.sampling import (
     hash_split,
 )
 from optbinning_spark.pipeline.similarity import brute_force_topk
+from optbinning_spark.sources.training_shards import (
+    validate_training_shards,
+    write_training_shards,
+)
 from optbinning_spark.pipeline.text import (
     chunk_documents,
     gopher_quality_flags,
@@ -168,6 +174,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
           "sequences:",
           packed.select("shard", "seq_id").distinct().count(),
           "bpe tokens packed:", n_bpe)
+
+    # the last mile: write the train split as shard-partitioned
+    # token-id sequences with a provenance + content-hash manifest,
+    # then verify the dataset on disk from the manifest alone
+    out_dir = os.path.join(tempfile.gettempdir(), "pipeline_shards")
+    manifest = write_training_shards(train, out_dir, seq_tokens=256,
+                                     shard_col="lang")
+    report = validate_training_shards(spark, out_dir)
+    print("training shards:", out_dir,
+          "| sequences:", manifest["totals"]["n_sequences"],
+          "tokens:", manifest["totals"]["n_tokens"],
+          "| manifest validated:",
+          all(v["ok"] for v in report.values()))
 
     print_audit(audit)
 

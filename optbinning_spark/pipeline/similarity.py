@@ -700,3 +700,56 @@ def bm25_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    fraction,
+    centroids=None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "cluster_sample",
+) -> DataFrame:
+    """Topic-balanced downsampling: assign every vector to its nearest
+    coarse-quantizer centroid (the SemDeDup/IVF quantizer), then keep
+    a deterministic per-cluster fraction — shrinking a corpus WITHOUT
+    tilting its topic mixture, the failure mode of a global uniform
+    sample over topically-skewed data (the dominant topic's share is
+    preserved, not amplified). ``fraction`` is one float or a
+    per-cluster-id dict (a curriculum knob: e.g. downweight the
+    boilerplate cluster specifically; missing ids keep everything at
+    ``fraction.get(id, 0.0)`` semantics of stratified_hash_sample).
+
+    Physical strategy: assignment is the map-only rounded-argmax-dot
+    expression (centroid literals, no shuffle — per-centroid dots
+    rounded at 6 dp before the argmax so the choice replays
+    cross-engine), and the gate is the salted-md5 hash_uniform filter
+    — the whole operator is ONE map-only pass, safe under retries and
+    reproducible on any partitioning. ``centroids=None`` trains the
+    spherical k-means quantizer on a bounded sample; pass
+    ``pinned_centroids(k, dim)`` for the oracle-replayable variant.
+
+    Returns (id_col, cluster_id). No reference counterpart
+    (beyond-scope pipeline family)."""
+    from .sampling import stratified_hash_sample
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+    dots = F.transform(
+        _centroid_dots_expr(
+            F.col(vec_col).cast("array<double>"), centroids),
+        lambda d: F.round(d, 6),
+    )
+    asg = embeddings.withColumn("__dots", dots).select(
+        F.col(id_col),
+        F.array_position(F.col("__dots"), F.array_max(F.col("__dots")))
+        .cast("int").alias("cluster_id"),
+    )
+    if isinstance(fraction, dict):
+        return stratified_hash_sample(
+            asg, "cluster_id", fraction, id_col=id_col, salt=salt)
+    return stratified_hash_sample(
+        asg, "cluster_id", {}, default_fraction=float(fraction),
+        id_col=id_col, salt=salt)

@@ -1941,3 +1941,41 @@ def test_paragraph_dedup(spark):
               paragraph_dedup(docs, keep_first=False).collect()}
     assert strict[0]["text"] == "intro text\n\nbody zero"
     assert "SHARED" not in strict[0]["text"]
+
+
+def test_cluster_balanced_sample(spark):
+    """Topic mixture is preserved per cluster (each cluster keeps
+    ~fraction of its members, not fraction of the global corpus), the
+    gate is deterministic, and per-cluster dict budgets apply."""
+    from optbinning_spark.pipeline.similarity import (
+        cluster_balanced_sample,
+        pinned_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = pinned_centroids(8, 64)
+    kept = cluster_balanced_sample(emb, 0.5, centroids=cents)
+    base = cluster_balanced_sample(emb, 1.0, centroids=cents)
+    n_kept = {r["cluster_id"]: r["count"] for r in
+              kept.groupBy("cluster_id").count().collect()}
+    n_all = {r["cluster_id"]: r["count"] for r in
+             base.groupBy("cluster_id").count().collect()}
+    assert set(n_kept) == set(n_all)
+    for c, n in n_all.items():
+        if n >= 50:  # binomial noise bound only meaningful at size
+            rate = n_kept[c] / n
+            assert 0.35 < rate < 0.65, (c, rate, n)
+    # deterministic: same ids on re-run over a repartitioned input
+    again = cluster_balanced_sample(emb.repartition(7), 0.5,
+                                    centroids=cents)
+    assert (sorted(r["vec_id"] for r in kept.collect())
+            == sorted(r["vec_id"] for r in again.collect()))
+    # dict budgets: silence one cluster entirely, keep another whole
+    some = sorted(n_all)[:2]
+    custom = cluster_balanced_sample(
+        emb, {some[0]: 0.0, some[1]: 1.0}, centroids=cents)
+    got = {r["cluster_id"]: r["count"] for r in
+           custom.groupBy("cluster_id").count().collect()}
+    assert some[0] not in got
+    assert got.get(some[1]) == n_all[some[1]]
+    assert set(got) | {some[0]} <= set(n_all) | {some[0]}
