@@ -89,38 +89,55 @@ def _feats(text_col: str, features_col: str | None,
     return _dsir_features(F.col(text_col), n_buckets)
 
 
-def nb_train(
+PRIOR_ROW = -1  # bucket id of the doc-count (prior) row in the stats frame
+
+
+def nb_sufficient_stats(
     labeled: DataFrame,
     label_col: str,
     text_col: str = "text",
     n_buckets: int = 4096,
-    smoothing: float = 1.0,
     features_col: str | None = None,
-) -> NBQualityModel:
-    """Train the classifier on a labeled frame (``label_col`` truthy =
-    positive / reference-quality class). One exploded aggregation
-    (bounded at ``n_buckets`` output rows, map-side partials carry
-    the volume) + one scalar prior aggregation; driver memory is
-    O(n_buckets), a parameter, not data-dependent.
+) -> DataFrame:
+    """The model's COMPLETE sufficient statistics as a tiny mergeable
+    frame: per-bucket ``(b, pos, neg)`` feature-occurrence counts plus
+    one prior row (``b = -1``: positive / negative DOC counts). All
+    plain sums, so sharded or rolling training is
 
-    ``features_col`` accepts a pre-materialized frame from
-    :func:`optbinning_spark.pipeline.sampling.dsir_features` so one
-    text scan can feed DSIR weighting AND classifier training."""
+        nb_from_stats(stats_day1.union(stats_day2)...)
+
+    — merge by union, never re-scan history (the streaming-sketch
+    contract). Bounded at ``n_buckets + 1`` output rows."""
     y = F.col(label_col).cast("boolean").cast("int")
     feats = _feats(text_col, features_col, n_buckets)
-    rows = (
+    counts = (
         labeled.select(y.alias("y"), F.explode(feats).alias("b"))
         .groupBy("b")
         .agg(F.sum("y").alias("pos"),
              F.sum(1 - F.col("y")).alias("neg"))
-        .collect()
     )
+    prior = labeled.agg(
+        F.lit(PRIOR_ROW).cast("long").alias("b"),
+        F.coalesce(F.sum(y), F.lit(0)).cast("long").alias("pos"),
+        F.coalesce(F.sum(1 - y), F.lit(0)).cast("long").alias("neg"))
+    return counts.unionByName(prior)
+
+
+def nb_from_stats(
+    stats: DataFrame,
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> NBQualityModel:
+    """Build the model from (possibly unioned / multi-shard)
+    sufficient statistics — one bounded re-aggregation collapses
+    duplicate bucket rows from merged shards, then the closed form."""
+    rows = (stats.groupBy("b")
+            .agg(F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
+            .collect())
     pos = {int(r["b"]): int(r["pos"]) for r in rows}
     neg = {int(r["b"]): int(r["neg"]) for r in rows}
-    prior = labeled.agg(
-        F.sum(y).alias("np"), F.count(F.lit(1)).alias("n")).collect()[0]
-    n_pos, n_all = int(prior["np"] or 0), int(prior["n"])
-    n_neg = n_all - n_pos
+    n_pos = pos.pop(PRIOR_ROW, 0)
+    n_neg = neg.pop(PRIOR_ROW, 0)
     if n_pos == 0 or n_neg == 0:
         raise ValueError(
             f"nb_train needs both classes; got {n_pos} positive / "
@@ -138,6 +155,32 @@ def nb_train(
         log_prior_odds=math.log(n_pos) - math.log(n_neg),
         llr=llr,
     )
+
+
+def nb_train(
+    labeled: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+    features_col: str | None = None,
+) -> NBQualityModel:
+    """Train the classifier on a labeled frame (``label_col`` truthy =
+    positive / reference-quality class). One exploded aggregation
+    (bounded at ``n_buckets`` output rows, map-side partials carry
+    the volume) + one scalar prior aggregation; driver memory is
+    O(n_buckets), a parameter, not data-dependent. Composition of
+    :func:`nb_sufficient_stats` + :func:`nb_from_stats` — use those
+    directly for sharded / rolling training.
+
+    ``features_col`` accepts a pre-materialized frame from
+    :func:`optbinning_spark.pipeline.sampling.dsir_features` so one
+    text scan can feed DSIR weighting AND classifier training."""
+    return nb_from_stats(
+        nb_sufficient_stats(labeled, label_col, text_col=text_col,
+                            n_buckets=n_buckets,
+                            features_col=features_col),
+        n_buckets=n_buckets, smoothing=smoothing)
 
 
 def nb_score(

@@ -154,3 +154,23 @@ def test_nb_score_on_structured_stream(spark, tmp_path, corpus):
     want = {r["doc_id"]: r["log_odds"]
             for r in nb_score(train, model).collect()}
     assert got == want
+
+
+def test_nb_sharded_training_merges_exactly(corpus):
+    """Sharded training: union of per-shard sufficient-stat frames
+    rebuilds the model the full-corpus train produces, bit for bit —
+    the mergeable-counts contract (train days independently, merge by
+    union, never re-scan history)."""
+    from optbinning_spark.pipeline.classify import (
+        nb_from_stats,
+        nb_sufficient_stats,
+    )
+
+    train = corpus.filter(F.col("label").isNotNull())
+    full = nb_train(train, "label", n_buckets=512)
+    half_a = nb_sufficient_stats(train.filter("doc_id % 2 = 0"),
+                                 "label", n_buckets=512)
+    half_b = nb_sufficient_stats(train.filter("doc_id % 2 = 1"),
+                                 "label", n_buckets=512)
+    merged = nb_from_stats(half_a.unionByName(half_b), n_buckets=512)
+    assert merged == full
