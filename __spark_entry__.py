@@ -4575,11 +4575,15 @@ def _sql_dsir_logweights():
     LEFT JOIN rcnt r ON r.b = g.b, tot),
   rl AS (SELECT list(lr ORDER BY b) AS lrs FROM ratio)
   SELECT doc_id,
-         round(list_reduce(
-             list_prepend(0.0::DOUBLE,
-               list_transform(list_sort(bs),
-                              b -> rl.lrs[CAST(b AS INT) + 1])),
-             (a, x) -> a + x), 5) + 0.0 AS log_weight
+         CASE WHEN bs IS NULL THEN NULL  -- NULL text = no features =
+              -- NULL weight, matching the engine (same fuzz-caught
+              -- NULL-list-folds-as-empty divergence as the NB oracle)
+              ELSE round(list_reduce(
+                 list_prepend(0.0::DOUBLE,
+                   list_transform(list_sort(bs),
+                                  b -> rl.lrs[CAST(b AS INT) + 1])),
+                 (a, x) -> a + x), 5) + 0.0
+         END AS log_weight
   FROM fb, rl"""
 
 
@@ -4627,11 +4631,15 @@ def _sql_nb_quality_score():
   wl AS (SELECT list(lr ORDER BY b) AS lrs FROM w),
   prior AS (SELECT ln(np) - ln(n - np) AS lpo FROM pr)
   SELECT doc_id,
-         round(prior.lpo + list_reduce(
-             list_prepend(0.0::DOUBLE,
-               list_transform(list_sort(bs),
-                              b -> wl.lrs[CAST(b AS INT) + 1])),
-             (a, x) -> a + x), 5) + 0.0 AS log_odds
+         CASE WHEN bs IS NULL THEN NULL  -- NULL text = no evidence,
+              -- matching the engine's NULL fold (fuzz-caught: DuckDB
+              -- otherwise folds a NULL list as empty -> prior-only)
+              ELSE round(prior.lpo + list_reduce(
+                 list_prepend(0.0::DOUBLE,
+                   list_transform(list_sort(bs),
+                                  b -> wl.lrs[CAST(b AS INT) + 1])),
+                 (a, x) -> a + x), 5) + 0.0
+         END AS log_odds
   FROM fb, wl, prior"""
 
 

@@ -176,3 +176,57 @@ def test_semantic_dedup_cross_engine_adversarial_vectors(spark, tmp_path):
     # the zero vector: NULL sim, kept, never paired — on every path
     z = [r for r in a if r[0] == 0][0]
     assert z[2] is None and z[3] is True
+
+
+def _adversarial_documents(spark, tmp_path, name):
+    """documents-schema parquet of adversarial texts: NULL, empty,
+    whitespace-only, unicode letters/CJK (outside the BPE base-char
+    vocab -> UNK ids), quotes/regex metacharacters, the chr(30) BPE
+    separator itself, and long repetitive strings."""
+    import random
+
+    rnd = random.Random(7307)
+    pieces = [
+        "", " ", "the", "naïve", "ÜBER", "日本語", "don't", 'say "hi"',
+        "a\\b", "\x1e", "\x1e\x1e", "x" * 300, "ab " * 50, "%s_[]().*+",
+        "1e308", "-0.0", "a@b.cd 10.0.0.1",
+    ]
+    rows = []
+    for i in range(60):
+        n = rnd.randint(0, 8)
+        rows.append((i, " ".join(rnd.choice(pieces) for _ in range(n)),
+                     rnd.choice(["es", "en", "fr"]), "fuzz", 0))
+    rows += [(60, None, "es", "fuzz", 0), (61, "", "en", "fuzz", 0),
+             (62, "\x1e", "es", "fuzz", 0), (63, "日本語 データ", "en", "fuzz", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    d = str(tmp_path / name)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        d + "/documents.parquet")
+    return d
+
+
+@pytest.mark.parametrize("qname", ["training_sequences",
+                                   "nb_quality_score",
+                                   "dsir_logweights"])
+def test_round8_oracles_cross_engine_adversarial_text(
+        spark, tmp_path, qname):
+    """The two new round-8 oracle surfaces (BPE id materialization +
+    provenance assembly; NB train/score fold) replayed end-to-end over
+    adversarial text the driver corpus never contains — same
+    full-query-vs-full-oracle comparison the driver gate runs."""
+    import __spark_entry__ as entry_mod
+
+    d = _adversarial_documents(spark, tmp_path, f"fuzz_{qname}")
+    got = sorted(
+        map(tuple, entry_mod.queries()[qname](spark, d).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{d}/documents.parquet/*.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.execute(entry_mod.oracle_sql()[qname]).fetchall())
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w, (qname, g, w)
