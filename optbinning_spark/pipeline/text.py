@@ -577,6 +577,7 @@ def redact_pii(
     id_col: str = "doc_id",
     patterns: dict[str, str] | None = None,
     token: str = "[PII:{kind}]",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """PII scrubbing for training corpora: replace email / IPv4 /
     international-phone matches with a typed placeholder and count the
@@ -587,7 +588,9 @@ def redact_pii(
     pattern-name order (deterministic; a placeholder never matches a
     later pattern — the brackets are outside every character class).
 
-    Returns (id_col, text [redacted], n_<kind> per pattern)."""
+    Returns (id_col, text [redacted], *keep, n_<kind> per pattern);
+    ``keep`` carries metadata columns through so the map-only stage
+    composes without a join-back (e.g. in a streaming plan)."""
     patterns = patterns if patterns is not None else PII_PATTERNS
     out = F.col(text_col)
     counts = []
@@ -597,4 +600,5 @@ def redact_pii(
             F.regexp_count(F.col(text_col), F.lit(pat))
             .cast("int").alias(f"n_{kind}"))
         out = F.regexp_replace(out, pat, token.format(kind=kind))
-    return df.select(F.col(id_col), out.alias("text"), *counts)
+    return df.select(F.col(id_col), out.alias("text"),
+                     *[F.col(c) for c in keep], *counts)

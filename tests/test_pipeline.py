@@ -1851,7 +1851,8 @@ def test_data_pipeline_example_runs():
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = proc.stdout
     stages = ["raw", "pii_redacted", "paragraph_dedup", "quality_gates",
-              "near_dup_dedup", "dsir_selected", "train_split"]
+              "nb_quality_filter", "near_dup_dedup", "dsir_selected",
+              "train_split"]
     rows = {}
     for s in stages:
         m = re.search(rf"^{s}\s+(\d+)\s+(\d+)", out, re.M)
@@ -1863,6 +1864,7 @@ def test_data_pipeline_example_runs():
     assert toks == sorted(toks, reverse=True)
     assert rows["raw"][0] == 500
     assert "bpe tokens packed:" in out
+    assert "manifest validated: True" in out
 
 
 def test_corpus_refresh_example_runs():
@@ -1979,3 +1981,24 @@ def test_cluster_balanced_sample(spark):
     assert some[0] not in got
     assert got.get(some[1]) == n_all[some[1]]
     assert set(got) | {some[0]} <= set(n_all) | {some[0]}
+
+
+def test_streaming_pipeline_example_runs():
+    """The streaming curation example: 3 JSONL micro-batches through
+    PII redaction + Gopher gate + the offline-trained NB model +
+    cross-batch exact dedup; the example itself asserts zero spam /
+    zero duplicate hashes / zero unredacted emails in the sink."""
+    import re
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "examples/streaming_pipeline.py"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    m = re.search(r"ingested (\d+) docs.*-> (\d+) curated", proc.stdout)
+    assert m, proc.stdout[-1000:]
+    assert int(m.group(2)) > 0
+    assert "spam passing gate: 0" in proc.stdout
+    assert "duplicate content hashes: 0" in proc.stdout
+    assert "unredacted emails: 0" in proc.stdout
