@@ -695,6 +695,30 @@ def q_cluster_balanced_sample(spark, sf_dir):
         emb, fraction=0.25, centroids=pinned_centroids(16, 64))
 
 
+def q_kmeans_refined_centroids(spark, sf_dir):
+    """Distributed Lloyd refinement (similarity.py kmeans_refine):
+    one full-corpus iteration from the pinned quantizer — rounded
+    argmax assignment, then EXACT per-(cluster, dim) fixed-point
+    integer sums (order-independent, retry-stable, SQL-replayable;
+    a float sum would be run-dependent in the last ulp). Output one
+    row per (cluster_id, pos): the refined component, non-spherical
+    so the oracle replays the mean arithmetic directly."""
+    from optbinning_spark.pipeline.similarity import (
+        kmeans_refine,
+        pinned_centroids,
+    )
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    refined = kmeans_refine(emb, pinned_centroids(8, 64), n_iters=1,
+                            spherical=False)
+    rows = [(c + 1, p, float(v))
+            for c, vec in enumerate(refined)
+            for p, v in enumerate(vec)]
+    df = spark.createDataFrame(rows, "cluster_id int, pos int, val double")
+    return df.select("cluster_id", "pos",
+                     (F.round("val", 6) + 0.0).alias("val"))
+
+
 def q_embedding_dedup_clusters(spark, sf_dir):
     """Embedding-space duplicate groups: bucketed cosine pairs closed
     into connected components; oracle replays buckets, pairs AND the
@@ -2710,6 +2734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assignment and the stratified hash gate, oracle-checked by
         # tools/check_correctness
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        # tail-registered round 8 (no rotation): full-corpus Lloyd
+        # refinement of the coarse quantizer with exact fixed-point
+        # reduction, oracle-checked by tools/check_correctness
+        "kmeans_refined_centroids": q_kmeans_refined_centroids,
         "classification_metrics": q_classification_metrics,
         "distribution_stats": q_distribution_stats,
         "chi2_tests": q_chi2_tests,
@@ -4153,6 +4181,47 @@ def _sql_cluster_balanced_sample(n_centroids=16, dim=64, fraction=0.25,
           / 4294967296.0 < {fraction}"""
 
 
+def _sql_kmeans_refined_centroids(n_centroids=8, dim=64, quant=1e6):
+    """kmeans_refine replay: the same pinned centroid literals and
+    6-dp rounded argmax, per-(cluster, dim) fixed-point BIGINT sums
+    (exact on both engines), mean = s / (quant * n); empty clusters
+    coalesce to the OLD centroid component, exactly like the engine's
+    keep-previous rule."""
+    from optbinning_spark.pipeline.similarity import pinned_centroids
+
+    cents = pinned_centroids(n_centroids, dim)
+    dots = ", ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(repr(x) for x in c) + "]), 6)"
+        for c in cents)
+    old_vals = ", ".join(
+        f"({ci + 1}, [" + ", ".join(repr(x) for x in c) + "])"
+        for ci, c in enumerate(cents))
+    return f"""
+  WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+  d AS (SELECT v, [{dots}] AS dots FROM e),
+  a AS (SELECT list_position(dots, list_aggregate(dots, 'max'))::INTEGER
+               AS cluster_id, v
+        FROM d),
+  pd AS (SELECT cluster_id,
+                unnest(generate_series(0, {dim - 1})) AS pos,
+                unnest(v) AS val
+         FROM a),
+  agg AS (SELECT cluster_id, pos,
+                 sum(CAST(round(val * {quant!r}) AS BIGINT)) AS s,
+                 count(*) AS n
+          FROM pd GROUP BY cluster_id, pos),
+  old(cluster_id, cvec) AS (VALUES {old_vals}),
+  oldpd AS (SELECT cluster_id,
+                   unnest(generate_series(0, {dim - 1})) AS pos,
+                   unnest(cvec) AS oval
+            FROM old)
+  SELECT o.cluster_id, CAST(o.pos AS INTEGER) AS pos,
+         round(coalesce(a.s / ({quant!r} * a.n), o.oval), 6) + 0.0
+           AS val
+  FROM oldpd o LEFT JOIN agg a USING (cluster_id, pos)"""
+
+
 def _sql_near_dup_cosine_bucketed():
     cos = _SQL_COS.format(a="a.v", b="bb.v")
     return ("WITH " + _sql_bucket_cte() + f"""
@@ -4933,6 +5002,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logweights": _sql_dsir_logweights(),
         "nb_quality_score": _sql_nb_quality_score(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
+        "kmeans_refined_centroids": _sql_kmeans_refined_centroids(),
         "bm25_topk": _sql_bm25_topk(),
         "lm_perplexity": _sql_lm_perplexity(),
         "pii_redaction": _sql_pii_redaction(),

@@ -753,3 +753,76 @@ def cluster_balanced_sample(
     return stratified_hash_sample(
         asg, "cluster_id", {}, default_fraction=float(fraction),
         id_col=id_col, salt=salt)
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    centroids,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spherical: bool = True,
+    quant: float = 1e6,
+) -> list[list[float]]:
+    """Distributed Lloyd refinement of a coarse quantizer over the
+    FULL corpus: ``train_ivf_centroids`` fits on a bounded sample (the
+    right cost for an IVF quantizer), but SemDeDup-style pipelines
+    want centroids fit on every vector — this runs Lloyd iterations
+    at corpus scale with ONE bounded aggregation per iteration.
+
+    Physical strategy per iteration: map-only rounded-argmax
+    assignment (centroid array literals — the same expression as
+    semantic_dedup / cluster_balanced_sample), then per-(cluster,
+    dimension) sums via posexplode + groupBy — shuffle state is
+    bounded at k x dim groups (map-side partials absorb the corpus;
+    the explode is linear and never materialized past the partial
+    agg). Component values are quantized to ``quant`` fixed-point
+    BIGINTs before summing, so the reduction is INTEGER — exact,
+    partition-order-independent, retry-stable, and replayable in SQL
+    (a float sum would make the refined centroids run-dependent in
+    the last ulp). Empty clusters keep their previous centroid.
+
+    Returns the refined centroids as plain lists (driver state is
+    k x dim — parameters, not data)."""
+    cents = [list(map(float, c)) for c in centroids]
+    dim = len(cents[0])
+    for _ in range(n_iters):
+        dots = F.transform(
+            _centroid_dots_expr(
+                F.col(vec_col).cast("array<double>"), cents),
+            lambda d: F.round(d, 6),
+        )
+        asg = embeddings.withColumn("__dots", dots).select(
+            F.array_position(F.col("__dots"),
+                             F.array_max(F.col("__dots")))
+            .cast("int").alias("cluster_id"),
+            F.posexplode(F.col(vec_col).cast("array<double>"))
+            .alias("pos", "val"),
+        )
+        rows = (
+            asg.groupBy("cluster_id", "pos")
+            .agg(F.sum(F.round(F.col("val") * quant)
+                       .cast("long")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            c = int(r["cluster_id"]) - 1  # array_position is 1-based
+            sums.setdefault(c, [0.0] * dim)[int(r["pos"])] = float(r["s"])
+            counts[c] = int(r["n"])
+        new = []
+        for c, old in enumerate(cents):
+            if c not in counts:
+                new.append(old)  # empty cluster: keep previous
+                continue
+            m = [s / (quant * counts[c]) for s in sums[c]]
+            if spherical:
+                import math
+
+                nrm = math.sqrt(sum(x * x for x in m)) or 1.0
+                m = [x / nrm for x in m]
+            new.append(m)
+        cents = new
+    return cents

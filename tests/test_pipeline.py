@@ -2002,3 +2002,59 @@ def test_streaming_pipeline_example_runs():
     assert "spam passing gate: 0" in proc.stdout
     assert "duplicate content hashes: 0" in proc.stdout
     assert "unredacted emails: 0" in proc.stdout
+
+
+def test_kmeans_refine_matches_numpy_and_improves(spark):
+    """One distributed Lloyd iteration == the numpy replication
+    (rounded-dot argmax, fixed-point means) exactly; refinement
+    raises the spherical k-means objective; an empty cluster keeps
+    its previous centroid; integer reduction makes the result
+    partition-invariant."""
+    import numpy as np
+
+    from optbinning_spark.pipeline.similarity import (
+        kmeans_refine,
+        pinned_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    X = np.array([r["embedding"] for r in
+                  emb.select("embedding").collect()], dtype=float)
+    cents = pinned_centroids(4, 64)
+    got = kmeans_refine(emb, cents, n_iters=1, spherical=False)
+
+    C = np.array(cents)
+    assign = np.argmax(np.round(X @ C.T, 6), axis=1)
+    want = []
+    for c in range(4):
+        m = X[assign == c]
+        if len(m) == 0:
+            want.append(list(C[c]))
+        else:
+            q = np.round(m * 1e6).astype(np.int64).sum(axis=0)
+            want.append(list(q / (1e6 * len(m))))
+    assert got == want
+
+    # spherical refinement raises the mean best-cosine objective
+    ref = kmeans_refine(emb, cents, n_iters=2, spherical=True)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    before = np.max(Xn @ np.array(
+        [c / np.linalg.norm(c) for c in C]).T, axis=1).mean()
+    after = np.max(Xn @ np.array(ref).T, axis=1).mean()
+    assert after > before
+
+    # partition invariance (exact, not approximate)
+    again = kmeans_refine(emb.repartition(13), cents, n_iters=1,
+                          spherical=False)
+    assert again == got
+
+    # empty cluster: a far-away centroid attracts nothing and survives
+    far = [[100.0] * 64] + [list(c) for c in pinned_centroids(2, 64)]
+    out = kmeans_refine(emb, far, n_iters=1, spherical=False)
+    # cluster 1 wins every argmax? No: dot with [100]*64 is huge for
+    # positive-sum vectors — instead make it anti-correlated
+    far = [[-100.0] * 64] + [list(c) for c in pinned_centroids(2, 64)]
+    out = kmeans_refine(emb, far, n_iters=1, spherical=False)
+    neg_share = (np.round(X @ np.array(far).T, 6).argmax(axis=1) == 0).mean()
+    if neg_share == 0:
+        assert out[0] == far[0]
