@@ -110,6 +110,7 @@ def train_ivf_centroids(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ):
     """Driver-side spherical k-means (k-means++ init, Lloyd) on a
     bounded deterministic sample — the IVF coarse quantizer. At 100 TB
@@ -146,6 +147,14 @@ def train_ivf_centroids(
             if len(members):
                 m = members.sum(axis=0)
                 C[c] = m / max(np.linalg.norm(m), 1e-12)
+    if refine_iters:
+        # polish the sampled solution against EVERY vector — one
+        # bounded distributed aggregation per Lloyd iteration
+        # (kmeans_refine); the sampled fit is the init, the corpus is
+        # the objective
+        C = np.array(kmeans_refine(
+            embeddings, C.tolist(), n_iters=refine_iters,
+            id_col=id_col, vec_col=vec_col, spherical=True))
     return C
 
 
@@ -175,6 +184,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids=None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: vectors are partitioned into inverted
     lists by nearest centroid (map-only expression); each query probes
@@ -185,7 +195,8 @@ def ivf_topk(
     brute_force_topk exactly."""
     if centroids is None:
         centroids = train_ivf_centroids(
-            embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
+            refine_iters=refine_iters)
     e = embeddings.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).cast("array<double>").alias("__e"),
@@ -388,6 +399,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_cluster_size: int | None = 1000,
     method: str = "expr",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with a coarse quantizer, then remove semantic
@@ -436,7 +448,8 @@ def semantic_dedup(
     """
     if centroids is None:
         centroids = train_ivf_centroids(
-            embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
+            refine_iters=refine_iters)
     if method == "arrow":
         return _semantic_dedup_arrow(
             embeddings, threshold, centroids, id_col, vec_col,

@@ -2058,3 +2058,40 @@ def test_kmeans_refine_matches_numpy_and_improves(spark):
     neg_share = (np.round(X @ np.array(far).T, 6).argmax(axis=1) == 0).mean()
     if neg_share == 0:
         assert out[0] == far[0]
+
+
+def test_refined_quantizer_plumbs_and_preserves_exhaustive_probe(spark):
+    """refine_iters plumbs through the quantizer consumers: IVF with a
+    corpus-refined quantizer still equals brute force at exhaustive
+    probe (correct for ANY centroids), the refined quantizer raises
+    (or at least never lowers) the corpus-wide assignment objective,
+    and semantic_dedup runs end-to-end with refinement on."""
+    import numpy as np
+
+    from optbinning_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (emb.filter("vec_id < 3")
+               .withColumnRenamed("vec_id", "query_id"))
+    got = ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=4,
+                   refine_iters=1)
+    want = brute_force_topk(emb, queries, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect()))
+
+    X = np.array([r["embedding"] for r in
+                  emb.select("embedding").collect()], dtype=float)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    base = train_ivf_centroids(emb, 4)
+    ref = train_ivf_centroids(emb, 4, refine_iters=2)
+    obj = lambda C: np.max(Xn @ np.asarray(C).T, axis=1).mean()
+    assert obj(ref) >= obj(base) - 1e-9
+
+    out = semantic_dedup(emb, threshold=0.4, n_centroids=4,
+                         refine_iters=1)
+    assert out.count() == emb.count()
