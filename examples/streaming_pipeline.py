@@ -111,7 +111,9 @@ def main():
     out = spark.sql("SELECT * FROM curated")
     n_in = 3 * 40
     n_out = out.count()
-    n_spam = out.filter(F.col("log_odds") <= 0).count()
+    # count by the spam MARKER, not by log_odds (the stream already
+    # filtered on log_odds — a model regression must still be visible)
+    n_spam = out.filter(F.col("text").contains("click")).count()
     n_dup = (out.groupBy("content_hash").count()
              .filter("count > 1").count())
     n_pii = out.filter(F.col("text").contains("@")).count()

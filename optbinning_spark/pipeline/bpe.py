@@ -161,11 +161,15 @@ def bpe_tokens_sql(col: str, merges=None,
                    pattern: str = BPE_TOKEN_PATTERN) -> str:
     """The DuckDB replay of :func:`bpe_tokens_col`: the list of BPE
     token SYMBOLS of ``col`` (split the merged string on the
-    separator, drop empties)."""
+    separator, drop empties). NULL text yields NULL, matching the
+    Spark column — without the guard the merged string's coalesce
+    maps NULL to '' and the list reads [] (the NULL-list oracle
+    divergence class the round-8 fuzz caught in the scoring folds)."""
     merges = MINI_MERGES if merges is None else merges
     expr, _ = _merged_sql(col, merges, pattern)
-    return (f"list_filter(string_split({expr}, chr(30)), "
-            f"x -> x <> '')")
+    return (f"CASE WHEN {col} IS NULL THEN NULL "
+            f"ELSE list_filter(string_split({expr}, chr(30)), "
+            f"x -> x <> '') END")
 
 
 def bpe_apply_python(text: str, merges=None,

@@ -107,8 +107,12 @@ def nb_sufficient_stats(
         nb_from_stats(stats_day1.union(stats_day2)...)
 
     — merge by union, never re-scan history (the streaming-sketch
-    contract). Bounded at ``n_buckets + 1`` output rows."""
+    contract). Bounded at ``n_buckets + 1`` output rows. Rows with a
+    NULL label are unlabeled, not negative: they are excluded from
+    both the counts and the prior (without the filter a bucket seen
+    only in unlabeled docs would aggregate to NULL counts)."""
     y = F.col(label_col).cast("boolean").cast("int")
+    labeled = labeled.filter(y.isNotNull())
     feats = _feats(text_col, features_col, n_buckets)
     counts = (
         labeled.select(y.alias("y"), F.explode(feats).alias("b"))
@@ -183,6 +187,19 @@ def nb_train(
         n_buckets=n_buckets, smoothing=smoothing)
 
 
+def _log_odds_expr(model: NBQualityModel, feats: Column) -> Column:
+    """The scoring fold — ONE definition shared by nb_score and
+    nb_filter so the gate can never disagree with the reported
+    scores: prior + ordered sum of per-feature LLR weights over the
+    bucket-sorted list, weight table as one array literal."""
+    llr_lit = F.lit(model.llr)
+    return F.lit(model.log_prior_odds) + F.aggregate(
+        F.array_sort(feats),
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(llr_lit, b.cast("int") + 1),
+    )
+
+
 def nb_score(
     df: DataFrame,
     model: NBQualityModel,
@@ -198,15 +215,9 @@ def nb_score(
     ``dsir_log_weights`` scoring. A NULL-text doc has no features and
     scores NULL (no evidence); filter or coalesce per policy."""
     feats = _feats(text_col, features_col, model.n_buckets)
-    llr_lit = F.lit(model.llr)
-    log_odds = F.lit(model.log_prior_odds) + F.aggregate(
-        F.array_sort(feats),
-        F.lit(0.0),
-        lambda acc, b: acc + F.element_at(llr_lit, b.cast("int") + 1),
-    )
     return df.select(
         F.col(id_col), *[F.col(c) for c in keep],
-        log_odds.alias("log_odds"))
+        _log_odds_expr(model, feats).alias("log_odds"))
 
 
 def nb_filter(
@@ -221,10 +232,5 @@ def nb_filter(
     not"). Pure map-side filter on the scoring fold — composes with
     any downstream plan; NULL-text docs are dropped (no evidence)."""
     feats = _feats(text_col, features_col, model.n_buckets)
-    llr_lit = F.lit(model.llr)
-    log_odds = F.lit(model.log_prior_odds) + F.aggregate(
-        F.array_sort(feats),
-        F.lit(0.0),
-        lambda acc, b: acc + F.element_at(llr_lit, b.cast("int") + 1),
-    )
-    return df.filter(log_odds >= F.lit(float(min_log_odds)))
+    return df.filter(
+        _log_odds_expr(model, feats) >= F.lit(float(min_log_odds)))

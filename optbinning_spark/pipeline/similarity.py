@@ -723,6 +723,7 @@ def cluster_balanced_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "cluster_sample",
+    default_fraction: float = 1.0,
 ) -> DataFrame:
     """Topic-balanced downsampling: assign every vector to its nearest
     coarse-quantizer centroid (the SemDeDup/IVF quantizer), then keep
@@ -731,8 +732,10 @@ def cluster_balanced_sample(
     sample over topically-skewed data (the dominant topic's share is
     preserved, not amplified). ``fraction`` is one float or a
     per-cluster-id dict (a curriculum knob: e.g. downweight the
-    boilerplate cluster specifically; missing ids keep everything at
-    ``fraction.get(id, 0.0)`` semantics of stratified_hash_sample).
+    boilerplate cluster specifically); clusters missing from the dict
+    keep ``default_fraction`` of their rows — 1.0 by default, so a
+    dict targets ONLY the clusters it names and cannot silently
+    discard the rest of the corpus.
 
     Physical strategy: assignment is the map-only rounded-argmax-dot
     expression (centroid literals, no shuffle — per-centroid dots
@@ -762,7 +765,9 @@ def cluster_balanced_sample(
     )
     if isinstance(fraction, dict):
         return stratified_hash_sample(
-            asg, "cluster_id", fraction, id_col=id_col, salt=salt)
+            asg, "cluster_id", fraction,
+            default_fraction=float(default_fraction),
+            id_col=id_col, salt=salt)
     return stratified_hash_sample(
         asg, "cluster_id", {}, default_fraction=float(fraction),
         id_col=id_col, salt=salt)

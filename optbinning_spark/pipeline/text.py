@@ -379,6 +379,7 @@ def pack_sequences(
     shard_col: str | None = None,
     token_counter: str = "whitespace",
     merges=None,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing (pack-then-chop): lay the corpus
     tokens back-to-back in (shard, doc_id) order and cut at
@@ -421,7 +422,12 @@ def pack_sequences(
     shard = F.col(shard_col) if shard_col else F.lit(0)
     w = (W.partitionBy(shard).orderBy(F.col(id_col))
          .rowsBetween(W.unboundedPreceding, -1))
-    if token_counter == "bpe":
+    if token_count_col is not None:
+        # pre-computed counts (e.g. F.size over a materialized
+        # token-id frame) — lets a caller that already tokenized
+        # skip the second tokenization pass entirely
+        n = F.col(token_count_col).cast("long")
+    elif token_counter == "bpe":
         from .bpe import bpe_token_count_col
 
         n = bpe_token_count_col(F.col(text_col), merges).cast("long")

@@ -43,6 +43,7 @@ def build_training_sequences(
     id_col: str = "doc_id",
     shard_col: str | None = None,
     merges=None,
+    materialize_ids: bool = True,
 ) -> DataFrame:
     """Materialize packed sequences as one row per (shard, seq_id):
 
@@ -53,16 +54,27 @@ def build_training_sequences(
     Token ids are BPE ids under ``merges`` (pipeline.bpe pinned mini
     vocab by default; pass ``load_merges_txt(...)`` output for a real
     GPT-2 vocabulary). Every sequence except each shard's last is
-    exactly ``seq_tokens`` long — the pack-then-chop contract."""
-    spans = pack_sequences(df, seq_tokens, text_col=text_col,
-                           id_col=id_col, shard_col=shard_col,
-                           token_counter="bpe", merges=merges)
-    if shard_col is None:
-        spans = spans.select(F.lit(0).alias("shard"), "*")
+    exactly ``seq_tokens`` long — the pack-then-chop contract.
+
+    The corpus is tokenized ONCE: the compact (id, token-id array)
+    frame feeds both the pack plan (counts = F.size of the array, via
+    pack_sequences' token_count_col) and the slice join — the same
+    scan-halving shape as dsir_features. ``materialize_ids`` (default)
+    localCheckpoints that frame so the plan's two consumers don't each
+    re-run the BPE merge cascade; pass False to keep pure lineage."""
     ids = df.select(
         F.col(id_col),
+        *([F.col(shard_col)] if shard_col else []),
         bpe_token_ids_col(F.col(text_col), merges).alias("__ids"))
-    pieces = spans.join(ids, id_col).select(
+    if materialize_ids:
+        ids = ids.localCheckpoint(eager=True)
+    counted = ids.withColumn("__n_tok", F.size("__ids"))
+    spans = pack_sequences(counted, seq_tokens, text_col=text_col,
+                           id_col=id_col, shard_col=shard_col,
+                           token_count_col="__n_tok", merges=merges)
+    if shard_col is None:
+        spans = spans.select(F.lit(0).alias("shard"), "*")
+    pieces = spans.join(ids.select(id_col, "__ids"), id_col).select(
         "shard", "seq_id", "seq_offset",
         # doc_start is 0-based; slice() is 1-based
         F.slice(F.col("__ids"), F.col("doc_start").cast("int") + 1,
@@ -87,12 +99,24 @@ def build_training_sequences(
 
 def _seq_hash() -> F.Column:
     """Order-insensitive per-shard content hash: sum over sequences of
-    the top-32-md5-bits of "seq_id:ids..." (bigint sum of 32-bit
-    values cannot overflow before ~2^31 sequences per shard)."""
+    the top-32-md5-bits of "seq_id:ids|provenance" (bigint sum of
+    32-bit values cannot overflow before ~2^31 sequences per shard).
+    Provenance spans are IN the key — the attribution path is part of
+    the integrity guarantee, so a copy whose provenance was truncated
+    or rewritten fails validation even with intact input_ids."""
+    prov = F.concat_ws(";", F.transform(
+        F.col("provenance"),
+        lambda p: F.concat_ws(
+            ":", p["seq_offset"].cast("string"),
+            p["doc_id"].cast("string"), p["doc_start"].cast("string"),
+            p["n_tokens"].cast("string"))))
     key = F.concat_ws(
-        ":", F.col("seq_id").cast("string"),
-        F.concat_ws(",", F.transform(F.col("input_ids"),
-                                     lambda x: x.cast("string"))))
+        "|",
+        F.concat_ws(
+            ":", F.col("seq_id").cast("string"),
+            F.concat_ws(",", F.transform(F.col("input_ids"),
+                                         lambda x: x.cast("string")))),
+        prov)
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
 
 
@@ -117,8 +141,12 @@ def write_training_shards(
         shard_col=shard_col, merges=merges)
     (seqs.write.mode("overwrite").partitionBy("shard")
          .parquet(os.path.join(out_dir, "sequences")))
+    # aggregate the parquet just WRITTEN, not the lineage: the
+    # manifest then attests to the bytes on disk (and the expensive
+    # materialization DAG runs once, not twice)
+    spark = df.sparkSession
     rows = (
-        seqs.groupBy("shard").agg(
+        read_training_shards(spark, out_dir).groupBy("shard").agg(
             F.count("*").alias("n_sequences"),
             F.sum("n_tokens").alias("n_tokens"),
             F.sum(_seq_hash()).alias("content_hash"))

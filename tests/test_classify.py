@@ -174,3 +174,14 @@ def test_nb_sharded_training_merges_exactly(corpus):
                                  "label", n_buckets=512)
     merged = nb_from_stats(half_a.unionByName(half_b), n_buckets=512)
     assert merged == full
+
+
+def test_nb_train_ignores_unlabeled_rows(corpus):
+    """NULL-label docs are unlabeled, not negative: training on the
+    mixed frame (labeled + held-out NULL-label docs) equals training
+    on the labeled subset — and does not crash on buckets seen only
+    in unlabeled docs (the held-out texts introduce such buckets)."""
+    full = nb_train(corpus, "label", n_buckets=512)
+    only = nb_train(corpus.filter(F.col("label").isNotNull()),
+                    "label", n_buckets=512)
+    assert full == only

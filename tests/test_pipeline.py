@@ -1972,15 +1972,25 @@ def test_cluster_balanced_sample(spark):
                                     centroids=cents)
     assert (sorted(r["vec_id"] for r in kept.collect())
             == sorted(r["vec_id"] for r in again.collect()))
-    # dict budgets: silence one cluster entirely, keep another whole
+    # dict budgets: silence one cluster entirely; unlisted clusters
+    # keep everything (default_fraction=1.0 — a dict targets only the
+    # clusters it names)
     some = sorted(n_all)[:2]
     custom = cluster_balanced_sample(
-        emb, {some[0]: 0.0, some[1]: 1.0}, centroids=cents)
+        emb, {some[0]: 0.0, some[1]: 0.5}, centroids=cents)
     got = {r["cluster_id"]: r["count"] for r in
            custom.groupBy("cluster_id").count().collect()}
     assert some[0] not in got
-    assert got.get(some[1]) == n_all[some[1]]
-    assert set(got) | {some[0]} <= set(n_all) | {some[0]}
+    assert got.get(some[1], 0) < n_all[some[1]]
+    for c in n_all:
+        if c not in (some[0], some[1]):
+            assert got.get(c) == n_all[c], c
+    # explicit default_fraction still available for drop-by-default
+    strict = cluster_balanced_sample(
+        emb, {some[1]: 1.0}, centroids=cents, default_fraction=0.0)
+    sgot = {r["cluster_id"] for r in strict.select("cluster_id")
+            .distinct().collect()}
+    assert sgot == {some[1]}
 
 
 def test_streaming_pipeline_example_runs():
@@ -2048,16 +2058,16 @@ def test_kmeans_refine_matches_numpy_and_improves(spark):
                           spherical=False)
     assert again == got
 
-    # empty cluster: a far-away centroid attracts nothing and survives
-    far = [[100.0] * 64] + [list(c) for c in pinned_centroids(2, 64)]
-    out = kmeans_refine(emb, far, n_iters=1, spherical=False)
-    # cluster 1 wins every argmax? No: dot with [100]*64 is huge for
-    # positive-sum vectors — instead make it anti-correlated
-    far = [[-100.0] * 64] + [list(c) for c in pinned_centroids(2, 64)]
-    out = kmeans_refine(emb, far, n_iters=1, spherical=False)
-    neg_share = (np.round(X @ np.array(far).T, 6).argmax(axis=1) == 0).mean()
-    if neg_share == 0:
-        assert out[0] == far[0]
+    # empty cluster keeps its previous centroid — DETERMINISTIC
+    # synthetic case: all vectors sit on +e0, centroid 2 points the
+    # opposite way and can never win the argmax
+    synth = spark.createDataFrame(
+        [(i, [1.0] + [0.0] * 63) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    cents2 = [[1.0] + [0.0] * 63, [-1.0] + [0.0] * 63]
+    out = kmeans_refine(synth, cents2, n_iters=1, spherical=False)
+    assert out[0] == [1.0] + [0.0] * 63   # refined onto the data
+    assert out[1] == cents2[1]            # empty: previous kept
 
 
 def test_refined_quantizer_plumbs_and_preserves_exhaustive_probe(spark):
