@@ -2105,3 +2105,25 @@ def test_refined_quantizer_plumbs_and_preserves_exhaustive_probe(spark):
     out = semantic_dedup(emb, threshold=0.4, n_centroids=4,
                          refine_iters=1)
     assert out.count() == emb.count()
+
+
+def test_pack_token_count_col_path_equals_bpe_path(spark):
+    """pack_sequences(token_count_col=size(ids)) — the sink's
+    single-tokenize path — produces the identical packing plan to
+    token_counter='bpe' (counts agree by construction: the id array
+    has exactly one id per BPE token, UNK included)."""
+    from pyspark.sql import functions as F
+
+    from optbinning_spark.pipeline.bpe import bpe_token_ids_col
+    from optbinning_spark.pipeline.text import pack_sequences
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    a = pack_sequences(docs, 64, shard_col="lang",
+                       token_counter="bpe")
+    with_ids = docs.withColumn(
+        "__n_tok", F.size(bpe_token_ids_col(F.col("text"))))
+    b = pack_sequences(with_ids, 64, shard_col="lang",
+                       token_count_col="__n_tok")
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect()))
