@@ -230,3 +230,47 @@ def test_round8_oracles_cross_engine_adversarial_text(
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert g == w, (qname, g, w)
+
+
+def test_round8_embedding_oracles_adversarial_vectors(spark, tmp_path):
+    """kmeans_refined_centroids and cluster_balanced_sample replayed
+    end-to-end over adversarial embeddings: the zero vector (all dots
+    0 -> first-position argmax must agree across engines), exact
+    duplicates, negated/scaled copies, argmax near-ties, and values
+    whose *1e6 fixed-point rounding sits near .5 — the surfaces where
+    Spark's array_position/round could diverge from DuckDB's
+    list_position/round."""
+    import random
+
+    import __spark_entry__ as entry_mod
+
+    rnd = random.Random(9241)
+    dim = 64
+    vecs = [
+        [0.0] * dim,
+        [1.0] + [0.0] * (dim - 1),
+        [1.0] + [0.0] * (dim - 1),
+        [-1.0] + [0.0] * (dim - 1),
+        [2.0] + [0.0] * (dim - 1),
+        [1e-9] * dim,
+        [0.0000005] * dim,          # *1e6 lands exactly on 0.5
+        [-0.0000015] * dim,         # negative half-tie
+        [1.0] * dim,
+    ] + [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    d = str(tmp_path / "fuzz_emb")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(d + "/embeddings.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "create view embeddings as select * from "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')")
+    for qname in ("kmeans_refined_centroids", "cluster_balanced_sample"):
+        got = sorted(
+            map(tuple, entry_mod.queries()[qname](spark, d).collect()))
+        want = sorted(
+            tuple(r) for r in
+            con.execute(entry_mod.oracle_sql()[qname]).fetchall())
+        assert got == want, (qname, got[:3], want[:3])
