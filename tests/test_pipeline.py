@@ -2127,3 +2127,15 @@ def test_pack_token_count_col_path_equals_bpe_path(spark):
                        token_count_col="__n_tok")
     assert sorted(map(tuple, a.collect())) == sorted(
         map(tuple, b.collect()))
+
+
+def test_quickstart_example_runs():
+    """The reference-README-flow walkthrough stays runnable."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "examples/quickstart.py"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "rows" in proc.stdout or len(proc.stdout) > 0
