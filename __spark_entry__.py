@@ -695,6 +695,23 @@ def q_cluster_balanced_sample(spark, sf_dir):
         emb, fraction=0.25, centroids=pinned_centroids(16, 64))
 
 
+def q_curriculum_shards(spark, sf_dir):
+    """Curriculum data layout (sampling.py curriculum_shards): docs
+    quantile-sliced into 4 difficulty shards by whitespace token
+    count (exact percentile cuts — the oracle replays them via
+    quantile_cont), deterministic hash order within each shard. One
+    driver probe + map-only bucket fold + one hash shuffle — no
+    global range sort."""
+    from optbinning_spark.pipeline.sampling import curriculum_shards
+    from optbinning_spark.pipeline.text import token_count_expr
+
+    docs = _documents(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", token_count_expr(F.col("text")).alias("score"))
+    out = curriculum_shards(scored, "score", n_shards=4)
+    return out.select("doc_id", "shard", "pos")
+
+
 def q_kmeans_refined_centroids(spark, sf_dir):
     """Distributed Lloyd refinement (similarity.py kmeans_refine):
     one full-corpus iteration from the pinned quantizer — rounded
@@ -2738,6 +2755,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # refinement of the coarse quantizer with exact fixed-point
         # reduction, oracle-checked by tools/check_correctness
         "kmeans_refined_centroids": q_kmeans_refined_centroids,
+        # tail-registered round 8 (no rotation): curriculum data
+        # layout — quantile difficulty shards + within-shard hash
+        # order, oracle-checked by tools/check_correctness
+        "curriculum_shards": q_curriculum_shards,
         "classification_metrics": q_classification_metrics,
         "distribution_stats": q_distribution_stats,
         "chi2_tests": q_chi2_tests,
@@ -4181,6 +4202,32 @@ def _sql_cluster_balanced_sample(n_centroids=16, dim=64, fraction=0.25,
           / 4294967296.0 < {fraction}"""
 
 
+def _sql_curriculum_shards():
+    """curriculum_shards replay: exact percentile cuts via
+    quantile_cont (the proven quantile_splits idiom), the same
+    score > cut bucket fold, and the per-shard (hash, id) rank with
+    the hash_uniform md5 gate."""
+    return """
+  WITH sc AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+    FROM documents),
+  cuts AS (
+    SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS cs FROM sc),
+  b AS (
+    SELECT doc_id,
+           (CASE WHEN score > cs[1] THEN 1 ELSE 0 END
+          + CASE WHEN score > cs[2] THEN 1 ELSE 0 END
+          + CASE WHEN score > cs[3] THEN 1 ELSE 0 END) AS shard,
+           ('0x' || substr(md5('curriculum|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+    FROM sc, cuts)
+  SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id)
+              - 1 AS BIGINT) AS pos
+  FROM b"""
+
+
 def _sql_kmeans_refined_centroids(n_centroids=8, dim=64, quant=1e6):
     """kmeans_refine replay: the same pinned centroid literals and
     6-dp rounded argmax, per-(cluster, dim) fixed-point BIGINT sums
@@ -5003,6 +5050,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_quality_score": _sql_nb_quality_score(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "kmeans_refined_centroids": _sql_kmeans_refined_centroids(),
+        "curriculum_shards": _sql_curriculum_shards(),
         "bm25_topk": _sql_bm25_topk(),
         "lm_perplexity": _sql_lm_perplexity(),
         "pii_redaction": _sql_pii_redaction(),

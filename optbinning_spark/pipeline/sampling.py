@@ -445,3 +445,65 @@ def stratified_top_fraction(
         frac = F.lit(float(fraction))
     keep = F.col("__rk") <= F.ceil(frac * F.col("__n"))
     return ranked.filter(keep).drop("__rk", "__n")
+
+
+def curriculum_shards(
+    df: DataFrame,
+    score_col: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    descending: bool = False,
+    salt: str = "curriculum",
+    exact: bool = True,
+) -> DataFrame:
+    """Curriculum data layout at corpus scale: shard ``s`` holds the
+    s-th quantile slice of ``score_col`` (easy -> hard by default;
+    ``descending`` flips it), rows WITHIN a shard in deterministic
+    hash order — the standard curriculum-learning stream (coarse
+    difficulty ordering with within-bucket shuffling, so the loader
+    reads shards 0..n-1 in sequence and still sees i.i.d.-ish data
+    inside each difficulty band). Same (shard, pos) addressing
+    contract as :func:`global_shuffle_shards`: pos is dense per
+    shard, resume/epoch semantics identical (new epoch = new salt for
+    the WITHIN-shard order; the difficulty ordering is stable).
+
+    Physical strategy: an (n_shards - 1)-cut percentile probe
+    collected to the driver (one aggregation; ``exact=True`` uses the
+    exact percentile — oracle-replayable via quantile_cont — and
+    ``exact=False`` the t-digest approx_percentile for the 100 TB
+    path), then a map-only bucket fold over the cut literals, then
+    ONE hash shuffle for the per-shard rank — no global range
+    exchange, no total sort. NULL scores raise (a curriculum needs
+    every row scored; gate upstream).
+
+    Returns ``df`` plus (shard int, pos long)."""
+    from pyspark.sql import Window as W
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    s = F.col(score_col)
+    nulls = df.filter(s.isNull()).limit(1).count()
+    if nulls:
+        raise ValueError(
+            f"curriculum_shards: NULL {score_col} present — score or "
+            "filter every row first")
+    probs = [i / n_shards for i in range(1, n_shards)]
+    if probs:
+        cuts = df.agg(F.percentile(s, F.array(
+            *[F.lit(p) for p in probs])) if exact
+            else F.percentile_approx(s, F.array(
+                *[F.lit(p) for p in probs]))).collect()[0][0]
+        cuts = [float(c) for c in cuts]
+    else:
+        cuts = []
+    shard = F.lit(0)
+    for c in cuts:
+        shard = shard + (s > F.lit(c)).cast("int")
+    if descending:
+        shard = F.lit(len(cuts)) - shard
+    d = df.select("*", shard.alias("shard"),
+                  hash_uniform(F.col(id_col), salt).alias("__u"))
+    w = W.partitionBy("shard").orderBy(F.col("__u"), F.col(id_col))
+    return (d.withColumn("pos",
+                         (F.row_number().over(w) - 1).cast("long"))
+            .drop("__u"))

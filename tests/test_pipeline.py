@@ -2139,3 +2139,46 @@ def test_quickstart_example_runs():
         cwd="/root/repo", capture_output=True, text=True, timeout=540)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "rows" in proc.stdout or len(proc.stdout) > 0
+
+
+def test_curriculum_shards_invariants(spark):
+    """Difficulty ordering across shards (up to quantile-tie rows),
+    dense per-shard positions, determinism under repartition,
+    descending flip, and the NULL-score guard."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from optbinning_spark.pipeline.sampling import curriculum_shards
+    from optbinning_spark.pipeline.text import token_count_expr
+
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .select("doc_id",
+                    token_count_expr(F.col("text")).alias("score")))
+    out = curriculum_shards(docs, "score", n_shards=4)
+    rows = out.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    # cross-shard ordering: every score in shard s <= every score in
+    # shard s+1 (ties may straddle a cut only via >, so max<=min holds)
+    for s in range(3):
+        assert (max(r["score"] for r in by_shard[s])
+                <= min(r["score"] for r in by_shard[s + 1]))
+    # dense positions
+    for s, rs in by_shard.items():
+        assert sorted(r["pos"] for r in rs) == list(range(len(rs)))
+    # determinism
+    again = curriculum_shards(docs.repartition(7), "score", n_shards=4)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+    # descending flips the shard axis, not the membership
+    desc = curriculum_shards(docs, "score", n_shards=4, descending=True)
+    dmap = {r["doc_id"]: r["shard"] for r in desc.collect()}
+    for r in rows:
+        assert dmap[r["doc_id"]] == 3 - r["shard"]
+    # NULL scores refuse loudly
+    with _pytest.raises(ValueError, match="NULL"):
+        curriculum_shards(
+            docs.withColumn("score", F.when(F.col("doc_id") == 0, None)
+                            .otherwise(F.col("score"))),
+            "score", n_shards=4)
