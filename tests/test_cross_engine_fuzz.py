@@ -274,3 +274,35 @@ def test_round8_embedding_oracles_adversarial_vectors(spark, tmp_path):
             tuple(r) for r in
             con.execute(entry_mod.oracle_sql()[qname]).fetchall())
         assert got == want, (qname, got[:3], want[:3])
+
+
+def test_curriculum_oracle_cross_engine_adversarial_text(spark, tmp_path):
+    """curriculum_shards' oracle over adversarial text WITHOUT NULLs
+    (heavy score ties from empty/whitespace docs stress the
+    percentile interpolation and the > cut bucket rule), plus the
+    NULL-score guard on a corpus WITH a NULL-text doc."""
+    import __spark_entry__ as entry_mod
+    from optbinning_spark.pipeline.sampling import curriculum_shards
+    from optbinning_spark.pipeline.text import token_count_expr
+
+    d = _adversarial_documents(spark, tmp_path, "fuzz_curriculum")
+    docs = spark.read.parquet(d + "/documents.parquet")
+    clean_dir = str(tmp_path / "fuzz_curriculum_clean")
+    (docs.filter(F.col("text").isNotNull()).coalesce(1)
+     .write.mode("overwrite").parquet(clean_dir + "/documents.parquet"))
+
+    got = sorted(map(tuple, entry_mod.queries()["curriculum_shards"](
+        spark, clean_dir).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{clean_dir}/documents.parquet/*.parquet')")
+    want = sorted(tuple(r) for r in con.execute(
+        entry_mod.oracle_sql()["curriculum_shards"]).fetchall())
+    assert got == want, (got[:3], want[:3])
+
+    # NULL text -> NULL score -> loud refusal, not silent misplacement
+    scored = docs.select(
+        "doc_id", token_count_expr(F.col("text")).alias("score"))
+    with pytest.raises(ValueError, match="NULL"):
+        curriculum_shards(scored, "score", n_shards=4)
