@@ -671,7 +671,17 @@ def solve_multiclass(
     """Multiclass: maximize summed one-vs-rest JS divergence
     (reference multiclass_cp.py). Monotonicity per class is applied as
     a feasibility check on each class's one-vs-rest event rate during
-    a joint DP without per-class phase state (asc/desc only)."""
+    a joint DP. Per-class trends: ascending / descending / peak /
+    valley / None. Peak and valley carry per-class phase state — the
+    reference gives each such class its own change-point variable
+    (multiclass_cp.py decision_variables: y[c, i] / t[c]) with
+    pairwise-within-leg constraints and NO constraint across the
+    change point; the two-phase-per-class DP reproduces that exactly,
+    including the boundary freedom (a second-leg opener higher than
+    the first-leg close is reachable by extending phase 0 through it,
+    same argument as the binary peak DP). peak_heuristic /
+    valley_heuristic (reference fixes t[c] by a scan heuristic) are
+    subsumed by the exact peak/valley solve."""
     M = np.asarray(n_event_by_class, dtype=float)  # [prebin, class]
     n, n_classes = M.shape
     if n == 0:
@@ -699,53 +709,127 @@ def solve_multiclass(
         feas &= (ev > 0) & (ne > 0)
     V = np.where(feas, V, NEG)
 
-    trends = monotonic_trends or [None] * n_classes
+    trends = list(monotonic_trends or [None] * n_classes)
+    # heuristic variants are change-point-fixed approximations in the
+    # reference; the exact peak/valley DP dominates them
+    trends = [
+        {"peak_heuristic": "peak", "valley_heuristic": "valley"}.get(t, t)
+        for t in trends
+    ]
+    # classes whose trend needs phase state (first leg -> second leg)
+    pv = [c for c, t in enumerate(trends) if t in ("peak", "valley")]
+    n_pv = len(pv)
+    if n_pv > 12:
+        raise ValueError(
+            f"{n_pv} peak/valley class trends: DP phase space 2^{n_pv} "
+            "is too large; constrain trends or use asc/desc/None"
+        )
+    n_masks = 1 << n_pv
 
     n_ = n
     lo = max(1, min_n_bins or 1)
     hi = min(n_, max_n_bins or n_)
 
-    def trans_ok(k, jm1, j, i):
-        for c, tr in enumerate(trends):
-            if tr == "ascending" and RATEc[j, i, c] < RATEc[k, jm1, c]:
-                return False
-            if tr == "descending" and RATEc[j, i, c] > RATEc[k, jm1, c]:
-                return False
-        return True
+    fixed = [(c, tr) for c, tr in enumerate(trends)
+             if tr in ("ascending", "descending")]
 
-    f = np.full((hi + 1, n_, n_), NEG)
-    parent = -np.ones((hi + 1, n_, n_, 2), dtype=np.int32)
+    def edge_allowed(k, jm1, j, i):
+        """Per-edge feasibility: None if a fixed asc/desc class is
+        violated; else per-pv-class allowed (00, 01, 11) bit moves.
+        Bit 0 = first leg (asc for peak, desc for valley)."""
+        for c, tr in fixed:
+            if tr == "ascending" and RATEc[j, i, c] < RATEc[k, jm1, c]:
+                return None
+            if tr == "descending" and RATEc[j, i, c] > RATEc[k, jm1, c]:
+                return None
+        allowed = []
+        for c in pv:
+            up = RATEc[j, i, c] >= RATEc[k, jm1, c]
+            down = RATEc[j, i, c] <= RATEc[k, jm1, c]
+            first, second = (up, down) if trends[c] == "peak" else (down, up)
+            if not (first or second):
+                return None
+            # (stay 0->0, switch 0->1, stay 1->1)
+            allowed.append((first, second, second))
+        return allowed
+
+    # f[mask, b, j, i]; parent stores (prev_mask, b-1, k)
+    f = np.full((n_masks, hi + 1, n_, n_), NEG)
+    parent = -np.ones((n_masks, hi + 1, n_, n_, 3), dtype=np.int32)
     for i in range(n_):
         if feas[0, i]:
-            f[1, 0, i] = V[0, i]
+            f[0, 1, 0, i] = V[0, i]
     for b in range(2, hi + 1):
         for j in range(1, n_):
             for i in range(j, n_):
                 if not feas[j, i]:
                     continue
+                vji = V[j, i]
                 for k in range(j):
-                    prev = f[b - 1, k, j - 1]
-                    if prev > NEG / 2 and trans_ok(k, j - 1, j, i):
-                        val = prev + V[j, i]
-                        if val > f[b, j, i]:
-                            f[b, j, i] = val
-                            parent[b, j, i] = (b - 1, k)
+                    g = f[:, b - 1, k, j - 1]
+                    if not (g > NEG / 2).any():
+                        continue
+                    allowed = edge_allowed(k, j - 1, j, i)
+                    if allowed is None:
+                        continue
+                    # per-class (max,+) bit transform: h[nm] = best
+                    # predecessor value over compatible prev masks
+                    h = list(g)
+                    for p, (a00, a01, a11) in enumerate(allowed):
+                        bit = 1 << p
+                        nh = h[:]
+                        for m in range(n_masks):
+                            if m & bit:
+                                v = h[m] if a11 else NEG
+                                v0 = h[m ^ bit] if a01 else NEG
+                                nh[m] = v if v >= v0 else v0
+                            elif not a00:
+                                nh[m] = NEG
+                        h = nh
+                    for nm in range(n_masks):
+                        if h[nm] <= NEG / 2:
+                            continue
+                        val = h[nm] + vji
+                        if val > f[nm, b, j, i]:
+                            f[nm, b, j, i] = val
+                            # recover the achieving prev mask: scan
+                            # submask-compatible predecessors
+                            pm_best, pm_val = -1, NEG
+                            for pm in range(n_masks):
+                                ok = True
+                                for p, (a00, a01, a11) in enumerate(allowed):
+                                    pb_, nb_ = pm >> p & 1, nm >> p & 1
+                                    if pb_ and not nb_:
+                                        ok = False
+                                    elif not pb_ and not nb_:
+                                        ok = a00
+                                    elif not pb_ and nb_:
+                                        ok = a01
+                                    else:
+                                        ok = a11
+                                    if not ok:
+                                        break
+                                if ok and g[pm] > pm_val:
+                                    pm_best, pm_val = pm, g[pm]
+                            f[nm, b, j, i] = pm_val + vji
+                            parent[nm, b, j, i] = (pm_best, b - 1, k)
     best = (NEG, None)
-    for b in range(lo, hi + 1):
-        for j in range(n_):
-            if f[b, j, n_ - 1] > best[0]:
-                best = (f[b, j, n_ - 1], (b, j))
+    for nm in range(n_masks):
+        for b in range(lo, hi + 1):
+            for j in range(n_):
+                if f[nm, b, j, n_ - 1] > best[0]:
+                    best = (f[nm, b, j, n_ - 1], (nm, b, j))
     if best[1] is None:
         return BinSolution([(0, n_ - 1)], 0.0, "INFEASIBLE", None)
-    b, j = best[1]
+    nm, b, j = best[1]
     i = n_ - 1
     segments = []
     while j >= 0:
         segments.append((j, i))
-        pb, pk = parent[b, j, i]
+        pm, pb, pk = parent[nm, b, j, i]
         if pk < 0:
             break
         i = j - 1
-        b, j = int(pb), int(pk)
+        nm, b, j = int(pm), int(pb), int(pk)
     segments.reverse()
     return BinSolution(segments, float(best[0]), "OPTIMAL", None)

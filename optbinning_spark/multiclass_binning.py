@@ -275,20 +275,35 @@ class MulticlassOptimalBinning(_BaseOptimalBinning):
         )
         cnt = M.sum(axis=1)
         # per-class trend resolution (one-vs-rest event rates)
+        auto_modes = ("auto", "auto_heuristic", "auto_asc_desc")
+
+        def _auto_trend(c, mode):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = np.where(cnt > 0, M[:, c] / np.maximum(cnt, _EPS), 0.0)
+            mode = "auto_asc_desc" if mode == "auto_asc_desc" else "auto"
+            # peak/valley kept as-is: solve_multiclass carries
+            # per-class phase state (reference multiclass_cp.py
+            # y[c,i]/t[c] change-point variables)
+            return decide_trend(r, cnt, mode=mode)
+
         if self.monotonic_trends is not None:
-            trends = self.monotonic_trends
-        elif self.monotonic_trend in ("auto", "auto_heuristic"):
-            trends = []
-            for c in range(len(classes)):
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    r = np.where(cnt > 0, M[:, c] / np.maximum(cnt, _EPS), 0.0)
-                t = decide_trend(r, cnt)
-                trends.append(t if t in ("ascending", "descending") else None)
+            # per-class list; auto entries resolved per class
+            # (reference multiclass_binning.py:711-735)
+            trends = [
+                _auto_trend(c, t) if t in auto_modes else t
+                for c, t in enumerate(self.monotonic_trends)
+            ]
+        elif self.monotonic_trend in auto_modes:
+            trends = [
+                _auto_trend(c, self.monotonic_trend)
+                for c in range(len(classes))
+            ]
         elif self.monotonic_trend in (None, "none"):
             trends = [None] * len(classes)
         else:
             trends = [self.monotonic_trend] * len(classes)
         self.resolved_trends_ = trends
+        self._prebin_class_counts_ = M
 
         sol = solve_multiclass(
             M,

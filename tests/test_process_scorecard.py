@@ -163,6 +163,44 @@ def test_multiclass_binning(spark):
     assert out2.select("w2").distinct().count() >= 2
 
 
+def test_multiclass_auto_decides_and_enforces_peak(spark):
+    """End-to-end reference-semantics check (multiclass_binning.py:
+    97-106 + multiclass_cp.py per-class y[c,i]/t[c]): with
+    monotonic_trend='auto', the middle class of a 3-band feature is
+    one-vs-rest peak-shaped; auto must RESOLVE it to 'peak' (not
+    silently drop to unconstrained) and the merged table's class rates
+    must satisfy the change-point semantics."""
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(3000):
+        x = float(rng.uniform(0, 90))
+        cls = int(x // 30)
+        if rng.rand() < 0.2:
+            cls = int(rng.randint(0, 3))
+        rows.append((x, cls))
+    df = spark.createDataFrame(rows, "x double, y int")
+    mb = MulticlassOptimalBinning(prebinning_method="quantile")
+    mb.fit(df, "x", "y")
+    trends = mb.resolved_trends_
+    assert any(t in ("peak", "valley") for t in trends), trends
+    # every resolved trend is enforced on the final merged (clean) bins
+    clean = [i for i, k in enumerate(mb._table.kinds) if k == "clean"]
+    Mm = np.asarray(mb._table.M, dtype=float)[clean]
+    cnt = Mm.sum(axis=1)
+    from tests.test_solver import _leg_feasible
+
+    for c, tr in enumerate(trends):
+        rates = list(Mm[:, c] / np.maximum(cnt, 1e-15))
+        assert _leg_feasible(rates, tr), (c, tr, rates)
+    # and the solve is still the exact optimum under those constraints
+    from tests.test_solver import _brute_force_multiclass
+
+    prebin_M = np.asarray(mb._prebin_class_counts_, dtype=float)
+    if prebin_M.shape[0] <= 12:
+        b_obj, _ = _brute_force_multiclass(prebin_M, trends)
+        assert mb.solution_.objective == pytest.approx(b_obj)
+
+
 def test_multiclass_binning_process(spark):
     """Whole-process multiclass fit: target type + class list inferred
     inside the fused probe job; per-variable binners get classes_."""

@@ -303,3 +303,203 @@ def test_shape_enum_still_exact_below_budget():
     ne = 100 - ev
     sol = solve_binary(ne, ev, monotonic_trend="concave")
     assert sol.status == "OPTIMAL"
+
+
+# ---------------------------------------------------------------------------
+# multiclass per-class peak/valley (reference multiclass_cp.py y[c,i]/t[c])
+# ---------------------------------------------------------------------------
+
+
+def _mc_objective(M, segments):
+    """Summed one-vs-rest JS over merged bins (same objective as
+    solve_multiclass / reference multiclass_model_data)."""
+    from optbinning_spark.core.metrics import DIVERGENCES
+
+    js = DIVERGENCES["js"]
+    M = np.asarray(M, dtype=float)
+    totals = M.sum(axis=0)
+    total_all = totals.sum()
+    Mm = np.array([M[s : e + 1].sum(axis=0) for s, e in segments])
+    cnt = Mm.sum(axis=1)
+    val = 0.0
+    for c in range(M.shape[1]):
+        ev = Mm[:, c]
+        ne = cnt - ev
+        if (ev <= 0).any() or (ne <= 0).any():
+            return None  # infeasible (pure bin for class c)
+        val += js(ev / totals[c], ne / (total_all - totals[c])).sum()
+    return val
+
+
+def _leg_feasible(seq, trend):
+    """Reference change-point semantics: pairwise within legs, no
+    constraint across the boundary pair."""
+    m = len(seq)
+    if trend is None:
+        return True
+    asc = all(seq[i + 1] >= seq[i] for i in range(m - 1))
+    desc = all(seq[i + 1] <= seq[i] for i in range(m - 1))
+    if trend == "ascending":
+        return asc
+    if trend == "descending":
+        return desc
+    for s in range(-1, m):
+        head = seq[: s + 1]
+        tail = seq[s + 1 :]
+        h_asc = all(head[i + 1] >= head[i] for i in range(len(head) - 1))
+        h_desc = all(head[i + 1] <= head[i] for i in range(len(head) - 1))
+        t_asc = all(tail[i + 1] >= tail[i] for i in range(len(tail) - 1))
+        t_desc = all(tail[i + 1] <= tail[i] for i in range(len(tail) - 1))
+        if trend == "peak" and h_asc and t_desc:
+            return True
+        if trend == "valley" and h_desc and t_asc:
+            return True
+    return False
+
+
+def _brute_force_multiclass(M, trends, lo=1, hi=99, min_bin_size=None):
+    """Exact enumeration of all contiguous partitions under the
+    reference's per-class constraints — the optimum the CP-SAT model
+    (multiclass_cp.py) finds."""
+    M = np.asarray(M, dtype=float)
+    n = M.shape[0]
+    total_all = M.sum()
+    best = (None, None)
+    for mask in range(1 << (n - 1)):
+        segs, s = [], 0
+        for k in range(n - 1):
+            if mask >> k & 1:
+                segs.append((s, k))
+                s = k + 1
+        segs.append((s, n - 1))
+        if not (lo <= len(segs) <= hi):
+            continue
+        Mm = np.array([M[a : b + 1].sum(axis=0) for a, b in segs])
+        cnt = Mm.sum(axis=1)
+        if min_bin_size is not None and (cnt < min_bin_size * total_all).any():
+            continue
+        obj = _mc_objective(M, segs)
+        if obj is None:
+            continue
+        ok = True
+        for c, tr in enumerate(trends):
+            rates = Mm[:, c] / cnt
+            if not _leg_feasible(list(rates), tr):
+                ok = False
+                break
+        if not ok:
+            continue
+        if best[0] is None or obj > best[0]:
+            best = (obj, segs)
+    return best
+
+
+def test_multiclass_peak_constraint_binds():
+    # class 0 one-vs-rest rate rises then falls; class 1 is noise.
+    # Unconstrained keeps every prebin; peak on class 0 must merge the
+    # wiggle at the end.
+    M = np.array(
+        [[10, 40, 50], [30, 40, 30], [60, 20, 20], [30, 40, 30], [35, 40, 25]],
+        dtype=float,
+    )
+    trends = ["peak", None, None]
+    sol = solve_multiclass(M, monotonic_trends=trends)
+    assert sol.status == "OPTIMAL"
+    b_obj, b_segs = _brute_force_multiclass(M, trends)
+    assert sol.objective == pytest.approx(b_obj)
+    # the found partition satisfies the reference peak semantics
+    Mm = np.array([M[a : b + 1].sum(axis=0) for a, b in sol.segments])
+    rates = Mm[:, 0] / Mm.sum(axis=1)
+    assert _leg_feasible(list(rates), "peak")
+    # and the constraint genuinely binds vs unconstrained
+    free = solve_multiclass(M)
+    assert free.objective > sol.objective
+
+
+def test_multiclass_valley_constraint_binds():
+    M = np.array(
+        [[60, 20, 20], [30, 40, 30], [10, 45, 45], [30, 40, 30], [55, 25, 20]],
+        dtype=float,
+    )
+    trends = ["valley", None, None]
+    sol = solve_multiclass(M, monotonic_trends=trends)
+    assert sol.status == "OPTIMAL"
+    b_obj, _ = _brute_force_multiclass(M, trends)
+    assert sol.objective == pytest.approx(b_obj)
+    Mm = np.array([M[a : b + 1].sum(axis=0) for a, b in sol.segments])
+    rates = Mm[:, 0] / Mm.sum(axis=1)
+    assert _leg_feasible(list(rates), "valley")
+
+
+def test_multiclass_mixed_trends_brute_force_parity():
+    """Randomized parity: DP == brute force for every mix of per-class
+    trends, including multiple simultaneous peak/valley classes (each
+    with its own change point, like the reference's per-class t[c])."""
+    rng = np.random.default_rng(20260815)
+    trend_menu = [None, "ascending", "descending", "peak", "valley"]
+    for trial in range(40):
+        n = int(rng.integers(3, 8))
+        n_classes = int(rng.integers(2, 4))
+        M = rng.integers(1, 60, size=(n, n_classes)).astype(float)
+        trends = [
+            trend_menu[int(rng.integers(0, len(trend_menu)))]
+            for _ in range(n_classes)
+        ]
+        sol = solve_multiclass(M, monotonic_trends=trends)
+        b_obj, b_segs = _brute_force_multiclass(M, trends)
+        if b_obj is None:
+            assert sol.status == "INFEASIBLE", (trial, trends)
+        else:
+            assert sol.status == "OPTIMAL", (trial, trends, b_segs)
+            assert sol.objective == pytest.approx(b_obj), (
+                trial, trends, sol.segments, b_segs,
+            )
+            # returned partition itself satisfies every per-class trend
+            Mm = np.array([M[a: b + 1].sum(axis=0) for a, b in sol.segments])
+            cnt = Mm.sum(axis=1)
+            for c, tr in enumerate(trends):
+                assert _leg_feasible(list(Mm[:, c] / cnt), tr), (trial, c, tr)
+
+
+def test_multiclass_boundary_pair_freedom():
+    """The reference imposes NO constraint between the last first-leg
+    bin and the first second-leg bin (mixed y pair => both big-M
+    constraints slack). A profile whose descent opens above the
+    ascent's close must therefore be feasible at full granularity."""
+    # class-0 one-vs-rest rates by prebin: 0.2, 0.5, 0.7, 0.3 — with
+    # t=1: asc {0.2, 0.5}, desc {0.7, 0.3}; boundary 0.5 -> 0.7 rises
+    M = np.array(
+        [[20, 40, 40], [50, 25, 25], [70, 15, 15], [30, 35, 35]], dtype=float
+    )
+    trends = ["peak", None, None]
+    sol = solve_multiclass(M, monotonic_trends=trends)
+    assert sol.status == "OPTIMAL"
+    assert sol.n_bins == 4  # nothing needs merging
+    b_obj, _ = _brute_force_multiclass(M, trends)
+    assert sol.objective == pytest.approx(b_obj)
+
+
+def test_multiclass_heuristic_trends_map_to_exact():
+    M = np.array(
+        [[10, 40, 50], [30, 40, 30], [60, 20, 20], [30, 40, 30], [35, 40, 25]],
+        dtype=float,
+    )
+    a = solve_multiclass(M, monotonic_trends=["peak", None, None])
+    b = solve_multiclass(M, monotonic_trends=["peak_heuristic", None, None])
+    assert a.objective == pytest.approx(b.objective)
+    assert a.segments == b.segments
+
+
+def test_multiclass_min_bin_size_with_peak():
+    rng = np.random.default_rng(7)
+    M = rng.integers(5, 60, size=(6, 3)).astype(float)
+    trends = ["peak", "valley", None]
+    sol = solve_multiclass(M, monotonic_trends=trends, min_bin_size=0.15)
+    b_obj, _ = _brute_force_multiclass(M, trends, min_bin_size=0.15)
+    if b_obj is None:
+        assert sol.status == "INFEASIBLE"
+    else:
+        assert sol.objective == pytest.approx(b_obj)
+        total = M.sum()
+        for a, b in sol.segments:
+            assert M[a: b + 1].sum() >= 0.15 * total
