@@ -678,6 +678,24 @@ def q_semantic_dedup(spark, sf_dir):
         emb, threshold=0.4, centroids=pinned_centroids(16, 64))
 
 
+def q_semantic_dedup_arrow(spark, sf_dir):
+    """SemDeDup production path (similarity.py:548): Arrow-batched
+    assignment (one matmul per batch) + one BLAS gram per cluster —
+    designed bit-identical to the expr path, so it shares
+    q_semantic_dedup's oracle. In-window so the driver's hash gate
+    proves the bit-identity claim every round (round-9 VERDICT ask),
+    not just the equality unit test."""
+    from optbinning_spark.pipeline.similarity import (
+        pinned_centroids,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return semantic_dedup(
+        emb, threshold=0.4, centroids=pinned_centroids(16, 64),
+        method="arrow")
+
+
 def q_cluster_balanced_sample(spark, sf_dir):
     """Topic-balanced downsampling (similarity.py
     cluster_balanced_sample): nearest-pinned-centroid assignment +
@@ -2573,7 +2591,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top; minhash_signatures keeps its oracle in the tail.
         "incremental_dedup": q_incremental_dedup,
         "jaccard_pairs": q_jaccard_pairs,
-        "embedding_topk": q_embedding_topk,
+        # semantic_dedup_arrow takes embedding_topk's slot (round 9):
+        # the exact-cosine fold stays in-window four ways (ann_topk,
+        # ivf_topk_pinned, semantic_dedup, semantic_dedup_arrow);
+        # this row makes the driver hash gate prove the Arrow
+        # production path is bit-identical to the expr path every
+        # round. embedding_topk keeps its oracle in the tail.
+        "semantic_dedup_arrow": q_semantic_dedup_arrow,
         "event_window_stats": q_event_window_stats,
         # the windowed drift monitor (streaming plan, batch-checked)
         # takes event_type_psi's slot — both are M11 PSI over events,
@@ -2741,6 +2765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stay in-window via dedup_clusters' 8-hash replay) — oracle
         # still checked by tools/check_correctness
         "minhash_signatures": q_minhash_signatures,
+        # rotated out round 9 for semantic_dedup_arrow (the
+        # brute-force cosine top-k fold stays in-window via ann_topk /
+        # ivf_topk_pinned / both semantic_dedup paths) — oracle still
+        # checked by tools/check_correctness
+        "embedding_topk": q_embedding_topk,
         # rotated out round 8 for nb_quality_score (the supervised
         # bag-of-tokens classifier; marker CASE covered there and by
         # gopher_flags' expression family) — oracle still checked by
@@ -5563,6 +5592,8 @@ def oracle_sql() -> dict[str, str]:
         # SemDeDup: pinned-centroid literals, rounded-argmax cluster
         # assignment, within-cluster pair join + keep rule, all in SQL
         "semantic_dedup": _sql_semantic_dedup(n_centroids=16),
+        # the Arrow path is bit-identical by design; same oracle
+        "semantic_dedup_arrow": _sql_semantic_dedup(n_centroids=16),
         "multiclass_binning_table": _sql_multiclass_binning_table(),
         "scenario_binning_table": _sql_scenario_binning_table(),
         "multimodal_features": _sql_multimodal_features(),
