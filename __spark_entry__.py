@@ -4853,7 +4853,7 @@ def oracle_sql() -> dict[str, str]:
       ), sh AS (
         SELECT doc_id, unnest(list_distinct(
           [array_to_string(words[i:i+2], ' ')
-           FOR i IN generate_series(1, len(words)-2)])) AS sh
+           FOR i IN generate_series(1, greatest(len(words)-2, 1))])) AS sh
         FROM w
       )"""
 
@@ -4998,7 +4998,7 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
             sh AS (
               SELECT doc_id, md5('s0|' || unnest([array_to_string(words[i:i+2], ' ')
-                                     FOR i IN generate_series(1, len(words)-2)])) AS h
+                                     FOR i IN generate_series(1, greatest(len(words)-2, 1))])) AS h
               FROM w
             )
             SELECT doc_id,
@@ -5299,7 +5299,7 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
             sh AS (
               SELECT doc_id, unnest([array_to_string(words[i:i+2], ' ')
-                                     FOR i IN generate_series(1, len(words)-2)]) AS s
+                                     FOR i IN generate_series(1, greatest(len(words)-2, 1))]) AS s
               FROM w
             ), h AS (
               SELECT doc_id, md5('s0|' || s) AS h0, md5('s1|' || s) AS h1 FROM sh
@@ -5337,7 +5337,7 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
             sh AS (
               SELECT doc_id, unnest([array_to_string(words[i:i+2], ' ')
-                                     FOR i IN generate_series(1, len(words)-2)]) AS s
+                                     FOR i IN generate_series(1, greatest(len(words)-2, 1))]) AS s
               FROM w
             ), h AS (
               SELECT doc_id, md5('s0|' || s) AS h0, md5('s1|' || s) AS h1 FROM sh
@@ -5377,7 +5377,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
             sh AS (
               SELECT doc_id, unnest([array_to_string(words[i:i+2], ' ')
-                                     FOR i IN generate_series(1, len(words)-2)]) AS s
+                                     FOR i IN generate_series(1, greatest(len(words)-2, 1))]) AS s
               FROM w
             ), h AS (
               SELECT doc_id, md5('s0|' || s) AS h0, md5('s1|' || s) AS h1 FROM sh

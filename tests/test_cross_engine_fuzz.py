@@ -306,3 +306,42 @@ def test_curriculum_oracle_cross_engine_adversarial_text(spark, tmp_path):
         "doc_id", token_count_expr(F.col("text")).alias("score"))
     with pytest.raises(ValueError, match="NULL"):
         curriculum_shards(scored, "score", n_shards=4)
+
+
+@pytest.mark.parametrize("qname", ["jaccard_pairs", "minhash_signatures",
+                                   "lsh_candidates", "incremental_dedup",
+                                   "dedup_clusters"])
+def test_shingle_oracles_sub3_word_docs(spark, tmp_path, qname):
+    """All five shingle-based oracles over docs SHORTER than the
+    3-word shingle window (round-9 ADVICE): the engine's
+    shingles_from_words emits one short shingle via its greatest()
+    guard, and the SQL shingle builders must mirror it
+    (generate_series over greatest(len-2, 1)) — exercised here with
+    duplicate 1- and 2-word docs so short shingles actually collide
+    into bands/pairs on both engines."""
+    import __spark_entry__ as entry_mod
+
+    shorts = ["a", "a b", "b a", "", " ", "x", "x y", "a", "a b",
+              "one two three", "one two", "two one", "x", "a b",
+              "naïve ÜBER", "日本語", "日本語 データ", "a", "b a"]
+    rows = [
+        (i, t, ["en", "es"][i % 2], "fuzz", len(t)) for i, t in
+        enumerate(shorts + [f"filler words here number {i} pad" for i in
+                            range(12)])
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    d = str(tmp_path / f"short_{qname}")
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    got = sorted(map(tuple, entry_mod.queries()[qname](spark, d).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{d}/documents.parquet/*.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.execute(entry_mod.oracle_sql()[qname]).fetchall())
+    assert len(got) == len(want), (qname, len(got), len(want))
+    for g, w in zip(got, want):
+        assert g == w, (qname, g, w)
