@@ -43,10 +43,12 @@ def train_bpe_merges(texts, num_merges: int) -> list[tuple[str, str]]:
                 pairs[(syms[i], syms[i + 1])] += f
         if not pairs:
             break
-        # max by (count, then lexicographically SMALLEST pair) — fully
-        # deterministic across python versions / dict orders
-        best = max(pairs.items(), key=lambda kv: (kv[1], [-ord(c) for c in
-                                                          "\x00".join(kv[0])]))
+        # max count, ties broken by the lexicographically SMALLEST
+        # pair tuple — fully deterministic across python versions /
+        # dict orders (min over (-count, pair) gives true smallest-pair
+        # semantics; the old negated-ordinal key let a longer string
+        # beat its own prefix on a count tie)
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
         (a, b), cnt = best
         if cnt < 2:
             break
