@@ -44,6 +44,7 @@ def build_training_sequences(
     shard_col: str | None = None,
     merges=None,
     materialize_ids: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Materialize packed sequences as one row per (shard, seq_id):
 
@@ -60,14 +61,36 @@ def build_training_sequences(
     frame feeds both the pack plan (counts = F.size of the array, via
     pack_sequences' token_count_col) and the slice join — the same
     scan-halving shape as dsir_features. ``materialize_ids`` (default)
-    localCheckpoints that frame so the plan's two consumers don't each
-    re-run the BPE merge cascade; pass False to keep pure lineage."""
+    materializes that frame so the plan's two consumers don't each
+    re-run the BPE merge cascade; pass False to keep pure lineage.
+
+    Materialization tier (same posture as connected_components'
+    ``checkpoint_dir``): with ``checkpoint_dir`` set, the id frame
+    checkpoints to RELIABLE storage (HDFS/S3 on a real cluster — an
+    executor loss replays the sink job from the checkpoint instead of
+    failing it, which is the right default for a 100 TB last-mile
+    sink). Default None uses localCheckpoint in local mode (executor
+    == driver, nothing to lose) but falls back to a persist +
+    lineage-kept materialization on a real cluster, where
+    localCheckpoint's executor-local blocks are unrecoverable."""
     ids = df.select(
         F.col(id_col),
         *([F.col(shard_col)] if shard_col else []),
         bpe_token_ids_col(F.col(text_col), merges).alias("__ids"))
     if materialize_ids:
-        ids = ids.localCheckpoint(eager=True)
+        sc = df.sparkSession.sparkContext
+        if checkpoint_dir is not None:
+            sc.setCheckpointDir(checkpoint_dir)
+            ids = ids.checkpoint(eager=True)
+        elif sc.master.startswith("local"):
+            ids = ids.localCheckpoint(eager=True)
+        else:
+            # cluster without reliable dir: keep lineage, cache the
+            # tokenized frame so both consumers reuse it when present
+            from pyspark import StorageLevel
+
+            ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
+            ids.count()  # eager, same contract as the checkpoint path
     counted = ids.withColumn("__n_tok", F.size("__ids"))
     spans = pack_sequences(counted, seq_tokens, text_col=text_col,
                            id_col=id_col, shard_col=shard_col,
@@ -128,6 +151,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     shard_col: str | None = None,
     merges=None,
+    checkpoint_dir: str | None = None,
 ) -> dict:
     """Materialize (see :func:`build_training_sequences`) and write
     ``out_dir/sequences/shard=*/...parquet`` plus
@@ -135,10 +159,13 @@ def write_training_shards(
 
         {"seq_tokens": ..., "shards": {shard: {"n_sequences": ...,
          "n_tokens": ..., "content_hash": ...}}, "totals": {...}}
+
+    ``checkpoint_dir`` passes through to build_training_sequences
+    (reliable checkpoint of the tokenized frame on real clusters).
     """
     seqs = build_training_sequences(
         df, seq_tokens, text_col=text_col, id_col=id_col,
-        shard_col=shard_col, merges=merges)
+        shard_col=shard_col, merges=merges, checkpoint_dir=checkpoint_dir)
     (seqs.write.mode("overwrite").partitionBy("shard")
          .parquet(os.path.join(out_dir, "sequences")))
     # aggregate the parquet just WRITTEN, not the lineage: the

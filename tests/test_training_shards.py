@@ -129,3 +129,24 @@ def test_build_sequences_is_bounded_rows(docs):
     for r in seqs.collect():
         assert len(r["input_ids"]) <= SEQ
         assert len(r["provenance"]) <= SEQ  # a span has >= 1 token
+
+
+def test_reliable_checkpoint_dir_equivalent(spark, docs, tmp_path):
+    """checkpoint_dir (reliable checkpoint — the real-cluster
+    resilience path for the sink's tokenized frame) must produce
+    byte-identical sequences to the default localCheckpoint path."""
+    base = build_training_sequences(docs, SEQ, shard_col="lang")
+    ckpt = build_training_sequences(
+        docs, SEQ, shard_col="lang",
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    key = lambda r: (r["shard"], r["seq_id"])  # noqa: E731
+    a = sorted(base.collect(), key=key)
+    b = sorted(ckpt.collect(), key=key)
+    assert [(r["shard"], r["seq_id"], r["input_ids"], r["n_tokens"],
+             [tuple(p) for p in r["provenance"]]) for r in a] == \
+           [(r["shard"], r["seq_id"], r["input_ids"], r["n_tokens"],
+             [tuple(p) for p in r["provenance"]]) for r in b]
+    # the reliable checkpoint actually landed on disk
+    import os
+
+    assert any(os.scandir(str(tmp_path / "ckpt")))
