@@ -134,11 +134,58 @@ def _host_calibration(sf_dir):
     return cal
 
 
+def _quick_cal():
+    """60 ms host yardstick (matmul only) for per-section bracketing:
+    cheap enough to run before/after EVERY bench section, so an
+    all-reps-moved event inside one section self-adjudicates (host
+    moved during the section vs plan change) without a re-run."""
+    try:
+        import numpy as np
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((768, 768))
+        b = rng.standard_normal((768, 768))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (a @ b).sum()
+            best = min(best, time.perf_counter() - t0)
+        return round(best * 1000, 2)
+    except Exception:
+        return None
+
+
+class _SectionCal:
+    """Brackets each section with _quick_cal and flags host movement
+    (>1.5x either direction between a section's start and end)."""
+
+    def __init__(self):
+        self.sections: dict = {}
+        self._open: dict = {}
+
+    def begin(self, name):
+        self._open[name] = _quick_cal()
+
+    def end(self, name):
+        t0 = self._open.pop(name, None)
+        t1 = _quick_cal()
+        entry = {"start_matmul_ms": t0, "end_matmul_ms": t1}
+        if t0 and t1:
+            ratio = t1 / t0
+            entry["host_moved"] = bool(ratio > 1.5 or ratio < 1 / 1.5)
+        self.sections[name] = entry
+
+    @property
+    def moved(self):
+        return [k for k, v in self.sections.items()
+                if v.get("host_moved")]
+
+
 def main():
     t_start = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
     cal_start = _host_calibration(sf_dir)
+    scal = _SectionCal()
     spark = get_spark("optbinning_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM / codegen / class-loading paths with tiny-scale runs
@@ -157,6 +204,7 @@ def main():
                     "overwrite").save()
             except Exception:
                 pass
+    scal.begin("headline")
     times: dict[str, float] = {}
     reps_log: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -200,6 +248,7 @@ def main():
         # between the two fields must never trip on a 0.001 rounding gap
         times[name] = min(reps_log[name])
     total = round(sum(times.values()), 3)
+    scal.end("headline")
     # star-loop observability (ask: algorithmic regressions — round
     # counts creeping up — must be visible, not just their wall-time
     # symptom): q_dedup_clusters_dist fills entry_mod.LAST_CC_STATS
@@ -217,20 +266,24 @@ def main():
     # scan-heavy subset once each — the delta vs the single-file
     # numbers is the scan-parallelism headroom a real cluster gets.
     scale: dict = {}
+    scal.begin("scale_multirowgroup")
     try:
         scale = _scale_section(spark, sf_dir, qs)
     except Exception as e:  # scale probe must never break the contract
         scale = {"error": str(e)[:200]}
+    scal.end("scale_multirowgroup")
 
     # Second BASELINE.md anchor: the reference's continuous-target
     # scorecard fit (8 vars x 20,640 rows, HuberRegressor: 2.31 s,
     # README.rst:427-432). Same shape here at sf0.1 (~600k lineitem
     # rows, 29x the rows, Huber IRLS estimator).
     anchor: dict = {}
+    scal.begin("scorecard_anchor")
     try:
         anchor = _scorecard_anchor(spark, sf_dir)
     except Exception as e:
         anchor = {"error": str(e)[:200]}
+    scal.end("scorecard_anchor")
 
     # Crossover regression watch (pinned round-6 measured decisions):
     # window <= two-phase for the n-gram count shape, and unsalted <=
@@ -239,10 +292,12 @@ def main():
     # must fail LOUDLY — in the compact contract line, not a buried
     # artifact field.
     watch: dict = {}
+    scal.begin("regression_watch")
     try:
         watch = _regression_watch(spark, sf_dir, t_start)
     except Exception as e:
         watch = {"error": str(e)[:200]}
+    scal.end("regression_watch")
 
     # sf1 scale point: ORGANIC data (fresh-seeded shards — Zipf vocab,
     # real dup structure, growing key cardinality; tools/
@@ -251,10 +306,12 @@ def main():
     # structurally identical shards. Deadline-guarded so bench always
     # prints its JSON line within the harness budget.
     sf1: dict = {}
+    scal.begin("sf1_organic")
     try:
         sf1 = _sf1_organic_section(spark, qs, t_start)
     except Exception as e:
         sf1 = {"error": str(e)[:200]}
+    scal.end("sf1_organic")
 
     # PRIMARY LAYOUT DECLARATION for the BASELINE.md comparison: the
     # stock sf0.1 parquet is ONE file with ONE row group, so the scan
@@ -272,6 +329,16 @@ def main():
                     if isinstance(v, dict) and v.get("inverted")]
     if (sf1.get("salt_ab") or {}).get("inverted"):
         watch_failed.append("salt_ab")
+    # skipped watches surface as their own first-class field so a
+    # budget-blown run reads "not checked", never "green"
+    watch_skipped = [k for k, v in watch.items()
+                     if isinstance(v, dict) and v.get("skipped")]
+    if watch.get("skipped"):
+        watch_skipped.append("window_vs_two_phase")
+    if (sf1.get("salt_ab") or {}).get("skipped"):
+        watch_skipped.append("salt_ab")
+    if sf1.get("skipped"):
+        watch_skipped.append("salt_ab")
     for w in watch_failed:
         print(f"REGRESSION WATCH INVERTED: {w} — a pinned crossover "
               f"flipped; see bench_out.json", file=sys.stderr)
@@ -303,6 +370,9 @@ def main():
         "scorecard_anchor": anchor,
         "regression_watch": watch,
         "regression_watch_failed": watch_failed,
+        "regression_watch_skipped": sorted(set(watch_skipped)),
+        "section_calibration": scal.sections,
+        "host_moved_sections": scal.moved,
         "sf1_organic": sf1,
         # start AND end samples: if "end" is much slower than "start",
         # the bench run itself degraded the host (thermal/contention)
@@ -340,6 +410,8 @@ def main():
                 "sf": sf,
                 "primary_wide_process_fit": primary_wide,
                 "regression_watch_failed": watch_failed,
+                "regression_watch_skipped": sorted(set(watch_skipped)),
+                "host_moved_sections": scal.moved,
                 "full_artifact": out_path,
             }
         )
@@ -571,7 +643,9 @@ def _sf1_organic_section(spark, qs, t_start, budget_s=420):
     except Exception as e:
         section["corpus"] = {"error": str(e)[:120]}
     # distributed-closure star loop at organic scale, with round count
-    if time.time() - t_start <= budget_s + 150:
+    if time.time() - t_start > budget_s + 150:
+        section["dedup_clusters_dist"] = {"skipped": "budget"}
+    else:
         try:
             import __spark_entry__ as _e
 
@@ -589,8 +663,13 @@ def _sf1_organic_section(spark, qs, t_start, budget_s=420):
             spark._jvm.System.gc()
         except Exception as e:
             section["dedup_clusters_dist"] = {"error": str(e)[:120]}
-    # auto-salt A/B at organic cardinality (l_partkey: 200k distinct)
-    if time.time() - t_start <= budget_s + 150:
+    # auto-salt A/B at organic cardinality (l_partkey: 200k distinct).
+    # A budget skip is written EXPLICITLY: a watch that silently
+    # doesn't run is indistinguishable from a green one and will
+    # eventually mask a real inversion (round-8 VERDICT item).
+    if time.time() - t_start > budget_s + 150:
+        section["salt_ab"] = {"skipped": "budget"}
+    else:
         try:
             section["salt_ab"] = _salt_ab(spark, sf1)
         except Exception as e:
