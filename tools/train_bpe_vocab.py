@@ -26,47 +26,92 @@ ASCII_PRETOKEN_RE = re.compile(
     r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+")
 
 
+def _merge_pass(syms, a, b):
+    """Single greedy left-to-right non-overlapping merge of (a, b) —
+    the per-round application both trainer variants share. One pass
+    removes every occurrence (a merged symbol a+b can never re-form an
+    adjacent (a, b))."""
+    out = []
+    i = 0
+    merged = a + b
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def train_bpe_merges(texts, num_merges: int) -> list[tuple[str, str]]:
-    """Driver-side BPE trainer: returns merges in rank order."""
+    """Driver-side BPE trainer: returns merges in rank order.
+
+    Incremental (heap + pair->words index): each round updates pair
+    counts only for the word types the applied merge touched, so
+    training a production-scale list (32k+ merges over a 100k-type
+    vocabulary) is O(affected symbols) per merge, not O(corpus).
+    Selection rule unchanged: max count, ties broken by the
+    lexicographically smallest pair tuple (the heap key (-count, pair)
+    pops exactly that order) — byte-identical output to the original
+    full-rescan trainer (asserted in tests/test_bpe.py)."""
+    import heapq
+
     word_freq: Counter = Counter()
     for t in texts:
         if t:
             word_freq.update(ASCII_PRETOKEN_RE.findall(t))
-    # each word is a tuple of symbols, initially characters
-    words = {w: tuple(w) for w in word_freq}
+    vocab_words = sorted(word_freq)  # deterministic word order
+    words = [list(w) for w in vocab_words]
+    freqs = [word_freq[w] for w in vocab_words]
+
+    pair_count: dict = {}
+    pair_words: dict = {}  # pair -> set of word indices containing it
+    for wi, syms in enumerate(words):
+        f = freqs[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_count[p] = pair_count.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in pair_count.items()]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        pairs: Counter = Counter()
-        for w, syms in words.items():
-            f = word_freq[w]
+    while len(merges) < num_merges and heap:
+        nc, p = heapq.heappop(heap)
+        cur = pair_count.get(p, 0)
+        if -nc != cur:
+            continue  # stale entry; the current count was re-pushed
+        if cur < 2:
+            break
+        a, b = p
+        merges.append(p)
+        touched: set = set()
+        for wi in sorted(pair_words.get(p, ())):
+            syms = words[wi]
+            f = freqs[wi]
+            # retract this word's pair contributions, re-merge, re-add
             for i in range(len(syms) - 1):
-                pairs[(syms[i], syms[i + 1])] += f
-        if not pairs:
-            break
-        # max count, ties broken by the lexicographically SMALLEST
-        # pair tuple — fully deterministic across python versions /
-        # dict orders (min over (-count, pair) gives true smallest-pair
-        # semantics; the old negated-ordinal key let a longer string
-        # beat its own prefix on a count tie)
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        (a, b), cnt = best
-        if cnt < 2:
-            break
-        merges.append((a, b))
-        merged = a + b
-        new_words = {}
-        for w, syms in words.items():
-            out = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            new_words[w] = tuple(out)
-        words = new_words
+                q = (syms[i], syms[i + 1])
+                pair_count[q] -= f
+                touched.add(q)
+                s = pair_words.get(q)
+                if s is not None:
+                    s.discard(wi)
+            syms = _merge_pass(syms, a, b)
+            words[wi] = syms
+            for i in range(len(syms) - 1):
+                q = (syms[i], syms[i + 1])
+                pair_count[q] = pair_count.get(q, 0) + f
+                touched.add(q)
+                pair_words.setdefault(q, set()).add(wi)
+        for q in touched:
+            c = pair_count.get(q, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, q))
+            else:
+                pair_count.pop(q, None)
+                pair_words.pop(q, None)
     return merges
 
 
