@@ -672,7 +672,9 @@ def solve_multiclass(
     (reference multiclass_cp.py). Monotonicity per class is applied as
     a feasibility check on each class's one-vs-rest event rate during
     a joint DP. Per-class trends: ascending / descending / peak /
-    valley / None. Peak and valley carry per-class phase state — the
+    valley / concave / convex / None (all eight reference values,
+    matching /root/reference/optbinning/binning/multiclass_binning.py
+    :98-106). Peak and valley carry per-class phase state — the
     reference gives each such class its own change-point variable
     (multiclass_cp.py decision_variables: y[c, i] / t[c]) with
     pairwise-within-leg constraints and NO constraint across the
@@ -681,7 +683,17 @@ def solve_multiclass(
     the first-leg close is reachable by extending phase 0 through it,
     same argument as the binary peak DP). peak_heuristic /
     valley_heuristic (reference fixes t[c] by a scan heuristic) are
-    subsumed by the exact peak/valley solve."""
+    subsumed by the exact peak/valley solve. Concave/convex use the
+    all-triples curvature rule (reference multiclass_cp.py mirrors
+    cp.py:433-457); that constraint does not fit last-bin DP state,
+    so any concave/convex class routes the whole solve to a pruned
+    joint DFS enumeration (_solve_multiclass_enum) which enforces
+    every class's trend exactly. Unknown trend values raise
+    ValueError (the reference validates the same set).
+
+    Limits: the phase-mask DP allocates 2**n_pv states for n_pv
+    peak/valley classes and is capped at n_pv <= 12; realistic
+    multiclass problems have <= a handful."""
     M = np.asarray(n_event_by_class, dtype=float)  # [prebin, class]
     n, n_classes = M.shape
     if n == 0:
@@ -716,6 +728,33 @@ def solve_multiclass(
         {"peak_heuristic": "peak", "valley_heuristic": "valley"}.get(t, t)
         for t in trends
     ]
+    trends = [None if t == "none" else t for t in trends]
+    _allowed = {None, "ascending", "descending", "peak", "valley",
+                "concave", "convex"}
+    bad = sorted({str(t) for t in trends if t not in _allowed})
+    if bad:
+        raise ValueError(
+            f"Invalid per-class monotonic trend(s) {bad}. Allowed: "
+            "None, 'ascending', 'descending', 'concave', 'convex', "
+            "'peak', 'valley', 'peak_heuristic', 'valley_heuristic'."
+        )
+
+    lo = max(1, min_n_bins or 1)
+    hi = min(n, max_n_bins or n)
+
+    if any(t in ("concave", "convex") for t in trends):
+        # all-triples curvature does not fit last-bin DP state; joint
+        # exact enumeration enforces every class's trend
+        return _solve_multiclass_enum(V, RATEc, feas, lo, hi, trends)
+    return _solve_multiclass_dp(V, RATEc, feas, lo, hi, trends)
+
+
+def _solve_multiclass_dp(V, RATEc, feas, lo, hi, trends):
+    """Phase-mask DP over (mask, n_bins, last-bin) for per-class
+    asc/desc (edge filter) and peak/valley (one phase bit per class).
+    Exact; 2**n_pv mask states, capped at n_pv <= 12 peak/valley
+    classes (realistic problems have <= a handful)."""
+    n = V.shape[0]
     # classes whose trend needs phase state (first leg -> second leg)
     pv = [c for c, t in enumerate(trends) if t in ("peak", "valley")]
     n_pv = len(pv)
@@ -727,9 +766,6 @@ def solve_multiclass(
     n_masks = 1 << n_pv
 
     n_ = n
-    lo = max(1, min_n_bins or 1)
-    hi = min(n_, max_n_bins or n_)
-
     fixed = [(c, tr) for c, tr in enumerate(trends)
              if tr in ("ascending", "descending")]
 
@@ -773,46 +809,33 @@ def solve_multiclass(
                     if allowed is None:
                         continue
                     # per-class (max,+) bit transform: h[nm] = best
-                    # predecessor value over compatible prev masks
+                    # predecessor value over compatible prev masks;
+                    # src[nm] tracks the achieving predecessor mask so
+                    # parent recovery is O(1) (no post-hoc rescan)
                     h = list(g)
+                    src = list(range(n_masks))
                     for p, (a00, a01, a11) in enumerate(allowed):
                         bit = 1 << p
                         nh = h[:]
+                        ns = src[:]
                         for m in range(n_masks):
                             if m & bit:
                                 v = h[m] if a11 else NEG
                                 v0 = h[m ^ bit] if a01 else NEG
-                                nh[m] = v if v >= v0 else v0
+                                if v >= v0:
+                                    nh[m], ns[m] = v, src[m]
+                                else:
+                                    nh[m], ns[m] = v0, src[m ^ bit]
                             elif not a00:
-                                nh[m] = NEG
-                        h = nh
+                                nh[m], ns[m] = NEG, -1
+                        h, src = nh, ns
                     for nm in range(n_masks):
                         if h[nm] <= NEG / 2:
                             continue
                         val = h[nm] + vji
                         if val > f[nm, b, j, i]:
                             f[nm, b, j, i] = val
-                            # recover the achieving prev mask: scan
-                            # submask-compatible predecessors
-                            pm_best, pm_val = -1, NEG
-                            for pm in range(n_masks):
-                                ok = True
-                                for p, (a00, a01, a11) in enumerate(allowed):
-                                    pb_, nb_ = pm >> p & 1, nm >> p & 1
-                                    if pb_ and not nb_:
-                                        ok = False
-                                    elif not pb_ and not nb_:
-                                        ok = a00
-                                    elif not pb_ and nb_:
-                                        ok = a01
-                                    else:
-                                        ok = a11
-                                    if not ok:
-                                        break
-                                if ok and g[pm] > pm_val:
-                                    pm_best, pm_val = pm, g[pm]
-                            f[nm, b, j, i] = pm_val + vji
-                            parent[nm, b, j, i] = (pm_best, b - 1, k)
+                            parent[nm, b, j, i] = (src[nm], b - 1, k)
     best = (NEG, None)
     for nm in range(n_masks):
         for b in range(lo, hi + 1):
@@ -833,3 +856,143 @@ def solve_multiclass(
         nm, b, j = int(pm), int(pb), int(pk)
     segments.reverse()
     return BinSolution(segments, float(best[0]), "OPTIMAL", None)
+
+
+def _solve_multiclass_enum(V, RATEc, feas, lo, hi, trends):
+    """Exact joint enumeration for multiclass solves with at least one
+    per-class concave/convex trend. The reference's multiclass CP
+    model applies the same all-triples curvature constraint as the
+    binary model (cp.py:433-457: e_a + e_c <= 2 e_b for every bin
+    triple a < b < c, per class, reversed for convex), which cannot be
+    carried in last-bin DP state — so, like the binary
+    _solve_shape_enum, we enumerate contiguous partitions depth-first
+    with O(1) incremental per-class pruning:
+
+    - ascending / descending: consecutive one-vs-rest-rate check;
+    - peak / valley: greedy latest-switch phase tracking — exact for
+      left-to-right feasibility (a sequence is unimodal iff after its
+      first strict decrease no increase occurs);
+    - concave / convex: the running bound m = min over earlier bin
+      pairs (a, b) of (2 e_b - e_a); appending rate r is feasible iff
+      r <= m, and m updates as min(m, 2 r - max_rate) (sign-flipped
+      for convex) — same rule as the binary enumeration.
+
+    Anytime under a node budget (2e6 extension attempts fully covers a
+    flat n = 20 prefix tree): on exhaustion the best COMPLETE
+    partition found is returned with status "FEASIBLE"; if none was
+    completed yet, the phase-mask DP is run with concave -> peak /
+    convex -> valley (curvature implies unimodality) and its answer is
+    kept only if it satisfies the all-triples rule for every shaped
+    class."""
+    n = V.shape[0]
+    sgn = {"concave": 1.0, "convex": -1.0}
+
+    def init_state():
+        st = []
+        for tr in trends:
+            if tr in ("concave", "convex"):
+                st.append((np.inf, -np.inf))  # (m, max_rate), signed
+            elif tr in ("peak", "valley"):
+                st.append((0, None))  # (phase, last rate)
+            elif tr in ("ascending", "descending"):
+                st.append((None,))  # (last rate,)
+            else:
+                st.append(())
+        return tuple(st)
+
+    def step(state, nbins, j, i):
+        """Feasibility + new per-class state for appending bin [j..i]
+        as bin index nbins; None if any class's trend is violated.
+        Comparisons are exact (no epsilon), matching the mask DP's
+        edge filter and the reference CP constraints."""
+        out = []
+        for c, tr in enumerate(trends):
+            if tr is None:
+                out.append(())
+                continue
+            r = RATEc[j, i, c]
+            s = state[c]
+            if tr == "ascending":
+                if s[0] is not None and r < s[0]:
+                    return None
+                out.append((r,))
+            elif tr == "descending":
+                if s[0] is not None and r > s[0]:
+                    return None
+                out.append((r,))
+            elif tr in ("peak", "valley"):
+                ph, last = s
+                if last is None:
+                    out.append((0, r))
+                    continue
+                hold = r >= last if tr == "peak" else r <= last
+                drop = r <= last if tr == "peak" else r >= last
+                if ph == 0:
+                    out.append((0, r) if hold else (1, r))
+                elif drop:
+                    out.append((1, r))
+                else:
+                    return None
+            else:  # concave / convex
+                m, max_r = s
+                rr = sgn[tr] * r
+                if nbins >= 2 and rr > m + 1e-12:
+                    return None
+                nm = m if nbins < 1 else min(m, 2.0 * rr - max_r)
+                out.append((nm, max(max_r, rr)))
+        return tuple(out)
+
+    best_val, best_segs = NEG, None
+    node_budget = 2_000_000
+    nodes = 0
+    exhausted = False
+    stack = [(0, 0, [], 0.0, init_state())]
+    while stack:
+        start, i0, segs, val, state = stack.pop()
+        if nodes >= node_budget:
+            exhausted = True
+            break
+        nodes += n - i0
+        nbins = len(segs)
+        for i in range(i0, n):
+            if not feas[start, i] or V[start, i] <= NEG / 2:
+                continue
+            nstate = step(state, nbins, start, i)
+            if nstate is None:
+                continue
+            nval = val + V[start, i]
+            if i == n - 1:
+                if lo <= nbins + 1 <= hi and nval > best_val:
+                    best_val, best_segs = nval, segs + [(start, i)]
+            elif nbins + 1 < hi:
+                stack.append((i + 1, i + 1, segs + [(start, i)], nval, nstate))
+    shaped = [(c, tr) for c, tr in enumerate(trends)
+              if tr in ("concave", "convex")]
+    if exhausted and best_segs is None:
+        # budget hit before any complete partition: approximate with
+        # the polynomial mask DP (curvature implies unimodality) and
+        # keep the answer only if genuinely concave/convex per class
+        approx_trends = [
+            {"concave": "peak", "convex": "valley"}.get(t, t)
+            for t in trends
+        ]
+        approx = _solve_multiclass_dp(V, RATEc, feas, lo, hi, approx_trends)
+        if approx.status == "OPTIMAL":
+            ok = True
+            for c, tr in shaped:
+                rates = [sgn[tr] * RATEc[j, i, c] for j, i in approx.segments]
+                ok &= all(
+                    rates[a] + rates[cc] <= 2.0 * rates[bb] + 1e-12
+                    for a in range(len(rates))
+                    for bb in range(a + 1, len(rates))
+                    for cc in range(bb + 1, len(rates))
+                )
+            if ok:
+                return BinSolution(
+                    approx.segments, approx.objective, "FEASIBLE", None)
+        return BinSolution([(0, n - 1)], 0.0, "INFEASIBLE", None)
+    if best_segs is None:
+        return BinSolution([(0, n - 1)], 0.0, "INFEASIBLE", None)
+    return BinSolution(
+        best_segs, float(best_val),
+        "FEASIBLE" if exhausted else "OPTIMAL", None)

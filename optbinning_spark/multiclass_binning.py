@@ -204,6 +204,15 @@ class MulticlassOptimalBinning(_BaseOptimalBinning):
         return np.asarray(self._table.classes)
 
     def __init__(self, *args, monotonic_trends=None, **kw):
+        """``monotonic_trends``: optional per-class list; each entry is
+        one of the reference's eight values (None/'none', 'ascending',
+        'descending', 'concave', 'convex', 'peak', 'valley',
+        'peak_heuristic', 'valley_heuristic') or an auto mode resolved
+        per class (reference multiclass_binning.py:98-106). All are
+        enforced exactly; invalid values raise ValueError at fit.
+        Limit: at most 12 classes may carry peak/valley trends
+        simultaneously (the joint solve tracks one phase bit per such
+        class — see core/solver.py solve_multiclass)."""
         kw.setdefault("monotonic_trend", "auto")
         super().__init__(*args, **kw)
         # list of per-class trends, or None -> resolve per class

@@ -333,9 +333,19 @@ def _mc_objective(M, segments):
 
 def _leg_feasible(seq, trend):
     """Reference change-point semantics: pairwise within legs, no
-    constraint across the boundary pair."""
+    constraint across the boundary pair. Concave/convex: all-triples
+    curvature (cp.py:433-457), same tolerance as _brute_force_shape."""
     m = len(seq)
     if trend is None:
+        return True
+    if trend in ("concave", "convex"):
+        for a in range(m):
+            for b in range(a + 1, m):
+                for c in range(b + 1, m):
+                    if trend == "concave" and seq[a] + seq[c] > 2 * seq[b] + 1e-12:
+                        return False
+                    if trend == "convex" and seq[a] + seq[c] < 2 * seq[b] - 1e-12:
+                        return False
         return True
     asc = all(seq[i + 1] >= seq[i] for i in range(m - 1))
     desc = all(seq[i + 1] <= seq[i] for i in range(m - 1))
@@ -459,6 +469,63 @@ def test_multiclass_mixed_trends_brute_force_parity():
             cnt = Mm.sum(axis=1)
             for c, tr in enumerate(trends):
                 assert _leg_feasible(list(Mm[:, c] / cnt), tr), (trial, c, tr)
+
+
+def test_multiclass_concave_convex_brute_force_parity():
+    """Randomized parity for the joint DFS route: at least one class
+    carries a concave/convex trend (the reference's all-triples
+    curvature constraint, multiclass_cp.py mirroring cp.py:433-457),
+    mixed freely with every other trend type on the other classes."""
+    rng = np.random.default_rng(20260815 + 1)
+    shape_menu = ["concave", "convex"]
+    other_menu = [None, "ascending", "descending", "peak", "valley",
+                  "concave", "convex"]
+    for trial in range(40):
+        n = int(rng.integers(3, 8))
+        n_classes = int(rng.integers(2, 4))
+        M = rng.integers(1, 60, size=(n, n_classes)).astype(float)
+        trends = [
+            other_menu[int(rng.integers(0, len(other_menu)))]
+            for _ in range(n_classes)
+        ]
+        # guarantee the shaped route is exercised every trial
+        trends[int(rng.integers(0, n_classes))] = shape_menu[trial % 2]
+        sol = solve_multiclass(M, monotonic_trends=trends)
+        b_obj, b_segs = _brute_force_multiclass(M, trends)
+        if b_obj is None:
+            assert sol.status == "INFEASIBLE", (trial, trends)
+        else:
+            assert sol.status == "OPTIMAL", (trial, trends, b_segs)
+            assert sol.objective == pytest.approx(b_obj), (
+                trial, trends, sol.segments, b_segs,
+            )
+            Mm = np.array([M[a: b + 1].sum(axis=0) for a, b in sol.segments])
+            cnt = Mm.sum(axis=1)
+            for c, tr in enumerate(trends):
+                assert _leg_feasible(list(Mm[:, c] / cnt), tr), (trial, c, tr)
+
+
+def test_multiclass_concave_constraint_binds():
+    # class-0 one-vs-rest rates dip then recover (convex-ish wiggle):
+    # unconstrained keeps every prebin; concave on class 0 must merge.
+    M = np.array(
+        [[50, 25, 25], [20, 40, 40], [10, 45, 45], [40, 30, 30]],
+        dtype=float,
+    )
+    free = solve_multiclass(M, monotonic_trends=[None, None, None])
+    con = solve_multiclass(M, monotonic_trends=["concave", None, None])
+    assert free.status == "OPTIMAL" and con.status == "OPTIMAL"
+    assert con.objective <= free.objective
+    b_obj, _ = _brute_force_multiclass(M, ["concave", None, None])
+    assert con.objective == pytest.approx(b_obj)
+    Mm = np.array([M[a: b + 1].sum(axis=0) for a, b in con.segments])
+    assert _leg_feasible(list(Mm[:, 0] / Mm.sum(axis=1)), "concave")
+
+
+def test_multiclass_invalid_trend_raises():
+    M = np.array([[10, 20], [30, 10], [20, 20]], dtype=float)
+    with pytest.raises(ValueError, match="Invalid per-class monotonic"):
+        solve_multiclass(M, monotonic_trends=["ascending", "sideways"])
 
 
 def test_multiclass_boundary_pair_freedom():
