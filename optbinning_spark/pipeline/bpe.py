@@ -61,6 +61,7 @@ __all__ = [
     "bpe_tokens_sql",
     "bpe_apply_python",
     "bpe_token_count_pandas_udf",
+    "bpe_token_ids_pandas_udf",
     "load_merges_txt",
     "bpe_vocab",
     "bpe_token_ids_col",
@@ -192,6 +193,75 @@ def bpe_apply_python(text: str, merges=None,
     return out
 
 
+def _merge_ranks(merges) -> dict[tuple[str, str], int]:
+    """pair -> LOWEST rank (a duplicated pair's later entries are
+    no-ops under the sequential spec: the first application reaches
+    the fixed point)."""
+    ranks: dict[tuple[str, str], int] = {}
+    for r, p in enumerate(merges):
+        ranks.setdefault(tuple(p), r)
+    return ranks
+
+
+def _merge_pretoken_fast(tok: str, merges, ranks) -> list[str]:
+    """Rank-indexed application of the sequential merge spec for ONE
+    pre-token: repeatedly merge the present pair with the smallest
+    rank >= the last applied rank. O(len(tok)^2) dict lookups,
+    independent of vocabulary size — the production kernel for 32k+
+    merge lists, where scanning the full list per pre-token
+    (bpe_apply_python's shape) costs O(n_merges) each.
+
+    Exactly equivalent to the sequential scan for ANY merge list, not
+    just trained ones: sequential processes rank r to fixed point then
+    never returns, so (a) between the cursor and the minimum present
+    rank nothing applies, and (b) a pair whose rank precedes the
+    cursor — only constructible in hand-built lists, since a trained
+    merge's output symbol cannot exist before its rank — is skipped by
+    both (asserted against bpe_apply_python in tests/test_bpe.py,
+    including an adversarial later-merge-creates-earlier-pair list).
+    Each selected rank is applied with STRING-replace pass semantics,
+    not symbol-greedy: a match in the SEP-delimited form consumes the
+    shared trailing separator, so the immediately following pair
+    cannot match within the same pass (a run of five b's under (b, b)
+    merges positions (0,1) and (3,4) -> [bb, b, bb], exactly what
+    ``str.replace`` produces); passes repeat to the fixed point. The
+    applied pair cannot re-form (merges only create longer symbols),
+    so the cursor never has to revisit its own rank."""
+    syms = list(tok)
+    cursor = 0
+    while len(syms) > 1:
+        best = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]), -1)
+            if r >= cursor and (best < 0 or r < best):
+                best = r
+        if best < 0:
+            break
+        a, b = merges[best]
+        merged = a + b
+        changed = True
+        while changed:
+            changed = False
+            out: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    changed = True
+                    # the match consumed the trailing SEP: the pair
+                    # starting at i+2 is blocked for this pass
+                    if i + 2 < n:
+                        out.append(syms[i + 2])
+                    i += 3
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cursor = best
+    return syms
+
+
 def bpe_vocab(merges=None, base_chars: str | None = None
               ) -> dict[str, int]:
     """Deterministic token->id vocabulary for a merge list: id 0 is
@@ -291,6 +361,7 @@ def bpe_token_count_pandas_udf(merges=None,
 
     merges = MINI_MERGES if merges is None else merges
     merges = list(merges)
+    ranks = _merge_ranks(merges)
 
     @pandas_udf("int")
     def _count(texts):
@@ -299,13 +370,7 @@ def bpe_token_count_pandas_udf(merges=None,
         def count_pretoken(tok: str) -> int:
             n = cache.get(tok)
             if n is None:
-                s = SEP + SEP.join(tok) + SEP
-                for a, b in merges:
-                    pat = SEP + a + SEP + b + SEP
-                    rep = SEP + a + b + SEP
-                    while pat in s:
-                        s = s.replace(pat, rep)
-                n = s.count(SEP) - 1
+                n = len(_merge_pretoken_fast(tok, merges, ranks))
                 cache[tok] = n
             return n
 
@@ -318,3 +383,47 @@ def bpe_token_count_pandas_udf(merges=None,
         return texts.map(count_doc).astype("Int64")
 
     return _count
+
+
+def bpe_token_ids_pandas_udf(merges=None,
+                             vocab: dict[str, int] | None = None,
+                             pretoken_re: re.Pattern = ASCII_PRETOKEN_RE):
+    """Arrow-batched token-id encoder — the production sibling of
+    :func:`bpe_token_ids_col` for vocabularies too large for the
+    expression path (the 2 x n_merges nested-replace cascade stops
+    being sensible past a few hundred merges). Same spec: merges in
+    rank order per pre-token (rank-indexed kernel, vocab-size
+    independent), ids via :func:`bpe_vocab` with UNK=0, NULL text ->
+    NULL. Memoized per distinct pre-token, so Zipf text encodes each
+    word shape once per Arrow batch stream."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    merges = MINI_MERGES if merges is None else merges
+    merges = list(merges)
+    ranks = _merge_ranks(merges)
+    vocab = bpe_vocab(merges) if vocab is None else vocab
+
+    @pandas_udf("array<int>")
+    def _ids(texts):
+        cache: dict[str, list[int]] = {}
+
+        def ids_pretoken(tok: str) -> list[int]:
+            v = cache.get(tok)
+            if v is None:
+                v = [vocab.get(s, 0)
+                     for s in _merge_pretoken_fast(tok, merges, ranks)]
+                cache[tok] = v
+            return v
+
+        def ids_doc(t):
+            if t is None:
+                return None
+            out: list[int] = []
+            for tok in pretoken_re.findall(t.replace(SEP, "")):
+                out.extend(ids_pretoken(tok))
+            return out
+
+        return texts.map(ids_doc)
+
+    return _ids

@@ -32,7 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..pipeline.bpe import bpe_token_ids_col
+from ..pipeline.bpe import bpe_token_ids_col, bpe_token_ids_pandas_udf
 from ..pipeline.text import pack_sequences
 
 
@@ -45,6 +45,7 @@ def build_training_sequences(
     merges=None,
     materialize_ids: bool = True,
     checkpoint_dir: str | None = None,
+    tokenizer: str = "expr",
 ) -> DataFrame:
     """Materialize packed sequences as one row per (shard, seq_id):
 
@@ -72,16 +73,39 @@ def build_training_sequences(
     sink). Default None uses localCheckpoint in local mode (executor
     == driver, nothing to lose) but falls back to a persist +
     lineage-kept materialization on a real cluster, where
-    localCheckpoint's executor-local blocks are unrecoverable."""
+    localCheckpoint's executor-local blocks are unrecoverable.
+
+    ``tokenizer``: "expr" (default) inlines the merge cascade into
+    whole-stage codegen — right for pinned mini-vocabularies; "arrow"
+    tokenizes via :func:`bpe_token_ids_pandas_udf` — the production
+    path for real (32k+ merge) vocabularies, where the expression
+    cascade is not constructible. Identical ids (asserted in
+    tests/test_training_shards.py on the pinned vocab)."""
+    if tokenizer not in ("expr", "arrow"):
+        raise ValueError(f"tokenizer must be 'expr' or 'arrow': {tokenizer}")
+    if tokenizer == "arrow":
+        ids_expr = bpe_token_ids_pandas_udf(merges)(F.col(text_col))
+    else:
+        ids_expr = bpe_token_ids_col(F.col(text_col), merges)
     ids = df.select(
         F.col(id_col),
         *([F.col(shard_col)] if shard_col else []),
-        bpe_token_ids_col(F.col(text_col), merges).alias("__ids"))
+        ids_expr.alias("__ids"))
     if materialize_ids:
         sc = df.sparkSession.sparkContext
         if checkpoint_dir is not None:
+            # setCheckpointDir mutates global SparkContext state;
+            # capture and restore the previous dir so later unrelated
+            # .checkpoint() users (e.g. connected_components) do not
+            # silently inherit this sink's directory
+            prev = sc._jsc.sc().getCheckpointDir()
+            prev_dir = prev.get() if prev.isDefined() else None
             sc.setCheckpointDir(checkpoint_dir)
-            ids = ids.checkpoint(eager=True)
+            try:
+                ids = ids.checkpoint(eager=True)
+            finally:
+                if prev_dir is not None:
+                    sc.setCheckpointDir(prev_dir)
         elif sc.master.startswith("local"):
             ids = ids.localCheckpoint(eager=True)
         else:

@@ -194,6 +194,151 @@ def test_trainer_deterministic():
     assert a == b and 0 < len(a) <= 10
 
 
+def _train_bpe_rescan(texts, num_merges):
+    """Independent full-rescan BPE trainer with the SAME selection
+    rule as the incremental trainer (max count, ties to the
+    lexicographically smallest pair): recount every pair from scratch
+    each round. The parity oracle for
+    train_bpe_vocab.train_bpe_merges."""
+    import sys
+    from collections import Counter
+
+    sys.path.insert(0, "/root/repo/tools")
+    from train_bpe_vocab import ASCII_PRETOKEN_RE, _merge_pass
+
+    word_freq = Counter()
+    for t in texts:
+        if t:
+            word_freq.update(ASCII_PRETOKEN_RE.findall(t))
+    words = {w: list(w) for w in word_freq}
+    merges = []
+    while len(merges) < num_merges:
+        pc = Counter()
+        for w, syms in words.items():
+            f = word_freq[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        for w in words:
+            words[w] = _merge_pass(words[w], a, b)
+    return merges
+
+
+def test_trainer_incremental_matches_rescan():
+    """The incremental heap trainer must be merge-for-merge identical
+    to a full-rescan trainer with the same selection rule, on
+    randomized corpora engineered to hit count ties (small alphabets,
+    repeated words) — the parity evidence the trainer docstring
+    cites."""
+    import random
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from train_bpe_vocab import train_bpe_merges
+
+    rnd = random.Random(20260815)
+    vocab_pool = ["aa", "ab", "ba", "abc", "the", "cat", "cab", "bac",
+                  "a", "b", "c", "12", "1", "!?", "it's"]
+    for trial in range(20):
+        n_words = rnd.randint(3, 40)
+        texts = [
+            " ".join(rnd.choice(vocab_pool) for _ in range(rnd.randint(1, 12)))
+            for _ in range(n_words)
+        ]
+        k = rnd.randint(1, 60)
+        inc = train_bpe_merges(texts, k)
+        res = _train_bpe_rescan(texts, k)
+        assert inc == res, (trial, k, texts[:3], inc, res)
+
+
+def test_fast_kernel_matches_sequential_reference():
+    """_merge_pretoken_fast (rank-indexed, vocab-size-independent)
+    must equal bpe_apply_python (sequential full-list scan) per
+    pre-token — on the pinned vocab, on randomized merge lists, and on
+    an adversarial hand-built list where a later merge creates a pair
+    with an EARLIER rank (which the sequential spec skips; trained
+    lists cannot produce this)."""
+    import random
+
+    from optbinning_spark.pipeline.bpe import (
+        _merge_pretoken_fast,
+        _merge_ranks,
+    )
+
+    def seq_ref(tok, merges):
+        s = SEP + SEP.join(tok) + SEP
+        for a, b in merges:
+            pat = SEP + a + SEP + b + SEP
+            rep = SEP + a + b + SEP
+            while pat in s:
+                s = s.replace(pat, rep)
+        return [x for x in s.split(SEP) if x]
+
+    rnd = random.Random(99)
+    # randomized lists over a tiny alphabet maximize pair collisions
+    for trial in range(300):
+        alpha = "ab" if trial % 2 else "abc"
+        merges = []
+        symbols = list(alpha)
+        for _ in range(rnd.randint(1, 10)):
+            a, b = rnd.choice(symbols), rnd.choice(symbols)
+            merges.append((a, b))
+            symbols.append(a + b)
+        ranks = _merge_ranks(merges)
+        for _ in range(20):
+            tok = "".join(rnd.choice(alpha)
+                          for _ in range(rnd.randint(1, 12)))
+            assert _merge_pretoken_fast(tok, merges, ranks) == \
+                seq_ref(tok, merges), (trial, merges, tok)
+    # adversarial: rank 0 = (ab, c) needs "ab" which only rank 1
+    # creates — sequential never applies it; duplicated pair at the
+    # tail is a no-op
+    adv = [("ab", "c"), ("a", "b"), ("a", "b")]
+    ranks = _merge_ranks(adv)
+    for tok in ("abc", "ababc", "cab", "aabbc"):
+        assert _merge_pretoken_fast(tok, adv, ranks) == seq_ref(tok, adv)
+    # pinned vocab on corpus pre-tokens: kernel == module oracle
+    import duckdb
+
+    texts = [r[0] for r in duckdb.sql(
+        f"select text from read_parquet('{DOCS}') limit 60").fetchall()]
+    from optbinning_spark.pipeline.bpe import ASCII_PRETOKEN_RE
+    ranks = _merge_ranks(MINI_MERGES)
+    for t in texts:
+        fast = []
+        for tok in ASCII_PRETOKEN_RE.findall(t.replace(SEP, "")):
+            fast.extend(_merge_pretoken_fast(tok, MINI_MERGES, ranks))
+        assert fast == bpe_apply_python(t)
+
+
+def test_token_ids_udf_matches_expression(spark):
+    """bpe_token_ids_pandas_udf (production Arrow path) == the
+    expression path bpe_token_ids_col, element-for-element, on the
+    pinned vocab over the corpus + NULL handling."""
+    from optbinning_spark.pipeline.bpe import (
+        bpe_token_ids_col,
+        bpe_token_ids_pandas_udf,
+    )
+
+    df = spark.read.parquet(DOCS).limit(120).select(
+        "doc_id", "text").union(
+        spark.createDataFrame([(99999, None)], "doc_id long, text string"))
+    udf = bpe_token_ids_pandas_udf()
+    rows = df.select(
+        bpe_token_ids_col(F.col("text")).alias("expr_ids"),
+        udf("text").alias("udf_ids"),
+    ).collect()
+    assert len(rows) == 121
+    for r in rows:
+        assert r.expr_ids == r.udf_ids
+
+
 def test_load_merges_txt(tmp_path):
     """GPT-2 merges.txt round-trip: Ġ-marked pairs load back into the
     module's merge shape, header and count-cap honored."""

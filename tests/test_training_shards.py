@@ -131,6 +131,37 @@ def test_build_sequences_is_bounded_rows(docs):
         assert len(r["provenance"]) <= SEQ  # a span has >= 1 token
 
 
+def test_arrow_tokenizer_equivalent(spark, docs):
+    """tokenizer='arrow' (the production path for 32k+ merge
+    vocabularies, where the expression cascade is not constructible)
+    must produce byte-identical sequences to the expression path."""
+    base = build_training_sequences(docs, SEQ, shard_col="lang")
+    arrow = build_training_sequences(docs, SEQ, shard_col="lang",
+                                     tokenizer="arrow")
+    key = lambda r: (r["shard"], r["seq_id"])  # noqa: E731
+    a = sorted(base.collect(), key=key)
+    b = sorted(arrow.collect(), key=key)
+    assert [(r["shard"], r["seq_id"], r["input_ids"], r["n_tokens"],
+             [tuple(p) for p in r["provenance"]]) for r in a] == \
+           [(r["shard"], r["seq_id"], r["input_ids"], r["n_tokens"],
+             [tuple(p) for p in r["provenance"]]) for r in b]
+    with pytest.raises(ValueError, match="tokenizer"):
+        build_training_sequences(docs, SEQ, tokenizer="bogus")
+
+
+def test_checkpoint_dir_restored_after_sink(spark, docs, tmp_path):
+    """The sink's reliable checkpoint must not leak its directory into
+    global SparkContext state: a prior setCheckpointDir survives."""
+    sc = spark.sparkContext
+    prior = str(tmp_path / "prior")
+    sc.setCheckpointDir(prior)
+    build_training_sequences(
+        docs, SEQ, shard_col="lang",
+        checkpoint_dir=str(tmp_path / "sink_ckpt")).collect()
+    cur = sc._jsc.sc().getCheckpointDir()
+    assert cur.isDefined() and prior in cur.get()
+
+
 def test_reliable_checkpoint_dir_equivalent(spark, docs, tmp_path):
     """checkpoint_dir (reliable checkpoint — the real-cluster
     resilience path for the sink's tokenized frame) must produce

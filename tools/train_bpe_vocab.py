@@ -51,10 +51,15 @@ def train_bpe_merges(texts, num_merges: int) -> list[tuple[str, str]]:
     counts only for the word types the applied merge touched, so
     training a production-scale list (32k+ merges over a 100k-type
     vocabulary) is O(affected symbols) per merge, not O(corpus).
-    Selection rule unchanged: max count, ties broken by the
-    lexicographically smallest pair tuple (the heap key (-count, pair)
-    pops exactly that order) — byte-identical output to the original
-    full-rescan trainer (asserted in tests/test_bpe.py)."""
+    Selection rule: max count, ties broken by the lexicographically
+    smallest pair tuple (the heap key (-count, pair) pops exactly that
+    order). NB this deliberately replaces the pre-incremental
+    trainer's tie-break (Python's max over a (count, pair) key, which
+    on count ties preferred the lexicographically LARGEST pair — a
+    prefix-tie bias), so merge lists trained before the rewrite may
+    differ at tied ranks. Parity with an independent full-rescan
+    trainer using the same selection rule is asserted on randomized
+    corpora in tests/test_bpe.py::test_trainer_incremental_matches_rescan."""
     import heapq
 
     word_freq: Counter = Counter()
