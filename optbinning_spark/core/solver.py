@@ -47,7 +47,10 @@ class BinSolution:
     def __init__(self, segments, objective, status, trend):
         self.segments = segments  # list of (start, end) inclusive prebin spans
         self.objective = objective
-        self.status = status  # "OPTIMAL" | "INFEASIBLE"
+        # "OPTIMAL" | "FEASIBLE" (anytime best under budget) |
+        # "INFEASIBLE" (proven) | "UNKNOWN" (budget exhausted, nothing
+        # proven either way — multiclass enumeration only)
+        self.status = status
         self.trend = trend
 
     @property
@@ -858,7 +861,8 @@ def _solve_multiclass_dp(V, RATEc, feas, lo, hi, trends):
     return BinSolution(segments, float(best[0]), "OPTIMAL", None)
 
 
-def _solve_multiclass_enum(V, RATEc, feas, lo, hi, trends):
+def _solve_multiclass_enum(V, RATEc, feas, lo, hi, trends,
+                           node_budget=2_000_000):
     """Exact joint enumeration for multiclass solves with at least one
     per-class concave/convex trend. The reference's multiclass CP
     model applies the same all-triples curvature constraint as the
@@ -883,7 +887,10 @@ def _solve_multiclass_enum(V, RATEc, feas, lo, hi, trends):
     completed yet, the phase-mask DP is run with concave -> peak /
     convex -> valley (curvature implies unimodality) and its answer is
     kept only if it satisfies the all-triples rule for every shaped
-    class."""
+    class. When that relaxation is unavailable (mapped peak/valley
+    count over the DP's n_pv <= 12 cap) or its optimum fails the
+    triples check, the status is "UNKNOWN" — budget exhaustion is not
+    a proof of infeasibility."""
     n = V.shape[0]
     sgn = {"concave": 1.0, "convex": -1.0}
 
@@ -943,7 +950,6 @@ def _solve_multiclass_enum(V, RATEc, feas, lo, hi, trends):
         return tuple(out)
 
     best_val, best_segs = NEG, None
-    node_budget = 2_000_000
     nodes = 0
     exhausted = False
     stack = [(0, 0, [], 0.0, init_state())]
@@ -976,6 +982,12 @@ def _solve_multiclass_enum(V, RATEc, feas, lo, hi, trends):
             {"concave": "peak", "convex": "valley"}.get(t, t)
             for t in trends
         ]
+        n_pv_mapped = sum(1 for t in approx_trends if t in ("peak", "valley"))
+        if n_pv_mapped > 12:
+            # the mask-DP fallback would raise on its own 2^n_pv cap;
+            # report the exhaustion honestly instead of an unrelated
+            # phase-space error
+            return BinSolution([(0, n - 1)], 0.0, "UNKNOWN", None)
         approx = _solve_multiclass_dp(V, RATEc, feas, lo, hi, approx_trends)
         if approx.status == "OPTIMAL":
             ok = True
@@ -990,7 +1002,10 @@ def _solve_multiclass_enum(V, RATEc, feas, lo, hi, trends):
             if ok:
                 return BinSolution(
                     approx.segments, approx.objective, "FEASIBLE", None)
-        return BinSolution([(0, n - 1)], 0.0, "INFEASIBLE", None)
+        # budget exhausted with nothing proven either way: the problem
+        # may well be feasible (e.g. >20 prebins with flat rates), so
+        # "INFEASIBLE" would be a lie — report UNKNOWN
+        return BinSolution([(0, n - 1)], 0.0, "UNKNOWN", None)
     if best_segs is None:
         return BinSolution([(0, n - 1)], 0.0, "INFEASIBLE", None)
     return BinSolution(

@@ -46,6 +46,9 @@ memoized; identical spec, asserted equal on the pinned vocab).
 from __future__ import annotations
 
 import re
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -356,15 +359,17 @@ def bpe_token_count_pandas_udf(merges=None,
     NB: ``pretoken_re`` is the ASCII specialization; for non-ASCII
     corpora pass a pattern compiled with the third-party ``regex``
     module supporting \\p{L} to match the JVM/RE2 pre-tokenizer."""
-    import pandas as pd  # noqa: F401
     from pyspark.sql.pandas.functions import pandas_udf
 
     merges = MINI_MERGES if merges is None else merges
     merges = list(merges)
     ranks = _merge_ranks(merges)
 
+    # Iterator form: one cache per Python worker task, shared across
+    # every Arrow batch of the partition (the scalar form would
+    # rebuild it per batch)
     @pandas_udf("int")
-    def _count(texts):
+    def _count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         cache: dict[str, int] = {}
 
         def count_pretoken(tok: str) -> int:
@@ -380,7 +385,8 @@ def bpe_token_count_pandas_udf(merges=None,
             return sum(count_pretoken(tok) for tok in
                        pretoken_re.findall(t.replace(SEP, "")))
 
-        return texts.map(count_doc).astype("Int64")
+        for texts in batches:
+            yield texts.map(count_doc).astype("Int64")
 
     return _count
 
@@ -394,9 +400,9 @@ def bpe_token_ids_pandas_udf(merges=None,
     being sensible past a few hundred merges). Same spec: merges in
     rank order per pre-token (rank-indexed kernel, vocab-size
     independent), ids via :func:`bpe_vocab` with UNK=0, NULL text ->
-    NULL. Memoized per distinct pre-token, so Zipf text encodes each
-    word shape once per Arrow batch stream."""
-    import pandas as pd  # noqa: F401
+    NULL. Memoized per distinct pre-token via the iterator UDF form,
+    so Zipf text encodes each word shape once per worker task (cache
+    shared across all Arrow batches of a partition)."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     merges = MINI_MERGES if merges is None else merges
@@ -405,7 +411,7 @@ def bpe_token_ids_pandas_udf(merges=None,
     vocab = bpe_vocab(merges) if vocab is None else vocab
 
     @pandas_udf("array<int>")
-    def _ids(texts):
+    def _ids(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         cache: dict[str, list[int]] = {}
 
         def ids_pretoken(tok: str) -> list[int]:
@@ -424,6 +430,7 @@ def bpe_token_ids_pandas_udf(merges=None,
                 out.extend(ids_pretoken(tok))
             return out
 
-        return texts.map(ids_doc)
+        for texts in batches:
+            yield texts.map(ids_doc)
 
     return _ids

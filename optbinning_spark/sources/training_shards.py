@@ -106,6 +106,13 @@ def build_training_sequences(
             finally:
                 if prev_dir is not None:
                     sc.setCheckpointDir(prev_dir)
+                else:
+                    # no prior dir: clear the Option field directly so
+                    # a later unrelated .checkpoint() fails with
+                    # "checkpoint directory has not been set" instead
+                    # of silently inheriting this sink's directory
+                    getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                        sc._jvm.scala.Option.empty())
         elif sc.master.startswith("local"):
             ids = ids.localCheckpoint(eager=True)
         else:

@@ -162,6 +162,19 @@ def test_checkpoint_dir_restored_after_sink(spark, docs, tmp_path):
     assert cur.isDefined() and prior in cur.get()
 
 
+def test_checkpoint_dir_cleared_when_no_prior(spark, docs, tmp_path):
+    """With no prior checkpoint dir, the sink must leave the context
+    with NO dir set (not its own) so a later unrelated .checkpoint()
+    fails loudly instead of silently inheriting the sink's directory."""
+    sc = spark.sparkContext
+    getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+    build_training_sequences(
+        docs, SEQ, shard_col="lang",
+        checkpoint_dir=str(tmp_path / "sink_ckpt2")).collect()
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+
+
 def test_reliable_checkpoint_dir_equivalent(spark, docs, tmp_path):
     """checkpoint_dir (reliable checkpoint — the real-cluster
     resilience path for the sink's tokenized frame) must produce
