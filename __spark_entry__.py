@@ -2554,28 +2554,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rectangle solver was the last big solver family without a
         # driver-grade oracle. sample_class_counts keeps its oracle in
         # the tail for tools/check_correctness.
-        # binning_2d_median upgrades binning_2d_pinned's slot: same
-        # 8-partition rectangle check, but the 2x2 splits are now
-        # DATA-DERIVED axis medians (the exact-percentile quantile
-        # path is inside the hash), not user-pinned constants; the
-        # pinned variant keeps its oracle in the tail (it still
-        # covers the user_splits_x/y path)
-        "binning_2d_median": q_binning_2d_median,
+        # round 11 rotation: binning_2d_pinned returns to the window —
+        # the user_splits_x/y 2-D rectangle path gets driver
+        # re-verification after two tail-only rounds; the
+        # data-derived-median variant rotates to the tail with its
+        # oracle intact (2-D solver + grid-agg coverage stays
+        # in-window through this entry)
+        "binning_2d_pinned": q_binning_2d_pinned,
         "ivf_topk_pinned": q_ivf_topk_pinned,
         "piecewise_transform_fixed": q_piecewise_transform_fixed,
-        "quantile_splits": q_quantile_splits,
-        "uniform_binning_table": q_uniform_binning_table,
-        "outlier_zscore": q_outlier_zscore,
+        # round 11 rotation: mdlp_splits takes quantile_splits' slot
+        # (B4 entropy/MDL recursion gets its first driver-window hash
+        # check; the exact-quantile split path stays in-window via
+        # cart_splits' recursive-CTE replay and the DP oracles'
+        # quantile_cont prebin stage) — quantile_splits keeps its
+        # oracle in the tail
+        "mdlp_splits": q_mdlp_splits,
+        # round 11 rotation: binning_table_fixed takes
+        # uniform_binning_table's slot (the fixed-user-split binning
+        # table returns for driver re-verification; B3 min/max+linspace
+        # prebinning stays covered by optimal_binning_table's
+        # quantile-prebin DP oracle family) — uniform_binning_table
+        # keeps its oracle in the tail
+        "binning_table_fixed": q_binning_table_fixed,
+        # round 11 rotation: outlier_yquantile takes outlier_zscore's
+        # slot (P7 y-conditional quantile trimming re-verified by the
+        # driver; the robust-center family stays in-window via
+        # outlier_iqr) — outlier_zscore keeps its oracle in the tail
+        "outlier_yquantile": q_outlier_yquantile,
         "outlier_iqr": q_outlier_iqr,
         "special_missing_stats": q_special_missing_stats,
-        # bpe_subword_count takes doc_token_stats' slot (round 8): the
-        # per-doc whitespace token count is a COLUMN of the new query,
-        # and the remaining doc-stat signals (avg word len, stopword /
-        # type-token ratios) stay in-window via gopher_flags;
-        # doc_token_stats keeps its oracle in the tail — NEW round-8
-        # surface: tokenizer-faithful BPE subword accounting under the
-        # pinned mini vocab, replayed merge-for-merge by DuckDB
-        "bpe_subword_count": q_bpe_subword_count,
+        # round 11 rotation: bpe_token_count takes bpe_subword_count's
+        # slot (the same expression tokenizer, replayed merge-for-merge
+        # by DuckDB — driver re-verification after five tail rounds;
+        # per-doc subword accounting stays in-window via
+        # training_sequences' id-exact oracle) — bpe_subword_count
+        # keeps its oracle in the tail
+        "bpe_token_count": q_bpe_token_count,
         # nb_quality_score takes lang_id's slot (round 8): both are
         # bag-of-tokens text classifiers — the marker-based language
         # CASE stays tail-oracled while the supervised generalization
@@ -2583,14 +2598,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bounded per-class bucket counts, map-only LLR fold) joins
         # the window; lang_id keeps its oracle in the tail
         "nb_quality_score": q_nb_quality_score,
-        "exact_dedup": q_exact_dedup,
+        # round 11 rotation: minhash_signatures returns to the window
+        # (the staged minhash-lane construction re-verified by the
+        # driver; exact-hash dedup stays in-window via paragraph_dedup
+        # and incremental_dedup's index join) — exact_dedup keeps its
+        # oracle in the tail
+        "minhash_signatures": q_minhash_signatures,
         # incremental_dedup takes minhash_signatures' slot (round 8):
         # the staged minhash-lane construction stays in-window via
         # dedup_clusters' oracle (8-hash replay) and incremental_dedup
         # itself, which adds the snapshot-refresh band-index join on
         # top; minhash_signatures keeps its oracle in the tail.
         "incremental_dedup": q_incremental_dedup,
-        "jaccard_pairs": q_jaccard_pairs,
+        # round 11 rotation: lsh_candidates returns to the window (the
+        # minhash+band+bucket candidate join re-verified by the
+        # driver; the pair-verify surface stays in-window via
+        # simhash_pairs' hamming verify and semantic_dedup's cosine
+        # join) — jaccard_pairs keeps its oracle in the tail
+        "lsh_candidates": q_lsh_candidates,
         # semantic_dedup_arrow takes embedding_topk's slot (round 9):
         # the exact-cosine fold stays in-window four ways (ann_topk,
         # ivf_topk_pinned, semantic_dedup, semantic_dedup_arrow);
@@ -2598,7 +2623,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # production path is bit-identical to the expr path every
         # round. embedding_topk keeps its oracle in the tail.
         "semantic_dedup_arrow": q_semantic_dedup_arrow,
-        "event_window_stats": q_event_window_stats,
+        # round 11 rotation: sketch_binning_exact takes
+        # event_window_stats' slot (S7/T1-T3 mergeable-sketch binning
+        # gets its first driver-window hash check — the exact-GK
+        # add/merge/solve path; windowed event aggregation stays
+        # in-window via event_psi_monitor) — event_window_stats keeps
+        # its oracle in the tail
+        "sketch_binning_exact": q_sketch_binning_exact,
         # the windowed drift monitor (streaming plan, batch-checked)
         # takes event_type_psi's slot — both are M11 PSI over events,
         # and the monitor adds windowing + drift levels on top;
@@ -2614,16 +2645,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle in the tail)
         "dup_ngram_spans": q_dup_ngram_spans,
         "cart_splits": q_cart_splits,
-        # the IRLS-replay scorecard oracle takes psi's window slot
-        # (M11 PSI stays driver-covered through event_psi_monitor —
-        # windowed PSI with the same arithmetic plus drift levels);
-        # psi keeps its oracle in the tail for tools/check_correctness
-        "scorecard_scores_logistic": q_scorecard_scores_logistic,
+        # round 11 rotation: scorecard_table_pdo takes
+        # scorecard_scores_logistic's slot (O12 PDO point scaling gets
+        # driver re-verification; the IRLS logistic estimator stays
+        # in-window via scorecard_scores_huber's shared WLS oracle
+        # machinery) — scorecard_scores_logistic keeps its oracle in
+        # the tail
+        "scorecard_table_pdo": q_scorecard_table_pdo,
         "scorecard_scores_huber": q_scorecard_scores_huber,
-        "ks": q_ks,
+        # round 11 rotation: psi returns to the window (M11 variable
+        # PSI re-verified by the driver; W2 cumulative bin sums stay
+        # in-window via quality_top_fraction's window ranks and the DP
+        # oracles' prefix stats) — ks keeps its oracle in the tail
+        "psi": q_psi,
         "optimal_binning_table": q_optimal_binning_table,
         "optimal_woe_transform": q_optimal_woe_transform,
-        "continuous_binning_table": q_continuous_binning_table,
+        # round 11 rotation: continuous_bin_stats takes
+        # continuous_binning_table's slot (A3 per-prebin continuous
+        # stats re-verified directly by the driver; the O6 continuous
+        # DP solve stays in-window via scenario_binning_table, whose
+        # oracle replays the same continuous DP machinery) —
+        # continuous_binning_table keeps its oracle in the tail
+        "continuous_bin_stats": q_continuous_bin_stats,
         "categorical_optimal_binning": q_categorical_optimal_binning,
         # wide_summary_pinned takes binning_process_summary's slot —
         # strict superset: same summary mechanism over MORE variables
@@ -2638,23 +2681,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scenario aggregation stays covered through
         # scenario_binning_table, whose oracle replays it); both keep
         # their oracles in the tail for tools/check_correctness
-        "doc_normalize": q_doc_normalize,
+        # round 11 rotation: lang_id returns to the window (the
+        # marker-based language CASE re-verified by the driver; text
+        # normalization stays in-window via pii_redaction's regex
+        # family and gopher_flags) — doc_normalize keeps its oracle
+        # in the tail
+        "lang_id": q_lang_id,
         # counterfactual_pinned takes outlier_yquantile's slot (the
         # outlier family keeps two in-window reps, zscore + iqr;
         # yquantile keeps its oracle in the tail) — O15 was the last
         # solver family with no driver-window hash check; the pinned
         # 2-variable search space is exhaustively enumerated in SQL
         "counterfactual_pinned": q_counterfactual_pinned,
-        # counterfactual_mahalanobis_pinned takes
-        # scorecard_scores_linear's slot (the centered-WLS linear
-        # estimator surface stays in-window: BOTH counterfactual
-        # oracles replay the same Cramer WLS 'coef' CTE, and the
-        # logistic/huber scorecard scores remain in-window;
-        # scorecard_scores_linear keeps its oracle in the tail) —
-        # closes the round-5 rows-only gap on the Cholesky-closeness
-        # objective via a closed-form 2x2 inverse+Cholesky in SQL
-        "counterfactual_mahalanobis_pinned":
-            q_counterfactual_mahalanobis_pinned,
+        # round 11 rotation: kmeans_refined_centroids takes
+        # counterfactual_mahalanobis_pinned's slot (the full-corpus
+        # Lloyd refinement with exact fixed-point reduction gets its
+        # first driver-window hash check; the O15 counterfactual
+        # search + Cramer WLS 'coef' CTE stay in-window via
+        # counterfactual_pinned) — counterfactual_mahalanobis_pinned
+        # keeps its oracle in the tail
+        "kmeans_refined_centroids": q_kmeans_refined_centroids,
         "dedup_clusters_dist": q_dedup_clusters_dist,
         # dedup_clusters subsumes lsh_candidates (its oracle replays
         # minhash + bands + pairs AND the transitive closure), so it
@@ -2721,7 +2767,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # selection (window rank per stratum)
         "quality_top_fraction": q_quality_top_fraction,
         "class_weight_agg": q_class_weight_agg,
-        "regression_metrics": q_regression_metrics,
+        # round 11 rotation: classification_metrics returns to the
+        # window (M12 confusion-matrix metrics re-verified by the
+        # driver; the shared perf-metrics machinery stays doubly
+        # covered while regression_metrics rotates to the tail with
+        # its oracle intact)
+        "classification_metrics": q_classification_metrics,
         "indices_bins_transform": q_indices_bins_transform,
         # mean_transform rotated to the tail: the F4 per-row bin-mean
         # transform is driver-covered through scorecard_scores_linear
@@ -2735,7 +2786,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keep rule on top of the same exact-cosine pair join.
         # near_dup_cosine_bucketed keeps its oracle in the tail.
         "semantic_dedup": q_semantic_dedup,
-        "multiclass_binning_table": q_multiclass_binning_table,
+        # round 11 rotation: multiclass_bin_counts takes
+        # multiclass_binning_table's slot (A4 per-class prebin counts
+        # re-verified directly by the driver after five tail rounds;
+        # the O7 multiclass DP solve stays covered by golden parity +
+        # the 40-trial brute-force tests, and its first-stage counts
+        # are exactly this query) — multiclass_binning_table keeps its
+        # oracle in the tail
+        "multiclass_bin_counts": q_multiclass_bin_counts,
         "scenario_binning_table": q_scenario_binning_table,
         "multimodal_features": q_multimodal_features,
         # -- tail (beyond the driver's 50-entry window; unit/golden
@@ -2745,7 +2803,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    optimal_woe_transform / prebin_counts) and cart-adjacent
         #    entries below still carry oracles checked by
         #    tools/check_correctness) --
-        "binning_table_fixed": q_binning_table_fixed,
+        # rotated out round 11 for binning_table_fixed's return (B3
+        # uniform prebinning stays covered by the in-window DP oracle
+        # family) — oracle still checked by tools/check_correctness
+        "uniform_binning_table": q_uniform_binning_table,
+        # rotated out round 11 for mdlp_splits (exact-quantile splits
+        # stay in-window via cart_splits and the DP oracles'
+        # quantile_cont stage) — oracle still checked by
+        # tools/check_correctness
+        "quantile_splits": q_quantile_splits,
         # rotated out round 8 (covers: ws token stats via
         # bpe_subword_count + gopher_flags; ws packing arithmetic via
         # pack_sequences_bpe's identical cumsum) — oracles still
@@ -2756,55 +2822,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same pack plan and adds id materialization) — oracle
         # still checked by tools/check_correctness
         "pack_sequences_bpe": q_pack_sequences_bpe,
-        "bpe_token_count": q_bpe_token_count,
+        # rotated out round 11 for bpe_token_count (same merge-cascade
+        # expression tokenizer; doc-level subword stats stay in-window
+        # via training_sequences) — oracle still checked by
+        # tools/check_correctness
+        "bpe_subword_count": q_bpe_subword_count,
         # rotated out round 8 for semantic_dedup (same exact-cosine
         # pair machinery; hyperplane buckets stay in-window via
         # ann_topk) — oracle still checked by tools/check_correctness
         "near_dup_cosine_bucketed": q_near_dup_cosine_bucketed,
-        # rotated out round 8 for incremental_dedup (minhash lanes
-        # stay in-window via dedup_clusters' 8-hash replay) — oracle
-        # still checked by tools/check_correctness
-        "minhash_signatures": q_minhash_signatures,
+        # rotated out round 11 for minhash_signatures' return
+        # (exact-hash dedup stays in-window via paragraph_dedup /
+        # incremental_dedup) — oracle still checked by
+        # tools/check_correctness
+        "exact_dedup": q_exact_dedup,
         # rotated out round 9 for semantic_dedup_arrow (the
         # brute-force cosine top-k fold stays in-window via ann_topk /
         # ivf_topk_pinned / both semantic_dedup paths) — oracle still
         # checked by tools/check_correctness
         "embedding_topk": q_embedding_topk,
-        # rotated out round 8 for nb_quality_score (the supervised
-        # bag-of-tokens classifier; marker CASE covered there and by
-        # gopher_flags' expression family) — oracle still checked by
-        # tools/check_correctness
-        "lang_id": q_lang_id,
+        # rotated out round 11 for lang_id's return (normalization
+        # regex family stays in-window via pii_redaction) — oracle
+        # still checked by tools/check_correctness
+        "doc_normalize": q_doc_normalize,
         # tail-registered round 8 (no rotation): topic-balanced
         # downsampling — composition of the SemDeDup quantizer
         # assignment and the stratified hash gate, oracle-checked by
         # tools/check_correctness
         "cluster_balanced_sample": q_cluster_balanced_sample,
-        # tail-registered round 8 (no rotation): full-corpus Lloyd
-        # refinement of the coarse quantizer with exact fixed-point
-        # reduction, oracle-checked by tools/check_correctness
-        "kmeans_refined_centroids": q_kmeans_refined_centroids,
+        # rotated out round 11 for kmeans_refined_centroids' window
+        # debut (the counterfactual WLS machinery stays in-window via
+        # counterfactual_pinned) — oracle still checked by
+        # tools/check_correctness
+        "counterfactual_mahalanobis_pinned":
+            q_counterfactual_mahalanobis_pinned,
         # tail-registered round 8 (no rotation): curriculum data
         # layout — quantile difficulty shards + within-shard hash
         # order, oracle-checked by tools/check_correctness
         "curriculum_shards": q_curriculum_shards,
-        "classification_metrics": q_classification_metrics,
+        # rotated out round 11 for classification_metrics' return
+        # (shared perf-metrics machinery) — oracle still checked by
+        # tools/check_correctness
+        "regression_metrics": q_regression_metrics,
         "distribution_stats": q_distribution_stats,
         "chi2_tests": q_chi2_tests,
         "event_rate_order": q_event_rate_order,
-        "continuous_bin_stats": q_continuous_bin_stats,
-        "multiclass_bin_counts": q_multiclass_bin_counts,
+        # rotated out round 11 for continuous_bin_stats (the O6
+        # continuous DP stays in-window via scenario_binning_table's
+        # replay) — oracle still checked by tools/check_correctness
+        "continuous_binning_table": q_continuous_binning_table,
+        # rotated out round 11 for multiclass_bin_counts (the O7
+        # multiclass DP stays covered by golden parity + brute-force
+        # tests; its first-stage counts are the in-window query) —
+        # oracle still checked by tools/check_correctness
+        "multiclass_binning_table": q_multiclass_binning_table,
         "prebin_counts": q_prebin_counts,
         "scorecard_scores_linear": q_scorecard_scores_linear,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_quality": q_doc_quality,
         "woe_transform": q_woe_transform,
-        "lsh_candidates": q_lsh_candidates,
+        # rotated out round 11 for lsh_candidates' return (n-gram
+        # Jaccard verify stays in-window via simhash_pairs'
+        # banded-verify machinery) — oracle still checked by
+        # tools/check_correctness
+        "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "contingency_2d": q_contingency_2d,
         "scenario_agg": q_scenario_agg,
         "mean_transform": q_mean_transform,
-        "outlier_yquantile": q_outlier_yquantile,
+        # rotated out round 11 for outlier_yquantile (robust-center
+        # outlier family stays in-window via outlier_iqr) — oracle
+        # still checked by tools/check_correctness
+        "outlier_zscore": q_outlier_zscore,
         "binning_process_summary": q_binning_process_summary,
         "doc_split_assignment": q_doc_split_assignment,
         # round 8: reproducible global training shuffle — two-level
@@ -2815,24 +2904,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scorecard_scores": q_scorecard_scores,
         "scorecard_table": q_scorecard_table,
         "scorecard_table_linear": q_scorecard_table_linear,
-        "scorecard_table_pdo": q_scorecard_table_pdo,
+        # rotated out round 11 for scorecard_table_pdo (the IRLS
+        # logistic estimator surface stays in-window via
+        # scorecard_scores_huber) — oracle still checked by
+        # tools/check_correctness
+        "scorecard_scores_logistic": q_scorecard_scores_logistic,
         "scorecard_table_rebased": q_scorecard_table_rebased,
-        "psi": q_psi,
+        # rotated out round 11 for psi's return (W2 cumulative bin
+        # sums stay in-window via the DP oracles' prefix stats) —
+        # oracle still checked by tools/check_correctness
+        "ks": q_ks,
         "event_type_psi": q_event_type_psi,
         "wide_process_fit": q_wide_process_fit,
         "binning_2d_table": q_binning_2d_table,
-        "binning_2d_pinned": q_binning_2d_pinned,
+        # rotated out round 11 for binning_2d_pinned (same 8-partition
+        # rectangle replay; the data-derived median splits stay
+        # tool-oracled here) — oracle still checked by
+        # tools/check_correctness
+        "binning_2d_median": q_binning_2d_median,
         "sample_class_counts": q_sample_class_counts,
         "continuous_binning_2d_pinned": q_continuous_binning_2d_pinned,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "sketch_binning_table": q_sketch_binning_table,
-        "sketch_binning_exact": q_sketch_binning_exact,
+        # rotated out round 11 for sketch_binning_exact (windowed
+        # event aggregation stays in-window via event_psi_monitor) —
+        # oracle still checked by tools/check_correctness
+        "event_window_stats": q_event_window_stats,
         "sketch_categorical_merge": q_sketch_categorical_merge,
         "psi_variable_report": q_psi_variable_report,
         "continuous_binning_2d_table": q_continuous_binning_2d_table,
         "piecewise_transform": q_piecewise_transform,
         "counterfactual": q_counterfactual,
-        "mdlp_splits": q_mdlp_splits,
         "ivf_topk": q_ivf_topk,
         "multimodal_frames": q_multimodal_frames,
         "doc_contamination": q_doc_contamination,
