@@ -313,6 +313,74 @@ def main():
         sf1 = {"error": str(e)[:200]}
     scal.end("sf1_organic")
 
+    # AUTO-RERUN of host_moved sections (r9/r10 ask): a section whose
+    # calibration bracket moved >1.5x carries numbers no one can
+    # adjudicate — rather than shipping them with a "host contention"
+    # shrug, re-run the section once (cheaper rep counts) and merge by
+    # min, the same steady-state-throughput convention every section
+    # already uses. Deadline-guarded so bench always prints its
+    # contract line inside the harness budget.
+    retried_sections: dict = {}
+    RETRY_DEADLINE_S = 780.0
+
+    def _can_retry(est_s):
+        return (time.time() - t_start) + est_s < RETRY_DEADLINE_S
+
+    moved_now = list(scal.moved)
+    if "scale_multirowgroup" in moved_now and _can_retry(120):
+        scal.begin("scale_multirowgroup_retry")
+        try:
+            scale2 = _scale_section(spark, sf_dir, qs, reps=1, wide_reps=3)
+        except Exception as e:
+            scale2 = {"error": str(e)[:200]}
+        scal.end("scale_multirowgroup_retry")
+        retried_sections["scale_multirowgroup"] = {
+            "retry_host_moved": "scale_multirowgroup_retry" in scal.moved}
+        if isinstance(scale.get("queries"), dict) and \
+                isinstance(scale2.get("queries"), dict):
+            for k, v in scale2["queries"].items():
+                scale["queries"][k] = min(scale["queries"].get(k, v), v)
+                scale["rep_samples"].setdefault(k, []).extend(
+                    scale2["rep_samples"].get(k, []))
+            scale["total"] = round(sum(scale["queries"].values()), 3)
+            scale["retry_wide_cal_bracket"] = scale2.get("wide_cal_bracket")
+    if "headline" in moved_now and _can_retry(150):
+        scal.begin("headline_retry")
+        try:
+            for name in HEADLINE:
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 3)
+                reps_log[name].append(dt)
+                times[name] = min(times[name], dt)
+                spark.catalog.clearCache()
+                del df
+                gc.collect()
+                spark._jvm.System.gc()
+                if not _can_retry(10):
+                    break
+        except Exception as e:
+            retried_sections["headline"] = {"error": str(e)[:200]}
+        scal.end("headline_retry")
+        retried_sections.setdefault("headline", {})["retry_host_moved"] = \
+            "headline_retry" in scal.moved
+        total = round(sum(times.values()), 3)
+    if "scorecard_anchor" in moved_now and _can_retry(40):
+        scal.begin("scorecard_anchor_retry")
+        try:
+            anchor2 = _scorecard_anchor(spark, sf_dir)
+        except Exception as e:
+            anchor2 = {"error": str(e)[:200]}
+        scal.end("scorecard_anchor_retry")
+        retried_sections["scorecard_anchor"] = {
+            "retry_host_moved": "scorecard_anchor_retry" in scal.moved}
+        if isinstance(anchor.get("sec"), (int, float)) and \
+                isinstance(anchor2.get("sec"), (int, float)):
+            anchor["rep_samples"] = (anchor.get("rep_samples") or []) + \
+                (anchor2.get("rep_samples") or [])
+            anchor["sec"] = min(anchor["sec"], anchor2["sec"])
+
     # PRIMARY LAYOUT DECLARATION for the BASELINE.md comparison: the
     # stock sf0.1 parquet is ONE file with ONE row group, so the scan
     # runs on a single task — an adversarial layout no real deployment
@@ -373,6 +441,7 @@ def main():
         "regression_watch_skipped": sorted(set(watch_skipped)),
         "section_calibration": scal.sections,
         "host_moved_sections": scal.moved,
+        "retried_sections": retried_sections,
         "sf1_organic": sf1,
         # start AND end samples: if "end" is much slower than "start",
         # the bench run itself degraded the host (thermal/contention)
@@ -412,6 +481,7 @@ def main():
                 "regression_watch_failed": watch_failed,
                 "regression_watch_skipped": sorted(set(watch_skipped)),
                 "host_moved_sections": scal.moved,
+                "retried_sections": sorted(retried_sections),
                 "full_artifact": out_path,
             }
         )
@@ -451,7 +521,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def _scale_section(spark, sf_dir, qs, n_files=32):
+def _scale_section(spark, sf_dir, qs, n_files=32, reps=2, wide_reps=5):
     import shutil
     import tempfile
 
@@ -469,23 +539,40 @@ def _scale_section(spark, sf_dir, qs, n_files=32):
              .write.mode("overwrite").parquet(f"{mrg}/{t}.parquet"))
         open(marker, "w").close()
     out = {}
-    reps: dict[str, list[float]] = {}
+    reps_log: dict[str, list[float]] = {}
+    wide_bracket = None
     for name in SCALE_QUERIES:
         # min-of-2 with per-rep samples recorded: single-shot scale
         # numbers showed +-50% run-to-run noise in round 4 (enough to
         # read as a layout regression), and without the samples the
         # one-wild-rep vs all-reps-moved diagnosis is unavailable for
-        # exactly the sections that carry the worst host-level noise
-        reps[name] = []
-        for _ in range(2):
+        # exactly the sections that carry the worst host-level noise.
+        # wide_process_fit — the BASELINE.md flagship PRIMARY — gets
+        # min-of-5 plus its own calibration bracket: r9->r10 showed a
+        # 3.545->4.88 s move that min-of-2 could not adjudicate (host
+        # variance vs regression); 5 reps with a per-anchor bracket
+        # makes the primary self-adjudicating.
+        n_reps = wide_reps if name == "wide_process_fit" else reps
+        b0 = _quick_cal() if name == "wide_process_fit" else None
+        reps_log[name] = []
+        for _ in range(n_reps):
             t0 = time.time()
             qs[name](spark, mrg).write.format("noop").mode("overwrite").save()
-            reps[name].append(round(time.time() - t0, 3))
+            reps_log[name].append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
             gc.collect()  # drop py4j pins so the JVM GC can clean
         spark._jvm.System.gc()
-        out[name] = min(reps[name])
-    return {"n_files": n_files, "queries": out, "rep_samples": reps,
+        if b0 is not None:
+            b1 = _quick_cal()
+            wide_bracket = {"start_matmul_ms": b0, "end_matmul_ms": b1}
+            if b0 and b1:
+                ratio = b1 / b0
+                wide_bracket["host_moved"] = bool(
+                    ratio > 1.5 or ratio < 1 / 1.5)
+        out[name] = min(reps_log[name])
+    return {"n_files": n_files, "queries": out, "rep_samples": reps_log,
+            "wide_reps": wide_reps,
+            "wide_cal_bracket": wide_bracket,
             "total": round(sum(out.values()), 3)}
 
 
