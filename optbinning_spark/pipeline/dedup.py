@@ -19,6 +19,47 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# observability for use_window="auto" (tests + post-hoc diagnosis):
+# caller name -> {"estimated_hottest": int, "use_window": bool}
+AUTO_WINDOW_DECISIONS: dict[str, dict] = {}
+
+
+def _resolve_use_window(keyed: DataFrame, key_col: str, caller: str,
+                        use_window, hot_threshold: int,
+                        probe_fraction: float) -> bool:
+    """Auto hot-key escape for the window-vs-two-phase choice shared
+    by ngram_jaccard_pairs and duplicate_ngram_spans.
+
+    The window path is the measured winner in every regime we can
+    build (see ngram_jaccard_pairs' docstring A/B), but its failure
+    mode is silent: ONE key with hundreds of millions of rows makes
+    one straggler task sort while the cluster idles, and nothing
+    warns the caller. With ``use_window="auto"`` a cheap probe
+    decides: sample ``probe_fraction`` of the exploded key frame,
+    count per key (map-side combinable — the probe agg itself absorbs
+    hot keys), scale the max by 1/fraction, and fall back to the
+    two-phase shape iff the estimated hottest key would exceed
+    ``hot_threshold`` rows in a single window partition. The default
+    threshold (20M) sits ~12x above the largest adversarial fixture
+    we measured the window WINNING on (1.6M hot-key rows: 11.0s
+    window vs 23.3s two-phase), and far below the hundreds-of-millions
+    regime where the straggler argument actually bites.
+
+    Probe cost: one pass over ``probe_fraction`` of the exploded
+    subtree plus a bounded two-stage agg — at 100 TB that is 0.5% of
+    one scan, the insurance premium for never silently strapping a
+    300M-row sort to one task. Deterministic (fixed sample seed)."""
+    if use_window != "auto":
+        return bool(use_window)
+    row = (keyed.sample(fraction=probe_fraction, seed=7)
+           .groupBy(key_col).count()
+           .agg(F.max("count").alias("m")).first())
+    est = int((row["m"] or 0) / probe_fraction)
+    decision = est < hot_threshold
+    AUTO_WINDOW_DECISIONS[caller] = {
+        "estimated_hottest": est, "use_window": decision}
+    return decision
+
 
 def shingles_from_words(words: Column, n: int = 3) -> Column:
     """Word n-gram shingles from an ALREADY-MATERIALIZED words array
@@ -287,7 +328,9 @@ def ngram_jaccard_pairs(
     max_doc_freq: int = 20,
     min_jaccard: float = 0.2,
     hash_shingles: bool = True,
-    use_window: bool = True,
+    use_window: bool | str = "auto",
+    hot_key_threshold: int = 20_000_000,
+    hot_key_probe_fraction: float = 0.005,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
@@ -310,7 +353,12 @@ def ngram_jaccard_pairs(
     ``use_window`` picks the df-cap's physical shape (A/B'd on the
     organic sf1 corpus and an adversarial boilerplate fixture —
     tools/ab_window_vs_agg.py; both paths are value-identical,
-    pinned by tests):
+    pinned by tests). The default "auto" keeps the window winner but
+    probes the hottest key first (see _resolve_use_window) so an
+    adversarial corpus with one extreme-frequency shingle falls back
+    to the two-phase shape instead of silently strapping the hot
+    partition's sort to a single task; explicit True/False pin the
+    shape and skip the probe:
 
     - True (default — measured faster in every regime we can build):
       single-scan window count over the shingle key. One evaluation
@@ -354,6 +402,9 @@ def ngram_jaccard_pairs(
         # deterministic (the same corpus always hashes the same way).
         # hash_shingles=False keeps exact string-set semantics.
         sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
+    use_window = _resolve_use_window(
+        sh, "sh", "ngram_jaccard_pairs", use_window,
+        hot_key_threshold, hot_key_probe_fraction)
     if use_window:
         rare = (
             sh.withColumn("df_", F.count("*").over(W.partitionBy("sh")))
@@ -894,7 +945,9 @@ def duplicate_ngram_spans(
     n: int = 10,
     min_count: int = 2,
     hash_ngrams: bool = True,
-    use_window: bool = True,
+    use_window: bool | str = "auto",
+    hot_key_threshold: int = 20_000_000,
+    hot_key_probe_fraction: float = 0.005,
 ) -> DataFrame:
     """Exact substring-duplicate span detection — the preprocessing
     behind exact-substring training-data dedup (Lee et al. 2021,
@@ -922,7 +975,11 @@ def duplicate_ngram_spans(
     a straggler; False = two-phase ``groupBy(ng).count()`` +
     equi-join back for exactly that corpus, where map-side partials
     absorb the hot key, AQE can split the join, and the count side is
-    PRE-FILTERED to n-grams reaching ``min_count``."""
+    PRE-FILTERED to n-grams reaching ``min_count``. The default
+    "auto" probes the hottest n-gram first (_resolve_use_window) and
+    picks the two-phase shape automatically when the estimate crosses
+    ``hot_key_threshold`` — the pathological corpus no longer needs a
+    caller who knows to flip the flag."""
     from pyspark.sql import Window as W
 
     g = (
@@ -938,6 +995,9 @@ def duplicate_ngram_spans(
     )
     if hash_ngrams:
         g = g.select(id_col, "pos", F.xxhash64("ng").alias("ng"))
+    use_window = _resolve_use_window(
+        g, "ng", "duplicate_ngram_spans", use_window,
+        hot_key_threshold, hot_key_probe_fraction)
     if use_window:
         hot = (
             g.withColumn("n_occurrences",

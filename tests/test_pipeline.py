@@ -1351,6 +1351,52 @@ def test_ngram_default_is_window_plan(spark):
     assert "Window" not in twop and "Join" in twop
 
 
+def test_use_window_auto_hot_key_escape(spark):
+    """use_window="auto" (the new default) must probe the hottest key
+    and fall back to the two-phase shape when the estimate crosses the
+    threshold — an adversarial corpus with one extreme-frequency
+    n-gram can no longer silently straggler a window partition. On a
+    normal corpus the probe must keep the measured-faster window."""
+    from optbinning_spark.pipeline import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # adversarial fixture: every doc shares one boilerplate block, so
+    # its n-grams are the extreme-frequency keys
+    boiler = " ".join(f"w{i % 7}" for i in range(40))
+    adv = docs.limit(50).selectExpr(
+        "doc_id", f"concat('{boiler} ', text) as text")
+
+    # normal corpus, full probe: window (estimated hottest far below
+    # the production threshold)
+    plan = D.duplicate_ngram_spans(
+        docs, n=5, hot_key_probe_fraction=1.0)._jdf \
+        .queryExecution().executedPlan().toString()
+    d = D.AUTO_WINDOW_DECISIONS["duplicate_ngram_spans"]
+    assert d["use_window"] is True and "Window" in plan
+
+    # adversarial corpus with a tight threshold: auto must escape to
+    # the two-phase shape (no Window operator in the plan)
+    spans = D.duplicate_ngram_spans(
+        adv, n=5, hot_key_threshold=10, hot_key_probe_fraction=1.0)
+    d = D.AUTO_WINDOW_DECISIONS["duplicate_ngram_spans"]
+    assert d["use_window"] is False and d["estimated_hottest"] >= 10
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" in plan
+    # and the escape path's values still match the pinned window shape
+    win = sorted(map(tuple, D.duplicate_ngram_spans(
+        adv, n=5, use_window=True).collect()))
+    assert sorted(map(tuple, spans.collect())) == win and len(win) > 0
+
+    # jaccard side: same escape, value-identical to the window shape
+    pairs = D.ngram_jaccard_pairs(
+        adv, hot_key_threshold=10, hot_key_probe_fraction=1.0)
+    assert D.AUTO_WINDOW_DECISIONS["ngram_jaccard_pairs"][
+        "use_window"] is False
+    win = sorted(map(tuple, D.ngram_jaccard_pairs(
+        adv, use_window=True).collect()))
+    assert sorted(map(tuple, pairs.collect())) == win
+
+
 def test_dsir_log_weights_brute_force(spark):
     """DSIR importance weights (Xie et al. 2023) against a numpy
     replay on a tiny fixture: hashed unigram+bigram bucket counts,
