@@ -263,6 +263,7 @@ def incremental_lsh_dedup(
     band_size: int = 2,
     shingle_n: int = 3,
     max_bucket_size: int | None = 1000,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-refresh (snapshot-over-snapshot) near-dup dedup: band
     only the NEW batch and join it against the persisted band index —

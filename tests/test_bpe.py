@@ -110,6 +110,52 @@ def test_pandas_udf_matches_expression(spark):
     assert all(r["a"] == r["b"] for r in rows)
 
 
+def test_token_ids_udf_at_32k_merges(spark):
+    """Production-vocabulary scale in-suite: a 32,768-merge list
+    (mechanically generated, GPT-2-format round-tripped through
+    load_merges_txt) runs through bpe_token_ids_pandas_udf and matches
+    the driver-side reference ids exactly. The organic-corpus
+    throughput/memo evidence lives in tools/run_production_bpe.py +
+    SCALING.md; this pins that the rank-indexed kernel, vocab build,
+    and Arrow plumbing all hold at real vocabulary size."""
+    import string
+
+    from optbinning_spark.pipeline.bpe import (bpe_apply_python, bpe_vocab,
+                                               bpe_token_ids_pandas_udf,
+                                               load_merges_txt)
+
+    alph = list(string.ascii_lowercase + string.digits)
+    merges = [(a, b) for a in alph for b in alph]
+    two = [a + b for a, b in merges]
+    merges += [(ab, c) for ab in two for c in alph][: 32768 - len(merges)]
+    assert len(merges) == 32768
+    # round-trip the GPT-2 text format (space -> Ġ) like a real vocab
+    lines = ["#version: test"] + [
+        f"{a.replace(' ', chr(0x120))} {b.replace(' ', chr(0x120))}"
+        for a, b in merges]
+    merges = load_merges_txt(lines)
+    assert len(merges) == 32768
+
+    texts = ["the quick brown fox jumps over 12345 lazy dogs",
+             "aaa bbb ab abc abcd ab12 zz99 zzz",
+             None, "", "mixed CASE stays CASE x0x0x0"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id: long, text: string")
+    udf = bpe_token_ids_pandas_udf(merges)
+    got = {r["doc_id"]: r["ids"] for r in
+           df.select("doc_id", udf(F.col("text")).alias("ids")).collect()}
+    vocab = bpe_vocab(merges)
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] is None
+        else:
+            ref = [vocab.get(s, 0) for s in bpe_apply_python(t, merges)]
+            assert list(got[i]) == ref, (i, t)
+    # the big list actually merges, including a rank-2 product:
+    # ('a','a') then ('aa','a') collapse a 3-char run to ONE symbol
+    assert bpe_apply_python("aaa", merges) == ["aaa"]
+
+
 def test_merges_actually_merge():
     """Sanity: the pinned vocab compresses corpus-flavored text (BPE
     count strictly between char count and nowhere above pre-token
