@@ -283,13 +283,18 @@ def incremental_lsh_dedup(
     decides exactly as a from-scratch batch run over the union would.
 
     ``history_bands`` must carry (id_col, band, band_key) built with
-    the same (n_hashes, band_size, shingle_n).
+    the same (n_hashes, band_size, shingle_n). ``new_bands`` lets a
+    caller that ALSO persists the new batch's bands (the streaming
+    foreachBatch sink) pass them in so the minhash subtree is built
+    once, not twice.
 
     Returns (id, dup_of, keep) for every row of ``new_df``.
     """
-    new_bands = lsh_bands(
-        minhash_signatures(new_df, text_col, id_col, n_hashes, shingle_n),
-        id_col, n_hashes, band_size)
+    if new_bands is None:
+        new_bands = lsh_bands(
+            minhash_signatures(new_df, text_col, id_col, n_hashes,
+                               shingle_n),
+            id_col, n_hashes, band_size)
     all_bands = (
         history_bands.select(
             F.col(id_col), "band", "band_key",

@@ -19,10 +19,14 @@ a stream cannot keep every seen hash forever:
 - Without one, plain ``dropDuplicates`` is exact but state grows with
   the number of distinct keys — documented, for bounded corpora only.
 
-Both operators are pure expression pipelines feeding Spark's built-in
-streaming dedup state store: no UDF, no custom state, mergeable across
-partitions, and the same expressions serve the batch path (tested for
-agreement with ``exact_dedup_groups`` / signature equality).
+Both key-level operators are pure expression pipelines feeding Spark's
+built-in streaming dedup state store: no UDF, no custom state,
+mergeable across partitions, and the same expressions serve the batch
+path (tested for agreement with ``exact_dedup_groups`` / signature
+equality). Band-level (higher-recall) near-dup dedup needs cross-key
+state the per-key store cannot express — that is
+``incremental_lsh_dedup_sink`` below, which keeps its state in a
+persisted parquet band index via foreachBatch instead.
 """
 
 from __future__ import annotations
@@ -101,3 +105,78 @@ def streaming_signature_dedup(
         return out.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
             ["signature_key"])
     return out.dropDuplicates(["signature_key"])
+
+
+def incremental_lsh_dedup_sink(
+    index_dir: str,
+    decisions_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
+):
+    """foreachBatch sink wiring ``pipeline.dedup.incremental_lsh_dedup``
+    into Structured Streaming — the streaming sibling of the batch
+    corpus-refresh path (examples/corpus_refresh.py). Each micro-batch
+    is banded ONCE, deduplicated against the persisted band index
+    (history-vs-history is never re-paired), and then its bands are
+    appended to the index; per-doc decisions (id, dup_of, keep) land
+    in ``decisions_dir``.
+
+    State story at 100 TB: the "state" is NOT in the streaming state
+    store at all — it is the parquet band index, n_hashes/band_size
+    rows per document ever seen, readable/compactable/queryable like
+    any table and shared with the batch refresh path (the same index
+    serves both). The streaming query itself is stateless, so no
+    watermark is needed and a restart resumes from the checkpoint with
+    the index intact.
+
+    Exactly-once: foreachBatch may replay a batch after a failure, so
+    both writes go to ``.../__batch=<batch_id>/`` subdirectories with
+    mode("overwrite") — a replayed batch overwrites its own partition
+    instead of double-appending, and the history read EXCLUDES the
+    current batch id (a partial write of this very batch can never
+    count as history). Reading the parent directory discovers
+    ``__batch`` as a partition column; it is dropped before use.
+
+    Band-cap caveat (documented divergence from the batch union run):
+    ``max_bucket_size`` is applied to history + current batch only —
+    a bucket that crosses the cap mid-stream stops flagging LATER
+    arrivals, same as sequential batch refreshes over the same
+    snapshots (the equivalence tested in tests/test_streaming.py).
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(incremental_lsh_dedup_sink(idx, dec))
+             .option("checkpointLocation", ckpt).start())
+    """
+    from ..pipeline.dedup import (incremental_lsh_dedup, lsh_bands,
+                                  minhash_signatures)
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands = lsh_bands(
+            minhash_signatures(batch_df, text_col, id_col, n_hashes,
+                               shingle_n),
+            id_col, n_hashes, band_size)
+        # the pair join and the index append both consume the bands:
+        # materialize once (executor-local is fine — a replay rebuilds)
+        bands = bands.localCheckpoint(eager=True)
+        try:
+            hist = (spark.read.parquet(index_dir)
+                    .where(F.col("__batch") != batch_id)
+                    .drop("__batch"))
+        except Exception:  # first batch: no index yet
+            hist = bands.limit(0)
+        decisions = incremental_lsh_dedup(
+            batch_df, hist, text_col, id_col, n_hashes, band_size,
+            shingle_n, max_bucket_size, new_bands=bands)
+        decisions.write.mode("overwrite").parquet(
+            f"{decisions_dir}/__batch={batch_id}")
+        bands.write.mode("overwrite").parquet(
+            f"{index_dir}/__batch={batch_id}")
+
+    return _fn

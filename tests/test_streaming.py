@@ -658,3 +658,70 @@ def test_chunking_and_quality_gates_on_stream(spark, tmp_path):
             .select("doc_id", "chunk_id", "text", "ok_word_count")
             .collect()}
     assert got == want and len(got) > 500
+
+
+def test_streaming_incremental_lsh_dedup_matches_batch(spark, tmp_path):
+    """foreachBatch incremental LSH refresh: streaming the same two
+    snapshots through incremental_lsh_dedup_sink must reproduce the
+    batch refresh decisions exactly, and the persisted band index (the
+    ONLY state — the query itself is stateless) must hold exactly
+    n_bands rows per document ever seen."""
+    from optbinning_spark.pipeline.dedup import (incremental_lsh_dedup,
+                                                 lsh_bands,
+                                                 minhash_signatures)
+    from optbinning_spark.streaming.dedup import incremental_lsh_dedup_sink
+
+    s1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now"),
+         (3, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id: long, text: string")
+    s2 = spark.createDataFrame(
+        [(4, "the quick brown fox jumps over the lazy dog today"),
+         (5, "sphinx of black quartz judge my vow and more words here"),
+         (6, "pack my box with five dozen liquor jugs right now")],
+        "doc_id: long, text: string")
+
+    # batch reference: sequential refreshes over the same snapshots
+    empty = lsh_bands(minhash_signatures(s1)).limit(0)
+    dec1 = {tuple(r) for r in incremental_lsh_dedup(s1, empty).collect()}
+    hist = lsh_bands(minhash_signatures(s1))
+    dec2 = {tuple(r) for r in incremental_lsh_dedup(s2, hist).collect()}
+
+    # streaming: one snapshot per micro-batch (file source, one file
+    # added between processAllAvailable calls)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    idx = str(tmp_path / "band_index")
+    dec = str(tmp_path / "decisions")
+    s1.coalesce(1).write.parquet(str(indir / "s1.parquet"))
+    stream = spark.readStream.schema(s1.schema).parquet(str(indir) + "/*")
+    q = (stream.writeStream
+         .foreachBatch(incremental_lsh_dedup_sink(idx, dec))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        s2.coalesce(1).write.parquet(str(indir / "s2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(dec)
+    by_batch = {b: {tuple(r) for r in
+                    got.where(F.col("__batch") == b)
+                    .drop("__batch").collect()}
+                for b in (0, 1)}
+    assert by_batch[0] == dec1
+    assert by_batch[1] == dec2
+
+    # state bound: the band index holds exactly n_bands (= 8/2) rows
+    # per document ever seen — assertable, not prose
+    index = spark.read.parquet(idx)
+    assert index.count() == 6 * 4
+    assert index.groupBy("doc_id").count().where(
+        F.col("count") != 4).count() == 0
+    # and the near-dup pairs were actually caught across snapshots
+    dups = {r[0]: r[1] for r in got.where(~F.col("keep"))
+            .select("id", "dup_of").collect()}
+    assert dups.get(4) in (1, 3) and dups.get(6) == 2
