@@ -434,6 +434,15 @@ def semantic_dedup(
     ``centroids=None`` trains the real spherical k-means quantizer
     (``train_ivf_centroids``); pass ``pinned_centroids(k, dim)`` for
     the data-independent variant the SQL oracle replays exactly.
+    ``refine_iters=0`` (the default) is a MEASURED choice for dedup,
+    not an economy: corpus-refined Lloyd balances clusters, and
+    balancing splits dense duplicate blobs across centroids — at a
+    healthy k (clusters under the cap) the sampled quantizer
+    co-clusters MORE ground-truth near-dup pairs and drops more
+    duplicates (SCALING.md "SemDeDup quantizer"; the opposite of the
+    IVF-search case, where refinement buys recall). Refine only when
+    clusters are stuck over ``max_cluster_size`` and k cannot be
+    raised.
 
     ``method``: ``"expr"`` (default) keeps everything in JVM column
     expressions — the oracle-replayable path, right for small k.
