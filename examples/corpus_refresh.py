@@ -14,6 +14,14 @@ The demo splits the documents table into three "snapshots" by
 doc_id % 3 and replays them as arriving batches, printing per-round
 (new docs, dups vs history, dups within batch, kept, index size).
 
+A streaming tail replays the same snapshots as a file-source stream
+through ``incremental_lsh_dedup_sink`` (foreachBatch) — per
+micro-batch what the loop does per round, against the same parquet
+band-index format, so batch and streaming refreshes interoperate.
+(Index policy differs deliberately: the loop appends SURVIVOR bands —
+a canonical minimal index — while the sink appends every batch's
+bands, the replay-idempotent full index.)
+
 Run:  python examples/corpus_refresh.py [sf_dir]   (default sf0.001)
 CI:   tests/test_pipeline.py::test_corpus_refresh_example_runs runs
       this at sf0.01 and asserts the invariants printed at the end.
@@ -93,6 +101,35 @@ def main():
     # invariants the CI test greps for
     assert total_kept <= n_docs
     print("REFRESH_OK", total_kept, n_docs)
+
+    # ---- the same refresh as a STREAM (round 11): snapshots arriving
+    # as files, incremental_lsh_dedup_sink doing per-micro-batch what
+    # the loop above did per round — state is the same parquet band
+    # index format, so batch and streaming refreshes interoperate
+    from optbinning_spark.streaming.dedup import incremental_lsh_dedup_sink
+
+    sdir = os.path.join(tempfile.gettempdir(), "spark_graft_refresh_stream")
+    import shutil
+
+    shutil.rmtree(sdir, ignore_errors=True)
+    src, idx, dec, ckpt = (os.path.join(sdir, d) for d in
+                           ("in", "index", "decisions", "ckpt"))
+    os.makedirs(src)
+    q = (spark.readStream.schema(docs.schema).parquet(src + "/*")
+         .writeStream
+         .foreachBatch(incremental_lsh_dedup_sink(
+             idx, dec, n_hashes=N_HASHES, band_size=BAND_SIZE))
+         .option("checkpointLocation", ckpt).start())
+    for rnd in (0, 1, 2):
+        docs.filter(F.col("doc_id") % 3 == rnd).coalesce(1) \
+            .write.parquet(os.path.join(src, f"snap{rnd}.parquet"))
+        q.processAllAvailable()
+    q.stop()
+    decisions = spark.read.parquet(dec)
+    n_stream_kept = decisions.filter("keep").count()
+    print(f"streaming: {decisions.count()} docs -> {n_stream_kept} kept; "
+          f"index_rows={spark.read.parquet(idx).count()}")
+    print("STREAM_REFRESH_OK", n_stream_kept)
     spark.stop()
 
 

@@ -1937,6 +1937,11 @@ def test_corpus_refresh_example_runs():
     assert m, out[-2000:]
     kept, total = int(m.group(1)), int(m.group(2))
     assert 0 < kept <= total == 500
+    # the streaming tail (incremental_lsh_dedup_sink) ran and kept a
+    # plausible count (same corpus, full-index policy)
+    ms = re.search(r"^STREAM_REFRESH_OK (\d+)", out, re.M)
+    assert ms, out[-2000:]
+    assert 0 < int(ms.group(1)) <= total
 
 
 def test_organic_generator_deterministic():
