@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 AUTO_WINDOW_DECISIONS: dict[str, dict] = {}
 
 
-def _resolve_use_window(keyed: DataFrame, key_col: str, caller: str,
+def _resolve_use_window(keyed_sample: DataFrame, key_col: str, caller: str,
                         use_window, hot_threshold: int,
                         probe_fraction: float) -> bool:
     """Auto hot-key escape for the window-vs-two-phase choice shared
@@ -35,24 +35,30 @@ def _resolve_use_window(keyed: DataFrame, key_col: str, caller: str,
     mode is silent: ONE key with hundreds of millions of rows makes
     one straggler task sort while the cluster idles, and nothing
     warns the caller. With ``use_window="auto"`` a cheap probe
-    decides: sample ``probe_fraction`` of the exploded key frame,
-    count per key (map-side combinable — the probe agg itself absorbs
-    hot keys), scale the max by 1/fraction, and fall back to the
-    two-phase shape iff the estimated hottest key would exceed
-    ``hot_threshold`` rows in a single window partition. The default
-    threshold (20M) sits ~12x above the largest adversarial fixture
-    we measured the window WINNING on (1.6M hot-key rows: 11.0s
-    window vs 23.3s two-phase), and far below the hundreds-of-millions
-    regime where the straggler argument actually bites.
+    decides: count keys over ``keyed_sample`` — the SAME key subtree
+    the caller builds, but constructed over a ``probe_fraction``
+    DOCUMENT sample so the probe evaluates 0.5% of the explode, not
+    all of it (sampling the exploded rows instead was measured +1.5 s
+    on the sf0.1 jaccard query: a post-explode sample still pays the
+    full subtree). The probe agg is map-side combinable (absorbs the
+    very hot keys it is looking for); the sampled max scales by
+    1/fraction, and the two-phase shape is chosen iff the estimated
+    hottest key would exceed ``hot_threshold`` rows in one window
+    partition. The default threshold (20M) sits ~12x above the
+    largest adversarial fixture we measured the window WINNING on
+    (1.6M hot-key rows: 11.0s window vs 23.3s two-phase), and far
+    below the hundreds-of-millions regime where the straggler
+    argument actually bites.
 
-    Probe cost: one pass over ``probe_fraction`` of the exploded
-    subtree plus a bounded two-stage agg — at 100 TB that is 0.5% of
-    one scan, the insurance premium for never silently strapping a
-    300M-row sort to one task. Deterministic (fixed sample seed)."""
+    Estimator note: document sampling is an unbiased occurrence
+    estimator (each doc's contribution included with probability p);
+    a hot key CONCENTRATED in a handful of enormous documents has
+    higher probe variance — but that corpus also bounds the window
+    partition by those documents' length, so the miss is benign.
+    Deterministic (fixed sample seed)."""
     if use_window != "auto":
         return bool(use_window)
-    row = (keyed.sample(fraction=probe_fraction, seed=7)
-           .groupBy(key_col).count()
+    row = (keyed_sample.groupBy(key_col).count()
            .agg(F.max("count").alias("m")).first())
     est = int((row["m"] or 0) / probe_fraction)
     decision = est < hot_threshold
@@ -389,28 +395,38 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window as W
 
-    sh = (
-        df.select(
-            F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(
-                shingles_from_words(F.col("__w"), shingle_n))).alias("sh"),
+    def _sh(src):
+        out = (
+            src.select(
+                F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+            .select(
+                F.col(id_col),
+                F.explode(F.array_distinct(
+                    shingles_from_words(F.col("__w"), shingle_n))
+                ).alias("sh"),
+            )
         )
-    )
-    if hash_shingles:
-        # shrink the key that rides through the shuffles and the
-        # inverted-index groupBy from a ~15-40 byte string to 8 bytes:
-        # measured 13% end-to-end at sf0.1 AND at 10x (value-identical
-        # output on both). Set equality under xxhash64 differs from
-        # string equality only on a 64-bit collision — P ~ n_distinct^2
-        # / 2^65, ~1e-8 at one-million distinct shingles, and
-        # deterministic (the same corpus always hashes the same way).
-        # hash_shingles=False keeps exact string-set semantics.
-        sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
-    use_window = _resolve_use_window(
-        sh, "sh", "ngram_jaccard_pairs", use_window,
-        hot_key_threshold, hot_key_probe_fraction)
+        if hash_shingles:
+            # shrink the key that rides through the shuffles and the
+            # inverted-index groupBy from a ~15-40 byte string to 8
+            # bytes: measured 13% end-to-end at sf0.1 AND at 10x
+            # (value-identical output on both). Set equality under
+            # xxhash64 differs from string equality only on a 64-bit
+            # collision — P ~ n_distinct^2 / 2^65, ~1e-8 at
+            # one-million distinct shingles, and deterministic (the
+            # same corpus always hashes the same way).
+            # hash_shingles=False keeps exact string-set semantics.
+            out = out.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
+        return out
+
+    sh = _sh(df)
+    if use_window == "auto":
+        # probe over a DOCUMENT sample so the probe evaluates 0.5% of
+        # the explode subtree, not all of it (see _resolve_use_window)
+        use_window = _resolve_use_window(
+            _sh(df.sample(fraction=hot_key_probe_fraction, seed=7)),
+            "sh", "ngram_jaccard_pairs", use_window,
+            hot_key_threshold, hot_key_probe_fraction)
     if use_window:
         rare = (
             sh.withColumn("df_", F.count("*").over(W.partitionBy("sh")))
@@ -988,22 +1004,30 @@ def duplicate_ngram_spans(
     caller who knows to flip the flag."""
     from pyspark.sql import Window as W
 
-    g = (
-        df.select(
-            F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
-        .filter(F.size("__w") >= n)
-        .select(
-            F.col(id_col),
-            F.explode(positioned_ngrams(F.col("__w"), n)).alias("g"),
+    def _ng(src):
+        out = (
+            src.select(
+                F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+            .filter(F.size("__w") >= n)
+            .select(
+                F.col(id_col),
+                F.explode(positioned_ngrams(F.col("__w"), n)).alias("g"),
+            )
+            .select(F.col(id_col), F.col("g.pos").alias("pos"),
+                    F.col("g.ng").alias("ng"))
         )
-        .select(F.col(id_col), F.col("g.pos").alias("pos"),
-                F.col("g.ng").alias("ng"))
-    )
-    if hash_ngrams:
-        g = g.select(id_col, "pos", F.xxhash64("ng").alias("ng"))
-    use_window = _resolve_use_window(
-        g, "ng", "duplicate_ngram_spans", use_window,
-        hot_key_threshold, hot_key_probe_fraction)
+        if hash_ngrams:
+            out = out.select(id_col, "pos", F.xxhash64("ng").alias("ng"))
+        return out
+
+    g = _ng(df)
+    if use_window == "auto":
+        # probe over a DOCUMENT sample so the probe evaluates 0.5% of
+        # the explode subtree, not all of it (see _resolve_use_window)
+        use_window = _resolve_use_window(
+            _ng(df.sample(fraction=hot_key_probe_fraction, seed=7)),
+            "ng", "duplicate_ngram_spans", use_window,
+            hot_key_threshold, hot_key_probe_fraction)
     if use_window:
         hot = (
             g.withColumn("n_occurrences",
