@@ -197,6 +197,19 @@ class MulticlassOptimalBinning(_BaseOptimalBinning):
     _target_type = "multiclass"
 
     @property
+    def status(self) -> str:
+        """Solver status. Unlike the binary/continuous paths (exact
+        DP, always OPTIMAL once fitted), multiclass solves with
+        concave/convex per-class trends route through the anytime
+        joint enumeration, which can return FEASIBLE (best complete
+        partition under the node budget), UNKNOWN (budget exhausted,
+        nothing proven either way), or INFEASIBLE (proven) — surface
+        the real status instead of the base class's constant."""
+        self._check_fitted()
+        sol = getattr(self, "solution_", None)
+        return sol.status if sol is not None else "OPTIMAL"
+
+    @property
     def classes(self):
         """Target classes seen at fit (reference
         multiclass_binning.py classes property)."""

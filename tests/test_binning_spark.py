@@ -311,6 +311,11 @@ def test_fused_fit_matches_multipass_multiclass(spark):
         binning_mod._BaseOptimalBinning._fused_fit = orig
     np.testing.assert_allclose(m_fused.splits, m_multi.splits)
     assert m_fused.binning_table.build().equals(m_multi.binning_table.build())
+    # multiclass surfaces the REAL solver status (the anytime joint
+    # enumeration can return FEASIBLE/UNKNOWN; the base class constant
+    # would mask it)
+    assert m_fused.status == m_fused.solution_.status
+    assert m_fused.status in ("OPTIMAL", "FEASIBLE")
 
 
 def test_fused_fit_matches_multipass_continuous(spark):
