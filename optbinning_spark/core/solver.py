@@ -670,6 +670,7 @@ def solve_multiclass(
     min_n_bins: int | None = None,
     max_n_bins: int | None = None,
     min_bin_size: float | None = None,
+    node_budget: int = 2_000_000,
 ) -> BinSolution:
     """Multiclass: maximize summed one-vs-rest JS divergence
     (reference multiclass_cp.py). Monotonicity per class is applied as
@@ -696,7 +697,10 @@ def solve_multiclass(
 
     Limits: the phase-mask DP allocates 2**n_pv states for n_pv
     peak/valley classes and is capped at n_pv <= 12; realistic
-    multiclass problems have <= a handful."""
+    multiclass problems have <= a handful. ``node_budget`` caps the
+    joint enumeration's extension attempts (deterministic analog of
+    the reference CP solver's time_limit); exhaustion yields FEASIBLE
+    (anytime best) or UNKNOWN, never a false INFEASIBLE."""
     M = np.asarray(n_event_by_class, dtype=float)  # [prebin, class]
     n, n_classes = M.shape
     if n == 0:
@@ -748,7 +752,8 @@ def solve_multiclass(
     if any(t in ("concave", "convex") for t in trends):
         # all-triples curvature does not fit last-bin DP state; joint
         # exact enumeration enforces every class's trend
-        return _solve_multiclass_enum(V, RATEc, feas, lo, hi, trends)
+        return _solve_multiclass_enum(V, RATEc, feas, lo, hi, trends,
+                                      node_budget=node_budget)
     return _solve_multiclass_dp(V, RATEc, feas, lo, hi, trends)
 
 

@@ -216,7 +216,8 @@ class MulticlassOptimalBinning(_BaseOptimalBinning):
         self._check_fitted()
         return np.asarray(self._table.classes)
 
-    def __init__(self, *args, monotonic_trends=None, **kw):
+    def __init__(self, *args, monotonic_trends=None,
+                 solver_node_budget: int = 2_000_000, **kw):
         """``monotonic_trends``: optional per-class list; each entry is
         one of the reference's eight values (None/'none', 'ascending',
         'descending', 'concave', 'convex', 'peak', 'valley',
@@ -225,11 +226,19 @@ class MulticlassOptimalBinning(_BaseOptimalBinning):
         enforced exactly; invalid values raise ValueError at fit.
         Limit: at most 12 classes may carry peak/valley trends
         simultaneously (the joint solve tracks one phase bit per such
-        class — see core/solver.py solve_multiclass)."""
+        class — see core/solver.py solve_multiclass).
+
+        ``solver_node_budget``: node cap for the anytime joint
+        enumeration that concave/convex per-class trends route through
+        (this engine's analog of the reference's CP ``time_limit``,
+        deterministic instead of wall-clock). If ``status`` reads
+        FEASIBLE (best-under-budget) or UNKNOWN (exhausted, nothing
+        proven), raising this is the lever that buys a proof."""
         kw.setdefault("monotonic_trend", "auto")
         super().__init__(*args, **kw)
         # list of per-class trends, or None -> resolve per class
         self.monotonic_trends = monotonic_trends
+        self.solver_node_budget = solver_node_budget
 
     def _fit_categorical(self, df, x, y, w):
         raise ValueError(
@@ -333,6 +342,7 @@ class MulticlassOptimalBinning(_BaseOptimalBinning):
             min_n_bins=self.min_n_bins,
             max_n_bins=self.max_n_bins,
             min_bin_size=self.min_bin_size,
+            node_budget=self.solver_node_budget,
         )
         self.solution_ = sol
         self._splits = splits_from_segments(prebin_splits, sol.segments)

@@ -72,6 +72,14 @@ __all__ = [
 
 SEP = "\x1e"  # ASCII record separator: never legitimate in corpus text
 
+# Per-task memo bound for the iterator-form pandas UDFs: a natural
+# corpus has ~1e4-1e6 distinct pre-token shapes (the 50k-doc organic
+# run held 37,769), so the cap never triggers on real text; it exists
+# so a pathological high-entropy partition (unique ids/hashes inside
+# text) cannot grow a Python worker's dict without bound. Epoch
+# eviction (clear + rebuild) keeps the hot Zipf head cached.
+_MEMO_CAP = 1_000_000
+
 # ASCII specialization of BPE_TOKEN_PATTERN for driver-side Python
 # (re lacks \p{L}; equivalent on ASCII text, asserted in tests)
 ASCII_PRETOKEN_RE = re.compile(
@@ -375,6 +383,8 @@ def bpe_token_count_pandas_udf(merges=None,
         def count_pretoken(tok: str) -> int:
             n = cache.get(tok)
             if n is None:
+                if len(cache) >= _MEMO_CAP:
+                    cache.clear()  # epoch eviction, see _MEMO_CAP
                 n = len(_merge_pretoken_fast(tok, merges, ranks))
                 cache[tok] = n
             return n
@@ -402,7 +412,12 @@ def bpe_token_ids_pandas_udf(merges=None,
     independent), ids via :func:`bpe_vocab` with UNK=0, NULL text ->
     NULL. Memoized per distinct pre-token via the iterator UDF form,
     so Zipf text encodes each word shape once per worker task (cache
-    shared across all Arrow batches of a partition)."""
+    shared across all Arrow batches of a partition). The cache is
+    bounded: past ``_MEMO_CAP`` distinct pre-tokens it is cleared and
+    rebuilt (epoch eviction) — on Zipf text the head re-populates in
+    one batch, and a pathological high-entropy partition (unique
+    ids/hashes in text) can no longer grow worker memory without
+    bound."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     merges = MINI_MERGES if merges is None else merges
@@ -417,6 +432,8 @@ def bpe_token_ids_pandas_udf(merges=None,
         def ids_pretoken(tok: str) -> list[int]:
             v = cache.get(tok)
             if v is None:
+                if len(cache) >= _MEMO_CAP:
+                    cache.clear()
                 v = [vocab.get(s, 0)
                      for s in _merge_pretoken_fast(tok, merges, ranks)]
                 cache[tok] = v

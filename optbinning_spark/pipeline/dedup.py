@@ -20,15 +20,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # observability for use_window="auto" (tests + post-hoc diagnosis):
-# caller name -> {"estimated_hottest": int, "use_window": bool}
+# caller name -> {"estimated_hottest": int, "use_window": bool}.
+# Diagnostic only, last-call-wins per caller name — concurrent calls
+# from multiple threads overwrite each other's entry; the decision
+# that actually governed a given plan is the one the plan's shape
+# shows (Window vs Join), not this dict.
 AUTO_WINDOW_DECISIONS: dict[str, dict] = {}
 
 
 def _resolve_use_window(keyed_sample: DataFrame, key_col: str, caller: str,
-                        use_window, hot_threshold: int,
+                        hot_threshold: int,
                         probe_fraction: float) -> bool:
     """Auto hot-key escape for the window-vs-two-phase choice shared
-    by ngram_jaccard_pairs and duplicate_ngram_spans.
+    by ngram_jaccard_pairs and duplicate_ngram_spans — called only
+    when the caller's ``use_window`` is "auto" (explicit True/False
+    never reach the probe).
 
     The window path is the measured winner in every regime we can
     build (see ngram_jaccard_pairs' docstring A/B), but its failure
@@ -55,9 +61,15 @@ def _resolve_use_window(keyed_sample: DataFrame, key_col: str, caller: str,
     a hot key CONCENTRATED in a handful of enormous documents has
     higher probe variance — but that corpus also bounds the window
     partition by those documents' length, so the miss is benign.
-    Deterministic (fixed sample seed)."""
-    if use_window != "auto":
-        return bool(use_window)
+    Deterministic (fixed sample seed).
+
+    Laziness caveat: the probe is an ACTION at plan-construction time
+    (the physical shape must be chosen before the plan exists), and
+    ``df.sample`` does not prune upstream work — if ``df`` is an
+    expensive uncached pipeline rather than a table scan, the probe
+    re-evaluates that subtree at the sample rate. Callers composing
+    plans over derived inputs should cache the input or pin
+    ``use_window`` explicitly."""
     row = (keyed_sample.groupBy(key_col).count()
            .agg(F.max("count").alias("m")).first())
     est = int((row["m"] or 0) / probe_fraction)
@@ -372,7 +384,8 @@ def ngram_jaccard_pairs(
     partition's sort to a single task; explicit True/False pin the
     shape and skip the probe:
 
-    - True (default — measured faster in every regime we can build):
+    - True (what "auto" picks on every non-pathological corpus —
+      measured faster in every regime we can build):
       single-scan window count over the shingle key. One evaluation
       of the shingle subtree, one shuffle, one sort. Measured:
       3.6s at organic sf1 (10% boilerplate), 3.2s at 30%
@@ -425,7 +438,7 @@ def ngram_jaccard_pairs(
         # the explode subtree, not all of it (see _resolve_use_window)
         use_window = _resolve_use_window(
             _sh(df.sample(fraction=hot_key_probe_fraction, seed=7)),
-            "sh", "ngram_jaccard_pairs", use_window,
+            "sh", "ngram_jaccard_pairs",
             hot_key_threshold, hot_key_probe_fraction)
     if use_window:
         rare = (
@@ -987,7 +1000,8 @@ def duplicate_ngram_spans(
 
     ``use_window`` picks the occurrence count's physical shape (same
     trade as ngram_jaccard_pairs — see its docstring for the full A/B):
-    True (default) = single-scan window count over the n-gram key —
+    True (what "auto" picks on normal corpora) = single-scan window
+    count over the n-gram key —
     measured 1.9s at organic sf1 vs 4.4s two-phase, and still 2x
     faster (11.0s vs 23.3s) on an adversarial fixture where 30% of
     600k docs share a periodic boilerplate block (~1.6M rows on the
@@ -1026,7 +1040,7 @@ def duplicate_ngram_spans(
         # the explode subtree, not all of it (see _resolve_use_window)
         use_window = _resolve_use_window(
             _ng(df.sample(fraction=hot_key_probe_fraction, seed=7)),
-            "ng", "duplicate_ngram_spans", use_window,
+            "ng", "duplicate_ngram_spans",
             hot_key_threshold, hot_key_probe_fraction)
     if use_window:
         hot = (

@@ -157,6 +157,8 @@ def incremental_lsh_dedup_sink(
                                   minhash_signatures)
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         bands = lsh_bands(
             minhash_signatures(batch_df, text_col, id_col, n_hashes,
@@ -166,17 +168,29 @@ def incremental_lsh_dedup_sink(
         # materialize once (executor-local is fine — a replay rebuilds)
         bands = bands.localCheckpoint(eager=True)
         try:
-            hist = (spark.read.parquet(index_dir)
-                    .where(F.col("__batch") != batch_id)
-                    .drop("__batch"))
-        except Exception:  # first batch: no index yet
-            hist = bands.limit(0)
-        decisions = incremental_lsh_dedup(
-            batch_df, hist, text_col, id_col, n_hashes, band_size,
-            shingle_n, max_bucket_size, new_bands=bands)
-        decisions.write.mode("overwrite").parquet(
-            f"{decisions_dir}/__batch={batch_id}")
-        bands.write.mode("overwrite").parquet(
-            f"{index_dir}/__batch={batch_id}")
+            try:
+                hist = (spark.read.parquet(index_dir)
+                        .where(F.col("__batch") != batch_id)
+                        .drop("__batch"))
+            except AnalysisException:
+                # first batch: index path does not exist yet. ONLY the
+                # analysis-time miss is absorbed — a transient storage
+                # failure mid-stream must kill the batch (and be
+                # retried from the checkpoint), never be silently
+                # treated as "no history" and emit keep=True for
+                # everything
+                hist = bands.limit(0)
+            decisions = incremental_lsh_dedup(
+                batch_df, hist, text_col, id_col, n_hashes, band_size,
+                shingle_n, max_bucket_size, new_bands=bands)
+            decisions.write.mode("overwrite").parquet(
+                f"{decisions_dir}/__batch={batch_id}")
+            bands.write.mode("overwrite").parquet(
+                f"{index_dir}/__batch={batch_id}")
+        finally:
+            # a long-running stream runs thousands of batches: release
+            # the checkpoint blocks now instead of waiting for the
+            # driver GC to collect the py4j proxy
+            bands.unpersist()
 
     return _fn

@@ -572,45 +572,39 @@ def test_multiclass_min_bin_size_with_peak():
             assert M[a: b + 1].sum() >= 0.15 * total
 
 
-def test_multiclass_enum_exhaustion_reports_unknown(monkeypatch):
+def test_multiclass_enum_exhaustion_reports_unknown():
     """Budget exhaustion with nothing proven must NOT claim
     INFEASIBLE: with a zero node budget on a problem brute force says
     is feasible, the status is UNKNOWN (or FEASIBLE via the verified
-    DP relaxation) — never a false infeasibility proof."""
-    from optbinning_spark.core import solver as S
-
-    orig = S._solve_multiclass_enum
-    monkeypatch.setattr(
-        S, "_solve_multiclass_enum",
-        lambda *a, **k: orig(*a, **{**k, "node_budget": 0}))
+    DP relaxation) — never a false infeasibility proof. node_budget is
+    the public lever (plumbed through solve_multiclass and
+    MulticlassOptimalBinning's solver_node_budget)."""
     rng = np.random.default_rng(3)
     M = rng.integers(10, 60, size=(5, 3)).astype(float)
     trends = ["concave", None, None]
     b_obj, _ = _brute_force_multiclass(M, trends)
     assert b_obj is not None  # feasible by construction
-    sol = S.solve_multiclass(M, monotonic_trends=trends)
+    sol = solve_multiclass(M, monotonic_trends=trends, node_budget=0)
     assert sol.status in ("UNKNOWN", "FEASIBLE")
     if sol.status == "FEASIBLE":
         # relaxation answer passed the all-triples check: must be a
         # genuinely feasible partition (objective <= brute optimum)
         assert sol.objective <= b_obj + 1e-9
+    # raising the budget back to the default buys the proof
+    full = solve_multiclass(M, monotonic_trends=trends)
+    assert full.status == "OPTIMAL"
+    assert full.objective == pytest.approx(b_obj)
 
 
-def test_multiclass_enum_exhaustion_over_dp_cap_no_crash(monkeypatch):
+def test_multiclass_enum_exhaustion_over_dp_cap_no_crash():
     """When exhaustion falls back to the mask DP but the mapped
     peak/valley class count exceeds its n_pv <= 12 cap, the solve
     returns UNKNOWN instead of raising the DP's phase-space
     ValueError."""
-    from optbinning_spark.core import solver as S
-
-    orig = S._solve_multiclass_enum
-    monkeypatch.setattr(
-        S, "_solve_multiclass_enum",
-        lambda *a, **k: orig(*a, **{**k, "node_budget": 0}))
     rng = np.random.default_rng(4)
     n_classes = 13
     M = rng.integers(10, 60, size=(4, n_classes)).astype(float)
     trends = ["concave"] * n_classes
-    sol = S.solve_multiclass(M, monotonic_trends=trends)
+    sol = solve_multiclass(M, monotonic_trends=trends, node_budget=0)
     assert sol.status == "UNKNOWN"
     assert sol.segments == [(0, 3)]

@@ -52,7 +52,6 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     emb = spark.read.parquet(args.src)
     rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows])
     X = np.array([r["embedding"] for r in rows], dtype=float)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n = len(X)
@@ -79,7 +78,6 @@ def main():
         C = train_ivf_centroids(emb, args.k, refine_iters=iters)
         train_s = time.time() - t0
         assign = np.argmax(X @ np.asarray(C).T, axis=1)
-        pos = {v: i for i, v in enumerate(ids)}
         co = sum(1 for a, b in gt_pairs if assign[a] == assign[b])
         recall = co / len(gt_pairs) if gt_pairs else 1.0
         t0 = time.time()
@@ -97,7 +95,6 @@ def main():
             "max_cluster": int(sizes.max()),
             "empty_clusters": int((sizes == 0).sum()),
         }
-        del pos
     out["quantizers"] = results
     s, r = results["sampled"], results["refined"]
     out["recall_gain"] = round(r["pair_recall"] - s["pair_recall"], 4)
