@@ -471,3 +471,22 @@ def test_null_and_empty_text(spark):
     rows = {r["doc_id"]: r["n"] for r in df.select(
         "doc_id", bpe_token_count_col(F.col("text")).alias("n")).collect()}
     assert rows[1] is None and rows[2] == 0 and rows[3] >= 1
+
+def test_memo_cap_eviction_preserves_ids(spark, monkeypatch):
+    """The per-task memo bound (_MEMO_CAP epoch eviction) must be
+    invisible to results: with a cap of 2, a high-entropy corpus
+    (every pre-token distinct) still encodes identically to the
+    uncapped reference."""
+    from optbinning_spark.pipeline import bpe as B
+
+    monkeypatch.setattr(B, "_MEMO_CAP", 2)
+    texts = [f"tok{i}a unique{i}b shape{i}c" for i in range(30)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id: long, text: string")
+    udf = B.bpe_token_ids_pandas_udf()
+    got = {r["doc_id"]: list(r["ids"]) for r in
+           df.select("doc_id", udf(F.col("text")).alias("ids")).collect()}
+    vocab = B.bpe_vocab()
+    for i, t in enumerate(texts):
+        ref = [vocab.get(s, 0) for s in B.bpe_apply_python(t)]
+        assert got[i] == ref

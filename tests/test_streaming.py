@@ -725,3 +725,39 @@ def test_streaming_incremental_lsh_dedup_matches_batch(spark, tmp_path):
     dups = {r[0]: r[1] for r in got.where(~F.col("keep"))
             .select("id", "dup_of").collect()}
     assert dups.get(4) in (1, 3) and dups.get(6) == 2
+
+
+def test_incremental_lsh_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch may re-run a batch after a failure: calling the
+    sink function twice with the SAME batch_id must leave index and
+    decisions exactly as a single call would (partition overwrite,
+    not double-append), and history reads must never count the
+    replayed batch's own partial write."""
+    from optbinning_spark.streaming.dedup import incremental_lsh_dedup_sink
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id: long, text: string")
+    idx = str(tmp_path / "idx")
+    dec = str(tmp_path / "dec")
+    fn = incremental_lsh_dedup_sink(idx, dec)
+    fn(docs, 0)
+    once_idx = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    once_dec = sorted(map(tuple, spark.read.parquet(dec).collect()))
+    fn(docs, 0)  # replay
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == once_idx
+    assert sorted(map(tuple, spark.read.parquet(dec).collect())) == once_dec
+    # a replayed batch with history present still sees only batch 1's
+    # true history (batch 0), not its own prior write
+    docs2 = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id: long, text: string")
+    fn(docs2, 1)
+    first = {tuple(r) for r in spark.read.parquet(dec).where(
+        "__batch = 1").drop("__batch").collect()}
+    fn(docs2, 1)  # replay batch 1
+    second = {tuple(r) for r in spark.read.parquet(dec).where(
+        "__batch = 1").drop("__batch").collect()}
+    assert first == second
+    assert {r[0] for r in first if not r[2]} == {3}  # dup of doc 1
