@@ -2560,7 +2560,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data-derived-median variant rotates to the tail with its
         # oracle intact (2-D solver + grid-agg coverage stays
         # in-window through this entry)
-        "binning_2d_pinned": q_binning_2d_pinned,
+        # round 12 rotation: continuous_binning_2d_pinned takes
+        # binning_2d_pinned's slot (the continuous-target 2-D
+        # rectangle solver gets its first driver hash check; the
+        # binary 2-D grid agg + rectangle replay stays covered by the
+        # SAME oracle machinery and binning_2d_pinned keeps its oracle
+        # in the tail with r06-r11 green history)
+        "continuous_binning_2d_pinned": q_continuous_binning_2d_pinned,
         "ivf_topk_pinned": q_ivf_topk_pinned,
         "piecewise_transform_fixed": q_piecewise_transform_fixed,
         # round 11 rotation: mdlp_splits takes quantile_splits' slot
@@ -2591,25 +2597,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training_sequences' id-exact oracle) — bpe_subword_count
         # keeps its oracle in the tail
         "bpe_token_count": q_bpe_token_count,
-        # nb_quality_score takes lang_id's slot (round 8): both are
-        # bag-of-tokens text classifiers — the marker-based language
-        # CASE stays tail-oracled while the supervised generalization
-        # (fastText-style NB quality filter: hash-split train set,
-        # bounded per-class bucket counts, map-only LLR fold) joins
-        # the window; lang_id keeps its oracle in the tail
-        "nb_quality_score": q_nb_quality_score,
+        # round 12 rotation: cluster_balanced_sample takes
+        # nb_quality_score's slot (topic-balanced downsampling —
+        # SemDeDup quantizer assignment composed with the stratified
+        # hash gate — gets its first driver hash check; the NB
+        # quality classifier got green rows in r08-r11 and keeps its
+        # oracle in the tail)
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         # round 11 rotation: minhash_signatures returns to the window
         # (the staged minhash-lane construction re-verified by the
         # driver; exact-hash dedup stays in-window via paragraph_dedup
         # and incremental_dedup's index join) — exact_dedup keeps its
         # oracle in the tail
         "minhash_signatures": q_minhash_signatures,
-        # incremental_dedup takes minhash_signatures' slot (round 8):
-        # the staged minhash-lane construction stays in-window via
-        # dedup_clusters' oracle (8-hash replay) and incremental_dedup
-        # itself, which adds the snapshot-refresh band-index join on
-        # top; minhash_signatures keeps its oracle in the tail.
-        "incremental_dedup": q_incremental_dedup,
+        # round 12 rotation: doc_contamination takes
+        # incremental_dedup's slot — both are index joins of a corpus
+        # against a reference set (benchmark 13-gram decontamination
+        # vs persisted band index); incremental_dedup keeps its
+        # oracle in the tail with r08-r11 green history
+        "doc_contamination": q_doc_contamination,
         # round 11 rotation: lsh_candidates returns to the window (the
         # minhash+band+bucket candidate join re-verified by the
         # driver; the pair-verify surface stays in-window via
@@ -2623,13 +2629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # production path is bit-identical to the expr path every
         # round. embedding_topk keeps its oracle in the tail.
         "semantic_dedup_arrow": q_semantic_dedup_arrow,
-        # round 11 rotation: sketch_binning_exact takes
-        # event_window_stats' slot (S7/T1-T3 mergeable-sketch binning
-        # gets its first driver-window hash check — the exact-GK
-        # add/merge/solve path; windowed event aggregation stays
-        # in-window via event_psi_monitor) — event_window_stats keeps
-        # its oracle in the tail
-        "sketch_binning_exact": q_sketch_binning_exact,
+        # round 12 rotation: sketch_categorical_merge takes
+        # sketch_binning_exact's slot (the T2 partition-sketch MERGE
+        # path gets its first driver hash check; the T1/T3
+        # add/solve path got its r11 green row and keeps its oracle
+        # in the tail)
+        "sketch_categorical_merge": q_sketch_categorical_merge,
         # the windowed drift monitor (streaming plan, batch-checked)
         # takes event_type_psi's slot — both are M11 PSI over events,
         # and the monitor adds windowing + drift levels on top;
@@ -2645,14 +2650,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle in the tail)
         "dup_ngram_spans": q_dup_ngram_spans,
         "cart_splits": q_cart_splits,
-        # round 11 rotation: scorecard_table_pdo takes
-        # scorecard_scores_logistic's slot (O12 PDO point scaling gets
-        # driver re-verification; the IRLS logistic estimator stays
-        # in-window via scorecard_scores_huber's shared WLS oracle
-        # machinery) — scorecard_scores_logistic keeps its oracle in
-        # the tail
-        "scorecard_table_pdo": q_scorecard_table_pdo,
-        "scorecard_scores_huber": q_scorecard_scores_huber,
+        # round 12 rotation: scorecard_table_rebased takes
+        # scorecard_table_pdo's slot (O13 intercept re-basing gets its
+        # first driver hash check; O12 PDO scaling got its r11 green
+        # row and keeps its oracle in the tail)
+        "scorecard_table_rebased": q_scorecard_table_rebased,
+        # round 12 rotation: scorecard_table_linear takes
+        # scorecard_scores_huber's slot (the U1 union-of-tables +
+        # linear normal-equation estimator gets its first driver hash
+        # check; the Huber IRLS/WLS machinery got green rows in
+        # r09-r11 and keeps its oracle in the tail)
+        "scorecard_table_linear": q_scorecard_table_linear,
         # round 11 rotation: psi returns to the window (M11 variable
         # PSI re-verified by the driver; W2 cumulative bin sums stay
         # in-window via quality_top_fraction's window ranks and the DP
@@ -2681,12 +2689,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scenario aggregation stays covered through
         # scenario_binning_table, whose oracle replays it); both keep
         # their oracles in the tail for tools/check_correctness
-        # round 11 rotation: lang_id returns to the window (the
-        # marker-based language CASE re-verified by the driver; text
-        # normalization stays in-window via pii_redaction's regex
-        # family and gopher_flags) — doc_normalize keeps its oracle
-        # in the tail
-        "lang_id": q_lang_id,
+        # round 12 rotation: doc_split_assignment takes lang_id's slot
+        # (the deterministic salted-hash train/val/test gate gets its
+        # first driver hash check; map-only per-doc text classification
+        # stays in-window via gopher_flags + pii_redaction, and lang_id
+        # keeps its oracle in the tail with r01-r08 + r11 history)
+        "doc_split_assignment": q_doc_split_assignment,
         # counterfactual_pinned takes outlier_yquantile's slot (the
         # outlier family keeps two in-window reps, zscore + iqr;
         # yquantile keeps its oracle in the tail) — O15 was the last
@@ -2702,15 +2710,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps its oracle in the tail
         "kmeans_refined_centroids": q_kmeans_refined_centroids,
         "dedup_clusters_dist": q_dedup_clusters_dist,
-        # dedup_clusters subsumes lsh_candidates (its oracle replays
-        # minhash + bands + pairs AND the transitive closure), so it
-        # takes the window slot; lsh_candidates keeps its oracle in
-        # the tail for tools/check_correctness
-        "dedup_clusters": q_dedup_clusters,
-        # gopher_flags takes doc_quality's slot (the five-rule gate
-        # family strictly contains the scalar quality score's
-        # signals; doc_quality keeps its oracle in the tail)
-        "gopher_flags": q_gopher_flags,
+        # round 12 rotation: embedding_dedup_clusters takes
+        # dedup_clusters' slot (cosine-pair-graph clustering gets its
+        # first driver hash check; the minhash transitive closure
+        # stays in-window via dedup_clusters_dist, whose oracle
+        # replays the same closure over the same pair graph) —
+        # dedup_clusters keeps its oracle in the tail
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        # round 12 rotation: repetition_flags takes gopher_flags' slot
+        # (the duplicate-line/ngram-fraction repetition gates get
+        # their first driver hash check; the five-rule Gopher gate
+        # family got green rows in r06-r11 and keeps its oracle in
+        # the tail)
+        "repetition_flags": q_repetition_flags,
         # dsir_logweights takes bpe_token_count's slot (token-stat
         # counting stays in-window via doc_token_stats and the
         # gopher_flags length/repetition signals; bpe_token_count
@@ -2729,23 +2741,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the tail) — NEW round-6 surface: PII scrubbing with injected
         # fixtures so the redaction hashes are non-trivial
         "pii_redaction": q_pii_redaction,
-        # paragraph_dedup takes prebin_counts' slot (A1/J1 per-prebin
-        # binary counts + the numeric bin range-join are the first
-        # stage of optimal_binning_table's in-window DP oracle;
-        # prebin_counts keeps its oracle in the tail) — NEW round-6
-        # surface: Dolma-style paragraph-level dedup
-        "paragraph_dedup": q_paragraph_dedup,
+        # round 12 rotation: stratified_doc_sample takes
+        # paragraph_dedup's slot (the per-stratum salted-hash sampling
+        # gate gets its first driver hash check; exact-hash text dedup
+        # stays in-window via minhash_signatures/dup_ngram_spans and
+        # paragraph_dedup keeps its oracle in the tail with r06-r11
+        # green history)
+        "stratified_doc_sample": q_stratified_doc_sample,
         # bm25_topk takes event_rate_order's slot (J4/W1 event-rate
         # ordering is replayed INSIDE categorical_optimal_binning's
         # in-window DP oracle chain; event_rate_order keeps its oracle
         # in the tail) — NEW round-6 surface: BM25 lexical retrieval
         "bm25_topk": q_bm25_topk,
-        # doc_chunks takes classification_metrics' slot (M12 stays
-        # covered in-window by regression_metrics' shared
-        # perf-metrics machinery plus the ks/psi family;
-        # classification_metrics keeps its oracle in the tail) —
-        # NEW round-6 surface: context-window chunking flatMap
-        "doc_chunks": q_doc_chunks,
+        # round 12 rotation: shard_assignment takes doc_chunks' slot
+        # (the reproducible global-shuffle (shard,pos) addressing gets
+        # its first driver hash check; the posexplode chunk flatMap
+        # stays in-window via pack_sequences_bpe's identical
+        # chop arithmetic and doc_chunks keeps its oracle in the tail
+        # with r06-r11 green history)
+        "shard_assignment": q_shard_assignment,
         # pack_sequences_bpe takes pack_sequences' slot (round 8): the
         # per-shard cumsum/chop integer arithmetic is IDENTICAL — only
         # the token counter upgraded from whitespace words to the
@@ -2753,20 +2767,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pack_sequences keeps its whitespace oracle in the tail.
         # (Slot lineage: pack_sequences had taken distribution_stats'
         # slot in round 6; distribution_stats stays tail-oracled.)
-        # training_sequences takes pack_sequences_bpe's slot (round
-        # 8): it CONTAINS the pack plan (same cumsum/chop replayed in
-        # its oracle) and additionally materializes + verifies the
-        # token-id sequences and provenance spans the sink writes;
-        # pack_sequences_bpe keeps its oracle in the tail
-        "training_sequences": q_training_sequences,
-        # quality_top_fraction takes chi2_tests' slot (M9's scipy-free
-        # special_math surface stays pinned by tests/test_special_math
-        # and the in-window classification/regression metrics that
-        # consume the same distributions; chi2_tests keeps its oracle
-        # in the tail) — NEW round-6 surface: per-domain quality-budget
-        # selection (window rank per stratum)
-        "quality_top_fraction": q_quality_top_fraction,
-        "class_weight_agg": q_class_weight_agg,
+        # round 12 rotation: pack_sequences_bpe returns to the window,
+        # taking training_sequences' slot — it had NEVER had a driver
+        # hash check (the r8 swap moved it to the tail the same round
+        # it was added); training_sequences, which contains the same
+        # pack plan plus id materialization, got green rows in
+        # r08-r11 and keeps its oracle in the tail
+        "pack_sequences_bpe": q_pack_sequences_bpe,
+        # round 12 rotation: curriculum_shards takes
+        # quality_top_fraction's slot (quantile difficulty shards +
+        # within-shard hash order get their first driver hash check;
+        # the per-stratum window-rank machinery is the same shape and
+        # quality_top_fraction keeps its oracle in the tail with
+        # r06-r11 green history)
+        "curriculum_shards": q_curriculum_shards,
+        # round 12 rotation: mixture_rates takes class_weight_agg's
+        # slot (per-domain mixture budgets get their first driver
+        # hash check; both are bounded per-stratum aggregations and
+        # class_weight_agg keeps its oracle in the tail with r01-r11
+        # green history)
+        "mixture_rates": q_mixture_rates,
         # round 11 rotation: classification_metrics returns to the
         # window (M12 confusion-matrix metrics re-verified by the
         # driver; the shared perf-metrics machinery stays doubly
@@ -2795,7 +2815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle in the tail
         "multiclass_bin_counts": q_multiclass_bin_counts,
         "scenario_binning_table": q_scenario_binning_table,
-        "multimodal_features": q_multimodal_features,
+        # round 12 rotation: multimodal_frames takes
+        # multimodal_features' slot (the frame-sampling mapInPandas
+        # plumbing gets its first driver hash check; the
+        # decode/feature path got green rows in r06-r11 and keeps its
+        # oracle in the tail)
+        "multimodal_frames": q_multimodal_frames,
         # -- tail (beyond the driver's 50-entry window; unit/golden
         #    tested — near_dup_cosine, the fixed-split pair rotated out
         #    in round 4 (binning_table_fixed, woe_transform — their
@@ -2818,10 +2843,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked by tools/check_correctness
         "doc_token_stats": q_doc_token_stats,
         "pack_sequences": q_pack_sequences,
-        # rotated out round 8 for training_sequences (which replays
-        # the same pack plan and adds id materialization) — oracle
-        # still checked by tools/check_correctness
-        "pack_sequences_bpe": q_pack_sequences_bpe,
+        # rotated out round 12 for pack_sequences_bpe's window debut
+        # (training_sequences contains the same pack plan + id
+        # materialization; green r08-r11) — oracle still checked by
+        # tools/check_correctness
+        "training_sequences": q_training_sequences,
         # rotated out round 11 for bpe_token_count (same merge-cascade
         # expression tokenizer; doc-level subword stats stay in-window
         # via training_sequences) — oracle still checked by
@@ -2845,21 +2871,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # regex family stays in-window via pii_redaction) — oracle
         # still checked by tools/check_correctness
         "doc_normalize": q_doc_normalize,
-        # tail-registered round 8 (no rotation): topic-balanced
-        # downsampling — composition of the SemDeDup quantizer
-        # assignment and the stratified hash gate, oracle-checked by
-        # tools/check_correctness
-        "cluster_balanced_sample": q_cluster_balanced_sample,
+        # rotated out round 12 for cluster_balanced_sample's window
+        # debut (green r08-r11; the NB LLR fold machinery keeps its
+        # oracle here) — checked by tools/check_correctness
+        "nb_quality_score": q_nb_quality_score,
         # rotated out round 11 for kmeans_refined_centroids' window
         # debut (the counterfactual WLS machinery stays in-window via
         # counterfactual_pinned) — oracle still checked by
         # tools/check_correctness
         "counterfactual_mahalanobis_pinned":
             q_counterfactual_mahalanobis_pinned,
-        # tail-registered round 8 (no rotation): curriculum data
-        # layout — quantile difficulty shards + within-shard hash
-        # order, oracle-checked by tools/check_correctness
-        "curriculum_shards": q_curriculum_shards,
+        # rotated out round 12 for curriculum_shards' window debut
+        # (green r06-r11; same per-stratum window-rank shape) —
+        # oracle still checked by tools/check_correctness
+        "quality_top_fraction": q_quality_top_fraction,
         # rotated out round 11 for classification_metrics' return
         # (shared perf-metrics machinery) — oracle still checked by
         # tools/check_correctness
@@ -2895,21 +2920,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still checked by tools/check_correctness
         "outlier_zscore": q_outlier_zscore,
         "binning_process_summary": q_binning_process_summary,
-        "doc_split_assignment": q_doc_split_assignment,
-        # round 8: reproducible global training shuffle — two-level
-        # (shard, pos) addressing, no global sort
-        "shard_assignment": q_shard_assignment,
-        "stratified_doc_sample": q_stratified_doc_sample,
+        # rotated out round 12 for doc_split_assignment's window debut
+        # (green r01-r08 + r11; map-only text classification stays
+        # in-window via gopher_flags/pii_redaction) — oracle still
+        # checked by tools/check_correctness
+        "lang_id": q_lang_id,
+        # rotated out round 12 for shard_assignment's window debut
+        # (green r06-r11; chop arithmetic in-window via
+        # pack_sequences_bpe) — oracle still checked by
+        # tools/check_correctness
+        "doc_chunks": q_doc_chunks,
+        # rotated out round 12 for stratified_doc_sample's window
+        # debut (green r06-r11) — oracle still checked by
+        # tools/check_correctness
+        "paragraph_dedup": q_paragraph_dedup,
         "near_dup_cosine": q_near_dup_cosine,
         "scorecard_scores": q_scorecard_scores,
         "scorecard_table": q_scorecard_table,
-        "scorecard_table_linear": q_scorecard_table_linear,
+        # rotated out round 12 for scorecard_table_linear's window
+        # debut (Huber IRLS/WLS green r09-r11) — oracle still checked
+        # by tools/check_correctness
+        "scorecard_scores_huber": q_scorecard_scores_huber,
         # rotated out round 11 for scorecard_table_pdo (the IRLS
-        # logistic estimator surface stays in-window via
-        # scorecard_scores_huber) — oracle still checked by
+        # logistic estimator surface stays in-window via the huber
+        # oracle machinery in the tail) — oracle still checked by
         # tools/check_correctness
         "scorecard_scores_logistic": q_scorecard_scores_logistic,
-        "scorecard_table_rebased": q_scorecard_table_rebased,
+        # rotated out round 12 for scorecard_table_rebased's window
+        # debut (O12 PDO scaling green r11) — oracle still checked by
+        # tools/check_correctness
+        "scorecard_table_pdo": q_scorecard_table_pdo,
         # rotated out round 11 for psi's return (W2 cumulative bin
         # sums stay in-window via the DP oracles' prefix stats) —
         # oracle still checked by tools/check_correctness
@@ -2923,23 +2963,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness
         "binning_2d_median": q_binning_2d_median,
         "sample_class_counts": q_sample_class_counts,
-        "continuous_binning_2d_pinned": q_continuous_binning_2d_pinned,
-        "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        # rotated out round 12 for continuous_binning_2d_pinned's
+        # window debut (binary 2-D rectangle replay green r06-r11) —
+        # oracle still checked by tools/check_correctness
+        "binning_2d_pinned": q_binning_2d_pinned,
+        # rotated out round 12 for embedding_dedup_clusters' window
+        # debut (minhash transitive closure stays in-window via
+        # dedup_clusters_dist) — oracle still checked by
+        # tools/check_correctness
+        "dedup_clusters": q_dedup_clusters,
         "sketch_binning_table": q_sketch_binning_table,
         # rotated out round 11 for sketch_binning_exact (windowed
         # event aggregation stays in-window via event_psi_monitor) —
         # oracle still checked by tools/check_correctness
         "event_window_stats": q_event_window_stats,
-        "sketch_categorical_merge": q_sketch_categorical_merge,
+        # rotated out round 12 for sketch_categorical_merge's window
+        # debut (T1/T3 add/solve green r11) — oracle still checked by
+        # tools/check_correctness
+        "sketch_binning_exact": q_sketch_binning_exact,
         "psi_variable_report": q_psi_variable_report,
         "continuous_binning_2d_table": q_continuous_binning_2d_table,
         "piecewise_transform": q_piecewise_transform,
         "counterfactual": q_counterfactual,
         "ivf_topk": q_ivf_topk,
-        "multimodal_frames": q_multimodal_frames,
-        "doc_contamination": q_doc_contamination,
-        "repetition_flags": q_repetition_flags,
-        "mixture_rates": q_mixture_rates,
+        # rotated out round 12 for multimodal_frames' window debut
+        # (decode/feature path green r06-r11) — oracle still checked
+        # by tools/check_correctness
+        "multimodal_features": q_multimodal_features,
+        # rotated out round 12 for doc_contamination's window debut
+        # (snapshot band-index join green r08-r11) — oracle still
+        # checked by tools/check_correctness
+        "incremental_dedup": q_incremental_dedup,
+        # rotated out round 12 for repetition_flags' window debut
+        # (five-rule Gopher gates green r06-r11) — oracle still
+        # checked by tools/check_correctness
+        "gopher_flags": q_gopher_flags,
+        # rotated out round 12 for mixture_rates' window debut
+        # (green r01-r11; same bounded per-stratum agg shape) —
+        # oracle still checked by tools/check_correctness
+        "class_weight_agg": q_class_weight_agg,
     }
 
 

@@ -34,9 +34,14 @@ AUTO_WINDOW_DECISIONS: dict[str, dict] = {}
 # should pay it once. Keyed by the PROBE plan's semantic hash, which
 # covers the source relation, any upstream filters, and the shingle
 # parameters; a different corpus/filter/params hashes differently.
-# Clear with _PROBE_DECISION_CACHE.clear() if the same path's files
-# are rewritten mid-session.
-_PROBE_DECISION_CACHE: dict[tuple, bool] = {}
+# The semantic hash does NOT see the files behind a path, so entries
+# carry a monotonic timestamp and expire after _PROBE_DECISION_TTL_S
+# — a corpus that is appended/rewritten and turns hot mid-session is
+# re-probed within the TTL instead of keeping a stale window shape
+# forever. Clear with _PROBE_DECISION_CACHE.clear() to force an
+# immediate re-probe after a known rewrite.
+_PROBE_DECISION_CACHE: dict[tuple, tuple[bool, float]] = {}
+_PROBE_DECISION_TTL_S = 600.0
 
 
 def _resolve_use_window(keyed_sample: DataFrame, key_col: str, caller: str,
@@ -90,12 +95,16 @@ def _resolve_use_window(keyed_sample: DataFrame, key_col: str, caller: str,
                keyed_sample._jdf.queryExecution().logical().semanticHash())
     except Exception:
         key = None
+    import time
+    now = time.monotonic()
     if key is not None and key in _PROBE_DECISION_CACHE:
-        decision = _PROBE_DECISION_CACHE[key]
-        AUTO_WINDOW_DECISIONS[caller] = {
-            "estimated_hottest": None, "use_window": decision,
-            "cached": True}
-        return decision
+        decision, stamp = _PROBE_DECISION_CACHE[key]
+        if now - stamp < _PROBE_DECISION_TTL_S:
+            AUTO_WINDOW_DECISIONS[caller] = {
+                "estimated_hottest": None, "use_window": decision,
+                "cached": True}
+            return decision
+        del _PROBE_DECISION_CACHE[key]  # expired: re-probe
     row = (keyed_sample.groupBy(key_col).count()
            .agg(F.max("count").alias("m")).first())
     est = int((row["m"] or 0) / probe_fraction)
@@ -103,7 +112,7 @@ def _resolve_use_window(keyed_sample: DataFrame, key_col: str, caller: str,
     AUTO_WINDOW_DECISIONS[caller] = {
         "estimated_hottest": est, "use_window": decision}
     if key is not None:
-        _PROBE_DECISION_CACHE[key] = decision
+        _PROBE_DECISION_CACHE[key] = (decision, now)
     return decision
 
 
@@ -462,12 +471,22 @@ def ngram_jaccard_pairs(
 
     sh = _sh(df)
     if use_window == "auto":
-        # probe over a DOCUMENT sample so the probe evaluates 0.5% of
-        # the explode subtree, not all of it (see _resolve_use_window)
-        use_window = _resolve_use_window(
-            _sh(df.sample(fraction=hot_key_probe_fraction, seed=7)),
-            "sh", "ngram_jaccard_pairs",
-            hot_key_threshold, hot_key_probe_fraction)
+        if df.isStreaming:
+            # sample()+first() is illegal on a streaming plan: pin the
+            # window shape (the measured default winner) instead of
+            # letting the probe raise inside foreachBatch
+            use_window = True
+            AUTO_WINDOW_DECISIONS["ngram_jaccard_pairs"] = {
+                "estimated_hottest": None, "use_window": True,
+                "streaming": True}
+        else:
+            # probe over a DOCUMENT sample so the probe evaluates 0.5%
+            # of the explode subtree, not all of it
+            # (see _resolve_use_window)
+            use_window = _resolve_use_window(
+                _sh(df.sample(fraction=hot_key_probe_fraction, seed=7)),
+                "sh", "ngram_jaccard_pairs",
+                hot_key_threshold, hot_key_probe_fraction)
     if use_window:
         rare = (
             sh.withColumn("df_", F.count("*").over(W.partitionBy("sh")))
@@ -1064,12 +1083,22 @@ def duplicate_ngram_spans(
 
     g = _ng(df)
     if use_window == "auto":
-        # probe over a DOCUMENT sample so the probe evaluates 0.5% of
-        # the explode subtree, not all of it (see _resolve_use_window)
-        use_window = _resolve_use_window(
-            _ng(df.sample(fraction=hot_key_probe_fraction, seed=7)),
-            "ng", "duplicate_ngram_spans",
-            hot_key_threshold, hot_key_probe_fraction)
+        if df.isStreaming:
+            # sample()+first() is illegal on a streaming plan: pin the
+            # window shape (the measured default winner) instead of
+            # letting the probe raise inside foreachBatch
+            use_window = True
+            AUTO_WINDOW_DECISIONS["duplicate_ngram_spans"] = {
+                "estimated_hottest": None, "use_window": True,
+                "streaming": True}
+        else:
+            # probe over a DOCUMENT sample so the probe evaluates 0.5%
+            # of the explode subtree, not all of it
+            # (see _resolve_use_window)
+            use_window = _resolve_use_window(
+                _ng(df.sample(fraction=hot_key_probe_fraction, seed=7)),
+                "ng", "duplicate_ngram_spans",
+                hot_key_threshold, hot_key_probe_fraction)
     if use_window:
         hot = (
             g.withColumn("n_occurrences",

@@ -110,9 +110,22 @@ def build_training_sequences(
                     # no prior dir: clear the Option field directly so
                     # a later unrelated .checkpoint() fails with
                     # "checkpoint directory has not been set" instead
-                    # of silently inheriting this sink's directory
-                    getattr(sc._jsc.sc(), "checkpointDir_$eq")(
-                        sc._jvm.scala.Option.empty())
+                    # of silently inheriting this sink's directory.
+                    # The setter is a private[spark] var reached via
+                    # its bytecode-public name — a Spark upgrade that
+                    # renames it must NOT turn this cleanup into an
+                    # error that masks the sink's successful result,
+                    # so degrade to leaving the dir set with a warning
+                    try:
+                        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                            sc._jvm.scala.Option.empty())
+                    except Exception as exc:  # pragma: no cover
+                        import warnings
+                        warnings.warn(
+                            "could not clear the SparkContext "
+                            f"checkpoint dir ({exc!r}); later "
+                            ".checkpoint() calls will inherit "
+                            f"{checkpoint_dir!r}")
         elif sc.master.startswith("local"):
             ids = ids.localCheckpoint(eager=True)
         else:

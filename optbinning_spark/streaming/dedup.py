@@ -157,8 +157,6 @@ def incremental_lsh_dedup_sink(
                                   minhash_signatures)
 
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         spark = batch_df.sparkSession
         bands = lsh_bands(
             minhash_signatures(batch_df, text_col, id_col, n_hashes,
@@ -168,17 +166,24 @@ def incremental_lsh_dedup_sink(
         # materialize once (executor-local is fine — a replay rebuilds)
         bands = bands.localCheckpoint(eager=True)
         try:
-            try:
+            # "No history" is decided by an explicit existence check on
+            # the index dir (Hadoop FileSystem, same resolver Spark's
+            # reader uses) — NOT by absorbing AnalysisException. An
+            # index dir that EXISTS but fails analysis (zero-file dir
+            # after a compaction mishap, schema-merge conflict, corrupt
+            # footer at schema inference) must kill the batch so the
+            # stream retries from the checkpoint, never be silently
+            # treated as "no history" and emit keep=True for real dups.
+            jvm = spark._jvm
+            jsc = spark._jsc
+            hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+            fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+            if fs.exists(hpath):
                 hist = (spark.read.parquet(index_dir)
                         .where(F.col("__batch") != batch_id)
                         .drop("__batch"))
-            except AnalysisException:
-                # first batch: index path does not exist yet. ONLY the
-                # analysis-time miss is absorbed — a transient storage
-                # failure mid-stream must kill the batch (and be
-                # retried from the checkpoint), never be silently
-                # treated as "no history" and emit keep=True for
-                # everything
+            else:
+                # first batch: index path does not exist yet
                 hist = bands.limit(0)
             decisions = incremental_lsh_dedup(
                 batch_df, hist, text_col, id_col, n_hashes, band_size,
