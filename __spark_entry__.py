@@ -2094,6 +2094,58 @@ def q_counterfactual_mahalanobis_pinned(spark, sf_dir):
         rows, "b1 int, b2 int, score double, cost double")
 
 
+def q_counterfactual_diverse_pinned(spark, sf_dir):
+    """O15's multi-CF diversity branch (reference multi_mip.py:93-105
+    hard diversity constraints), SQL-replayed: the pinned 2-variable
+    proximity-only setup of counterfactual_pinned with
+    hard_constraints=["min_outcome", "diversity_values"] and n_cf=2.
+    The engine accepts CFs SEQUENTIALLY (each cost-minimal given the
+    already-accepted set, counterfactual.py _search/_hard_div_ok):
+    CF1 is the global cheapest feasible assignment; CF2 the cheapest
+    feasible one where no feature changed by BOTH takes the same bin
+    as CF1 — which the DuckDB oracle replays as two ordered argmin
+    CTEs over the exhaustive <=64-assignment enumeration. This was
+    the last counterfactual option family with no hash check anywhere
+    (r11 verdict, What's missing #4)."""
+    from optbinning_spark import BinningProcess, Counterfactual
+    from optbinning_spark.scorecard import Scorecard
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "net_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    bp = BinningProcess(
+        ["l_quantity", "l_discount"],
+        prebinning_method="quantile",
+        max_n_prebins=8,
+        binning_fit_params={
+            "l_quantity": {"monotonic_trend": "descending"},
+            "l_discount": {"monotonic_trend": "descending"},
+        },
+    )
+    sc = Scorecard(bp, estimator="linear").fit(df, "net_price")
+    cf = Counterfactual(sc).fit(df)
+    vals, _ = cf._candidates()
+    coefs = [sc.coef_[v] for v in cf.variables_]
+    smax = sc.intercept_ + sum(float(max(c * v))
+                               for c, v in zip(coefs, vals))
+    smin = sc.intercept_ + sum(float(min(c * v))
+                               for c, v in zip(coefs, vals))
+    target = smin + 0.6 * (smax - smin)
+    cf.generate(
+        {"l_quantity": 10.0, "l_discount": 0.03}, y=target,
+        outcome_type="continuous",
+        hard_constraints=["min_outcome", "diversity_values"],
+        n_cf=2, objectives={"proximity": 1.0, "closeness": 0.0})
+    rows = [
+        (int(s["assignment"][0]), int(s["assignment"][1]),
+         round(float(s["score"]), 6) + 0.0,
+         round(float(s["cost"]), 6) + 0.0)
+        for s in cf._cfs
+    ]
+    return spark.createDataFrame(
+        rows, "b1 int, b2 int, score double, cost double")
+
+
 def q_counterfactual(spark, sf_dir):
     """O15: counterfactual explanations — exact branch-and-bound over
     bin assignments; Mahalanobis inputs from one Spark agg."""
@@ -2588,7 +2640,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver; the robust-center family stays in-window via
         # outlier_iqr) — outlier_zscore keeps its oracle in the tail
         "outlier_yquantile": q_outlier_yquantile,
-        "outlier_iqr": q_outlier_iqr,
+        # round 12: counterfactual_diverse_pinned takes outlier_iqr's
+        # slot (NEW query: the hard diversity_values multi-CF branch —
+        # the last counterfactual option family with no hash check
+        # anywhere gets a driver row; the robust-outlier family stays
+        # in-window via outlier_yquantile) — outlier_iqr keeps its
+        # oracle in the tail with r01-r11 green history
+        "counterfactual_diverse_pinned": q_counterfactual_diverse_pinned,
         "special_missing_stats": q_special_missing_stats,
         # round 11 rotation: bpe_token_count takes bpe_subword_count's
         # slot (the same expression tokenizer, replayed merge-for-merge
@@ -2919,6 +2977,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outlier family stays in-window via outlier_iqr) — oracle
         # still checked by tools/check_correctness
         "outlier_zscore": q_outlier_zscore,
+        # rotated out round 12 for counterfactual_diverse_pinned (NEW;
+        # robust-outlier family stays in-window via outlier_yquantile)
+        # — oracle still checked by tools/check_correctness
+        "outlier_iqr": q_outlier_iqr,
         "binning_process_summary": q_binning_process_summary,
         # rotated out round 12 for doc_split_assignment's window debut
         # (green r01-r08 + r11; map-only text classification stays
@@ -3665,6 +3727,102 @@ def _sql_counterfactual_pinned():
   SELECT CAST(b1 AS INTEGER) AS b1, CAST(b2 AS INTEGER) AS b2,
          round(score, 6) + 0.0 AS score, round(cost, 6) + 0.0 AS cost
   FROM enum ORDER BY cost LIMIT 2"""
+
+
+def _sql_counterfactual_diverse_pinned():
+    """counterfactual_pinned's exhaustive enumeration plus the
+    SEQUENTIAL acceptance the engine uses for n_cf=2 under the hard
+    diversity_values constraint (multi_mip.py:93-105 semantics as
+    implemented in counterfactual.py _hard_div_ok): CF1 = global
+    cheapest feasible; CF2 = cheapest feasible with no
+    changed-by-both feature assigned the SAME bin as CF1 — per
+    feature, (b != cf1.b OR b = orig.b), plus b != cf1 as a tuple
+    (the engine's seen_assign duplicate rule)."""
+    net = "l_extendedprice * (1 - l_discount)"
+    chains = (_dp_cte_continuous("l_quantity", net, 8, "descending", "f1_")
+              + "," + _dp_cte_continuous("l_discount", net, 8,
+                                         "descending", "f2_"))
+    return f"""
+  WITH {chains},
+  rows_ AS (
+    SELECT l_quantity AS x1, l_discount AS x2, {net} AS y FROM lineitem),
+  r1 AS (
+    SELECT r.*, len(list_filter(sp.splits, s -> r.x1 >= s)) AS pb1
+    FROM rows_ r, f1_sp sp),
+  r2 AS (
+    SELECT r1.*, len(list_filter(sp.splits, s -> r1.x2 >= s)) AS pb2
+    FROM r1, f2_sp sp),
+  feat AS (
+    SELECT r2.y, b1.s1 / b1.cnt AS f1, b2.s1 / b2.cnt AS f2
+    FROM r2
+    JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
+    JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
+  mu AS (
+    SELECT avg(f1) AS m1, avg(f2) AS m2, avg(y) AS my FROM feat),
+  sums AS (
+    SELECT sum((f1 - mu.m1) * (f1 - mu.m1)) AS c11,
+           sum((f1 - mu.m1) * (f2 - mu.m2)) AS c12,
+           sum((f2 - mu.m2) * (f2 - mu.m2)) AS c22,
+           sum((f1 - mu.m1) * (y - mu.my)) AS c1y,
+           sum((f2 - mu.m2) * (y - mu.my)) AS c2y,
+           any_value(mu.m1) AS m1, any_value(mu.m2) AS m2,
+           any_value(mu.my) AS my
+    FROM feat, mu),
+  coef AS (
+    SELECT (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+           (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2,
+           my - (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) * m1
+              - (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) * m2 AS b0
+    FROM sums),
+  cand1 AS (SELECT b.seg, co.b1 * (b.s1 / b.cnt) AS pt
+            FROM f1_bseg b, coef co),
+  cand2 AS (SELECT b.seg, co.b2 * (b.s1 / b.cnt) AS pt
+            FROM f2_bseg b, coef co),
+  wr AS (
+    SELECT 1.0 / greatest((SELECT max(pt) - min(pt) FROM cand1), 1e-9)
+             AS w1,
+           1.0 / greatest((SELECT max(pt) - min(pt) FROM cand2), 1e-9)
+             AS w2),
+  orig1 AS (
+    SELECT c.seg, c.pt FROM f1_sp sp
+    JOIN f1_bseg b
+      ON len(list_filter(sp.splits, s -> 10.0 >= s))
+           BETWEEN b.pb_lo AND b.pb_hi
+    JOIN cand1 c ON c.seg = b.seg),
+  orig2 AS (
+    SELECT c.seg, c.pt FROM f2_sp sp
+    JOIN f2_bseg b
+      ON len(list_filter(sp.splits, s -> 0.03 >= s))
+           BETWEEN b.pb_lo AND b.pb_hi
+    JOIN cand2 c ON c.seg = b.seg),
+  tgt AS (
+    SELECT co.b0 + (SELECT min(pt) FROM cand1)
+                 + (SELECT min(pt) FROM cand2) AS smin,
+           co.b0 + (SELECT max(pt) FROM cand1)
+                 + (SELECT max(pt) FROM cand2) AS smax,
+           co.b0 AS b0
+    FROM coef co),
+  enum AS (
+    SELECT c1.seg AS b1, c2.seg AS b2,
+           t.b0 + c1.pt + c2.pt AS score,
+           w.w1 * abs(c1.pt - o1.pt) + w.w2 * abs(c2.pt - o2.pt) AS cost,
+           o1.seg AS g1, o2.seg AS g2
+    FROM cand1 c1, cand2 c2, tgt t, wr w, orig1 o1, orig2 o2
+    WHERE t.b0 + c1.pt + c2.pt >= t.smin + 0.6 * (t.smax - t.smin)),
+  cf1 AS (SELECT * FROM enum ORDER BY cost LIMIT 1),
+  cf2 AS (
+    SELECT e.* FROM enum e, cf1 c
+    WHERE NOT (e.b1 = c.b1 AND e.b2 = c.b2)
+      AND (e.b1 <> c.b1 OR e.b1 = e.g1)
+      AND (e.b2 <> c.b2 OR e.b2 = e.g2)
+    ORDER BY e.cost LIMIT 1)
+  SELECT CAST(b1 AS INTEGER) AS b1, CAST(b2 AS INTEGER) AS b2,
+         round(score, 6) + 0.0 AS score, round(cost, 6) + 0.0 AS cost
+  FROM cf1
+  UNION ALL
+  SELECT CAST(b1 AS INTEGER) AS b1, CAST(b2 AS INTEGER) AS b2,
+         round(score, 6) + 0.0 AS score, round(cost, 6) + 0.0 AS cost
+  FROM cf2"""
 
 
 def _sql_counterfactual_mahalanobis_pinned():
@@ -5766,6 +5924,8 @@ def oracle_sql() -> dict[str, str]:
         "scorecard_scores_logistic": _sql_scorecard_scores_logistic(),
         "scorecard_scores_huber": _sql_scorecard_scores_huber(),
         "counterfactual_pinned": _sql_counterfactual_pinned(),
+        "counterfactual_diverse_pinned":
+            _sql_counterfactual_diverse_pinned(),
         "counterfactual_mahalanobis_pinned":
             _sql_counterfactual_mahalanobis_pinned(),
         "wide_summary_pinned": _sql_wide_summary_pinned(),
