@@ -1397,6 +1397,50 @@ def test_use_window_auto_hot_key_escape(spark):
     assert sorted(map(tuple, pairs.collect())) == win
 
 
+def test_use_window_auto_streaming_and_memo_ttl(spark, tmp_path):
+    """Round-12 ADVICE hardening of the auto probe: (a) a STREAMING
+    input short-circuits to the pinned window shape instead of
+    raising inside sample()+first(); (b) memo entries expire after
+    the TTL so a corpus rewritten mid-session is re-probed."""
+    import time as _time
+
+    from optbinning_spark.pipeline import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # (a) streaming: build a file stream over the same schema; the
+    # plan must construct (no probe action) and carry the Window shape
+    sdir = str(tmp_path / "sdocs")
+    docs.limit(20).write.parquet(sdir)
+    stream = (spark.readStream.schema(docs.schema).parquet(sdir))
+    spans = D.duplicate_ngram_spans(stream, n=5)  # would raise pre-fix
+    assert spans.isStreaming
+    d = D.AUTO_WINDOW_DECISIONS["duplicate_ngram_spans"]
+    assert d["use_window"] is True and d.get("streaming") is True
+    pairs = D.ngram_jaccard_pairs(stream)
+    assert pairs.isStreaming
+    assert D.AUTO_WINDOW_DECISIONS["ngram_jaccard_pairs"].get(
+        "streaming") is True
+
+    # (b) TTL: first call probes, second call hits the memo, and once
+    # the entry's timestamp is aged past the TTL the probe reruns
+    D._PROBE_DECISION_CACHE.clear()
+    D.duplicate_ngram_spans(docs, n=5, hot_key_probe_fraction=1.0)
+    assert "cached" not in D.AUTO_WINDOW_DECISIONS["duplicate_ngram_spans"]
+    assert len(D._PROBE_DECISION_CACHE) == 1
+    D.duplicate_ngram_spans(docs, n=5, hot_key_probe_fraction=1.0)
+    assert D.AUTO_WINDOW_DECISIONS["duplicate_ngram_spans"][
+        "cached"] is True
+    key = next(iter(D._PROBE_DECISION_CACHE))
+    dec, stamp = D._PROBE_DECISION_CACHE[key]
+    D._PROBE_DECISION_CACHE[key] = (
+        dec, stamp - D._PROBE_DECISION_TTL_S - 1)
+    D.duplicate_ngram_spans(docs, n=5, hot_key_probe_fraction=1.0)
+    d = D.AUTO_WINDOW_DECISIONS["duplicate_ngram_spans"]
+    assert "cached" not in d and d["estimated_hottest"] is not None
+    # the re-probe re-memoized with a fresh stamp
+    assert D._PROBE_DECISION_CACHE[key][1] > _time.monotonic() - 60
+
+
 def test_dsir_log_weights_brute_force(spark):
     """DSIR importance weights (Xie et al. 2023) against a numpy
     replay on a tiny fixture: hashed unigram+bigram bucket counts,

@@ -761,3 +761,36 @@ def test_incremental_lsh_sink_replay_idempotent(spark, tmp_path):
         "__batch = 1").drop("__batch").collect()}
     assert first == second
     assert {r[0] for r in first if not r[2]} == {3}  # dup of doc 1
+
+
+def test_incremental_lsh_sink_broken_index_dir_fails_loudly(
+        spark, tmp_path):
+    """Round-12 ADVICE: 'no history' is decided by an EXPLICIT
+    existence check, not by absorbing AnalysisException. An index dir
+    that exists but cannot be analyzed (zero-file dir after a
+    compaction mishap) must kill the batch — so the stream retries
+    from the checkpoint — never be silently treated as empty history
+    and emit keep=True for real duplicates. A genuinely missing dir
+    (first batch) still works."""
+    import pytest
+
+    from optbinning_spark.streaming.dedup import incremental_lsh_dedup_sink
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id: long, text: string")
+    # missing dir: first batch succeeds (the only absorbed case)
+    idx = str(tmp_path / "idx_ok")
+    fn = incremental_lsh_dedup_sink(idx, str(tmp_path / "dec_ok"))
+    fn(docs, 0)
+    assert spark.read.parquet(idx).count() > 0
+    # existing-but-broken dir: empty directory, no parquet footers —
+    # the batch must raise, not emit decisions
+    broken = tmp_path / "idx_broken"
+    broken.mkdir()
+    dec2 = str(tmp_path / "dec_broken")
+    fn2 = incremental_lsh_dedup_sink(str(broken), dec2)
+    with pytest.raises(Exception):
+        fn2(docs, 0)
+    import os
+    assert not os.path.exists(dec2)  # no decisions were recorded
