@@ -2556,6 +2556,25 @@ def q_ivf_topk_pinned(spark, sf_dir):
     return ivf_topk(emb, queries, k=3, n_probe=2, centroids=np.eye(4, 64))
 
 
+def q_ivf_topk_trained(spark, sf_dir):
+    """IVF ANN through the TRAINED spherical-k-means quantizer with
+    exhaustive probing (n_probe == n_centroids): every inverted list
+    is probed, so the result must equal brute-force cosine top-k
+    EXACTLY — the brute-force SQL is a true oracle for the trained
+    path (sampling, k-means++ seeding, Lloyd, list assignment, probe
+    ordering, candidate join). Any bug that drops a vector from its
+    list, mis-ranks probes, or corrupts a centroid breaks equality;
+    the approximation error of n_probe < n_centroids is covered by
+    recall@k tests (tests/test_pipeline.py)."""
+    from optbinning_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=8)
+
+
 PW_FIXED_SPLITS = [10.0, 25.0, 40.0]
 PW_FIXED_COEFS = [[0.10, 0.004], [0.05, 0.009], [0.30, -0.001], [0.20, 0.002]]
 PW_FIXED_CENTER, PW_FIXED_SCALE = 25.0, 14.5
@@ -3048,6 +3067,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "piecewise_transform": q_piecewise_transform,
         "counterfactual": q_counterfactual,
         "ivf_topk": q_ivf_topk,
+        # NEW round 12: trained-quantizer IVF with exhaustive probing
+        # — must equal brute force exactly, so the brute-force SQL is
+        # a true oracle for the k-means-trained path (the last
+        # registry family that had no oracle anywhere) — checked by
+        # tools/check_correctness
+        "ivf_topk_trained": q_ivf_topk_trained,
         # rotated out round 12 for multimodal_frames' window debut
         # (decode/feature path green r06-r11) — oracle still checked
         # by tools/check_correctness
@@ -5910,6 +5935,27 @@ def oracle_sql() -> dict[str, str]:
         # ANN oracles: plane weights are deterministic md5 literals,
         # so bucketing + exact cosine replay bit-for-bit in DuckDB.
         "ann_topk": _sql_ann_topk(),
+        # trained-quantizer IVF with n_probe == n_centroids is
+        # EXHAUSTIVE, so brute-force cosine top-k is its exact oracle
+        # (the k-means training only shapes the partition of the
+        # candidate space, never the result set)
+        "ivf_topk_trained": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, e.vec_id AS nbr_id,
+                     round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cosine
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, nbr_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, nbr_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
         "near_dup_cosine_bucketed": _sql_near_dup_cosine_bucketed(),
         # SemDeDup: pinned-centroid literals, rounded-argmax cluster
         # assignment, within-cluster pair join + keep rule, all in SQL

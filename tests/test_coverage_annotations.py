@@ -36,6 +36,21 @@ def test_in_window_claims_match_correctness_history():
     assert seen >= 10, f"annotation regex matched only {seen} rows"
 
 
+def test_annotation_binds_to_nearest_preceding_name():
+    """Regression: in a multi-query cell like
+    "`ivf_topk`; `ivf_topk_pinned` (oracle, in-window)" the annotation
+    must bind to `ivf_topk_pinned`, not to the earlier unannotated
+    name — the original regex let the first name cross the second's
+    backticks and claim (then corrupt) its in-window state."""
+    from update_readme_counts import _ANNOT
+
+    cell = ("| x | impl | `base_q`; `pinned_q` (oracle, in-window); "
+            "`trained_q` (oracle: exhaustive, tail) |")
+    got = [(m.group("name"), m.group("pos"))
+           for m in _ANNOT.finditer(cell)]
+    assert got == [("pinned_q", "in-window"), ("trained_q", "tail")], got
+
+
 def test_annotated_names_are_registered_queries():
     """An annotation naming a query that no longer exists in the
     registry is stale documentation — catch renames."""

@@ -46,9 +46,14 @@ def driver_checked_queries() -> set:
 
 
 # matches "`query_name` (oracle..., in-window)" / "(..., tail)"
-# annotations in COVERAGE.md's verification column
+# annotations in COVERAGE.md's verification column. The gap between
+# the name and "(oracle" must not cross another backticked name
+# (no "`"), or the FIRST name in a multi-query cell would claim a
+# LATER name's annotation and flip it to the wrong state (seen with
+# `ivf_topk`; `ivf_topk_pinned` (oracle, in-window) — the unchecked
+# base name stole pinned's annotation).
 _ANNOT = re.compile(
-    r"(`(?P<name>[a-z0-9_]+)`[^|\n]*?\(oracle[^)]*?, )"
+    r"(`(?P<name>[a-z0-9_]+)`[^|\n`]*?\(oracle[^)]*?, )"
     r"(?P<pos>in-window|tail)\)")
 
 
