@@ -358,3 +358,55 @@ def test_bm25_and_perplexity_plan_shapes(spark):
     p2 = ngram_lm_perplexity(docs, docs.filter("lang = 'en'")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in p2
+
+
+def test_ann_join_shapes_scale(spark):
+    """The three ANN paths must have the join shapes the 100 TB design
+    claims: IVF and LSH are equi-joins on list/bucket ids with the
+    bounded query side broadcast (never a cartesian over the corpus);
+    brute force — the one intentionally exhaustive path — must
+    broadcast the bounded query side so the corpus never shuffles."""
+    from optbinning_spark.pipeline.similarity import (
+        brute_force_topk, ivf_topk, lsh_bucketed_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id")
+
+    p_ivf = _plan(ivf_topk(emb, qs, k=3, n_centroids=8, n_probe=3))
+    assert "Cartesian" not in p_ivf, p_ivf
+    assert "BroadcastHashJoin" in p_ivf, p_ivf  # equi-join on list_id
+
+    p_lsh = _plan(lsh_bucketed_topk(emb, qs, dim=64, k=3, n_planes=4))
+    assert "Cartesian" not in p_lsh, p_lsh
+    assert "BroadcastHashJoin" in p_lsh, p_lsh  # equi-join on bucket
+
+    p_bf = _plan(brute_force_topk(emb, qs, k=3))
+    assert "Cartesian" not in p_bf, p_bf
+    assert "BroadcastNestedLoopJoin" in p_bf, p_bf
+
+
+def test_semantic_dedup_no_cartesian_one_corpus_scan_pair(spark):
+    """SemDeDup's pair stage must be a self-equi-join on cluster_id —
+    a cartesian here is the classic all-pairs scale killer."""
+    from optbinning_spark.pipeline.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = _plan(semantic_dedup(emb, n_centroids=8, threshold=0.4))
+    assert "Cartesian" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_dedup_candidate_joins_are_equi(spark):
+    """MinHash-LSH candidate generation and benchmark decontamination
+    must pair via band/bucket equi-joins, never a cross product."""
+    from optbinning_spark.pipeline.dedup import (
+        lsh_candidate_pairs, ngram_contamination)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 5)
+    p1 = _plan(lsh_candidate_pairs(docs, n_hashes=8, band_size=2))
+    assert "Cartesian" not in p1, p1
+    p2 = _plan(ngram_contamination(docs, bench))
+    assert "Cartesian" not in p2, p2
+    assert "BroadcastNestedLoopJoin" not in p2, p2
