@@ -341,15 +341,6 @@ def dsir_log_weights(
             return df.select(F.explode(_dsir_features(
                 F.col(text_col), n_buckets)).alias("b"))
 
-    def counts(df):
-        rows = (
-            explode_feats(df)
-            .groupBy("b").agg(F.count("*").alias("n"))
-            .collect()
-        )
-        return {int(r["b"]): int(r["n"]) for r in rows}
-
-    tc = counts(target)
     if raw_sample_fraction is not None and not 0 < raw_sample_fraction <= 1:
         raise ValueError("raw_sample_fraction must be in (0, 1]")
     raw_for_counts, r_scale = raw, 1.0
@@ -365,7 +356,20 @@ def dsir_log_weights(
         # scaled, organic sf1). Scaling counts by 1/fraction restores
         # the smoothing's relative weight; E[scaled count] = exact.
         r_scale = 1.0 / raw_sample_fraction
-    rc = counts(raw_for_counts)
+    # BOTH bucket-count aggregations in ONE job: union the exploded
+    # sides under a tag and group by (side, bucket) — map-side
+    # partials still bound every task at 2*n_buckets keys, and one
+    # shuffle round replaces two scheduled back-to-back (integer
+    # counts, so the fusion is exact, not an fp reordering)
+    rows = (
+        explode_feats(target).withColumn("__side", F.lit("t"))
+        .unionByName(
+            explode_feats(raw_for_counts).withColumn("__side", F.lit("r")))
+        .groupBy("__side", "b").agg(F.count("*").alias("n"))
+        .collect()
+    )
+    tc = {int(r["b"]): int(r["n"]) for r in rows if r["__side"] == "t"}
+    rc = {int(r["b"]): int(r["n"]) for r in rows if r["__side"] == "r"}
     t_tot = float(sum(tc.values())) + smoothing * n_buckets
     r_tot = float(sum(rc.values())) * r_scale + smoothing * n_buckets
     ratio = [
