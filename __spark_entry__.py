@@ -490,6 +490,26 @@ def q_dsir_logweights(spark, sf_dir):
         "doc_id", (F.round("log_weight", 5) + 0.0).alias("log_weight"))
 
 
+def q_dsir_gumbel_topk(spark, sf_dir):
+    """DSIR's resampling step (Xie et al. 2023 §2: Gumbel-top-k draws
+    k docs without replacement with probability proportional to
+    exp(log_weight)): key = log_w - ln(-ln(u)) over the deterministic
+    per-doc md5 uniform, take the k largest. orderBy+limit compiles
+    to TakeOrderedAndProject — per-partition top-k + driver merge, no
+    global sort. The weight here is a simple exact-arithmetic function
+    of n_chars so the oracle isolates the SAMPLER (the real weights
+    are oracled by dsir_logweights); the md5 uniform, the Gumbel
+    transform, and the top-k boundary all replay in SQL."""
+    from optbinning_spark.pipeline.sampling import dsir_gumbel_sample
+
+    docs = _documents(spark, sf_dir)
+    w = docs.select(
+        "doc_id", ((F.col("n_chars") % 97) / 10.0).alias("log_weight"))
+    out = dsir_gumbel_sample(w, 50)
+    return out.select(
+        "doc_id", (F.round("log_weight", 5) + 0.0).alias("log_weight"))
+
+
 def q_training_sequences(spark, sf_dir):
     """The training-shard sink's materialization
     (sources/training_shards.py): packed 128-token BPE sequences with
@@ -3073,6 +3093,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # registry family that had no oracle anywhere) — checked by
         # tools/check_correctness
         "ivf_topk_trained": q_ivf_topk_trained,
+        # NEW round 12: DSIR's Gumbel-top-k resampling step — md5
+        # uniform, Gumbel transform and the top-k boundary replayed in
+        # SQL (weights themselves oracled by dsir_logweights) —
+        # checked by tools/check_correctness
+        "dsir_gumbel_topk": q_dsir_gumbel_topk,
         # rotated out round 12 for multimodal_frames' window debut
         # (decode/feature path green r06-r11) — oracle still checked
         # by tools/check_correctness
@@ -5935,6 +5960,27 @@ def oracle_sql() -> dict[str, str]:
         # ANN oracles: plane weights are deterministic md5 literals,
         # so bucketing + exact cosine replay bit-for-bit in DuckDB.
         "ann_topk": _sql_ann_topk(),
+        # Gumbel-top-k resampling: same md5-uniform idiom as
+        # doc_split_assignment; the weight is exact integer-derived
+        # arithmetic so only the sampler is under test
+        "dsir_gumbel_topk": """
+            WITH w AS (
+              SELECT doc_id, (n_chars % 97) / 10.0 AS log_weight
+              FROM documents
+            ), u AS (
+              SELECT doc_id, log_weight,
+                     ('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM w
+            )
+            SELECT doc_id, round(log_weight, 5) + 0.0 AS log_weight
+            FROM (
+              SELECT doc_id, log_weight,
+                     row_number() OVER (
+                       ORDER BY log_weight - ln(-ln(u)) DESC, doc_id) AS rk
+              FROM u
+            ) WHERE rk <= 50
+        """,
         # trained-quantizer IVF with n_probe == n_centroids is
         # EXHAUSTIVE, so brute-force cosine top-k is its exact oracle
         # (the k-means training only shapes the partition of the

@@ -403,7 +403,10 @@ def dsir_gumbel_sample(
     driver merge — no global sort)."""
     u = hash_uniform(F.col(id_col), salt)
     key = F.col(weight_col) - F.log(-F.log(u))
-    return weighted.orderBy(key.desc()).limit(k)
+    # id tiebreak: float-key ties are near-impossible but orderBy on
+    # a non-unique key is partition-order-dependent at the boundary —
+    # the determinism this sampler promises must not hinge on "near"
+    return weighted.orderBy(key.desc(), F.col(id_col)).limit(k)
 
 
 def stratified_top_fraction(
