@@ -129,6 +129,13 @@ def train_ivf_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        # an empty corpus can't seed a quantizer; without this guard
+        # the failure surfaces as a cryptic numpy AxisError downstream
+        raise ValueError(
+            "train_ivf_centroids: input has no rows — cannot train a "
+            "coarse quantizer on an empty corpus (pass explicit "
+            "centroids= to run assignment-only paths)")
     X = np.array([r[1] for r in rows], dtype=float)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

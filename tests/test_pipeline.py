@@ -2277,3 +2277,39 @@ def test_curriculum_shards_invariants(spark):
             docs.withColumn("score", F.when(F.col("doc_id") == 0, None)
                             .otherwise(F.col("score"))),
             "score", n_shards=4)
+
+
+def test_degenerate_inputs_clear_behavior(spark, docs):
+    """Empty corpora/targets are real refresh-pipeline states (a
+    filter that matched nothing); every op must either produce the
+    empty/identity result or raise a CLEAR error — never a cryptic
+    numpy AxisError from deep inside quantizer training."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from optbinning_spark.pipeline.dedup import ngram_contamination
+    from optbinning_spark.pipeline.sampling import (dsir_gumbel_sample,
+                                                    dsir_log_weights)
+    from optbinning_spark.pipeline.similarity import (pinned_centroids,
+                                                      semantic_dedup,
+                                                      train_ivf_centroids)
+
+    empty = docs.filter(F.lit(False))
+    # empty reference set -> nothing is contaminated, corpus passes
+    out = ngram_contamination(docs, empty)
+    assert out.filter(F.col("contaminated")).count() == 0
+    # empty target corpus -> smoothing-only weights, one per raw doc
+    assert dsir_log_weights(docs, empty).count() == docs.count()
+    # k > n -> all n rows, not an error
+    w = docs.select("doc_id", F.lit(1.0).alias("log_weight")).limit(3)
+    assert dsir_gumbel_sample(w, 50).count() == 3
+    # assignment-only semdedup on an empty frame with explicit
+    # centroids -> empty result
+    eemb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").filter(F.lit(False))
+    assert semantic_dedup(
+        eemb, 0.4, centroids=pinned_centroids(4, 64)).count() == 0
+    # training a quantizer on an empty corpus must raise the clear
+    # ValueError, not numpy AxisError
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_ivf_centroids(eemb, 4)
