@@ -2595,6 +2595,90 @@ def q_ivf_topk_trained(spark, sf_dir):
     return ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=8)
 
 
+def q_pq_topk_pinned(spark, sf_dir):
+    """Product-quantization ADC top-k (Jegou et al. 2011) with PINNED
+    md5-derived codebooks (m=4 subspaces x k=8 codes over dim 64):
+    encode is a map-only rounded-argmax per subspace (codes replace
+    vectors — the memory-bound ANN layout), each query precomputes its
+    m x k subspace-dot table, and the approximate dot is an m-lookup
+    fold. Every stage — slicing, half-norm argmax, table build, fold
+    order — replays in the SQL oracle; the TRAINED codebook path is
+    covered by recall-monotonicity + IVF-PQ-exhaustive-equality tests
+    (tests/test_pipeline.py::test_pq_encode_and_topk)."""
+    from optbinning_spark.pipeline.similarity import (
+        pinned_pq_codebooks,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return pq_topk(emb, queries, pinned_pq_codebooks(4, 8, 64), k=3)
+
+
+def _sql_pq_topk_pinned():
+    """Generated replay of q_pq_topk_pinned: the SAME codebook
+    literals, half-norms Python-computed and embedded, scores rounded
+    at 6 BEFORE the argmax (cross-engine ulp safety, the
+    semantic_dedup posture), and the ADC fold written left-assoc so
+    the float sum order matches Spark's aggregate()."""
+    from optbinning_spark.pipeline.similarity import pinned_pq_codebooks
+
+    cb = pinned_pq_codebooks(4, 8, 64)
+    m, sub = len(cb), len(cb[0][0])
+
+    def lit(c):
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    # argmax = position of max (list_position returns FIRST match,
+    # same tiebreak as Spark array_position)
+    code_exprs, tab_exprs = [], []
+    for i in range(m):
+        a = i * sub + 1
+        scores = ", ".join(
+            f"round(list_dot_product(list_slice(v, {a}, {a + sub - 1}), "
+            f"{lit(c)}) - {sum(float(x) * float(x) for x in c) / 2.0!r}, 6)"
+            for c in cb[i])
+        code_exprs.append(
+            f"list_position([{scores}], list_aggregate([{scores}], 'max'))")
+        tabs = ", ".join(
+            f"round(list_dot_product(list_slice(qv, {a}, {a + sub - 1}), "
+            f"{lit(c)}), 6)" for c in cb[i])
+        tab_exprs.append(f"[{tabs}]")
+    codes = ", ".join(code_exprs)
+    tabs_cols = ",\n                     ".join(
+        f"{t} AS t{i}" for i, t in enumerate(tab_exprs))
+    adc = "0.0"
+    for i in range(m):
+        adc = f"({adc} + t{i}[codes[{i + 1}]])"
+    return f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), codes AS (
+              SELECT vec_id, [{codes}] AS codes FROM e
+            ), q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), qt AS (
+              SELECT query_id,
+                     {tabs_cols}
+              FROM q
+            ), scored AS (
+              SELECT qt.query_id, codes.vec_id AS nbr_id,
+                     round({adc}, 6) + 0.0 AS adc_dot
+              FROM codes, qt WHERE codes.vec_id <> qt.query_id
+            )
+            SELECT query_id, nbr_id, adc_dot, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dot DESC, nbr_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """
+
+
 PW_FIXED_SPLITS = [10.0, 25.0, 40.0]
 PW_FIXED_COEFS = [[0.10, 0.004], [0.05, 0.009], [0.30, -0.001], [0.20, 0.002]]
 PW_FIXED_CENTER, PW_FIXED_SCALE = 25.0, 14.5
@@ -3098,6 +3182,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL (weights themselves oracled by dsir_logweights) —
         # checked by tools/check_correctness
         "dsir_gumbel_topk": q_dsir_gumbel_topk,
+        # NEW round 12: product-quantization ADC top-k with pinned
+        # codebooks — encode (rounded-argmax per subspace), query
+        # tables, and the m-lookup fold all replayed in SQL; the
+        # trained-codebook path is covered by recall-monotonicity and
+        # IVF-PQ exhaustive-equality tests — checked by
+        # tools/check_correctness
+        "pq_topk_pinned": q_pq_topk_pinned,
         # rotated out round 12 for multimodal_frames' window debut
         # (decode/feature path green r06-r11) — oracle still checked
         # by tools/check_correctness
@@ -5981,6 +6072,8 @@ def oracle_sql() -> dict[str, str]:
               FROM u
             ) WHERE rk <= 50
         """,
+        # PQ ADC replay: generated from the SAME pinned codebooks
+        "pq_topk_pinned": _sql_pq_topk_pinned(),
         # trained-quantizer IVF with n_probe == n_centroids is
         # EXHAUSTIVE, so brute-force cosine top-k is its exact oracle
         # (the k-means training only shapes the partition of the

@@ -862,3 +862,222 @@ def kmeans_refine(
             new.append(m)
         cents = new
     return cents
+
+
+# -- Product Quantization (PQ / IVF-PQ) ----------------------------------
+
+
+def pinned_pq_codebooks(m: int, k: int, dim: int) -> list:
+    """Deterministic data-independent PQ codebooks (m subspaces x k
+    codes x dim/m floats) — md5-derived like ``pinned_centroids``
+    (disjoint key namespace), so the DuckDB oracle can embed the SAME
+    literals at any scale factor. Use :func:`train_pq_codebooks` for
+    data-adapted codebooks when oracle replay is not required."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return [
+        [[plane_weight(200_000 + i * 1000 + j, d) for d in range(sub)]
+         for j in range(k)]
+        for i in range(m)
+    ]
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    sample_size: int = 2048,
+    n_iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the vector into
+    ``m`` contiguous subspaces and k-means each subspace independently
+    on a bounded deterministic sample (same hash-ordered draw as
+    ``train_ivf_centroids`` — a prefix sample of a time-ordered corpus
+    would train the codebooks on a temporal slice). Returns
+    ``codebooks[m][k][dim/m]``; driver memory is O(m*k*dim/m) =
+    O(k*dim) — parameters, never data."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(F.xxhash64(F.col(id_col)), id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "train_pq_codebooks: input has no rows — cannot train "
+            "codebooks on an empty corpus (pass pinned_pq_codebooks "
+            "or explicit codebooks to run encode/search paths)")
+    X = np.array([r[1] for r in rows], dtype=float)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for i in range(m):
+        S = X[:, i * sub:(i + 1) * sub]
+        kk = min(k, len(S))
+        # k-means++ on L2
+        idx = [int(rng.randint(len(S)))]
+        for _ in range(1, kk):
+            d2 = np.min(
+                ((S[:, None, :] - S[idx][None, :, :]) ** 2).sum(-1), axis=1)
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            idx.append(int(rng.choice(len(S), p=p)))
+        C = S[idx].copy()
+        for _ in range(n_iters):
+            assign = np.argmin(
+                ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1)
+            for c in range(len(C)):
+                mem = S[assign == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def pq_code_exprs(vec: Column, codebooks) -> list:
+    """One 1-based code Column per subspace: argmax over codes of
+    round(dot(sub, c) - |c|^2/2, 6) — the L2-nearest code via the
+    dot identity (||v-c||^2 = ||v||^2 - 2 dot + ||c||^2; the ||v||^2
+    term is constant per subvector so argmin L2 == argmax of
+    dot - halfnorm). The half-norms are Python-computed literals and
+    the scores are rounded BEFORE the argmax, so the code choice
+    replays bit-identically in the SQL oracle (same posture as
+    semantic_dedup's rounded-argmax cluster assignment). Each
+    codebook travels as ONE nested array literal."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    # closure factory, not default-arg lambdas: PySpark inspects the
+    # lambda's parameter count, so extra bound defaults break the
+    # (element, index) HOF contract
+    def _score_fn(s, halfn):
+        return lambda c, j: F.round(
+            dot_expr(s, c) - F.element_at(halfn, j + 1), 6)
+
+    out = []
+    for i in range(m):
+        cb = codebooks[i]
+        halfn = F.lit([sum(float(x) * float(x) for x in c) / 2.0
+                       for c in cb])
+        cb_lit = F.lit([[float(x) for x in c] for c in cb])
+        s = F.slice(vec, i * sub + 1, sub)
+        scores = F.transform(cb_lit, _score_fn(s, halfn))
+        out.append(
+            F.array_position(scores, F.array_max(scores)).cast("int"))
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encoding: (id, codes array<int>, m 1-based entries).
+    At 100 TB this is THE point of PQ — the encoded corpus is m small
+    ints per vector instead of dim doubles (64x smaller at
+    dim=64/m=4/float64), so every downstream candidate scan reads
+    codes, not vectors."""
+    v = F.col(vec_col).cast("array<double>")
+    return embeddings.select(
+        F.col(id_col),
+        F.array(*pq_code_exprs(v, codebooks)).alias("codes"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids=None,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k by inner product: the corpus
+    is scanned as codes only; each query precomputes its m x k table
+    of subspace dots t[i][j] = round(dot(q_i, c_ij), 6) as a column
+    expression, and the approximate dot is the fold
+    sum_i t[i][code_i] — a per-candidate cost of m array lookups
+    instead of a dim-length fold. Queries must be small (broadcast).
+
+    ``centroids``: optional IVF coarse quantizer — when given, the
+    candidate set is restricted to each query's ``n_probe`` closest
+    inverted lists (equi-join on list_id) and the scan is IVF-PQ, the
+    standard billion-scale ANN layout; with ``n_probe`` >= len(
+    centroids) the candidates are exhaustive and the result equals
+    plain pq_topk exactly (tested). Returns
+    (query_id, nbr_id, adc_dot, rank); adc_dot approximates dot(q, x)
+    — normalize vectors upstream if cosine semantics are wanted."""
+    m = len(codebooks)
+    e = pq_encode(embeddings, codebooks, id_col, vec_col).withColumnRenamed(
+        id_col, "nbr_id")
+    qv = F.col(vec_col).cast("array<double>")
+    sub = len(codebooks[0][0])
+
+    def _tab_fn(s):
+        return lambda c: F.round(dot_expr(s, c), 6)
+
+    tabs = F.array(*[
+        F.transform(
+            F.lit([[float(x) for x in c] for c in codebooks[i]]),
+            _tab_fn(F.slice(qv, i * sub + 1, sub)))
+        for i in range(m)
+    ])
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), tabs.alias("__tabs"),
+        *([qv.alias("__qv")] if centroids is not None else []))
+    if centroids is not None:
+        e = pq_encode(
+            embeddings.withColumn(
+                "__list", ivf_assign_expr(
+                    F.col(vec_col).cast("array<double>"), centroids)),
+            codebooks, id_col, vec_col,
+        ).withColumnRenamed(id_col, "nbr_id").join(
+            embeddings.select(
+                F.col(id_col).alias("nbr_id"),
+                ivf_assign_expr(
+                    F.col(vec_col).cast("array<double>"),
+                    centroids).alias("list_id")), "nbr_id")
+        n_probe = min(n_probe, len(centroids))
+        q = q.withColumn(
+            "__probes",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            _centroid_dots_expr(F.col("__qv"), centroids),
+                            lambda d, i: F.struct(
+                                (-d).alias("nd"),
+                                (i + 1).alias("list_id")))),
+                    lambda s: s["list_id"]),
+                1, n_probe),
+        ).select("query_id", "__tabs",
+                 F.explode("__probes").alias("list_id"))
+        scored = e.join(F.broadcast(q), "list_id")
+    else:
+        scored = e.crossJoin(F.broadcast(q))
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(F.col("codes"), F.col("__tabs"),
+                       lambda code, tab: F.element_at(tab, code)),
+            F.lit(0.0), lambda acc, x: acc + x), 6) + F.lit(0.0)
+    scored = scored.filter(F.col("nbr_id") != F.col("query_id")).select(
+        "query_id", "nbr_id", adc.alias("adc_dot"))
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "adc_dot", "rank")
+    )

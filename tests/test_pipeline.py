@@ -2313,3 +2313,77 @@ def test_degenerate_inputs_clear_behavior(spark, docs):
     # ValueError, not numpy AxisError
     with pytest.raises(ValueError, match="empty corpus"):
         train_ivf_centroids(eemb, 4)
+
+
+def test_pq_encode_and_topk(spark):
+    """Product quantization: codes are valid 1-based indices, ADC
+    top-k is deterministic, IVF-PQ with exhaustive probing equals
+    plain PQ exactly, and recall against the exact-dot ranking
+    improves monotonically with code bits (m*log2 k) — the Jegou
+    et al. 2011 property that holds even on unstructured vectors."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from optbinning_spark.pipeline.similarity import (dot_expr,
+                                                      pinned_centroids,
+                                                      pinned_pq_codebooks,
+                                                      pq_encode, pq_topk,
+                                                      train_pq_codebooks)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id")
+    cb = pinned_pq_codebooks(4, 8, 64)
+
+    codes = pq_encode(emb, cb)
+    r = codes.select(F.min(F.array_min("codes")).alias("lo"),
+                     F.max(F.array_max("codes")).alias("hi"),
+                     F.min(F.size("codes")).alias("m")).first()
+    assert r["lo"] >= 1 and r["hi"] <= 8 and r["m"] == 4
+
+    t1 = sorted(map(tuple, pq_topk(emb, qs, cb, k=3).collect()))
+    t2 = sorted(map(tuple, pq_topk(emb, qs, cb, k=3).collect()))
+    assert t1 == t2  # deterministic
+    # IVF-PQ with n_probe == n_centroids is exhaustive -> identical
+    t3 = sorted(map(tuple, pq_topk(
+        emb, qs, cb, k=3, centroids=pinned_centroids(4, 64),
+        n_probe=4).collect()))
+    assert t1 == t3
+
+    # exact-dot baseline for recall
+    e = emb.select(F.col("vec_id").alias("nbr_id"),
+                   F.col("embedding").cast("array<double>").alias("__e"))
+    q = qs.select("query_id",
+                  F.col("embedding").cast("array<double>").alias("__q"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("nbr_id"))
+    bf = (e.crossJoin(F.broadcast(q)).filter("nbr_id != query_id")
+          .select("query_id", "nbr_id",
+                  F.round(dot_expr(F.col("__e"), F.col("__q")), 6)
+                  .alias("d"))
+          .withColumn("r", F.row_number().over(w)).filter("r <= 10"))
+    bset = {(x["query_id"], x["nbr_id"]) for x in bf.collect()}
+
+    def recall(m, k):
+        t = pq_topk(emb, qs, train_pq_codebooks(emb, m=m, k=k), k=10)
+        s = {(x["query_id"], x["nbr_id"]) for x in t.collect()}
+        return len(s & bset) / len(bset)
+
+    r_small, r_big = recall(4, 8), recall(16, 16)
+    assert r_big > r_small, (r_small, r_big)
+    assert r_big >= 0.4, r_big  # 64 code bits on 64-dim corpus
+
+
+def test_pq_validation_errors(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from optbinning_spark.pipeline.similarity import (pinned_pq_codebooks,
+                                                      train_pq_codebooks)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pinned_pq_codebooks(5, 8, 64)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_pq_codebooks(emb.filter(F.lit(False)), m=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb, m=5)
