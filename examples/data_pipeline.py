@@ -190,11 +190,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
 
     print_audit(audit)
 
-    # embedding similarity: exact cosine top-k for a few query vectors
+    # embedding similarity: exact cosine top-k for a few query vectors,
+    # then the memory-bound scale path — IVF-PQ ADC over trained
+    # codebooks (the corpus scan reads m small ints per vector)
+    from optbinning_spark.pipeline.similarity import (
+        pq_topk, train_ivf_centroids, train_pq_codebooks)
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = (emb.filter("vec_id % 101 = 0")
                .withColumnRenamed("vec_id", "query_id"))
     brute_force_topk(emb, queries, k=3).show(9)
+    pq_topk(emb, queries, train_pq_codebooks(emb, m=16, k=16), k=3,
+            centroids=train_ivf_centroids(emb, 8), n_probe=4).show(9)
     spark.stop()
 
 
