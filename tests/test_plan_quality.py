@@ -410,3 +410,25 @@ def test_dedup_candidate_joins_are_equi(spark):
     p2 = _plan(ngram_contamination(docs, bench))
     assert "Cartesian" not in p2, p2
     assert "BroadcastNestedLoopJoin" not in p2, p2
+
+
+def test_pq_join_shapes(spark):
+    """IVF-PQ candidates come from a list_id equi-join with the
+    bounded query side broadcast; plain PQ is intentionally an
+    exhaustive broadcast-nested-loop over CODES (m ints per vector,
+    never the raw vectors)."""
+    from optbinning_spark.pipeline.similarity import (pinned_centroids,
+                                                      pinned_pq_codebooks,
+                                                      pq_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id")
+    cb = pinned_pq_codebooks(4, 8, 64)
+    p_ivf = _plan(pq_topk(emb, qs, cb, k=3,
+                          centroids=pinned_centroids(4, 64), n_probe=2))
+    assert "Cartesian" not in p_ivf, p_ivf
+    assert "BroadcastHashJoin" in p_ivf, p_ivf
+    p_pq = _plan(pq_topk(emb, qs, cb, k=3))
+    assert "Cartesian" not in p_pq, p_pq
+    assert "BroadcastNestedLoopJoin" in p_pq, p_pq
