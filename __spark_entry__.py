@@ -2974,12 +2974,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covered while regression_metrics rotates to the tail with
         # its oracle intact)
         "classification_metrics": q_classification_metrics,
-        "indices_bins_transform": q_indices_bins_transform,
+        # round 12 rotation (late): dsir_gumbel_topk takes
+        # indices_bins_transform's slot — the NEW Gumbel-top-k
+        # resampling oracle gets a driver hash row in its debut round;
+        # the F2/F3 transform-CASE machinery stays in-window via
+        # optimal_woe_transform + categorical_optimal_binning, and
+        # indices_bins_transform keeps its oracle in the tail with
+        # r03-r11 green history
+        "dsir_gumbel_topk": q_dsir_gumbel_topk,
         # mean_transform rotated to the tail: the F4 per-row bin-mean
         # transform is driver-covered through scorecard_scores_linear
         # and scorecard_scores_huber, whose oracles replay it row-wise
-        "unknown_category_transform": q_unknown_category_transform,
-        "ann_topk": q_ann_topk,
+        # round 12 rotation (late): ivf_topk_trained takes
+        # unknown_category_transform's slot — the trained-quantizer
+        # exhaustive-probe == brute-force oracle gets a driver hash
+        # row in its debut round; the unknown-category ELSE branch is
+        # a slice of the same transform CASE machinery as
+        # categorical_optimal_binning (in-window), and
+        # unknown_category_transform keeps its oracle in the tail
+        # with r03-r11 green history
+        "ivf_topk_trained": q_ivf_topk_trained,
+        # round 12 rotation (late): pq_topk_pinned takes ann_topk's
+        # slot — the NEW product-quantization ADC pipeline (encode +
+        # query tables + fold) gets a driver hash row in its debut
+        # round; the exact-cosine fold stays in-window three ways
+        # (ivf_topk_pinned, semantic_dedup, semantic_dedup_arrow) and
+        # ann_topk keeps its hyperplane-bucket oracle in the tail with
+        # r03-r11 green history
+        "pq_topk_pinned": q_pq_topk_pinned,
         # semantic_dedup takes near_dup_cosine_bucketed's slot
         # (round 8): the hyperplane-bucket candidate machinery stays
         # in-window via ann_topk (same _sql_bucket_cte + cosine fold);
@@ -3171,24 +3193,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "piecewise_transform": q_piecewise_transform,
         "counterfactual": q_counterfactual,
         "ivf_topk": q_ivf_topk,
-        # NEW round 12: trained-quantizer IVF with exhaustive probing
-        # — must equal brute force exactly, so the brute-force SQL is
-        # a true oracle for the k-means-trained path (the last
-        # registry family that had no oracle anywhere) — checked by
-        # tools/check_correctness
-        "ivf_topk_trained": q_ivf_topk_trained,
-        # NEW round 12: DSIR's Gumbel-top-k resampling step — md5
-        # uniform, Gumbel transform and the top-k boundary replayed in
-        # SQL (weights themselves oracled by dsir_logweights) —
-        # checked by tools/check_correctness
-        "dsir_gumbel_topk": q_dsir_gumbel_topk,
-        # NEW round 12: product-quantization ADC top-k with pinned
-        # codebooks — encode (rounded-argmax per subspace), query
-        # tables, and the m-lookup fold all replayed in SQL; the
-        # trained-codebook path is covered by recall-monotonicity and
-        # IVF-PQ exhaustive-equality tests — checked by
-        # tools/check_correctness
-        "pq_topk_pinned": q_pq_topk_pinned,
+        # rotated out round 12 (late) for dsir_gumbel_topk's window
+        # debut (transform-CASE family stays in-window via
+        # optimal_woe_transform / categorical_optimal_binning) —
+        # oracle still checked by tools/check_correctness
+        "indices_bins_transform": q_indices_bins_transform,
+        # rotated out round 12 (late) for ivf_topk_trained's window
+        # debut (the unknown-category ELSE branch shares the in-window
+        # categorical transform CASE machinery) — oracle still checked
+        # by tools/check_correctness
+        "unknown_category_transform": q_unknown_category_transform,
+        # rotated out round 12 (late) for pq_topk_pinned's window
+        # debut (exact-cosine fold stays in-window via
+        # ivf_topk_pinned / semantic_dedup / semantic_dedup_arrow) —
+        # oracle still checked by tools/check_correctness
+        "ann_topk": q_ann_topk,
         # rotated out round 12 for multimodal_frames' window debut
         # (decode/feature path green r06-r11) — oracle still checked
         # by tools/check_correctness
