@@ -345,3 +345,79 @@ def test_shingle_oracles_sub3_word_docs(spark, tmp_path, qname):
     assert len(got) == len(want), (qname, len(got), len(want))
     for g, w in zip(got, want):
         assert g == w, (qname, g, w)
+
+
+def test_round12_debut_oracles_adversarial_vectors(spark, tmp_path):
+    """pq_topk_pinned and ivf_topk_trained replayed over adversarial
+    embeddings: duplicates and negated/scaled copies force ADC and
+    cosine ties at the top-k boundary (the nbr_id tiebreak must agree
+    across engines), and a zero vector sits in the corpus (all
+    subspace scores collapse to -halfnorm -> first-position argmax on
+    both engines). The zero vector is deliberately NOT a query:
+    Spark's try_divide gives NULL cosine where DuckDB's
+    list_cosine_similarity differs — a semantics cliff the pinned
+    corpus never exercises, excluded by construction here too."""
+    import random
+
+    import __spark_entry__ as entry_mod
+
+    rnd = random.Random(77_001)
+    dim = 64
+    well_behaved = [
+        [1.0] + [0.0] * (dim - 1),
+        [1.0] + [0.0] * (dim - 1),          # exact duplicate
+        [-1.0] + [0.0] * (dim - 1),         # negated
+        [2.0] + [0.0] * (dim - 1),          # scaled
+        [1.0] * dim,
+    ]
+    tail = [
+        [0.0] * dim,                         # zero vector (corpus only)
+        [1e-9] * dim,
+        [0.0000005] * dim,                   # rounding half-tie at 6dp
+    ] + [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v])
+            for i, v in enumerate(well_behaved + tail)]
+    d = str(tmp_path / "fuzz_emb12")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(d + "/embeddings.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "create view embeddings as select * from "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')")
+    for qname in ("pq_topk_pinned", "ivf_topk_trained"):
+        got = sorted(
+            map(tuple, entry_mod.queries()[qname](spark, d).collect()))
+        want = sorted(
+            tuple(r) for r in
+            con.execute(entry_mod.oracle_sql()[qname]).fetchall())
+        assert got == want, (qname, got[:4], want[:4])
+
+
+def test_gumbel_topk_oracle_adversarial_weights(spark, tmp_path):
+    """dsir_gumbel_topk replayed over a documents frame engineered
+    for boundary stress: many docs share the same n_chars-derived
+    weight (the Gumbel noise must fully decide the order identically
+    in both engines) and the corpus is barely larger than k, so the
+    selection boundary sits inside a tied-weight group."""
+    import __spark_entry__ as entry_mod
+
+    rows = [(i, "t" * (i % 3), "en", "s", (i % 5) * 97 + 7)
+            for i in range(60)]
+    d = str(tmp_path / "fuzz_docs12")
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(d + "/documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{d}/documents.parquet/*.parquet')")
+    got = sorted(map(tuple, entry_mod.queries()["dsir_gumbel_topk"](
+        spark, d).collect()))
+    want = sorted(tuple(r) for r in con.execute(
+        entry_mod.oracle_sql()["dsir_gumbel_topk"]).fetchall())
+    assert len(got) == 50
+    assert got == want, (got[:4], want[:4])
