@@ -1039,17 +1039,14 @@ def pq_topk(
         F.col(query_id_col).alias("query_id"), tabs.alias("__tabs"),
         *([qv.alias("__qv")] if centroids is not None else []))
     if centroids is not None:
-        e = pq_encode(
-            embeddings.withColumn(
-                "__list", ivf_assign_expr(
-                    F.col(vec_col).cast("array<double>"), centroids)),
-            codebooks, id_col, vec_col,
-        ).withColumnRenamed(id_col, "nbr_id").join(
-            embeddings.select(
-                F.col(id_col).alias("nbr_id"),
-                ivf_assign_expr(
-                    F.col(vec_col).cast("array<double>"),
-                    centroids).alias("list_id")), "nbr_id")
+        # codes AND list assignment from ONE map-only pass over the
+        # corpus — no second scan, no self-join
+        ev = F.col(vec_col).cast("array<double>")
+        e = embeddings.select(
+            F.col(id_col).alias("nbr_id"),
+            F.array(*pq_code_exprs(ev, codebooks)).alias("codes"),
+            ivf_assign_expr(ev, centroids).alias("list_id"),
+        )
         n_probe = min(n_probe, len(centroids))
         q = q.withColumn(
             "__probes",

@@ -432,3 +432,21 @@ def test_pq_join_shapes(spark):
     p_pq = _plan(pq_topk(emb, qs, cb, k=3))
     assert "Cartesian" not in p_pq, p_pq
     assert "BroadcastNestedLoopJoin" in p_pq, p_pq
+
+
+def test_ivf_pq_single_corpus_scan(spark):
+    """The IVF-PQ candidate side must come from ONE map-only pass
+    (codes + list assignment in the same select) — a second corpus
+    scan self-joined on the id is the shape this pins against."""
+    from optbinning_spark.pipeline.similarity import (pinned_centroids,
+                                                      pinned_pq_codebooks,
+                                                      pq_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id")
+    p = _plan(pq_topk(emb, qs, pinned_pq_codebooks(4, 8, 64), k=3,
+                      centroids=pinned_centroids(4, 64), n_probe=2))
+    # scans: corpus once + broadcast query side once
+    assert p.count("Scan parquet") <= 2, p
+    assert "SortMergeJoin" not in p, p
