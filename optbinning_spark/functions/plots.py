@@ -47,10 +47,18 @@ def _bucket_counts(df: DataFrame, y_col: str, score_col: str,
         raise ValueError(f"n_buckets must be >= 2; got {n_buckets}")
     s = F.col(score_col).cast("double")
     y = F.col(y_col).cast("double")
+    # Null/NaN rows are EXCLUDED, not silently bucketed: least() skips
+    # nulls (a null score would land in the TOP bucket), and one NaN
+    # score makes hi=NaN so every row collapses into a single
+    # NaN-edged bucket — either silently corrupts AUC/Gini/KS
+    df = df.filter(s.isNotNull() & ~F.isnan(s)
+                   & y.isNotNull() & ~F.isnan(y))
     row = df.agg(F.min(s).alias("lo"), F.max(s).alias("hi"),
                  F.count("*").alias("n")).first()
     if not row["n"]:
-        raise ValueError("cannot plot an empty DataFrame")
+        raise ValueError(
+            "cannot plot an empty input: no rows with non-null, "
+            f"non-NaN ({y_col}, {score_col})")
     lo, hi = float(row["lo"]), float(row["hi"])
     width = (hi - lo) / n_buckets
     if width <= 0:  # constant score: one degenerate bucket
@@ -109,11 +117,9 @@ def cap_curve_data(df: DataFrame, y_col: str, score_col: str,
                          f"(events={n_e}, nonevents={n_ne})")
     p_pop, p_ev = [0.0], [0.0]
     ce = cpop = auc = 0.0
-    cne = 0.0
     for e, nn in zip(reversed(ev), reversed(ne)):
         auc += nn * (ce + e / 2.0)
         ce += e
-        cne += nn
         cpop += e + nn
         p_ev.append(ce / n_e)
         p_pop.append(cpop / n)

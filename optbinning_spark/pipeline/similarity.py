@@ -1021,8 +1021,6 @@ def pq_topk(
     (query_id, nbr_id, adc_dot, rank); adc_dot approximates dot(q, x)
     — normalize vectors upstream if cosine semantics are wanted."""
     m = len(codebooks)
-    e = pq_encode(embeddings, codebooks, id_col, vec_col).withColumnRenamed(
-        id_col, "nbr_id")
     qv = F.col(vec_col).cast("array<double>")
     sub = len(codebooks[0][0])
 
@@ -1064,6 +1062,8 @@ def pq_topk(
                  F.explode("__probes").alias("list_id"))
         scored = e.join(F.broadcast(q), "list_id")
     else:
+        e = pq_encode(embeddings, codebooks, id_col,
+                      vec_col).withColumnRenamed(id_col, "nbr_id")
         scored = e.crossJoin(F.broadcast(q))
     adc = F.round(
         F.aggregate(

@@ -175,15 +175,44 @@ def incremental_lsh_dedup_sink(
             # stream retries from the checkpoint, never be silently
             # treated as "no history" and emit keep=True for real dups.
             jvm = spark._jvm
-            jsc = spark._jsc
             hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
-            fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+            # session-level Hadoop conf (newHadoopConf merges runtime
+            # spark.conf settings, e.g. object-store credentials set
+            # after session start), the SAME resolver the parquet
+            # reader below authenticates with — jsc.hadoopConfiguration
+            # would check with stale context-level settings
+            fs = hpath.getFileSystem(
+                spark._jsparkSession.sessionState().newHadoopConf())
+            has_history = False
             if fs.exists(hpath):
+                # committed data = at least one file whose path (rel.
+                # to the index dir) has no hidden component. A dir
+                # that exists with ONLY _temporary/_SUCCESS debris —
+                # the state this sink itself leaves after a crash
+                # mid-first-write — is "no history"; treating it as
+                # broken would wedge the stream forever on replay.
+                base = fs.makeQualified(hpath).toString().rstrip("/") + "/"
+                it = fs.listFiles(hpath, True)
+
+                def _hidden(seg: str) -> bool:
+                    # Spark's InMemoryFileIndex rule: "_"/"." prefixed
+                    # names are metadata EXCEPT partition dirs (they
+                    # contain "=") — this sink's own partition column
+                    # is __batch, so "__batch=7" must count as data
+                    return seg.startswith(("_", ".")) and "=" not in seg
+
+                while it.hasNext():
+                    p = it.next().getPath().toString()
+                    rel = p[len(base):] if p.startswith(base) else p
+                    if not any(_hidden(seg) for seg in rel.split("/")):
+                        has_history = True
+                        break
+            if has_history:
                 hist = (spark.read.parquet(index_dir)
                         .where(F.col("__batch") != batch_id)
                         .drop("__batch"))
             else:
-                # first batch: index path does not exist yet
+                # first batch: no index yet (or only uncommitted debris)
                 hist = bands.limit(0)
             decisions = incremental_lsh_dedup(
                 batch_df, hist, text_col, id_col, n_hashes, band_size,

@@ -156,3 +156,26 @@ def test_plot_render_or_clean_gate(scored, tmp_path):
         else:
             with pytest.raises(ImportError, match="matplotlib"):
                 fn(df, "y", "score", n_buckets=64)
+
+
+def test_null_and_nan_scores_are_excluded(spark):
+    """Review finding: least() skips nulls (a null score landed in the
+    TOP bucket) and one NaN score made the grid width NaN, collapsing
+    every row into one bucket — both silently corrupted AUC/Gini/KS.
+    Null/NaN (y, score) rows are now excluded before the grid."""
+    from optbinning_spark.functions.plots import auc_roc_curve_data
+
+    clean = [(i % 2, float(i)) for i in range(40)]
+    df_clean = spark.createDataFrame(clean, "y int, score double")
+    base = auc_roc_curve_data(df_clean, "y", "score", n_buckets=8)
+
+    polluted = clean + [(1, None)] * 10 + [(0, float("nan"))] * 10
+    df_poll = spark.createDataFrame(polluted, "y int, score double")
+    got = auc_roc_curve_data(df_poll, "y", "score", n_buckets=8)
+    assert got == base  # pollution is invisible, not bucketed
+
+    import pytest
+    all_bad = spark.createDataFrame(
+        [(1, None), (0, float("nan"))], "y int, score double")
+    with pytest.raises(ValueError, match="empty input"):
+        auc_roc_curve_data(all_bad, "y", "score")

@@ -765,13 +765,22 @@ def test_incremental_lsh_sink_replay_idempotent(spark, tmp_path):
 
 def test_incremental_lsh_sink_broken_index_dir_fails_loudly(
         spark, tmp_path):
-    """Round-12 ADVICE: 'no history' is decided by an EXPLICIT
-    existence check, not by absorbing AnalysisException. An index dir
-    that exists but cannot be analyzed (zero-file dir after a
-    compaction mishap) must kill the batch — so the stream retries
-    from the checkpoint — never be silently treated as empty history
-    and emit keep=True for real duplicates. A genuinely missing dir
-    (first batch) still works."""
+    """Round-12 ADVICE, refined by review: 'no history' is decided by
+    an EXPLICIT committed-files check, not by absorbing
+    AnalysisException. Three states of the index dir:
+
+    - missing (first batch): proceed with empty history;
+    - exists with only hidden debris (_temporary/_SUCCESS — the state
+      this sink itself leaves after a crash MID-first-index-write):
+      proceed with empty history — raising here would wedge the
+      stream permanently, since every checkpoint replay re-hits the
+      identical dir;
+    - exists with COMMITTED visible files that cannot be read
+      (corrupt footer, schema conflict): kill the batch so the stream
+      retries from the checkpoint — never silently treat real history
+      as empty and emit keep=True for true duplicates."""
+    import os
+
     import pytest
 
     from optbinning_spark.streaming.dedup import incremental_lsh_dedup_sink
@@ -779,18 +788,25 @@ def test_incremental_lsh_sink_broken_index_dir_fails_loudly(
     docs = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog today")],
         "doc_id: long, text: string")
-    # missing dir: first batch succeeds (the only absorbed case)
+    # missing dir: first batch succeeds
     idx = str(tmp_path / "idx_ok")
     fn = incremental_lsh_dedup_sink(idx, str(tmp_path / "dec_ok"))
     fn(docs, 0)
     assert spark.read.parquet(idx).count() > 0
-    # existing-but-broken dir: empty directory, no parquet footers —
-    # the batch must raise, not emit decisions
+    # debris-only dir (crash before any committed index write): the
+    # replayed batch must PROCEED with empty history, not wedge
+    debris = tmp_path / "idx_debris"
+    (debris / "_temporary" / "0").mkdir(parents=True)
+    (debris / "_SUCCESS").write_text("")
+    dec_d = str(tmp_path / "dec_debris")
+    incremental_lsh_dedup_sink(str(debris), dec_d)(docs, 0)
+    assert spark.read.parquet(dec_d).count() == 1
+    # committed-but-corrupt file: the batch must raise, not emit
     broken = tmp_path / "idx_broken"
-    broken.mkdir()
+    (broken / "__batch=9").mkdir(parents=True)
+    (broken / "__batch=9" / "part-00000.parquet").write_bytes(
+        b"not a parquet footer")
     dec2 = str(tmp_path / "dec_broken")
-    fn2 = incremental_lsh_dedup_sink(str(broken), dec2)
     with pytest.raises(Exception):
-        fn2(docs, 0)
-    import os
+        incremental_lsh_dedup_sink(str(broken), dec2)(docs, 0)
     assert not os.path.exists(dec2)  # no decisions were recorded
