@@ -3,9 +3,13 @@ correctness history, never hand-written (round-11 verdict: the doc
 claimed pack_sequences_bpe was driver-verified when no
 CORRECTNESS_r*.json had ever contained it). This test pins the
 contract: every `(oracle..., in-window)` annotation names a query
-with at least one driver hash row in some CORRECTNESS_r*.json, and
-every `(oracle..., tail)` annotation names one with none — i.e.
-running the sync tool is a no-op on the committed doc."""
+with at least one driver hash row in some CORRECTNESS_r*.json OR a
+seat in the current driver window (first DRIVER_WINDOW registry
+entries — the driver will hash it when the round closes; round-12
+verdict asked for exactly this so a mid-round rotation can't leave
+the suite mechanically red), and every `(oracle..., tail)`
+annotation names one with neither — i.e. running the sync tool is a
+no-op on the committed doc."""
 
 import os
 import sys
@@ -16,6 +20,7 @@ sys.path.insert(0, os.path.join(ROOT, "tools"))
 
 def test_in_window_claims_match_correctness_history():
     from update_readme_counts import (_ANNOT, driver_checked_queries,
+                                      pending_window_queries,
                                       sync_coverage_annotations)
 
     rewrites = sync_coverage_annotations(write=False)
@@ -23,7 +28,7 @@ def test_in_window_claims_match_correctness_history():
         "COVERAGE.md annotations disagree with CORRECTNESS_r*.json "
         f"history — run tools/update_readme_counts.py: {rewrites}")
     # belt and braces: re-scan the doc directly
-    checked = driver_checked_queries()
+    checked = driver_checked_queries() | pending_window_queries()
     src = open(os.path.join(ROOT, "COVERAGE.md")).read()
     seen = 0
     for m in _ANNOT.finditer(src):
