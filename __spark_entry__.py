@@ -4624,8 +4624,14 @@ def _sql_bucket_cte(n_planes=4, dim=64):
   b AS (SELECT vec_id, v, {bits} AS bucket FROM e)"""
 
 
-_SQL_COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-            " * sqrt(list_dot_product({b}, {b})))")
+# zero-vector convention pinned to -1.0 on BOTH engines (DuckDB's
+# list_cosine_similarity convention; Spark side coalesces try_divide's
+# NULL in similarity.rounded_cosine) — explicit 0/0 division is NULL in
+# DuckDB 1.0.0, so without the coalesce the equality would hinge on
+# whether an oracle used list_cosine_similarity or the spelled-out form
+_SQL_COS = ("coalesce(list_dot_product({a}, {b}) /"
+            " (sqrt(list_dot_product({a}, {a}))"
+            " * sqrt(list_dot_product({b}, {b}))), -1.0)")
 
 
 def _sql_ann_topk():
@@ -6087,7 +6093,8 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT doc_id, log_weight,
                      row_number() OVER (
-                       ORDER BY log_weight - ln(-ln(u)) DESC, doc_id) AS rk
+                       ORDER BY round(log_weight - ln(-ln(u)), 6) DESC,
+                                doc_id) AS rk
               FROM u
             ) WHERE rk <= 50
         """,

@@ -382,6 +382,15 @@ class OptimalPWBinning:
                    else clean).limit(self.n_subsamples).toPandas()
             xs = pts["__pw_x"].to_numpy(dtype=float)
             ys = pts["__pw_y"].to_numpy(dtype=float)
+            # same loud-failure posture as the scorecard design
+            # matrix: NaN x/y is routed to missing upstream, but
+            # +/-Inf passes both the null and isnan filters and would
+            # silently corrupt digitize/min/max below
+            if not (np.isfinite(xs).all() and np.isfinite(ys).all()):
+                raise ValueError(
+                    "non-finite value in the piecewise subsample "
+                    "after cleaning — x or y carries +/-Inf; add it "
+                    "to special_codes or filter before fit")
             b_idx = (np.digitize(xs, self.splits_) if len(self.splits_)
                      else np.zeros(len(xs), dtype=int))
             k = len(self.splits_) + 1

@@ -402,7 +402,12 @@ def dsir_gumbel_sample(
     compiles to Spark's TakeOrderedAndProject (per-partition top-k +
     driver merge — no global sort)."""
     u = hash_uniform(F.col(id_col), salt)
-    key = F.col(weight_col) - F.log(-F.log(u))
+    # the key is rounded to 6 dp before the sort: JVM Math.log and
+    # libm log differ by 1 ulp on ~14% of md5-uniform inputs, so an
+    # unrounded near-tie at the rank-k boundary could order
+    # differently across engines — same round-before-boundary posture
+    # as pq_code_exprs; rounding-induced ties are settled by the id
+    key = F.round(F.col(weight_col) - F.log(-F.log(u)), 6)
     # id tiebreak: float-key ties are near-impossible but orderBy on
     # a non-unique key is partition-order-dependent at the boundary —
     # the determinism this sampler promises must not hinge on "near"

@@ -34,6 +34,19 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
+def rounded_cosine(dot: Column, norm_product: Column) -> Column:
+    """Cosine rounded to the repo's 6-dp oracle precision with the
+    zero-vector convention pinned explicitly: a zero-norm side yields
+    -1.0 (DuckDB 1.0.0 list_cosine_similarity's convention) instead
+    of try_divide's NULL. Both sort last and fail every >= threshold
+    today, but when a query's candidate pool is <= k the engines
+    would otherwise emit different rows/values and the driver hash
+    would diverge (round-12 ADVICE) — so the equality no longer
+    depends on either engine's implicit choice."""
+    return F.round(
+        F.coalesce(F.try_divide(dot, norm_product), F.lit(-1.0)), 6)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -61,9 +74,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.round(F.try_divide(
+            rounded_cosine(
                 dot_expr(F.col("__e"), F.col("__q")),
-                F.col("__en") * F.col("__qn")), 6).alias("cosine"),
+                F.col("__en") * F.col("__qn")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -94,9 +107,9 @@ def cosine_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(F.try_divide(
+            rounded_cosine(
                 dot_expr(F.col("a.__e"), F.col("b.__e")),
-                F.col("a.__n") * F.col("b.__n")), 6).alias("cosine"),
+                F.col("a.__n") * F.col("b.__n")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -241,9 +254,9 @@ def ivf_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.round(F.try_divide(
+            rounded_cosine(
                 dot_expr(F.col("__e"), F.col("__q")),
-                F.col("__en") * F.col("__qn")), 6).alias("cosine"),
+                F.col("__en") * F.col("__qn")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -309,9 +322,9 @@ def bucketed_cosine_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(F.try_divide(
+            rounded_cosine(
                 dot_expr(F.col("a.__e"), F.col("b.__e")),
-                F.col("a.__n") * F.col("b.__n")), 6).alias("cosine"),
+                F.col("a.__n") * F.col("b.__n")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -348,9 +361,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.round(F.try_divide(
+            rounded_cosine(
                 dot_expr(F.col("__e"), F.col("__q")),
-                F.col("__en") * F.col("__qn")), 6).alias("cosine"),
+                F.col("__en") * F.col("__qn")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
@@ -521,9 +534,9 @@ def semantic_dedup(
                 & F.col("a.__pairable") & F.col("b.__pairable"))
         .select(
             "a.id", "b.id",
-            F.round(F.try_divide(
+            rounded_cosine(
                 dot_expr(F.col("a.__e"), F.col("b.__e")),
-                F.col("a.__n") * F.col("b.__n")), 6).alias("__cos"),
+                F.col("a.__n") * F.col("b.__n")).alias("__cos"),
             F.col("a.centroid_sim").alias("__sa"),
             F.col("b.centroid_sim").alias("__sb"),
         )

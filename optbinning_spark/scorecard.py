@@ -242,6 +242,17 @@ class Scorecard:
             X = pdf[list(self.selected_)].to_numpy(dtype=float)
             yy = pdf["__y"].to_numpy(dtype=float)
             ww = pdf["__w"].to_numpy(dtype=float)
+            # the collect()->toPandas swap silently turns a null
+            # label/weight into NaN where float(None) used to raise —
+            # a NaN here poisons every coefficient downstream, so
+            # fail as loudly as the old path did
+            if not (np.isfinite(X).all() and np.isfinite(yy).all()
+                    and np.isfinite(ww).all()):
+                raise ValueError(
+                    "null/NaN in the robust-estimator design matrix "
+                    "(WoE feature, label or weight) — refusing a "
+                    "silently-poisoned fit; filter or impute the "
+                    "offending rows before Scorecard.fit")
             if kind0 == "huber":
                 return _driver_huber(
                     X, yy, ww,

@@ -351,12 +351,13 @@ def test_round12_debut_oracles_adversarial_vectors(spark, tmp_path):
     """pq_topk_pinned and ivf_topk_trained replayed over adversarial
     embeddings: duplicates and negated/scaled copies force ADC and
     cosine ties at the top-k boundary (the nbr_id tiebreak must agree
-    across engines), and a zero vector sits in the corpus (all
-    subspace scores collapse to -halfnorm -> first-position argmax on
-    both engines). The zero vector is deliberately NOT a query:
-    Spark's try_divide gives NULL cosine where DuckDB's
-    list_cosine_similarity differs — a semantics cliff the pinned
-    corpus never exercises, excluded by construction here too."""
+    across engines), and a zero vector sits in the QUERY set as well
+    as the corpus. Round 12 this was a semantics cliff (Spark
+    try_divide NULL vs DuckDB list_cosine_similarity -1.0) excluded
+    by construction; round 13 pinned both engines to -1.0
+    (similarity.rounded_cosine / the coalesced _SQL_COS), so the fuzz
+    now exercises it: a zero-norm query ranks the whole corpus at
+    cosine -1.0 and the nbr_id tiebreak alone must agree."""
     import random
 
     import __spark_entry__ as entry_mod
@@ -368,10 +369,10 @@ def test_round12_debut_oracles_adversarial_vectors(spark, tmp_path):
         [1.0] + [0.0] * (dim - 1),          # exact duplicate
         [-1.0] + [0.0] * (dim - 1),         # negated
         [2.0] + [0.0] * (dim - 1),          # scaled
-        [1.0] * dim,
+        [0.0] * dim,                         # zero vector AS A QUERY
     ]
     tail = [
-        [0.0] * dim,                         # zero vector (corpus only)
+        [1.0] * dim,
         [1e-9] * dim,
         [0.0000005] * dim,                   # rounding half-tie at 6dp
     ] + [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(40)]

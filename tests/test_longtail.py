@@ -621,3 +621,30 @@ def test_pack_and_chunk_property(spark):
                 assert seen == words
 
     run()
+
+
+def test_robust_fit_nan_inputs_fail_loudly(spark):
+    """Round-13 ADVICE: the Arrow toPandas swap in the robust-fit
+    subsample paths turned a null label (scorecard) / NaN x
+    (piecewise) from a loud TypeError into a silent NaN that poisons
+    every coefficient. The finite-guards restore the loud failure."""
+    from optbinning_spark.binning_process import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    rows = [(float(i % 10) + 0.01 * i, float(3 * (i % 10)))
+            for i in range(400)]
+    base = spark.createDataFrame(rows, "x double, y double")
+    poisoned = base.unionByName(
+        spark.createDataFrame([(5.0, None)], "x double, y double"))
+    sc = Scorecard(BinningProcess(["x"], prebinning_method="quantile"),
+                   estimator="huber")
+    with pytest.raises(ValueError, match="design matrix"):
+        sc.fit(poisoned, "y")
+
+    # piecewise: NaN x/y is routed to missing by the clean filter,
+    # but +/-Inf passes both the null and isnan gates
+    inf_x = base.unionByName(spark.createDataFrame(
+        [(float("inf"), 5.0)], "x double, y double"))
+    pw = OptimalPWBinning(objective="continuous", degree=1, loss="huber")
+    with pytest.raises(ValueError, match="non-finite"):
+        pw.fit(inf_x, "x", "y")
