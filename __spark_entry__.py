@@ -2546,16 +2546,26 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k: driver-trained spherical-kmeans coarse
-    quantizer, inverted-list equi-join, n_probe closest lists per
-    query — the second ANN scale path."""
+    """IVF approximate top-k with DATA-DERIVED centroids and partial
+    probing (n_probe < n_centroids), trained by the deterministic
+    init="hash" path: md5-hash-ordered seeds + 2 spherical Lloyd
+    steps over the full corpus via kmeans_refine's exact fixed-point
+    reduction — so the TRAINING itself replays statement-for-
+    statement in the SQL oracle (seeds, assignments, centroid
+    updates, probe ranking, candidate join, top-k). Complements
+    ivf_topk_pinned (literal centroids: search mechanics) and
+    ivf_topk_trained (kmeans++ with exhaustive probing: training
+    can't corrupt results) — this entry is the approximate search
+    over a data-derived quantizer, previously the one registry entry
+    with no SQL oracle (round-12 verdict ask #2)."""
     from optbinning_spark.pipeline.similarity import ivf_topk
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
         "vec_id", "query_id"
     )
-    return ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=3)
+    return ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=3,
+                    init="hash", train_iters=2)
 
 
 def q_ivf_topk_pinned(spark, sf_dir):
@@ -2713,529 +2723,161 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_optimal_binning_table(spark, "/root/testdata/sf0.001")
 
 
+#: Driver-window ordering contract: the driver hash-checks the FIRST
+#: 50 queries() entries against oracle_sql() each round. A rotation
+#: is now a list edit between _WINDOW and _TAIL, not comment surgery
+#: — the slot-by-slot rationale comments through round 12 live in git
+#: (e769106 and earlier).
+#:
+#: Round-13 rotation: IN — ivf_topk (debut of the full
+#: training-replay oracle; closes the last registry entry with zero
+#: driver-hash history, round-12 verdict ask #2) plus 15 entries
+#: whose latest driver check predated round 10 (woe_transform r3,
+#: event_type_psi r3, sample_class_counts r3, doc_fingerprint r4,
+#: doc_quality r4, simhash r4, contingency_2d r4, scenario_agg r4,
+#: mean_transform r4, binning_process_summary r4,
+#: distribution_stats r5, chi2_tests r5, event_rate_order r5,
+#: prebin_counts r5, scorecard_scores_linear r5 — verdict ask #8).
+#: OUT — 16 entries all hash-checked green in round 12; their oracles
+#: stay registered for tools/check_correctness's full-registry run.
+#: dsir_gumbel_topk and ivf_topk_trained deliberately STAY in-window:
+#: their boundary semantics changed this round (Gumbel key rounding /
+#: zero-norm cosine pinning) and the new form needs a fresh
+#: independent driver hash.
+_WINDOW = [
+    "ivf_topk_pinned",
+    "piecewise_transform_fixed",
+    "mdlp_splits",
+    "binning_table_fixed",
+    "outlier_yquantile",
+    "special_missing_stats",
+    "bpe_token_count",
+    "minhash_signatures",
+    "lsh_candidates",
+    "semantic_dedup_arrow",
+    "simhash_pairs",
+    "dup_ngram_spans",
+    "cart_splits",
+    "scorecard_table_linear",
+    "psi",
+    "optimal_binning_table",
+    "optimal_woe_transform",
+    "continuous_bin_stats",
+    "categorical_optimal_binning",
+    "wide_summary_pinned",
+    "counterfactual_pinned",
+    "kmeans_refined_centroids",
+    "dedup_clusters_dist",
+    "dsir_logweights",
+    "lm_perplexity",
+    "pii_redaction",
+    "bm25_topk",
+    "classification_metrics",
+    "dsir_gumbel_topk",
+    "ivf_topk_trained",
+    "pq_topk_pinned",
+    "semantic_dedup",
+    "multiclass_bin_counts",
+    "scenario_binning_table",
+    "ivf_topk",
+    "woe_transform",
+    "event_type_psi",
+    "sample_class_counts",
+    "doc_fingerprint",
+    "doc_quality",
+    "simhash",
+    "contingency_2d",
+    "scenario_agg",
+    "mean_transform",
+    "binning_process_summary",
+    "distribution_stats",
+    "chi2_tests",
+    "event_rate_order",
+    "prebin_counts",
+    "scorecard_scores_linear",
+]
+
+#: Tail: oracle-backed entries first (hash-checked by
+#: tools/check_correctness every session even when out of the driver
+#: window), then the genuinely non-SQL-expressible operators (greedy
+#: CART/MDLP recursion, MIP counterfactual search, approximate
+#: sketches, data-derived prebin variants of hash-checked pinned
+#: siblings) covered by golden-parity and unit tests instead.
+_TAIL = [
+    "uniform_binning_table",
+    "quantile_splits",
+    "doc_token_stats",
+    "pack_sequences",
+    "training_sequences",
+    "bpe_subword_count",
+    "near_dup_cosine_bucketed",
+    "exact_dedup",
+    "embedding_topk",
+    "doc_normalize",
+    "nb_quality_score",
+    "counterfactual_mahalanobis_pinned",
+    "quality_top_fraction",
+    "regression_metrics",
+    "continuous_binning_table",
+    "multiclass_binning_table",
+    "jaccard_pairs",
+    "outlier_zscore",
+    "outlier_iqr",
+    "lang_id",
+    "doc_chunks",
+    "paragraph_dedup",
+    "near_dup_cosine",
+    "scorecard_scores",
+    "scorecard_table",
+    "scorecard_scores_huber",
+    "scorecard_scores_logistic",
+    "scorecard_table_pdo",
+    "ks",
+    "wide_process_fit",
+    "binning_2d_table",
+    "binning_2d_median",
+    "binning_2d_pinned",
+    "dedup_clusters",
+    "sketch_binning_table",
+    "event_window_stats",
+    "sketch_binning_exact",
+    "psi_variable_report",
+    "continuous_binning_2d_table",
+    "piecewise_transform",
+    "counterfactual",
+    "indices_bins_transform",
+    "unknown_category_transform",
+    "ann_topk",
+    "multimodal_features",
+    "incremental_dedup",
+    "gopher_flags",
+    "class_weight_agg",
+    "continuous_binning_2d_pinned",
+    "counterfactual_diverse_pinned",
+    "cluster_balanced_sample",
+    "doc_contamination",
+    "sketch_categorical_merge",
+    "scorecard_table_rebased",
+    "doc_split_assignment",
+    "embedding_dedup_clusters",
+    "repetition_flags",
+    "stratified_doc_sample",
+    "shard_assignment",
+    "pack_sequences_bpe",
+    "curriculum_shards",
+    "mixture_rates",
+    "multimodal_frames",
+    "event_psi_monitor",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: the driver hash-checks the FIRST 50 entries
-    # against oracle_sql(). Every oracle-backed query therefore sits in
-    # the first 50 positions; the tail holds the genuinely
-    # non-SQL-expressible operators (greedy CART/MDLP recursion,
-    # k-means IVF, MIP counterfactual search, approximate sketches),
-    # which are covered by golden-parity and unit tests instead
-    # (tests/test_golden_parity.py, tests/test_*).
-    return {
-        # -- oracle-backed (hash-checked vs DuckDB) --
-        # binning_2d_pinned takes sample_class_counts' window slot (the
-        # P1 sample-class expression remains driver-covered through
-        # special_missing_stats, its strict superset); the 2-D
-        # rectangle solver was the last big solver family without a
-        # driver-grade oracle. sample_class_counts keeps its oracle in
-        # the tail for tools/check_correctness.
-        # round 11 rotation: binning_2d_pinned returns to the window —
-        # the user_splits_x/y 2-D rectangle path gets driver
-        # re-verification after two tail-only rounds; the
-        # data-derived-median variant rotates to the tail with its
-        # oracle intact (2-D solver + grid-agg coverage stays
-        # in-window through this entry)
-        # round 12 rotation: continuous_binning_2d_pinned takes
-        # binning_2d_pinned's slot (the continuous-target 2-D
-        # rectangle solver gets its first driver hash check; the
-        # binary 2-D grid agg + rectangle replay stays covered by the
-        # SAME oracle machinery and binning_2d_pinned keeps its oracle
-        # in the tail with r06-r11 green history)
-        "continuous_binning_2d_pinned": q_continuous_binning_2d_pinned,
-        "ivf_topk_pinned": q_ivf_topk_pinned,
-        "piecewise_transform_fixed": q_piecewise_transform_fixed,
-        # round 11 rotation: mdlp_splits takes quantile_splits' slot
-        # (B4 entropy/MDL recursion gets its first driver-window hash
-        # check; the exact-quantile split path stays in-window via
-        # cart_splits' recursive-CTE replay and the DP oracles'
-        # quantile_cont prebin stage) — quantile_splits keeps its
-        # oracle in the tail
-        "mdlp_splits": q_mdlp_splits,
-        # round 11 rotation: binning_table_fixed takes
-        # uniform_binning_table's slot (the fixed-user-split binning
-        # table returns for driver re-verification; B3 min/max+linspace
-        # prebinning stays covered by optimal_binning_table's
-        # quantile-prebin DP oracle family) — uniform_binning_table
-        # keeps its oracle in the tail
-        "binning_table_fixed": q_binning_table_fixed,
-        # round 11 rotation: outlier_yquantile takes outlier_zscore's
-        # slot (P7 y-conditional quantile trimming re-verified by the
-        # driver; the robust-center family stays in-window via
-        # outlier_iqr) — outlier_zscore keeps its oracle in the tail
-        "outlier_yquantile": q_outlier_yquantile,
-        # round 12: counterfactual_diverse_pinned takes outlier_iqr's
-        # slot (NEW query: the hard diversity_values multi-CF branch —
-        # the last counterfactual option family with no hash check
-        # anywhere gets a driver row; the robust-outlier family stays
-        # in-window via outlier_yquantile) — outlier_iqr keeps its
-        # oracle in the tail with r01-r11 green history
-        "counterfactual_diverse_pinned": q_counterfactual_diverse_pinned,
-        "special_missing_stats": q_special_missing_stats,
-        # round 11 rotation: bpe_token_count takes bpe_subword_count's
-        # slot (the same expression tokenizer, replayed merge-for-merge
-        # by DuckDB — driver re-verification after five tail rounds;
-        # per-doc subword accounting stays in-window via
-        # training_sequences' id-exact oracle) — bpe_subword_count
-        # keeps its oracle in the tail
-        "bpe_token_count": q_bpe_token_count,
-        # round 12 rotation: cluster_balanced_sample takes
-        # nb_quality_score's slot (topic-balanced downsampling —
-        # SemDeDup quantizer assignment composed with the stratified
-        # hash gate — gets its first driver hash check; the NB
-        # quality classifier got green rows in r08-r11 and keeps its
-        # oracle in the tail)
-        "cluster_balanced_sample": q_cluster_balanced_sample,
-        # round 11 rotation: minhash_signatures returns to the window
-        # (the staged minhash-lane construction re-verified by the
-        # driver; exact-hash dedup stays in-window via paragraph_dedup
-        # and incremental_dedup's index join) — exact_dedup keeps its
-        # oracle in the tail
-        "minhash_signatures": q_minhash_signatures,
-        # round 12 rotation: doc_contamination takes
-        # incremental_dedup's slot — both are index joins of a corpus
-        # against a reference set (benchmark 13-gram decontamination
-        # vs persisted band index); incremental_dedup keeps its
-        # oracle in the tail with r08-r11 green history
-        "doc_contamination": q_doc_contamination,
-        # round 11 rotation: lsh_candidates returns to the window (the
-        # minhash+band+bucket candidate join re-verified by the
-        # driver; the pair-verify surface stays in-window via
-        # simhash_pairs' hamming verify and semantic_dedup's cosine
-        # join) — jaccard_pairs keeps its oracle in the tail
-        "lsh_candidates": q_lsh_candidates,
-        # semantic_dedup_arrow takes embedding_topk's slot (round 9):
-        # the exact-cosine fold stays in-window four ways (ann_topk,
-        # ivf_topk_pinned, semantic_dedup, semantic_dedup_arrow);
-        # this row makes the driver hash gate prove the Arrow
-        # production path is bit-identical to the expr path every
-        # round. embedding_topk keeps its oracle in the tail.
-        "semantic_dedup_arrow": q_semantic_dedup_arrow,
-        # round 12 rotation: sketch_categorical_merge takes
-        # sketch_binning_exact's slot (the T2 partition-sketch MERGE
-        # path gets its first driver hash check; the T1/T3
-        # add/solve path got its r11 green row and keeps its oracle
-        # in the tail)
-        "sketch_categorical_merge": q_sketch_categorical_merge,
-        # the windowed drift monitor (streaming plan, batch-checked)
-        # takes event_type_psi's slot — both are M11 PSI over events,
-        # and the monitor adds windowing + drift levels on top;
-        # event_type_psi keeps its oracle in the tail
-        "event_psi_monitor": q_event_psi_monitor,
-        # simhash_pairs takes simhash's window slot (strict superset:
-        # its oracle replays the fingerprints AND the banded join +
-        # hamming verify); simhash keeps its oracle in the tail
-        "simhash_pairs": q_simhash_pairs,
-        # dup_ngram_spans takes doc_fingerprint's slot (both are
-        # n-gram fingerprinting; spans adds corpus-wide counting and
-        # the position-exact dedup surface; doc_fingerprint keeps its
-        # oracle in the tail)
-        "dup_ngram_spans": q_dup_ngram_spans,
-        "cart_splits": q_cart_splits,
-        # round 12 rotation: scorecard_table_rebased takes
-        # scorecard_table_pdo's slot (O13 intercept re-basing gets its
-        # first driver hash check; O12 PDO scaling got its r11 green
-        # row and keeps its oracle in the tail)
-        "scorecard_table_rebased": q_scorecard_table_rebased,
-        # round 12 rotation: scorecard_table_linear takes
-        # scorecard_scores_huber's slot (the U1 union-of-tables +
-        # linear normal-equation estimator gets its first driver hash
-        # check; the Huber IRLS/WLS machinery got green rows in
-        # r09-r11 and keeps its oracle in the tail)
-        "scorecard_table_linear": q_scorecard_table_linear,
-        # round 11 rotation: psi returns to the window (M11 variable
-        # PSI re-verified by the driver; W2 cumulative bin sums stay
-        # in-window via quality_top_fraction's window ranks and the DP
-        # oracles' prefix stats) — ks keeps its oracle in the tail
-        "psi": q_psi,
-        "optimal_binning_table": q_optimal_binning_table,
-        "optimal_woe_transform": q_optimal_woe_transform,
-        # round 11 rotation: continuous_bin_stats takes
-        # continuous_binning_table's slot (A3 per-prebin continuous
-        # stats re-verified directly by the driver; the O6 continuous
-        # DP solve stays in-window via scenario_binning_table, whose
-        # oracle replays the same continuous DP machinery) —
-        # continuous_binning_table keeps its oracle in the tail
-        "continuous_bin_stats": q_continuous_bin_stats,
-        "categorical_optimal_binning": q_categorical_optimal_binning,
-        # wide_summary_pinned takes binning_process_summary's slot —
-        # strict superset: same summary mechanism over MORE variables
-        # (8: triggers the spread+persist wide path), a broadcast
-        # join, a derived column, and three categorical DP chains;
-        # binning_process_summary keeps its oracle in the tail
-        "wide_summary_pinned": q_wide_summary_pinned,
-        # doc_normalize takes contingency_2d's slot (A5 2-D
-        # contingency stays driver-covered through binning_2d_pinned,
-        # whose oracle replays the grid aggregation as its first
-        # stage); dedup_clusters_dist takes scenario_agg's slot (O9
-        # scenario aggregation stays covered through
-        # scenario_binning_table, whose oracle replays it); both keep
-        # their oracles in the tail for tools/check_correctness
-        # round 12 rotation: doc_split_assignment takes lang_id's slot
-        # (the deterministic salted-hash train/val/test gate gets its
-        # first driver hash check; map-only per-doc text classification
-        # stays in-window via gopher_flags + pii_redaction, and lang_id
-        # keeps its oracle in the tail with r01-r08 + r11 history)
-        "doc_split_assignment": q_doc_split_assignment,
-        # counterfactual_pinned takes outlier_yquantile's slot (the
-        # outlier family keeps two in-window reps, zscore + iqr;
-        # yquantile keeps its oracle in the tail) — O15 was the last
-        # solver family with no driver-window hash check; the pinned
-        # 2-variable search space is exhaustively enumerated in SQL
-        "counterfactual_pinned": q_counterfactual_pinned,
-        # round 11 rotation: kmeans_refined_centroids takes
-        # counterfactual_mahalanobis_pinned's slot (the full-corpus
-        # Lloyd refinement with exact fixed-point reduction gets its
-        # first driver-window hash check; the O15 counterfactual
-        # search + Cramer WLS 'coef' CTE stay in-window via
-        # counterfactual_pinned) — counterfactual_mahalanobis_pinned
-        # keeps its oracle in the tail
-        "kmeans_refined_centroids": q_kmeans_refined_centroids,
-        "dedup_clusters_dist": q_dedup_clusters_dist,
-        # round 12 rotation: embedding_dedup_clusters takes
-        # dedup_clusters' slot (cosine-pair-graph clustering gets its
-        # first driver hash check; the minhash transitive closure
-        # stays in-window via dedup_clusters_dist, whose oracle
-        # replays the same closure over the same pair graph) —
-        # dedup_clusters keeps its oracle in the tail
-        "embedding_dedup_clusters": q_embedding_dedup_clusters,
-        # round 12 rotation: repetition_flags takes gopher_flags' slot
-        # (the duplicate-line/ngram-fraction repetition gates get
-        # their first driver hash check; the five-rule Gopher gate
-        # family got green rows in r06-r11 and keeps its oracle in
-        # the tail)
-        "repetition_flags": q_repetition_flags,
-        # dsir_logweights takes bpe_token_count's slot (token-stat
-        # counting stays in-window via doc_token_stats and the
-        # gopher_flags length/repetition signals; bpe_token_count
-        # keeps its oracle in the tail) — NEW round-6 surface:
-        # DSIR importance weights for training-data selection
-        "dsir_logweights": q_dsir_logweights,
-        # lm_perplexity takes continuous_bin_stats' slot (A3 per-prebin
-        # continuous stats are replayed as the FIRST stage of
-        # continuous_binning_table's in-window DP oracle;
-        # continuous_bin_stats keeps its oracle in the tail) — NEW
-        # round-6 surface: CCNet-style bigram-LM fluency scoring
-        "lm_perplexity": q_lm_perplexity,
-        # pii_redaction takes multiclass_bin_counts' slot (A4 per-class
-        # prebin counts are the first stage of multiclass_binning_table's
-        # in-window DP oracle; multiclass_bin_counts keeps its oracle in
-        # the tail) — NEW round-6 surface: PII scrubbing with injected
-        # fixtures so the redaction hashes are non-trivial
-        "pii_redaction": q_pii_redaction,
-        # round 12 rotation: stratified_doc_sample takes
-        # paragraph_dedup's slot (the per-stratum salted-hash sampling
-        # gate gets its first driver hash check; exact-hash text dedup
-        # stays in-window via minhash_signatures/dup_ngram_spans and
-        # paragraph_dedup keeps its oracle in the tail with r06-r11
-        # green history)
-        "stratified_doc_sample": q_stratified_doc_sample,
-        # bm25_topk takes event_rate_order's slot (J4/W1 event-rate
-        # ordering is replayed INSIDE categorical_optimal_binning's
-        # in-window DP oracle chain; event_rate_order keeps its oracle
-        # in the tail) — NEW round-6 surface: BM25 lexical retrieval
-        "bm25_topk": q_bm25_topk,
-        # round 12 rotation: shard_assignment takes doc_chunks' slot
-        # (the reproducible global-shuffle (shard,pos) addressing gets
-        # its first driver hash check; the posexplode chunk flatMap
-        # stays in-window via pack_sequences_bpe's identical
-        # chop arithmetic and doc_chunks keeps its oracle in the tail
-        # with r06-r11 green history)
-        "shard_assignment": q_shard_assignment,
-        # pack_sequences_bpe takes pack_sequences' slot (round 8): the
-        # per-shard cumsum/chop integer arithmetic is IDENTICAL — only
-        # the token counter upgraded from whitespace words to the
-        # pinned-vocab BPE subwords the r7 verdict asked for;
-        # pack_sequences keeps its whitespace oracle in the tail.
-        # (Slot lineage: pack_sequences had taken distribution_stats'
-        # slot in round 6; distribution_stats stays tail-oracled.)
-        # round 12 rotation: pack_sequences_bpe returns to the window,
-        # taking training_sequences' slot — it had NEVER had a driver
-        # hash check (the r8 swap moved it to the tail the same round
-        # it was added); training_sequences, which contains the same
-        # pack plan plus id materialization, got green rows in
-        # r08-r11 and keeps its oracle in the tail
-        "pack_sequences_bpe": q_pack_sequences_bpe,
-        # round 12 rotation: curriculum_shards takes
-        # quality_top_fraction's slot (quantile difficulty shards +
-        # within-shard hash order get their first driver hash check;
-        # the per-stratum window-rank machinery is the same shape and
-        # quality_top_fraction keeps its oracle in the tail with
-        # r06-r11 green history)
-        "curriculum_shards": q_curriculum_shards,
-        # round 12 rotation: mixture_rates takes class_weight_agg's
-        # slot (per-domain mixture budgets get their first driver
-        # hash check; both are bounded per-stratum aggregations and
-        # class_weight_agg keeps its oracle in the tail with r01-r11
-        # green history)
-        "mixture_rates": q_mixture_rates,
-        # round 11 rotation: classification_metrics returns to the
-        # window (M12 confusion-matrix metrics re-verified by the
-        # driver; the shared perf-metrics machinery stays doubly
-        # covered while regression_metrics rotates to the tail with
-        # its oracle intact)
-        "classification_metrics": q_classification_metrics,
-        # round 12 rotation (late): dsir_gumbel_topk takes
-        # indices_bins_transform's slot — the NEW Gumbel-top-k
-        # resampling oracle gets a driver hash row in its debut round;
-        # the F2/F3 transform-CASE machinery stays in-window via
-        # optimal_woe_transform + categorical_optimal_binning, and
-        # indices_bins_transform keeps its oracle in the tail with
-        # r03-r11 green history
-        "dsir_gumbel_topk": q_dsir_gumbel_topk,
-        # mean_transform rotated to the tail: the F4 per-row bin-mean
-        # transform is driver-covered through scorecard_scores_linear
-        # and scorecard_scores_huber, whose oracles replay it row-wise
-        # round 12 rotation (late): ivf_topk_trained takes
-        # unknown_category_transform's slot — the trained-quantizer
-        # exhaustive-probe == brute-force oracle gets a driver hash
-        # row in its debut round; the unknown-category ELSE branch is
-        # a slice of the same transform CASE machinery as
-        # categorical_optimal_binning (in-window), and
-        # unknown_category_transform keeps its oracle in the tail
-        # with r03-r11 green history
-        "ivf_topk_trained": q_ivf_topk_trained,
-        # round 12 rotation (late): pq_topk_pinned takes ann_topk's
-        # slot — the NEW product-quantization ADC pipeline (encode +
-        # query tables + fold) gets a driver hash row in its debut
-        # round; the exact-cosine fold stays in-window three ways
-        # (ivf_topk_pinned, semantic_dedup, semantic_dedup_arrow) and
-        # ann_topk keeps its hyperplane-bucket oracle in the tail with
-        # r03-r11 green history
-        "pq_topk_pinned": q_pq_topk_pinned,
-        # semantic_dedup takes near_dup_cosine_bucketed's slot
-        # (round 8): the hyperplane-bucket candidate machinery stays
-        # in-window via ann_topk (same _sql_bucket_cte + cosine fold);
-        # semantic_dedup adds the SemDeDup quantizer assignment and
-        # keep rule on top of the same exact-cosine pair join.
-        # near_dup_cosine_bucketed keeps its oracle in the tail.
-        "semantic_dedup": q_semantic_dedup,
-        # round 11 rotation: multiclass_bin_counts takes
-        # multiclass_binning_table's slot (A4 per-class prebin counts
-        # re-verified directly by the driver after five tail rounds;
-        # the O7 multiclass DP solve stays covered by golden parity +
-        # the 40-trial brute-force tests, and its first-stage counts
-        # are exactly this query) — multiclass_binning_table keeps its
-        # oracle in the tail
-        "multiclass_bin_counts": q_multiclass_bin_counts,
-        "scenario_binning_table": q_scenario_binning_table,
-        # round 12 rotation: multimodal_frames takes
-        # multimodal_features' slot (the frame-sampling mapInPandas
-        # plumbing gets its first driver hash check; the
-        # decode/feature path got green rows in r06-r11 and keeps its
-        # oracle in the tail)
-        "multimodal_frames": q_multimodal_frames,
-        # -- tail (beyond the driver's 50-entry window; unit/golden
-        #    tested — near_dup_cosine, the fixed-split pair rotated out
-        #    in round 4 (binning_table_fixed, woe_transform — their
-        #    surface is also covered by optimal_binning_table /
-        #    optimal_woe_transform / prebin_counts) and cart-adjacent
-        #    entries below still carry oracles checked by
-        #    tools/check_correctness) --
-        # rotated out round 11 for binning_table_fixed's return (B3
-        # uniform prebinning stays covered by the in-window DP oracle
-        # family) — oracle still checked by tools/check_correctness
-        "uniform_binning_table": q_uniform_binning_table,
-        # rotated out round 11 for mdlp_splits (exact-quantile splits
-        # stay in-window via cart_splits and the DP oracles'
-        # quantile_cont stage) — oracle still checked by
-        # tools/check_correctness
-        "quantile_splits": q_quantile_splits,
-        # rotated out round 8 (covers: ws token stats via
-        # bpe_subword_count + gopher_flags; ws packing arithmetic via
-        # pack_sequences_bpe's identical cumsum) — oracles still
-        # checked by tools/check_correctness
-        "doc_token_stats": q_doc_token_stats,
-        "pack_sequences": q_pack_sequences,
-        # rotated out round 12 for pack_sequences_bpe's window debut
-        # (training_sequences contains the same pack plan + id
-        # materialization; green r08-r11) — oracle still checked by
-        # tools/check_correctness
-        "training_sequences": q_training_sequences,
-        # rotated out round 11 for bpe_token_count (same merge-cascade
-        # expression tokenizer; doc-level subword stats stay in-window
-        # via training_sequences) — oracle still checked by
-        # tools/check_correctness
-        "bpe_subword_count": q_bpe_subword_count,
-        # rotated out round 8 for semantic_dedup (same exact-cosine
-        # pair machinery; hyperplane buckets stay in-window via
-        # ann_topk) — oracle still checked by tools/check_correctness
-        "near_dup_cosine_bucketed": q_near_dup_cosine_bucketed,
-        # rotated out round 11 for minhash_signatures' return
-        # (exact-hash dedup stays in-window via paragraph_dedup /
-        # incremental_dedup) — oracle still checked by
-        # tools/check_correctness
-        "exact_dedup": q_exact_dedup,
-        # rotated out round 9 for semantic_dedup_arrow (the
-        # brute-force cosine top-k fold stays in-window via ann_topk /
-        # ivf_topk_pinned / both semantic_dedup paths) — oracle still
-        # checked by tools/check_correctness
-        "embedding_topk": q_embedding_topk,
-        # rotated out round 11 for lang_id's return (normalization
-        # regex family stays in-window via pii_redaction) — oracle
-        # still checked by tools/check_correctness
-        "doc_normalize": q_doc_normalize,
-        # rotated out round 12 for cluster_balanced_sample's window
-        # debut (green r08-r11; the NB LLR fold machinery keeps its
-        # oracle here) — checked by tools/check_correctness
-        "nb_quality_score": q_nb_quality_score,
-        # rotated out round 11 for kmeans_refined_centroids' window
-        # debut (the counterfactual WLS machinery stays in-window via
-        # counterfactual_pinned) — oracle still checked by
-        # tools/check_correctness
-        "counterfactual_mahalanobis_pinned":
-            q_counterfactual_mahalanobis_pinned,
-        # rotated out round 12 for curriculum_shards' window debut
-        # (green r06-r11; same per-stratum window-rank shape) —
-        # oracle still checked by tools/check_correctness
-        "quality_top_fraction": q_quality_top_fraction,
-        # rotated out round 11 for classification_metrics' return
-        # (shared perf-metrics machinery) — oracle still checked by
-        # tools/check_correctness
-        "regression_metrics": q_regression_metrics,
-        "distribution_stats": q_distribution_stats,
-        "chi2_tests": q_chi2_tests,
-        "event_rate_order": q_event_rate_order,
-        # rotated out round 11 for continuous_bin_stats (the O6
-        # continuous DP stays in-window via scenario_binning_table's
-        # replay) — oracle still checked by tools/check_correctness
-        "continuous_binning_table": q_continuous_binning_table,
-        # rotated out round 11 for multiclass_bin_counts (the O7
-        # multiclass DP stays covered by golden parity + brute-force
-        # tests; its first-stage counts are the in-window query) —
-        # oracle still checked by tools/check_correctness
-        "multiclass_binning_table": q_multiclass_binning_table,
-        "prebin_counts": q_prebin_counts,
-        "scorecard_scores_linear": q_scorecard_scores_linear,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_quality": q_doc_quality,
-        "woe_transform": q_woe_transform,
-        # rotated out round 11 for lsh_candidates' return (n-gram
-        # Jaccard verify stays in-window via simhash_pairs'
-        # banded-verify machinery) — oracle still checked by
-        # tools/check_correctness
-        "jaccard_pairs": q_jaccard_pairs,
-        "simhash": q_simhash,
-        "contingency_2d": q_contingency_2d,
-        "scenario_agg": q_scenario_agg,
-        "mean_transform": q_mean_transform,
-        # rotated out round 11 for outlier_yquantile (robust-center
-        # outlier family stays in-window via outlier_iqr) — oracle
-        # still checked by tools/check_correctness
-        "outlier_zscore": q_outlier_zscore,
-        # rotated out round 12 for counterfactual_diverse_pinned (NEW;
-        # robust-outlier family stays in-window via outlier_yquantile)
-        # — oracle still checked by tools/check_correctness
-        "outlier_iqr": q_outlier_iqr,
-        "binning_process_summary": q_binning_process_summary,
-        # rotated out round 12 for doc_split_assignment's window debut
-        # (green r01-r08 + r11; map-only text classification stays
-        # in-window via gopher_flags/pii_redaction) — oracle still
-        # checked by tools/check_correctness
-        "lang_id": q_lang_id,
-        # rotated out round 12 for shard_assignment's window debut
-        # (green r06-r11; chop arithmetic in-window via
-        # pack_sequences_bpe) — oracle still checked by
-        # tools/check_correctness
-        "doc_chunks": q_doc_chunks,
-        # rotated out round 12 for stratified_doc_sample's window
-        # debut (green r06-r11) — oracle still checked by
-        # tools/check_correctness
-        "paragraph_dedup": q_paragraph_dedup,
-        "near_dup_cosine": q_near_dup_cosine,
-        "scorecard_scores": q_scorecard_scores,
-        "scorecard_table": q_scorecard_table,
-        # rotated out round 12 for scorecard_table_linear's window
-        # debut (Huber IRLS/WLS green r09-r11) — oracle still checked
-        # by tools/check_correctness
-        "scorecard_scores_huber": q_scorecard_scores_huber,
-        # rotated out round 11 for scorecard_table_pdo (the IRLS
-        # logistic estimator surface stays in-window via the huber
-        # oracle machinery in the tail) — oracle still checked by
-        # tools/check_correctness
-        "scorecard_scores_logistic": q_scorecard_scores_logistic,
-        # rotated out round 12 for scorecard_table_rebased's window
-        # debut (O12 PDO scaling green r11) — oracle still checked by
-        # tools/check_correctness
-        "scorecard_table_pdo": q_scorecard_table_pdo,
-        # rotated out round 11 for psi's return (W2 cumulative bin
-        # sums stay in-window via the DP oracles' prefix stats) —
-        # oracle still checked by tools/check_correctness
-        "ks": q_ks,
-        "event_type_psi": q_event_type_psi,
-        "wide_process_fit": q_wide_process_fit,
-        "binning_2d_table": q_binning_2d_table,
-        # rotated out round 11 for binning_2d_pinned (same 8-partition
-        # rectangle replay; the data-derived median splits stay
-        # tool-oracled here) — oracle still checked by
-        # tools/check_correctness
-        "binning_2d_median": q_binning_2d_median,
-        "sample_class_counts": q_sample_class_counts,
-        # rotated out round 12 for continuous_binning_2d_pinned's
-        # window debut (binary 2-D rectangle replay green r06-r11) —
-        # oracle still checked by tools/check_correctness
-        "binning_2d_pinned": q_binning_2d_pinned,
-        # rotated out round 12 for embedding_dedup_clusters' window
-        # debut (minhash transitive closure stays in-window via
-        # dedup_clusters_dist) — oracle still checked by
-        # tools/check_correctness
-        "dedup_clusters": q_dedup_clusters,
-        "sketch_binning_table": q_sketch_binning_table,
-        # rotated out round 11 for sketch_binning_exact (windowed
-        # event aggregation stays in-window via event_psi_monitor) —
-        # oracle still checked by tools/check_correctness
-        "event_window_stats": q_event_window_stats,
-        # rotated out round 12 for sketch_categorical_merge's window
-        # debut (T1/T3 add/solve green r11) — oracle still checked by
-        # tools/check_correctness
-        "sketch_binning_exact": q_sketch_binning_exact,
-        "psi_variable_report": q_psi_variable_report,
-        "continuous_binning_2d_table": q_continuous_binning_2d_table,
-        "piecewise_transform": q_piecewise_transform,
-        "counterfactual": q_counterfactual,
-        "ivf_topk": q_ivf_topk,
-        # rotated out round 12 (late) for dsir_gumbel_topk's window
-        # debut (transform-CASE family stays in-window via
-        # optimal_woe_transform / categorical_optimal_binning) —
-        # oracle still checked by tools/check_correctness
-        "indices_bins_transform": q_indices_bins_transform,
-        # rotated out round 12 (late) for ivf_topk_trained's window
-        # debut (the unknown-category ELSE branch shares the in-window
-        # categorical transform CASE machinery) — oracle still checked
-        # by tools/check_correctness
-        "unknown_category_transform": q_unknown_category_transform,
-        # rotated out round 12 (late) for pq_topk_pinned's window
-        # debut (exact-cosine fold stays in-window via
-        # ivf_topk_pinned / semantic_dedup / semantic_dedup_arrow) —
-        # oracle still checked by tools/check_correctness
-        "ann_topk": q_ann_topk,
-        # rotated out round 12 for multimodal_frames' window debut
-        # (decode/feature path green r06-r11) — oracle still checked
-        # by tools/check_correctness
-        "multimodal_features": q_multimodal_features,
-        # rotated out round 12 for doc_contamination's window debut
-        # (snapshot band-index join green r08-r11) — oracle still
-        # checked by tools/check_correctness
-        "incremental_dedup": q_incremental_dedup,
-        # rotated out round 12 for repetition_flags' window debut
-        # (five-rule Gopher gates green r06-r11) — oracle still
-        # checked by tools/check_correctness
-        "gopher_flags": q_gopher_flags,
-        # rotated out round 12 for mixture_rates' window debut
-        # (green r01-r11; same bounded per-stratum agg shape) —
-        # oracle still checked by tools/check_correctness
-        "class_weight_agg": q_class_weight_agg,
-    }
-
-
-# -- DP-enumeration oracle generators ------------------------------------
-# The engine's optimizer is an exact DP over <= 8 contiguous prebins;
-# its optimum is therefore reproducible in pure SQL by enumerating all
-# 2^(n-1) cut bitmasks, filtering infeasible / non-monotone partitions
-# and taking the divergence argmax. bit k of a mask = "cut between
-# prebin k and k+1"; a prebin's segment id is popcount(mask & (2^pb-1)).
-# Masks are enumerated to a constant 127 (= 2^7-1): bits at positions
-# >= n_prebins-1 never affect any prebin's segment id, so oversized
-# masks just duplicate partitions — harmless for an argmax.
+    """One entry per implemented operator family (SURVEY.md section 2
+    and the LLM-pipeline extensions); ordering per the _WINDOW/_TAIL
+    contract above. Every name maps to the module-level q_<name>
+    callable — enforced by tests/test_registry_contract.py."""
+    g = globals()
+    return {name: g[f"q_{name}"] for name in _WINDOW + _TAIL}
 
 
 def _dp_cte_binary(table, xcol, ycond, n_prebins, trend, p="",
@@ -4786,6 +4428,97 @@ def _sql_kmeans_refined_centroids(n_centroids=8, dim=64, quant=1e6):
   FROM oldpd o LEFT JOIN agg a USING (cluster_id, pos)"""
 
 
+def _sql_ivf_topk(n_centroids=8, n_iters=2, n_probe=3, k=3, dim=64,
+                  quant=1e6):
+    """Full replay of q_ivf_topk, TRAINING INCLUDED: seeds are the
+    first n_centroids vectors in md5-hash order (the hash_uniform
+    idiom every sampler oracle uses), unit-normalized with the same
+    sequential sum-of-squares fold the driver uses; each Lloyd step
+    replays kmeans_refine statement-for-statement (6-dp rounded
+    argmax assignment with min-cluster tiebreak, per-(cluster, pos)
+    fixed-point BIGINT sums — integer-exact on both engines — mean =
+    s/(quant*n), spherical normalization, empty clusters keep the
+    previous centroid); then the search phase mirrors the pinned IVF
+    oracle with the trained-centroid TABLE in place of literals.
+    Closes the last registry entry without a SQL oracle (round-12
+    verdict ask #2)."""
+    key = ("('0x' || substr(md5('ivf|' || CAST(vec_id AS VARCHAR)), 1, 8))"
+           "::BIGINT")
+    parts = [f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seedorder AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY {key}, vec_id) AS cluster_id
+  FROM e
+), c0 AS (
+  SELECT cluster_id,
+         list_transform(v, x -> x /
+           (CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+                 ELSE sqrt(list_dot_product(v, v)) END)) AS cvec
+  FROM seedorder WHERE cluster_id <= {n_centroids}
+)"""]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        parts.append(f""", d{i} AS (
+  SELECT e.vec_id, e.v, c.cluster_id,
+         round(list_dot_product(e.v, c.cvec), 6) AS dot
+  FROM e, c{p} c
+), a{i} AS (
+  SELECT vec_id, v, cluster_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dot DESC, cluster_id) AS pr
+    FROM d{i}) WHERE pr = 1
+), s{i} AS (
+  SELECT cluster_id, pos,
+         sum(CAST(round(val * {quant!r}) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM (SELECT cluster_id,
+               unnest(generate_series(0, {dim - 1})) AS pos,
+               unnest(v) AS val
+        FROM a{i})
+  GROUP BY cluster_id, pos
+), m{i} AS (
+  SELECT cluster_id,
+         list(CAST(s AS DOUBLE) / ({quant!r} * n) ORDER BY pos) AS mvec
+  FROM s{i} GROUP BY cluster_id
+), c{i} AS (
+  SELECT p.cluster_id,
+         CASE WHEN m.mvec IS NULL THEN p.cvec
+              ELSE list_transform(m.mvec, x -> x /
+                (CASE WHEN sqrt(list_dot_product(m.mvec, m.mvec)) = 0
+                      THEN 1.0
+                      ELSE sqrt(list_dot_product(m.mvec, m.mvec)) END))
+         END AS cvec
+  FROM c{p} p LEFT JOIN m{i} m USING (cluster_id)
+)""")
+    cf = f"c{n_iters}"
+    cos = _SQL_COS.format(a="s.ee", b="p.qe")
+    parts.append(f""", easg AS (
+  SELECT vec_id AS nbr_id, v AS ee, cluster_id AS list_id FROM (
+    SELECT e.vec_id, e.v, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cvec) DESC,
+                      c.cluster_id) AS pr
+    FROM e, {cf} c) WHERE pr = 1
+), probes AS (
+  SELECT query_id, qe, list_id FROM (
+    SELECT q.vec_id AS query_id, q.v AS qe, c.cluster_id AS list_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.cvec) DESC,
+                      c.cluster_id) AS pr
+    FROM e q, {cf} c WHERE q.vec_id < 5) WHERE pr <= {n_probe}
+), scored AS (
+  SELECT p.query_id, s.nbr_id, round({cos}, 6) AS cosine
+  FROM easg s JOIN probes p USING (list_id)
+  WHERE s.nbr_id <> p.query_id
+)
+SELECT query_id, nbr_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}""")
+    return "".join(parts)
+
+
 def _sql_near_dup_cosine_bucketed():
     cos = _SQL_COS.format(a="a.v", b="bb.v")
     return ("WITH " + _sql_bucket_cte() + f"""
@@ -5567,6 +5300,9 @@ def oracle_sql() -> dict[str, str]:
         "nb_quality_score": _sql_nb_quality_score(),
         "cluster_balanced_sample": _sql_cluster_balanced_sample(),
         "kmeans_refined_centroids": _sql_kmeans_refined_centroids(),
+        # full training replay (hash seeds + 2 Lloyd steps) + search:
+        # the round-13 closure of the last oracle-less registry entry
+        "ivf_topk": _sql_ivf_topk(),
         "curriculum_shards": _sql_curriculum_shards(),
         "bm25_topk": _sql_bm25_topk(),
         "lm_perplexity": _sql_lm_perplexity(),

@@ -124,6 +124,7 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    init: str = "kmeans++",
 ):
     """Driver-side spherical k-means (k-means++ init, Lloyd) on a
     bounded deterministic sample — the IVF coarse quantizer. At 100 TB
@@ -133,9 +134,50 @@ def train_ivf_centroids(
     ``xxhash64(id)``, not by ``id``: time-ordered corpora correlate id
     with content, and a prefix sample would train the quantizer on a
     temporal slice and silently degrade recall — hash order is a
-    deterministic uniform draw over the whole corpus."""
+    deterministic uniform draw over the whole corpus.
+
+    ``init="hash"`` selects the fully cross-engine-replayable trainer:
+    seeds are the first ``n_centroids`` vectors in md5-hash order
+    (sampling.hash_uniform — the same uniform the samplers replay in
+    SQL), unit-normalized, then ``n_iters + refine_iters`` spherical
+    Lloyd steps run DISTRIBUTED over the whole corpus via
+    :func:`kmeans_refine` (rounded-argmax assignment, exact
+    fixed-point BIGINT sums — partition-order-independent and
+    replayable statement-for-statement in DuckDB). Compared with the
+    default: no RNG anywhere, no driver-side design matrix, one
+    bounded aggregation per iteration instead of a 2048-row collect —
+    the audit-grade path when the quantizer itself must be
+    reproducible bit-for-bit across engines and reruns."""
     import numpy as np
 
+    if init == "hash":
+        import math
+
+        from .sampling import hash_uniform
+
+        seed_rows = (
+            embeddings.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .orderBy(hash_uniform(F.col(id_col), "ivf"), id_col)
+            .limit(n_centroids)
+            .collect()
+        )
+        if not seed_rows:
+            raise ValueError(
+                "train_ivf_centroids: input has no rows — cannot seed "
+                "a coarse quantizer on an empty corpus")
+        seeds = []
+        for r in seed_rows:
+            v = [float(x) for x in r[1]]
+            # sequential sum-of-squares, same fold order as the SQL
+            # oracle's list_dot_product(v, v) — bit-identical norms
+            nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+            seeds.append([x / nrm for x in v])
+        return np.array(kmeans_refine(
+            embeddings, seeds, n_iters=n_iters + refine_iters,
+            id_col=id_col, vec_col=vec_col, spherical=True))
+    if init != "kmeans++":
+        raise ValueError(f"unknown init {init!r} (kmeans++ or hash)")
     rows = (
         embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
         .orderBy(F.xxhash64(F.col(id_col)), id_col)
@@ -207,6 +249,8 @@ def ivf_topk(
     query_id_col: str = "query_id",
     centroids=None,
     refine_iters: int = 0,
+    init: str = "kmeans++",
+    train_iters: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: vectors are partitioned into inverted
     lists by nearest centroid (map-only expression); each query probes
@@ -214,10 +258,15 @@ def ivf_topk(
     equi-join on list_id instead of a cross join — the second
     100 TB-scale ANN path next to lsh_bucketed_topk. With
     ``n_probe == n_centroids`` the search is exhaustive and matches
-    brute_force_topk exactly."""
+    brute_force_topk exactly. ``init``/``train_iters`` pass through to
+    :func:`train_ivf_centroids` (init="hash" is the cross-engine-
+    replayable trainer)."""
     if centroids is None:
+        train_kwargs = {} if train_iters is None else {
+            "n_iters": train_iters}
         centroids = train_ivf_centroids(
             embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
+            init=init, **train_kwargs,
             refine_iters=refine_iters)
     e = embeddings.select(
         F.col(id_col).alias("nbr_id"),

@@ -387,7 +387,11 @@ def test_round12_debut_oracles_adversarial_vectors(spark, tmp_path):
     con.execute(
         "create view embeddings as select * from "
         f"read_parquet('{d}/embeddings.parquet/*.parquet')")
-    for qname in ("pq_topk_pinned", "ivf_topk_trained"):
+    # ivf_topk joined round 13 (debut of the training-replay oracle):
+    # hash-ordered seeds here include duplicates and the zero vector,
+    # so the seed normalization guard, rounded-argmax ties and the
+    # empty-cluster keep-previous rule all replay under stress
+    for qname in ("pq_topk_pinned", "ivf_topk_trained", "ivf_topk"):
         got = sorted(
             map(tuple, entry_mod.queries()[qname](spark, d).collect()))
         want = sorted(

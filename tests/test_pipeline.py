@@ -180,6 +180,37 @@ def test_ivf_topk_probe_subset(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_query.values())
 
 
+def test_ivf_hash_init_deterministic_and_exhaustive(spark):
+    """init="hash" (the cross-engine-replayable trainer, round 13):
+    centroids are identical across partitionings (the fixed-point
+    Lloyd reduction is order-independent by construction), unit-norm,
+    and exhaustive probing over them still equals brute force."""
+    import numpy as np
+
+    from optbinning_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = train_ivf_centroids(emb, 8, n_iters=2, init="hash")
+    c2 = train_ivf_centroids(emb.repartition(13), 8, n_iters=2,
+                             init="hash")
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    assert np.allclose(np.linalg.norm(np.asarray(c1), axis=1), 1.0)
+
+    q = emb.filter("vec_id < 5").withColumnRenamed("vec_id", "query_id")
+    exact = brute_force_topk(emb, q, k=3).collect()
+    ivf = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8, init="hash",
+                   train_iters=2).collect()
+    assert sorted((r["query_id"], r["rank"], r["nbr_id"]) for r in ivf) \
+        == sorted((r["query_id"], r["rank"], r["nbr_id"]) for r in exact)
+
+    with pytest.raises(ValueError, match="unknown init"):
+        train_ivf_centroids(emb, 8, init="nope")
+
+
 def test_multimodal_plumbing(spark, docs):
     from optbinning_spark.pipeline.multimodal import (
         extract_features,
@@ -1421,8 +1452,11 @@ def test_use_window_auto_streaming_and_memo_ttl(spark, tmp_path):
     assert D.AUTO_WINDOW_DECISIONS["ngram_jaccard_pairs"].get(
         "streaming") is True
 
-    # (b) TTL: first call probes, second call hits the memo, and once
-    # the entry's timestamp is aged past the TTL the probe reruns
+    # (b) TTL: first call probes, second call hits the memo; an aged
+    # entry over an UNCHANGED file listing refreshes its stamp
+    # WITHOUT re-probing (round 13 — the blind TTL re-probe was the
+    # plausible cause of r12's +8-11% on the shingle-path bench
+    # queries); an aged entry whose listing changed re-probes
     D._PROBE_DECISION_CACHE.clear()
     D.duplicate_ngram_spans(docs, n=5, hot_key_probe_fraction=1.0)
     assert "cached" not in D.AUTO_WINDOW_DECISIONS["duplicate_ngram_spans"]
@@ -1431,14 +1465,24 @@ def test_use_window_auto_streaming_and_memo_ttl(spark, tmp_path):
     assert D.AUTO_WINDOW_DECISIONS["duplicate_ngram_spans"][
         "cached"] is True
     key = next(iter(D._PROBE_DECISION_CACHE))
-    dec, stamp = D._PROBE_DECISION_CACHE[key]
+    dec, stamp, sig = D._PROBE_DECISION_CACHE[key]
+    assert sig is not None  # parquet-backed plan carries a listing
     D._PROBE_DECISION_CACHE[key] = (
-        dec, stamp - D._PROBE_DECISION_TTL_S - 1)
+        dec, stamp - D._PROBE_DECISION_TTL_S - 1, sig)
+    D.duplicate_ngram_spans(docs, n=5, hot_key_probe_fraction=1.0)
+    d = D.AUTO_WINDOW_DECISIONS["duplicate_ngram_spans"]
+    assert d.get("ttl_refreshed") is True and d["cached"] is True
+    # stamp refreshed, no re-probe
+    assert D._PROBE_DECISION_CACHE[key][1] > _time.monotonic() - 60
+    # changed listing: age the entry AND tamper its signature
+    D._PROBE_DECISION_CACHE[key] = (
+        dec, stamp - D._PROBE_DECISION_TTL_S - 1, "0:bogus")
     D.duplicate_ngram_spans(docs, n=5, hot_key_probe_fraction=1.0)
     d = D.AUTO_WINDOW_DECISIONS["duplicate_ngram_spans"]
     assert "cached" not in d and d["estimated_hottest"] is not None
-    # the re-probe re-memoized with a fresh stamp
+    # the re-probe re-memoized with a fresh stamp and a real signature
     assert D._PROBE_DECISION_CACHE[key][1] > _time.monotonic() - 60
+    assert D._PROBE_DECISION_CACHE[key][2] == sig
 
 
 def test_dsir_log_weights_brute_force(spark):
