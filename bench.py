@@ -551,8 +551,13 @@ def main():
     # bracket (endpoints + mid probes + retry all quiet) = inverted.
     # A dirty-host round records the ratio but cannot assert a
     # regression — that's what the retry machinery is for.
+    # r12 verdict #3 adds the three shingle-path queries that moved
+    # +8-11% in r12 (plausible cause: the probe-memo TTL re-probe,
+    # fixed in round 13 by the file-listing stamp refresh) so their
+    # recovery — or a real regression — is adjudicated per-round
     MOVERS = ("semantic_dedup", "optimal_woe_transform",
-              "sketch_binning_table")
+              "sketch_binning_table", "dedup_clusters", "jaccard_pairs",
+              "bm25_topk")
     # dirty = the original section was flagged AND no clean retry
     # rep exists (retry skipped for budget, or its bracket moved too)
     retry_clean = ("headline_retry" in scal.sections

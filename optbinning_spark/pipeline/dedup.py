@@ -38,10 +38,30 @@ AUTO_WINDOW_DECISIONS: dict[str, dict] = {}
 # carry a monotonic timestamp and expire after _PROBE_DECISION_TTL_S
 # — a corpus that is appended/rewritten and turns hot mid-session is
 # re-probed within the TTL instead of keeping a stale window shape
-# forever. Clear with _PROBE_DECISION_CACHE.clear() to force an
-# immediate re-probe after a known rewrite.
-_PROBE_DECISION_CACHE: dict[tuple, tuple[bool, float]] = {}
+# forever. On expiry the leaf-file listing is checked FIRST (a
+# driver-side file-index lookup, no job): an unchanged listing
+# refreshes the stamp without re-scanning — round 12's bench showed
+# the blind TTL re-probe re-taxing the three shingle-path headline
+# queries (+8-11%) on a corpus that had not changed. Clear with
+# _PROBE_DECISION_CACHE.clear() to force an immediate re-probe after
+# a known in-place rewrite (same file names — the one mutation the
+# listing check cannot see).
+_PROBE_DECISION_CACHE: dict[tuple, tuple[bool, float, "str | None"]] = {}
 _PROBE_DECISION_TTL_S = 600.0
+
+
+def _files_signature(df: DataFrame) -> "str | None":
+    """Cheap identity of the leaf files behind a plan: count + hash of
+    the sorted inputFiles() listing (appends add files, overwrites
+    rename part files — both change the signature). None when the
+    plan has no file source (in-memory frames) or listing fails."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    return f"{len(files)}:{hash(tuple(sorted(files))) & 0xFFFFFFFFFFFFFFFF:x}"
 
 
 def _resolve_use_window(keyed_sample: DataFrame, key_col: str, caller: str,
@@ -98,13 +118,24 @@ def _resolve_use_window(keyed_sample: DataFrame, key_col: str, caller: str,
     import time
     now = time.monotonic()
     if key is not None and key in _PROBE_DECISION_CACHE:
-        decision, stamp = _PROBE_DECISION_CACHE[key]
+        decision, stamp, files_sig = _PROBE_DECISION_CACHE[key]
         if now - stamp < _PROBE_DECISION_TTL_S:
             AUTO_WINDOW_DECISIONS[caller] = {
                 "estimated_hottest": None, "use_window": decision,
                 "cached": True}
             return decision
-        del _PROBE_DECISION_CACHE[key]  # expired: re-probe
+        # expired: before paying a re-scan, check whether the files
+        # behind the (semantically identical) plan actually changed —
+        # same listing means the old decision still describes this
+        # corpus, so refresh the stamp instead of re-probing
+        if files_sig is not None \
+                and _files_signature(keyed_sample) == files_sig:
+            _PROBE_DECISION_CACHE[key] = (decision, now, files_sig)
+            AUTO_WINDOW_DECISIONS[caller] = {
+                "estimated_hottest": None, "use_window": decision,
+                "cached": True, "ttl_refreshed": True}
+            return decision
+        del _PROBE_DECISION_CACHE[key]  # files changed: re-probe
     row = (keyed_sample.groupBy(key_col).count()
            .agg(F.max("count").alias("m")).first())
     est = int((row["m"] or 0) / probe_fraction)
@@ -112,7 +143,8 @@ def _resolve_use_window(keyed_sample: DataFrame, key_col: str, caller: str,
     AUTO_WINDOW_DECISIONS[caller] = {
         "estimated_hottest": est, "use_window": decision}
     if key is not None:
-        _PROBE_DECISION_CACHE[key] = (decision, now)
+        _PROBE_DECISION_CACHE[key] = (
+            decision, now, _files_signature(keyed_sample))
     return decision
 
 
