@@ -1546,7 +1546,34 @@ def q_sketch_binning_exact(spark, sf_dir):
 
 
 def q_sketch_binning_table(spark, sf_dir):
-    """Streaming sketch path: add per batch -> merge -> solve."""
+    """Streaming sketch path (add per shard -> merge -> solve) on the
+    APPROXIMATE centroid state (default sketch_size, high-cardinality
+    l_extendedprice, auto trend), emitted as the tolerance-banded
+    accuracy CONTRACT the reference itself asserts for sketches
+    (rel=1e-2 — reference tests/test_binning_sketch.py uses
+    approx-equality, never exact values, for the lossy state; SURVEY
+    section 5). Round-13 redefinition: the old form re-emitted the
+    approximate table verbatim, which no SQL oracle can replay (the
+    lossy compression heuristic is the point) — banding the CLAIMS
+    instead makes the entry driver-hash-checkable without pretending
+    the state is exact. Output rows (metric, idx, value):
+
+    - split_rank_err_band, i=1..19, 0.0 — for each prebin quantile
+      target i/20, floor(|exact_rank(split_i) - i/20| / 0.01) with
+      exact_rank computed by ONE Spark aggregation over the corpus;
+      0 iff the sketch met the 1e-2 rank contract THROUGH the
+      per-add grid snap, the shard merge and centroid compression.
+    - table_total_count / table_total_event, 0, exact corpus totals —
+      add/merge/compress conserve mass exactly (weighted-mean pair
+      merge sums weights; counts_between bincounts all centroids), so
+      the SOLVED table's totals must equal the corpus totals exactly,
+      not within tolerance. A conservation bug anywhere in the
+      pipeline breaks the hash.
+
+    The lossless replay of the same pipeline stays hash-checked
+    value-for-value by sketch_binning_exact."""
+    import math
+
     from optbinning_spark.streaming.sketch import OptimalBinningSketch
 
     df = _lineitem(spark, sf_dir)
@@ -1557,9 +1584,26 @@ def q_sketch_binning_table(spark, sf_dir):
     sk1.merge(sk2)
     ob = sk1.solve()
     pdf = ob.binning_table.build(add_totals=False)
-    num = pdf.select_dtypes("number").columns
-    pdf[num] = pdf[num].round(6)
-    return spark.createDataFrame(pdf)
+
+    splits = [float(s) for s in sk1.quantile_splits()]
+    n_pre = sk1.max_n_prebins
+    x = F.col("l_extendedprice").cast("double")
+    clean = df.filter(x.isNotNull() & ~F.isnan(x))
+    aggs = [
+        F.sum(F.when(x < F.lit(s), 1).otherwise(0)).alias(f"r{i}")
+        for i, s in enumerate(splits)
+    ] + [F.count(F.lit(1)).alias("n")]
+    row = clean.agg(*aggs).first()
+    n = float(row["n"])
+    rows = [
+        ("split_rank_err_band", i + 1,
+         float(math.floor(abs(row[f"r{i}"] / n - (i + 1) / n_pre) / 0.01)))
+        for i in range(len(splits))
+    ]
+    rows.append(("table_total_count", 0, float(pdf["count"].sum())))
+    rows.append(("table_total_event", 0, float(pdf["n_event"].sum())))
+    return spark.createDataFrame(
+        rows, "metric string, idx int, value double")
 
 
 def q_psi_variable_report(spark, sf_dir):
@@ -2740,6 +2784,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: prebin_counts r5, scorecard_scores_linear r5 — verdict ask #8).
 #: OUT — 16 entries all hash-checked green in round 12; their oracles
 #: stay registered for tools/check_correctness's full-registry run.
+#: sketch_binning_table also enters (debut of its round-13
+#: accuracy-contract oracle — the approximate sketch path's first
+#: hash check), releasing simhash_pairs (r12 green).
 #: dsir_gumbel_topk and ivf_topk_trained deliberately STAY in-window:
 #: their boundary semantics changed this round (Gumbel key rounding /
 #: zero-norm cosine pinning) and the new form needs a fresh
@@ -2755,7 +2802,7 @@ _WINDOW = [
     "minhash_signatures",
     "lsh_candidates",
     "semantic_dedup_arrow",
-    "simhash_pairs",
+    "sketch_binning_table",
     "dup_ngram_spans",
     "cart_splits",
     "scorecard_table_linear",
@@ -2838,7 +2885,7 @@ _TAIL = [
     "binning_2d_median",
     "binning_2d_pinned",
     "dedup_clusters",
-    "sketch_binning_table",
+    "simhash_pairs",
     "event_window_stats",
     "sketch_binning_exact",
     "psi_variable_report",
@@ -5808,6 +5855,23 @@ def oracle_sql() -> dict[str, str]:
         "categorical_optimal_binning": _sql_categorical_optimal_binning(),
         "sketch_categorical_merge": _sql_categorical_optimal_binning(),
         "sketch_binning_exact": _sql_sketch_binning_exact(),
+        # the APPROXIMATE sketch path's accuracy contract (round 13):
+        # every prebin quantile target must band to 0 at the
+        # reference's rel=1e-2 sketch tolerance, and the solved
+        # table's totals must equal the corpus totals EXACTLY (mass
+        # conservation through grid snap + merge + compression)
+        "sketch_binning_table": """
+            SELECT 'split_rank_err_band' AS metric,
+                   CAST(i AS INT) AS idx, 0.0 + 0.0 AS value
+            FROM range(1, 20) t(i)
+            UNION ALL
+            SELECT 'table_total_count', 0,
+                   CAST(count(*) AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT 'table_total_event', 0,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS DOUBLE) FROM lineitem
+        """,
         "binning_process_summary": _sql_binning_process_summary(),
         # ANN oracles: plane weights are deterministic md5 literals,
         # so bucketing + exact cosine replay bit-for-bit in DuckDB.

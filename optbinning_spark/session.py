@@ -39,6 +39,10 @@ def get_spark(app_name: str = "optbinning_spark", cpus: int | None = None):
         # slower after ~20 other queries ran). 1000 entries keeps every
         # stage of a long analytics session compiled once.
         .config("spark.sql.codegen.cache.maxEntries", "1000")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench hygiene: no listener/HTTP overhead);
+        # measurement tools that read the REST metrics API
+        # (tools/measure_cc_scale.py) export SPARK_GRAFT_UI=1
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") else "false")
         .getOrCreate()
     )

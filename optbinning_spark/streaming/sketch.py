@@ -260,13 +260,8 @@ class OptimalBinningSketch:
             return ob
 
         # numerical: quantile prebins from the merged e+ne sketch
-        combined = CentroidSketch(self._sk[0].max_size * 2)
-        combined.merge(self._sk[0])
-        combined.merge(self._sk[1])
-        if combined.total_weight <= 0:
-            raise RuntimeError("sketch is empty; add data first")
         probs = np.linspace(0, 1, self.max_n_prebins + 1)[1:-1]
-        splits = np.unique(combined.quantiles(probs))
+        splits = np.unique(self.quantile_splits(probs))
         ne = self._sk[0].counts_between(splits)
         ev = self._sk[1].counts_between(splits)
         stats = BinStats(
@@ -279,6 +274,26 @@ class OptimalBinningSketch:
         ob._fitted = True
         self._record_progress(ob)
         return ob
+
+    def quantile_splits(self, probs=None) -> np.ndarray:
+        """Merged-sketch quantile estimates at the prebin targets
+        (numerical only; one value per prob, duplicates NOT removed —
+        solve() dedups before prebinning). Public introspection: the
+        accuracy-contract query (q_sketch_binning_table) bands these
+        against exact corpus ranks at the reference's rel=1e-2 sketch
+        tolerance, and diagnostics can chart split drift across
+        solves. Deterministic given the sketch state — the combined
+        e+ne sketch is rebuilt the same way solve() builds it."""
+        if self.dtype != "numerical":
+            raise ValueError("quantile_splits is numerical-only")
+        combined = CentroidSketch(self._sk[0].max_size * 2)
+        combined.merge(self._sk[0])
+        combined.merge(self._sk[1])
+        if combined.total_weight <= 0:
+            raise RuntimeError("sketch is empty; add data first")
+        if probs is None:
+            probs = np.linspace(0, 1, self.max_n_prebins + 1)[1:-1]
+        return combined.quantiles(probs)
 
     def _record_progress(self, ob):
         tbl = ob.binning_table

@@ -79,6 +79,11 @@ def build_graph(spark, n_edges_m: float):
 
 def main():
     n_edges_m = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    # the shuffle-byte telemetry comes from the UI REST API; the
+    # session factory keeps the UI off unless this is exported
+    # (r12 verdict #4: the 10^7-edge row recorded null bytes because
+    # the UI was disabled)
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")
     spark = get_spark("cc_scale")
     spark.sparkContext.setLogLevel("ERROR")
     pairs = build_graph(spark, n_edges_m)
