@@ -2369,6 +2369,56 @@ def q_wide_process_fit(spark, sf_dir):
     return spark.createDataFrame(rows, "name string, dtype string, n_bins int, iv double")
 
 
+def q_wide_fit_exact(spark, sf_dir):
+    """The flagship 16-variable CART/auto wide fit with NOTHING
+    pinned, made hash-checkable by probe_mode="exact" (the
+    cardinality-gated exact-percentile pattern binning_2d's median
+    path established): identical join, derived features, variable
+    list, prebinning method (cart), trend (auto), and solver defaults
+    as q_wide_process_fit — the only delta from the production twin is
+    that the probe's distinct counts and bucket edges are exact
+    aggregates instead of HLL + sampled sketches, which makes every
+    stage (bucketing, CART, pure-prebin merge, auto-trend decision,
+    optimal partition) independently replayable by the DuckDB oracle.
+    First driver hash check of the CART prebinning, the auto-monotonic
+    decision tree and the >8-prebin partition search on organic
+    data."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.sources.tables import orders as _ot
+
+    li = _lineitem(spark, sf_dir)
+    o = _ot(spark, sf_dir).drop("y")
+    df = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+
+    def to_days(c):
+        if dict(df.dtypes)[c] == "bigint":
+            return F.col(c) / F.lit(8.64e13)
+        return F.datediff(
+            F.to_date(F.col(c)), F.to_date(F.lit("1970-01-01"))
+        ).cast("double")
+
+    df = (
+        df.withColumn("l_shipdays", to_days("l_shipdate"))
+        .withColumn("o_orderdays", to_days("o_orderdate"))
+        .withColumn(
+            "net_price",
+            F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .withColumn("disc_tax", F.col("l_discount") + F.col("l_tax"))
+    )
+    bp = BinningProcess(
+        _WIDE_NUM_VARS + _WIDE_CAT_VARS, probe_mode="exact"
+    ).fit(df, "y")
+    s = bp.summary()
+    order = {n: i for i, n in enumerate(_WIDE_NUM_VARS + _WIDE_CAT_VARS)}
+    rows = sorted(
+        ((n, d, int(b), round(float(iv), 6))
+         for n, d, b, iv in zip(s["name"], s["dtype"], s["n_bins"], s["iv"])),
+        key=lambda r: order[r[0]],
+    )
+    return spark.createDataFrame(
+        rows, "name string, dtype string, n_bins int, iv double")
+
+
 def q_class_weight_agg(spark, sf_dir):
     """A12: 'balanced' class weights (N / (k * n_class), reference
     preprocessing.py:181-186) folded into sample weights, then
@@ -2787,6 +2837,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: sketch_binning_table also enters (debut of its round-13
 #: accuracy-contract oracle — the approximate sketch path's first
 #: hash check), releasing simhash_pairs (r12 green).
+#: wide_fit_exact also enters (round-13 debut: the 16-variable
+#: CART/auto wide fit with probe_mode="exact" and a full
+#: training-replay oracle — first driver hash of CART prebinning,
+#: the auto-monotonic decision tree and the >8-prebin partition
+#: search on organic data), releasing psi (green r01-r12).
 #: dsir_gumbel_topk and ivf_topk_trained deliberately STAY in-window:
 #: their boundary semantics changed this round (Gumbel key rounding /
 #: zero-norm cosine pinning) and the new form needs a fresh
@@ -2806,7 +2861,7 @@ _WINDOW = [
     "dup_ngram_spans",
     "cart_splits",
     "scorecard_table_linear",
-    "psi",
+    "wide_fit_exact",
     "optimal_binning_table",
     "optimal_woe_transform",
     "continuous_bin_stats",
@@ -2904,6 +2959,7 @@ _TAIL = [
     "cluster_balanced_sample",
     "doc_contamination",
     "sketch_categorical_merge",
+    "psi",
     "scorecard_table_rebased",
     "doc_split_assignment",
     "embedding_dedup_clusters",
@@ -3376,6 +3432,514 @@ def _sql_wide_summary_pinned():
         ctes.append(_sql_cat_dp_cte(tbl, v, y, p))
         rows.append(_sql_process_summary_var(v, "categorical", p))
     return "WITH " + ",".join(ctes) + "\n  UNION ALL".join(rows)
+
+
+def _sql_wide_grids():
+    """Shared static grids for the wide-fit replay chains: bin/prebin
+    indices (0..20), CART candidate value-ranks (0..4504 — the exact
+    path's per_var_cap) and partition masks (0..2^19-1). Pure
+    generate_series tables: referencing them costs nothing, which is
+    what keeps the replay single-evaluation (DuckDB 1.0 inlines CTEs,
+    and AS MATERIALIZED silently corrupts WITH RECURSIVE queries —
+    nondeterministic results observed — so every expensive intermediate
+    below is either carried through recursion state or referenced
+    exactly once)."""
+    return """
+  wgg AS (SELECT g FROM generate_series(0, 20) t(g)),
+  wgc AS (SELECT g FROM generate_series(0, 4504) t(g)),
+  wgm AS (SELECT CAST(g AS BIGINT) AS g
+          FROM generate_series(0, 524287) t(g))"""
+
+
+def _sql_trend_from_binrow(p):
+    """{p}binrow(nes, evs, rlist, clist, nb, t_ne, t_ev) ->
+    {p}trend(trend): the engine's monotonic_trend="auto" decision
+    (core/auto_monotonic.py — the reference's published decision-rule
+    thresholds, auto_monotonic.py:226-290) replayed from the refined
+    prebin profile.
+
+    Features are computed list-wise off the ONE binrow row:
+    np.argmin/argmax first-occurrence via list_position of the
+    extremum, prefix record shares via list slices, the polyfit slope
+    SIGN via the covariance numerator, the extreme-point triangle area
+    via two 3x3 determinants, and the convex-hull area ratio via the
+    x-monotone envelope identity — for points (i, r_i) with distinct
+    integer x the hull is bounded by the upper concave / lower convex
+    envelopes, envelope(i) = max/min over all straddling chords
+    (j <= i <= k), and the trapezoid integral of (upper - lower)
+    equals the monotone-chain shoelace area (verified against
+    _hull_area on 2000 fuzzed profiles; decision verified against
+    decide_trend on 3000 fuzzed profiles)."""
+    return f"""
+  {p}env AS (
+    SELECT a.g AS i,
+           max(CASE WHEN j.g = k.g THEN b.rlist[j.g + 1]
+                    ELSE b.rlist[j.g + 1]
+                         + (b.rlist[k.g + 1] - b.rlist[j.g + 1])
+                           * (a.g - j.g) / (k.g - j.g) END) AS u,
+           min(CASE WHEN j.g = k.g THEN b.rlist[j.g + 1]
+                    ELSE b.rlist[j.g + 1]
+                         + (b.rlist[k.g + 1] - b.rlist[j.g + 1])
+                           * (a.g - j.g) / (k.g - j.g) END) AS l
+    FROM {p}binrow b, wgg a, wgg j, wgg k
+    WHERE a.g < b.nb AND j.g <= a.g AND k.g >= a.g AND k.g >= j.g
+      AND k.g < b.nb
+    GROUP BY a.g),
+  {p}hull AS (
+    SELECT coalesce(sum((u + nu - l - nl) / 2.0), 0.0) AS area
+    FROM (SELECT u, l, lead(u) OVER (ORDER BY i) AS nu,
+                 lead(l) OVER (ORDER BY i) AS nl
+          FROM {p}env)
+    WHERE nu IS NOT NULL),
+  {p}feat AS (
+    SELECT f2.*,
+           CASE WHEN f2.slope_num > 0 THEN 1 ELSE 0 END AS lr_sense,
+           (0.5 * abs(0 * (f2.rmin - f2.rmax) - f2.pmin * (f2.r0 - f2.rmax)
+                      + f2.pmax * (f2.r0 - f2.rmin))
+            + 0.5 * abs(f2.pmin * (f2.rmax - f2.rl)
+                        - f2.pmax * (f2.rmin - f2.rl)
+                        + f2.n * (f2.rmin - f2.rmax)))
+             / ((f2.rmax - f2.rmin) * f2.n) AS p_area,
+           CASE WHEN f2.n > 2 AND (f2.rmax - f2.rmin) * f2.n > 0
+                THEN h.area / ((f2.rmax - f2.rmin) * f2.n)
+                ELSE 0.0 END AS p_hull
+    FROM (
+      SELECT f1.*,
+             coalesce(list_aggregate(f1.cl[1 : f1.pmin], 'sum'), 0)
+               / f1.total AS p_min_left,
+             coalesce(list_aggregate(f1.cl[f1.pmin + 2 : f1.n], 'sum'), 0)
+               / f1.total AS p_min_right,
+             coalesce(list_aggregate(f1.cl[1 : f1.pmax], 'sum'), 0)
+               / f1.total AS p_max_left,
+             coalesce(list_aggregate(f1.cl[f1.pmax + 2 : f1.n], 'sum'), 0)
+               / f1.total AS p_max_right,
+             f1.n * list_aggregate(
+               list_transform(f1.rl_, (x, i) -> (i - 1) * x), 'sum')
+               - (f1.n * (f1.n - 1) / 2.0)
+                 * list_aggregate(f1.rl_, 'sum') AS slope_num
+      FROM (
+        SELECT b.nb AS n, b.rlist AS rl_, b.clist AS cl,
+               list_aggregate(b.clist, 'sum') AS total,
+               list_position(b.rlist,
+                 list_aggregate(b.rlist, 'min')) - 1 AS pmin,
+               list_position(b.rlist,
+                 list_aggregate(b.rlist, 'max')) - 1 AS pmax,
+               b.rlist[1] AS r0, b.rlist[b.nb] AS rl,
+               list_aggregate(b.rlist, 'min') AS rmin,
+               list_aggregate(b.rlist, 'max') AS rmax
+        FROM {p}binrow b) f1) f2, {p}hull h),
+  {p}trend AS (
+    SELECT CASE
+      WHEN n < 2 THEN 'ascending'
+      WHEN n = 2 THEN CASE WHEN rl >= r0
+                           THEN 'ascending' ELSE 'descending' END
+      WHEN p_area <= 0.22145836800336838 THEN
+        CASE WHEN lr_sense = 0 THEN
+          CASE WHEN p_hull <= 0.48331470787525177 THEN
+            CASE WHEN p_min_right <= 0.010740397498011589 THEN 'descending'
+                 WHEN p_min_right <= 0.022145185619592667 THEN 'valley'
+                 ELSE 'descending' END
+          WHEN p_max_right <= 0.6426683664321899 THEN 'valley'
+          ELSE 'descending' END
+        ELSE 'ascending' END
+      WHEN p_min_right <= 0.06137961149215698 THEN
+        CASE WHEN p_hull <= 0.23837491869926453 THEN 'descending'
+             WHEN p_max_left <= 0.10170064494013786 THEN
+               CASE WHEN p_max_left <= 0.01817034650593996 THEN 'valley'
+                    ELSE 'descending' END
+             ELSE 'peak' END
+      WHEN p_min_left <= 0.05336669087409973 THEN
+        CASE WHEN p_max_right <= 0.0695494469255209 THEN 'ascending'
+             WHEN p_max_left <= 0.14705360680818558 THEN 'ascending'
+             ELSE 'peak' END
+      WHEN p_min_left <= 0.8308950066566467 THEN 'valley'
+      WHEN p_max_right <= 0.1587613895535469 THEN 'valley'
+      ELSE 'peak' END AS trend
+    FROM {p}feat)"""
+
+
+def _sql_enum_from_binrow(p):
+    """{p}binrow + {p}trend -> {p}bseg(seg, ne, ev): exhaustive
+    contiguous-partition search (2^(n-1) masks over n <= 20 prebins)
+    with per-mask feasibility matching core/solver.solve_binary
+    defaults (IV divergence, no bin-count/size bounds): every bin
+    ev > 0 AND ne > 0, trend constraint chosen by the DECIDED trend —
+    ascending/descending via pairwise lag checks; peak/valley via the
+    unimodality rule 'every strict ascent precedes every strict
+    descent' (resp. reversed), exactly the DP's two-leg phase
+    semantics with min_event_rate_diff = 0 (ties legal in both legs).
+    IV argmax, ties to the lowest mask — verified segment-identical to
+    the DP on 800 fuzzed integer-count profiles. Winner selection is
+    ONE linear pipeline (window flags + dense_rank), so the mask-space
+    scan evaluates exactly once; infeasible-everywhere falls back to
+    mask 0 (the solver's single full-range bin)."""
+    return f"""
+  {p}segrows AS (
+    SELECT m.g AS mask, u.pb, u.ne, u.ev, b.t_ne, b.t_ev,
+           bit_count(m.g & ((1::BIGINT << u.pb) - 1)) AS seg
+    FROM {p}binrow b
+    JOIN wgm m ON m.g < (1::BIGINT << (b.nb - 1))
+    CROSS JOIN LATERAL (
+      SELECT gg.g AS pb, b.nes[gg.g + 1] AS ne, b.evs[gg.g + 1] AS ev
+      FROM wgg gg WHERE gg.g < b.nb) u),
+  {p}segs AS (
+    SELECT mask, seg, sum(ne) AS ne, sum(ev) AS ev,
+           any_value(t_ne) AS t_ne, any_value(t_ev) AS t_ev
+    FROM {p}segrows GROUP BY mask, seg),
+  {p}segx AS (
+    SELECT s.*, ev / greatest(ev + ne, 1e-15) AS er,
+           CASE WHEN ev > 0 AND ne > 0
+                THEN (ev / t_ev - ne / t_ne)
+                     * ln((ev / t_ev) / (ne / t_ne))
+                ELSE 0 END AS iv_term,
+           lag(ev / greatest(ev + ne, 1e-15))
+             OVER (PARTITION BY mask ORDER BY seg) AS er_prev
+    FROM {p}segs s),
+  {p}bseg AS (
+    SELECT seg, ne, ev FROM (
+      SELECT x2.*,
+             dense_rank() OVER (
+               ORDER BY (x2.feas AND x2.trend_ok) DESC,
+                        CASE WHEN x2.feas AND x2.trend_ok
+                             THEN x2.ivt ELSE 0 END DESC,
+                        CASE WHEN x2.feas AND x2.trend_ok
+                             THEN x2.mask ELSE 0 END,
+                        x2.mask = 0 DESC) AS rnk
+      FROM (
+        SELECT x.*,
+               bool_and(x.ev > 0 AND x.ne > 0) OVER w AS feas,
+               sum(x.iv_term) OVER w AS ivt,
+               CASE t.trend
+                 WHEN 'ascending' THEN bool_and(
+                   x.er_prev IS NULL OR x.er >= x.er_prev) OVER w
+                 WHEN 'descending' THEN bool_and(
+                   x.er_prev IS NULL OR x.er <= x.er_prev) OVER w
+                 WHEN 'peak' THEN coalesce(
+                   max(CASE WHEN x.er > x.er_prev THEN x.seg END) OVER w
+                   < min(CASE WHEN x.er < x.er_prev THEN x.seg END) OVER w,
+                   true)
+                 ELSE coalesce(
+                   max(CASE WHEN x.er < x.er_prev THEN x.seg END) OVER w
+                   < min(CASE WHEN x.er > x.er_prev THEN x.seg END) OVER w,
+                   true)
+               END AS trend_ok
+        FROM {p}segx x, {p}trend t
+        WINDOW w AS (PARTITION BY x.mask)) x2)
+    WHERE rnk = 1)"""
+
+
+def _dp_cte_binary_auto(table, xexpr, ycond, p):
+    """Full exact-probe replay of one numeric variable of the wide
+    CART/auto fit (BinningProcess defaults: prebinning_method="cart",
+    max_n_prebins=20, min_prebin_size=0.05, monotonic_trend="auto",
+    probe_mode="exact"):
+
+    1. cardinality gate: count(DISTINCT x) > 4505 (per_var_cap * 1.1,
+       binning_process.py _fused_fit_stats) -> 255 exact percentile
+       bucket edges (Spark F.percentile == quantile_cont), per-bucket
+       max-value representatives; small variables keep exact distinct
+       values. The replay works in value-RANK space: CART split index
+       i cuts between ranks i and i+1 regardless of whether the split
+       VALUE is a midpoint (exact path) or a snapped bucket lower edge
+       (snap_splits_to_edges — same boundary by construction), so the
+       value bookkeeping cancels out of every count-level quantity
+       this oracle emits.
+    2. best-first histogram CART (<= 19 splits, min_samples_leaf =
+       0.05 * total) — the recursive-CTE replay proven by the
+       cart_splits oracle, with the prefix-sum arrays carried IN the
+       recursion state so each step touches no upstream CTE.
+    3. the reference's pure-prebin merge loop (refine_pure_prebins,
+       binning.py:43): iteratively drop the split of any bin with
+       zero events or zero nonevents (LAST split goes when either of
+       the last two bins is pure).
+    4. monotonic_trend="auto" decision from the refined prebin
+       profile (_sql_trend_from_binrow).
+    5. exhaustive partition search under the decided trend
+       (_sql_enum_from_binrow).
+
+    Ends with {p}bseg/{p}mrow; expects the shared static grids from
+    _sql_wide_grids in scope."""
+    probs = ", ".join(f"{i}/256.0" for i in range(1, 256))
+    return f"""
+  {p}clean AS (
+    SELECT CAST({xexpr} AS DOUBLE) AS x, {ycond} AS y FROM {table}
+    WHERE {xexpr} IS NOT NULL AND NOT isnan(CAST({xexpr} AS DOUBLE))),
+  {p}edg AS (
+    SELECT CASE WHEN (SELECT count(DISTINCT x) FROM {p}clean) > 4505
+                THEN (SELECT list_sort(list_distinct(
+                        quantile_cont(x, [{probs}]))) FROM {p}clean)
+                ELSE NULL END AS edges),
+  {p}cells AS (
+    SELECT max(x) AS vmax,
+           any_value(le) AS le,
+           CAST(count(*) FILTER (WHERE y = 0) AS DOUBLE) AS ne,
+           CAST(count(*) FILTER (WHERE y = 1) AS DOUBLE) AS ev
+    FROM (SELECT c.x, c.y,
+                 CASE WHEN e.edges IS NULL THEN c.x
+                      ELSE CAST(len(list_filter(e.edges, t -> c.x >= t))
+                                AS DOUBLE) END AS g,
+                 CASE WHEN e.edges IS NULL THEN NULL
+                      WHEN len(list_filter(e.edges, t -> c.x >= t)) = 0
+                        THEN NULL
+                      ELSE e.edges[len(list_filter(e.edges, t -> c.x >= t))]
+                      END AS le
+          FROM {p}clean c, {p}edg e)
+    GROUP BY g),
+  {p}harr AS (
+    SELECT list(vmax ORDER BY vmax) AS xs,
+           list(le ORDER BY vmax) AS les,
+           [0.0] || list(cne ORDER BY vmax) AS gne,
+           [0.0] || list(cev ORDER BY vmax) AS gev,
+           count(*) - 1 AS nmax,
+           0.05 * (sum(ne) + sum(ev)) AS msl
+    FROM (SELECT vmax, le, ne, ev,
+                 sum(ne) OVER (ORDER BY vmax) AS cne,
+                 sum(ev) OVER (ORDER BY vmax) AS cev
+          FROM {p}cells)),
+  {p}steps(iter, lst, done, gne, gev, nmax, msl) AS (
+    SELECT 0, []::BIGINT[], false, gne, gev, nmax, msl FROM {p}harr
+    UNION ALL
+    SELECT {p}steps.iter + 1,
+           CASE WHEN b.i IS NULL OR b.g <= 0.0 THEN {p}steps.lst
+                ELSE list_append({p}steps.lst, b.i) END,
+           (b.i IS NULL OR b.g <= 0.0),
+           {p}steps.gne, {p}steps.gev, {p}steps.nmax, {p}steps.msl
+    FROM {p}steps
+    LEFT JOIN LATERAL (
+      -- flat projection layers (no chained laterals: per-candidate
+      -- lateral re-binding costs ~0.1ms x 4.5k candidates x 19
+      -- iterations; plain nested subqueries vectorize)
+      SELECT c.i, c.g FROM (
+        SELECT s2.i,
+          (1.0 - ((s2.tne / s2.tw) * (s2.tne / s2.tw)
+                  + (s2.tev / s2.tw) * (s2.tev / s2.tw))
+           - ((s2.nlw * (1.0 - ((s2.lne / s2.nlw) * (s2.lne / s2.nlw)
+                             + (s2.lev / s2.nlw) * (s2.lev / s2.nlw)))
+             + s2.nrw * (1.0
+                 - (((s2.tne - s2.lne) / s2.nrw)
+                    * ((s2.tne - s2.lne) / s2.nrw)
+                    + ((s2.tev - s2.lev) / s2.nrw)
+                      * ((s2.tev - s2.lev) / s2.nrw))))
+             / s2.tw)
+          ) * s2.tw AS g,
+          s2.nlw, s2.nrw
+        FROM (
+          SELECT s1.*, s1.lne + s1.lev AS nlw,
+                 (s1.tne + s1.tev) - (s1.lne + s1.lev) AS nrw,
+                 s1.tne + s1.tev AS tw
+          FROM (
+            SELECT bnd.i,
+                   {p}steps.gne[bnd.i + 2] - {p}steps.gne[bnd.lo + 1]
+                     AS lne,
+                   {p}steps.gev[bnd.i + 2] - {p}steps.gev[bnd.lo + 1]
+                     AS lev,
+                   {p}steps.gne[bnd.hi + 2] - {p}steps.gne[bnd.lo + 1]
+                     AS tne,
+                   {p}steps.gev[bnd.hi + 2] - {p}steps.gev[bnd.lo + 1]
+                     AS tev
+            FROM (
+              SELECT cg.g AS i,
+                     COALESCE(list_aggregate(
+                       list_filter({p}steps.lst, t -> t < cg.g),
+                       'max') + 1, 0) AS lo,
+                     COALESCE(list_aggregate(
+                       list_filter({p}steps.lst, t -> t >= cg.g),
+                       'min'), {p}steps.nmax) AS hi
+              FROM wgc cg
+              WHERE cg.g <= {p}steps.nmax) bnd
+            WHERE bnd.i < bnd.hi) s1) s2
+        WHERE s2.nlw >= {p}steps.msl AND s2.nrw >= {p}steps.msl
+      ) c
+      ORDER BY c.g DESC, c.i LIMIT 1
+    ) b ON true
+    WHERE {p}steps.iter < 19 AND NOT {p}steps.done),
+  {p}svl AS (
+    -- materialized split VALUES: midpoints between adjacent distinct
+    -- values (exact path) or the right bucket's lower edge (bucket
+    -- path, snap_splits_to_edges), deduped IN VALUE SPACE like
+    -- np.unique. Value space matters: ulp-adjacent distinct values
+    -- make 0.5 * (a + b) round onto a or b, so a split can land ON a
+    -- value (shifting membership) and two splits can bracket an
+    -- EMPTY prebin — both reproduced here and then expressed as a
+    -- position MULTISET (duplicates = empty bins) for the refine loop
+    SELECT list_sort(list_distinct(list(sv))) AS sv
+    FROM (
+      SELECT CASE WHEN h.les[u.s + 2] IS NOT NULL THEN h.les[u.s + 2]
+                  ELSE 0.5 * (h.xs[u.s + 1] + h.xs[u.s + 2]) END AS sv
+      FROM (SELECT unnest(lst) AS s
+            FROM (SELECT lst FROM {p}steps
+                  ORDER BY iter DESC LIMIT 1)) u, {p}harr h)),
+  {p}ps AS (
+    -- boundary positions: bp[k] = #values strictly below split k
+    -- (digitize right=False). Sorted ascending = split-value order;
+    -- duplicates and 0 legal (empty interior/leading prebins)
+    SELECT coalesce(
+             (SELECT list(pos ORDER BY pos)
+              FROM (SELECT CAST(sum(CASE WHEN h.xs[v.g + 1] < l.sv[k.g + 1]
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS pos
+                    FROM {p}svl l, {p}harr h, wgg k, wgc v
+                    WHERE k.g < len(l.sv) AND v.g <= h.nmax
+                    GROUP BY k.g)),
+             []::BIGINT[]) AS bp,
+           gne, gev, nmax
+    FROM {p}steps ORDER BY iter DESC LIMIT 1),
+  {p}ref(bp, it, done, gne, gev, nmax) AS (
+    SELECT bp, 0, len(bp) = 0, gne, gev, nmax FROM {p}ps
+    UNION ALL
+    SELECT CASE WHEN q2.anypure THEN q2.newbp ELSE {p}ref.bp END,
+           {p}ref.it + 1,
+           (NOT q2.anypure) OR len(q2.newbp) = 0,
+           {p}ref.gne, {p}ref.gev, {p}ref.nmax
+    FROM {p}ref
+    LEFT JOIN LATERAL (
+      SELECT list(pure ORDER BY b) AS pure FROM (
+        SELECT bg.g + 1 AS b,
+          ({p}ref.gne[CASE WHEN bg.g + 1 = len({p}ref.bp) + 1
+                           THEN {p}ref.nmax + 2
+                      ELSE {p}ref.bp[bg.g + 1] + 1 END]
+           - {p}ref.gne[CASE WHEN bg.g + 1 = 1 THEN 1
+                        ELSE {p}ref.bp[bg.g] + 1 END] = 0)
+          OR
+          ({p}ref.gev[CASE WHEN bg.g + 1 = len({p}ref.bp) + 1
+                           THEN {p}ref.nmax + 2
+                      ELSE {p}ref.bp[bg.g + 1] + 1 END]
+           - {p}ref.gev[CASE WHEN bg.g + 1 = 1 THEN 1
+                        ELSE {p}ref.bp[bg.g] + 1 END] = 0) AS pure
+        FROM wgg bg
+        WHERE bg.g + 1 <= len({p}ref.bp) + 1)
+    ) q1 ON true
+    LEFT JOIN LATERAL (
+      SELECT coalesce(list({p}ref.bp[bg.g + 1] ORDER BY bg.g),
+                      []::BIGINT[]) AS newbp,
+             len(list_filter(q1.pure, z -> z)) > 0 AS anypure
+      FROM wgg bg
+      WHERE bg.g + 1 <= len({p}ref.bp)
+        AND NOT (CASE WHEN bg.g + 1 < len({p}ref.bp)
+                      THEN q1.pure[bg.g + 1]
+                      ELSE q1.pure[bg.g + 1] OR q1.pure[bg.g + 2] END)
+    ) q2 ON true
+    WHERE NOT {p}ref.done AND {p}ref.it < 25),
+  {p}fin AS (SELECT bp, gne, gev, nmax FROM {p}ref
+             ORDER BY it DESC LIMIT 1),
+  {p}binrow AS (
+    SELECT nes, evs, len(nes) AS nb,
+           list_aggregate(nes, 'sum') AS t_ne,
+           list_aggregate(evs, 'sum') AS t_ev,
+           list_transform(list_zip(nes, evs), z ->
+             CASE WHEN z[1] + z[2] > 0
+                  THEN z[2] / greatest(z[1] + z[2], 1e-15)
+                  ELSE 0.0 END) AS rlist,
+           list_transform(list_zip(nes, evs), z -> z[1] + z[2]) AS clist
+    FROM (
+      SELECT list_transform(range(1, len(f.bp) + 2), b ->
+               f.gne[CASE WHEN b = len(f.bp) + 1 THEN f.nmax + 2
+                     ELSE f.bp[b] + 1 END]
+               - f.gne[CASE WHEN b = 1 THEN 1
+                       ELSE f.bp[b - 1] + 1 END]) AS nes,
+             list_transform(range(1, len(f.bp) + 2), b ->
+               f.gev[CASE WHEN b = len(f.bp) + 1 THEN f.nmax + 2
+                     ELSE f.bp[b] + 1 END]
+               - f.gev[CASE WHEN b = 1 THEN 1
+                       ELSE f.bp[b - 1] + 1 END]) AS evs
+      FROM {p}fin f)),
+  {_sql_trend_from_binrow(p).lstrip()},
+  {_sql_enum_from_binrow(p).lstrip()},
+  {p}mrow AS (
+    SELECT count(*) FILTER (WHERE y = 0) AS ne,
+           count(*) FILTER (WHERE y = 1) AS ev
+    FROM (SELECT {ycond} AS y FROM {table}
+          WHERE {xexpr} IS NULL OR isnan(CAST({xexpr} AS DOUBLE))))"""
+
+
+def _sql_cat_dp_cte_auto(table, col, ycond, p):
+    """Categorical chain under monotonic_trend="auto": per-category
+    counts -> event-rate ordinal ordering (ties by category string,
+    _finalize_categorical) -> the same binrow/trend/enumeration
+    machinery as the numeric chain (each category is its own ordinal
+    prebin; <= max_n_prebins categories, so no pre-merge)."""
+    return f"""
+  {p}binrow AS (
+    SELECT nes, evs, len(nes) AS nb,
+           list_aggregate(nes, 'sum') AS t_ne,
+           list_aggregate(evs, 'sum') AS t_ev,
+           list_transform(list_zip(nes, evs), z ->
+             CASE WHEN z[1] + z[2] > 0
+                  THEN z[2] / greatest(z[1] + z[2], 1e-15)
+                  ELSE 0.0 END) AS rlist,
+           list_transform(list_zip(nes, evs), z -> z[1] + z[2]) AS clist
+    FROM (
+      SELECT list(ne ORDER BY er, cat) AS nes,
+             list(ev ORDER BY er, cat) AS evs
+      FROM (SELECT cat, ne, ev, ev / greatest(ev + ne, 1e-15) AS er
+            FROM (SELECT {col} AS cat,
+                         CAST(count(*) FILTER (WHERE y = 0) AS DOUBLE)
+                           AS ne,
+                         CAST(count(*) FILTER (WHERE y = 1) AS DOUBLE)
+                           AS ev
+                  FROM (SELECT {col}, {ycond} AS y FROM {table}
+                        WHERE {col} IS NOT NULL)
+                  GROUP BY 1)))),
+  {_sql_trend_from_binrow(p).lstrip()},
+  {_sql_enum_from_binrow(p).lstrip()},
+  {p}mrow AS (
+    SELECT count(*) FILTER (WHERE y = 0) AS ne,
+           count(*) FILTER (WHERE y = 1) AS ev
+    FROM (SELECT {ycond} AS y FROM {table} WHERE {col} IS NULL))"""
+
+
+def _sql_summary_var_basic(name, dtype, p):
+    """One (name, dtype, n_bins, iv) summary row from {p}bseg/{p}mrow
+    in a SINGLE pass (n_bins = clean bins; iv = total Jeffrey IV
+    including the Missing row, analysis() semantics)."""
+    return f"""
+  SELECT '{name}' AS name, '{dtype}' AS dtype,
+         CAST(count(*) FILTER (WHERE kind = 'c') AS INT) AS n_bins,
+         round(sum(CASE WHEN ev > 0 AND ne > 0
+                   THEN (ev / t_ev - ne / t_ne)
+                        * ln((ev / t_ev) / (ne / t_ne))
+                   ELSE 0 END), 6) AS iv
+  FROM (SELECT kind, ne, ev,
+               sum(ne) OVER () AS t_ne, sum(ev) OVER () AS t_ev
+        FROM (SELECT 'c' AS kind, ne, ev FROM {p}bseg
+              UNION ALL SELECT 'm', ne, ev FROM {p}mrow))"""
+
+
+_WIDE_NUM_VARS = [
+    "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_shipdays",
+    "o_custkey", "o_totalprice", "o_orderdays", "net_price", "disc_tax",
+]
+_WIDE_CAT_VARS = ["l_linestatus", "o_orderstatus", "o_orderpriority"]
+
+
+def _sql_wide_fit_exact():
+    """The ENTIRE 16-variable wide fit (q_wide_fit_exact) replayed
+    end-to-end: broadcast join + derived features, then per variable
+    the full training pipeline — cardinality-gated exact-percentile
+    bucketing, best-first CART, pure-prebin merge, the auto-monotonic
+    decision tree (hull features included), and the trend-constrained
+    exact partition search — with nothing pinned."""
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    tbl = ("(SELECT l.*, o.o_custkey, o.o_totalprice, o.o_orderdate,"
+           " o.o_orderstatus, o.o_orderpriority,"
+           " CAST(datediff('day', DATE '1970-01-01',"
+           "      CAST(l.l_shipdate AS DATE)) AS DOUBLE) AS l_shipdays,"
+           " CAST(datediff('day', DATE '1970-01-01',"
+           "      CAST(o.o_orderdate AS DATE)) AS DOUBLE) AS o_orderdays,"
+           " l.l_extendedprice * (1 - l.l_discount) AS net_price,"
+           " l.l_discount + l.l_tax AS disc_tax"
+           " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)")
+    ctes, rows = [_sql_wide_grids()], []
+    for i, v in enumerate(_WIDE_NUM_VARS):
+        p = f"wx{i}_"
+        ctes.append(_dp_cte_binary_auto(tbl, v, y, p))
+        rows.append(_sql_summary_var_basic(v, "numerical", p))
+    for i, v in enumerate(_WIDE_CAT_VARS):
+        p = f"wxc{i}_"
+        ctes.append(_sql_cat_dp_cte_auto(tbl, v, y, p))
+        rows.append(_sql_summary_var_basic(v, "categorical", p))
+    return "WITH RECURSIVE " + ",".join(ctes) + "\n  UNION ALL".join(rows)
 
 
 def _dp_cte_continuous(xcol, yexpr, n_prebins, trend, p=""):
@@ -5940,6 +6504,7 @@ def oracle_sql() -> dict[str, str]:
         "counterfactual_mahalanobis_pinned":
             _sql_counterfactual_mahalanobis_pinned(),
         "wide_summary_pinned": _sql_wide_summary_pinned(),
+        "wide_fit_exact": _sql_wide_fit_exact(),
         "binning_2d_median": _sql_binning_2d_median(),
         "scorecard_table_pdo": _sql_scorecard_table_pdo(),
         "scorecard_table_rebased": _sql_scorecard_table_rebased(),

@@ -558,6 +558,17 @@ def main():
     MOVERS = ("semantic_dedup", "optimal_woe_transform",
               "sketch_binning_table", "dedup_clusters", "jaccard_pairs",
               "bm25_topk")
+    # queries whose DEFINITION changed this round: cross-round
+    # wall-clock is not comparable, so record the ratio with the
+    # reason but never assert an inversion. Entries here must be
+    # re-reviewed (and normally removed) next round.
+    REDEFINED = {
+        "sketch_binning_table": (
+            "r13 accuracy-contract redefinition: the query now ALSO "
+            "runs a full-corpus exact-rank aggregation (one Spark agg "
+            "over lineitem) to band the sketch's quantile claims — "
+            "added work, not a regression of the sketch pipeline"),
+    }
     # dirty = the original section was flagged AND no clean retry
     # rep exists (retry skipped for budget, or its bracket moved too)
     retry_clean = ("headline_retry" in scal.sections
@@ -572,8 +583,12 @@ def main():
         if isinstance(prev_t, (int, float)) and prev_t > 0 and \
                 isinstance(now_t, (int, float)):
             entry["ratio"] = round(now_t / prev_t, 3)
-            entry["inverted"] = bool(
-                not host_dirty and now_t > prev_t * 1.4)
+            if mv in REDEFINED:
+                entry["redefined"] = REDEFINED[mv]
+                entry["inverted"] = False
+            else:
+                entry["inverted"] = bool(
+                    not host_dirty and now_t > prev_t * 1.4)
         watch[f"cross_round_{mv}"] = entry
 
     # collect every inversion across the watch sections so the compact

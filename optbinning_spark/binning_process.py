@@ -104,6 +104,7 @@ class BinningProcess:
         prebinning_method: str = "cart",
         prebinning_kwargs: dict | None = None,
         cat_salt_threshold: int | None = None,
+        probe_mode: str = "approx",
     ):
         self.variable_names = list(variable_names)
         self.categorical_variables = set(categorical_variables or [])
@@ -140,6 +141,19 @@ class BinningProcess:
         # salted algebra itself is exact and value-identical
         # (test_plan_quality pins both facts).
         self.cat_salt_threshold = cat_salt_threshold
+        # probe accuracy for the fused fit's split-proposal job.
+        # "approx" (production default): HLL cardinality + sampled
+        # percentile_approx bucket edges — one cheap pass at any scale.
+        # "exact": exact count_distinct + exact full-data percentile
+        # edges — every quantity the probe feeds into split proposal
+        # becomes deterministic and independently replayable (the
+        # cardinality-gated-exact pattern binning_2d._quantile_axis_splits
+        # established). Meant for audit/oracle runs at sizes where an
+        # exact percentile aggregation is affordable; identical plan
+        # shape (still ONE probe action + ONE stats action).
+        if probe_mode not in ("approx", "exact"):
+            raise ValueError('probe_mode must be "approx" or "exact"')
+        self.probe_mode = probe_mode
 
         self._binners: dict[str, object] = {}
         self._support: dict[str, bool] = {}
@@ -637,7 +651,20 @@ class BinningProcess:
                 "SPARK_GRAFT_PROBE_ACC", "1000")))
             sample_mod = F.lit(int(_os.environ.get(
                 "SPARK_GRAFT_PROBE_MOD", "50")))
+            exact_probe = self.probe_mode == "exact"
             for v in todo:
+                cv = F.col(f"__clean_{v}")
+                if exact_probe:
+                    # exact mode: deterministic, replayable probe —
+                    # exact distinct count (the small/big gate becomes
+                    # a pure function of the data) and exact full-data
+                    # percentile edges (Spark percentile == linear
+                    # interpolation == DuckDB quantile_cont)
+                    probe_aggs.append(
+                        F.count_distinct(cv).alias(f"nd_{v}"))
+                    probe_aggs.append(
+                        F.percentile(cv, probs_lit).alias(f"q_{v}"))
+                    continue
                 # NB: the distinct count must run over ALL rows — the
                 # sample gate below is a VALUE-hash sample (whole values in
                 # or out), so a sampled count would read ~nd/20 for any

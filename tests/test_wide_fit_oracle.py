@@ -1,0 +1,117 @@
+"""Fuzz pins for the wide_fit_exact training-replay oracle's two novel
+SQL fragments, checked against the engine's own driver-side
+implementations WITHOUT Spark (pure DuckDB vs numpy):
+
+- the monotonic_trend="auto" decision (_sql_trend_from_binrow) vs
+  core.auto_monotonic.decide_trend — including the convex-hull area
+  computed via the x-monotone envelope identity;
+- the trend-constrained exhaustive partition search
+  (_sql_enum_from_binrow) vs core.solver.solve_binary for all four
+  monotone trends, segment-identical (integer counts maximize exact-IV
+  tie opportunities, so the lowest-mask tie-break is exercised).
+
+The end-to-end pipeline (CART + snap + refine + trend + solve over the
+16-variable join) is hash-checked by the wide_fit_exact oracle itself
+(tools/check_correctness / the driver gate); these tests isolate the
+novel fragments so a regression points at the right layer.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+import __spark_entry__ as E
+from optbinning_spark.core.auto_monotonic import decide_trend
+from optbinning_spark.core.solver import solve_binary
+
+
+def _binrow_cte(ne, ev):
+    nes = ", ".join(f"{v}::DOUBLE" for v in ne)
+    evs = ", ".join(f"{v}::DOUBLE" for v in ev)
+    return f"""
+  x_binrow AS (
+    SELECT nes, evs, len(nes) AS nb,
+           list_aggregate(nes, 'sum') AS t_ne,
+           list_aggregate(evs, 'sum') AS t_ev,
+           list_transform(list_zip(nes, evs), z ->
+             CASE WHEN z[1] + z[2] > 0
+                  THEN z[2] / greatest(z[1] + z[2], 1e-15)
+                  ELSE 0.0 END) AS rlist,
+           list_transform(list_zip(nes, evs), z -> z[1] + z[2]) AS clist
+    FROM (SELECT [{nes}] AS nes, [{evs}] AS evs))"""
+
+
+def test_auto_trend_sql_matches_engine_fuzz():
+    con = duckdb.connect()
+    rng = np.random.default_rng(1311)
+    for t in range(400):
+        n = int(rng.integers(1, 21))
+        ne = rng.integers(1, 1000, n).astype(float)
+        ev = rng.integers(1, 1000, n).astype(float)
+        if t % 3 == 0:
+            ev = np.sort(ev)
+        if t % 5 == 0:
+            ev = ev[::-1].copy()
+        cnt = ne + ev
+        rates = ev / np.maximum(cnt, 1e-15)
+        want = decide_trend(rates, cnt, mode="auto")
+        sql = ("WITH " + E._sql_wide_grids() + ","
+               + _binrow_cte(ne, ev) + ","
+               + E._sql_trend_from_binrow("x_")
+               + "\nSELECT trend FROM x_trend")
+        got = con.execute(sql).fetchone()[0]
+        assert got == want, (t, n, want, got, list(rates))
+
+
+@pytest.mark.parametrize(
+    "trend", ["ascending", "descending", "peak", "valley"])
+def test_enum_sql_matches_dp_solver_fuzz(trend):
+    con = duckdb.connect()
+    rng = np.random.default_rng(hash(trend) % 2**31)
+    checked = 0
+    for t in range(120):
+        n = int(rng.integers(2, 12))
+        ne = rng.integers(0, 60, n).astype(float)
+        ev = rng.integers(0, 60, n).astype(float)
+        if ne.sum() == 0 or ev.sum() == 0:
+            continue
+        sol = solve_binary(ne, ev, monotonic_trend=trend)
+        sql = ("WITH " + E._sql_wide_grids() + ","
+               + _binrow_cte(ne, ev) + ","
+               + f"  x_trend AS (SELECT '{trend}' AS trend),"
+               + E._sql_enum_from_binrow("x_")
+               + "\nSELECT seg, ne, ev FROM x_bseg ORDER BY seg")
+        rows = con.execute(sql).fetchall()
+        if sol.status == "INFEASIBLE":
+            # oracle falls back to mask 0 = the solver's single
+            # full-range bin
+            assert len(rows) == 1
+            assert rows[0][1] == ne.sum() and rows[0][2] == ev.sum()
+            continue
+        want = [(i, ne[j:k + 1].sum(), ev[j:k + 1].sum())
+                for i, (j, k) in enumerate(sol.segments)]
+        got = [(r[0], r[1], r[2]) for r in rows]
+        assert got == want, (t, trend, got, want)
+        checked += 1
+    assert checked > 60
+
+
+def test_wide_fit_exact_oracle_is_deterministic_sf0001():
+    """The mega-oracle must return bit-identical results across runs
+    on one connection (regression pin: DuckDB 1.0's AS MATERIALIZED
+    silently corrupts WITH RECURSIVE queries NONDETERMINISTICALLY, so
+    the generator must never emit it)."""
+    sql = E._sql_wide_fit_exact()
+    assert "MATERIALIZED" not in sql
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
+    r1 = sorted(map(tuple, con.execute(sql).fetchall()))
+    r2 = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert r1 == r2
+    assert len(r1) == 16
+    assert all(r[2] >= 1 for r in r1)
