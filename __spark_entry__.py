@@ -1169,13 +1169,19 @@ def q_wide_summary_pinned(spark, sf_dir):
 
 
 def q_scorecard_table(spark, sf_dir):
-    """Scorecard: binning + MLlib logistic + pdo_odds points."""
+    """Scorecard table on the production pipeline (quantile/auto
+    binning, driver Newton logistic, pdo_odds point scaling, the
+    reference-parity RoundingMIP-equivalent greedy) — hash-checkable
+    since round 13 via probe_mode="exact"; the oracle replays the
+    entire fit plus the rounding greedy and the bin-label
+    formatting."""
     from optbinning_spark import BinningProcess
     from optbinning_spark.scorecard import Scorecard
 
     df = _lineitem(spark, sf_dir)
     bp = BinningProcess(
-        ["l_quantity", "l_extendedprice", "l_discount"], prebinning_method="quantile"
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        prebinning_method="quantile", probe_mode="exact",
     )
     sc = Scorecard(
         bp,
@@ -1445,13 +1451,22 @@ def q_scorecard_table_linear(spark, sf_dir):
 
 
 def q_scorecard_scores(spark, sf_dir):
-    """Map-only scorecard scoring over every row."""
+    """Map-only scorecard scoring over every row — the PRODUCTION
+    pipeline end-to-end (quantile prebinning, auto monotonic trend,
+    driver Newton/IRLS logistic on the compressed design, min_max
+    point scaling), hash-checkable since round 13 via
+    probe_mode="exact" (the audit-probe pattern wide_fit_exact
+    established: exact distinct counts + exact percentile edges,
+    identical plan shape). The oracle replays the THREE quantile/auto
+    binning fits, the WoE transform, the design compression, the 4x4
+    Newton iteration (explicit Cramer) and the min_max scaling."""
     from optbinning_spark import BinningProcess
     from optbinning_spark.scorecard import Scorecard
 
     df = _lineitem(spark, sf_dir)
     bp = BinningProcess(
-        ["l_quantity", "l_extendedprice", "l_discount"], prebinning_method="quantile"
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        prebinning_method="quantile", probe_mode="exact",
     )
     sc = Scorecard(
         bp,
@@ -2842,6 +2857,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: training-replay oracle — first driver hash of CART prebinning,
 #: the auto-monotonic decision tree and the >8-prebin partition
 #: search on organic data), releasing psi (green r01-r12).
+#: scorecard_scores also enters (round-13 debut: the production
+#: 3-variable scorecard pipeline hash-checked end-to-end — quantile
+#: prebinning, auto trend, 4x4 Newton IRLS, min_max scaling — via
+#: probe_mode="exact"), releasing pii_redaction (green r12).
+#: scorecard_table also enters (round-13 debut: pdo_odds scaling and
+#: the RoundingMIP-equivalent greedy hash-checked end-to-end),
+#: releasing lm_perplexity (green r12).
 #: dsir_gumbel_topk and ivf_topk_trained deliberately STAY in-window:
 #: their boundary semantics changed this round (Gumbel key rounding /
 #: zero-norm cosine pinning) and the new form needs a fresh
@@ -2871,8 +2893,8 @@ _WINDOW = [
     "kmeans_refined_centroids",
     "dedup_clusters_dist",
     "dsir_logweights",
-    "lm_perplexity",
-    "pii_redaction",
+    "scorecard_table",
+    "scorecard_scores",
     "bm25_topk",
     "classification_metrics",
     "dsir_gumbel_topk",
@@ -2929,8 +2951,8 @@ _TAIL = [
     "doc_chunks",
     "paragraph_dedup",
     "near_dup_cosine",
-    "scorecard_scores",
-    "scorecard_table",
+    "pii_redaction",
+    "lm_perplexity",
     "scorecard_scores_huber",
     "scorecard_scores_logistic",
     "scorecard_table_pdo",
@@ -3595,37 +3617,40 @@ def _sql_enum_from_binrow(p):
            lag(ev / greatest(ev + ne, 1e-15))
              OVER (PARTITION BY mask ORDER BY seg) AS er_prev
     FROM {p}segs s),
+  {p}cand AS (
+    SELECT mask,
+           bool_and(ev > 0 AND ne > 0) AS feas,
+           bool_and(er_prev IS NULL OR er >= er_prev) AS mono_asc,
+           bool_and(er_prev IS NULL OR er <= er_prev) AS mono_desc,
+           max(CASE WHEN er > er_prev THEN seg END) AS amax,
+           min(CASE WHEN er > er_prev THEN seg END) AS amin,
+           max(CASE WHEN er < er_prev THEN seg END) AS dmax,
+           min(CASE WHEN er < er_prev THEN seg END) AS dmin,
+           sum(iv_term) AS ivt
+    FROM {p}segx GROUP BY mask),
+  {p}best AS (
+    SELECT coalesce((
+      SELECT c.mask FROM {p}cand c, {p}trend t
+      WHERE c.feas AND (CASE t.trend
+            WHEN 'ascending' THEN c.mono_asc
+            WHEN 'descending' THEN c.mono_desc
+            WHEN 'peak' THEN (c.amax IS NULL OR c.dmin IS NULL
+                              OR c.amax < c.dmin)
+            ELSE (c.dmax IS NULL OR c.amin IS NULL OR c.dmax < c.amin)
+            END)
+      ORDER BY c.ivt DESC, c.mask LIMIT 1), 0) AS mask),
   {p}bseg AS (
-    SELECT seg, ne, ev FROM (
-      SELECT x2.*,
-             dense_rank() OVER (
-               ORDER BY (x2.feas AND x2.trend_ok) DESC,
-                        CASE WHEN x2.feas AND x2.trend_ok
-                             THEN x2.ivt ELSE 0 END DESC,
-                        CASE WHEN x2.feas AND x2.trend_ok
-                             THEN x2.mask ELSE 0 END,
-                        x2.mask = 0 DESC) AS rnk
-      FROM (
-        SELECT x.*,
-               bool_and(x.ev > 0 AND x.ne > 0) OVER w AS feas,
-               sum(x.iv_term) OVER w AS ivt,
-               CASE t.trend
-                 WHEN 'ascending' THEN bool_and(
-                   x.er_prev IS NULL OR x.er >= x.er_prev) OVER w
-                 WHEN 'descending' THEN bool_and(
-                   x.er_prev IS NULL OR x.er <= x.er_prev) OVER w
-                 WHEN 'peak' THEN coalesce(
-                   max(CASE WHEN x.er > x.er_prev THEN x.seg END) OVER w
-                   < min(CASE WHEN x.er < x.er_prev THEN x.seg END) OVER w,
-                   true)
-                 ELSE coalesce(
-                   max(CASE WHEN x.er < x.er_prev THEN x.seg END) OVER w
-                   < min(CASE WHEN x.er > x.er_prev THEN x.seg END) OVER w,
-                   true)
-               END AS trend_ok
-        FROM {p}segx x, {p}trend t
-        WINDOW w AS (PARTITION BY x.mask)) x2)
-    WHERE rnk = 1)"""
+    -- winner segments rebuilt from binrow (no second scan of the
+    -- mask pipeline: the 2^(n-1)-mask chain is referenced exactly
+    -- once, by best)
+    SELECT seg, sum(ne) AS ne, sum(ev) AS ev,
+           min(pb) AS pb_lo, max(pb) AS pb_hi
+    FROM (
+      SELECT gg.g AS pb, b.nes[gg.g + 1] AS ne, b.evs[gg.g + 1] AS ev,
+             bit_count((SELECT mask FROM {p}best)
+                       & ((1::BIGINT << gg.g) - 1)) AS seg
+      FROM {p}binrow b, wgg gg WHERE gg.g < b.nb)
+    GROUP BY seg)"""
 
 
 def _dp_cte_binary_auto(table, xexpr, ycond, p):
@@ -3638,12 +3663,10 @@ def _dp_cte_binary_auto(table, xexpr, ycond, p):
        binning_process.py _fused_fit_stats) -> 255 exact percentile
        bucket edges (Spark F.percentile == quantile_cont), per-bucket
        max-value representatives; small variables keep exact distinct
-       values. The replay works in value-RANK space: CART split index
-       i cuts between ranks i and i+1 regardless of whether the split
-       VALUE is a midpoint (exact path) or a snapped bucket lower edge
-       (snap_splits_to_edges — same boundary by construction), so the
-       value bookkeeping cancels out of every count-level quantity
-       this oracle emits.
+       values. Split VALUES are materialized ({p}svl — midpoints or
+       snapped lower edges) because ulp-adjacent distinct values make
+       midpoints land ON values and can bracket EMPTY prebins; counts
+       then flow through a boundary-position multiset.
     2. best-first histogram CART (<= 19 splits, min_samples_leaf =
        0.05 * total) — the recursive-CTE replay proven by the
        cart_splits oracle, with the prefix-sum arrays carried IN the
@@ -3769,25 +3792,47 @@ def _dp_cte_binary_auto(table, xexpr, ycond, p):
       FROM (SELECT unnest(lst) AS s
             FROM (SELECT lst FROM {p}steps
                   ORDER BY iter DESC LIMIT 1)) u, {p}harr h)),
+  {_sql_auto_solve_tail(table, xexpr, ycond, p).lstrip()}"""
+
+
+def _sql_auto_solve_tail(table, xexpr, ycond, p):
+    """Shared solve tail for the exact-probe replay chains. Expects
+    {p}svl (materialized split values), {p}harr (xs + prefix arrays)
+    and the static grids from _sql_wide_grids in scope; emits:
+
+    - {p}ps / {p}ref / {p}fin — boundary positions as a MULTISET
+      (bp[k] = #values strictly below split k; duplicates and 0 legal
+      = empty prebins) with the refine_pure_prebins loop run on bp
+      and the aligned split VALUES sv filtered alongside (fin.sv is
+      what per-row transforms digitize raw values against);
+    - {p}binrow — per-prebin count/rate arrays in one row;
+    - {p}trend / {p}bseg — the auto-trend decision and the optimal
+      partition (with per-segment prebin ranges pb_lo/pb_hi);
+    - {p}mrow — the Missing row."""
+    return f"""
   {p}ps AS (
     -- boundary positions: bp[k] = #values strictly below split k
-    -- (digitize right=False). Sorted ascending = split-value order;
-    -- duplicates and 0 legal (empty interior/leading prebins)
+    -- (digitize right=False). Non-decreasing in k = split-value
+    -- order; duplicates and 0 legal (empty interior/leading prebins)
     SELECT coalesce(
-             (SELECT list(pos ORDER BY pos)
-              FROM (SELECT CAST(sum(CASE WHEN h.xs[v.g + 1] < l.sv[k.g + 1]
+             (SELECT list(pos ORDER BY kk)
+              FROM (SELECT k.g AS kk,
+                           CAST(sum(CASE WHEN h2.xs[v.g + 1]
+                                              < l2.sv[k.g + 1]
                                          THEN 1 ELSE 0 END) AS BIGINT)
                              AS pos
-                    FROM {p}svl l, {p}harr h, wgg k, wgc v
-                    WHERE k.g < len(l.sv) AND v.g <= h.nmax
+                    FROM {p}svl l2, {p}harr h2, wgg k, wgc v
+                    WHERE k.g < len(l2.sv) AND v.g <= h2.nmax
                     GROUP BY k.g)),
              []::BIGINT[]) AS bp,
-           gne, gev, nmax
-    FROM {p}steps ORDER BY iter DESC LIMIT 1),
-  {p}ref(bp, it, done, gne, gev, nmax) AS (
-    SELECT bp, 0, len(bp) = 0, gne, gev, nmax FROM {p}ps
+           coalesce(l.sv, []::DOUBLE[]) AS sv,
+           h.gne, h.gev, h.nmax
+    FROM {p}harr h, {p}svl l),
+  {p}ref(bp, sv, it, done, gne, gev, nmax) AS (
+    SELECT bp, sv, 0, len(bp) = 0, gne, gev, nmax FROM {p}ps
     UNION ALL
     SELECT CASE WHEN q2.anypure THEN q2.newbp ELSE {p}ref.bp END,
+           CASE WHEN q2.anypure THEN q2.newsv ELSE {p}ref.sv END,
            {p}ref.it + 1,
            (NOT q2.anypure) OR len(q2.newbp) = 0,
            {p}ref.gne, {p}ref.gev, {p}ref.nmax
@@ -3812,6 +3857,8 @@ def _dp_cte_binary_auto(table, xexpr, ycond, p):
     LEFT JOIN LATERAL (
       SELECT coalesce(list({p}ref.bp[bg.g + 1] ORDER BY bg.g),
                       []::BIGINT[]) AS newbp,
+             coalesce(list({p}ref.sv[bg.g + 1] ORDER BY bg.g),
+                      []::DOUBLE[]) AS newsv,
              len(list_filter(q1.pure, z -> z)) > 0 AS anypure
       FROM wgg bg
       WHERE bg.g + 1 <= len({p}ref.bp)
@@ -3820,7 +3867,7 @@ def _dp_cte_binary_auto(table, xexpr, ycond, p):
                       ELSE q1.pure[bg.g + 1] OR q1.pure[bg.g + 2] END)
     ) q2 ON true
     WHERE NOT {p}ref.done AND {p}ref.it < 25),
-  {p}fin AS (SELECT bp, gne, gev, nmax FROM {p}ref
+  {p}fin AS (SELECT bp, sv, gne, gev, nmax FROM {p}ref
              ORDER BY it DESC LIMIT 1),
   {p}binrow AS (
     SELECT nes, evs, len(nes) AS nb,
@@ -3850,6 +3897,87 @@ def _dp_cte_binary_auto(table, xexpr, ycond, p):
            count(*) FILTER (WHERE y = 1) AS ev
     FROM (SELECT {ycond} AS y FROM {table}
           WHERE {xexpr} IS NULL OR isnan(CAST({xexpr} AS DOUBLE))))"""
+
+
+def _dp_cte_quantile_auto(table, xexpr, ycond, p):
+    """Exact-probe replay of one numeric variable of a
+    prebinning_method="quantile" fit (max_n_prebins=20,
+    monotonic_trend="auto", probe_mode="exact"), sharing the solve
+    tail with the CART chain. Split proposal per the fused path
+    (binning_process.py _fused_fit_stats, method == "quantile"):
+
+    - small variables (count(DISTINCT x) <= 4505): the reference's
+      exact KBinsDiscretizer edges via weighted_percentile on the
+      per-distinct-value histogram — h = p * (W - 1), vlo/vhi at
+      searchsorted(cumweights, floor/ceil(h), side="right"), linear
+      interpolation, np.unique;
+    - big variables: the probe's 255 exact percentile edges with the
+      19 split targets snapped to grid indices
+      clip(round(tgt * 256), 1, 255) (grid percentiles ARE bucket
+      boundaries, so the driver re-reduce stays exact without
+      snapping)."""
+    import numpy as _np
+
+    probs = ", ".join(f"{i}/256.0" for i in range(1, 256))
+    tgt = _np.linspace(0, 1, 21)[1:-1]
+    idx = _np.clip(_np.round(tgt * 256).astype(int), 1, 255)
+    tg_rows = ", ".join(
+        f"(CAST({float(pv)!r} AS DOUBLE), {int(iv)})"
+        for pv, iv in zip(tgt, idx))
+    return f"""
+  {p}clean AS (
+    SELECT CAST({xexpr} AS DOUBLE) AS x, {ycond} AS y FROM {table}
+    WHERE {xexpr} IS NOT NULL AND NOT isnan(CAST({xexpr} AS DOUBLE))),
+  {p}edg AS (
+    SELECT CASE WHEN big THEN rawq ELSE NULL END AS raw,
+           CASE WHEN big THEN list_sort(list_distinct(rawq))
+                ELSE NULL END AS edges
+    FROM (SELECT (SELECT count(DISTINCT x) FROM {p}clean) > 4505 AS big,
+                 (SELECT quantile_cont(x, [{probs}])
+                  FROM {p}clean) AS rawq)),
+  {p}cells AS (
+    SELECT max(x) AS vmax,
+           CAST(count(*) FILTER (WHERE y = 0) AS DOUBLE) AS ne,
+           CAST(count(*) FILTER (WHERE y = 1) AS DOUBLE) AS ev
+    FROM (SELECT c.x, c.y,
+                 CASE WHEN e.edges IS NULL THEN c.x
+                      ELSE CAST(len(list_filter(e.edges, t -> c.x >= t))
+                                AS DOUBLE) END AS g
+          FROM {p}clean c, {p}edg e)
+    GROUP BY g),
+  {p}harr AS (
+    SELECT list(vmax ORDER BY vmax) AS xs,
+           [0.0] || list(cne ORDER BY vmax) AS gne,
+           [0.0] || list(cev ORDER BY vmax) AS gev,
+           count(*) - 1 AS nmax
+    FROM (SELECT vmax, ne, ev,
+                 sum(ne) OVER (ORDER BY vmax) AS cne,
+                 sum(ev) OVER (ORDER BY vmax) AS cev
+          FROM {p}cells)),
+  {p}tg(pr, ei) AS (VALUES {tg_rows}),
+  {p}svl AS (
+    SELECT list_sort(list_distinct(list(sv))) AS sv FROM (
+      SELECT CASE WHEN q4.raw IS NOT NULL THEN q4.raw[q4.ei]
+                  ELSE q4.vlo + (q4.hq - q4.lo) * (q4.vhi - q4.vlo)
+             END AS sv
+      FROM (
+        SELECT q3.*, q3.xs[q3.ilo + 1] AS vlo, q3.xs[q3.ihi + 1] AS vhi
+        FROM (
+          SELECT q2.*,
+                 least(len(list_filter(q2.cw, c -> c <= q2.lo)),
+                       q2.nmax) AS ilo,
+                 least(len(list_filter(q2.cw, c -> c <= q2.hi)),
+                       q2.nmax) AS ihi
+          FROM (
+            SELECT q1.*, floor(q1.hq) AS lo, ceil(q1.hq) AS hi
+            FROM (
+              SELECT t.pr, t.ei, e.raw, h.xs, h.nmax,
+                     list_transform(range(1, h.nmax + 2), j ->
+                       h.gne[j + 1] + h.gev[j + 1]) AS cw,
+                     t.pr * (h.gne[h.nmax + 2] + h.gev[h.nmax + 2]
+                             - 1.0) AS hq
+              FROM {p}tg t, {p}edg e, {p}harr h) q1) q2) q3) q4)),
+  {_sql_auto_solve_tail(table, xexpr, ycond, p).lstrip()}"""
 
 
 def _sql_cat_dp_cte_auto(table, col, ycond, p):
@@ -3886,6 +4014,307 @@ def _sql_cat_dp_cte_auto(table, col, ycond, p):
     SELECT count(*) FILTER (WHERE y = 0) AS ne,
            count(*) FILTER (WHERE y = 1) AS ev
     FROM (SELECT {ycond} AS y FROM {table} WHERE {col} IS NULL))"""
+
+
+def _det3(m):
+    (a, b, c), (d, e, f), (g, h, i) = m
+    return (f"({a} * ({e} * {i} - {f} * {h})"
+            f" - {b} * ({d} * {i} - {f} * {g})"
+            f" + {c} * ({d} * {h} - {e} * {g}))")
+
+
+def _det4(m):
+    """Cofactor expansion of a 4x4 determinant over element-name
+    strings (Cramer steps for the 4-parameter Newton system)."""
+    terms = []
+    for j in range(4):
+        minor = [[m[r][c] for c in range(4) if c != j]
+                 for r in range(1, 4)]
+        sgn = "-" if j % 2 else "+"
+        terms.append(f"{sgn} {m[0][j]} * {_det3(minor)}")
+    return "(" + " ".join(terms) + ")"
+
+
+def _sql_scorecard3_core():
+    """Shared core of the production-scorecard oracles
+    (q_scorecard_scores / q_scorecard_table with probe_mode="exact"),
+    ending at the fitted coefficients CTE ``beta``:
+
+    1. three quantile/auto training replays (_dp_cte_quantile_auto);
+    2. per-variable WoE maps from the solved segments (totals include
+       the Missing row, BinningTableBinary semantics);
+    3. per-row WoE features via the refined split values (fin.sv) and
+       the segment prebin ranges;
+    4. the sufficient-statistics design compression
+       groupBy(woe1, woe2, woe3, y) -> weight = count;
+    5. _driver_logistic's Newton/IRLS on the compressed design as a
+       recursive CTE — the 4x4 system solved by explicit Cramer
+       cofactor expansion, same +-35 logit clip, 1e-10 diagonal ridge
+       and 1e-10 max-|step| stopping rule; the design is carried IN
+       the recursion state as aligned lists so an iteration touches
+       no upstream CTE;
+    6. min_max point scaling to [0, 100] (slope/shift from the
+       per-variable extreme raw contributions, reference
+       scaling semantics) and the map-only per-row score."""
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    svars = ["l_quantity", "l_extendedprice", "l_discount"]
+    chains = [_sql_wide_grids()]
+    woems = []
+    for i, v in enumerate(svars, 1):
+        p = f"sc{i}_"
+        chains.append(_dp_cte_quantile_auto("lineitem", v, y, p))
+        woems.append(f"""
+  {p}woem AS (
+    SELECT pb_lo, pb_hi,
+           CASE WHEN ev > 0 AND ne > 0
+                THEN ln((ne / t_ne) / (ev / t_ev)) ELSE 0 END AS woe
+    FROM (SELECT pb_lo, pb_hi, ne, ev,
+                 sum(ne) OVER () AS t_ne, sum(ev) OVER () AS t_ev
+          FROM (SELECT pb_lo, pb_hi, ne, ev FROM {p}bseg
+                UNION ALL SELECT NULL, NULL, ne, ev FROM {p}mrow))
+    WHERE pb_lo IS NOT NULL),
+  {p}mm AS (SELECT min(woe) AS wn, max(woe) AS wx FROM {p}woem)""")
+    # H is symmetric; element names in the s.-lateral below
+    H = [["s.h11", "s.h12", "s.h13", "s.h10"],
+         ["s.h12", "s.h22", "s.h23", "s.h20"],
+         ["s.h13", "s.h23", "s.h33", "s.h30"],
+         ["s.h10", "s.h20", "s.h30", "s.h00"]]
+    G = ["s.g1", "s.g2", "s.g3", "s.g0"]
+    detH = _det4(H)
+    steps = []
+    for i in range(4):
+        Hi = [[G[r] if c == i else H[r][c] for c in range(4)]
+              for r in range(4)]
+        steps.append(f"{_det4(Hi)} / {detH}")
+    st1, st2, st3, st0 = steps
+    lin = "(r.b1 * q.x1 + r.b2 * q.x2 + r.b3 * q.x3 + r.b0)"
+    return f"""
+  WITH RECURSIVE {",".join(chains)},{",".join(woems)},
+  rww AS (
+    SELECT l.l_orderkey, l.l_linenumber, {y} AS y,
+           w1.woe AS x1, w2.woe AS x2, w3.woe AS x3
+    FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+                 CASE WHEN l_quantity IS NULL OR isnan(l_quantity)
+                      THEN NULL
+                      ELSE len(list_filter(f1.sv, s -> l_quantity >= s))
+                 END AS pb1,
+                 CASE WHEN l_extendedprice IS NULL
+                           OR isnan(l_extendedprice) THEN NULL
+                      ELSE len(list_filter(f2.sv,
+                                           s -> l_extendedprice >= s))
+                 END AS pb2,
+                 CASE WHEN l_discount IS NULL OR isnan(l_discount)
+                      THEN NULL
+                      ELSE len(list_filter(f3.sv, s -> l_discount >= s))
+                 END AS pb3
+          FROM lineitem, sc1_fin f1, sc2_fin f2, sc3_fin f3) l
+    LEFT JOIN sc1_woem w1 ON l.pb1 BETWEEN w1.pb_lo AND w1.pb_hi
+    LEFT JOIN sc2_woem w2 ON l.pb2 BETWEEN w2.pb_lo AND w2.pb_hi
+    LEFT JOIN sc3_woem w3 ON l.pb3 BETWEEN w3.pb_lo AND w3.pb_hi),
+  des AS (
+    SELECT x1, x2, x3, CAST(y AS DOUBLE) AS yv,
+           CAST(count(*) AS DOUBLE) AS w
+    FROM rww GROUP BY 1, 2, 3, 4),
+  irls(it, b1, b2, b3, b0, stp, lx1, lx2, lx3, lyv, lw) AS (
+    SELECT 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+           CAST(0 AS DOUBLE), CAST(1 AS DOUBLE),
+           list(x1 ORDER BY x1, x2, x3, yv),
+           list(x2 ORDER BY x1, x2, x3, yv),
+           list(x3 ORDER BY x1, x2, x3, yv),
+           list(yv ORDER BY x1, x2, x3, yv),
+           list(w ORDER BY x1, x2, x3, yv)
+    FROM des
+    UNION ALL
+    SELECT r.it + 1, r.b1 + {st1}, r.b2 + {st2}, r.b3 + {st3},
+           r.b0 + {st0},
+           greatest(abs({st1}), abs({st2}), abs({st3}), abs({st0})),
+           r.lx1, r.lx2, r.lx3, r.lyv, r.lw
+    FROM irls r, LATERAL (
+      SELECT sum(q.w * (q.yv - q.p) * q.x1) AS g1,
+             sum(q.w * (q.yv - q.p) * q.x2) AS g2,
+             sum(q.w * (q.yv - q.p) * q.x3) AS g3,
+             sum(q.w * (q.yv - q.p)) AS g0,
+             sum(q.w * q.p * (1 - q.p) * q.x1 * q.x1) + 1e-10 AS h11,
+             sum(q.w * q.p * (1 - q.p) * q.x1 * q.x2) AS h12,
+             sum(q.w * q.p * (1 - q.p) * q.x1 * q.x3) AS h13,
+             sum(q.w * q.p * (1 - q.p) * q.x1) AS h10,
+             sum(q.w * q.p * (1 - q.p) * q.x2 * q.x2) + 1e-10 AS h22,
+             sum(q.w * q.p * (1 - q.p) * q.x2 * q.x3) AS h23,
+             sum(q.w * q.p * (1 - q.p) * q.x2) AS h20,
+             sum(q.w * q.p * (1 - q.p) * q.x3 * q.x3) + 1e-10 AS h33,
+             sum(q.w * q.p * (1 - q.p) * q.x3) AS h30,
+             sum(q.w * q.p * (1 - q.p)) + 1e-10 AS h00
+      FROM (
+        SELECT r.lx1[dg.g] AS x1, r.lx2[dg.g] AS x2, r.lx3[dg.g] AS x3,
+               r.lyv[dg.g] AS yv, r.lw[dg.g] AS w,
+               1.0 / (1.0 + exp(-(greatest(-35.0, least(35.0,
+                 r.b1 * r.lx1[dg.g] + r.b2 * r.lx2[dg.g]
+                 + r.b3 * r.lx3[dg.g] + r.b0))))) AS p
+        FROM (SELECT g + 1 AS g
+              FROM generate_series(0, 8191) t(g)) dg
+        WHERE dg.g <= len(r.lw)) q
+    ) s
+    WHERE r.it < 100 AND r.stp >= 1e-10),
+  beta AS (SELECT b1, b2, b3, b0 FROM irls ORDER BY it DESC LIMIT 1)"""
+
+
+def _sql_scorecard_scores():
+    """min_max final of the scorecard pipeline: slope/shift from the
+    per-variable extreme raw contributions (reference scaling
+    semantics) and the map-only per-row score."""
+    return _sql_scorecard3_core() + """,
+  scal AS (
+    -- min_max scaling: smin/smax are the extreme achievable raw
+    -- scores; per-bin points = slope * (coef * woe)
+    -- + (shift + slope * intercept) / n_vars
+    SELECT slope, (0.0 - slope * smin + slope * b0) / 3.0 AS cterm,
+           b1, b2, b3
+    FROM (
+      SELECT ((CASE WHEN bt.b1 >= 0 THEN bt.b1 * m1.wn
+                    ELSE bt.b1 * m1.wx END
+               + CASE WHEN bt.b2 >= 0 THEN bt.b2 * m2.wn
+                      ELSE bt.b2 * m2.wx END)
+              + CASE WHEN bt.b3 >= 0 THEN bt.b3 * m3.wn
+                     ELSE bt.b3 * m3.wx END) + bt.b0 AS smin,
+             ((CASE WHEN bt.b1 >= 0 THEN bt.b1 * m1.wx
+                    ELSE bt.b1 * m1.wn END
+               + CASE WHEN bt.b2 >= 0 THEN bt.b2 * m2.wx
+                      ELSE bt.b2 * m2.wn END)
+              + CASE WHEN bt.b3 >= 0 THEN bt.b3 * m3.wx
+                     ELSE bt.b3 * m3.wn END) + bt.b0 AS smax,
+             bt.b1, bt.b2, bt.b3, bt.b0
+      FROM beta bt, sc1_mm m1, sc2_mm m2, sc3_mm m3),
+    LATERAL (SELECT (100.0 - 0.0)
+                    / greatest(smax - smin, 1e-15) AS slope) sl)
+  SELECT r.l_orderkey, r.l_linenumber,
+         round(((0.0
+                 + CASE WHEN r.x1 IS NULL THEN 0.0
+                        ELSE sc.slope * (sc.b1 * r.x1) + sc.cterm END)
+                + CASE WHEN r.x2 IS NULL THEN 0.0
+                       ELSE sc.slope * (sc.b2 * r.x2) + sc.cterm END)
+               + CASE WHEN r.x3 IS NULL THEN 0.0
+                      ELSE sc.slope * (sc.b3 * r.x3) + sc.cterm END,
+               4) + 0.0 AS score
+  FROM rww r, scal sc"""
+
+
+def _sql_scorecard_table():
+    """pdo_odds + rounding final of the scorecard pipeline
+    (q_scorecard_table): per-bin pre-round points
+    -factor * (coef * woe) + offset/n - factor * intercept / n with
+    factor = pdo/ln 2, offset = points - factor * ln(odds); then the
+    reference-parity rounding (_round_points_minmax) replayed as a
+    recursive CTE — np.rint == round_even, then the
+    cheapest-marginal-move greedy that raises per-variable minima
+    until the rounded minimum achievable total is restored and caps
+    maxima until the rounded maximum is (L1 marginal cost, ties to
+    the earlier variable, flat variables skipped in the cap phase);
+    bin labels from the solved segment boundaries (printf %.2f ==
+    format_bin_label at show_digits=2)."""
+    import numpy as _np
+
+    pdo, odds, sp, n = 20.0, 50.0, 600.0, 3
+    factor = pdo / _np.log(2)
+    offset = sp - factor * _np.log(odds)
+    fc, off = repr(float(factor)), repr(float(offset))
+    praw_cols = []
+    for i in (1, 2, 3):
+        praw_cols.append(
+            f"""(SELECT list(-{fc} * (bt.b{i} * w.woe) + {off} / {n}.0
+                        - {fc} * bt.b0 / {n}.0 ORDER BY w.pb_lo)
+            FROM sc{i}_woem w) AS r{i}""")
+    # per-iteration candidate evaluation: for each variable, the
+    # raise-min (phase 1) / cap-max (phase 2) clamp and its L1
+    # marginal cost vs the pre-round points
+    cand_cols = []
+    for i in (1, 2, 3):
+        cand_cols.append(f"""
+        list_transform(r.p{i}, x -> CASE WHEN r.ph = 1
+            THEN greatest(x, mm.mn{i} + 1)
+            ELSE least(x, mm.mx{i} - 1) END) AS q{i},
+        CASE WHEN r.ph = 2 AND mm.mx{i} - 1 < mm.mn{i} THEN 1e18
+             ELSE list_aggregate(list_transform(
+                    list_zip(list_transform(r.p{i}, x ->
+                      CASE WHEN r.ph = 1 THEN greatest(x, mm.mn{i} + 1)
+                           ELSE least(x, mm.mx{i} - 1) END), r.w{i}),
+                    z -> abs(z[1] - z[2])), 'sum')
+                  - list_aggregate(list_transform(
+                      list_zip(r.p{i}, r.w{i}),
+                      z -> abs(z[1] - z[2])), 'sum')
+        END AS dc{i}""")
+    vnames = ("l_quantity", "l_extendedprice", "l_discount")
+    vname_case = ("CASE a.vi WHEN 1 THEN 'l_quantity' "
+                  "WHEN 2 THEN 'l_extendedprice' "
+                  "ELSE 'l_discount' END")
+    all_rows = "\n  UNION ALL".join(
+        f"""
+  SELECT {i} AS vi, b.seg, b.ne, b.ev, b.pb_lo, b.pb_hi, f.sv
+  FROM sc{i}_bseg b, sc{i}_fin f""" for i in (1, 2, 3))
+    return _sql_scorecard3_core() + f""",
+  praw AS (
+    SELECT {",".join(praw_cols)}
+    FROM beta bt),
+  ptgt AS (
+    SELECT r1, r2, r3,
+           round_even((list_aggregate(r1, 'min')
+                       + list_aggregate(r2, 'min'))
+                      + list_aggregate(r3, 'min'), 0) AS mnp,
+           round_even((list_aggregate(r1, 'max')
+                       + list_aggregate(r2, 'max'))
+                      + list_aggregate(r3, 'max'), 0) AS mxp
+    FROM praw),
+  rnd(ph, p1, p2, p3, w1, w2, w3, mnp, mxp, it, done) AS (
+    SELECT 1,
+           list_transform(r1, x -> round_even(x, 0)),
+           list_transform(r2, x -> round_even(x, 0)),
+           list_transform(r3, x -> round_even(x, 0)),
+           r1, r2, r3, mnp, mxp, 0, false
+    FROM ptgt
+    UNION ALL
+    SELECT CASE WHEN nx.move = 0 AND r.ph = 1 THEN 2 ELSE r.ph END,
+           CASE WHEN nx.move = 1 THEN cnd.q1 ELSE r.p1 END,
+           CASE WHEN nx.move = 2 THEN cnd.q2 ELSE r.p2 END,
+           CASE WHEN nx.move = 3 THEN cnd.q3 ELSE r.p3 END,
+           r.w1, r.w2, r.w3, r.mnp, r.mxp, r.it + 1,
+           (nx.move = 0 AND r.ph = 2)
+    FROM rnd r,
+    LATERAL (SELECT
+        list_aggregate(r.p1, 'min') AS mn1,
+        list_aggregate(r.p2, 'min') AS mn2,
+        list_aggregate(r.p3, 'min') AS mn3,
+        list_aggregate(r.p1, 'max') AS mx1,
+        list_aggregate(r.p2, 'max') AS mx2,
+        list_aggregate(r.p3, 'max') AS mx3) mm,
+    LATERAL (SELECT {",".join(cand_cols)}) cnd,
+    LATERAL (SELECT CASE
+        -- phase targets met (or no cap candidate) -> no move
+        WHEN r.ph = 1 AND mm.mn1 + mm.mn2 + mm.mn3 >= r.mnp THEN 0
+        WHEN r.ph = 2 AND mm.mx1 + mm.mx2 + mm.mx3 <= r.mxp THEN 0
+        WHEN r.ph = 2 AND cnd.dc1 >= 1e18 AND cnd.dc2 >= 1e18
+             AND cnd.dc3 >= 1e18 THEN 0
+        -- cheapest L1 marginal, ties to the earlier variable
+        WHEN cnd.dc1 <= cnd.dc2 AND cnd.dc1 <= cnd.dc3 THEN 1
+        WHEN cnd.dc2 <= cnd.dc3 THEN 2
+        ELSE 3 END AS move) nx
+    WHERE NOT r.done AND r.it < 200),
+  pts AS (SELECT p1, p2, p3 FROM rnd ORDER BY it DESC LIMIT 1),
+  vrows AS ({all_rows})
+  SELECT {vname_case} AS variable,
+         CASE WHEN a.seg = 0 AND a.seg = a.ms THEN '(-inf, inf)'
+              WHEN a.seg = 0
+                THEN '(-inf, ' || printf('%.2f', a.sv[a.pb_hi + 1])
+                     || ')'
+              WHEN a.seg = a.ms
+                THEN '[' || printf('%.2f', a.sv[a.pb_lo]) || ', inf)'
+              ELSE '[' || printf('%.2f', a.sv[a.pb_lo]) || ', '
+                   || printf('%.2f', a.sv[a.pb_hi + 1]) || ')'
+         END AS bin,
+         CAST(a.ne + a.ev AS DOUBLE) AS count,
+         CASE a.vi WHEN 1 THEN pt.p1[a.seg + 1]
+                   WHEN 2 THEN pt.p2[a.seg + 1]
+                   ELSE pt.p3[a.seg + 1] END AS points
+  FROM (SELECT v.*, max(seg) OVER (PARTITION BY vi) AS ms
+        FROM vrows v) a, pts pt"""
 
 
 def _sql_summary_var_basic(name, dtype, p):
@@ -6505,6 +6934,8 @@ def oracle_sql() -> dict[str, str]:
             _sql_counterfactual_mahalanobis_pinned(),
         "wide_summary_pinned": _sql_wide_summary_pinned(),
         "wide_fit_exact": _sql_wide_fit_exact(),
+        "scorecard_scores": _sql_scorecard_scores(),
+        "scorecard_table": _sql_scorecard_table(),
         "binning_2d_median": _sql_binning_2d_median(),
         "scorecard_table_pdo": _sql_scorecard_table_pdo(),
         "scorecard_table_rebased": _sql_scorecard_table_rebased(),

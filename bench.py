@@ -40,7 +40,12 @@ HEADLINE = [
     "continuous_binning_table",
     "categorical_optimal_binning",
     "binning_process_summary",
-    "scorecard_scores",
+    # round 13: scorecard_scores became the exact-probe audit twin
+    # (hash-oracled; its exact percentile probe is deliberately not a
+    # perf surface); the 1-variable production-path scorecard query
+    # keeps the fit+score pipeline timed here, and scorecard_anchor
+    # covers the multi-variable path at 600k rows
+    "scorecard_scores_logistic",
     "sketch_binning_table",
     # 16-variable Home-Credit-shaped fit — the direct BASELINE.md
     # comparison (reference: 16 vars x 307,511 rows in 5.087s, 1 core)
@@ -244,7 +249,7 @@ def main():
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for warm_q in ("optimal_binning_table", "minhash_signatures",
-                       "scorecard_scores", "jaccard_pairs",
+                       "scorecard_scores_logistic", "jaccard_pairs",
                        "wide_process_fit", "ann_topk",
                        "near_dup_cosine_bucketed"):
             try:
@@ -695,7 +700,7 @@ SCALE_QUERIES = [
     "optimal_woe_transform",
     "exact_dedup",
     "jaccard_pairs",
-    "scorecard_scores",
+    "scorecard_scores_logistic",
     "dedup_clusters",
     "ann_topk",
     "dsir_logweights",
