@@ -1812,6 +1812,143 @@ def q_binning_2d_median(spark, sf_dir):
         "n_nonevent bigint, n_event bigint, woe double, iv double")
 
 
+def _rect_partitions_3x3():
+    """All 322 rectangle partitions of the 3x3 grid, enumerated by the
+    SAME filled-prefix-profile DFS as binning_2d._exact_cover (same
+    choice order: widen columns outer, extend rows inner), so the
+    partition index doubles as the solver's tie-break — the engine's
+    per-state first-max composition IS the lowest-index optimal
+    partition in this enumeration."""
+    out = []
+
+    def go(heights, acc):
+        h = list(heights)
+        r = min(h)
+        if r == 3:
+            out.append(tuple(acc))
+            return
+        c = h.index(r)
+        c2 = c
+        while c2 < 3 and h[c2] == r:
+            c2 += 1
+            for r2 in range(r + 1, 4):
+                nh = list(h)
+                for j in range(c, c2):
+                    nh[j] = r2
+                go(tuple(nh), acc + [(r, r2, c, c2)])
+
+    go((0, 0, 0), [])
+    return out
+
+
+def q_binning_2d_3x3(spark, sf_dir):
+    """O8 exact-cover solver on a DATA-DERIVED 3x3 quantile grid: the
+    engine's _exact_cover profile DP (ALL rectangle partitions, not
+    just guillotine cuts) hash-checked beyond the pinned/median 2x2 —
+    tercile splits per axis from the cardinality-gated exact
+    percentile path, min_bin_size=0.15 making every singleton cell
+    INFEASIBLE (tercile cells are ~11%) so the optimum genuinely
+    exercises the merge search, 322-partition exhaustive enumeration
+    in the oracle with the solver's tie-break order."""
+    from optbinning_spark.binning_2d import OptimalBinning2D
+
+    df = _lineitem(spark, sf_dir)
+    ob = OptimalBinning2D(
+        prebinning_method="quantile",
+        max_n_prebins_x=3, max_n_prebins_y=3,
+        min_bin_size=0.15,
+    )
+    ob.fit(df, "l_quantity", "l_extendedprice", "y")
+    rows = []
+    for i, (r1, r2, c1, c2) in enumerate(ob.rects_):
+        rows.append((
+            int(r1), int(r2), int(c1), int(c2),
+            int(ob.count_[i]),
+            int(ob.n_nonevent_[i]),
+            int(ob.n_event_[i]),
+            round(float(ob.woe_[i]) + 0.0, 6) + 0.0,
+            round(float(ob.iv_per_bin_[i]) + 0.0, 6) + 0.0,
+        ))
+    rows.sort()
+    return spark.createDataFrame(
+        rows,
+        "r1 int, r2 int, c1 int, c2 int, count bigint, "
+        "n_nonevent bigint, n_event bigint, woe double, iv double")
+
+
+def _sql_binning_2d_3x3():
+    """322-partition exhaustive replay of the 3x3 exact cover:
+    tercile splits per axis via quantile_cont (== the engine's exact
+    F.percentile path), per-rectangle feasibility ne > 0 AND ev > 0
+    AND count >= min_bin_size * total, IV argmax with ties to the
+    lowest DFS partition index (the solver's first-max composition,
+    see _rect_partitions_3x3)."""
+    import numpy as _np
+
+    parts = _rect_partitions_3x3()
+    rects = sorted({rc for p in parts for rc in p})
+    rid = {rc: i for i, rc in enumerate(rects)}
+    px = [repr(float(p)) for p in _np.linspace(0, 1, 4)[1:-1]]
+    rsel = " UNION ALL ".join(
+        f"SELECT {i} AS rid, {r1} AS r1, {r2} AS r2, {c1} AS c1, "
+        f"{c2} AS c2, "
+        f"(SELECT coalesce(sum(ne),0) FROM cells WHERE bx >= {r1} "
+        f"AND bx < {r2} AND by >= {c1} AND by < {c2}) AS ne, "
+        f"(SELECT coalesce(sum(ev),0) FROM cells WHERE bx >= {r1} "
+        f"AND bx < {r2} AND by >= {c1} AND by < {c2}) AS ev"
+        for i, (r1, r2, c1, c2) in enumerate(rects))
+    psel = ", ".join(
+        f"({p}, {rid[rc]})" for p, pr in enumerate(parts) for rc in pr)
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    return f"""
+  WITH tx AS (
+    SELECT quantile_cont(CAST(l_quantity AS DOUBLE),
+                         [{px[0]}, {px[1]}]) AS qx,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                         [{px[0]}, {px[1]}]) AS qy
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+      AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+  cells AS (
+    SELECT (CASE WHEN l_quantity >= t.qx[2] THEN 2
+                 WHEN l_quantity >= t.qx[1] THEN 1 ELSE 0 END) AS bx,
+           (CASE WHEN l_extendedprice >= t.qy[2] THEN 2
+                 WHEN l_extendedprice >= t.qy[1] THEN 1 ELSE 0 END)
+             AS by,
+           CAST(count(*) FILTER (WHERE {y} = 0) AS DOUBLE) AS ne,
+           CAST(count(*) FILTER (WHERE {y} = 1) AS DOUBLE) AS ev
+    FROM lineitem, tx t
+    WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+      AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+    GROUP BY 1, 2),
+  tot AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev FROM cells),
+  rectstats AS ({rsel}),
+  rectx AS (
+    SELECT r.*,
+           (r.ne > 0 AND r.ev > 0
+            AND r.ne + r.ev >= 0.15 * (t.t_ne + t.t_ev)) AS feas,
+           (r.ev / t.t_ev - r.ne / t.t_ne)
+             * ln((r.ev / t.t_ev) / (r.ne / t.t_ne)) AS term,
+           t.t_ne, t.t_ev
+    FROM rectstats r, tot t),
+  partrects(pid, rid) AS (VALUES {psel}),
+  cand AS (
+    SELECT p.pid, bool_and(x.feas) AS feas, sum(x.term) AS obj
+    FROM partrects p JOIN rectx x ON x.rid = p.rid
+    GROUP BY p.pid),
+  best AS (SELECT pid FROM cand WHERE feas
+           ORDER BY obj DESC, pid LIMIT 1)
+  SELECT x.r1, x.r2, x.c1, x.c2,
+         CAST(x.ne + x.ev AS BIGINT) AS count,
+         CAST(x.ne AS BIGINT) AS n_nonevent,
+         CAST(x.ev AS BIGINT) AS n_event,
+         round(ln((x.ne / x.t_ne) / (x.ev / x.t_ev)), 6) + 0.0 AS woe,
+         round(x.term, 6) + 0.0 AS iv
+  FROM partrects p
+  JOIN rectx x ON x.rid = p.rid
+  WHERE p.pid = (SELECT pid FROM best)"""
+
+
 def q_binning_2d_table(spark, sf_dir):
     """O8: 2-D optimal binning via guillotine-partition DP."""
     from optbinning_spark.binning_2d import OptimalBinning2D
@@ -2960,6 +3097,7 @@ _TAIL = [
     "wide_process_fit",
     "binning_2d_table",
     "binning_2d_median",
+    "binning_2d_3x3",
     "binning_2d_pinned",
     "dedup_clusters",
     "simhash_pairs",
@@ -6937,6 +7075,7 @@ def oracle_sql() -> dict[str, str]:
         "scorecard_scores": _sql_scorecard_scores(),
         "scorecard_table": _sql_scorecard_table(),
         "binning_2d_median": _sql_binning_2d_median(),
+        "binning_2d_3x3": _sql_binning_2d_3x3(),
         "scorecard_table_pdo": _sql_scorecard_table_pdo(),
         "scorecard_table_rebased": _sql_scorecard_table_rebased(),
         # dup_ngram_spans: positional 5-grams, corpus-wide counts,
