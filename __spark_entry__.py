@@ -3001,6 +3001,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: scorecard_table also enters (round-13 debut: pdo_odds scaling and
 #: the RoundingMIP-equivalent greedy hash-checked end-to-end),
 #: releasing lm_perplexity (green r12).
+#: binning_2d_3x3 also enters (round-13 debut: the 2-D exact-cover
+#: solver on a data-derived 3x3 tercile grid, 322-partition
+#: enumeration), releasing bpe_token_count (green r12; its Arrow
+#: production path stays measured in bench).
 #: dsir_gumbel_topk and ivf_topk_trained deliberately STAY in-window:
 #: their boundary semantics changed this round (Gumbel key rounding /
 #: zero-norm cosine pinning) and the new form needs a fresh
@@ -3012,7 +3016,7 @@ _WINDOW = [
     "binning_table_fixed",
     "outlier_yquantile",
     "special_missing_stats",
-    "bpe_token_count",
+    "binning_2d_3x3",
     "minhash_signatures",
     "lsh_candidates",
     "semantic_dedup_arrow",
@@ -3097,7 +3101,7 @@ _TAIL = [
     "wide_process_fit",
     "binning_2d_table",
     "binning_2d_median",
-    "binning_2d_3x3",
+    "bpe_token_count",
     "binning_2d_pinned",
     "dedup_clusters",
     "simhash_pairs",
