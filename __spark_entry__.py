@@ -1744,7 +1744,8 @@ def _sql_binning_2d_binary_8part(bx_case, by_case, head_cte=""):
     SELECT p.pid, bool_and(x.feas) AS feas, sum(x.term) AS obj
     FROM partrects p JOIN rectx x ON x.rid = p.rid
     GROUP BY p.pid),
-  best AS (SELECT pid FROM cand WHERE feas ORDER BY obj DESC, pid LIMIT 1)
+  best AS (SELECT pid FROM cand WHERE feas
+           ORDER BY round(obj, 9) DESC, pid LIMIT 1)
   SELECT x.r1, x.r2, x.c1, x.c2,
          CAST(x.ne + x.ev AS BIGINT) AS count,
          CAST(x.ne AS BIGINT) AS n_nonevent,
@@ -1812,33 +1813,61 @@ def q_binning_2d_median(spark, sf_dir):
         "n_nonevent bigint, n_event bigint, woe double, iv double")
 
 
-def _rect_partitions_3x3():
-    """All 322 rectangle partitions of the 3x3 grid, enumerated by the
-    SAME filled-prefix-profile DFS as binning_2d._exact_cover (same
-    choice order: widen columns outer, extend rows inner), so the
-    partition index doubles as the solver's tie-break — the engine's
-    per-state first-max composition IS the lowest-index optimal
-    partition in this enumeration."""
+def _rect_partitions(nx, ny):
+    """All rectangle partitions of the nx x ny grid (322 at 3x3,
+    3,164 at 3x4), enumerated by the SAME filled-prefix-profile DFS
+    as binning_2d._exact_cover (same choice order: widen columns
+    outer, extend rows inner), so the partition index doubles as the
+    solver's tie-break — the engine's per-state first-max composition
+    (9dp-rounded compares, first candidate kept on ties) IS the
+    lowest-index optimal partition in this enumeration. Within a
+    partition the DFS appends rects in lexicographic top-left-corner
+    order (each step covers the topmost-leftmost unfilled cell, the
+    lexicographic minimum of the remaining cells), so the engine's
+    rects_ order is recoverable in SQL as ORDER BY r1, c1."""
     out = []
 
     def go(heights, acc):
         h = list(heights)
         r = min(h)
-        if r == 3:
+        if r == nx:
             out.append(tuple(acc))
             return
         c = h.index(r)
         c2 = c
-        while c2 < 3 and h[c2] == r:
+        while c2 < ny and h[c2] == r:
             c2 += 1
-            for r2 in range(r + 1, 4):
+            for r2 in range(r + 1, nx + 1):
                 nh = list(h)
                 for j in range(c, c2):
                     nh[j] = r2
                 go(tuple(nh), acc + [(r, r2, c, c2)])
 
-    go((0, 0, 0), [])
+    go((0,) * ny, [])
     return out
+
+
+def _rect_partitions_3x3():
+    return _rect_partitions(3, 3)
+
+
+def _rect_enum_masks(nx, ny):
+    """(rects, masks): the distinct rectangles of the nx x ny grid
+    (sorted, index = rid) and, per partition of _rect_partitions, a
+    BIGINT bitmask over rids — a compact SQL encoding (one VALUES row
+    per partition instead of one per partition-rect pair; the 3x4
+    grid has 60 rects, so masks fit a BIGINT)."""
+    parts = _rect_partitions(nx, ny)
+    rects = sorted({rc for p in parts for rc in p})
+    assert len(rects) <= 62
+    rid = {rc: i for i, rc in enumerate(rects)}
+    masks = []
+    for p in parts:
+        m = 0
+        for rc in p:
+            m |= 1 << rid[rc]
+        masks.append(m)
+    return rects, masks
 
 
 def q_binning_2d_3x3(spark, sf_dir):
@@ -1901,14 +1930,38 @@ def _sql_binning_2d_3x3():
         f"({p}, {rid[rc]})" for p, pr in enumerate(parts) for rc in pr)
     y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
     return f"""
-  WITH tx AS (
+  WITH tx0 AS (
     SELECT quantile_cont(CAST(l_quantity AS DOUBLE),
                          [{px[0]}, {px[1]}]) AS qx,
            quantile_cont(CAST(l_extendedprice AS DOUBLE),
-                         [{px[0]}, {px[1]}]) AS qy
+                         [{px[0]}, {px[1]}]) AS qy,
+           count(DISTINCT l_quantity) AS ndx,
+           count(DISTINCT l_extendedprice) AS ndy
     FROM lineitem
     WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
       AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+  tx AS (
+    -- loud validity guards: this oracle replays the engine's EXACT
+    -- percentile path on a fixed 3x3 grid, which silently stops
+    -- matching if (a) the engine's cardinality gate
+    -- (approx_count_distinct rsd=0.05 > 100k, binning_2d.py
+    -- _quantile_axis_splits) flips it to GK approxQuantile — assert
+    -- with 15% margin for the HLL error — or (b) tercile edges
+    -- collide (the engine np.unique's its splits, collapsing the
+    -- grid below 3x3, which the hard-coded 322-partition enumeration
+    -- cannot mirror)
+    SELECT CASE WHEN ndx > 85000 OR ndy > 85000
+                THEN error('binning_2d_3x3 oracle invalid: distinct '
+                           || 'counts ' || ndx || '/' || ndy
+                           || ' near/past the engine approx-quantile '
+                           || 'gate (100k, rsd 0.05)')
+                WHEN qx[1] = qx[2] OR qy[1] = qy[2]
+                THEN error('binning_2d_3x3 oracle invalid: duplicate '
+                           || 'tercile edges (engine would collapse '
+                           || 'the 3x3 grid)')
+                ELSE qx END AS qx,
+           qy
+    FROM tx0),
   cells AS (
     SELECT (CASE WHEN l_quantity >= t.qx[2] THEN 2
                  WHEN l_quantity >= t.qx[1] THEN 1 ELSE 0 END) AS bx,
@@ -1927,8 +1980,13 @@ def _sql_binning_2d_3x3():
     SELECT r.*,
            (r.ne > 0 AND r.ev > 0
             AND r.ne + r.ev >= 0.15 * (t.t_ne + t.t_ev)) AS feas,
-           (r.ev / t.t_ev - r.ne / t.t_ne)
-             * ln((r.ev / t.t_ev) / (r.ne / t.t_ne)) AS term,
+           -- guard: infeasible rects still flow through cand's sum
+           -- (the partition is filtered AFTER aggregation), so a
+           -- zero-count side must not raise ln(0)
+           CASE WHEN r.ne > 0 AND r.ev > 0
+                THEN (r.ev / t.t_ev - r.ne / t.t_ne)
+                     * ln((r.ev / t.t_ev) / (r.ne / t.t_ne))
+                ELSE 0 END AS term,
            t.t_ne, t.t_ev
     FROM rectstats r, tot t),
   partrects(pid, rid) AS (VALUES {psel}),
@@ -1937,7 +1995,7 @@ def _sql_binning_2d_3x3():
     FROM partrects p JOIN rectx x ON x.rid = p.rid
     GROUP BY p.pid),
   best AS (SELECT pid FROM cand WHERE feas
-           ORDER BY obj DESC, pid LIMIT 1)
+           ORDER BY round(obj, 9) DESC, pid LIMIT 1)
   SELECT x.r1, x.r2, x.c1, x.c2,
          CAST(x.ne + x.ev AS BIGINT) AS count,
          CAST(x.ne AS BIGINT) AS n_nonevent,
@@ -1950,16 +2008,160 @@ def _sql_binning_2d_3x3():
 
 
 def q_binning_2d_table(spark, sf_dir):
-    """O8: 2-D optimal binning via guillotine-partition DP."""
+    """O8: the full 2-D binning TABLE (formatted bin_x/bin_y labels,
+    counts, event rate, WoE, IV) on a DATA-DERIVED tercile x quartile
+    grid. r14 redefinition (was CART 6x6, rows-only): quantile 3x4
+    keeps the exact-cover search non-trivial (3,164 rectangle
+    partitions, a non-square grid larger than binning_2d_3x3's 322)
+    while staying SQL-enumerable, so the table path — label
+    formatting, event_rate/woe/iv derivation, rects_ ordering — gets
+    a full value-level hash check (r13 verdict ask #5).
+    min_bin_size=0.10 makes singleton cells (~8.3% each) INFEASIBLE,
+    so the cover search genuinely merges (IV is superadditive under
+    splits: the finest feasible partition otherwise always wins). The
+    CART 2-D prebinning strategy (B8) stays covered by golden
+    tests."""
     from optbinning_spark.binning_2d import OptimalBinning2D
 
     df = _lineitem(spark, sf_dir)
-    ob = OptimalBinning2D(max_n_prebins_x=6, max_n_prebins_y=6, min_bin_size=0.02)
+    ob = OptimalBinning2D(
+        prebinning_method="quantile",
+        max_n_prebins_x=3, max_n_prebins_y=4, min_bin_size=0.10)
     ob.fit(df, "l_quantity", "l_extendedprice", "y")
     pdf = ob.binning_table()
     num = pdf.select_dtypes("number").columns
     pdf[num] = pdf[num].round(6)
     return spark.createDataFrame(pdf)
+
+
+def _sql_rect_grid_guard(x, y, npx, npy, src_filter):
+    """Shared head CTEs {p}tq0/{p}tq for a data-derived quantile grid
+    oracle: exact quantile_cont edges (== the engine's F.percentile
+    path) with the same loud validity guards as binning_2d_3x3 —
+    error past the engine's approx-quantile cardinality gate (with
+    15% HLL margin) and on duplicate edges (the engine np.unique's
+    its splits, collapsing the grid, which a fixed-size partition
+    enumeration cannot mirror)."""
+    import numpy as _np
+
+    pxs = ", ".join(repr(float(p))
+                    for p in _np.linspace(0, 1, npx + 1)[1:-1])
+    pys = ", ".join(repr(float(p))
+                    for p in _np.linspace(0, 1, npy + 1)[1:-1])
+    return f"""tq0 AS (
+    SELECT quantile_cont(CAST({x} AS DOUBLE), [{pxs}]) AS qx,
+           quantile_cont(CAST({y} AS DOUBLE), [{pys}]) AS qy,
+           count(DISTINCT {x}) AS ndx,
+           count(DISTINCT {y}) AS ndy
+    FROM lineitem
+    WHERE {src_filter}),
+  tq AS (
+    SELECT CASE WHEN ndx > 85000 OR ndy > 85000
+                THEN error('2d grid oracle invalid: distinct counts '
+                           || ndx || '/' || ndy || ' near/past the '
+                           || 'engine approx-quantile gate')
+                WHEN len(list_distinct(qx)) < len(qx)
+                     OR len(list_distinct(qy)) < len(qy)
+                THEN error('2d grid oracle invalid: duplicate '
+                           || 'quantile edges (engine would collapse '
+                           || 'the grid)')
+                ELSE qx END AS qx,
+           qy
+    FROM tq0)"""
+
+
+def _sql_rect_bin_expr(col, edges, n):
+    """0-based prebin index of ``col`` against the ``edges`` array
+    expression (x >= edge -> next bin), matching numeric_bin_expr."""
+    return ("(" + " ".join(
+        f"CASE WHEN CAST({col} AS DOUBLE) >= {edges}[{i}] THEN 1 "
+        "ELSE 0 END +" for i in range(1, n)).rstrip("+") + ")")
+
+
+def _sql_rect_label(lo_expr, hi_expr, r1, r2, n):
+    """format_bin_label replay: [lo, hi) with 2 digits, open at the
+    grid edges."""
+    return (f"CASE WHEN {r1} = 0 AND {r2} = {n} THEN '(-inf, inf)' "
+            f"WHEN {r1} = 0 THEN '(-inf, ' || printf('%.2f', {hi_expr}) || ')' "
+            f"WHEN {r2} = {n} THEN '[' || printf('%.2f', {lo_expr}) || ', inf)' "
+            f"ELSE '[' || printf('%.2f', {lo_expr}) || ', ' "
+            f"|| printf('%.2f', {hi_expr}) || ')' END")
+
+
+def _sql_binning_2d_table():
+    """Full replay of the redefined q_binning_2d_table: tercile x
+    quartile edges (guarded exact-percentile path), 12-cell
+    contingency aggregation, exhaustive 3,164-partition exact-cover
+    search (round(obj,9) argmax, ties to the lowest DFS partition
+    index = the engine's pinned first-max), then the table build —
+    rects ordered by top-left corner (the DFS append order),
+    format_bin_label strings, event_rate/woe/iv."""
+    rects, masks = _rect_enum_masks(3, 4)
+    nr = len(rects)
+    rsel = " UNION ALL ".join(
+        f"SELECT {i} AS rid, {r1} AS r1, {r2} AS r2, {c1} AS c1, "
+        f"{c2} AS c2, "
+        f"(SELECT coalesce(sum(ne),0) FROM cells WHERE bx >= {r1} "
+        f"AND bx < {r2} AND by >= {c1} AND by < {c2}) AS ne, "
+        f"(SELECT coalesce(sum(ev),0) FROM cells WHERE bx >= {r1} "
+        f"AND bx < {r2} AND by >= {c1} AND by < {c2}) AS ev"
+        for i, (r1, r2, c1, c2) in enumerate(rects))
+    psel = ", ".join(f"({p}, {m}::BIGINT)" for p, m in enumerate(masks))
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    flt = ("l_quantity IS NOT NULL AND NOT isnan(l_quantity) AND "
+           "l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)")
+    bx = _sql_rect_bin_expr("l_quantity", "t.qx", 3)
+    by = _sql_rect_bin_expr("l_extendedprice", "t.qy", 4)
+    return f"""
+  WITH {_sql_rect_grid_guard('l_quantity', 'l_extendedprice', 3, 4, flt)},
+  cells AS (
+    SELECT {bx} AS bx, {by} AS by,
+           CAST(count(*) FILTER (WHERE {y} = 0) AS DOUBLE) AS ne,
+           CAST(count(*) FILTER (WHERE {y} = 1) AS DOUBLE) AS ev
+    FROM lineitem, tq t
+    WHERE {flt}
+    GROUP BY 1, 2),
+  tot AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev FROM cells),
+  rectstats AS ({rsel}),
+  rectx AS (
+    SELECT r.*,
+           (r.ne > 0 AND r.ev > 0
+            AND r.ne + r.ev >= 0.10 * (t.t_ne + t.t_ev)) AS feas,
+           CASE WHEN r.ne > 0 AND r.ev > 0
+                THEN (r.ev / t.t_ev - r.ne / t.t_ne)
+                     * ln((r.ev / t.t_ev) / (r.ne / t.t_ne))
+                ELSE 0 END AS term,
+           t.t_ne, t.t_ev
+    FROM rectstats r, tot t),
+  pmask(pid, mask) AS (VALUES {psel}),
+  partrects AS (
+    SELECT p.pid, g.g AS rid
+    FROM pmask p, generate_series(0, {nr - 1}) g(g)
+    WHERE (p.mask >> g.g) & 1 = 1),
+  cand AS (
+    SELECT p.pid, bool_and(x.feas) AS feas, sum(x.term) AS obj
+    FROM partrects p JOIN rectx x ON x.rid = p.rid
+    GROUP BY p.pid),
+  best AS (SELECT pid FROM cand WHERE feas
+           ORDER BY round(obj, 9) DESC, pid LIMIT 1),
+  win AS (
+    SELECT x.*, t.qx, t.qy
+    FROM partrects p
+    JOIN rectx x ON x.rid = p.rid
+    CROSS JOIN tq t
+    WHERE p.pid = (SELECT pid FROM best))
+  SELECT (row_number() OVER (ORDER BY r1, c1) - 1) AS bin,
+         {_sql_rect_label('qx[r1]', 'qx[r2]', 'r1', 'r2', 3)} AS bin_x,
+         {_sql_rect_label('qy[c1]', 'qy[c2]', 'c1', 'c2', 4)} AS bin_y,
+         ne + ev AS count,
+         ne AS n_nonevent,
+         ev AS n_event,
+         round(ev / (ne + ev), 6) + 0.0 AS event_rate,
+         round(CASE WHEN ne > 0 AND ev > 0
+                    THEN ln((ne / t_ne) / (ev / t_ev)) ELSE 0 END, 6)
+           + 0.0 AS woe,
+         round(term, 6) + 0.0 AS iv
+  FROM win"""
 
 
 def q_continuous_binning_2d_pinned(spark, sf_dir):
@@ -2032,7 +2234,8 @@ def _sql_continuous_binning_2d_pinned():
     SELECT p.pid, bool_and(x.feas) AS feas, sum(x.term) AS obj
     FROM partrects p JOIN rectx x ON x.rid = p.rid
     GROUP BY p.pid),
-  best AS (SELECT pid FROM cand WHERE feas ORDER BY obj DESC, pid LIMIT 1)
+  best AS (SELECT pid FROM cand WHERE feas
+           ORDER BY round(obj, 9) DESC, pid LIMIT 1)
   SELECT x.r1, x.r2, x.c1, x.c2,
          CAST(x.n AS BIGINT) AS count,
          round(x.s1 / x.n, 4) + 0.0 AS mean,
@@ -2043,18 +2246,95 @@ def _sql_continuous_binning_2d_pinned():
 
 
 def q_continuous_binning_2d_table(spark, sf_dir):
-    """O8 continuous: 2-D mean-objective rectangle binning."""
+    """O8 continuous: the full 2-D mean-objective binning TABLE on a
+    DATA-DERIVED tercile x quartile grid. r14 redefinition (was
+    quantile 5x5, rows-only): 3x4 keeps the exact-cover search
+    non-trivial (3,164 partitions) while staying SQL-enumerable, so
+    the continuous table path gets a value-level hash check (r13
+    verdict ask #5); min_bin_size=0.10 makes singleton cells (~8.3%
+    each) INFEASIBLE, so the exact-cover merge search is genuinely
+    exercised (the finest feasible partition otherwise always wins:
+    both objectives are superadditive under splits)."""
     from optbinning_spark.binning_2d import ContinuousOptimalBinning2D
 
     df = spark.read.parquet(_t(sf_dir, "lineitem"))
     ob = ContinuousOptimalBinning2D(
-        max_n_prebins_x=5, max_n_prebins_y=5, prebinning_method="quantile"
+        max_n_prebins_x=3, max_n_prebins_y=4,
+        prebinning_method="quantile", min_bin_size=0.10,
     )
     ob.fit(df, "l_quantity", "l_discount", "l_extendedprice")
     pdf = ob.binning_table()
     num = pdf.select_dtypes("number").columns
     pdf[num] = pdf[num].round(6)
     return spark.createDataFrame(pdf)
+
+
+def _sql_continuous_binning_2d_table():
+    """Full replay of the redefined q_continuous_binning_2d_table:
+    same guarded tercile x quartile grid and 3,164-partition
+    exact-cover enumeration as _sql_binning_2d_table, with the
+    continuous |mean - total_mean| objective (feasibility n > 0 AND
+    n >= min_bin_size * total) and the continuous table columns
+    (mean, woe = mean - mu, iv = share * |mean - mu|)."""
+    rects, masks = _rect_enum_masks(3, 4)
+    nr = len(rects)
+    rsel = " UNION ALL ".join(
+        f"SELECT {i} AS rid, {r1} AS r1, {r2} AS r2, {c1} AS c1, "
+        f"{c2} AS c2, "
+        f"(SELECT coalesce(sum(n),0) FROM cells WHERE bx >= {r1} "
+        f"AND bx < {r2} AND by >= {c1} AND by < {c2}) AS n, "
+        f"(SELECT coalesce(sum(s1),0) FROM cells WHERE bx >= {r1} "
+        f"AND bx < {r2} AND by >= {c1} AND by < {c2}) AS s1"
+        for i, (r1, r2, c1, c2) in enumerate(rects))
+    psel = ", ".join(f"({p}, {m}::BIGINT)" for p, m in enumerate(masks))
+    flt = ("l_extendedprice IS NOT NULL AND "
+           "l_quantity IS NOT NULL AND NOT isnan(l_quantity) AND "
+           "l_discount IS NOT NULL AND NOT isnan(l_discount)")
+    bx = _sql_rect_bin_expr("l_quantity", "t.qx", 3)
+    by = _sql_rect_bin_expr("l_discount", "t.qy", 4)
+    return f"""
+  WITH {_sql_rect_grid_guard('l_quantity', 'l_discount', 3, 4, flt)},
+  cells AS (
+    SELECT {bx} AS bx, {by} AS by,
+           CAST(count(*) AS DOUBLE) AS n,
+           sum(CAST(l_extendedprice AS DOUBLE)) AS s1
+    FROM lineitem, tq t
+    WHERE {flt}
+    GROUP BY 1, 2),
+  tot AS (SELECT sum(n) AS t_n, sum(s1) / sum(n) AS t_mean FROM cells),
+  rectstats AS ({rsel}),
+  rectx AS (
+    SELECT r.*,
+           (r.n > 0 AND r.n >= 0.10 * t.t_n) AS feas,
+           CASE WHEN r.n > 0
+                THEN abs(r.s1 / r.n - t.t_mean) ELSE 0 END AS term,
+           t.t_n, t.t_mean
+    FROM rectstats r, tot t),
+  pmask(pid, mask) AS (VALUES {psel}),
+  partrects AS (
+    SELECT p.pid, g.g AS rid
+    FROM pmask p, generate_series(0, {nr - 1}) g(g)
+    WHERE (p.mask >> g.g) & 1 = 1),
+  cand AS (
+    SELECT p.pid, bool_and(x.feas) AS feas, sum(x.term) AS obj
+    FROM partrects p JOIN rectx x ON x.rid = p.rid
+    GROUP BY p.pid),
+  best AS (SELECT pid FROM cand WHERE feas
+           ORDER BY round(obj, 9) DESC, pid LIMIT 1),
+  win AS (
+    SELECT x.*, t.qx, t.qy
+    FROM partrects p
+    JOIN rectx x ON x.rid = p.rid
+    CROSS JOIN tq t
+    WHERE p.pid = (SELECT pid FROM best))
+  SELECT (row_number() OVER (ORDER BY r1, c1) - 1) AS bin,
+         {_sql_rect_label('qx[r1]', 'qx[r2]', 'r1', 'r2', 3)} AS bin_x,
+         {_sql_rect_label('qy[c1]', 'qy[c2]', 'c1', 'c2', 4)} AS bin_y,
+         n AS count,
+         round(s1 / n, 6) + 0.0 AS mean,
+         round(s1 / n - t_mean, 6) + 0.0 AS woe,
+         round(abs(s1 / n - t_mean) * n / t_n, 6) + 0.0 AS iv
+  FROM win"""
 
 
 def q_piecewise_transform(spark, sf_dir):
@@ -2971,95 +3251,86 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Driver-window ordering contract: the driver hash-checks the FIRST
 #: 50 queries() entries against oracle_sql() each round. A rotation
-#: is now a list edit between _WINDOW and _TAIL, not comment surgery
-#: — the slot-by-slot rationale comments through round 12 live in git
-#: (e769106 and earlier).
+#: is a list edit between _WINDOW and _TAIL — the slot-by-slot
+#: rationale comments through round 12 live in git (e769106 and
+#: earlier; the round-13 rotation narrative in f05a462).
 #:
-#: Round-13 rotation: IN — ivf_topk (debut of the full
-#: training-replay oracle; closes the last registry entry with zero
-#: driver-hash history, round-12 verdict ask #2) plus 15 entries
-#: whose latest driver check predated round 10 (woe_transform r3,
-#: event_type_psi r3, sample_class_counts r3, doc_fingerprint r4,
-#: doc_quality r4, simhash r4, contingency_2d r4, scenario_agg r4,
-#: mean_transform r4, binning_process_summary r4,
-#: distribution_stats r5, chi2_tests r5, event_rate_order r5,
-#: prebin_counts r5, scorecard_scores_linear r5 — verdict ask #8).
-#: OUT — 16 entries all hash-checked green in round 12; their oracles
-#: stay registered for tools/check_correctness's full-registry run.
-#: sketch_binning_table also enters (debut of its round-13
-#: accuracy-contract oracle — the approximate sketch path's first
-#: hash check), releasing simhash_pairs (r12 green).
-#: wide_fit_exact also enters (round-13 debut: the 16-variable
-#: CART/auto wide fit with probe_mode="exact" and a full
-#: training-replay oracle — first driver hash of CART prebinning,
-#: the auto-monotonic decision tree and the >8-prebin partition
-#: search on organic data), releasing psi (green r01-r12).
-#: scorecard_scores also enters (round-13 debut: the production
-#: 3-variable scorecard pipeline hash-checked end-to-end — quantile
-#: prebinning, auto trend, 4x4 Newton IRLS, min_max scaling — via
-#: probe_mode="exact"), releasing pii_redaction (green r12).
-#: scorecard_table also enters (round-13 debut: pdo_odds scaling and
-#: the RoundingMIP-equivalent greedy hash-checked end-to-end),
-#: releasing lm_perplexity (green r12).
-#: binning_2d_3x3 also enters (round-13 debut: the 2-D exact-cover
-#: solver on a data-derived 3x3 tercile grid, 322-partition
-#: enumeration), releasing bpe_token_count (green r12; its Arrow
-#: production path stays measured in bench).
-#: dsir_gumbel_topk and ivf_topk_trained deliberately STAY in-window:
-#: their boundary semantics changed this round (Gumbel key rounding /
-#: zero-norm cosine pinning) and the new form needs a fresh
-#: independent driver hash.
+#: Round-14 rotation. STAY (16): the solver-riding entries — the
+#: exact-objective tie-break across every partition DP and its SQL
+#: enumeration was PINNED this round (round-to-9dp argmax, residual
+#: ties to the lowest boundary mask / lowest DFS partition index;
+#: core/solver.py _better_pinned, binning_2d.py _exact_cover), a
+#: semantics change that needs a fresh independent driver hash on
+#: every entry whose fit rides solve_binary / solve_continuous /
+#: solve_multiclass / solve_scenarios / the 2-D exact cover — the
+#: same rule dsir_gumbel_topk followed in r13 (wide_fit_exact,
+#: scorecard_scores, scorecard_table explicitly per r13 verdict ask
+#: #2). IN (2 debuts): binning_2d_table and
+#: continuous_binning_2d_table — redefined from rows-only
+#: (CART 6x6 / quantile 5x5) to quantile 3x4 grids whose 3,164
+#: rectangle partitions the oracle enumerates exhaustively, closing
+#: r13 verdict ask #5 (rows-only 5 -> 3). IN (32 stale): every
+#: hash-capable entry whose latest driver hash predates r12, oldest
+#: first — psi_variable_report (never driver-hashed: its window
+#: appearances predate its oracle), near_dup_cosine (r2),
+#: doc_token_stats / near_dup_cosine_bucketed / pack_sequences (r7),
+#: embedding_topk (r8), the full r10 cohort (15), and 11 of the 19
+#: r11-vintage entries (verdict ask #8: after r14 no oracle's latest
+#: driver hash predates r11; the 8 remaining r11 entries rotate in
+#: r15). OUT (34): the r13-green entries with stable semantics —
+#: all stay registered for tools/check_correctness full-registry
+#: runs.
 _WINDOW = [
-    "ivf_topk_pinned",
-    "piecewise_transform_fixed",
-    "mdlp_splits",
-    "binning_table_fixed",
-    "outlier_yquantile",
-    "special_missing_stats",
     "binning_2d_3x3",
-    "minhash_signatures",
-    "lsh_candidates",
-    "semantic_dedup_arrow",
     "sketch_binning_table",
-    "dup_ngram_spans",
-    "cart_splits",
     "scorecard_table_linear",
     "wide_fit_exact",
     "optimal_binning_table",
     "optimal_woe_transform",
     "continuous_bin_stats",
     "categorical_optimal_binning",
-    "wide_summary_pinned",
-    "counterfactual_pinned",
-    "kmeans_refined_centroids",
-    "dedup_clusters_dist",
-    "dsir_logweights",
     "scorecard_table",
     "scorecard_scores",
-    "bm25_topk",
-    "classification_metrics",
-    "dsir_gumbel_topk",
-    "ivf_topk_trained",
-    "pq_topk_pinned",
-    "semantic_dedup",
     "multiclass_bin_counts",
     "scenario_binning_table",
-    "ivf_topk",
     "woe_transform",
-    "event_type_psi",
-    "sample_class_counts",
-    "doc_fingerprint",
-    "doc_quality",
-    "simhash",
-    "contingency_2d",
-    "scenario_agg",
     "mean_transform",
     "binning_process_summary",
-    "distribution_stats",
-    "chi2_tests",
-    "event_rate_order",
-    "prebin_counts",
     "scorecard_scores_linear",
+    "binning_2d_table",
+    "continuous_binning_2d_table",
+    "psi_variable_report",
+    "near_dup_cosine",
+    "doc_token_stats",
+    "near_dup_cosine_bucketed",
+    "pack_sequences",
+    "embedding_topk",
+    "binning_2d_median",
+    "bpe_subword_count",
+    "continuous_binning_table",
+    "counterfactual_mahalanobis_pinned",
+    "doc_normalize",
+    "event_window_stats",
+    "exact_dedup",
+    "jaccard_pairs",
+    "ks",
+    "multiclass_binning_table",
+    "outlier_zscore",
+    "quantile_splits",
+    "regression_metrics",
+    "scorecard_scores_logistic",
+    "uniform_binning_table",
+    "ann_topk",
+    "binning_2d_pinned",
+    "class_weight_agg",
+    "dedup_clusters",
+    "doc_chunks",
+    "gopher_flags",
+    "incremental_dedup",
+    "indices_bins_transform",
+    "lang_id",
+    "multimodal_features",
+    "nb_quality_score",
 ]
 
 #: Tail: oracle-backed entries first (hash-checked by
@@ -3069,55 +3340,55 @@ _WINDOW = [
 #: sketches, data-derived prebin variants of hash-checked pinned
 #: siblings) covered by golden-parity and unit tests instead.
 _TAIL = [
-    "uniform_binning_table",
-    "quantile_splits",
-    "doc_token_stats",
-    "pack_sequences",
+    "ivf_topk_pinned",
+    "piecewise_transform_fixed",
+    "mdlp_splits",
+    "binning_table_fixed",
+    "outlier_yquantile",
+    "special_missing_stats",
+    "minhash_signatures",
+    "lsh_candidates",
+    "semantic_dedup_arrow",
+    "dup_ngram_spans",
+    "cart_splits",
+    "wide_summary_pinned",
+    "counterfactual_pinned",
+    "kmeans_refined_centroids",
+    "dedup_clusters_dist",
+    "dsir_logweights",
+    "bm25_topk",
+    "classification_metrics",
+    "dsir_gumbel_topk",
+    "ivf_topk_trained",
+    "pq_topk_pinned",
+    "semantic_dedup",
+    "ivf_topk",
+    "event_type_psi",
+    "sample_class_counts",
+    "doc_fingerprint",
+    "doc_quality",
+    "simhash",
+    "contingency_2d",
+    "scenario_agg",
+    "distribution_stats",
+    "chi2_tests",
+    "event_rate_order",
+    "prebin_counts",
     "training_sequences",
-    "bpe_subword_count",
-    "near_dup_cosine_bucketed",
-    "exact_dedup",
-    "embedding_topk",
-    "doc_normalize",
-    "nb_quality_score",
-    "counterfactual_mahalanobis_pinned",
     "quality_top_fraction",
-    "regression_metrics",
-    "continuous_binning_table",
-    "multiclass_binning_table",
-    "jaccard_pairs",
-    "outlier_zscore",
     "outlier_iqr",
-    "lang_id",
-    "doc_chunks",
     "paragraph_dedup",
-    "near_dup_cosine",
     "pii_redaction",
     "lm_perplexity",
     "scorecard_scores_huber",
-    "scorecard_scores_logistic",
     "scorecard_table_pdo",
-    "ks",
     "wide_process_fit",
-    "binning_2d_table",
-    "binning_2d_median",
     "bpe_token_count",
-    "binning_2d_pinned",
-    "dedup_clusters",
     "simhash_pairs",
-    "event_window_stats",
     "sketch_binning_exact",
-    "psi_variable_report",
-    "continuous_binning_2d_table",
     "piecewise_transform",
     "counterfactual",
-    "indices_bins_transform",
     "unknown_category_transform",
-    "ann_topk",
-    "multimodal_features",
-    "incremental_dedup",
-    "gopher_flags",
-    "class_weight_agg",
     "continuous_binning_2d_pinned",
     "counterfactual_diverse_pinned",
     "cluster_balanced_sample",
@@ -3370,7 +3641,7 @@ def _sql_continuous_binning_table():
     FROM segx GROUP BY mask),
   best AS (
     SELECT mask FROM cand WHERE mono_asc
-    ORDER BY obj DESC, mask LIMIT 1),
+    ORDER BY round(obj, 9) DESC, mask LIMIT 1),
   bseg AS (
     SELECT s.seg, s.cnt, s.s1, s.pb_lo, s.pb_hi, max(s.seg) OVER () AS max_seg
     FROM segs s WHERE s.mask = (SELECT mask FROM best)),
@@ -3732,8 +4003,14 @@ def _sql_enum_from_binrow(p):
     unimodality rule 'every strict ascent precedes every strict
     descent' (resp. reversed), exactly the DP's two-leg phase
     semantics with min_event_rate_diff = 0 (ties legal in both legs).
-    IV argmax, ties to the lowest mask — verified segment-identical to
-    the DP on 800 fuzzed integer-count profiles. Winner selection is
+    IV argmax on the objective ROUNDED to 9dp, residual ties to the
+    lowest mask — the exact total order the DP pins (core/solver.py
+    _dp_run carries a per-state minimal boundary mask), so exact-IV
+    ties on integer counts no longer fall to float summation order;
+    verified segment-identical to the DP on 8,000 stably-seeded
+    profiles per trend (tests/test_wide_fit_oracle.py incl. the
+    pinned ne=[38,35,27,55,45] ev=[56,45,53,11,9] valley
+    counterexample). Winner selection is
     ONE linear pipeline (window flags + dense_rank), so the mask-space
     scan evaluates exactly once; infeasible-everywhere falls back to
     mask 0 (the solver's single full-range bin)."""
@@ -3780,7 +4057,7 @@ def _sql_enum_from_binrow(p):
                               OR c.amax < c.dmin)
             ELSE (c.dmax IS NULL OR c.amin IS NULL OR c.dmax < c.amin)
             END)
-      ORDER BY c.ivt DESC, c.mask LIMIT 1), 0) AS mask),
+      ORDER BY round(c.ivt, 9) DESC, c.mask LIMIT 1), 0) AS mask),
   {p}bseg AS (
     -- winner segments rebuilt from binrow (no second scan of the
     -- mask pipeline: the 2^(n-1)-mask chain is referenced exactly
@@ -4264,7 +4541,15 @@ def _sql_scorecard3_core():
            list(x2 ORDER BY x1, x2, x3, yv),
            list(x3 ORDER BY x1, x2, x3, yv),
            list(yv ORDER BY x1, x2, x3, yv),
-           list(w ORDER BY x1, x2, x3, yv)
+           -- loud guard (no-silent-caps convention): the gradient /
+           -- Hessian grid below enumerates generate_series(0, 8191),
+           -- so a compressed design larger than 8192 rows would be
+           -- silently truncated -> wrong coefficients; error instead
+           CASE WHEN count(*) > 8192
+                THEN error('IRLS design grid overflow: distinct '
+                           || '(woe1,woe2,woe3,y) design has '
+                           || count(*) || ' rows > 8192')
+                ELSE list(w ORDER BY x1, x2, x3, yv) END
     FROM des
     UNION ALL
     SELECT r.it + 1, r.b1 + {st1}, r.b2 + {st2}, r.b3 + {st3},
@@ -4439,7 +4724,24 @@ def _sql_scorecard_table():
         WHEN cnd.dc2 <= cnd.dc3 THEN 2
         ELSE 3 END AS move) nx
     WHERE NOT r.done AND r.it < 200),
-  pts AS (SELECT p1, p2, p3 FROM rnd ORDER BY it DESC LIMIT 1),
+  pts AS (
+    -- engine parity (scorecard.py _round_points_minmax tail): if the
+    -- greedy exits with the min/max targets still unmet (degenerate
+    -- all-flat variables, or the iteration cap), the engine falls
+    -- back to plain nearest-even rounding of the RAW points — mirror
+    -- that instead of emitting the partially-adjusted lists
+    SELECT CASE WHEN infeas THEN list_transform(w1, x -> round_even(x, 0))
+                ELSE p1 END AS p1,
+           CASE WHEN infeas THEN list_transform(w2, x -> round_even(x, 0))
+                ELSE p2 END AS p2,
+           CASE WHEN infeas THEN list_transform(w3, x -> round_even(x, 0))
+                ELSE p3 END AS p3
+    FROM (SELECT *,
+                 (list_aggregate(p1, 'min') + list_aggregate(p2, 'min')
+                  + list_aggregate(p3, 'min')) < mnp
+                 OR (list_aggregate(p1, 'max') + list_aggregate(p2, 'max')
+                     + list_aggregate(p3, 'max')) > mxp AS infeas
+          FROM rnd ORDER BY it DESC LIMIT 1)),
   vrows AS ({all_rows})
   SELECT {vname_case} AS variable,
          CASE WHEN a.seg = 0 AND a.seg = a.ms THEN '(-inf, inf)'
@@ -4557,7 +4859,7 @@ def _dp_cte_continuous(xcol, yexpr, n_prebins, trend, p=""):
     FROM {p}segx GROUP BY mask),
   {p}best AS (
     SELECT mask FROM {p}cand WHERE {mono}
-    ORDER BY obj DESC{pref}, mask LIMIT 1),
+    ORDER BY round(obj, 9) DESC{pref}, mask LIMIT 1),
   {p}bseg AS (
     SELECT s.seg, s.cnt, s.s1, s.pb_lo, s.pb_hi, max(s.seg) OVER () AS max_seg
     FROM {p}segs s WHERE s.mask = (SELECT mask FROM {p}best))"""
@@ -5096,7 +5398,8 @@ def _sql_multiclass_binning_table():
     SELECT mask, {feas} AS feas,
            sum({js_term}) AS obj
     FROM segs s, tot t GROUP BY mask),
-  best AS (SELECT mask FROM cand WHERE feas ORDER BY obj DESC, mask LIMIT 1),
+  best AS (SELECT mask FROM cand WHERE feas
+           ORDER BY round(obj, 9) DESC, mask LIMIT 1),
   bseg AS (
     SELECT s.*, max(s.seg) OVER () AS max_seg
     FROM segs s WHERE s.mask = (SELECT mask FROM best)),
@@ -5178,7 +5481,8 @@ def _sql_scenario_binning_table():
     FROM segx GROUP BY mask),
   best AS (
     SELECT mask FROM cand WHERE feas AND (mono_asc OR mono_desc)
-    ORDER BY obj DESC, (CASE WHEN mono_asc THEN 0 ELSE 1 END), mask LIMIT 1),
+    ORDER BY round(obj, 9) DESC,
+             (CASE WHEN mono_asc THEN 0 ELSE 1 END), mask LIMIT 1),
   bseg AS (
     SELECT seg, sum(ne) AS ne, sum(ev) AS ev,
            min(pb_lo) AS pb_lo, max(pb_hi) AS pb_hi
@@ -7179,6 +7483,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "binning_2d_pinned": _sql_binning_2d_pinned(),
         "continuous_binning_2d_pinned": _sql_continuous_binning_2d_pinned(),
+        "binning_2d_table": _sql_binning_2d_table(),
+        "continuous_binning_2d_table": _sql_continuous_binning_2d_table(),
         "embedding_dedup_clusters": _sql_embedding_dedup_clusters(),
         # event_psi_monitor: streaming_psi_monitor's exact plan over
         # the batch events table. splits [50, 150], expected

@@ -559,21 +559,20 @@ def main():
     # r12 verdict #3 adds the three shingle-path queries that moved
     # +8-11% in r12 (plausible cause: the probe-memo TTL re-probe,
     # fixed in round 13 by the file-listing stamp refresh) so their
-    # recovery — or a real regression — is adjudicated per-round
+    # recovery — or a real regression — is adjudicated per-round.
+    # r13 verdict #4 adds psi (+31% in r13, unwatched at the time) so
+    # its recovery or regression is adjudicated like the r12 trio.
     MOVERS = ("semantic_dedup", "optimal_woe_transform",
               "sketch_binning_table", "dedup_clusters", "jaccard_pairs",
-              "bm25_topk")
+              "bm25_topk", "psi")
     # queries whose DEFINITION changed this round: cross-round
     # wall-clock is not comparable, so record the ratio with the
     # reason but never assert an inversion. Entries here must be
     # re-reviewed (and normally removed) next round.
-    REDEFINED = {
-        "sketch_binning_table": (
-            "r13 accuracy-contract redefinition: the query now ALSO "
-            "runs a full-corpus exact-rank aggregation (one Spark agg "
-            "over lineitem) to band the sketch's quantile claims — "
-            "added work, not a regression of the sketch pipeline"),
-    }
+    # r14: the r13 sketch_binning_table entry is REMOVED per its own
+    # contract — both sides of the r14 compare run the r13
+    # accuracy-contract definition, so the watch re-arms.
+    REDEFINED = {}
     # dirty = the original section was flagged AND no clean retry
     # rep exists (retry skipped for budget, or its bracket moved too)
     retry_clean = ("headline_retry" in scal.sections

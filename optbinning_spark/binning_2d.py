@@ -282,8 +282,19 @@ class OptimalBinning2D:
                     for j in range(c, c2):
                         nh[j] = r2
                     sub, picks = go(tuple(nh))
-                    if v + sub > best_v:
-                        best_v = v + sub
+                    if sub == -np.inf:
+                        continue
+                    cand = v + sub
+                    # pinned tie-break: compare at 9dp so an exact
+                    # objective tie keeps the FIRST candidate in DFS
+                    # order (= the lowest partition index in the
+                    # oracle's enumeration) instead of falling to a
+                    # 1-ulp difference between this memoized
+                    # accumulation and the oracle's flat sum
+                    d = cand - best_v
+                    if d > 1e-9 or (d > -1e-9
+                                    and round(cand, 9) > round(best_v, 9)):
+                        best_v = cand
                         best_pick = ((r, r2, c, c2),) + picks
             if best_pick is None:
                 return -np.inf, ()

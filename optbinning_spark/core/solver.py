@@ -19,6 +19,15 @@ nonevents are simply infeasible states (for IV/JS), so "merge pure
 prebins" falls out of the optimization instead of being a separate
 pre-pass.
 
+Tie policy (r14): every DP (_dp_run, _scenario_dp,
+_solve_multiclass_dp) compares candidates through _better_pinned —
+objective rounded to 9dp, residual ties to the lowest boundary mask —
+matching the SQL enumeration oracles' ORDER BY round(obj, 9) DESC,
+mask. The two DFS enumerations (_solve_shape_enum,
+_solve_multiclass_enum) keep strict first-found-wins ties: they are
+deterministic on their own and have no SQL twin to agree with
+(concave/convex and shaped-multiclass are in the non-replayable tail).
+
 Supported monotonic trends: ascending, descending, auto_asc_desc,
 peak, valley, (auto / auto_heuristic via
 optbinning_spark.core.auto_monotonic), and EXACT concave/convex:
@@ -37,6 +46,27 @@ from .metrics import DIVERGENCES
 from .special_math import chi2_contingency_2xk, welch_ttest_from_stats
 
 NEG = -1e18
+
+
+def _better_pinned(val, cmask, best_val, best_mask):
+    """Pinned candidate comparison shared by every partition DP:
+    objective rounded to 9dp, residual ties break to the lowest
+    boundary mask (bit j-1 set = split between prebin j-1 and j) —
+    the same total order the SQL enumeration oracles apply via
+    ORDER BY round(obj, 9) DESC, mask. Exact-objective ties are
+    common on integer counts (mathematically equal IV reached by
+    different partitions); without the pin the winner fell to float
+    summation order, which differs between the DP's accumulation and
+    an oracle's flat sum. The fast paths avoid round() outside the
+    |d| <= 1e-9 band (rounding is monotone with grid 1e-9, so a gap
+    > 1e-9 always survives the rounding)."""
+    d = val - best_val
+    if d > 1e-9:
+        return True
+    if d < -1e-9:
+        return False
+    rv, rb = round(val, 9), round(best_val, 9)
+    return rv > rb or (rv == rb and cmask < best_mask)
 
 
 class BinSolution:
@@ -260,7 +290,9 @@ def _solve_dp(
     if monotonic_trend == "auto_asc_desc":
         a = _dp_run(V, RATE, feas, lo, hi, "ascending", min_rate_diff, max_pvalue, pval_fn)
         d = _dp_run(V, RATE, feas, lo, hi, "descending", min_rate_diff, max_pvalue, pval_fn)
-        return a if a.objective >= d.objective else d
+        # pinned: compare at the shared 9dp precision, ascending wins
+        # rounded ties (oracle ORDER BY round(obj,9) DESC, asc-first)
+        return a if round(a.objective, 9) >= round(d.objective, 9) else d
     if monotonic_trend in ("ascending", "descending", "peak", "valley"):
         return _dp_run(
             V, RATE, feas, lo, hi, monotonic_trend, min_rate_diff, max_pvalue, pval_fn
@@ -363,7 +395,18 @@ def _solve_shape_enum(V, RATE, feas, lo, hi, shape, max_pvalue, pval_fn):
 def _dp_run(V, RATE, feas, lo, hi, trend, min_diff, max_pvalue, pval_fn):
     """DP over states (phase, b, j, i): last bin spans prebins [j..i],
     b bins used so far. phase 0 = first monotone leg, phase 1 = second
-    leg (peak/valley only). Returns the best partition of [0..n-1]."""
+    leg (peak/valley only). Returns the best partition of [0..n-1].
+
+    Exact-objective ties (common on integer counts: mathematically
+    equal IV reached by different partitions, where float summation
+    order used to decide the winner) are PINNED: candidates compare by
+    the objective rounded to 9dp, residual ties break to the lowest
+    boundary mask (bit j-1 set = split between prebin j-1 and j) —
+    the same total order the SQL enumeration oracle applies via
+    ORDER BY round(ivt, 9) DESC, mask. The reference sidesteps
+    alternate CP-SAT optima by asserting objective value only; the
+    driver-hash contract here asserts exact split identity, so the tie
+    must be pinned instead."""
     n = V.shape[0]
     if pval_fn is not None:
         _raw_pval, _pcache = pval_fn, {}
@@ -381,6 +424,12 @@ def _dp_run(V, RATE, feas, lo, hi, trend, min_diff, max_pvalue, pval_fn):
     # full tables f[phase][b][j][i].
     f = np.full((n_phase, hi + 1, n, n), NEG)
     parent = -np.ones((n_phase, hi + 1, n, n, 3), dtype=np.int32)
+    # minimal boundary mask attaining f (tie-break carrier); the
+    # min-mask objective is decomposable because a partition's mask is
+    # always dominated by its highest bit (the last boundary), so
+    # preferring a smaller last-bin start — and recursively a smaller
+    # prefix mask — yields the global minimum.
+    msk = np.zeros((n_phase, hi + 1, n, n), dtype=np.int64)
 
     for i in range(n):
         if feas[0, i] and V[0, i] > NEG / 2:
@@ -402,15 +451,18 @@ def _dp_run(V, RATE, feas, lo, hi, trend, min_diff, max_pvalue, pval_fn):
     }[trend]
     second_leg = {"peak": "desc", "valley": "asc"}.get(trend)
 
+    better = _better_pinned
+
     for b in range(2, hi + 1):
         for j in range(1, n):
+            bbit = 1 << (j - 1)
             # previous bin ends at j-1 and starts at k <= j-1
             for i in range(j, n):
                 if not feas[j, i] or V[j, i] <= NEG / 2:
                     continue
                 cur_rate = RATE[j, i]
                 for ph in range(n_phase):
-                    best_val, best_k, best_ph = NEG, -1, -1
+                    best_val, best_k, best_ph, best_m = NEG, -1, -1, 0
                     for k in range(j):
                         # stay in same phase
                         leg = first_leg if ph == 0 else second_leg
@@ -418,8 +470,9 @@ def _dp_run(V, RATE, feas, lo, hi, trend, min_diff, max_pvalue, pval_fn):
                         if prev > NEG / 2 and leg_ok(RATE[k, j - 1], cur_rate, leg):
                             if max_pvalue is None or pval_fn(k, j - 1, j, i) <= max_pvalue:
                                 val = prev + V[j, i]
-                                if val > best_val:
-                                    best_val, best_k, best_ph = val, k, ph
+                                cm = int(msk[ph, b - 1, k, j - 1]) | bbit
+                                if better(val, cm, best_val, best_m):
+                                    best_val, best_k, best_ph, best_m = val, k, ph, cm
                         # phase transition (peak/valley): 0 -> 1
                         if ph == 1:
                             prev0 = f[0, b - 1, k, j - 1]
@@ -431,20 +484,29 @@ def _dp_run(V, RATE, feas, lo, hi, trend, min_diff, max_pvalue, pval_fn):
                                     or pval_fn(k, j - 1, j, i) <= max_pvalue
                                 ):
                                     val = prev0 + V[j, i]
-                                    if val > best_val:
-                                        best_val, best_k, best_ph = val, k, 0
+                                    cm = int(msk[0, b - 1, k, j - 1]) | bbit
+                                    if better(val, cm, best_val, best_m):
+                                        best_val, best_k, best_ph, best_m = (
+                                            val, k, 0, cm)
                     if best_k >= 0:
                         f[ph, b, j, i] = best_val
+                        msk[ph, b, j, i] = best_m
                         parent[ph, b, j, i] = (best_ph, b - 1, best_k)
 
-    # collect best terminal state covering prebin n-1
+    # collect best terminal state covering prebin n-1 (same pinned
+    # total order: rounded objective, then lowest boundary mask)
     best = (NEG, None)
+    best_m = 0
     for ph in range(n_phase):
         for b in range(lo, hi + 1):
             for j in range(n):
                 val = f[ph, b, j, n - 1]
-                if val > best[0]:
+                if val <= NEG / 2:
+                    continue
+                m = int(msk[ph, b, j, n - 1])
+                if better(val, m, best[0], best_m):
                     best = (val, (ph, b, j))
+                    best_m = m
     if best[1] is None:
         # no feasible partition (e.g. every candidate bin pure):
         # fall back to the single full-range bin regardless of V
@@ -548,7 +610,9 @@ def solve_scenarios(
     if monotonic_trend == "auto_asc_desc":
         a = _scenario_dp(V, feas, lo, hi, "ascending", leg_ok_all, pval_ok)
         d = _scenario_dp(V, feas, lo, hi, "descending", leg_ok_all, pval_ok)
-        return a if a.objective >= d.objective else d
+        # pinned: compare at the shared 9dp precision, ascending wins
+        # rounded ties (oracle ORDER BY round(obj,9) DESC, asc-first)
+        return a if round(a.objective, 9) >= round(d.objective, 9) else d
     if monotonic_trend in ("concave", "convex"):
         # exact per-scenario curvature (reference cp.py:226-232 adds
         # one concave/convex constraint set per scenario): run the
@@ -610,43 +674,56 @@ def _scenario_dp(V, feas, lo, hi, trend, leg_ok_all, pval_ok):
 
     f = np.full((n_phase, hi + 1, n, n), NEG)
     parent = -np.ones((n_phase, hi + 1, n, n, 3), dtype=np.int32)
+    # minimal boundary mask attaining f (same pinned tie order as
+    # _dp_run; see _better_pinned)
+    msk = np.zeros((n_phase, hi + 1, n, n), dtype=np.int64)
     for i in range(n):
         if feas[0, i] and V[0, i] > NEG / 2:
             f[0, 1, 0, i] = V[0, i]
 
     for b in range(2, hi + 1):
         for j in range(1, n):
+            bbit = 1 << (j - 1)
             for i in range(j, n):
                 if not feas[j, i] or V[j, i] <= NEG / 2:
                     continue
                 for ph in range(n_phase):
-                    best_val, best_k, best_ph = NEG, -1, -1
+                    best_val, best_k, best_ph, best_m = NEG, -1, -1, 0
                     leg = first_leg if ph == 0 else second_leg
                     for k in range(j):
                         prev = f[ph, b - 1, k, j - 1]
                         if (prev > NEG / 2 and leg_ok_all(k, j - 1, j, i, leg)
                                 and pval_ok(k, j - 1, j, i)):
                             val = prev + V[j, i]
-                            if val > best_val:
-                                best_val, best_k, best_ph = val, k, ph
+                            cm = int(msk[ph, b - 1, k, j - 1]) | bbit
+                            if _better_pinned(val, cm, best_val, best_m):
+                                best_val, best_k, best_ph, best_m = val, k, ph, cm
                         if ph == 1:
                             prev0 = f[0, b - 1, k, j - 1]
                             if (prev0 > NEG / 2
                                     and leg_ok_all(k, j - 1, j, i, second_leg)
                                     and pval_ok(k, j - 1, j, i)):
                                 val = prev0 + V[j, i]
-                                if val > best_val:
-                                    best_val, best_k, best_ph = val, k, 0
+                                cm = int(msk[0, b - 1, k, j - 1]) | bbit
+                                if _better_pinned(val, cm, best_val, best_m):
+                                    best_val, best_k, best_ph, best_m = val, k, 0, cm
                     if best_k >= 0:
                         f[ph, b, j, i] = best_val
+                        msk[ph, b, j, i] = best_m
                         parent[ph, b, j, i] = (best_ph, b - 1, best_k)
 
     best = (NEG, None)
+    best_m = 0
     for ph in range(n_phase):
         for b in range(lo, hi + 1):
             for j in range(n):
-                if f[ph, b, j, n - 1] > best[0]:
-                    best = (f[ph, b, j, n - 1], (ph, b, j))
+                val = f[ph, b, j, n - 1]
+                if val <= NEG / 2:
+                    continue
+                m = int(msk[ph, b, j, n - 1])
+                if _better_pinned(val, m, best[0], best_m):
+                    best = (val, (ph, b, j))
+                    best_m = m
     if best[1] is None:
         return BinSolution([(0, n - 1)], 0.0, "INFEASIBLE", trend)
     ph, b, j = best[1]
@@ -800,11 +877,16 @@ def _solve_multiclass_dp(V, RATEc, feas, lo, hi, trends):
     # f[mask, b, j, i]; parent stores (prev_mask, b-1, k)
     f = np.full((n_masks, hi + 1, n_, n_), NEG)
     parent = -np.ones((n_masks, hi + 1, n_, n_, 3), dtype=np.int32)
+    # minimal boundary mask attaining f (pinned tie order, see
+    # _better_pinned); phase-mask ties inside the bit transform keep
+    # their deterministic >= and do not affect segment identity
+    msk = np.zeros((n_masks, hi + 1, n_, n_), dtype=np.int64)
     for i in range(n_):
         if feas[0, i]:
             f[0, 1, 0, i] = V[0, i]
     for b in range(2, hi + 1):
         for j in range(1, n_):
+            bbit = 1 << (j - 1)
             for i in range(j, n_):
                 if not feas[j, i]:
                     continue
@@ -841,15 +923,25 @@ def _solve_multiclass_dp(V, RATEc, feas, lo, hi, trends):
                         if h[nm] <= NEG / 2:
                             continue
                         val = h[nm] + vji
-                        if val > f[nm, b, j, i]:
+                        cm = int(msk[src[nm], b - 1, k, j - 1]) | bbit
+                        if (f[nm, b, j, i] <= NEG / 2
+                                or _better_pinned(val, cm, f[nm, b, j, i],
+                                                  int(msk[nm, b, j, i]))):
                             f[nm, b, j, i] = val
+                            msk[nm, b, j, i] = cm
                             parent[nm, b, j, i] = (src[nm], b - 1, k)
     best = (NEG, None)
+    best_m = 0
     for nm in range(n_masks):
         for b in range(lo, hi + 1):
             for j in range(n_):
-                if f[nm, b, j, n_ - 1] > best[0]:
-                    best = (f[nm, b, j, n_ - 1], (nm, b, j))
+                val = f[nm, b, j, n_ - 1]
+                if val <= NEG / 2:
+                    continue
+                m = int(msk[nm, b, j, n_ - 1])
+                if _better_pinned(val, m, best[0], best_m):
+                    best = (val, (nm, b, j))
+                    best_m = m
     if best[1] is None:
         return BinSolution([(0, n_ - 1)], 0.0, "INFEASIBLE", None)
     nm, b, j = best[1]

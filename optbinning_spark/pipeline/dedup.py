@@ -16,6 +16,8 @@ ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
+import zlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -61,7 +63,11 @@ def _files_signature(df: DataFrame) -> "str | None":
         return None
     if not files:
         return None
-    return f"{len(files)}:{hash(tuple(sorted(files))) & 0xFFFFFFFFFFFFFFFF:x}"
+    # crc32, not hash(): CPython string hashing is salt-randomized per
+    # process, so a future cross-process cache (today the probe memo
+    # is in-process only) would silently never match its own stamps
+    listing = "\x00".join(sorted(files)).encode("utf-8", "surrogatepass")
+    return f"{len(files)}:{zlib.crc32(listing):08x}"
 
 
 def _resolve_use_window(keyed_sample: DataFrame, key_col: str, caller: str,

@@ -1,0 +1,113 @@
+"""Fuzz pin for the 2-D exact-cover tie-break: the engine's
+_exact_cover (memoized profile DP, first-max in DFS order) vs the
+oracle's 322-partition exhaustive SQL enumeration
+(ORDER BY round(obj, 9) DESC, pid). Small-integer grids maximize
+exact-objective tie opportunities — the r13 ADVICE fuzz found 3/3000
+grids where mathematically equal objectives differed by 1 ulp between
+the DP's memoized accumulation and the SQL flat sum, so the two picked
+different partitions. Both sides now compare at 9dp with ties to the
+first/lowest enumeration index; this test replays that fuzz with a
+stable seed. No Spark needed (pure DuckDB vs the driver-side DP).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import duckdb
+import numpy as np
+
+import __spark_entry__ as E
+from optbinning_spark.binning_2d import OptimalBinning2D
+
+
+def _fuzz_sql(NE, EV, min_frac):
+    parts = E._rect_partitions_3x3()
+    rects = sorted({rc for p in parts for rc in p})
+    rid = {rc: i for i, rc in enumerate(rects)}
+    cvals = ", ".join(
+        f"({bx}, {by}, {float(NE[bx, by])}, {float(EV[bx, by])})"
+        for bx in range(3) for by in range(3))
+    rsel = " UNION ALL ".join(
+        f"SELECT {i} AS rid, {r1} AS r1, {r2} AS r2, {c1} AS c1, "
+        f"{c2} AS c2, "
+        f"(SELECT coalesce(sum(ne),0) FROM cells WHERE bx >= {r1} "
+        f"AND bx < {r2} AND by >= {c1} AND by < {c2}) AS ne, "
+        f"(SELECT coalesce(sum(ev),0) FROM cells WHERE bx >= {r1} "
+        f"AND bx < {r2} AND by >= {c1} AND by < {c2}) AS ev"
+        for i, (r1, r2, c1, c2) in enumerate(rects))
+    psel = ", ".join(
+        f"({p}, {rid[rc]})" for p, pr in enumerate(parts) for rc in pr)
+    return f"""
+  WITH cells(bx, by, ne, ev) AS (VALUES {cvals}),
+  tot AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev FROM cells),
+  rectstats AS ({rsel}),
+  rectx AS (
+    SELECT r.*,
+           (r.ne > 0 AND r.ev > 0
+            AND r.ne + r.ev >= {min_frac} * (t.t_ne + t.t_ev)) AS feas,
+           CASE WHEN r.ne > 0 AND r.ev > 0
+                THEN (r.ev / t.t_ev - r.ne / t.t_ne)
+                     * ln((r.ev / t.t_ev) / (r.ne / t.t_ne))
+                ELSE 0 END AS term
+    FROM rectstats r, tot t),
+  partrects(pid, rid) AS (VALUES {psel}),
+  cand AS (
+    SELECT p.pid, bool_and(x.feas) AS feas, sum(x.term) AS obj
+    FROM partrects p JOIN rectx x ON x.rid = p.rid
+    GROUP BY p.pid),
+  best AS (SELECT pid FROM cand WHERE feas
+           ORDER BY round(obj, 9) DESC, pid LIMIT 1)
+  SELECT x.r1, x.r2, x.c1, x.c2
+  FROM partrects p JOIN rectx x ON x.rid = p.rid
+  WHERE p.pid = (SELECT pid FROM best)
+  ORDER BY x.r1, x.r2, x.c1, x.c2"""
+
+
+def _engine_cover(NE, EV, min_frac):
+    t_ne, t_ev = NE.sum(), EV.sum()
+    total = t_ne + t_ev
+    min_cnt = min_frac * total
+    pne = np.zeros((4, 4))
+    pev = np.zeros((4, 4))
+    pne[1:, 1:] = NE.cumsum(0).cumsum(1)
+    pev[1:, 1:] = EV.cumsum(0).cumsum(1)
+
+    def rect_value(r1, r2, c1, c2):
+        ne = pne[r2, c2] - pne[r1, c2] - pne[r2, c1] + pne[r1, c1]
+        ev = pev[r2, c2] - pev[r1, c2] - pev[r2, c1] + pev[r1, c1]
+        if ne <= 0 or ev <= 0 or (ne + ev) < min_cnt:
+            return None
+        p = ev / t_ev
+        q = ne / t_ne
+        return (p - q) * np.log(p / q)
+
+    _, picks = OptimalBinning2D._exact_cover(None, 3, 3, rect_value)
+    return picks
+
+
+def test_exact_cover_sql_matches_engine_fuzz_3x3():
+    con = duckdb.connect()
+    rng = np.random.default_rng(zlib.crc32(b"exact_cover_3x3"))
+    checked = 0
+    for t in range(250):
+        # small integers force frequent exact-IV ties; occasional
+        # zeros exercise infeasible cells
+        NE = rng.integers(0, 7, (3, 3)).astype(float)
+        EV = rng.integers(0, 7, (3, 3)).astype(float)
+        if NE.sum() == 0 or EV.sum() == 0:
+            continue
+        min_frac = 0.15 if t % 2 == 0 else 0.0
+        picks = _engine_cover(NE, EV, min_frac)
+        rows = con.execute(_fuzz_sql(NE, EV, min_frac)).fetchall()
+        if picks is None:
+            # no feasible cover: the production oracle has no rows for
+            # this case (q_binning_2d_3x3 falls to guillotine /
+            # full-range); just assert the SQL agrees nothing covers
+            assert rows == []
+            continue
+        want = sorted((r1, r2, c1, c2) for r1, r2, c1, c2 in picks)
+        got = [tuple(map(int, r)) for r in rows]
+        assert got == want, (t, NE.tolist(), EV.tolist(), got, want)
+        checked += 1
+    assert checked > 120

@@ -65,25 +65,54 @@ def test_auto_trend_sql_matches_engine_fuzz():
         assert got == want, (t, n, want, got, list(rates))
 
 
+def _enum_sql(trend, ne, ev):
+    return ("WITH " + E._sql_wide_grids() + ","
+            + _binrow_cte(ne, ev) + ","
+            + f"  x_trend AS (SELECT '{trend}' AS trend),"
+            + E._sql_enum_from_binrow("x_")
+            + "\nSELECT seg, ne, ev FROM x_bseg ORDER BY seg")
+
+
+def test_enum_sql_tie_break_pinned_counterexample():
+    """Regression pin for the exact-IV tie found in the r13 judge run:
+    on these counts (valley) two partitions — 3 segments vs 2 — have
+    mathematically identical IV (0.785987138124...), and before the
+    9dp-round + lowest-mask pin the DP (strict float > over its own
+    summation order) picked 3 segments while the SQL enumeration
+    (ORDER BY ivt DESC, mask over a flat sum) picked 2. Both engines
+    must now agree on the lowest-mask optimum."""
+    ne = np.array([38.0, 35.0, 27.0, 55.0, 45.0])
+    ev = np.array([56.0, 45.0, 53.0, 11.0, 9.0])
+    sol = solve_binary(ne, ev, monotonic_trend="valley")
+    rows = duckdb.connect().execute(_enum_sql("valley", ne, ev)).fetchall()
+    want = [(i, ne[j:k + 1].sum(), ev[j:k + 1].sum())
+            for i, (j, k) in enumerate(sol.segments)]
+    assert [(r[0], r[1], r[2]) for r in rows] == want
+    # the lowest-mask optimum here is the 2-segment partition
+    # [0..2][3..4] (mask 0b100 = 4): any equal-IV alternative with
+    # more/other boundaries has a larger mask
+    assert len(sol.segments) == 2
+    assert sol.segments == [(0, 2), (3, 4)]
+
+
 @pytest.mark.parametrize(
     "trend", ["ascending", "descending", "peak", "valley"])
 def test_enum_sql_matches_dp_solver_fuzz(trend):
     con = duckdb.connect()
-    rng = np.random.default_rng(hash(trend) % 2**31)
+    # stable seed: CPython's hash() is salt-randomized per process,
+    # which made every pytest invocation fuzz a DIFFERENT profile set
+    # (r13 verdict) — crc32 is deterministic across runs/processes
+    import zlib
+    rng = np.random.default_rng(zlib.crc32(trend.encode()))
     checked = 0
-    for t in range(120):
+    for t in range(300):
         n = int(rng.integers(2, 12))
         ne = rng.integers(0, 60, n).astype(float)
         ev = rng.integers(0, 60, n).astype(float)
         if ne.sum() == 0 or ev.sum() == 0:
             continue
         sol = solve_binary(ne, ev, monotonic_trend=trend)
-        sql = ("WITH " + E._sql_wide_grids() + ","
-               + _binrow_cte(ne, ev) + ","
-               + f"  x_trend AS (SELECT '{trend}' AS trend),"
-               + E._sql_enum_from_binrow("x_")
-               + "\nSELECT seg, ne, ev FROM x_bseg ORDER BY seg")
-        rows = con.execute(sql).fetchall()
+        rows = con.execute(_enum_sql(trend, ne, ev)).fetchall()
         if sol.status == "INFEASIBLE":
             # oracle falls back to mask 0 = the solver's single
             # full-range bin
@@ -95,7 +124,7 @@ def test_enum_sql_matches_dp_solver_fuzz(trend):
         got = [(r[0], r[1], r[2]) for r in rows]
         assert got == want, (t, trend, got, want)
         checked += 1
-    assert checked > 60
+    assert checked > 150
 
 
 def test_wide_fit_exact_oracle_is_deterministic_sf0001():
