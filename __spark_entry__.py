@@ -862,6 +862,53 @@ def q_optimal_binning_table(spark, sf_dir):
     )
 
 
+def q_concave_binning_table(spark, sf_dir):
+    """O3/O4 exact CONCAVE trend (reference cp.py:433-457 all-triples
+    curvature, strictly stronger than consecutive-triple): the pruned
+    DFS enumeration solver, previously golden/unit-only, made
+    hash-checkable by the r14 pinned selection (9dp-rounded IV, ties
+    to the lowest boundary mask — the same total order every DP now
+    uses), with an exhaustive mask-enumeration oracle carrying the
+    engine's exact 1e-12 rate tolerance."""
+    from optbinning_spark import OptimalBinning
+
+    df = _lineitem(spark, sf_dir)
+    ob = OptimalBinning(prebinning_method="quantile", max_n_prebins=8,
+                        monotonic_trend="concave")
+    ob.fit(df, "l_quantity", "y")
+    return spark.createDataFrame(ob.binning_table.build()).select(
+        "bin",
+        F.col("count").cast("long").alias("count"),
+        F.col("n_nonevent").cast("long").alias("n_nonevent"),
+        F.col("n_event").cast("long").alias("n_event"),
+        F.round("event_rate", 6).alias("event_rate"),
+        F.round("woe", 6).alias("woe"),
+        F.round("iv", 6).alias("iv"),
+    )
+
+
+def q_convex_binning_table(spark, sf_dir):
+    """O3/O4 exact CONVEX trend — the sign-flipped twin of
+    q_concave_binning_table, on the l_extendedprice-derived discount
+    interaction where a convex rate profile is plausible; same pinned
+    selection and mask-enumeration oracle."""
+    from optbinning_spark import OptimalBinning
+
+    df = _lineitem(spark, sf_dir)
+    ob = OptimalBinning(prebinning_method="quantile", max_n_prebins=8,
+                        monotonic_trend="convex")
+    ob.fit(df, "l_discount", "y")
+    return spark.createDataFrame(ob.binning_table.build()).select(
+        "bin",
+        F.col("count").cast("long").alias("count"),
+        F.col("n_nonevent").cast("long").alias("n_nonevent"),
+        F.col("n_event").cast("long").alias("n_event"),
+        F.round("event_rate", 6).alias("event_rate"),
+        F.round("woe", 6).alias("woe"),
+        F.round("iv", 6).alias("iv"),
+    )
+
+
 def q_optimal_woe_transform(spark, sf_dir):
     """F1 through the full optimizer: per-row WoE via DP-optimal bins."""
     from optbinning_spark import OptimalBinning
@@ -3269,7 +3316,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: continuous_binning_2d_table — redefined from rows-only
 #: (CART 6x6 / quantile 5x5) to quantile 3x4 grids whose 3,164
 #: rectangle partitions the oracle enumerates exhaustively, closing
-#: r13 verdict ask #5 (rows-only 5 -> 3). IN (32 stale): every
+#: r13 verdict ask #5 (rows-only 5 -> 3) — plus concave_binning_table
+#: and convex_binning_table, debuts of the exact all-triples-curvature
+#: solver's first hash oracles (the r14 pinned selection made the DFS
+#: enumeration SQL-replayable; they take the slots of doc_chunks and
+#: multimodal_features, which rejoin the r15 stale pool). IN (30
+#: stale): every
 #: hash-capable entry whose latest driver hash predates r12, oldest
 #: first — psi_variable_report (never driver-hashed: its window
 #: appearances predate its oracle), near_dup_cosine (r2),
@@ -3324,12 +3376,12 @@ _WINDOW = [
     "binning_2d_pinned",
     "class_weight_agg",
     "dedup_clusters",
-    "doc_chunks",
+    "concave_binning_table",
     "gopher_flags",
     "incremental_dedup",
     "indices_bins_transform",
     "lang_id",
-    "multimodal_features",
+    "convex_binning_table",
     "nb_quality_score",
 ]
 
@@ -3340,6 +3392,8 @@ _WINDOW = [
 #: sketches, data-derived prebin variants of hash-checked pinned
 #: siblings) covered by golden-parity and unit tests instead.
 _TAIL = [
+    "doc_chunks",
+    "multimodal_features",
     "ivf_topk_pinned",
     "piecewise_transform_fixed",
     "mdlp_splits",
@@ -3474,7 +3528,84 @@ def _dp_cte_binary(table, xcol, ycond, n_prebins, trend, p="",
     FROM {p}segx GROUP BY mask),
   {p}best AS (
     SELECT mask FROM {p}cand WHERE feas AND {mono}
-    ORDER BY iv_total DESC{pref}, mask LIMIT 1),
+    ORDER BY round(iv_total, 9) DESC{pref}, mask LIMIT 1),
+  {p}bseg AS (
+    SELECT s.seg, s.ne, s.ev, s.pb_lo, s.pb_hi, max(s.seg) OVER () AS max_seg
+    FROM {p}segs s WHERE s.mask = (SELECT mask FROM {p}best)),
+  {p}mrow AS (
+    SELECT count(*) FILTER (WHERE y = 0) AS ne,
+           count(*) FILTER (WHERE y = 1) AS ev
+    FROM (SELECT {ycond} AS y FROM {table}
+          WHERE {xcol} IS NULL OR isnan({xcol}))),
+  {p}allrows AS (
+    SELECT CASE WHEN seg = 0 AND seg = max_seg THEN '(-inf, inf)'
+                WHEN seg = 0 THEN '(-inf, ' || printf('%.2f', sp.splits[pb_hi + 1]) || ')'
+                WHEN seg = max_seg THEN '[' || printf('%.2f', sp.splits[pb_lo]) || ', inf)'
+                ELSE '[' || printf('%.2f', sp.splits[pb_lo]) || ', ' ||
+                     printf('%.2f', sp.splits[pb_hi + 1]) || ')' END AS bin,
+           ne, ev
+    FROM {p}bseg, {p}sp sp
+    UNION ALL SELECT 'Missing', ne, ev FROM {p}mrow),
+  {p}t2 AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev, sum(ne + ev) AS t_all
+            FROM {p}allrows)"""
+
+
+def _dp_cte_binary_shape(table, xcol, ycond, n_prebins, shape, p=""):
+    """CTE chain like _dp_cte_binary but for the EXACT concave/convex
+    trends (reference cp.py:433-457: e_a + e_c <= 2 e_b for EVERY bin
+    triple a < b < c, reversed for convex). The engine solves these by
+    pruned DFS enumeration (core/solver.py _solve_shape_enum) with the
+    r14 pinned selection (9dp-rounded objective, ties to the lowest
+    boundary mask), so the oracle is the same mask enumeration with
+    the all-triples constraint as a triple self-join on segment event
+    rates, carrying the engine's exact 1e-12 rate tolerance."""
+    probs = ", ".join(f"{i}/{n_prebins}.0" for i in range(1, n_prebins))
+    viol = ("a.er + c.er > 2 * b.er + 1e-12" if shape == "concave"
+            else "2 * b.er - a.er - c.er > 1e-12")
+    return f"""
+  {p}clean AS (
+    SELECT {xcol} AS x, {ycond} AS y FROM {table}
+    WHERE {xcol} IS NOT NULL AND NOT isnan({xcol})),
+  {p}sp AS (
+    SELECT list_sort(list_distinct(quantile_cont(x, [{probs}]))) AS splits
+    FROM {p}clean),
+  {p}pre AS (
+    SELECT len(list_filter(sp.splits, s -> c.x >= s)) AS pb,
+           count(*) FILTER (WHERE y = 0) AS ne,
+           count(*) FILTER (WHERE y = 1) AS ev
+    FROM {p}clean c, {p}sp sp GROUP BY 1),
+  {p}tot AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev FROM {p}pre),
+  {p}masks AS (SELECT g AS mask FROM generate_series(0, 127) t(g)),
+  {p}segrows AS (
+    SELECT m.mask, pr.pb, pr.ne, pr.ev,
+           bit_count(CAST(m.mask AS BIGINT) & ((1::BIGINT << pr.pb) - 1)) AS seg
+    FROM {p}masks m, {p}pre pr),
+  {p}segs AS (
+    SELECT mask, seg, sum(ne) AS ne, sum(ev) AS ev,
+           min(pb) AS pb_lo, max(pb) AS pb_hi
+    FROM {p}segrows GROUP BY mask, seg),
+  {p}segx AS (
+    SELECT s.*,
+           ev / CAST(ev + ne AS DOUBLE) AS er,
+           CASE WHEN ev > 0 AND ne > 0
+                THEN (ev / t.t_ev - ne / t.t_ne) * ln((ev / t.t_ev) / (ne / t.t_ne))
+                ELSE 0 END AS iv_term
+    FROM {p}segs s, {p}tot t),
+  {p}viol AS (
+    SELECT DISTINCT a.mask
+    FROM {p}segx a
+    JOIN {p}segx b ON b.mask = a.mask AND b.seg > a.seg
+    JOIN {p}segx c ON c.mask = a.mask AND c.seg > b.seg
+    WHERE {viol}),
+  {p}cand AS (
+    SELECT mask, bool_and(ev > 0 AND ne > 0) AS feas,
+           sum(iv_term) AS iv_total
+    FROM {p}segx GROUP BY mask),
+  {p}best AS (
+    SELECT c.mask FROM {p}cand c
+    LEFT JOIN {p}viol v ON v.mask = c.mask
+    WHERE c.feas AND v.mask IS NULL
+    ORDER BY round(c.iv_total, 9) DESC, c.mask LIMIT 1),
   {p}bseg AS (
     SELECT s.seg, s.ne, s.ev, s.pb_lo, s.pb_hi, max(s.seg) OVER () AS max_seg
     FROM {p}segs s WHERE s.mask = (SELECT mask FROM {p}best)),
@@ -3577,6 +3708,20 @@ def _sql_optimal_binning_table():
     y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
     return ("WITH " + _dp_cte_binary("lineitem", "l_quantity", y, 8,
                                      "descending")
+            + _sql_binary_table_tail())
+
+
+def _sql_concave_binning_table():
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    return ("WITH " + _dp_cte_binary_shape("lineitem", "l_quantity", y,
+                                           8, "concave")
+            + _sql_binary_table_tail())
+
+
+def _sql_convex_binning_table():
+    y = "(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+    return ("WITH " + _dp_cte_binary_shape("lineitem", "l_discount", y,
+                                           8, "convex")
             + _sql_binary_table_tail())
 
 
@@ -3717,7 +3862,7 @@ def _sql_categorical_optimal_binning():
     FROM segx GROUP BY mask),
   best AS (
     SELECT mask FROM cand WHERE feas AND mono_asc
-    ORDER BY iv_total DESC, mask LIMIT 1),
+    ORDER BY round(iv_total, 9) DESC, mask LIMIT 1),
   mrow AS (
     SELECT count(*) FILTER (WHERE y = 0) AS ne,
            count(*) FILTER (WHERE y = 1) AS ev
@@ -3812,7 +3957,7 @@ def _sql_cat_dp_cte(table, col, y, p):
     FROM {p}segx GROUP BY mask),
   {p}best AS (
     SELECT mask FROM {p}cand WHERE feas AND mono_asc
-    ORDER BY iv_total DESC, mask LIMIT 1),
+    ORDER BY round(iv_total, 9) DESC, mask LIMIT 1),
   {p}bseg AS (
     SELECT s.seg, s.ne, s.ev FROM {p}segs s
     WHERE s.mask = (SELECT mask FROM {p}best)),
@@ -7289,6 +7434,8 @@ def oracle_sql() -> dict[str, str]:
         # replayed as an exhaustive bitmask search over contiguous
         # partitions (see _dp_cte_binary).
         "optimal_binning_table": _sql_optimal_binning_table(),
+        "concave_binning_table": _sql_concave_binning_table(),
+        "convex_binning_table": _sql_convex_binning_table(),
         "optimal_woe_transform": _sql_optimal_woe_transform(),
         "continuous_binning_table": _sql_continuous_binning_table(),
         "categorical_optimal_binning": _sql_categorical_optimal_binning(),

@@ -569,10 +569,21 @@ def main():
     # wall-clock is not comparable, so record the ratio with the
     # reason but never assert an inversion. Entries here must be
     # re-reviewed (and normally removed) next round.
-    # r14: the r13 sketch_binning_table entry is REMOVED per its own
-    # contract — both sides of the r14 compare run the r13
-    # accuracy-contract definition, so the watch re-arms.
-    REDEFINED = {}
+    # r14 re-review of the r13 sketch_binning_table entry: the QUERY
+    # definition is now stable (both r13 and r14 ran the
+    # accuracy-contract form, r14 1.531s vs r13 1.559s — flat), but
+    # the watch baseline is min(prev_round, prev_prev_round) and the
+    # r12 side of that min still carries the PRE-redefinition number
+    # (1.09s), so the r14 compare mixes definitions and reads as a
+    # spurious 1.405x inversion. Keep the entry ONE more round; in
+    # r15 the min window is (r14, r13) — both new-definition — and
+    # the watch re-arms with nothing to remove.
+    REDEFINED = {
+        "sketch_binning_table": (
+            "baseline min(r13,r12) still includes the r12 "
+            "pre-redefinition wall-clock; definition itself unchanged "
+            "since r13 (1.559 -> 1.531 s)"),
+    }
     # dirty = the original section was flagged AND no clean retry
     # rep exists (retry skipped for budget, or its bracket moved too)
     retry_clean = ("headline_retry" in scal.sections

@@ -20,13 +20,13 @@ prebins" falls out of the optimization instead of being a separate
 pre-pass.
 
 Tie policy (r14): every DP (_dp_run, _scenario_dp,
-_solve_multiclass_dp) compares candidates through _better_pinned —
-objective rounded to 9dp, residual ties to the lowest boundary mask —
-matching the SQL enumeration oracles' ORDER BY round(obj, 9) DESC,
-mask. The two DFS enumerations (_solve_shape_enum,
-_solve_multiclass_enum) keep strict first-found-wins ties: they are
-deterministic on their own and have no SQL twin to agree with
-(concave/convex and shaped-multiclass are in the non-replayable tail).
+_solve_multiclass_dp) AND the binary concave/convex DFS
+(_solve_shape_enum's complete-partition selection) compare candidates
+through _better_pinned — objective rounded to 9dp, residual ties to
+the lowest boundary mask — matching the SQL enumeration oracles'
+ORDER BY round(obj, 9) DESC, mask. Only _solve_multiclass_enum keeps
+strict first-found-wins ties: it is deterministic on its own and has
+no SQL twin (shaped-multiclass stays in the non-replayable tail).
 
 Supported monotonic trends: ascending, descending, auto_asc_desc,
 peak, valley, (auto / auto_heuristic via
@@ -331,6 +331,7 @@ def _solve_shape_enum(V, RATE, feas, lo, hi, shape, max_pvalue, pval_fn):
     sign = 1.0 if shape == "concave" else -1.0
     best_val = NEG
     best_segs = None
+    best_mask = 0
     node_budget = 2_000_000
     nodes = 0
     exhausted = False
@@ -358,9 +359,19 @@ def _solve_shape_enum(V, RATE, feas, lo, hi, shape, max_pvalue, pval_fn):
             nm = m if len(segs) < 1 else min(m, 2.0 * r - max_r)
             nmax = max(max_r, r)
             if i == n - 1:
-                if lo <= len(nsegs) <= hi and nval > best_val:
-                    best_val = nval
-                    best_segs = nsegs
+                if lo <= len(nsegs) <= hi:
+                    # same pinned total order as the DPs (9dp-rounded
+                    # objective, ties to the lowest boundary mask) so
+                    # the concave/convex search is SQL-oracle-
+                    # replayable despite its stack-pop visit order
+                    cm = 0
+                    for js, _ in nsegs[1:]:
+                        cm |= 1 << (js - 1)
+                    if best_segs is None or _better_pinned(
+                            nval, cm, best_val, best_mask):
+                        best_val = nval
+                        best_segs = nsegs
+                        best_mask = cm
             elif len(nsegs) < hi:
                 stack.append((i + 1, i + 1, nsegs, nval, nm, nmax))
         # (loop body handles all extensions of this prefix)
@@ -451,8 +462,6 @@ def _dp_run(V, RATE, feas, lo, hi, trend, min_diff, max_pvalue, pval_fn):
     }[trend]
     second_leg = {"peak": "desc", "valley": "asc"}.get(trend)
 
-    better = _better_pinned
-
     for b in range(2, hi + 1):
         for j in range(1, n):
             bbit = 1 << (j - 1)
@@ -470,9 +479,22 @@ def _dp_run(V, RATE, feas, lo, hi, trend, min_diff, max_pvalue, pval_fn):
                         if prev > NEG / 2 and leg_ok(RATE[k, j - 1], cur_rate, leg):
                             if max_pvalue is None or pval_fn(k, j - 1, j, i) <= max_pvalue:
                                 val = prev + V[j, i]
-                                cm = int(msk[ph, b - 1, k, j - 1]) | bbit
-                                if better(val, cm, best_val, best_m):
-                                    best_val, best_k, best_ph, best_m = val, k, ph, cm
+                                # _better_pinned inlined for the hot
+                                # path: the mask is only materialized
+                                # on a take or a near-tie (<= 1e-9)
+                                d = val - best_val
+                                if d > 1e-9:
+                                    take = True
+                                elif d < -1e-9:
+                                    take = False
+                                else:
+                                    take = _better_pinned(
+                                        val,
+                                        int(msk[ph, b - 1, k, j - 1]) | bbit,
+                                        best_val, best_m)
+                                if take:
+                                    best_val, best_k, best_ph = val, k, ph
+                                    best_m = int(msk[ph, b - 1, k, j - 1]) | bbit
                         # phase transition (peak/valley): 0 -> 1
                         if ph == 1:
                             prev0 = f[0, b - 1, k, j - 1]
@@ -484,10 +506,20 @@ def _dp_run(V, RATE, feas, lo, hi, trend, min_diff, max_pvalue, pval_fn):
                                     or pval_fn(k, j - 1, j, i) <= max_pvalue
                                 ):
                                     val = prev0 + V[j, i]
-                                    cm = int(msk[0, b - 1, k, j - 1]) | bbit
-                                    if better(val, cm, best_val, best_m):
-                                        best_val, best_k, best_ph, best_m = (
-                                            val, k, 0, cm)
+                                    d = val - best_val
+                                    if d > 1e-9:
+                                        take = True
+                                    elif d < -1e-9:
+                                        take = False
+                                    else:
+                                        take = _better_pinned(
+                                            val,
+                                            int(msk[0, b - 1, k, j - 1]) | bbit,
+                                            best_val, best_m)
+                                    if take:
+                                        best_val, best_k, best_ph = val, k, 0
+                                        best_m = (
+                                            int(msk[0, b - 1, k, j - 1]) | bbit)
                     if best_k >= 0:
                         f[ph, b, j, i] = best_val
                         msk[ph, b, j, i] = best_m
@@ -504,7 +536,7 @@ def _dp_run(V, RATE, feas, lo, hi, trend, min_diff, max_pvalue, pval_fn):
                 if val <= NEG / 2:
                     continue
                 m = int(msk[ph, b, j, n - 1])
-                if better(val, m, best[0], best_m):
+                if _better_pinned(val, m, best[0], best_m):
                     best = (val, (ph, b, j))
                     best_m = m
     if best[1] is None:

@@ -144,3 +144,73 @@ def test_wide_fit_exact_oracle_is_deterministic_sf0001():
     assert r1 == r2
     assert len(r1) == 16
     assert all(r[2] >= 1 for r in r1)
+
+
+@pytest.mark.parametrize("shape", ["concave", "convex"])
+def test_shape_enum_sql_matches_solver_fuzz(shape):
+    """The exact concave/convex solver (_solve_shape_enum, pruned DFS
+    with the r14 pinned selection) vs the same mask enumeration the
+    concave/convex_binning_table oracles run: all-triples curvature
+    with the engine's 1e-12 rate tolerance, round(iv,9) argmax, ties
+    to the lowest mask. Small integer counts force exact-IV ties."""
+    import zlib
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(zlib.crc32(shape.encode()))
+    viol = ("a.er + c.er > 2 * b.er + 1e-12" if shape == "concave"
+            else "2 * b.er - a.er - c.er > 1e-12")
+    checked = 0
+    for t in range(250):
+        n = int(rng.integers(2, 10))
+        ne = rng.integers(0, 40, n).astype(float)
+        ev = rng.integers(0, 40, n).astype(float)
+        if ne.sum() == 0 or ev.sum() == 0:
+            continue
+        sol = solve_binary(ne, ev, monotonic_trend=shape)
+        nes = ", ".join(f"{v}::DOUBLE" for v in ne)
+        evs = ", ".join(f"{v}::DOUBLE" for v in ev)
+        sql = f"""
+  WITH pre AS (
+    SELECT g AS pb, [{nes}][g + 1] AS ne, [{evs}][g + 1] AS ev
+    FROM generate_series(0, {n - 1}) t(g)),
+  tot AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev FROM pre),
+  masks AS (SELECT g AS mask FROM generate_series(0, {2 ** (n - 1) - 1}) t(g)),
+  segs AS (
+    SELECT m.mask,
+           bit_count(CAST(m.mask AS BIGINT) & ((1::BIGINT << pb) - 1)) AS seg,
+           sum(ne) AS ne, sum(ev) AS ev
+    FROM masks m, pre GROUP BY 1, 2),
+  segx AS (
+    SELECT s.*, ev / greatest(ev + ne, 1e-15) AS er,
+           CASE WHEN ev > 0 AND ne > 0
+                THEN (ev / t.t_ev - ne / t.t_ne)
+                     * ln((ev / t.t_ev) / (ne / t.t_ne)) ELSE 0 END AS iv_term
+    FROM segs s, tot t),
+  viol AS (
+    SELECT DISTINCT a.mask
+    FROM segx a
+    JOIN segx b ON b.mask = a.mask AND b.seg > a.seg
+    JOIN segx c ON c.mask = a.mask AND c.seg > b.seg
+    WHERE {viol}),
+  cand AS (
+    SELECT mask, bool_and(ev > 0 AND ne > 0) AS feas,
+           sum(iv_term) AS iv_total
+    FROM segx GROUP BY mask),
+  best AS (
+    SELECT c.mask FROM cand c LEFT JOIN viol v ON v.mask = c.mask
+    WHERE c.feas AND v.mask IS NULL
+    ORDER BY round(c.iv_total, 9) DESC, c.mask LIMIT 1)
+  SELECT seg, ne, ev FROM segs
+  WHERE mask = coalesce((SELECT mask FROM best), 0)
+  ORDER BY seg"""
+        rows = con.execute(sql).fetchall()
+        if sol.status == "INFEASIBLE":
+            assert len(rows) == 1
+            assert rows[0][1] == ne.sum() and rows[0][2] == ev.sum()
+            continue
+        want = [(i, ne[j:k + 1].sum(), ev[j:k + 1].sum())
+                for i, (j, k) in enumerate(sol.segments)]
+        got = [(r[0], r[1], r[2]) for r in rows]
+        assert got == want, (t, shape, got, want)
+        checked += 1
+    assert checked > 120
