@@ -2135,14 +2135,14 @@ def _sql_rect_label(lo_expr, hi_expr, r1, r2, n):
             f"|| printf('%.2f', {hi_expr}) || ')' END")
 
 
-def _sql_binning_2d_table():
-    """Full replay of the redefined q_binning_2d_table: tercile x
-    quartile edges (guarded exact-percentile path), 12-cell
-    contingency aggregation, exhaustive 3,164-partition exact-cover
-    search (round(obj,9) argmax, ties to the lowest DFS partition
-    index = the engine's pinned first-max), then the table build —
-    rects ordered by top-left corner (the DFS append order),
-    format_bin_label strings, event_rate/woe/iv."""
+def _sql_binning_2d_3x4_core():
+    """CTE chain (with WITH, ending at ``win``) shared by the 3x4
+    binary 2-D oracles: tercile x quartile edges (guarded
+    exact-percentile path), 12-cell contingency aggregation,
+    exhaustive 3,164-partition exact-cover search (round(obj,9)
+    argmax, ties to the lowest DFS partition index = the engine's
+    pinned first-max). ``win`` carries the winning rects with
+    ne/ev/t_ne/t_ev and the edge arrays qx/qy."""
     rects, masks = _rect_enum_masks(3, 4)
     nr = len(rects)
     rsel = " UNION ALL ".join(
@@ -2196,7 +2196,14 @@ def _sql_binning_2d_table():
     FROM partrects p
     JOIN rectx x ON x.rid = p.rid
     CROSS JOIN tq t
-    WHERE p.pid = (SELECT pid FROM best))
+    WHERE p.pid = (SELECT pid FROM best))"""
+
+
+def _sql_binning_2d_table():
+    """q_binning_2d_table replay: the shared 3x4 core, then the table
+    build — rects ordered by top-left corner (the DFS append order),
+    format_bin_label strings, event_rate/woe/iv."""
+    return _sql_binning_2d_3x4_core() + f"""
   SELECT (row_number() OVER (ORDER BY r1, c1) - 1) AS bin,
          {_sql_rect_label('qx[r1]', 'qx[r2]', 'r1', 'r2', 3)} AS bin_x,
          {_sql_rect_label('qy[c1]', 'qy[c2]', 'c1', 'c2', 4)} AS bin_y,
@@ -2209,6 +2216,56 @@ def _sql_binning_2d_table():
            + 0.0 AS woe,
          round(term, 6) + 0.0 AS iv
   FROM win"""
+
+
+def _sql_binning_2d_woe_transform():
+    """q_binning_2d_woe_transform replay: the shared 3x4 core, then
+    per-row rect routing — each clean row's (bx, by) cell joins the
+    unique winning rect containing it, emitting that rect's WoE (the
+    engine's transform_expr CASE evaluates the same containment on
+    value bounds; the partition property makes first-match order
+    irrelevant for clean rows)."""
+    flt = ("l.l_quantity IS NOT NULL AND NOT isnan(l.l_quantity) AND "
+           "l.l_extendedprice IS NOT NULL "
+           "AND NOT isnan(l.l_extendedprice)")
+    bx = _sql_rect_bin_expr("l.l_quantity", "w.qx", 3)
+    by = _sql_rect_bin_expr("l.l_extendedprice", "w.qy", 4)
+    return _sql_binning_2d_3x4_core() + f"""
+  SELECT l.l_orderkey, l.l_linenumber,
+         round(CASE WHEN w.ne > 0 AND w.ev > 0
+                    THEN ln((w.ne / w.t_ne) / (w.ev / w.t_ev))
+                    ELSE 0 END, 6) + 0.0 AS woe
+  FROM lineitem l
+  JOIN win w ON {bx} >= w.r1 AND {bx} < w.r2
+            AND {by} >= w.c1 AND {by} < w.c2
+  WHERE {flt}"""
+
+
+def q_binning_2d_woe_transform(spark, sf_dir):
+    """The 2-D TRANSFORM surface (reference binning_2d.py transform —
+    the F1 analog for rectangle bins), previously untouched by any
+    hash check: the same 3x4 data-derived fit as q_binning_2d_table,
+    then per-row WoE routing through transform_expr's rect-containment
+    CASE. Rows are pre-filtered to clean (both coordinates non-NULL,
+    non-NaN) so the hash compares the routing semantics, not the
+    engines' divergent NaN comparison orders."""
+    from optbinning_spark.binning_2d import OptimalBinning2D
+
+    df = _lineitem(spark, sf_dir)
+    ob = OptimalBinning2D(
+        prebinning_method="quantile",
+        max_n_prebins_x=3, max_n_prebins_y=4, min_bin_size=0.10)
+    ob.fit(df, "l_quantity", "l_extendedprice", "y")
+    clean = df.filter(
+        F.col("l_quantity").isNotNull()
+        & ~F.isnan(F.col("l_quantity").cast("double"))
+        & F.col("l_extendedprice").isNotNull()
+        & ~F.isnan(F.col("l_extendedprice").cast("double")))
+    out = ob.transform(clean, "l_quantity", "l_extendedprice",
+                       metric="woe", out_col="woe")
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        (F.round("woe", 6) + F.lit(0.0)).alias("woe"))
 
 
 def q_continuous_binning_2d_pinned(spark, sf_dir):
@@ -3392,6 +3449,7 @@ _WINDOW = [
 #: sketches, data-derived prebin variants of hash-checked pinned
 #: siblings) covered by golden-parity and unit tests instead.
 _TAIL = [
+    "binning_2d_woe_transform",
     "doc_chunks",
     "multimodal_features",
     "ivf_topk_pinned",
@@ -7632,6 +7690,7 @@ def oracle_sql() -> dict[str, str]:
         "continuous_binning_2d_pinned": _sql_continuous_binning_2d_pinned(),
         "binning_2d_table": _sql_binning_2d_table(),
         "continuous_binning_2d_table": _sql_continuous_binning_2d_table(),
+        "binning_2d_woe_transform": _sql_binning_2d_woe_transform(),
         "embedding_dedup_clusters": _sql_embedding_dedup_clusters(),
         # event_psi_monitor: streaming_psi_monitor's exact plan over
         # the batch events table. splits [50, 150], expected
