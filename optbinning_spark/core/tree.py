@@ -20,7 +20,6 @@ the data-sized pass is a single aggregation; the tree is driver-side on
 from __future__ import annotations
 
 import heapq
-import itertools
 
 import numpy as np
 
@@ -119,8 +118,6 @@ def cart_splits(
     if n < 2 or max_leaf_nodes < 2:
         return np.array([])
 
-    counter = itertools.count()  # tie-break for heap determinism
-
     def find_split(lo, hi):
         # min_samples_leaf is enforced inside the vectorized argmax:
         # the constrained best equals the old unconstrained-then-
@@ -139,15 +136,24 @@ def cart_splits(
         gain, idx = res
         return gain, lo + idx
 
+    # heap tie-break is the ABSOLUTE split position, not insertion
+    # order: the SQL replays (wide-fit steps CTE / cart_splits oracle)
+    # rescan every leaf's candidates per iteration and pick
+    # ORDER BY gain DESC, position — when two nodes' best gains tie
+    # BITWISE (the gain kernels are expression-parallel to the SQL, so
+    # exact ties agree bit-for-bit across engines), insertion order
+    # diverged from position order. Positions are unique across alive
+    # nodes (nodes partition the index range), so the comparison never
+    # falls through to lo/hi.
     heap = []
     first = find_split(0, n - 1)
     if first is None:
         return np.array([])
-    heapq.heappush(heap, (-first[0], next(counter), 0, n - 1, first[1]))
+    heapq.heappush(heap, (-first[0], first[1], 0, n - 1))
     thresholds = []
     n_leaves = 1
     while heap and n_leaves < max_leaf_nodes:
-        neg_gain, _, lo, hi, idx = heapq.heappop(heap)
+        neg_gain, idx, lo, hi = heapq.heappop(heap)
         if -neg_gain <= 0:
             break
         thresholds.append(0.5 * (values[idx] + values[idx + 1]))
@@ -156,7 +162,7 @@ def cart_splits(
             if chi > clo:
                 sp = find_split(clo, chi)
                 if sp is not None and sp[0] > 0:
-                    heapq.heappush(heap, (-sp[0], next(counter), clo, chi, sp[1]))
+                    heapq.heappush(heap, (-sp[0], sp[1], clo, chi))
     return np.sort(np.array(thresholds))
 
 
