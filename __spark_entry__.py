@@ -5861,7 +5861,7 @@ steps(pending, splits, it) AS (
           (-(CASE WHEN s2.tne > 0 THEN (s2.tne / s2.total) * log2(s2.tne / s2.total) ELSE 0.0 END + CASE WHEN s2.tev > 0 THEN (s2.tev / s2.total) * log2(s2.tev / s2.total) ELSE 0.0 END)) AS pe,
           (-(CASE WHEN s2.lne > 0 THEN (s2.lne / s2.nlw) * log2(s2.lne / s2.nlw) ELSE 0.0 END + CASE WHEN s2.lev > 0 THEN (s2.lev / s2.nlw) * log2(s2.lev / s2.nlw) ELSE 0.0 END)) AS el,
           (-(CASE WHEN s2.rne > 0 THEN (s2.rne / s2.nrw) * log2(s2.rne / s2.nrw) ELSE 0.0 END + CASE WHEN s2.rev > 0 THEN (s2.rev / s2.nrw) * log2(s2.rev / s2.nrw) ELSE 0.0 END)) AS er) s3
-      ORDER BY gain DESC, s2.ci LIMIT 1
+      ORDER BY round(gain, 9) DESC, s2.ci LIMIT 1
     ) c
   ) b ON true
   WHERE len(steps.pending) > 0 AND steps.it < 200

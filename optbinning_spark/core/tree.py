@@ -200,6 +200,7 @@ def mdlp_splits(
         cum = np.cumsum(sub, axis=0)
         tot = sub.sum(axis=0)
         best = None
+        best_rg = None
         m = hi - lo
         cand = range(m) if m <= max_candidates else np.linspace(
             0, m - 1, max_candidates
@@ -212,8 +213,15 @@ def mdlp_splits(
                 continue
             child = (nl * entropy(lw) + nr * entropy(rw)) / total
             gain = parent_ent - child
-            if best is None or gain > best[0]:
+            # r14 pinned argmax: compare at 9dp so an exact gain tie
+            # (mirror-image intervals) keeps the FIRST candidate
+            # (lowest index) regardless of ulp noise — the oracle's
+            # ORDER BY round(gain, 9) DESC, ci; the selected
+            # candidate's RAW gain still feeds the MDL acceptance
+            rg = round(gain, 9)
+            if best is None or rg > best_rg:
                 best = (gain, i, entropy(lw), entropy(rw), lw, rw)
+                best_rg = rg
         if best is None:
             return
         gain, i, el, er, lw, rw = best
