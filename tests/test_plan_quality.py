@@ -450,3 +450,38 @@ def test_ivf_pq_single_corpus_scan(spark):
     # scans: corpus once + broadcast query side once
     assert p.count("Scan parquet") <= 2, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_binning_2d_transform_is_map_only(spark, lineitem):
+    """The 2-D rect transform must compile to a literal CASE over the
+    scan — no join against a bins table, no shuffle (r14: this surface
+    is now also driver-hash-checked via binning_2d_woe_transform)."""
+    from optbinning_spark.binning_2d import OptimalBinning2D
+
+    ob = OptimalBinning2D(
+        prebinning_method="quantile",
+        max_n_prebins_x=3, max_n_prebins_y=4, min_bin_size=0.10)
+    ob.fit(lineitem, "l_quantity", "l_extendedprice", "y")
+    out = ob.transform(lineitem, "l_quantity", "l_extendedprice",
+                       metric="woe", out_col="woe")
+    assert is_map_only(out), _plan(out)
+    assert num_shuffles(out) == 0, _plan(out)
+
+
+def test_binning_2d_fit_is_single_partial_agg(spark, lineitem):
+    """The 3x4 2-D fit's data pass is ONE two-key aggregation with
+    map-side combine; the 3,164-partition search is driver-side on the
+    12-cell result."""
+    from optbinning_spark.binning_2d import _quantile_axis_splits
+    from optbinning_spark.operators.preprocessing import numeric_bin_expr
+
+    qx, qy = _quantile_axis_splits(
+        lineitem.filter(F.col("l_quantity").isNotNull()
+                        & F.col("l_extendedprice").isNotNull()),
+        "l_quantity", "l_extendedprice", 3, 4)
+    bx = numeric_bin_expr(F.col("l_quantity").cast("double"), qx)
+    by = numeric_bin_expr(F.col("l_extendedprice").cast("double"), qy)
+    agg = lineitem.groupBy(bx.alias("bx"), by.alias("by")).agg(
+        F.count("*").alias("n"))
+    assert uses_partial_aggregation(agg), _plan(agg)
+    assert num_shuffles(agg) == 1, _plan(agg)
