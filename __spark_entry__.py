@@ -4922,9 +4922,11 @@ def _sql_scorecard_table():
         WHEN r.ph = 2 AND mm.mx1 + mm.mx2 + mm.mx3 <= r.mxp THEN 0
         WHEN r.ph = 2 AND cnd.dc1 >= 1e18 AND cnd.dc2 >= 1e18
              AND cnd.dc3 >= 1e18 THEN 0
-        -- cheapest L1 marginal, ties to the earlier variable
-        WHEN cnd.dc1 <= cnd.dc2 AND cnd.dc1 <= cnd.dc3 THEN 1
-        WHEN cnd.dc2 <= cnd.dc3 THEN 2
+        -- cheapest L1 marginal at 9dp, ties to the earlier variable
+        -- (engine compares round(dc, 9) identically)
+        WHEN round(cnd.dc1, 9) <= round(cnd.dc2, 9)
+             AND round(cnd.dc1, 9) <= round(cnd.dc3, 9) THEN 1
+        WHEN round(cnd.dc2, 9) <= round(cnd.dc3, 9) THEN 2
         ELSE 3 END AS move) nx
     WHERE NOT r.done AND r.it < 200),
   pts AS (

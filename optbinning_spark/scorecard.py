@@ -60,7 +60,10 @@ def _round_points_minmax(points: dict) -> dict:
         best = None
         for v in names:
             q = np.maximum(p[v], p[v].min() + 1)
-            dc = l1(v, q) - l1(v, p[v])
+            # r14 pinned compare: 9dp so an exact L1-marginal tie
+            # keeps the EARLIER variable on both engines (the oracle
+            # compares round(dc, 9) with the same earlier-wins CASE)
+            dc = round(l1(v, q) - l1(v, p[v]), 9)
             if best is None or dc < best[0]:
                 best = (dc, v, q)
         p[best[1]] = best[2]
@@ -72,7 +75,7 @@ def _round_points_minmax(points: dict) -> dict:
             if p[v].max() - 1 < p[v].min():
                 continue  # flat variable: lowering would break Sum min
             q = np.minimum(p[v], p[v].max() - 1)
-            dc = l1(v, q) - l1(v, p[v])
+            dc = round(l1(v, q) - l1(v, p[v]), 9)
             if best is None or dc < best[0]:
                 best = (dc, v, q)
         if best is None:  # degenerate: every variable flat
