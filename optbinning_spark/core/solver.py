@@ -60,6 +60,12 @@ def _better_pinned(val, cmask, best_val, best_mask):
     an oracle's flat sum. The fast paths avoid round() outside the
     |d| <= 1e-9 band (rounding is monotone with grid 1e-9, so a gap
     > 1e-9 always survives the rounding)."""
+    # float() first: callers pass numpy float64 scalars, and round()
+    # on a numpy scalar routes through np.round at ~25x the cost of
+    # rounding a Python float — the flat-profile DFS hits this branch
+    # on EVERY completed partition (all tie at 0), so it is hot
+    val = float(val)
+    best_val = float(best_val)
     d = val - best_val
     if d > 1e-9:
         return True
@@ -335,11 +341,15 @@ def _solve_shape_enum(V, RATE, feas, lo, hi, shape, max_pvalue, pval_fn):
     node_budget = 2_000_000
     nodes = 0
     exhausted = False
-    # stack frames: 6-tuples (start, i_next, segs, val, m, max_r);
-    # iterative DFS to dodge recursion limits at n=20
-    stack = [(0, 0, [], 0.0, np.inf, -np.inf)]
+    # stack frames: (start, i_next, segs, val, m, max_r, bmask);
+    # iterative DFS to dodge recursion limits at n=20. bmask carries
+    # the boundary mask incrementally (bit i = split between prebins
+    # i and i+1) so the pinned tie compare at completion is O(1) —
+    # flat profiles tie EVERY partition, so a per-completion mask
+    # rebuild would multiply the budgeted-search wall-clock
+    stack = [(0, 0, [], 0.0, np.inf, -np.inf, 0)]
     while stack:
-        start, i0, segs, val, m, max_r = stack.pop()
+        start, i0, segs, val, m, max_r, bmask = stack.pop()
         if nodes >= node_budget:
             exhausted = True
             break
@@ -364,16 +374,14 @@ def _solve_shape_enum(V, RATE, feas, lo, hi, shape, max_pvalue, pval_fn):
                     # objective, ties to the lowest boundary mask) so
                     # the concave/convex search is SQL-oracle-
                     # replayable despite its stack-pop visit order
-                    cm = 0
-                    for js, _ in nsegs[1:]:
-                        cm |= 1 << (js - 1)
                     if best_segs is None or _better_pinned(
-                            nval, cm, best_val, best_mask):
+                            nval, bmask, best_val, best_mask):
                         best_val = nval
                         best_segs = nsegs
-                        best_mask = cm
+                        best_mask = bmask
             elif len(nsegs) < hi:
-                stack.append((i + 1, i + 1, nsegs, nval, nm, nmax))
+                stack.append((i + 1, i + 1, nsegs, nval, nm, nmax,
+                              bmask | (1 << i)))
         # (loop body handles all extensions of this prefix)
     if exhausted and best_segs is None:
         # budget hit before any complete partition: approximate with
