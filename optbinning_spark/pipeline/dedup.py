@@ -16,7 +16,7 @@ ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -63,11 +63,16 @@ def _files_signature(df: DataFrame) -> "str | None":
         return None
     if not files:
         return None
-    # crc32, not hash(): CPython string hashing is salt-randomized per
-    # process, so a future cross-process cache (today the probe memo
-    # is in-process only) would silently never match its own stamps
+    # a stable digest, not hash(): CPython string hashing is
+    # salt-randomized per process, so a future cross-process cache
+    # (today the probe memo is in-process only) would silently never
+    # match its own stamps. 64-bit blake2b, not crc32: at 32 bits a
+    # same-file-count listing collision silently reuses a stale memo —
+    # negligible for the in-process TTL cache, but the cross-process
+    # persistence this stamp is designed for needs the wider digest.
     listing = "\x00".join(sorted(files)).encode("utf-8", "surrogatepass")
-    return f"{len(files)}:{zlib.crc32(listing):08x}"
+    digest = hashlib.blake2b(listing, digest_size=8).hexdigest()
+    return f"{len(files)}:{digest}"
 
 
 def _resolve_use_window(keyed_sample: DataFrame, key_col: str, caller: str,
