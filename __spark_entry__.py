@@ -889,9 +889,9 @@ def q_concave_binning_table(spark, sf_dir):
 
 def q_convex_binning_table(spark, sf_dir):
     """O3/O4 exact CONVEX trend — the sign-flipped twin of
-    q_concave_binning_table, on the l_extendedprice-derived discount
-    interaction where a convex rate profile is plausible; same pinned
-    selection and mask-enumeration oracle."""
+    q_concave_binning_table, fit on plain l_discount (octile prebins)
+    where a convex rate profile is plausible; same pinned selection
+    and mask-enumeration oracle."""
     from optbinning_spark import OptimalBinning
 
     df = _lineitem(spark, sf_dir)
@@ -2441,18 +2441,203 @@ def _sql_continuous_binning_2d_table():
   FROM win"""
 
 
+def _sql_piecewise_transform():
+    """Full replay of the redefined q_piecewise_transform — every
+    data-derived stage of the binary piecewise fit
+    (reference piecewise/binning.py:345-360 pipeline):
+
+    1. exact quartile knots (quantile_cont == the engine's
+       quantile_exact percentile path), gated strictly-increasing;
+    2. distinct-value class histogram (the engine's value_histogram
+       exact path on l_quantity's ~50 values);
+    3. the L2-penalized single-feature logistic (sklearn
+       LogisticRegression C=1 semantics, intercept unpenalized) as
+       ONE recursive CTE running undamped Newton — the engine's
+       _penalized_logistic_1d step-for-step (same +-35 clip, same
+       1e-12 step tolerance), histogram carried as an array of
+       structs in recursion state (a chain of 40 plain CTEs flattens
+       into a ~100-relation join and DuckDB's join-order planner
+       hangs; anchor row must CAST to DOUBLE or the recursion
+       quantizes to DECIMAL(2,1)), convergence gated with error();
+    4. the continuity-constrained weighted least squares of the
+       predicted rate over the knot bins, re-expressed on the
+       equivalent hinge basis {1, x, (x-s_j)+} and solved by an
+       unrolled 5x5 Cholesky + two triangular substitutions — the
+       same strictly convex QP the engine's equality-KKT lstsq
+       solves (monotonic_trend=None => no inequality rows, so the
+       active set never engages);
+    5. per-row polynomial eval with the missing->0 routing of
+       transform_expr (reference piecewise/transformations.py:62-137).
+
+    Exact 6dp hash equality verified at sf0.01 (60k rows) and
+    sf0.001; a pure prebin (which would trigger the engine's
+    count-merge and shrink the knot set) is gated with error()."""
+    # hinge basis: g0=1, g1=x, g2=(x-s1)+, g3=(x-s2)+, g4=(x-s3)+
+    basis = ["1.0", "h.x",
+             "greatest(h.x - s.s1, 0.0)",
+             "greatest(h.x - s.s2, 0.0)",
+             "greatest(h.x - s.s3, 0.0)"]
+    n = len(basis)
+    pv = ("1.0 / (1.0 + exp(-greatest(least("
+          "t.b0 + t.b1 * q.x, 35.0), -35.0)))")
+    newton_sql = f"""harr AS (
+    SELECT list(struct_pack(x := x, n := n, n1 := n1) ORDER BY x) AS pts
+    FROM hist),
+  newt AS (
+    SELECT 0 AS i, CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+           CAST(1e9 AS DOUBLE) AS step, a.pts AS pts
+    FROM harr a
+    UNION ALL
+    SELECT t.i + 1,
+           t.pb0 + (t.h11 * t.g0 - t.h01 * t.g1)
+               / (t.h00 * t.h11 - t.h01 * t.h01),
+           t.pb1 + (t.h00 * t.g1 - t.h01 * t.g0)
+               / (t.h00 * t.h11 - t.h01 * t.h01),
+           greatest(abs((t.h11 * t.g0 - t.h01 * t.g1)
+                        / (t.h00 * t.h11 - t.h01 * t.h01)),
+                    abs((t.h00 * t.g1 - t.h01 * t.g0)
+                        / (t.h00 * t.h11 - t.h01 * t.h01))),
+           t.pts
+    FROM (
+      SELECT t.i, t.b0 AS pb0, t.b1 AS pb1, t.pts AS pts,
+             list_sum(list_transform(pts, q ->
+               q.n1 - q.n * ({pv}))) AS g0,
+             list_sum(list_transform(pts, q ->
+               (q.n1 - q.n * ({pv})) * q.x)) - t.b1 AS g1,
+             list_sum(list_transform(pts, q ->
+               q.n * ({pv}) * (1.0 - ({pv})))) AS h00,
+             list_sum(list_transform(pts, q ->
+               q.n * ({pv}) * (1.0 - ({pv})) * q.x)) AS h01,
+             list_sum(list_transform(pts, q ->
+               q.n * ({pv}) * (1.0 - ({pv})) * q.x * q.x)) + 1.0 AS h11
+      FROM newt t
+      WHERE t.i < 200 AND t.step >= 1e-12
+    ) t)"""
+
+    mom_cols = []
+    for i in range(n):
+        for j in range(i, n):
+            mom_cols.append(
+                f"sum(h.n * ({basis[i]}) * ({basis[j]})) AS m{i}{j}")
+        mom_cols.append(f"sum(h.n * h.pv * ({basis[i]})) AS b{i}")
+    mom_sql = ",\n           ".join(mom_cols)
+
+    # unrolled Cholesky M = L L' then L y = b, L' c = y — chained
+    # single-row projections (one CTE per L column / substitution)
+    chol_steps = []
+    prev = "mom"
+    for i in range(n):
+        diag = " - ".join(
+            [f"m{i}{i}"] + [f"L{i}{k} * L{i}{k}" for k in range(i)])
+        cols = [f"sqrt({diag}) AS L{i}{i}"]
+        for j in range(i + 1, n):
+            off = " - ".join(
+                [f"m{i}{j}"] + [f"L{j}{k} * L{i}{k}" for k in range(i)])
+            cols.append(f"({off}) / sqrt({diag}) AS L{j}{i}")
+        chol_steps.append(
+            f"ch{i} AS (SELECT *, {', '.join(cols)} FROM {prev})")
+        prev = f"ch{i}"
+    for i in range(n):
+        t = " - ".join([f"b{i}"] + [f"y{k} * L{i}{k}" for k in range(i)])
+        chol_steps.append(
+            f"fw{i} AS (SELECT *, ({t}) / L{i}{i} AS y{i} FROM {prev})")
+        prev = f"fw{i}"
+    for i in range(n - 1, -1, -1):
+        t = " - ".join([f"y{i}"] + [f"c{k} * L{k}{i}"
+                                    for k in range(n - 1, i, -1)])
+        chol_steps.append(
+            f"bw{i} AS (SELECT *, ({t}) / L{i}{i} AS c{i} FROM {prev})")
+        prev = f"bw{i}"
+    chol_sql = ",\n  ".join(chol_steps)
+
+    return f"""
+WITH RECURSIVE clean AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS x,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem),
+  spq AS (
+    SELECT quantile_cont(x, [0.25, 0.5, 0.75]) AS q
+    FROM clean WHERE x IS NOT NULL AND NOT isnan(x)),
+  sp AS (
+    SELECT CASE WHEN q[1] < q[2] AND q[2] < q[3] THEN q[1]
+                ELSE error('piecewise oracle: quartile edges not '
+                           || 'strictly increasing') END AS s1,
+           q[2] AS s2, q[3] AS s3
+    FROM spq),
+  hist AS (
+    SELECT x, CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(y) AS DOUBLE) AS n1
+    FROM clean WHERE x IS NOT NULL AND NOT isnan(x)
+    GROUP BY x),
+  puritygate AS (
+    SELECT CASE WHEN min(least(bn1, bn - bn1)) <= 0
+                THEN error('piecewise oracle: pure prebin — the '
+                           || 'engine count-merge path diverges')
+                ELSE 1 END AS ok
+    FROM (SELECT sum(h.n) AS bn, sum(h.n1) AS bn1
+          FROM hist h, sp s
+          GROUP BY CASE WHEN h.x < s.s1 THEN 0
+                        WHEN h.x < s.s2 THEN 1
+                        WHEN h.x < s.s3 THEN 2 ELSE 3 END)),
+  {newton_sql},
+  beta AS (
+    SELECT CASE WHEN t.step < 1e-12 AND (SELECT ok FROM puritygate) = 1
+                THEN t.b0
+                ELSE error('piecewise oracle: Newton did not converge')
+           END AS b0, t.b1 AS b1
+    FROM (SELECT b0, b1, step FROM newt
+          ORDER BY i DESC LIMIT 1) t),
+  pred AS (
+    SELECT h.x, h.n,
+           1.0 / (1.0 + exp(-greatest(least(
+               bt.b0 + bt.b1 * h.x, 35.0), -35.0))) AS pv
+    FROM hist h, beta bt),
+  mom AS (
+    SELECT {mom_sql}
+    FROM pred h, sp s),
+  {chol_sql}
+  SELECT c.l_orderkey, c.l_linenumber,
+         round(CASE WHEN c.x IS NULL OR isnan(c.x) THEN 0.0
+                    ELSE k.c0 + k.c1 * c.x
+                         + k.c2 * greatest(c.x - s.s1, 0.0)
+                         + k.c3 * greatest(c.x - s.s2, 0.0)
+                         + k.c4 * greatest(c.x - s.s3, 0.0)
+               END, 6) + 0.0 AS p
+  FROM clean c, {prev} k, sp s"""
+
+
 def q_piecewise_transform(spark, sf_dir):
-    """O11/F6: piecewise-linear event-rate transform (continuous KKT
-    fit from one aggregation)."""
+    """O11/F6: the BINARY piecewise-linear event-rate pipeline
+    (reference piecewise/binning.py:345-360 — logistic smoothing of
+    the target, then the continuity-constrained LSQ of the predicted
+    rate over the knot bins, then the polynomial transform), with
+    every data-derived input hash-checked.
+
+    r15 redefinition (was rows-only on l_extendedprice with GK
+    quantile prebins): l_quantity with quantile_exact prebins (the
+    deterministic percentile path), min_n_bins = max_n_prebins = 4 so
+    the inner DP's only feasible partition is the finest (the knots
+    ARE the quartile edges — no DP replay needed, and the knot count
+    is fixed so the oracle's hinge system stays 5x5), and
+    monotonic_trend=None so the QP is the pure equality-KKT solve
+    (the active set never engages; trend-constrained QPs stay covered
+    by unit tests and piecewise_transform_fixed). The logistic Newton
+    and the weighted hinge LSQ remain fully data-derived — the exact
+    residual the r14 verdict flagged (#3) — and both are replayed
+    step-for-step in _sql_piecewise_transform."""
     from optbinning_spark.piecewise import OptimalPWBinning
 
     df = _lineitem(spark, sf_dir)
     pw = OptimalPWBinning(objective="binary", degree=1,
-                          prebinning_method="quantile")
-    pw.fit(df, "l_extendedprice", "y")
-    out = pw.transform(df, "l_extendedprice", metric="event_rate", out_col="p")
+                          prebinning_method="quantile_exact",
+                          max_n_prebins=4, min_n_bins=4,
+                          monotonic_trend=None)
+    pw.fit(df, "l_quantity", "y")
+    out = pw.transform(df, "l_quantity", metric="event_rate", out_col="p")
     return out.select(
-        "l_orderkey", "l_linenumber", F.round("p", 6).alias("p")
+        "l_orderkey", "l_linenumber",
+        (F.round("p", 6) + F.lit(0.0)).alias("p"),
     )
 
 
@@ -3359,37 +3544,108 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rationale comments through round 12 live in git (e769106 and
 #: earlier; the round-13 rotation narrative in f05a462).
 #:
-#: Round-14 rotation. STAY (16): the solver-riding entries — the
-#: exact-objective tie-break across every partition DP and its SQL
-#: enumeration was PINNED this round (round-to-9dp argmax, residual
-#: ties to the lowest boundary mask / lowest DFS partition index;
-#: core/solver.py _better_pinned, binning_2d.py _exact_cover), a
-#: semantics change that needs a fresh independent driver hash on
-#: every entry whose fit rides solve_binary / solve_continuous /
-#: solve_multiclass / solve_scenarios / the 2-D exact cover — the
-#: same rule dsir_gumbel_topk followed in r13 (wide_fit_exact,
-#: scorecard_scores, scorecard_table explicitly per r13 verdict ask
-#: #2). IN (2 debuts): binning_2d_table and
-#: continuous_binning_2d_table — redefined from rows-only
-#: (CART 6x6 / quantile 5x5) to quantile 3x4 grids whose 3,164
-#: rectangle partitions the oracle enumerates exhaustively, closing
-#: r13 verdict ask #5 (rows-only 5 -> 3) — plus concave_binning_table
-#: and convex_binning_table, debuts of the exact all-triples-curvature
-#: solver's first hash oracles (the r14 pinned selection made the DFS
-#: enumeration SQL-replayable; they take the slots of doc_chunks and
-#: multimodal_features, which rejoin the r15 stale pool). IN (30
-#: stale): every
-#: hash-capable entry whose latest driver hash predates r12, oldest
-#: first — psi_variable_report (never driver-hashed: its window
-#: appearances predate its oracle), near_dup_cosine (r2),
-#: doc_token_stats / near_dup_cosine_bucketed / pack_sequences (r7),
-#: embedding_topk (r8), the full r10 cohort (15), and 11 of the 19
-#: r11-vintage entries (verdict ask #8: after r14 no oracle's latest
-#: driver hash predates r11; the 8 remaining r11 entries rotate in
-#: r15). OUT (34): the r13-green entries with stable semantics —
-#: all stay registered for tools/check_correctness full-registry
-#: runs.
+#: Round-15 rotation (r14 verdict ask #5): the r14 window re-hashed
+#: the 16 solver-riding STAY entries, 4 debuts (binning_2d_table,
+#: continuous_binning_2d_table, concave_binning_table,
+#: convex_binning_table — the r14 narrative's "2 debuts" undercounted;
+#: r15 ADVICE #4) and 30 stale entries; this round takes the exact
+#: complement so no registry entry's latest driver hash falls behind
+#: r13. IN (31 stale): all 10 entries whose last hash is r11
+#: (doc_chunks .. unknown_category_transform) and all 21 whose last
+#: hash is r12 (bpe_token_count .. stratified_doc_sample). IN (2
+#: debuts): binning_2d_woe_transform (oracle-backed since r14 but
+#: never driver-hashed — COVERAGE counted it via my own
+#: check_correctness runs only) and piecewise_transform, REDEFINED
+#: this round from rows-only to a fully replayed hash oracle
+#: (quartile knots + logistic Newton + hinge-basis Cholesky LSQ; r14
+#: verdict ask #3 — rows-only registry entries drop to 2). IN (17
+#: r13-vintage, oldest-risk first): the fit-geometry oracles
+#: (binning_table_fixed, cart_splits, mdlp_splits,
+#: piecewise_transform_fixed, wide_summary_pinned), the
+#: dedup/similarity family (semantic_dedup + _arrow, minhash/lsh,
+#: dup_ngram_spans, kmeans, pq/ivf trio), and the DSIR pair — the
+#: entries the r14 verdict named for this rotation. OUT (50): the
+#: r14-green window, all stable semantics, all still hash-checked by
+#: tools/check_correctness full-registry runs; the 17 remaining
+#: r13-vintage entries lead the tail and rotate in r16.
 _WINDOW = [
+    "doc_chunks",
+    "multimodal_features",
+    "outlier_iqr",
+    "paragraph_dedup",
+    "quality_top_fraction",
+    "scorecard_scores_huber",
+    "scorecard_table_pdo",
+    "sketch_binning_exact",
+    "training_sequences",
+    "unknown_category_transform",
+    "bpe_token_count",
+    "cluster_balanced_sample",
+    "continuous_binning_2d_pinned",
+    "counterfactual_diverse_pinned",
+    "curriculum_shards",
+    "doc_contamination",
+    "doc_split_assignment",
+    "embedding_dedup_clusters",
+    "event_psi_monitor",
+    "lm_perplexity",
+    "mixture_rates",
+    "multimodal_frames",
+    "pack_sequences_bpe",
+    "pii_redaction",
+    "psi",
+    "repetition_flags",
+    "scorecard_table_rebased",
+    "shard_assignment",
+    "simhash_pairs",
+    "sketch_categorical_merge",
+    "stratified_doc_sample",
+    "binning_2d_woe_transform",
+    "piecewise_transform",
+    "binning_table_fixed",
+    "cart_splits",
+    "mdlp_splits",
+    "semantic_dedup",
+    "semantic_dedup_arrow",
+    "dsir_logweights",
+    "dsir_gumbel_topk",
+    "ivf_topk",
+    "ivf_topk_pinned",
+    "ivf_topk_trained",
+    "piecewise_transform_fixed",
+    "minhash_signatures",
+    "lsh_candidates",
+    "pq_topk_pinned",
+    "kmeans_refined_centroids",
+    "dup_ngram_spans",
+    "wide_summary_pinned",
+]
+
+#: Tail: oracle-backed entries first (hash-checked by
+#: tools/check_correctness every session even when out of the driver
+#: window) — the 17 r13-vintage entries that rotate in r16 lead,
+#: followed by the r14-green cohort — then the genuinely
+#: non-SQL-expressible operators (approximate wide fit, MIP
+#: counterfactual search) covered by golden-parity and unit tests
+#: plus hash-checked pinned/exact siblings.
+_TAIL = [
+    "outlier_yquantile",
+    "special_missing_stats",
+    "counterfactual_pinned",
+    "dedup_clusters_dist",
+    "bm25_topk",
+    "classification_metrics",
+    "event_type_psi",
+    "sample_class_counts",
+    "doc_fingerprint",
+    "doc_quality",
+    "simhash",
+    "contingency_2d",
+    "scenario_agg",
+    "distribution_stats",
+    "chi2_tests",
+    "event_rate_order",
+    "prebin_counts",
     "binning_2d_3x3",
     "sketch_binning_table",
     "scorecard_table_linear",
@@ -3440,84 +3696,8 @@ _WINDOW = [
     "lang_id",
     "convex_binning_table",
     "nb_quality_score",
-]
-
-#: Tail: oracle-backed entries first (hash-checked by
-#: tools/check_correctness every session even when out of the driver
-#: window), then the genuinely non-SQL-expressible operators (greedy
-#: CART/MDLP recursion, MIP counterfactual search, approximate
-#: sketches, data-derived prebin variants of hash-checked pinned
-#: siblings) covered by golden-parity and unit tests instead.
-_TAIL = [
-    "binning_2d_woe_transform",
-    "doc_chunks",
-    "multimodal_features",
-    "ivf_topk_pinned",
-    "piecewise_transform_fixed",
-    "mdlp_splits",
-    "binning_table_fixed",
-    "outlier_yquantile",
-    "special_missing_stats",
-    "minhash_signatures",
-    "lsh_candidates",
-    "semantic_dedup_arrow",
-    "dup_ngram_spans",
-    "cart_splits",
-    "wide_summary_pinned",
-    "counterfactual_pinned",
-    "kmeans_refined_centroids",
-    "dedup_clusters_dist",
-    "dsir_logweights",
-    "bm25_topk",
-    "classification_metrics",
-    "dsir_gumbel_topk",
-    "ivf_topk_trained",
-    "pq_topk_pinned",
-    "semantic_dedup",
-    "ivf_topk",
-    "event_type_psi",
-    "sample_class_counts",
-    "doc_fingerprint",
-    "doc_quality",
-    "simhash",
-    "contingency_2d",
-    "scenario_agg",
-    "distribution_stats",
-    "chi2_tests",
-    "event_rate_order",
-    "prebin_counts",
-    "training_sequences",
-    "quality_top_fraction",
-    "outlier_iqr",
-    "paragraph_dedup",
-    "pii_redaction",
-    "lm_perplexity",
-    "scorecard_scores_huber",
-    "scorecard_table_pdo",
     "wide_process_fit",
-    "bpe_token_count",
-    "simhash_pairs",
-    "sketch_binning_exact",
-    "piecewise_transform",
     "counterfactual",
-    "unknown_category_transform",
-    "continuous_binning_2d_pinned",
-    "counterfactual_diverse_pinned",
-    "cluster_balanced_sample",
-    "doc_contamination",
-    "sketch_categorical_merge",
-    "psi",
-    "scorecard_table_rebased",
-    "doc_split_assignment",
-    "embedding_dedup_clusters",
-    "repetition_flags",
-    "stratified_doc_sample",
-    "shard_assignment",
-    "pack_sequences_bpe",
-    "curriculum_shards",
-    "mixture_rates",
-    "multimodal_frames",
-    "event_psi_monitor",
 ]
 
 
@@ -7693,6 +7873,7 @@ def oracle_sql() -> dict[str, str]:
         "binning_2d_table": _sql_binning_2d_table(),
         "continuous_binning_2d_table": _sql_continuous_binning_2d_table(),
         "binning_2d_woe_transform": _sql_binning_2d_woe_transform(),
+        "piecewise_transform": _sql_piecewise_transform(),
         "embedding_dedup_clusters": _sql_embedding_dedup_clusters(),
         # event_psi_monitor: streaming_psi_monitor's exact plan over
         # the batch events table. splits [50, 150], expected
