@@ -290,7 +290,10 @@ class OptimalBinning2D:
                     # order (= the lowest partition index in the
                     # oracle's enumeration) instead of falling to a
                     # 1-ulp difference between this memoized
-                    # accumulation and the oracle's flat sum
+                    # accumulation and the oracle's flat sum. Shares
+                    # core/solver._better_pinned's documented residual:
+                    # the 9dp band is not strictly decomposable across
+                    # memoized sub-states (see its docstring)
                     d = cand - best_v
                     if d > 1e-9 or (d > -1e-9
                                     and round(cand, 9) > round(best_v, 9)):

@@ -59,7 +59,20 @@ def _better_pinned(val, cmask, best_val, best_mask):
     summation order, which differs between the DP's accumulation and
     an oracle's flat sum. The fast paths avoid round() outside the
     |d| <= 1e-9 band (rounding is monotone with grid 1e-9, so a gap
-    > 1e-9 always survives the rounding)."""
+    > 1e-9 always survives the rounding).
+
+    Known residual (r15 ADVICE #2): the 9dp band is not strictly
+    decomposable across DP / memoized sub-states. Two prefix values
+    within 1e-9 but not bitwise equal are collapsed at a sub-state
+    (lowest mask kept); after a later V term is added, the DISCARDED
+    prefix could round to a higher 9dp grid point in the oracle's
+    flat sum — the near-boundary divergence class the r13 fuzz
+    caught, now much rarer (33k stably-seeded profiles green,
+    including the pinned counterexample) but not impossible. The
+    same caveat applies to binning_2d.py _exact_cover's memoized
+    accumulation. Comparing on exactly-representable scaled integers
+    would close it where objectives permit (IV terms do not — they
+    carry ln())."""
     # float() first: callers pass numpy float64 scalars, and round()
     # on a numpy scalar routes through np.round at ~25x the cost of
     # rounding a Python float — the flat-profile DFS hits this branch
@@ -918,8 +931,13 @@ def _solve_multiclass_dp(V, RATEc, feas, lo, hi, trends):
     f = np.full((n_masks, hi + 1, n_, n_), NEG)
     parent = -np.ones((n_masks, hi + 1, n_, n_, 3), dtype=np.int32)
     # minimal boundary mask attaining f (pinned tie order, see
-    # _better_pinned); phase-mask ties inside the bit transform keep
-    # their deterministic >= and do not affect segment identity
+    # _better_pinned); phase-mask ties inside the bit transform are
+    # ALSO broken by _better_pinned on the predecessors' boundary
+    # masks — two compatible phase-masks at the same (b-1, k, j-1)
+    # can hold equal values over different segment histories, and a
+    # value-only >= there would carry a non-minimal boundary mask
+    # into cm, breaking the total order the oracles pin (r15 ADVICE
+    # #1; the fuzz covers peak/valley trends where this is reachable)
     msk = np.zeros((n_masks, hi + 1, n_, n_), dtype=np.int64)
     for i in range(n_):
         if feas[0, i]:
@@ -942,6 +960,7 @@ def _solve_multiclass_dp(V, RATEc, feas, lo, hi, trends):
                     # predecessor value over compatible prev masks;
                     # src[nm] tracks the achieving predecessor mask so
                     # parent recovery is O(1) (no post-hoc rescan)
+                    gm = msk[:, b - 1, k, j - 1]
                     h = list(g)
                     src = list(range(n_masks))
                     for p, (a00, a01, a11) in enumerate(allowed):
@@ -952,10 +971,20 @@ def _solve_multiclass_dp(V, RATEc, feas, lo, hi, trends):
                             if m & bit:
                                 v = h[m] if a11 else NEG
                                 v0 = h[m ^ bit] if a01 else NEG
-                                if v >= v0:
+                                # dead-branch guards first: src is -1
+                                # on dead entries and must never index
+                                # gm; _better_pinned only runs on the
+                                # (rare) both-live compare
+                                if v0 <= NEG / 2:
                                     nh[m], ns[m] = v, src[m]
-                                else:
+                                elif v <= NEG / 2:
                                     nh[m], ns[m] = v0, src[m ^ bit]
+                                elif _better_pinned(
+                                        v0, int(gm[src[m ^ bit]]),
+                                        v, int(gm[src[m]])):
+                                    nh[m], ns[m] = v0, src[m ^ bit]
+                                else:
+                                    nh[m], ns[m] = v, src[m]
                             elif not a00:
                                 nh[m], ns[m] = NEG, -1
                         h, src = nh, ns

@@ -46,12 +46,27 @@ def _mc_sql(M, trends=None):
     mono = []
     if trends:
         for c, tr in enumerate(trends):
+            er = f"ev{c} / CAST(cnt AS DOUBLE)"
+            # strict moves only: an equal step is compatible with
+            # either leg of a peak/valley (the DP's edge_allowed uses
+            # >= / <=), so peak-validity is exactly "every strict
+            # increase comes before every strict decrease"
+            max_inc = f"max(CASE WHEN {er} > er{c}_prev THEN seg END)"
+            min_dec = f"min(CASE WHEN {er} < er{c}_prev THEN seg END)"
+            max_dec = f"max(CASE WHEN {er} < er{c}_prev THEN seg END)"
+            min_inc = f"min(CASE WHEN {er} > er{c}_prev THEN seg END)"
             if tr == "ascending":
                 mono.append(f"bool_and(er{c}_prev IS NULL"
-                            f" OR ev{c} / CAST(cnt AS DOUBLE) >= er{c}_prev)")
+                            f" OR {er} >= er{c}_prev)")
             elif tr == "descending":
                 mono.append(f"bool_and(er{c}_prev IS NULL"
-                            f" OR ev{c} / CAST(cnt AS DOUBLE) <= er{c}_prev)")
+                            f" OR {er} <= er{c}_prev)")
+            elif tr == "peak":
+                mono.append(f"({max_inc} IS NULL OR {min_dec} IS NULL"
+                            f" OR {max_inc} < {min_dec})")
+            elif tr == "valley":
+                mono.append(f"({max_dec} IS NULL OR {min_inc} IS NULL"
+                            f" OR {max_dec} < {min_inc})")
     mono_sel = (" AND " + " AND ".join(mono)) if mono else ""
     lags = ", ".join(
         f"lag(ev{c} / CAST(cnt AS DOUBLE))"
@@ -81,7 +96,17 @@ def _mc_sql(M, trends=None):
 
 
 @pytest.mark.parametrize("trends", [None, ["ascending", None, None],
-                                    [None, "descending", "ascending"]])
+                                    [None, "descending", "ascending"],
+                                    # peak/valley route through the
+                                    # phase-mask bit transform whose
+                                    # tie-break the r15 fix pins to
+                                    # _better_pinned on predecessor
+                                    # boundary masks (ADVICE #1) —
+                                    # previously untested
+                                    ["peak", None, None],
+                                    [None, "valley", None],
+                                    ["peak", "valley", "ascending"],
+                                    ["valley", "peak", None]])
 def test_multiclass_sql_matches_dp_fuzz(trends):
     con = duckdb.connect()
     seed = zlib.crc32(repr(trends).encode())
