@@ -16,6 +16,7 @@ import zlib
 
 import duckdb
 import numpy as np
+import pytest
 
 import __spark_entry__ as E
 from optbinning_spark.binning_2d import OptimalBinning2D
@@ -86,11 +87,13 @@ def _engine_cover(NE, EV, min_frac):
     return picks
 
 
-def test_exact_cover_sql_matches_engine_fuzz_3x3():
+@pytest.mark.parametrize("n_grids", [
+    25, pytest.param(250, marks=pytest.mark.full)])
+def test_exact_cover_sql_matches_engine_fuzz_3x3(n_grids):
     con = duckdb.connect()
     rng = np.random.default_rng(zlib.crc32(b"exact_cover_3x3"))
     checked = 0
-    for t in range(250):
+    for t in range(n_grids):
         # small integers force frequent exact-IV ties; occasional
         # zeros exercise infeasible cells
         NE = rng.integers(0, 7, (3, 3)).astype(float)
@@ -110,4 +113,27 @@ def test_exact_cover_sql_matches_engine_fuzz_3x3():
         got = [tuple(map(int, r)) for r in rows]
         assert got == want, (t, NE.tolist(), EV.tolist(), got, want)
         checked += 1
-    assert checked > 120
+    assert checked > n_grids // 2
+
+
+@pytest.mark.parametrize("n_grids", [
+    8, pytest.param(120, marks=pytest.mark.full)])
+def test_exact_cover_36cell_fuzz(n_grids):
+    """Production-ceiling fuzz (r14 verdict ask #6): 36-cell grids —
+    the largest the exact-cover dispatch runs (_EXACT_CELL_LIMIT)
+    before the guillotine fallback — via tools/fuzz_2d_tiebreak:
+    objective invariance + local merge dominance on the full grid,
+    winner IDENTITY vs an exhaustive oracle-order enumerator on
+    sampled sub-grids. The default slice is a seeded prefix of the
+    full sweep."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from fuzz_2d_tiebreak import run
+
+    n_full, n_sub = run(n_grids=n_grids, verbose=False)
+    assert n_full > n_grids // 2
+    assert n_sub > n_grids // 3

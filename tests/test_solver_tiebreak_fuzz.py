@@ -107,12 +107,14 @@ def _mc_sql(M, trends=None):
                                     [None, "valley", None],
                                     ["peak", "valley", "ascending"],
                                     ["valley", "peak", None]])
-def test_multiclass_sql_matches_dp_fuzz(trends):
+@pytest.mark.parametrize("n_profiles", [
+    20, pytest.param(200, marks=pytest.mark.full)])
+def test_multiclass_sql_matches_dp_fuzz(trends, n_profiles):
     con = duckdb.connect()
     seed = zlib.crc32(repr(trends).encode())
     rng = np.random.default_rng(seed)
     checked = 0
-    for t in range(200):
+    for t in range(n_profiles):
         n = int(rng.integers(2, 9))
         M = rng.integers(0, 25, (n, 3)).astype(float)
         if (M.sum(axis=0) == 0).any():
@@ -128,7 +130,7 @@ def test_multiclass_sql_matches_dp_fuzz(trends):
         got = [tuple(r) for r in rows]
         assert got == want, (t, trends, got, want)
         checked += 1
-    assert checked > 100
+    assert checked > n_profiles // 2
 
 
 def _sc_sql(NEm, EVm, trend):
@@ -180,11 +182,13 @@ def _sc_sql(NEm, EVm, trend):
 
 @pytest.mark.parametrize("trend", ["ascending", "descending",
                                    "auto_asc_desc"])
-def test_scenario_sql_matches_dp_fuzz(trend):
+@pytest.mark.parametrize("n_profiles", [
+    20, pytest.param(200, marks=pytest.mark.full)])
+def test_scenario_sql_matches_dp_fuzz(trend, n_profiles):
     con = duckdb.connect()
     rng = np.random.default_rng(zlib.crc32(trend.encode()) ^ 0x5C)
     checked = 0
-    for t in range(200):
+    for t in range(n_profiles):
         n = int(rng.integers(2, 9))
         n_s = int(rng.integers(2, 4))
         NEm = rng.integers(0, 25, (n, n_s)).astype(float)
@@ -201,4 +205,4 @@ def test_scenario_sql_matches_dp_fuzz(trend):
         got = [tuple(r) for r in rows]
         assert got == want, (t, trend, got, want)
         checked += 1
-    assert checked > 100
+    assert checked > n_profiles // 2

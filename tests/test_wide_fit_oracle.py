@@ -43,10 +43,12 @@ def _binrow_cte(ne, ev):
     FROM (SELECT [{nes}] AS nes, [{evs}] AS evs))"""
 
 
-def test_auto_trend_sql_matches_engine_fuzz():
+@pytest.mark.parametrize("n_profiles", [
+    40, pytest.param(400, marks=pytest.mark.full)])
+def test_auto_trend_sql_matches_engine_fuzz(n_profiles):
     con = duckdb.connect()
     rng = np.random.default_rng(1311)
-    for t in range(400):
+    for t in range(n_profiles):
         n = int(rng.integers(1, 21))
         ne = rng.integers(1, 1000, n).astype(float)
         ev = rng.integers(1, 1000, n).astype(float)
@@ -97,7 +99,9 @@ def test_enum_sql_tie_break_pinned_counterexample():
 
 @pytest.mark.parametrize(
     "trend", ["ascending", "descending", "peak", "valley"])
-def test_enum_sql_matches_dp_solver_fuzz(trend):
+@pytest.mark.parametrize("n_profiles", [
+    30, pytest.param(300, marks=pytest.mark.full)])
+def test_enum_sql_matches_dp_solver_fuzz(trend, n_profiles):
     con = duckdb.connect()
     # stable seed: CPython's hash() is salt-randomized per process,
     # which made every pytest invocation fuzz a DIFFERENT profile set
@@ -105,7 +109,7 @@ def test_enum_sql_matches_dp_solver_fuzz(trend):
     import zlib
     rng = np.random.default_rng(zlib.crc32(trend.encode()))
     checked = 0
-    for t in range(300):
+    for t in range(n_profiles):
         n = int(rng.integers(2, 12))
         ne = rng.integers(0, 60, n).astype(float)
         ev = rng.integers(0, 60, n).astype(float)
@@ -124,7 +128,7 @@ def test_enum_sql_matches_dp_solver_fuzz(trend):
         got = [(r[0], r[1], r[2]) for r in rows]
         assert got == want, (t, trend, got, want)
         checked += 1
-    assert checked > 150
+    assert checked > n_profiles // 2
 
 
 def test_wide_fit_exact_oracle_is_deterministic_sf0001():
@@ -147,7 +151,9 @@ def test_wide_fit_exact_oracle_is_deterministic_sf0001():
 
 
 @pytest.mark.parametrize("shape", ["concave", "convex"])
-def test_shape_enum_sql_matches_solver_fuzz(shape):
+@pytest.mark.parametrize("n_profiles", [
+    25, pytest.param(250, marks=pytest.mark.full)])
+def test_shape_enum_sql_matches_solver_fuzz(shape, n_profiles):
     """The exact concave/convex solver (_solve_shape_enum, pruned DFS
     with the r14 pinned selection) vs the same mask enumeration the
     concave/convex_binning_table oracles run: all-triples curvature
@@ -160,7 +166,7 @@ def test_shape_enum_sql_matches_solver_fuzz(shape):
     viol = ("a.er + c.er > 2 * b.er + 1e-12" if shape == "concave"
             else "2 * b.er - a.er - c.er > 1e-12")
     checked = 0
-    for t in range(250):
+    for t in range(n_profiles):
         n = int(rng.integers(2, 10))
         ne = rng.integers(0, 40, n).astype(float)
         ev = rng.integers(0, 40, n).astype(float)
@@ -213,4 +219,4 @@ def test_shape_enum_sql_matches_solver_fuzz(shape):
         got = [(r[0], r[1], r[2]) for r in rows]
         assert got == want, (t, shape, got, want)
         checked += 1
-    assert checked > 120
+    assert checked > n_profiles // 2
