@@ -137,3 +137,72 @@ def test_exact_cover_36cell_fuzz(n_grids):
     n_full, n_sub = run(n_grids=n_grids, verbose=False)
     assert n_full > n_grids // 2
     assert n_sub > n_grids // 3
+
+
+@pytest.mark.parametrize("n_grids", [
+    20, pytest.param(150, marks=pytest.mark.full)])
+def test_guillotine_fallback_invariants(n_grids):
+    """The >36-cell fallback (guillotine-cut DP) has no SQL oracle by
+    design (its family is a strict subset of rectangle partitions and
+    nothing pins its ties), so pin its structural invariants instead:
+
+    - the plan it returns is a VALID exact cover of feasible rects;
+    - its recorded objective equals an independent flat fsum of the
+      winning rects' IV terms (< 1e-9, the same decomposability bound
+      the exact path documents);
+    - on grids where BOTH paths run, the exact cover's objective
+      dominates the guillotine's (guillotine covers are a subset of
+      rectangle partitions, so exact < guillotine would be a solver
+      bug, not a tie artifact).
+    """
+    import math
+
+    from optbinning_spark.binning_2d import OptimalBinning2D
+
+    rng = np.random.default_rng(zlib.crc32(b"guillotine_invariants"))
+    n_checked = 0
+    for t in range(n_grids):
+        big = t % 2 == 0
+        nx, ny = ((8, 8) if big else (5, 5))
+        NE = rng.integers(0, 7, (nx, ny)).astype(float)
+        EV = rng.integers(0, 7, (nx, ny)).astype(float)
+        if NE.sum() == 0 or EV.sum() == 0:
+            continue
+        min_frac = (0.0, 0.02)[t % 2]
+        t_ne, t_ev = NE.sum(), EV.sum()
+        min_cnt = min_frac * (t_ne + t_ev)
+
+        def rect_iv(r1, r2, c1, c2):
+            ne = NE[r1:r2, c1:c2].sum()
+            ev = EV[r1:r2, c1:c2].sum()
+            if ne <= 0 or ev <= 0 or (ne + ev) < min_cnt:
+                return None
+            p, q = ev / t_ev, ne / t_ne
+            return (p - q) * np.log(p / q)
+
+        # force the guillotine path regardless of grid size
+        ob = OptimalBinning2D(min_bin_size=min_frac)
+        ob._EXACT_CELL_LIMIT = 0
+        ob._solve(NE, EV)
+        g_obj, g_rects = ob.objective_, ob.rects_
+        if len(g_rects) == 1 and rect_iv(*g_rects[0]) is None:
+            continue  # no feasible plan: the degenerate whole-grid bin
+        covered = np.zeros((nx, ny), dtype=int)
+        terms = []
+        for rc in g_rects:
+            covered[rc[0]:rc[1], rc[2]:rc[3]] += 1
+            v = rect_iv(*rc)
+            assert v is not None, (t, "guillotine kept infeasible", rc)
+            terms.append(float(v))
+        assert (covered == 1).all(), (t, "guillotine not an exact cover")
+        assert abs(math.fsum(terms) - g_obj) < 1e-9, (
+            t, g_obj, math.fsum(terms))
+        if not big:
+            # exact path available: must dominate the guillotine family
+            ob2 = OptimalBinning2D(min_bin_size=min_frac)
+            ob2._solve(NE, EV)
+            assert ob2.objective_ >= g_obj - 1e-9, (
+                t, ob2.objective_, g_obj,
+                NE.tolist(), EV.tolist())
+        n_checked += 1
+    assert n_checked > n_grids // 2

@@ -124,3 +124,65 @@ def test_unsalted_beats_salted_crossover(spark):
     assert t_unsalted <= t_salted * 1.25, (
         f"salt crossover INVERTED: unsalted {t_unsalted:.2f}s vs salted "
         f"{t_salted:.2f}s — re-examine cat_salt_threshold default")
+
+
+def test_canary_host_ratio_math():
+    """The r15 cross-round canary normalization: median now/prev ratio
+    over shared numeric probes, clamped to [0.33, 3.0]; None when
+    either side is missing (pre-r15 baselines have no canary) or no
+    probe is shared."""
+    import bench
+
+    f = bench._canary_host_ratio
+    assert f(None, {"a_s": 1.0}) is None
+    assert f({"a_s": 1.0}, None) is None
+    assert f({"a_s": 1.0}, {"b_s": 1.0}) is None
+    # median of {2.0, 3.0} = 2.5; error keys / zero values ignored
+    assert f({"a_s": 2.0, "b_s": 3.0, "error": "x", "z_s": 0.0},
+             {"a_s": 1.0, "b_s": 1.0, "z_s": 1.0}) == 2.5
+    # odd count -> middle element (inside the clamp band)
+    assert f({"a_s": 1.5, "b_s": 2.0, "c_s": 2.5},
+             {"a_s": 1.0, "b_s": 1.0, "c_s": 1.0}) == 2.0
+    # clamp: a wild probe cannot assert/excuse a 10x drift
+    assert f({"a_s": 100.0}, {"a_s": 1.0}) == 3.0
+    assert f({"a_s": 1.0}, {"a_s": 100.0}) == 0.33
+
+
+def test_prev_bench_queries_source_round_and_canary():
+    """_prev_bench_queries must report, per query, WHICH round's
+    number forms the min baseline (the A/B needs the right commit)
+    and each round's canary (the normalization needs the right
+    yardstick)."""
+    import bench
+
+    pq = bench._prev_bench_queries()
+    if pq is None:  # round 1: nothing to check
+        return
+    assert set(pq["source_round"]) == set(pq["queries"])
+    for k, n in pq["source_round"].items():
+        assert n in pq["rounds"]
+        assert pq["rounds"][n]["file"] == f"BENCH_r{n:02d}.json" or \
+            pq["rounds"][n]["file"].startswith("BENCH_r")
+    # the min must equal the named round's own recorded value
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    for k, n in list(pq["source_round"].items())[:5]:
+        src = json.load(open(os.path.join(here, pq["rounds"][n]["file"])))
+        assert src["parsed"]["queries"][k] == pq["queries"][k]
+
+
+def test_round_commit_resolves_baseline_artifacts():
+    """Every BENCH_r*.json must resolve to the commit that shipped it
+    (the A/B checks out that tree as 'the previous round's code')."""
+    import glob
+    import os
+
+    import bench
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))[-2:]
+    for a in arts:
+        sha = bench._round_commit(os.path.basename(a))
+        assert sha and len(sha) == 40, a
