@@ -551,13 +551,22 @@ def main():
             }
             cross_round["exceeded"] = bool(
                 prev_sum and now_sum / prev_sum > 1.15)
-            # informational host-drift yardstick vs the newest prior
-            # round (per-query normalization happens in the movers
-            # watch, which knows each min's source round)
+            # host-drift yardstick vs the newest prior round (per-query
+            # normalization happens in the movers watch, which knows
+            # each min's source round). The normalized ratio is
+            # recorded so a judge can adjudicate an exceeded gate
+            # without re-measuring; the gate itself (and its retry
+            # trigger) stays RAW — a retry on a drifted host is cheap
+            # and only ever tightens the numbers.
             newest = (prev_round.get("rounds") or {}).get(
                 prev_round["round"]) or {}
-            cross_round["canary_host_ratio"] = _canary_host_ratio(
-                canary, newest.get("canary"))
+            hr = _canary_host_ratio(canary, newest.get("canary"))
+            cross_round["canary_host_ratio"] = hr
+            if hr and prev_sum:
+                cross_round["ratio_hostnorm"] = round(
+                    now_sum / prev_sum / hr, 3)
+                cross_round["exceeded_hostnorm"] = bool(
+                    now_sum / prev_sum / hr > 1.15)
     # star-loop observability (ask: algorithmic regressions — round
     # counts creeping up — must be visible, not just their wall-time
     # symptom): q_dedup_clusters_dist fills entry_mod.LAST_CC_STATS
@@ -691,6 +700,10 @@ def main():
                                          (int, float)))
             cross_round["ratio_after_retry"] = round(
                 now_sum / cross_round["prev_total_shared"], 3)
+            hr = cross_round.get("canary_host_ratio")
+            if hr:
+                cross_round["ratio_after_retry_hostnorm"] = round(
+                    now_sum / cross_round["prev_total_shared"] / hr, 3)
     if "scorecard_anchor" in moved_now and _can_retry(40):
         scal.begin("scorecard_anchor_retry")
         try:
