@@ -326,29 +326,43 @@ def _prev_bench_queries():
 
 
 def _round_commit(artifact_file):
-    """Commit that introduced BENCH_r{N}.json — the driver commits the
-    round-N artifacts on top of round N's final code, so this tree IS
-    the code that produced the baseline number (verified: BENCH_r13
-    -> f05a462, the commit the r14 judge's own A/B used)."""
+    """Commit that INTRODUCED BENCH_r{N}.json (--diff-filter=A, oldest
+    add — NOT the last commit touching the path: a later lint/doc
+    commit touching an old artifact would otherwise resolve to
+    near-HEAD code and the A/B would time current code against
+    itself). The driver commits the round-N artifacts on top of round
+    N's final code, so the introducing tree IS the code that produced
+    the baseline number (verified: BENCH_r13 -> f05a462, the commit
+    the r14 judge's own A/B used)."""
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
     try:
-        sha = subprocess.run(
-            ["git", "-C", here, "log", "-n1", "--format=%H", "--",
-             artifact_file],
-            capture_output=True, text=True, timeout=30).stdout.strip()
-        return sha or None
+        out = subprocess.run(
+            ["git", "-C", here, "log", "--diff-filter=A",
+             "--format=%H", "--", artifact_file],
+            capture_output=True, text=True, timeout=30).stdout.split()
+        return out[-1] if out else None
     except Exception:
         return None
 
 
-def _ab_run_side(code_dir, sf_dir, names, reps, timeout=210):
+def _ab_side_est(names, reps):
+    """Wall-clock estimate for one A/B side: JVM startup + warmup
+    (~60 s) plus a generous per-rep allowance (movers run 0.3-3.5 s
+    at sf0.1). Shared by the subprocess timeout and the can_spend
+    budget gate so they can never disagree about what a side costs."""
+    return 60 + 12 * len(names) * reps
+
+
+def _ab_run_side(code_dir, sf_dir, names, reps, timeout=None):
     """One side of the A/B: tools/ab_time_query.py (always the CURRENT
     repo's copy, so both sides run the identical protocol) against the
     given checkout, in a fresh process/JVM."""
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
     script = os.path.join(here, "tools", "ab_time_query.py")
+    if timeout is None:
+        timeout = 2 * _ab_side_est(names, reps)
     try:
         p = subprocess.run(
             [sys.executable, script, code_dir, sf_dir,
@@ -396,14 +410,15 @@ def _ab_adjudicate(names, artifact_file, sf_dir, can_spend):
         # convention every section uses
         for pair in range(2):
             reps = 3 if pair == 0 else 2
-            if not can_spend(90 * (2 if pair == 0 else 1)):
+            est = _ab_side_est(names, reps)
+            if not can_spend(2 * est):
                 out["truncated"] = f"budget before pair {pair}"
                 break
             for tag, d in (("prev", wt), ("now", here)):
                 # per-SIDE gate too: a side that overruns its estimate
                 # must not push the whole bench past the harness
                 # envelope (the pair-level gate only checks upfront)
-                if not can_spend(105):
+                if not can_spend(est):
                     out["truncated"] = f"budget before {tag} pair {pair}"
                     break
                 res = _ab_run_side(d, sf_dir, names, reps)
@@ -412,7 +427,11 @@ def _ab_adjudicate(names, artifact_file, sf_dir, can_spend):
                     if isinstance(q.get("min"), (int, float)):
                         mins[tag][n] = min(
                             mins[tag].get(n, float("inf")), q["min"])
-            if pair == 0 and all(
+            # early-exit only on POSITIVE evidence: mins["prev"] empty
+            # (side errored / budget-truncated) would make the all()
+            # vacuously true and skip the one retry that could still
+            # produce a verdict
+            if pair == 0 and mins["prev"] and all(
                     mins["now"].get(n, float("inf"))
                     <= mins["prev"].get(n, 0.0) * 1.15
                     for n in names if n in mins["prev"]):
@@ -808,19 +827,23 @@ def main():
                    and "headline_retry" not in scal.moved)
     host_dirty = bool(("headline" in scal.moved or headline_mid_moved)
                       and not retry_clean)
-    # Three-stage adjudication per mover (r14 verdict #1 — the watch
+    # Two-stage adjudication per mover (r14 verdict #1 — the watch
     # asserted a 1.47x optimal_woe_transform regression that a
     # same-host code A/B disproved; raw cross-round wall-clock is
     # dominated by host-baseline drift the intra-run brackets cannot
     # see by construction):
-    #   1. raw ratio vs the min(prev, prev_prev) baseline (margin 1.4);
-    #   2. canary normalization — divide by the host-drift factor the
-    #      FROZEN _spark_canary measures against the baseline round's
-    #      own canary (absent for baselines older than r15);
-    #   3. decisive same-host A/B — re-time the query on the baseline
-    #      round's CODE (git worktree) vs HEAD in fresh JVMs, and only
-    #      assert an inversion when current code loses to previous
-    #      code on today's host.
+    #   1. raw ratio vs the min(prev, prev_prev) baseline (margin
+    #      1.4); the canary host ratio against the baseline round's
+    #      own FROZEN _spark_canary is recorded as ratio_hostnorm —
+    #      DIAGNOSTIC ONLY (the canary is a single unbracketed
+    #      start-of-run measurement: letting it clear an inversion
+    #      outright would let transient contention during the canary
+    #      excuse a real up-to-4.2x regression and skip the decisive
+    #      check);
+    #   2. decisive same-host A/B — re-time the query on the baseline
+    #      round's CODE (git worktree) vs HEAD in fresh JVMs; ONLY a
+    #      completed A/B may clear (or confirm) an inversion. An A/B
+    #      that cannot run leaves it asserted with the reason.
     ab_targets: dict[str, list[str]] = {}
     for mv in MOVERS:
         prev_t = (prev_round or {}).get("queries", {}).get(mv)
@@ -844,9 +867,6 @@ def main():
                     entry["canary_host_ratio"] = hr
                     entry["ratio_hostnorm"] = round(
                         entry["ratio"] / hr, 3)
-                    if entry["inverted"] and entry["ratio_hostnorm"] <= 1.4:
-                        entry["inverted"] = False
-                        entry["adjudication"] = "host_drift_canary"
                 if entry["inverted"] and src_info.get("file"):
                     ab_targets.setdefault(src_info["file"], []).append(mv)
         watch[f"cross_round_{mv}"] = entry

@@ -66,17 +66,24 @@ def main():
             except Exception:
                 pass
     for name in names:
-        samples = []
-        for _ in range(reps):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(round(time.time() - t0, 3))
-            spark.catalog.clearCache()
-            del df
-            gc.collect()
-        spark._jvm.System.gc()
-        out["queries"][name] = {"reps": samples, "min": min(samples)}
+        # per-query guard: one failing query (a bug in the OLD
+        # worktree code, or an env difference) must not kill the
+        # whole side before AB_RESULT prints — the other co-grouped
+        # movers' timings remain a valid adjudication
+        try:
+            samples = []
+            for _ in range(reps):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(round(time.time() - t0, 3))
+                spark.catalog.clearCache()
+                del df
+                gc.collect()
+            spark._jvm.System.gc()
+            out["queries"][name] = {"reps": samples, "min": min(samples)}
+        except Exception as e:
+            out["queries"][name] = {"error": str(e)[:300]}
     out["cal_end_ms"] = _matmul_ms()
     spark.stop()
     print("AB_RESULT " + json.dumps(out))
