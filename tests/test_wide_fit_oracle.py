@@ -131,11 +131,16 @@ def test_enum_sql_matches_dp_solver_fuzz(trend, n_profiles):
     assert checked > n_profiles // 2
 
 
-def test_wide_fit_exact_oracle_is_deterministic_sf0001():
+@pytest.mark.parametrize("n_runs", [
+    1, pytest.param(2, marks=pytest.mark.full)])
+def test_wide_fit_exact_oracle_is_deterministic_sf0001(n_runs):
     """The mega-oracle must return bit-identical results across runs
     on one connection (regression pin: DuckDB 1.0's AS MATERIALIZED
     silently corrupts WITH RECURSIVE queries NONDETERMINISTICALLY, so
-    the generator must never emit it)."""
+    the generator must never emit it). The oracle costs ~2 min per
+    run, so the default suite runs it once (the generator-level
+    MATERIALIZED assert catches the known regression class instantly)
+    and the double-run determinism check rides -m full."""
     sql = E._sql_wide_fit_exact()
     assert "MATERIALIZED" not in sql
     con = duckdb.connect()
@@ -143,11 +148,11 @@ def test_wide_fit_exact_oracle_is_deterministic_sf0001():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
-    r1 = sorted(map(tuple, con.execute(sql).fetchall()))
-    r2 = sorted(map(tuple, con.execute(sql).fetchall()))
-    assert r1 == r2
-    assert len(r1) == 16
-    assert all(r[2] >= 1 for r in r1)
+    runs = [sorted(map(tuple, con.execute(sql).fetchall()))
+            for _ in range(n_runs)]
+    assert all(r == runs[0] for r in runs)
+    assert len(runs[0]) == 16
+    assert all(r[2] >= 1 for r in runs[0])
 
 
 @pytest.mark.parametrize("shape", ["concave", "convex"])
