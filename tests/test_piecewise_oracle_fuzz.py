@@ -1,0 +1,95 @@
+"""Synthetic-corpus fuzz for the r15 piecewise-fit oracle.
+
+The driver gate runs _sql_piecewise_transform against the lineitem
+testdata only, so a corpus-shape divergence (quartile ties, near-pure
+prebins, skewed value histograms, missing rows) would stay latent
+until a different corpus hits it. This file front-runs that: random
+integer-valued x with Bernoulli y (plus NULL/NaN rows), the SAME rows
+fed to the engine (Spark) and to the oracle SQL (DuckDB view named
+lineitem with the l_quantity / l_returnflag / key columns the SQL
+expects), rounded-6dp outputs compared exactly.
+
+Datasets that trip the oracle's loud gates (non-increasing quartile
+edges, pure prebins, Newton non-convergence) are counted as gated —
+the gate firing IS the designed behavior there — but the fuzz asserts
+the gates are the ONLY divergence mode: whenever the oracle returns
+rows, they must hash-match the engine.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+
+
+def _dataset(rng, n):
+    """Random corpus shaped like the query's lineitem inputs: small
+    integer x (forces heavy ties and occasional equal quartiles),
+    Bernoulli y with an x-dependent rate, ~2% NULL and ~1% NaN x."""
+    lo = int(rng.integers(1, 5))
+    hi = lo + int(rng.integers(3, 40))
+    x = rng.integers(lo, hi + 1, n).astype(float)
+    p = 0.15 + 0.5 * (x - lo) / max(hi - lo, 1) * rng.uniform(0.2, 1.0)
+    y = (rng.uniform(size=n) < p).astype(int)
+    x[rng.uniform(size=n) < 0.02] = np.nan
+    xs = pd.Series(x, dtype="float64")
+    xs[rng.uniform(size=n) < 0.01] = None
+    return pd.DataFrame({
+        "l_orderkey": np.arange(n, dtype=np.int64),
+        "l_linenumber": np.ones(n, dtype=np.int64),
+        "l_quantity": xs,
+        "l_returnflag": np.where(y == 1, "R", "N"),
+    })
+
+
+@pytest.mark.parametrize("n_datasets", [
+    3, pytest.param(15, marks=pytest.mark.full)])
+def test_piecewise_oracle_matches_engine_on_synthetic(spark, n_datasets):
+    from pyspark.sql import functions as F
+
+    from optbinning_spark.piecewise import OptimalPWBinning
+
+    rng = np.random.default_rng(zlib.crc32(b"piecewise_oracle_fuzz"))
+    sql = E.oracle_sql()["piecewise_transform"]
+    matched = gated = 0
+    for t in range(n_datasets):
+        pdf = _dataset(rng, n=int(rng.integers(2_000, 8_000)))
+        con = duckdb.connect()
+        con.register("lineitem", pdf)
+        try:
+            ora = con.execute(sql).fetchdf()
+        except duckdb.Error as e:
+            # the oracle's loud gates are designed behavior on
+            # degenerate corpora — but they must be OUR gates, not an
+            # arbitrary SQL failure
+            assert "piecewise oracle" in str(e), (t, str(e)[:200])
+            gated += 1
+            continue
+        df = spark.createDataFrame(pdf).withColumn(
+            "y", (F.col("l_returnflag") == "R").cast("int"))
+        pw = OptimalPWBinning(objective="binary", degree=1,
+                              prebinning_method="quantile_exact",
+                              max_n_prebins=4, min_n_bins=4,
+                              monotonic_trend=None)
+        pw.fit(df, "l_quantity", "y")
+        out = pw.transform(df, "l_quantity", metric="event_rate",
+                           out_col="p")
+        eng = (out.select("l_orderkey", "l_linenumber",
+                          (F.round("p", 6) + F.lit(0.0)).alias("p"))
+               .toPandas())
+        key = ["l_orderkey", "l_linenumber", "p"]
+        a = eng.sort_values(key).reset_index(drop=True)
+        b = ora.sort_values(key).reset_index(drop=True)
+        assert len(a) == len(b), (t, len(a), len(b))
+        assert np.array_equal(a["p"].to_numpy(), b["p"].to_numpy()), (
+            t, float(np.abs(a["p"].to_numpy()
+                            - b["p"].to_numpy()).max()))
+        matched += 1
+    # the gates may fire, but hash-matching must be the dominant mode
+    assert matched >= max(1, n_datasets // 2), (matched, gated)
