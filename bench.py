@@ -437,12 +437,27 @@ def _ab_adjudicate(names, artifact_file, sf_dir, can_spend):
                     for n in names if n in mins["prev"]):
                 break  # first pair already exonerates the code
         verdicts = {}
+        # per-tag calibration summary: a systematically slower side
+        # (JVM started under leftover load) shows up here, so the
+        # artifact self-describes a skewed A/B instead of silently
+        # confirming or exonerating on it
+        cals: dict[str, list[float]] = {"prev": [], "now": []}
+        for s in out["sides"]:
+            for k in ("cal_start_ms", "cal_end_ms"):
+                if isinstance(s.get(k), (int, float)):
+                    cals[s["side"]].append(s[k])
+        skewed = bool(
+            cals["prev"] and cals["now"]
+            and max(min(cals["prev"]), min(cals["now"]))
+            > 2.0 * min(min(cals["prev"]), min(cals["now"]))
+            and max(min(cals["prev"]), min(cals["now"])) > 15.0)
         for n in names:
             pm, nm = mins["prev"].get(n), mins["now"].get(n)
             if isinstance(pm, (int, float)) and isinstance(nm, (int, float)) \
                     and pm > 0:
                 verdicts[n] = {"prev_min": pm, "now_min": nm,
                                "code_ratio": round(nm / pm, 3),
+                               "ab_host_skewed": skewed,
                                "code_regression": bool(nm > pm * 1.15)}
         out["verdicts"] = verdicts
         return out
@@ -900,9 +915,20 @@ def main():
                             "truncated") if k in ab}
             if v:
                 entry["ab"].update(v)
-                entry["inverted"] = v["code_regression"]
+                # HEAD's best evidence on today's host is the MIN of
+                # the A/B's now-side and the headline measurement
+                # (min-of-3 + retry, bracket-watched) — a contended
+                # A/B now-side alone must not CONFIRM a regression
+                # the headline already disproved (observed: a
+                # standalone A/B read now=1.857 s for a query the
+                # same session's headline ran at 0.98 s; the repeat
+                # A/B read 1.39 s)
+                now_best = min(v["now_min"], times.get(mv, float("inf")))
+                entry["ab"]["now_best"] = now_best
+                entry["inverted"] = bool(
+                    now_best > v["prev_min"] * 1.15)
                 entry["adjudication"] = (
-                    "ab_confirmed_code_regression" if v["code_regression"]
+                    "ab_confirmed_code_regression" if entry["inverted"]
                     else "ab_prev_code_same_host")
             else:
                 entry["ab_error"] = ab.get("error", "no verdict")
