@@ -1284,7 +1284,18 @@ def _sql_scorecard_scores_logistic():
     FROM bseg b, t2 WHERE b.ne > 0
     UNION ALL
     SELECT {woe_b}, CAST(1 AS DOUBLE), CAST(b.ev AS DOUBLE)
-    FROM bseg b, t2 WHERE b.ev > 0),
+    FROM bseg b, t2 WHERE b.ev > 0
+    -- missing rows enter the engine's compressed design at the
+    -- transform default woe = 0 (Scorecard.fit runs the estimator on
+    -- bp.transform of ALL rows) — omitting them was invisible on
+    -- lineitem (l_quantity has no NULLs) but diverged on any corpus
+    -- with missing x (found by the r15 synthetic-corpus fuzz)
+    UNION ALL
+    SELECT CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(m.ne AS DOUBLE)
+    FROM mrow m WHERE m.ne > 0
+    UNION ALL
+    SELECT CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), CAST(m.ev AS DOUBLE)
+    FROM mrow m WHERE m.ev > 0),
   irls(it, b1, b0, stp) AS (
     SELECT 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
     UNION ALL
@@ -1339,12 +1350,22 @@ def _sql_scorecard_scores_huber():
     SELECT l_orderkey, l_linenumber, l_quantity AS xq, {net} AS y
     FROM lineitem),
   rpb AS (
-    SELECT r.*, len(list_filter(sp.splits, s -> r.xq >= s)) AS pb
+    -- missing x -> NULL pb (NOT len(list_filter(...)): a NULL lambda
+    -- filters every split out and lands missing in bin 0, NaN
+    -- compares greater-than-all in DuckDB and lands in the LAST bin)
+    SELECT r.*, CASE WHEN r.xq IS NULL OR isnan(r.xq) THEN NULL
+                     ELSE len(list_filter(sp.splits, s -> r.xq >= s))
+                END AS pb
     FROM rows_ r, sp),
   feat AS (
+    -- LEFT JOIN + missing -> feature 0.0: the engine's estimator
+    -- sample is bp.transform of ALL rows (metric_missing = 0), and
+    -- with scaling None the per-row score of a missing row is
+    -- b0 + b1 * 0 — so one COALESCE serves both the design and the
+    -- score (invisible on lineitem, which has no missing l_quantity)
     SELECT rpb.l_orderkey, rpb.l_linenumber, rpb.y,
-           b.s1 / b.cnt AS x
-    FROM rpb JOIN bseg b ON rpb.pb BETWEEN b.pb_lo AND b.pb_hi),
+           COALESCE(b.s1 / b.cnt, 0.0) AS x
+    FROM rpb LEFT JOIN bseg b ON rpb.pb BETWEEN b.pb_lo AND b.pb_hi),
   irls(it, b1, b0, stp, ref) AS (
     SELECT 0,
            (s.sxy * s.s11 - s.sy * s.sx) / (s.sxx * s.s11 - s.sx * s.sx),
@@ -4723,8 +4744,16 @@ def _dp_cte_quantile_auto(table, xexpr, ycond, p):
     probs = ", ".join(f"{i}/256.0" for i in range(1, 256))
     tgt = _np.linspace(0, 1, 21)[1:-1]
     idx = _np.clip(_np.round(tgt * 256).astype(int), 1, 255)
+    # 17-sig-digit SCIENTIFIC notation, not repr: DuckDB parses a
+    # plain decimal literal through DECIMAL and drops the 17th digit
+    # (measured: '0.9500000000000001' -> the 0.95 double, one ulp
+    # low), which shifted the p95 edge h = p * (W - 1) across an
+    # integer boundary on a near-unique synthetic corpus and moved
+    # one row between the top two prebins (r15 scorecard fuzz).
+    # E-notation routes through the DOUBLE parser and round-trips
+    # bit-exactly.
     tg_rows = ", ".join(
-        f"(CAST({float(pv)!r} AS DOUBLE), {int(iv)})"
+        f"(CAST({float(pv):.17e} AS DOUBLE), {int(iv)})"
         for pv, iv in zip(tgt, idx))
     return f"""
   {p}clean AS (
@@ -4914,7 +4943,14 @@ def _sql_scorecard3_core():
     LEFT JOIN sc2_woem w2 ON l.pb2 BETWEEN w2.pb_lo AND w2.pb_hi
     LEFT JOIN sc3_woem w3 ON l.pb3 BETWEEN w3.pb_lo AND w3.pb_hi),
   des AS (
-    SELECT x1, x2, x3, CAST(y AS DOUBLE) AS yv,
+    -- missing features enter the engine's compressed design at the
+    -- transform default woe = 0 (Scorecard.fit runs the estimator on
+    -- bp.transform of ALL rows; the score path below keeps routing
+    -- NULLs to 0 POINTS per _points_case) — invisible on lineitem
+    -- (no NULLs in these columns), diverged on missing-bearing
+    -- corpora (r15 synthetic-corpus fuzz)
+    SELECT COALESCE(x1, 0.0) AS x1, COALESCE(x2, 0.0) AS x2,
+           COALESCE(x3, 0.0) AS x3, CAST(y AS DOUBLE) AS yv,
            CAST(count(*) AS DOUBLE) AS w
     FROM rww GROUP BY 1, 2, 3, 4),
   irls(it, b1, b2, b3, b0, stp, lx1, lx2, lx3, lyv, lw) AS (
@@ -5265,27 +5301,43 @@ def _sql_scorecard_scores_linear():
            {net} AS y
     FROM lineitem),
   r1 AS (
-    SELECT r.*, len(list_filter(sp.splits, s -> r.x1 >= s)) AS pb1
+    -- missing x -> NULL pb (a NULL lambda filters every split out
+    -- and lands missing in bin 0; NaN compares greater-than-all in
+    -- DuckDB and lands in the LAST bin)
+    SELECT r.*, CASE WHEN r.x1 IS NULL OR isnan(r.x1) THEN NULL
+                     ELSE len(list_filter(sp.splits, s -> r.x1 >= s))
+                END AS pb1
     FROM rows_ r, f1_sp sp),
   r2 AS (
-    SELECT r1.*, len(list_filter(sp.splits, s -> r1.x2 >= s)) AS pb2
+    SELECT r1.*, CASE WHEN r1.x2 IS NULL OR isnan(r1.x2) THEN NULL
+                      ELSE len(list_filter(sp.splits, s -> r1.x2 >= s))
+                 END AS pb2
     FROM r1, f2_sp sp),
   feat AS (
+    -- LEFT JOIN keeps missing rows: NULL features route to 0.0 in
+    -- the DESIGN (the engine fits the WLS on bp.transform of ALL
+    -- rows, metric_missing = 0) and to 0 POINTS in the score
+    -- (_points_case) — invisible on lineitem, which has no missing
+    -- values in these columns (r15 synthetic-corpus fuzz)
     SELECT r2.l_orderkey, r2.l_linenumber, r2.y,
            b1.s1 / b1.cnt AS f1, b2.s1 / b2.cnt AS f2
     FROM r2
-    JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
-    JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
+    LEFT JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
+    LEFT JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
   mu AS (
-    SELECT avg(f1) AS m1, avg(f2) AS m2, avg(y) AS my FROM feat),
+    SELECT avg(COALESCE(f1, 0.0)) AS m1, avg(COALESCE(f2, 0.0)) AS m2,
+           avg(y) AS my FROM feat),
   -- centered two-pass sums (cond ~ 1, matching the engine's centered
   -- WLS; uncentered Gram would lose ~8 digits to collinearity)
   sums AS (
-    SELECT sum((f1 - mu.m1) * (f1 - mu.m1)) AS c11,
-           sum((f1 - mu.m1) * (f2 - mu.m2)) AS c12,
-           sum((f2 - mu.m2) * (f2 - mu.m2)) AS c22,
-           sum((f1 - mu.m1) * (y - mu.my)) AS c1y,
-           sum((f2 - mu.m2) * (y - mu.my)) AS c2y,
+    SELECT sum((COALESCE(f1, 0.0) - mu.m1)
+               * (COALESCE(f1, 0.0) - mu.m1)) AS c11,
+           sum((COALESCE(f1, 0.0) - mu.m1)
+               * (COALESCE(f2, 0.0) - mu.m2)) AS c12,
+           sum((COALESCE(f2, 0.0) - mu.m2)
+               * (COALESCE(f2, 0.0) - mu.m2)) AS c22,
+           sum((COALESCE(f1, 0.0) - mu.m1) * (y - mu.my)) AS c1y,
+           sum((COALESCE(f2, 0.0) - mu.m2) * (y - mu.my)) AS c2y,
            any_value(mu.m1) AS m1, any_value(mu.m2) AS m2,
            any_value(mu.my) AS my
     FROM feat, mu),
@@ -5309,8 +5361,21 @@ def _sql_scorecard_scores_linear():
            100.0 / ((max1 + max2 + b0) - (min1 + min2 + b0)) AS slope,
            (min1 + min2 + b0) AS smin
     FROM ext)
+  -- per-variable points form (the engine's _points_case path):
+  -- points_v = slope * (coef_v * f_v) + (shift + slope * b0) / 2 with
+  -- shift = -slope * smin; a missing variable contributes 0 POINTS
+  -- (equal to the old flat slope*((b0+b1f1+b2f2)-smin) when both
+  -- variables are clean)
   SELECT f.l_orderkey, f.l_linenumber,
-         round(0.0 + sc.slope * ((sc.b0 + sc.b1 * f.f1 + sc.b2 * f.f2) - sc.smin),
+         round(0.0
+               + (CASE WHEN f.f1 IS NULL THEN 0.0
+                       ELSE sc.slope * (sc.b1 * f.f1)
+                            + (sc.slope * sc.b0 - sc.slope * sc.smin)
+                              / 2.0 END)
+               + (CASE WHEN f.f2 IS NULL THEN 0.0
+                       ELSE sc.slope * (sc.b2 * f.f2)
+                            + (sc.slope * sc.b0 - sc.slope * sc.smin)
+                              / 2.0 END),
                2) + 0.0 AS score
   FROM feat f, scale sc"""
 
@@ -5332,16 +5397,28 @@ def _sql_counterfactual_pinned():
            {net} AS y
     FROM lineitem),
   r1 AS (
-    SELECT r.*, len(list_filter(sp.splits, s -> r.x1 >= s)) AS pb1
+    -- missing x -> NULL pb (a NULL lambda filters every split out
+    -- and lands missing in bin 0; NaN compares greater-than-all in
+    -- DuckDB and lands in the LAST bin)
+    SELECT r.*, CASE WHEN r.x1 IS NULL OR isnan(r.x1) THEN NULL
+                     ELSE len(list_filter(sp.splits, s -> r.x1 >= s))
+                END AS pb1
     FROM rows_ r, f1_sp sp),
   r2 AS (
-    SELECT r1.*, len(list_filter(sp.splits, s -> r1.x2 >= s)) AS pb2
+    SELECT r1.*, CASE WHEN r1.x2 IS NULL OR isnan(r1.x2) THEN NULL
+                      ELSE len(list_filter(sp.splits, s -> r1.x2 >= s))
+                 END AS pb2
     FROM r1, f2_sp sp),
   feat AS (
-    SELECT r2.y, b1.s1 / b1.cnt AS f1, b2.s1 / b2.cnt AS f2
+    -- LEFT JOIN + missing -> feature 0.0: the engine fits the WLS on
+    -- bp.transform of ALL rows (metric_missing = 0); this chain is
+    -- design-only so the COALESCE is the whole fix (invisible on
+    -- lineitem, which has no missing values in these columns)
+    SELECT r2.y, COALESCE(b1.s1 / b1.cnt, 0.0) AS f1,
+           COALESCE(b2.s1 / b2.cnt, 0.0) AS f2
     FROM r2
-    JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
-    JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
+    LEFT JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
+    LEFT JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
   mu AS (
     SELECT avg(f1) AS m1, avg(f2) AS m2, avg(y) AS my FROM feat),
   sums AS (
@@ -5418,16 +5495,28 @@ def _sql_counterfactual_diverse_pinned():
   rows_ AS (
     SELECT l_quantity AS x1, l_discount AS x2, {net} AS y FROM lineitem),
   r1 AS (
-    SELECT r.*, len(list_filter(sp.splits, s -> r.x1 >= s)) AS pb1
+    -- missing x -> NULL pb (a NULL lambda filters every split out
+    -- and lands missing in bin 0; NaN compares greater-than-all in
+    -- DuckDB and lands in the LAST bin)
+    SELECT r.*, CASE WHEN r.x1 IS NULL OR isnan(r.x1) THEN NULL
+                     ELSE len(list_filter(sp.splits, s -> r.x1 >= s))
+                END AS pb1
     FROM rows_ r, f1_sp sp),
   r2 AS (
-    SELECT r1.*, len(list_filter(sp.splits, s -> r1.x2 >= s)) AS pb2
+    SELECT r1.*, CASE WHEN r1.x2 IS NULL OR isnan(r1.x2) THEN NULL
+                      ELSE len(list_filter(sp.splits, s -> r1.x2 >= s))
+                 END AS pb2
     FROM r1, f2_sp sp),
   feat AS (
-    SELECT r2.y, b1.s1 / b1.cnt AS f1, b2.s1 / b2.cnt AS f2
+    -- LEFT JOIN + missing -> feature 0.0: the engine fits the WLS on
+    -- bp.transform of ALL rows (metric_missing = 0); this chain is
+    -- design-only so the COALESCE is the whole fix (invisible on
+    -- lineitem, which has no missing values in these columns)
+    SELECT r2.y, COALESCE(b1.s1 / b1.cnt, 0.0) AS f1,
+           COALESCE(b2.s1 / b2.cnt, 0.0) AS f2
     FROM r2
-    JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
-    JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
+    LEFT JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
+    LEFT JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
   mu AS (
     SELECT avg(f1) AS m1, avg(f2) AS m2, avg(y) AS my FROM feat),
   sums AS (
@@ -5514,16 +5603,28 @@ def _sql_counterfactual_mahalanobis_pinned():
   rows_ AS (
     SELECT l_quantity AS x1, l_discount AS x2, {net} AS y FROM lineitem),
   r1 AS (
-    SELECT r.*, len(list_filter(sp.splits, s -> r.x1 >= s)) AS pb1
+    -- missing x -> NULL pb (a NULL lambda filters every split out
+    -- and lands missing in bin 0; NaN compares greater-than-all in
+    -- DuckDB and lands in the LAST bin)
+    SELECT r.*, CASE WHEN r.x1 IS NULL OR isnan(r.x1) THEN NULL
+                     ELSE len(list_filter(sp.splits, s -> r.x1 >= s))
+                END AS pb1
     FROM rows_ r, f1_sp sp),
   r2 AS (
-    SELECT r1.*, len(list_filter(sp.splits, s -> r1.x2 >= s)) AS pb2
+    SELECT r1.*, CASE WHEN r1.x2 IS NULL OR isnan(r1.x2) THEN NULL
+                      ELSE len(list_filter(sp.splits, s -> r1.x2 >= s))
+                 END AS pb2
     FROM r1, f2_sp sp),
   feat AS (
-    SELECT r2.y, b1.s1 / b1.cnt AS f1, b2.s1 / b2.cnt AS f2
+    -- LEFT JOIN + missing -> feature 0.0: the engine fits the WLS on
+    -- bp.transform of ALL rows (metric_missing = 0); this chain is
+    -- design-only so the COALESCE is the whole fix (invisible on
+    -- lineitem, which has no missing values in these columns)
+    SELECT r2.y, COALESCE(b1.s1 / b1.cnt, 0.0) AS f1,
+           COALESCE(b2.s1 / b2.cnt, 0.0) AS f2
     FROM r2
-    JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
-    JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
+    LEFT JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
+    LEFT JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
   mu AS (
     SELECT avg(f1) AS m1, avg(f2) AS m2, avg(y) AS my FROM feat),
   sums AS (
@@ -5621,16 +5722,28 @@ def _sql_scorecard_table_linear():
   rows_ AS (
     SELECT l_quantity AS x1, l_discount AS x2, {net} AS y FROM lineitem),
   r1 AS (
-    SELECT r.*, len(list_filter(sp.splits, s -> r.x1 >= s)) AS pb1
+    -- missing x -> NULL pb (a NULL lambda filters every split out
+    -- and lands missing in bin 0; NaN compares greater-than-all in
+    -- DuckDB and lands in the LAST bin)
+    SELECT r.*, CASE WHEN r.x1 IS NULL OR isnan(r.x1) THEN NULL
+                     ELSE len(list_filter(sp.splits, s -> r.x1 >= s))
+                END AS pb1
     FROM rows_ r, f1_sp sp),
   r2 AS (
-    SELECT r1.*, len(list_filter(sp.splits, s -> r1.x2 >= s)) AS pb2
+    SELECT r1.*, CASE WHEN r1.x2 IS NULL OR isnan(r1.x2) THEN NULL
+                      ELSE len(list_filter(sp.splits, s -> r1.x2 >= s))
+                 END AS pb2
     FROM r1, f2_sp sp),
   feat AS (
-    SELECT r2.y, b1.s1 / b1.cnt AS f1, b2.s1 / b2.cnt AS f2
+    -- LEFT JOIN + missing -> feature 0.0: the engine fits the WLS on
+    -- bp.transform of ALL rows (metric_missing = 0); this chain is
+    -- design-only so the COALESCE is the whole fix (invisible on
+    -- lineitem, which has no missing values in these columns)
+    SELECT r2.y, COALESCE(b1.s1 / b1.cnt, 0.0) AS f1,
+           COALESCE(b2.s1 / b2.cnt, 0.0) AS f2
     FROM r2
-    JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
-    JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
+    LEFT JOIN f1_bseg b1 ON r2.pb1 BETWEEN b1.pb_lo AND b1.pb_hi
+    LEFT JOIN f2_bseg b2 ON r2.pb2 BETWEEN b2.pb_lo AND b2.pb_hi),
   mu AS (
     SELECT avg(f1) AS m1, avg(f2) AS m2, avg(y) AS my FROM feat),
   sums AS (

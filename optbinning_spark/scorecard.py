@@ -277,10 +277,18 @@ class Scorecard:
             )
         else:
             # WLS on per-group label means with weight n preserves
-            # X'WX and X'Wy, hence the coefficients
+            # X'WX and X'Wy, hence the coefficients. __badlab counts
+            # NULL labels per group: Spark's sum SKIPS them in the
+            # numerator while the denominator still counts their
+            # weight, so a missing target would silently BIAS the
+            # per-group mean (not even poison it) — refuse loudly
+            # below instead, like every other estimator path
+            ycol = F.col(y).cast("double")
             woe = woe.groupBy(*self.selected_).agg(
                 F.sum(wexpr).alias("__w"),
                 (F.sum(wexpr * F.col(y)) / F.sum(wexpr)).alias(y),
+                F.sum(F.when(ycol.isNull(), F.lit(1))
+                      .otherwise(F.lit(0))).alias("__badlab"),
             )
         w = "__w"
         kind = kind0
@@ -303,9 +311,33 @@ class Scorecard:
             if len(rows) > max_driver_rows:
                 rows = None
         if rows is not None:
+            # same loud-failure posture as the robust-estimator sample
+            # path above: a NULL label (e.g. the target column carries
+            # missing values) used to surface as a bare "float()
+            # argument ... NoneType" from deep inside the
+            # comprehension, and a NaN label (Spark's sum PROPAGATES
+            # NaN through the design compression) silently poisoned
+            # every coefficient — refuse both with the actionable
+            # message
+            if any(r[y] is None or r["__w"] is None
+                   or ("__badlab" in r and (r["__badlab"] or 0) > 0)
+                   or any(r[v] is None for v in self.selected_)
+                   for r in rows):
+                raise ValueError(
+                    "null in the estimator design (WoE feature, label "
+                    "or weight) — the target column carries missing "
+                    "values; filter or impute the offending rows "
+                    "before Scorecard.fit")
             X = np.array([[float(r[v]) for v in self.selected_] for r in rows])
             yy = np.array([float(r[y]) for r in rows])
             ww = np.array([float(r["__w"]) for r in rows])
+            if not (np.isfinite(X).all() and np.isfinite(yy).all()
+                    and np.isfinite(ww).all()):
+                raise ValueError(
+                    "non-finite value in the estimator design (WoE "
+                    "feature, label or weight) — the target column "
+                    "carries NaN/Inf; filter or impute the offending "
+                    "rows before Scorecard.fit")
             if kind == "logistic":
                 return _driver_logistic(X, yy, ww)
             if kind == "linear":

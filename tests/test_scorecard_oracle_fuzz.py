@@ -1,0 +1,205 @@
+"""Synthetic-corpus fuzz for the scorecard estimator oracles (r15).
+
+This fuzz FOUND a real latent divergence class: every scorecard
+estimator oracle built its design from the clean bins only, while the
+engine (like the reference) fits on bp.transform of ALL rows — missing
+x enters the compressed design at the transform default 0. The
+lineitem testdata has no missing values in the fitted columns, so
+every driver hash had passed vacuously; the first missing-bearing
+corpus diverged (logistic slope -0.99998 engine vs the oracle's exact
+MLE -1.0, score diffs up to 0.0075 at 4dp). The oracles now include
+the missing design rows / COALESCE features to 0, route missing to 0
+POINTS in scoring (the engine's _points_case), and map missing x to a
+NULL prebin (a NULL lambda used to land missing in bin 0 and DuckDB's
+NaN ordering landed NaN in the LAST bin).
+
+Each test feeds the SAME random rows (integer-ish x with heavy ties,
+NULL and NaN x, clean target) to the engine and to the oracle SQL via
+a registered DuckDB view, and requires exact rounded equality.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+
+
+def _corpus(rng, n, binary_logit=False):
+    lo, hi = 1, 1 + int(rng.integers(8, 40))
+    q = rng.integers(lo, hi + 1, n).astype(float)
+    disc = rng.integers(0, 11, n).astype(float) / 100.0
+    ep = rng.integers(900, 105000, n).astype(float)
+    if binary_logit:
+        logit = (-0.5 + 0.8 * (hi - q) / max(hi - lo, 1) + 3.0 * disc
+                 - ep / 200000.0)
+        rf = np.where(rng.uniform(size=n) < 1 / (1 + np.exp(-logit)),
+                      "R", "N")
+    else:
+        p = 0.15 + 0.5 * (hi - q) / max(hi - lo, 1)
+        rf = np.where(rng.uniform(size=n) < p, "R", "N")
+    # missing x ONLY in l_quantity/l_discount features; the target
+    # (net_price / y) stays clean — the engine REFUSES missing targets
+    # loudly by design (test_missing_target_refused_loudly)
+    q[rng.uniform(size=n) < 0.03] = np.nan
+    qs = pd.Series(q)
+    qs[rng.uniform(size=n) < 0.015] = None
+    return pd.DataFrame({
+        "l_orderkey": np.arange(n, dtype=np.int64),
+        "l_linenumber": np.ones(n, dtype=np.int64),
+        "l_quantity": qs,
+        "l_discount": disc,
+        "l_extendedprice": ep,
+        "l_returnflag": rf,
+    })
+
+
+def _spark_df(spark, pdf):
+    from pyspark.sql import functions as F
+
+    return (spark.createDataFrame(pdf)
+            .withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+            .withColumn("net_price",
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))))
+
+
+def _compare(eng, ora, col):
+    key = ["l_orderkey", "l_linenumber", col]
+    a = eng.sort_values(key).reset_index(drop=True)
+    b = ora.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b), (len(a), len(b))
+    av, bv = a[col].to_numpy(), b[col].to_numpy()
+    assert np.array_equal(av, bv), float(np.abs(av - bv).max())
+
+
+def _eng_logistic(spark, pdf):
+    from pyspark.sql import functions as F
+
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    df = _spark_df(spark, pdf)
+    bp = BinningProcess(["l_quantity"], prebinning_method="quantile",
+                        max_n_prebins=8, monotonic_trend="descending")
+    sc = Scorecard(bp)
+    sc.fit(df, "y")
+    return sc.score(df).select(
+        "l_orderkey", "l_linenumber",
+        (F.round(F.col("score"), 4) + F.lit(0.0)).alias("score")
+    ).toPandas()
+
+
+def _eng_linear(spark, pdf):
+    from pyspark.sql import functions as F
+
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    df = _spark_df(spark, pdf)
+    bp = BinningProcess(
+        ["l_quantity", "l_discount"], prebinning_method="quantile",
+        max_n_prebins=8,
+        binning_fit_params={
+            "l_quantity": {"monotonic_trend": "descending"},
+            "l_discount": {"monotonic_trend": "descending"},
+        })
+    sc = Scorecard(bp, estimator="linear", scaling_method="min_max",
+                   scaling_method_params={"min": 0, "max": 100})
+    sc.fit(df, "net_price")
+    return sc.score(df).select(
+        "l_orderkey", "l_linenumber",
+        (F.round(F.col("score"), 2) + F.lit(0.0)).alias("score")
+    ).toPandas()
+
+
+def _eng_huber(spark, pdf):
+    from pyspark.sql import functions as F
+
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    df = _spark_df(spark, pdf)
+    bp = BinningProcess(["l_quantity"], prebinning_method="quantile",
+                        max_n_prebins=8,
+                        binning_fit_params={
+                            "l_quantity": {"monotonic_trend":
+                                           "descending"}})
+    sc = Scorecard(bp, estimator="huber")
+    sc.fit(df, "net_price")
+    return sc.score(df).select(
+        "l_orderkey", "l_linenumber",
+        (F.round(F.col("score"), 2) + F.lit(0.0)).alias("score")
+    ).toPandas()
+
+
+def _eng_scores3(spark, pdf):
+    from pyspark.sql import functions as F
+
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    df = _spark_df(spark, pdf)
+    bp = BinningProcess(
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        prebinning_method="quantile", probe_mode="exact")
+    sc = Scorecard(bp, scaling_method="min_max",
+                   scaling_method_params={"min": 0, "max": 100})
+    sc.fit(df, "y")
+    return sc.score(df).select(
+        "l_orderkey", "l_linenumber",
+        (F.round(F.col("score"), 4) + F.lit(0.0)).alias("score")
+    ).toPandas()
+
+
+FAMILIES = [
+    ("scorecard_scores_logistic", _eng_logistic, False),
+    ("scorecard_scores_linear", _eng_linear, False),
+    ("scorecard_scores_huber", _eng_huber, False),
+    ("scorecard_scores", _eng_scores3, True),
+]
+
+
+@pytest.mark.parametrize("n_datasets", [
+    1, pytest.param(4, marks=pytest.mark.full)])
+@pytest.mark.parametrize("name,runner,logit", FAMILIES,
+                         ids=[f[0] for f in FAMILIES])
+def test_scorecard_oracle_matches_on_missing_bearing_corpus(
+        spark, name, runner, logit, n_datasets):
+    sql = E.oracle_sql()[name]
+    rng = np.random.default_rng(zlib.crc32(f"sc_fuzz_{name}".encode()))
+    for _t in range(n_datasets):
+        pdf = _corpus(rng, int(rng.integers(3000, 6000)),
+                      binary_logit=logit)
+        con = duckdb.connect()
+        con.register("lineitem", pdf)
+        ora = con.execute(sql).fetchdf()
+        eng = runner(spark, pdf)
+        _compare(eng, ora, "score")
+
+
+def test_missing_target_refused_loudly(spark):
+    """A missing TARGET must fail with the actionable message on both
+    driver-solve paths (the huber sample path already had it; the
+    WLS/logistic compressed-design path used to die with a bare
+    float(None) TypeError)."""
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.scorecard import Scorecard
+
+    rng = np.random.default_rng(7)
+    pdf = _corpus(rng, 2000)
+    ds = pdf["l_discount"].copy()
+    ds[rng.uniform(size=len(pdf)) < 0.02] = None  # poisons net_price
+    pdf["l_discount"] = ds
+    df = _spark_df(spark, pdf)
+    for est in ("linear", "huber"):
+        bp = BinningProcess(["l_quantity"],
+                            prebinning_method="quantile")
+        sc = Scorecard(bp, estimator=est)
+        with pytest.raises(ValueError, match="missing|null|NaN"):
+            sc.fit(df, "net_price")
