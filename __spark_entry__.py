@@ -7044,6 +7044,26 @@ def _sql_embedding_dedup_clusters():
   FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id""")
 
 
+_LONG_DECIMAL = __import__("re").compile(
+    r"(?<![\w.])(\d+\.\d{10,})(?![\de])")
+
+
+def _fix_double_literals(sql: str) -> str:
+    """Rewrite long plain-decimal literals to 17-sig-digit scientific
+    notation. DuckDB parses a plain decimal literal through DECIMAL
+    and can drop the 17th significant digit (measured:
+    '0.9500000000000001' parses to the 0.95 double, one ulp low) —
+    an r15 audit found 226 such literals across the generated
+    oracles, two of them inside the wide_fit_exact / scorecard grids.
+    E-notation routes through the DOUBLE parser and round-trips every
+    float bit-exactly (verified across magnitudes 1e-300..1e8), so
+    the rewrite is safe to apply unconditionally; the regex only
+    matches standalone numeric literals with >= 10 fractional digits
+    (identifiers cannot contain them, and short literals like 0.05
+    parse exactly either way)."""
+    return _LONG_DECIMAL.sub(lambda m: f"{float(m.group(1)):.17e}", sql)
+
+
 def oracle_sql() -> dict[str, str]:
     price_case = _sql_bin_case("l_extendedprice", PRICE_SPLITS)
     order_case = _sql_bin_case("o_totalprice", ORDER_SPLITS)
@@ -8038,7 +8058,7 @@ def oracle_sql() -> dict[str, str]:
     # dedup_clusters_dist forces the distributed star loop but is
     # value-identical to the driver fast path — same oracle.
     sql["dedup_clusters_dist"] = sql["dedup_clusters"]
-    return sql
+    return {k: _fix_double_literals(v) for k, v in sql.items()}
 
 
 def _simhash_oracle_sql(n_bits: int) -> str:
