@@ -7133,8 +7133,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT bin, ln((n_nonevent / CAST(t_ne AS DOUBLE)) / (n_event / CAST(t_ev AS DOUBLE))) AS woe
               FROM agg, tot
             )
-            SELECT l.l_orderkey, l.l_linenumber, round(w.woe, 6) AS woe
-            FROM lineitem l JOIN woes w ON {price_case.replace('l_extendedprice', 'l.l_extendedprice')} = w.bin
+            SELECT l.l_orderkey, l.l_linenumber,
+                   -- missing -> metric_missing = 0.0 (the engine's
+                   -- transform routes NULL and NaN there; the NaN
+                   -- branch matters because the bin CASE sends NaN
+                   -- to the LAST bin for digitize parity)
+                   round(CASE WHEN l.l_extendedprice IS NULL
+                                   OR isnan(l.l_extendedprice)
+                              THEN 0.0 ELSE w.woe END, 6) AS woe
+            FROM lineitem l LEFT JOIN woes w ON {price_case.replace('l_extendedprice', 'l.l_extendedprice')} = w.bin
         """,
         "event_rate_order": f"""
             WITH agg AS (
@@ -7488,8 +7495,11 @@ def oracle_sql() -> dict[str, str]:
             ), tot AS (SELECT sum(ne) AS tne, sum(ev) AS tev FROM agg),
             cum AS (
               SELECT bin,
-                     sum(ev) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) / CAST(tev AS DOUBLE) AS cum_ev,
-                     sum(ne) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) / CAST(tne AS DOUBLE) AS cum_ne
+                     -- NULLS FIRST: Spark's window ORDER BY puts the
+                     -- missing-rows NULL bin first; DuckDB defaults
+                     -- to NULLS LAST and would shift every cumsum
+                     sum(ev) OVER (ORDER BY bin NULLS FIRST ROWS UNBOUNDED PRECEDING) / CAST(tev AS DOUBLE) AS cum_ev,
+                     sum(ne) OVER (ORDER BY bin NULLS FIRST ROWS UNBOUNDED PRECEDING) / CAST(tne AS DOUBLE) AS cum_ne
               FROM agg, tot
             )
             SELECT round(max(abs(cum_ev - cum_ne)), 6) AS ks FROM cum
@@ -7733,8 +7743,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "indices_bins_transform": f"""
             SELECT l_orderkey, l_linenumber,
-                   {price_case} AS bin_index,
-                   CASE WHEN l_extendedprice < 20000.0 THEN '(-inf, 20000.00)'
+                   -- missing -> 0 (metric_missing=0 is a literal int
+                   -- policy for metric='indices') and 'Missing' (the
+                   -- 'bins' metric always emits the label); NaN is
+                   -- missing to the TRANSFORM even though the raw
+                   -- digitize case sends it to the last bin
+                   CASE WHEN l_extendedprice IS NULL
+                             OR isnan(l_extendedprice) THEN 0
+                        ELSE {price_case} END AS bin_index,
+                   CASE WHEN l_extendedprice IS NULL
+                             OR isnan(l_extendedprice) THEN 'Missing'
+                        WHEN l_extendedprice < 20000.0 THEN '(-inf, 20000.00)'
                         WHEN l_extendedprice < 40000.0 THEN '[20000.00, 40000.00)'
                         WHEN l_extendedprice < 60000.0 THEN '[40000.00, 60000.00)'
                         WHEN l_extendedprice < 80000.0 THEN '[60000.00, 80000.00)'
@@ -7744,15 +7763,24 @@ def oracle_sql() -> dict[str, str]:
         "mean_transform": f"""
             WITH b AS (
               SELECT l_orderkey, l_linenumber,
-                     {_sql_bin_case('l_quantity', [10.0, 20.0, 30.0, 40.0])} AS bin,
+                     -- NaN -> NULL bin here too: the fit's bin means
+                     -- run over CLEAN rows only (clean_value_expr
+                     -- nulls both NULL and NaN), unlike the raw
+                     -- digitize case
+                     CASE WHEN l_quantity IS NULL OR isnan(l_quantity)
+                          THEN NULL
+                          ELSE {_sql_bin_case('l_quantity', [10.0, 20.0, 30.0, 40.0])}
+                     END AS bin,
                      l_extendedprice * (1 - l_discount) AS net
               FROM lineitem
             ), m AS (
-              SELECT bin, avg(net) AS mean_net FROM b GROUP BY 1
+              SELECT bin, avg(net) AS mean_net FROM b
+              WHERE bin IS NOT NULL GROUP BY 1
             )
             SELECT b.l_orderkey, b.l_linenumber,
-                   round(m.mean_net, 4) AS mean_net
-            FROM b JOIN m USING (bin)
+                   round(CASE WHEN b.bin IS NULL THEN 0.0
+                              ELSE m.mean_net END, 4) AS mean_net
+            FROM b LEFT JOIN m USING (bin)
         """,
         "unknown_category_transform": f"""
             WITH grp AS (
@@ -8079,7 +8107,13 @@ def _simhash_oracle_sql(n_bits: int) -> str:
 
 
 def _sql_bin_case(col: str, splits) -> str:
-    parts = []
+    """numeric_bin_expr replay: NULL -> NULL bin (Spark's groupBy
+    keeps it as its own group), NaN -> the LAST bin (np.digitize
+    parity — NaN < s is false in both engines). Without the explicit
+    NULL guard, NULL < s is NULL and every missing row silently
+    landed in the last bin (r15 synthetic-corpus fuzz; invisible on
+    lineitem, which has no NULLs in the binned columns)."""
+    parts = [f"WHEN {col} IS NULL THEN NULL"]
     for i, s in enumerate(splits):
         parts.append(f"WHEN {col} < {float(s)!r} THEN {i}")
     return "CASE " + " ".join(parts) + f" ELSE {len(splits)} END"

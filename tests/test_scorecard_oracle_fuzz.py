@@ -30,7 +30,7 @@ import pytest
 import __spark_entry__ as E
 
 
-def _corpus(rng, n, binary_logit=False):
+def _corpus(rng, n, binary_logit=False, missing_ep=False):
     lo, hi = 1, 1 + int(rng.integers(8, 40))
     q = rng.integers(lo, hi + 1, n).astype(float)
     disc = rng.integers(0, 11, n).astype(float) / 100.0
@@ -49,12 +49,18 @@ def _corpus(rng, n, binary_logit=False):
     q[rng.uniform(size=n) < 0.03] = np.nan
     qs = pd.Series(q)
     qs[rng.uniform(size=n) < 0.015] = None
+    eps = pd.Series(ep)
+    if missing_ep:
+        # for the fixed-splits family on l_extendedprice — NOT for
+        # continuous-target families, whose net_price must stay clean
+        eps[rng.uniform(size=n) < 0.03] = np.nan
+        eps[rng.uniform(size=n) < 0.015] = None
     return pd.DataFrame({
         "l_orderkey": np.arange(n, dtype=np.int64),
         "l_linenumber": np.ones(n, dtype=np.int64),
         "l_quantity": qs,
         "l_discount": disc,
-        "l_extendedprice": ep,
+        "l_extendedprice": eps,
         "l_returnflag": rf,
     })
 
@@ -203,3 +209,105 @@ def test_missing_target_refused_loudly(spark):
         sc = Scorecard(bp, estimator=est)
         with pytest.raises(ValueError, match="missing|null|NaN"):
             sc.fit(df, "net_price")
+
+
+TRANSFORM_FAMILIES = [
+    # (name, needs only lineitem.parquet in the sf dir)
+    "optimal_binning_table",
+    "optimal_woe_transform",
+    "woe_transform",
+    "mean_transform",
+    "indices_bins_transform",
+    "continuous_binning_table",
+    "ks",
+]
+
+
+@pytest.mark.parametrize("n_datasets", [
+    1, pytest.param(3, marks=pytest.mark.full)])
+def test_transform_oracles_match_on_missing_bearing_corpus(
+        spark, tmp_path, n_datasets):
+    """The fit/transform/table oracle families on synthetic corpora
+    with NULL/NaN x — these already handled missing correctly (their
+    oracles carry explicit Missing branches); this test locks that
+    against regression. The corpus is written as a real sf-dir
+    (lineitem.parquet) so every q_ function runs unmodified."""
+    oracles = E.oracle_sql()
+    qs = E.queries()
+    rng = np.random.default_rng(zlib.crc32(b"transform_family_fuzz"))
+    for t in range(n_datasets):
+        pdf = _corpus(rng, int(rng.integers(3000, 6000)),
+                      binary_logit=True)
+        sf = tmp_path / f"sf_{t}"
+        sf.mkdir()
+        pdf.to_parquet(sf / "lineitem.parquet")
+        con = duckdb.connect()
+        con.register("lineitem", pdf)
+        for name in TRANSFORM_FAMILIES:
+            ora = con.execute(oracles[name]).fetchdf()
+            eng = qs[name](spark, str(sf)).toPandas()
+            cols = list(eng.columns)
+            a = eng.sort_values(cols).reset_index(drop=True)
+            b = ora[cols].sort_values(cols).reset_index(drop=True)
+            assert len(a) == len(b), (t, name, len(a), len(b))
+            for c in cols:
+                av, bv = a[c].to_numpy(), b[c].to_numpy()
+                if av.dtype.kind in "fciu" or bv.dtype.kind in "fciu":
+                    ok = np.array_equal(
+                        np.asarray(av, dtype=float),
+                        np.asarray(bv, dtype=float), equal_nan=True)
+                else:
+                    ok = (np.asarray(av, dtype=object)
+                          == np.asarray(bv, dtype=object)).all()
+                assert ok, (t, name, c)
+
+
+FIXED_SPLIT_FAMILIES = [
+    # fixed-splits queries on l_extendedprice / l_quantity: raw
+    # digitize grouping (NULL -> its own group, NaN -> last bin, per
+    # numeric_bin_expr) and transform routing (NULL/NaN -> the
+    # metric_missing value). All were latently divergent on missing
+    # input before the r15 _sql_bin_case NULL guard + per-oracle
+    # missing branches.
+    "prebin_counts",
+    "binning_table_fixed",
+    "woe_transform",
+    "indices_bins_transform",
+    "ks",
+    "chi2_tests",
+    "contingency_2d",
+]
+
+
+@pytest.mark.parametrize("n_datasets", [
+    1, pytest.param(3, marks=pytest.mark.full)])
+def test_fixed_split_oracles_match_on_missing_ep_corpus(
+        spark, tmp_path, n_datasets):
+    oracles = E.oracle_sql()
+    qs = E.queries()
+    rng = np.random.default_rng(zlib.crc32(b"fixed_split_family_fuzz"))
+    for t in range(n_datasets):
+        pdf = _corpus(rng, int(rng.integers(3000, 6000)),
+                      binary_logit=True, missing_ep=True)
+        sf = tmp_path / f"sf_ep_{t}"
+        sf.mkdir()
+        pdf.to_parquet(sf / "lineitem.parquet")
+        con = duckdb.connect()
+        con.register("lineitem", pdf)
+        for name in FIXED_SPLIT_FAMILIES:
+            ora = con.execute(oracles[name]).fetchdf()
+            eng = qs[name](spark, str(sf)).toPandas()
+            cols = list(eng.columns)
+            a = eng.sort_values(cols, na_position="first")                 .reset_index(drop=True)
+            b = ora[cols].sort_values(cols, na_position="first")                 .reset_index(drop=True)
+            assert len(a) == len(b), (t, name, len(a), len(b))
+            for c in cols:
+                av, bv = a[c].to_numpy(), b[c].to_numpy()
+                if av.dtype.kind in "fciu" or bv.dtype.kind in "fciu":
+                    ok = np.array_equal(
+                        np.asarray(av, dtype=float),
+                        np.asarray(bv, dtype=float), equal_nan=True)
+                else:
+                    ok = (np.asarray(av, dtype=object)
+                          == np.asarray(bv, dtype=object)).all()
+                assert ok, (t, name, c)
