@@ -311,3 +311,74 @@ def test_fixed_split_oracles_match_on_missing_ep_corpus(
                     ok = (np.asarray(av, dtype=object)
                           == np.asarray(bv, dtype=object)).all()
                 assert ok, (t, name, c)
+
+
+def _orders_corpus(rng, n):
+    tp = rng.integers(10000, 500000, n).astype(float)
+    tps = pd.Series(tp)
+    tps[rng.uniform(size=n) < 0.03] = np.nan
+    tps[rng.uniform(size=n) < 0.015] = None
+    pri = rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                      "4-NOT SPECIFIED", "5-LOW"], n).astype(object)
+    pri[rng.uniform(size=n) < 0.03] = None  # NULL categories
+    st = rng.choice(["F", "O", "P"], n, p=[0.45, 0.45, 0.1])
+    dates = (pd.Timestamp("1996-01-01")
+             + pd.to_timedelta(rng.integers(0, 1500, n), unit="D"))
+    return pd.DataFrame({
+        "o_orderkey": np.arange(n, dtype=np.int64),
+        "o_custkey": rng.integers(1, 500, n).astype(np.int64),
+        "o_orderstatus": st,
+        "o_totalprice": tps,
+        "o_orderdate": dates,
+        "o_orderpriority": pri,
+    })
+
+
+ORDERS_FAMILIES = ["event_rate_order", "categorical_optimal_binning",
+                   "psi"]
+
+
+@pytest.mark.parametrize("n_datasets", [
+    1, pytest.param(3, marks=pytest.mark.full)])
+def test_orders_oracles_match_on_missing_bearing_corpus(
+        spark, tmp_path, n_datasets):
+    """Orders-table families: NULL categories (missing for the
+    categorical binner / event-rate ordering) and NULL/NaN
+    o_totalprice (the fixed-splits PSI). Timestamps are coerced to
+    microseconds because the session reads parquet nanos as long."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    oracles = E.oracle_sql()
+    qs = E.queries()
+    rng = np.random.default_rng(zlib.crc32(b"orders_family_fuzz"))
+    for t in range(n_datasets):
+        pdf = _orders_corpus(rng, int(rng.integers(3000, 6000)))
+        sf = tmp_path / f"sf_o_{t}"
+        sf.mkdir()
+        tbl = pa.Table.from_pandas(pdf)
+        pq.write_table(tbl, sf / "orders.parquet",
+                       coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        con = duckdb.connect()
+        con.register("orders", pdf)
+        for name in ORDERS_FAMILIES:
+            ora = con.execute(oracles[name]).fetchdf()
+            eng = qs[name](spark, str(sf)).toPandas()
+            cols = list(eng.columns)
+            a = eng.sort_values(cols, na_position="first") \
+                .reset_index(drop=True)
+            b = ora[cols].sort_values(cols, na_position="first") \
+                .reset_index(drop=True)
+            assert len(a) == len(b), (t, name, len(a), len(b))
+            for c in cols:
+                av, bv = a[c].to_numpy(), b[c].to_numpy()
+                try:
+                    ok = np.array_equal(
+                        np.asarray(av, dtype=float),
+                        np.asarray(bv, dtype=float), equal_nan=True)
+                except (ValueError, TypeError):
+                    ok = (pd.isna(av) == pd.isna(bv)).all() and all(
+                        (pd.isna(x) and pd.isna(yy)) or x == yy
+                        for x, yy in zip(av, bv))
+                assert ok, (t, name, c)
