@@ -7214,7 +7214,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"""
             WITH s AS (SELECT doc_id, {lang_scores} FROM documents),
             g AS (SELECT *, greatest(sc_de, sc_en, sc_es, sc_fr, sc_zh) AS mx FROM s)
-            SELECT doc_id, CASE WHEN mx <= 0 THEN 'unknown'
+            -- NULL text: every marker score is NULL, so mx <= 0 is
+            -- NULL and the CASE used to fall through to 'zh'; the
+            -- engine emits 'unknown' (r15 synthetic-corpus fuzz)
+            SELECT doc_id, CASE WHEN mx IS NULL OR mx <= 0 THEN 'unknown'
                                 WHEN sc_de = mx THEN 'de'
                                 WHEN sc_en = mx THEN 'en'
                                 WHEN sc_es = mx THEN 'es'
@@ -7358,12 +7361,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id,
-                   list_reduce(
-                     list_prepend(0::BIGINT,
-                       [('0x' || substr(md5(t), 1, 8))::BIGINT
-                        FOR t IN string_split(text, ' ')]),
-                     (a, b) -> (a * 31 + b) % 2147483647
-                   ) AS fingerprint
+                   -- NULL text -> NULL fingerprint (the engine's
+                   -- column expression null-propagates; the reduce
+                   -- over a prepended-0 list used to emit 0 here)
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE list_reduce(
+                          list_prepend(0::BIGINT,
+                            [('0x' || substr(md5(t), 1, 8))::BIGINT
+                             FOR t IN string_split(text, ' ')]),
+                          (a, b) -> (a * 31 + b) % 2147483647)
+                   END AS fingerprint
             FROM documents
         """,
         "near_dup_cosine": """

@@ -382,3 +382,74 @@ def test_orders_oracles_match_on_missing_bearing_corpus(
                         (pd.isna(x) and pd.isna(yy)) or x == yy
                         for x, yy in zip(av, bv))
                 assert ok, (t, name, c)
+
+
+DOCS_FAMILIES = ["doc_token_stats", "lang_id", "gopher_flags",
+                 "doc_normalize", "exact_dedup", "doc_quality",
+                 "doc_fingerprint", "repetition_flags",
+                 "pii_redaction", "jaccard_pairs"]
+
+
+def _docs_corpus(rng, n=400):
+    words = ["the", "cat", "sat", "on", "mat", "data", "spark",
+             "engine", "fuzz", "naive", "uber", "tok", "a", "b",
+             "xx", "123", "4.5", "e@f.gh", "#tag", "..."]
+    texts = []
+    for _ in range(n):
+        k = int(rng.integers(0, 40))
+        texts.append(" ".join(rng.choice(words, k)) if k else "")
+    texts = pd.Series(texts, dtype=object)
+    texts[rng.uniform(size=n) < 0.04] = None   # NULL text
+    texts[rng.uniform(size=n) < 0.03] = ""
+    texts[rng.uniform(size=n) < 0.02] = "   "
+    for j in range(0, n, 17):                   # exact duplicates
+        if j + 1 < n:
+            texts[j + 1] = texts[j]
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": rng.choice(["en", "de", "fr"], n),
+        "source": rng.choice(["web", "book"], n),
+        "n_chars": texts.fillna("").str.len().astype(np.int64),
+    })
+
+
+@pytest.mark.parametrize("n_datasets", [
+    1, pytest.param(3, marks=pytest.mark.full)])
+def test_docs_oracles_match_on_null_text_corpus(
+        spark, tmp_path, n_datasets):
+    """Documents-table families on corpora with NULL / empty /
+    whitespace-only text and injected exact duplicates. Found and
+    fixed in r15: lang_id's score CASE fell through to 'zh' on NULL
+    text (all marker scores NULL, engine says 'unknown') and
+    doc_fingerprint emitted 0 where the engine null-propagates."""
+    oracles = E.oracle_sql()
+    qs = E.queries()
+    rng = np.random.default_rng(zlib.crc32(b"docs_family_fuzz"))
+    for t in range(n_datasets):
+        pdf = _docs_corpus(rng, int(rng.integers(300, 600)))
+        sf = tmp_path / f"sf_d_{t}"
+        sf.mkdir()
+        pdf.to_parquet(sf / "documents.parquet")
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        for name in DOCS_FAMILIES:
+            ora = con.execute(oracles[name]).fetchdf()
+            eng = qs[name](spark, str(sf)).toPandas()
+            cols = list(eng.columns)
+            a = eng.sort_values(cols, na_position="first") \
+                .reset_index(drop=True)
+            b = ora[cols].sort_values(cols, na_position="first") \
+                .reset_index(drop=True)
+            assert len(a) == len(b), (t, name, len(a), len(b))
+            for c in cols:
+                av, bv = a[c].to_numpy(), b[c].to_numpy()
+                try:
+                    ok = np.array_equal(
+                        np.asarray(av, dtype=float),
+                        np.asarray(bv, dtype=float), equal_nan=True)
+                except (ValueError, TypeError):
+                    ok = (pd.isna(av) == pd.isna(bv)).all() and all(
+                        (pd.isna(x) and pd.isna(yy)) or x == yy
+                        for x, yy in zip(av, bv))
+                assert ok, (t, name, c)
