@@ -270,6 +270,32 @@ class _SectionCal:
                 if v.get("host_moved")]
 
 
+def _tracked_bench_artifacts():
+    """Paths of git-TRACKED BENCH_r*.json artifacts, oldest-round
+    first. The driver deposits the current round's artifact as an
+    UNTRACKED file before judging; an untracked artifact has no
+    introducing commit, so the cross-round yardstick and the worktree
+    A/B must never enumerate it (`_round_commit` would return None —
+    the r15 judge's one red test was exactly this). Falls back to the
+    full glob only when git itself is unavailable (artifact dirs
+    copied out of the repo)."""
+    import glob
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "-C", here, "ls-files", "BENCH_r*.json"],
+            capture_output=True, text=True, timeout=30)
+        names = [n for n in out.stdout.split() if n]
+        if out.returncode == 0:
+            return sorted(os.path.join(here, n) for n in names
+                          if os.path.exists(os.path.join(here, n)))
+    except Exception:
+        pass
+    return sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+
+
 def _prev_bench_queries():
     """Per-query headline times from the committed BENCH_r*.json
     driver artifacts — the cross-round yardstick for the headline gate
@@ -280,12 +306,10 @@ def _prev_bench_queries():
     Returns {"file", "round", "queries"} or None when no usable
     artifact exists (round 1, or parse failure — never breaks the
     contract)."""
-    import glob
     import re
 
     rounds = []
-    here = os.path.dirname(os.path.abspath(__file__))
-    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+    for f in _tracked_bench_artifacts():
         m = re.search(r"BENCH_r(\d+)\.json$", f)
         if m:
             rounds.append((int(m.group(1)), f))
@@ -878,6 +902,24 @@ def main():
                 entry["baseline_round"] = src
                 src_info = (prev_round.get("rounds") or {}).get(src) or {}
                 hr = _canary_host_ratio(canary, src_info.get("canary"))
+                if hr is None:
+                    # baseline round predates the FROZEN canary (r14
+                    # and earlier) — fall back to the newest loaded
+                    # round's canary as a labeled PROXY so every
+                    # watch entry still carries a host-drift readout
+                    # (r15 verdict ask #6); the proxy is one round
+                    # offset from the baseline's true host, so it
+                    # stays diagnostic-only like the exact ratio
+                    for n2 in sorted(prev_round.get("rounds") or {},
+                                     reverse=True):
+                        if n2 == src:
+                            continue
+                        hr = _canary_host_ratio(
+                            canary,
+                            (prev_round["rounds"][n2] or {}).get("canary"))
+                        if hr is not None:
+                            entry["canary_proxy_round"] = n2
+                            break
                 if hr is not None:
                     entry["canary_host_ratio"] = hr
                     entry["ratio_hostnorm"] = round(

@@ -174,15 +174,37 @@ def test_prev_bench_queries_source_round_and_canary():
 
 
 def test_round_commit_resolves_baseline_artifacts():
-    """Every BENCH_r*.json must resolve to the commit that shipped it
-    (the A/B checks out that tree as 'the previous round's code')."""
-    import glob
-    import os
-
+    """Every git-TRACKED BENCH_r*.json must resolve to the commit that
+    shipped it (the A/B checks out that tree as 'the previous round's
+    code'). Restricted to tracked artifacts because the driver
+    deposits the current round's file untracked before judging — that
+    file legitimately has no introducing commit (r15 verdict ask #1)."""
     import bench
 
-    here = os.path.dirname(os.path.abspath(bench.__file__))
-    arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))[-2:]
+    arts = bench._tracked_bench_artifacts()[-2:]
     for a in arts:
         sha = bench._round_commit(os.path.basename(a))
         assert sha and len(sha) == 40, a
+
+
+def test_untracked_bench_deposit_excluded(tmp_path):
+    """An untracked BENCH_r99.json (the driver's post-snapshot deposit
+    shape) must not appear in the tracked-artifact enumeration nor
+    shift the cross-round yardstick's newest round."""
+    import bench
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    fake = os.path.join(here, "BENCH_r99.json")
+    assert not os.path.exists(fake), "stale fixture left behind"
+    with open(fake, "w") as f:
+        f.write('{"parsed": {"queries": {"q1": 0.001}}}')
+    try:
+        arts = [os.path.basename(a)
+                for a in bench._tracked_bench_artifacts()]
+        assert "BENCH_r99.json" not in arts
+        pq = bench._prev_bench_queries()
+        if pq is not None:
+            assert pq["round"] != 99
+            assert 99 not in pq["rounds"]
+    finally:
+        os.unlink(fake)
