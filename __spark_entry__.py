@@ -1084,21 +1084,32 @@ def q_mixture_rates(spark, sf_dir):
 def _sql_mixture_rates():
     """Oracle generated from the SAME normalized weight constants the
     engine derives (repr round-trip), so both sides gate on
-    bit-identical doubles."""
+    bit-identical doubles. A stratum named in the weights but ABSENT
+    from the corpus is a zero-token row with budget 0/w = 0, so B = 0
+    and every rate is 0 — the engine's documented downsample-only
+    answer for an unrealizable mixture (full-outer-join semantics;
+    found by the r16 adversarial corpus fuzz, whose corpus has no
+    'es'/'zh' docs)."""
     total = sum(_MIX_WEIGHTS.values())
     norm = {k: v / total for k, v in _MIX_WEIGHTS.items()}
-    case = " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in norm.items())
+    tgt_rows = ", ".join(f"('{k}', {v!r})" for k, v in norm.items())
     return f"""
-            WITH per AS (
+            WITH grp AS (
               SELECT lang AS stratum, count(*) AS n_docs,
-                     sum(len(string_split(text, ' '))) AS n_tokens,
-                     CASE lang {case} ELSE 0.0 END AS w
+                     sum(len(string_split(text, ' '))) AS n_tokens
               FROM documents GROUP BY 1),
+            tgt (stratum, w) AS (VALUES {tgt_rows}),
+            per AS (
+              SELECT coalesce(g.stratum, t.stratum) AS stratum,
+                     coalesce(g.n_docs, 0) AS n_docs,
+                     coalesce(g.n_tokens, 0) AS n_tokens,
+                     coalesce(t.w, 0.0) AS w
+              FROM grp g FULL OUTER JOIN tgt t ON g.stratum = t.stratum),
             b AS (SELECT min(n_tokens / w) AS B FROM per WHERE w > 0)
             SELECT stratum, n_docs,
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    round(w, 6) AS target_weight,
-                   round(CASE WHEN w > 0
+                   round(CASE WHEN w > 0 AND n_tokens > 0
                               THEN least(1.0, w * b.B / n_tokens)
                               ELSE 0.0 END, 6) AS rate
             FROM per, b
@@ -1575,6 +1586,33 @@ def q_multiclass_binning_table(spark, sf_dir):
         F.round("js", 6).alias("js"),
     ]
     return out.select(*cols)
+
+
+def q_multiclass_mean_woe_transform(spark, sf_dir):
+    """F5: multiclass mean-WoE per-row transform (reference
+    transformations.py:319-385 — per-row mean over the one-vs-rest
+    class WoEs of the assigned bin). Fit replayed by the same
+    exhaustive-partition oracle as multiclass_binning_table; the
+    transform is a map-only CASE over the fitted splits with
+    missing -> metric_missing (0). First driver hash check of the
+    multiclass transform surface (r15 verdict ask #5)."""
+    from optbinning_spark import MulticlassOptimalBinning
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem")).withColumn(
+        "y3",
+        F.when(F.col("l_returnflag") == "R", 0)
+        .when(F.col("l_returnflag") == "A", 1)
+        .otherwise(2),
+    )
+    mb = MulticlassOptimalBinning(prebinning_method="quantile",
+                                  max_n_prebins=8, monotonic_trend=None)
+    mb.fit(df, "l_quantity", "y3")
+    out = mb.transform(df, "l_quantity", metric="mean_woe",
+                       out_col="mwoe")
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        (F.round(F.col("mwoe"), 6) + F.lit(0.0)).alias("mwoe"),
+    )
 
 
 def q_sketch_categorical_merge(spark, sf_dir):
@@ -3161,6 +3199,120 @@ def q_wide_fit_exact(spark, sf_dir):
         rows, "name string, dtype string, n_bins int, iv double")
 
 
+def q_wide_fit_contract(spark, sf_dir):
+    """Accuracy CONTRACT for the production approx-probe wide fit
+    (r15 verdict ask #3 — the sketch_binning_table r13 pattern): fit
+    the SAME 16-variable BinningProcess twice, production probe
+    (HLL rsd 0.05 + GK approxQuantile) vs probe_mode="exact", and
+    band the per-variable deltas inside the tolerance the r14
+    probe_mode audit measured (SCALING.md §"probe_mode audit":
+    n_bins within ±1, |IV delta| <= 1.4e-5 on IVs of order 0.01-1).
+    Output rows (metric, name, value):
+
+    - n_bins_delta_band, var, floor(|n_bins_approx - n_bins_exact| / 2)
+      — 0 iff the approx probe changed the bin STRUCTURE by at most
+      ±1 bin;
+    - iv_delta_band, var, floor(|IV_approx - IV_exact| / 1e-3) — 0 iff
+      the probe's IV impact stays ~70x under the contract ceiling
+      (measured max 1.43e-5 at sf0.1);
+    - split_dist_band, var, floor(d / max(0.05 * span, 1e-9)) for
+      numerical vars — d = max nearest-neighbor distance from the
+      longer split set to the shorter one after exempting
+      |len delta| worst-matched splits (a ±1-bin structure delta is
+      n_bins_delta_band's claim; an extra split legitimately lands
+      mid-bin — measured 9.6% of span on l_extendedprice at sf0.01),
+      span = spread of the exact splits; 0 iff every MATCHED split
+      sits within 5% of span (the audit found matched-placement
+      deltas only at bucket-edge resolution). Categorical vars
+      assert exact bin-group equality instead (audit:
+      split-identical — the low-cardinality path is
+      probe-independent).
+
+    The oracle emits the CLAIMED table (all bands 0); any probe
+    regression past the measured envelope breaks the driver hash.
+    The exact twin itself stays value-hash-checked by
+    wide_fit_exact.
+
+    Calibration regime: the claims hold for >= ~50k clean rows per
+    variable (sf0.01 and up — the driver gate's scale and the
+    audit's). Below that the GK/HLL sketches' value-space envelope
+    is legitimately wider (measured at sf0.001/6k rows: one extra
+    split 15-20% of span off, one IV delta crossing 1e-3) — the
+    bands report it honestly rather than the tolerance being
+    inflated to mask it; do not run this entry's oracle compare at
+    sf0.001 and read a trip as an engine bug (accuracy IMPROVES
+    with scale: max IV delta 1.4e-5 at sf0.1, 1.0e-6 at sf1)."""
+    import math
+
+    from optbinning_spark import BinningProcess
+    from optbinning_spark.sources.tables import orders as _ot
+
+    li = _lineitem(spark, sf_dir)
+    o = _ot(spark, sf_dir).drop("y")
+    df = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+
+    def to_days(c):
+        if dict(df.dtypes)[c] == "bigint":
+            return F.col(c) / F.lit(8.64e13)
+        return F.datediff(
+            F.to_date(F.col(c)), F.to_date(F.lit("1970-01-01"))
+        ).cast("double")
+
+    df = (
+        df.withColumn("l_shipdays", to_days("l_shipdate"))
+        .withColumn("o_orderdays", to_days("o_orderdate"))
+        .withColumn(
+            "net_price",
+            F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .withColumn("disc_tax", F.col("l_discount") + F.col("l_tax"))
+    )
+    variables = _WIDE_NUM_VARS + _WIDE_CAT_VARS
+    bp_a = BinningProcess(variables).fit(df, "y")
+    bp_e = BinningProcess(variables, probe_mode="exact").fit(df, "y")
+
+    sa_ = bp_a.summary()
+    se_ = bp_e.summary()
+    nb_a_ = dict(zip(sa_["name"], sa_["n_bins"]))
+    nb_e_ = dict(zip(se_["name"], se_["n_bins"]))
+    iv_a_ = dict(zip(sa_["name"], sa_["iv"]))
+    iv_e_ = dict(zip(se_["name"], se_["iv"]))
+    rows = []
+    for name in variables:
+        ob_a = bp_a.get_binned_variable(name)
+        ob_e = bp_e.get_binned_variable(name)
+        rows.append(("n_bins_delta_band", name, float(
+            math.floor(abs(int(nb_a_[name]) - int(nb_e_[name])) / 2.0))))
+        rows.append(("iv_delta_band", name, float(
+            math.floor(abs(float(iv_a_[name]) - float(iv_e_[name]))
+                       / 1e-3))))
+        if ob_a._resolved_dtype == "numerical":
+            sa = [float(s) for s in ob_a.splits]
+            se = [float(s) for s in ob_e.splits]
+            if sa and se:
+                span = max(se) - min(se)
+                lo, sh = (sa, se) if len(sa) >= len(se) else (se, sa)
+                dists = sorted(min(abs(x - y) for y in sh) for x in lo)
+                k = len(lo) - len(sh)
+                matched = dists[:len(dists) - k] if k else dists
+                d = matched[-1] if matched else 0.0
+                band = math.floor(d / max(0.05 * span, 1e-9))
+            else:
+                # both structurally empty (single-bin fit) -> 0; a
+                # one-sided set of >1 splits is a structure break
+                # beyond the +-1-bin claim -> 1
+                band = 0.0 if len(sa) + len(se) <= 1 else 1.0
+            rows.append(("split_dist_band", name, float(band)))
+        else:
+            ga = [sorted(map(str, g))
+                  for g in (ob_a._bin_categories or [])]
+            ge = [sorted(map(str, g))
+                  for g in (ob_e._bin_categories or [])]
+            rows.append(("split_dist_band", name,
+                         0.0 if ga == ge else 1.0))
+    return spark.createDataFrame(
+        rows, "metric string, name string, value double")
+
+
 def q_class_weight_agg(spark, sf_dir):
     """A12: 'balanced' class weights (N / (k * n_class), reference
     preprocessing.py:181-186) folded into sample weights, then
@@ -3565,31 +3717,106 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rationale comments through round 12 live in git (e769106 and
 #: earlier; the round-13 rotation narrative in f05a462).
 #:
-#: Round-15 rotation (r14 verdict ask #5): the r14 window re-hashed
-#: the 16 solver-riding STAY entries, 4 debuts (binning_2d_table,
-#: continuous_binning_2d_table, concave_binning_table,
-#: convex_binning_table — the r14 narrative's "2 debuts" undercounted;
-#: r15 ADVICE #4) and 30 stale entries; this round takes the exact
-#: complement so no registry entry's latest driver hash falls behind
-#: r13. IN (31 stale): all 10 entries whose last hash is r11
-#: (doc_chunks .. unknown_category_transform) and all 21 whose last
-#: hash is r12 (bpe_token_count .. stratified_doc_sample). IN (2
-#: debuts): binning_2d_woe_transform (oracle-backed since r14 but
-#: never driver-hashed — COVERAGE counted it via my own
-#: check_correctness runs only) and piecewise_transform, REDEFINED
-#: this round from rows-only to a fully replayed hash oracle
-#: (quartile knots + logistic Newton + hinge-basis Cholesky LSQ; r14
-#: verdict ask #3 — rows-only registry entries drop to 2). IN (17
-#: r13-vintage, oldest-risk first): the fit-geometry oracles
-#: (binning_table_fixed, cart_splits, mdlp_splits,
-#: piecewise_transform_fixed, wide_summary_pinned), the
-#: dedup/similarity family (semantic_dedup + _arrow, minhash/lsh,
-#: dup_ngram_spans, kmeans, pq/ivf trio), and the DSIR pair — the
-#: entries the r14 verdict named for this rotation. OUT (50): the
-#: r14-green window, all stable semantics, all still hash-checked by
-#: tools/check_correctness full-registry runs; the 17 remaining
-#: r13-vintage entries lead the tail and rotate in r16.
+#: Round-16 rotation (r15 verdict ask #2): the r14/r15 windows were
+#: fully disjoint (100 distinct entries), leaving exactly 19 entries
+#: whose last driver hash is r13 — this window leads with all 19 so
+#: no entry's driver-hash age exceeds 2 rounds. IN (17 r13-vintage
+#: oracle-backed): outlier_yquantile .. prebin_counts — the cohort
+#: the r15 verdict queued by name. IN (2 r13-vintage rows-only):
+#: wide_process_fit and counterfactual — rows-only by nature (approx
+#: probe / weighted multi-objective search), refreshed for the
+#: driver's rows+schema check; their hash-checked siblings
+#: (wide_fit_exact, the three pinned counterfactuals) ride along
+#: below. IN (2 debuts): multiclass_mean_woe_transform (F5's first
+#: driver hash — r15 ask #5) and wide_fit_contract (the approx-probe
+#: accuracy contract, sketch_binning_table pattern — r15 ask #3;
+#: rows-only residual risk now bounded by a hashed claims table). IN
+#: (29 fill): the head of the r14-green cohort in tail order
+#: (binning_2d_3x3 .. doc_normalize) — the solver-riding fit
+#: surfaces re-hash after one round out. OUT: the r15-green window
+#: (age 1) and the 21 remaining r14 entries (age 2, lead the r17
+#: rotation); all stay hash-checked by tools/check_correctness
+#: full-registry runs every session.
 _WINDOW = [
+    "outlier_yquantile",
+    "special_missing_stats",
+    "counterfactual_pinned",
+    "dedup_clusters_dist",
+    "bm25_topk",
+    "classification_metrics",
+    "event_type_psi",
+    "sample_class_counts",
+    "doc_fingerprint",
+    "doc_quality",
+    "simhash",
+    "contingency_2d",
+    "scenario_agg",
+    "distribution_stats",
+    "chi2_tests",
+    "event_rate_order",
+    "prebin_counts",
+    "wide_process_fit",
+    "counterfactual",
+    "multiclass_mean_woe_transform",
+    "wide_fit_contract",
+    "binning_2d_3x3",
+    "sketch_binning_table",
+    "scorecard_table_linear",
+    "wide_fit_exact",
+    "optimal_binning_table",
+    "optimal_woe_transform",
+    "continuous_bin_stats",
+    "categorical_optimal_binning",
+    "scorecard_table",
+    "scorecard_scores",
+    "multiclass_bin_counts",
+    "scenario_binning_table",
+    "woe_transform",
+    "mean_transform",
+    "binning_process_summary",
+    "scorecard_scores_linear",
+    "binning_2d_table",
+    "continuous_binning_2d_table",
+    "psi_variable_report",
+    "near_dup_cosine",
+    "doc_token_stats",
+    "near_dup_cosine_bucketed",
+    "pack_sequences",
+    "embedding_topk",
+    "binning_2d_median",
+    "bpe_subword_count",
+    "continuous_binning_table",
+    "counterfactual_mahalanobis_pinned",
+    "doc_normalize",
+]
+
+#: Tail: the 21 r14-green entries that didn't fit the r16 window lead
+#: (they rotate in r17, age 2 at that point), followed by the 50
+#: r15-green entries (age 1). Every oracle-backed entry here stays
+#: hash-checked by tools/check_correctness full-registry runs even
+#: while out of the driver window.
+_TAIL = [
+    "event_window_stats",
+    "exact_dedup",
+    "jaccard_pairs",
+    "ks",
+    "multiclass_binning_table",
+    "outlier_zscore",
+    "quantile_splits",
+    "regression_metrics",
+    "scorecard_scores_logistic",
+    "uniform_binning_table",
+    "ann_topk",
+    "binning_2d_pinned",
+    "class_weight_agg",
+    "dedup_clusters",
+    "concave_binning_table",
+    "gopher_flags",
+    "incremental_dedup",
+    "indices_bins_transform",
+    "lang_id",
+    "convex_binning_table",
+    "nb_quality_score",
     "doc_chunks",
     "multimodal_features",
     "outlier_iqr",
@@ -3640,85 +3867,6 @@ _WINDOW = [
     "kmeans_refined_centroids",
     "dup_ngram_spans",
     "wide_summary_pinned",
-]
-
-#: Tail: oracle-backed entries first (hash-checked by
-#: tools/check_correctness every session even when out of the driver
-#: window) — the 17 r13-vintage entries that rotate in r16 lead,
-#: followed by the r14-green cohort — then the genuinely
-#: non-SQL-expressible operators (approximate wide fit, MIP
-#: counterfactual search) covered by golden-parity and unit tests
-#: plus hash-checked pinned/exact siblings.
-_TAIL = [
-    "outlier_yquantile",
-    "special_missing_stats",
-    "counterfactual_pinned",
-    "dedup_clusters_dist",
-    "bm25_topk",
-    "classification_metrics",
-    "event_type_psi",
-    "sample_class_counts",
-    "doc_fingerprint",
-    "doc_quality",
-    "simhash",
-    "contingency_2d",
-    "scenario_agg",
-    "distribution_stats",
-    "chi2_tests",
-    "event_rate_order",
-    "prebin_counts",
-    "binning_2d_3x3",
-    "sketch_binning_table",
-    "scorecard_table_linear",
-    "wide_fit_exact",
-    "optimal_binning_table",
-    "optimal_woe_transform",
-    "continuous_bin_stats",
-    "categorical_optimal_binning",
-    "scorecard_table",
-    "scorecard_scores",
-    "multiclass_bin_counts",
-    "scenario_binning_table",
-    "woe_transform",
-    "mean_transform",
-    "binning_process_summary",
-    "scorecard_scores_linear",
-    "binning_2d_table",
-    "continuous_binning_2d_table",
-    "psi_variable_report",
-    "near_dup_cosine",
-    "doc_token_stats",
-    "near_dup_cosine_bucketed",
-    "pack_sequences",
-    "embedding_topk",
-    "binning_2d_median",
-    "bpe_subword_count",
-    "continuous_binning_table",
-    "counterfactual_mahalanobis_pinned",
-    "doc_normalize",
-    "event_window_stats",
-    "exact_dedup",
-    "jaccard_pairs",
-    "ks",
-    "multiclass_binning_table",
-    "outlier_zscore",
-    "quantile_splits",
-    "regression_metrics",
-    "scorecard_scores_logistic",
-    "uniform_binning_table",
-    "ann_topk",
-    "binning_2d_pinned",
-    "class_weight_agg",
-    "dedup_clusters",
-    "concave_binning_table",
-    "gopher_flags",
-    "incremental_dedup",
-    "indices_bins_transform",
-    "lang_id",
-    "convex_binning_table",
-    "nb_quality_score",
-    "wide_process_fit",
-    "counterfactual",
 ]
 
 
@@ -5929,6 +6077,93 @@ def _sql_multiclass_binning_table():
   FROM t2 t2"""
 
 
+def _sql_multiclass_mean_woe_transform():
+    """F5 oracle: the multiclass fit replayed exactly as
+    _sql_multiclass_binning_table (same mask enumeration, same JS
+    objective, same tie-break), then each row mapped to its optimal
+    segment and given that segment's mean one-vs-rest WoE — the
+    per-class WoE uses totals INCLUDING the Missing row (engine
+    MulticlassBinningTable computes totals over the full table,
+    multiclass_binning.py:56-70); missing x -> metric_missing = 0."""
+    y3 = ("(CASE WHEN l_returnflag = 'R' THEN 0 "
+          "WHEN l_returnflag = 'A' THEN 1 ELSE 2 END)")
+    probs = ", ".join(f"{i}/8.0" for i in range(1, 8))
+    js_c = []
+    for c in range(3):
+        p = f"(ev{c} / t.tev{c})"
+        q = f"((cnt - ev{c}) / (t.tall - t.tev{c}))"
+        m = f"(({p} + {q}) / 2)"
+        js_c.append(
+            f"0.5 * (CASE WHEN ev{c} > 0 THEN {p} * ln({p} / {m}) ELSE 0 END"
+            f" + CASE WHEN cnt - ev{c} > 0 THEN {q} * ln({q} / {m}) ELSE 0 END)"
+        )
+    js_term = " + ".join(f"({t})" for t in js_c)
+    evsel = ", ".join(
+        f"count(*) FILTER (WHERE y = {c}) AS ev{c}" for c in range(3))
+    evsum = ", ".join(f"sum(ev{c}) AS ev{c}" for c in range(3))
+    feas = " AND ".join(
+        f"bool_and(ev{c} > 0 AND cnt - ev{c} > 0)" for c in range(3))
+    woe_c = " + ".join(
+        f"(CASE WHEN ev{c} > 0 AND cnt - ev{c} > 0 THEN "
+        f"ln(((cnt - ev{c}) / (t2.tall - t2.tev{c})) / (ev{c} / t2.tev{c}))"
+        f" ELSE 0 END)" for c in range(3))
+    return f"""
+  WITH clean AS (
+    SELECT l_quantity AS x, {y3} AS y FROM lineitem
+    WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)),
+  sp AS (
+    SELECT list_sort(list_distinct(quantile_cont(x, [{probs}]))) AS splits
+    FROM clean),
+  pre AS (
+    SELECT len(list_filter(sp.splits, s -> c.x >= s)) AS pb,
+           count(*) AS cnt, {evsel}
+    FROM clean c, sp GROUP BY 1),
+  tot AS (SELECT sum(cnt) AS tall, sum(ev0) AS tev0, sum(ev1) AS tev1,
+                 sum(ev2) AS tev2 FROM pre),
+  masks AS (SELECT g AS mask FROM generate_series(0, 127) t(g)),
+  segrows AS (
+    SELECT m.mask, pr.*,
+           bit_count(CAST(m.mask AS BIGINT) & ((1::BIGINT << pr.pb) - 1)) AS seg
+    FROM masks m, pre pr),
+  segs AS (
+    SELECT mask, seg, sum(cnt) AS cnt, {evsum}
+    FROM segrows GROUP BY mask, seg),
+  cand AS (
+    SELECT mask, {feas} AS feas,
+           sum({js_term}) AS obj
+    FROM segs s, tot t GROUP BY mask),
+  best AS (SELECT mask FROM cand WHERE feas
+           ORDER BY round(obj, 9) DESC, mask LIMIT 1),
+  mrow AS (
+    SELECT count(*) AS cnt,
+           count(*) FILTER (WHERE y = 0) AS ev0,
+           count(*) FILTER (WHERE y = 1) AS ev1,
+           count(*) FILTER (WHERE y = 2) AS ev2
+    FROM (SELECT {y3} AS y FROM lineitem
+          WHERE l_quantity IS NULL OR isnan(l_quantity))),
+  t2 AS (SELECT sum(cnt) AS tall, sum(ev0) AS tev0, sum(ev1) AS tev1,
+                sum(ev2) AS tev2
+         FROM (SELECT cnt, ev0, ev1, ev2 FROM segs
+               WHERE mask = (SELECT mask FROM best)
+               UNION ALL SELECT cnt, ev0, ev1, ev2 FROM mrow)),
+  segw AS (
+    SELECT seg, ({woe_c}) / 3.0 AS mwoe
+    FROM (SELECT * FROM segs WHERE mask = (SELECT mask FROM best)) s, t2),
+  rowseg AS (
+    SELECT l.l_orderkey, l.l_linenumber,
+           CASE WHEN l.l_quantity IS NULL OR isnan(l.l_quantity)
+                THEN NULL
+                ELSE bit_count(
+                  CAST((SELECT mask FROM best) AS BIGINT)
+                  & ((1::BIGINT <<
+                      len(list_filter(sp.splits, s -> l.l_quantity >= s)))
+                     - 1)) END AS seg
+    FROM lineitem l, sp)
+  SELECT r.l_orderkey, r.l_linenumber,
+         round(COALESCE(w.mwoe, 0.0), 6) + 0.0 AS mwoe
+  FROM rowseg r LEFT JOIN segw w USING (seg)"""
+
+
 def _sql_scenario_binning_table():
     """Scenario DP oracle: pooled exact-quantile prebins, per-scenario
     feasibility + monotonicity (both directions, ascending preferred on
@@ -7922,7 +8157,20 @@ def oracle_sql() -> dict[str, str]:
         # the Arrow path is bit-identical by design; same oracle
         "semantic_dedup_arrow": _sql_semantic_dedup(n_centroids=16),
         "multiclass_binning_table": _sql_multiclass_binning_table(),
+        "multiclass_mean_woe_transform":
+            _sql_multiclass_mean_woe_transform(),
         "scenario_binning_table": _sql_scenario_binning_table(),
+        # the CLAIMED contract table: the production approx probe must
+        # stay inside the measured envelope (all bands 0) for every
+        # variable — computed Spark-side, asserted by hash here (the
+        # sketch_binning_table constant-claims pattern)
+        "wide_fit_contract": (
+            "SELECT t.m AS metric, v.name, 0.0 AS value FROM (VALUES "
+            "('n_bins_delta_band'), ('iv_delta_band'), "
+            "('split_dist_band')) t(m), (VALUES "
+            + ", ".join(f"('{v}')" for v in _WIDE_NUM_VARS + _WIDE_CAT_VARS)
+            + ") v(name)"
+        ),
         "multimodal_features": _sql_multimodal_features(),
         "scorecard_scores_linear": _sql_scorecard_scores_linear(),
         "scorecard_table_linear": _sql_scorecard_table_linear(),
@@ -7974,17 +8222,23 @@ def oracle_sql() -> dict[str, str]:
             st AS (
               SELECT doc_id, len(ws) AS nw,
                      len(list_distinct(ws)) AS ndw FROM w),
+            -- NULL text -> ws NULL -> NO grams (the engine's
+            -- NULL-safe shingles_from_words; r16 fix): the CASE pins
+            -- the series empty instead of greatest() resurrecting a
+            -- phantom '' gram from the NULL slice
             g2 AS (
               SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS ng
               FROM (SELECT doc_id, ws,
                            unnest(generate_series(
-                               1, greatest(len(ws) - 1, 1))) AS i
+                               1, CASE WHEN ws IS NULL THEN 0
+                                  ELSE greatest(len(ws) - 1, 1) END)) AS i
                     FROM w)),
             g3 AS (
               SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS ng
               FROM (SELECT doc_id, ws,
                            unnest(generate_series(
-                               1, greatest(len(ws) - 2, 1))) AS i
+                               1, CASE WHEN ws IS NULL THEN 0
+                                  ELSE greatest(len(ws) - 2, 1) END)) AS i
                     FROM w)),
             t2 AS (SELECT doc_id, max(c) AS t FROM (
                      SELECT doc_id, ng, count(*) AS c

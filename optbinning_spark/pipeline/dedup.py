@@ -163,10 +163,27 @@ def shingles_from_words(words: Column, n: int = 3) -> Column:
     """Word n-gram shingles from an ALREADY-MATERIALIZED words array
     column. Callers must project the split() into a real column first:
     codegen re-evaluates a non-aliased split() once per lambda
-    reference (measured ~4x slower on the jaccard pipeline)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(n), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    reference (measured ~4x slower on the jaccard pipeline).
+
+    NULL-safe: NULL words (NULL text) yield a NULL array — NOT a
+    phantom [''] shingle. Before this guard, size(NULL) -> NULL,
+    greatest(NULL, 0) -> 0, and concat_ws over the NULL slice -> '',
+    so every NULL-text document silently carried the same ''
+    shingle as every EMPTY document — NULL docs gained minhash
+    signatures, banded together, and (found by the r16 adversarial
+    corpus fuzz) pushed the '' shingle over ngram_jaccard_pairs'
+    df-cap, deleting real empty-doc pairs from the output. A doc
+    with no words list has no shingles. Short non-NULL docs
+    (< n words) keep their single partial shingle — that behavior
+    is pinned by the r15 oracles."""
+    return F.when(
+        words.isNull(), F.lit(None).cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size(words) - F.lit(n), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
     )
 
 
@@ -247,10 +264,17 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Per-document MinHash signature columns mh0..mh{n-1}. Map-only;
-    see staged_minhash_arrays / minhash_lane_cols for the layout."""
+    see staged_minhash_arrays / minhash_lane_cols for the layout.
+
+    A NULL-text document has no shingles and therefore NO signature —
+    its row is dropped (mh0 is NULL iff text is NULL: every non-NULL
+    text yields a non-empty shingle array, so every lane min is
+    defined). Keeping phantom rows would band all NULL docs together
+    downstream in lsh_candidate_pairs."""
     staged = staged_minhash_arrays(
         df, text_col, shingle_n, n_hashes, [F.col(id_col)])
-    return staged.select(F.col(id_col), *minhash_lane_cols(n_hashes))
+    return (staged.select(F.col(id_col), *minhash_lane_cols(n_hashes))
+            .filter(F.col("mh0").isNotNull()))
 
 
 def lsh_bands(

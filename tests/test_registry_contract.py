@@ -14,13 +14,38 @@ sys.path.insert(0, ROOT)
 import __spark_entry__ as E  # noqa: E402
 
 
+# Rows-only BY NATURE (no SQL oracle can exist): the production
+# approx-probe wide fit (HLL + GK sketch state) and the default
+# weighted multi-objective counterfactual search. They still rotate
+# through the driver window for rows+schema freshness (r15 verdict
+# ask #2 rotated all 19 r13-vintage entries, these two included);
+# their accuracy/search-space risk is bounded by hash-checked
+# siblings (wide_fit_exact + wide_fit_contract; the three pinned
+# counterfactuals). Anything else in the window must be
+# oracle-backed.
+ROWS_ONLY_BY_NATURE = {"wide_process_fit", "counterfactual"}
+
+
 def test_first_50_queries_are_all_oracle_backed():
     window = list(E.queries())[:50]
     oracles = set(E.oracle_sql())
-    missing = [q for q in window if q not in oracles]
+    missing = [q for q in window
+               if q not in oracles and q not in ROWS_ONLY_BY_NATURE]
     assert not missing, (
         "driver hash window contains queries with no oracle — they "
         f"would get only a rows-only check: {missing}")
+
+
+def test_rows_only_allowlist_is_exactly_the_oracleless_registry():
+    """The allowlist above must stay in lockstep with reality: every
+    registered query WITHOUT an oracle is in it, and everything in it
+    is a registered oracle-less query."""
+    qs = set(E.queries())
+    oracles = set(E.oracle_sql())
+    oracleless = qs - oracles
+    assert oracleless == ROWS_ONLY_BY_NATURE, (
+        f"registry oracle-less set {sorted(oracleless)} != allowlist "
+        f"{sorted(ROWS_ONLY_BY_NATURE)}")
 
 
 def test_every_oracle_names_a_registered_query():

@@ -414,6 +414,121 @@ def _docs_corpus(rng, n=400):
     })
 
 
+# Adversarial text corpus (r15 verdict ask #4): non-ASCII incl.
+# astral-plane code points (UTF-16 surrogate PAIRS on the JVM side —
+# the likeliest Spark-vs-DuckDB divergence surface for length /
+# substring / regex semantics), combining characters, docs of one
+# repeated token, multi-paragraph docs with cross-doc duplicate
+# paragraphs (so paragraph_dedup and dup_ngram_spans have real hits),
+# plus the r15 NULL / empty / whitespace-only cases.
+_ADV_WORDS = [
+    "the", "cat", "data", "spark", "naïve", "Äpfel", "über",
+    "кошка", "данные", "猫", "数据分析", "日本語テスト", "🎉", "😀🚀",
+    "𝄞clef", "étude",  # combining acute
+    "ﬁle",  # ligature
+    "e@f.gh", "#tag", "4.5", "...", "a", "xx",
+]
+
+
+def _adv_paragraph(rng):
+    k = int(rng.integers(1, 12))
+    return " ".join(rng.choice(_ADV_WORDS, k))
+
+
+def _adv_docs_corpus(rng, n=400):
+    # small paragraph pool -> real cross-doc duplicate paragraphs
+    pool = [_adv_paragraph(rng) for _ in range(max(8, n // 12))]
+    texts = []
+    for _ in range(n):
+        r = rng.uniform()
+        if r < 0.06:
+            # one token repeated many times (repetition/ngram edge)
+            texts.append(" ".join([str(rng.choice(_ADV_WORDS))]
+                                  * int(rng.integers(2, 120))))
+        else:
+            nps = int(rng.integers(1, 5))
+            texts.append("\n\n".join(
+                pool[int(rng.integers(0, len(pool)))]
+                for _ in range(nps)))
+    texts = pd.Series(texts, dtype=object)
+    texts[rng.uniform(size=n) < 0.04] = None
+    texts[rng.uniform(size=n) < 0.03] = ""
+    texts[rng.uniform(size=n) < 0.02] = "   "
+    for j in range(0, n, 13):                   # exact duplicates
+        if j + 1 < n:
+            texts[j + 1] = texts[j]
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": rng.choice(["en", "de", "fr"], n),
+        "source": rng.choice(["web", "book"], n),
+        "n_chars": texts.map(lambda s: len(s) if isinstance(s, str)
+                             else 0).astype(np.int64),
+    })
+
+
+# Every documents-only oracle family: the r15 DOCS_FAMILIES plus the
+# dedup/text entries the r15 verdict named (dup_ngram_spans,
+# paragraph_dedup, bpe_subword_count) and the rest of the
+# documents-table surface. simhash_pairs / minhash_signatures /
+# doc_contamination also read embeddings/events/lineitem fixtures and
+# are covered by the (simpler) r15 corpus families they share code
+# with (simhash, lsh_candidates, jaccard_pairs).
+ADV_DOCS_FAMILIES = DOCS_FAMILIES + [
+    "dup_ngram_spans",
+    "paragraph_dedup",
+    "bpe_subword_count",
+    "bpe_token_count",
+    "lsh_candidates",
+    "doc_chunks",
+    "pack_sequences",
+    "doc_split_assignment",
+    "stratified_doc_sample",
+    "quality_top_fraction",
+    "mixture_rates",
+    "lm_perplexity",
+]
+
+
+@pytest.mark.parametrize("n_datasets", [
+    1, pytest.param(3, marks=pytest.mark.full)])
+def test_docs_oracles_match_on_adversarial_unicode_corpus(
+        spark, tmp_path, n_datasets):
+    """All documents-table oracle families on adversarial corpora:
+    astral-plane unicode, combining chars, repeated-token docs,
+    duplicate paragraphs, NULL/empty/whitespace text."""
+    oracles = E.oracle_sql()
+    qs = E.queries()
+    rng = np.random.default_rng(zlib.crc32(b"adv_docs_family_fuzz"))
+    for t in range(n_datasets):
+        pdf = _adv_docs_corpus(rng, int(rng.integers(250, 450)))
+        sf = tmp_path / f"sf_adv_{t}"
+        sf.mkdir()
+        pdf.to_parquet(sf / "documents.parquet")
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        for name in ADV_DOCS_FAMILIES:
+            ora = con.execute(oracles[name]).fetchdf()
+            eng = qs[name](spark, str(sf)).toPandas()
+            cols = list(eng.columns)
+            a = eng.sort_values(cols, na_position="first") \
+                .reset_index(drop=True)
+            b = ora[cols].sort_values(cols, na_position="first") \
+                .reset_index(drop=True)
+            assert len(a) == len(b), (t, name, len(a), len(b))
+            for c in cols:
+                av, bv = a[c].to_numpy(), b[c].to_numpy()
+                try:
+                    ok = np.array_equal(
+                        np.asarray(av, dtype=float),
+                        np.asarray(bv, dtype=float), equal_nan=True)
+                except (ValueError, TypeError):
+                    ok = (pd.isna(av) == pd.isna(bv)).all() and all(
+                        (pd.isna(x) and pd.isna(yy)) or x == yy
+                        for x, yy in zip(av, bv))
+                assert ok, (t, name, c)
+
+
 @pytest.mark.parametrize("n_datasets", [
     1, pytest.param(3, marks=pytest.mark.full)])
 def test_docs_oracles_match_on_null_text_corpus(
