@@ -414,6 +414,93 @@ def _docs_corpus(rng, n=400):
     })
 
 
+EVENTS_FAMILIES = ["event_window_stats", "event_type_psi",
+                   "event_psi_monitor"]
+
+
+def _norm_datetimes(df):
+    """Spark toPandas yields datetime64[ns], DuckDB fetchdf
+    datetime64[us] — same instants, different int representations
+    under a float cast. Normalize to [ns] like the driver's
+    comparator normalizes dtypes."""
+    out = df.copy()
+    for c in out.columns:
+        if str(out[c].dtype).startswith("datetime64"):
+            out[c] = out[c].astype("datetime64[ns]")
+    return out
+
+
+def _events_corpus(rng, n):
+    ts = pd.Series(
+        pd.Timestamp("2024-03-01")
+        + pd.to_timedelta(rng.integers(0, 90 * 86400, n), unit="s"))
+    # exact-midnight timestamps probe the day-window boundary
+    ts = ts.where(rng.uniform(size=n) > 0.05, ts.dt.normalize())
+    et = rng.choice(["click", "view", "buy", ""], n,
+                    p=[0.4, 0.4, 0.15, 0.05]).astype(object)
+    et[rng.uniform(size=n) < 0.03] = None       # NULL event_type
+    val = pd.Series(rng.standard_normal(n) * 10)
+    val[rng.uniform(size=n) < 0.04] = None      # NULL value
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts,
+        "user_id": rng.integers(1, 50, n).astype(np.int64),
+        "event_type": et,
+        "value": val,
+        "props": rng.choice(["{}", '{"a":1}'], n),
+    })
+
+
+@pytest.mark.parametrize("n_datasets", [
+    1, pytest.param(3, marks=pytest.mark.full)])
+def test_events_oracles_match_on_null_bearing_corpus(
+        spark, tmp_path, n_datasets):
+    """Events-table families on corpora with NULL event_type / value,
+    empty-string types (distinct from NULL), and exact-midnight
+    timestamps sitting ON the tumbling-window boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    oracles = E.oracle_sql()
+    qs = E.queries()
+    rng = np.random.default_rng(zlib.crc32(b"events_family_fuzz"))
+    for t in range(n_datasets):
+        pdf = _events_corpus(rng, int(rng.integers(2000, 4000)))
+        sf = tmp_path / f"sf_ev_{t}"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pandas(pdf),
+                       sf / "events.parquet",
+                       coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        con = duckdb.connect()
+        # register the WRITTEN parquet (TIMESTAMP us), not the pandas
+        # frame (TIMESTAMP_NS) — matching how the driver registers
+        # its views
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{sf / 'events.parquet'}')")
+        for name in EVENTS_FAMILIES:
+            ora = _norm_datetimes(con.execute(oracles[name]).fetchdf())
+            eng = _norm_datetimes(qs[name](spark, str(sf)).toPandas())
+            cols = list(eng.columns)
+            a = eng.sort_values(cols, na_position="first") \
+                .reset_index(drop=True)
+            b = ora[cols].sort_values(cols, na_position="first") \
+                .reset_index(drop=True)
+            assert len(a) == len(b), (t, name, len(a), len(b))
+            for c in cols:
+                av, bv = a[c].to_numpy(), b[c].to_numpy()
+                try:
+                    ok = np.array_equal(
+                        np.asarray(av, dtype=float),
+                        np.asarray(bv, dtype=float), equal_nan=True)
+                except (ValueError, TypeError):
+                    ok = (pd.isna(av) == pd.isna(bv)).all() and all(
+                        (pd.isna(x) and pd.isna(yy)) or x == yy
+                        for x, yy in zip(av, bv))
+                assert ok, (t, name, c)
+
+
 # Adversarial text corpus (r15 verdict ask #4): non-ASCII incl.
 # astral-plane code points (UTF-16 surrogate PAIRS on the JVM side —
 # the likeliest Spark-vs-DuckDB divergence surface for length /
