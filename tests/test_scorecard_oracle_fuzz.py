@@ -313,6 +313,59 @@ def test_fixed_split_oracles_match_on_missing_ep_corpus(
                 assert ok, (t, name, c)
 
 
+MULTICLASS_FAMILIES = ["multiclass_bin_counts",
+                       "multiclass_binning_table",
+                       "multiclass_mean_woe_transform"]
+
+
+@pytest.mark.parametrize("n_datasets", [
+    1, pytest.param(3, marks=pytest.mark.full)])
+def test_multiclass_oracles_match_on_missing_bearing_corpus(
+        spark, tmp_path, n_datasets):
+    """The multiclass family (A4/O7/F5 — including the r16 debut
+    multiclass_mean_woe_transform) on synthetic corpora with NULL/NaN
+    x and a genuine 3-class target: the Missing row enters the
+    one-vs-rest WoE totals (multiclass_binning.py:56-70), which the
+    clean lineitem testdata never exercises."""
+    oracles = E.oracle_sql()
+    qs = E.queries()
+    rng = np.random.default_rng(zlib.crc32(b"multiclass_family_fuzz"))
+    for t in range(n_datasets):
+        pdf = _corpus(rng, int(rng.integers(3000, 6000)))
+        # rewrite the target to 3 classes (R/A/N), correlated with x
+        # so the partition search has structure to find
+        q = pdf["l_quantity"].fillna(0.0)
+        u = rng.uniform(size=len(pdf))
+        pdf["l_returnflag"] = np.where(
+            u < 0.25 + 0.4 * (q > q.median()), "R",
+            np.where(u < 0.65, "A", "N"))
+        sf = tmp_path / f"sf_mc_{t}"
+        sf.mkdir()
+        pdf.to_parquet(sf / "lineitem.parquet")
+        con = duckdb.connect()
+        con.register("lineitem", pdf)
+        for name in MULTICLASS_FAMILIES:
+            ora = con.execute(oracles[name]).fetchdf()
+            eng = qs[name](spark, str(sf)).toPandas()
+            cols = list(eng.columns)
+            a = eng.sort_values(cols, na_position="first") \
+                .reset_index(drop=True)
+            b = ora[cols].sort_values(cols, na_position="first") \
+                .reset_index(drop=True)
+            assert len(a) == len(b), (t, name, len(a), len(b))
+            for c in cols:
+                av, bv = a[c].to_numpy(), b[c].to_numpy()
+                try:
+                    ok = np.array_equal(
+                        np.asarray(av, dtype=float),
+                        np.asarray(bv, dtype=float), equal_nan=True)
+                except (ValueError, TypeError):
+                    ok = (pd.isna(av) == pd.isna(bv)).all() and all(
+                        (pd.isna(x) and pd.isna(yy)) or x == yy
+                        for x, yy in zip(av, bv))
+                assert ok, (t, name, c)
+
+
 def _orders_corpus(rng, n):
     tp = rng.integers(10000, 500000, n).astype(float)
     tps = pd.Series(tp)
