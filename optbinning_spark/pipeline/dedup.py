@@ -267,14 +267,22 @@ def minhash_signatures(
     see staged_minhash_arrays / minhash_lane_cols for the layout.
 
     A NULL-text document has no shingles and therefore NO signature —
-    its row is dropped (mh0 is NULL iff text is NULL: every non-NULL
-    text yields a non-empty shingle array, so every lane min is
-    defined). Keeping phantom rows would band all NULL docs together
-    downstream in lsh_candidate_pairs."""
+    its row is dropped. Keeping phantom rows would band all NULL docs
+    together downstream in lsh_candidate_pairs. The drop is a
+    text-IS-NOT-NULL filter on the INPUT, not a post-hoc filter on
+    mh0: mh0 is NULL iff text is NULL (every non-NULL text — even ''
+    — yields a non-empty shingle array, so every lane min is
+    defined), and filtering the raw column pushes to the parquet scan,
+    whereas a filter on the mh0 alias gets pushed through the staged
+    projections by alias substitution — Catalyst re-inlines the whole
+    split->shingle->md5->array_min chain into the predicate and the
+    map stage runs it twice (measured 1.8x slower on
+    duplicate_clusters at sf0.1; the r16 regression watch caught it
+    as ab_confirmed_code_regression)."""
     staged = staged_minhash_arrays(
-        df, text_col, shingle_n, n_hashes, [F.col(id_col)])
-    return (staged.select(F.col(id_col), *minhash_lane_cols(n_hashes))
-            .filter(F.col("mh0").isNotNull()))
+        df.filter(F.col(text_col).isNotNull()),
+        text_col, shingle_n, n_hashes, [F.col(id_col)])
+    return staged.select(F.col(id_col), *minhash_lane_cols(n_hashes))
 
 
 def lsh_bands(
@@ -1133,13 +1141,20 @@ def duplicate_ngram_spans(
     from pyspark.sql import Window as W
 
     def _ng(src):
+        # the size >= n gate lives INSIDE the generator (explode drops
+        # the NULL array a failing when() yields), not as a .filter on
+        # the __w projection: predicate pushdown would substitute the
+        # split into the predicate and run it twice per row (the
+        # alias-pushdown class documented in SCALING.md r16 — measured
+        # 16% off this operator's wall-clock at sf0.1)
         out = (
             src.select(
                 F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
-            .filter(F.size("__w") >= n)
             .select(
                 F.col(id_col),
-                F.explode(positioned_ngrams(F.col("__w"), n)).alias("g"),
+                F.explode(
+                    F.when(F.size("__w") >= n,
+                           positioned_ngrams(F.col("__w"), n))).alias("g"),
             )
             .select(F.col(id_col), F.col("g.pos").alias("pos"),
                     F.col("g.ng").alias("ng"))
@@ -1282,16 +1297,17 @@ def ngram_contamination(
     it (broadcastable when small; AQE decides), count per doc. With
     ``hash_ngrams`` both sides join on an 8-byte key."""
     def side(frame, col, keep):
+        # generator-side size gate, not a .filter — see _ng in
+        # duplicate_ngram_spans / SCALING.md r16 alias-pushdown note
         out = (
             frame.select(*keep, F.split(F.col(col), " ").alias("__w"))
-            .filter(F.size("__w") >= n)
             .select(
                 *keep,
-                F.explode(F.array_distinct(
+                F.explode(F.when(F.size("__w") >= n, F.array_distinct(
                     F.transform(
                         positioned_ngrams(F.col("__w"), n),
                         lambda s: s["ng"])
-                )).alias("ng"),
+                ))).alias("ng"),
             )
         )
         if hash_ngrams:
