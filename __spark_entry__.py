@@ -3025,6 +3025,138 @@ def q_counterfactual(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+def q_counterfactual_contract(spark, sf_dir):
+    """Optimality CONTRACT for the default weighted multi-objective
+    counterfactual search — the last rows-only registry entry
+    (r15 verdict, What's missing #1). The three pinned siblings
+    hash-check each OPTION family on SQL-enumerable 2-variable
+    spaces; this entry bounds the PRODUCTION configuration itself
+    (q_counterfactual verbatim: 3 variables, probability outcome,
+    weighted proximity + 0.1*closeness): after generate(), the full
+    assignment space (prod of per-variable bin counts, <= ~10^3 by
+    construction) is enumerated with an independent vectorized-numpy
+    twin that recomputes score / proximity / closeness / total cost
+    from the fitted scorecard's candidate tables, and the claims are
+    banded (wide_fit_contract pattern, all bands 0 when the engine is
+    right):
+
+    - n_cf_band: 0 iff exactly n_cf=3 CFs were generated;
+    - feasible_band, k: 0 iff accepted CF k's RECOMPUTED score
+      satisfies the min_outcome bound (score >= logit(target));
+    - score_band / prox_band / close_band / cost_band, k: 0 iff the
+      engine-reported score and objective values match the numpy
+      recomputation of CF k's assignment to 1e-6 (floor(|delta|/1e-6)
+      — reported numbers must be REPRODUCIBLE from the assignment,
+      not just plausible);
+    - rank_band, k: 0 iff sorted(accepted costs)[k] equals the k-th
+      smallest feasible cost over the ENTIRE enumerated space to
+      1e-9 — the A* lazy-completion search returned a true global
+      top-3 (tie-robust: cost-value equality, not assignment
+      identity, so equal-cost heap orderings cannot flap the hash).
+
+    The oracle emits the CLAIMED constant table; any search bug —
+    a wrong suffix bound pruning a feasible subtree, a stale lazy
+    re-insertion accepted early, a cost term drifting from the
+    reported objval — breaks the driver hash. Reference objective
+    semantics: counterfactual mip.py:15-361, problem_data.py:36-56."""
+    import itertools as _it
+    import math
+
+    import numpy as np
+
+    from optbinning_spark import BinningProcess, Counterfactual
+    from optbinning_spark.counterfactual import _logit
+    from optbinning_spark.scorecard import Scorecard
+
+    df = _lineitem(spark, sf_dir)
+    bp = BinningProcess(
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        prebinning_method="quantile",
+    )
+    sc = Scorecard(bp).fit(df, "y")
+    cf = Counterfactual(sc).fit(df)
+    query = {"l_quantity": 10.0, "l_extendedprice": 20000.0,
+             "l_discount": 0.01}
+    vals, _ = cf._candidates()
+    coefs = [sc.coef_[v] for v in cf.variables_]
+    s_max = sc.intercept_ + sum(
+        float(max(c * v)) for c, v in zip(coefs, vals))
+    s_min = sc.intercept_ + sum(
+        float(min(c * v)) for c, v in zip(coefs, vals))
+    target = 1.0 / (1.0 + np.exp(-(s_min + 0.95 * (s_max - s_min))))
+    cf.generate(query, y=target, outcome_type="probability",
+                hard_constraints=["min_outcome"], n_cf=3,
+                objectives={"proximity": 1.0, "closeness": 0.1})
+
+    # --- independent numpy twin over the full assignment space ---
+    p = len(cf.variables_)
+    coef = np.array([sc.coef_[v] for v in cf.variables_])
+    intercept = float(sc.intercept_)
+    lo = _logit(float(target))
+    orig_bin = [cf._query_bin(v, query.get(v)) for v in cf.variables_]
+    orig_woe = np.array(
+        [vals[i][orig_bin[i]] if orig_bin[i] is not None else 0.0
+         for i in range(p)])
+    pts = [coef[i] * vals[i] for i in range(p)]
+    pts0 = coef * orig_woe
+    wrange = np.array([
+        1.0 / max(float(pts[i].max() - pts[i].min()), 1e-9)
+        for i in range(p)])
+
+    def _recompute(assign):
+        woe = np.array([vals[i][assign[i]] for i in range(p)])
+        score = intercept + float((coef * woe).sum())
+        prox = float(sum(
+            wrange[i] * abs(pts[i][assign[i]] - pts0[i])
+            for i in range(p)))
+        close = float(np.abs(cf._F.T @ (woe - cf._mu)).sum()) / p
+        return score, prox, close, 1.0 * prox + 0.1 * close
+
+    feas_costs = []
+    for assign in _it.product(*[range(len(v)) for v in vals]):
+        score, _, _, cost = _recompute(assign)
+        if score >= lo - 1e-12:
+            feas_costs.append(cost)
+    feas_costs.sort()
+
+    def _band(delta, tol):
+        return float(math.floor(abs(delta) / tol))
+
+    # scale-invariant claims: always 1 + 6*3 rows. When the feasible
+    # space holds fewer than n_cf assignments the search legitimately
+    # returns them all (measured at sf0.001: 1 feasible assignment at
+    # the 95% target on the coarser small-data bins) — a missing CF
+    # slot claims 0 only when the brute force agrees there was
+    # nothing to return.
+    rows = [("n_cf_band", "all",
+             0.0 if len(cf._cfs) == min(3, len(feas_costs)) else 1.0)]
+    acc_costs = sorted(c["cost"] for c in cf._cfs)
+    for k in range(3):
+        if k < len(cf._cfs):
+            c = cf._cfs[k]
+            score, prox, close, cost = _recompute(c["assignment"])
+            rows.append(("feasible_band", str(k),
+                         0.0 if score >= lo - 1e-9 else 1.0))
+            rows.append(("score_band", str(k),
+                         _band(score - c["score"], 1e-6)))
+            rows.append(("prox_band", str(k),
+                         _band(prox - c["objval"]["proximity"], 1e-6)))
+            rows.append(("close_band", str(k),
+                         _band(close - c["objval"]["closeness"], 1e-6)))
+            rows.append(("cost_band", str(k),
+                         _band(cost - c["cost"], 1e-6)))
+            rows.append(("rank_band", str(k),
+                         _band(acc_costs[k] - feas_costs[k], 1e-9)
+                         if k < len(feas_costs) else 1.0))
+        else:
+            empty_ok = 0.0 if k >= len(feas_costs) else 1.0
+            for m in ("feasible_band", "score_band", "prox_band",
+                      "close_band", "cost_band", "rank_band"):
+                rows.append((m, str(k), empty_ok))
+    return spark.createDataFrame(
+        rows, "metric string, name string, value double")
+
+
 def q_outlier_yquantile(spark, sf_dir):
     """P7: per-x-quantile-bin outlier counts on y."""
     from optbinning_spark.operators.outlier import YQuantileDetector
@@ -3867,6 +3999,10 @@ _TAIL = [
     "kmeans_refined_centroids",
     "dup_ngram_spans",
     "wide_summary_pinned",
+    # r16 debut (post-rotation, so tail): the brute-force optimality
+    # contract for the production counterfactual search — queue for
+    # the r17 window alongside the 21 r14-vintage leads above
+    "counterfactual_contract",
 ]
 
 
@@ -8176,6 +8312,18 @@ def oracle_sql() -> dict[str, str]:
         "scorecard_table_linear": _sql_scorecard_table_linear(),
         "scorecard_scores_logistic": _sql_scorecard_scores_logistic(),
         "scorecard_scores_huber": _sql_scorecard_scores_huber(),
+        # the CLAIMED contract table for the production
+        # counterfactual search: n_cf met, every accepted CF feasible
+        # and reproducible from its assignment, accepted costs == the
+        # brute-forced global top-3 (all bands 0 — the
+        # wide_fit_contract constant-claims pattern)
+        "counterfactual_contract": (
+            "SELECT 'n_cf_band' AS metric, 'all' AS name, 0.0 AS value "
+            "UNION ALL SELECT t.m, k.k, 0.0 FROM (VALUES "
+            "('feasible_band'), ('score_band'), ('prox_band'), "
+            "('close_band'), ('cost_band'), ('rank_band')) t(m), "
+            "(VALUES ('0'), ('1'), ('2')) k(k)"
+        ),
         "counterfactual_pinned": _sql_counterfactual_pinned(),
         "counterfactual_diverse_pinned":
             _sql_counterfactual_diverse_pinned(),

@@ -357,3 +357,20 @@ def test_soft_diversity_rewards_difference(cf_fitted):
     sets = [frozenset(i for i in range(p) if c["assignment"][i] != orig[i])
             for c in cf._cfs]
     assert sets[0] != sets[1]
+
+
+def test_contract_query_all_claims_zero(spark):
+    """The counterfactual_contract registry entry (the brute-force
+    optimality contract bounding the last rows-only driver entry) must
+    emit its full 19-row claims table with every band 0 — at sf0.001,
+    where the feasible space collapses to a single assignment and the
+    missing-CF slots must be justified by infeasibility, not silently
+    shortened (the shape bug the first cut of the query had)."""
+    import __spark_entry__ as E
+
+    rows = E.q_counterfactual_contract(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 19
+    bad = [(r["metric"], r["name"], r["value"])
+           for r in rows if r["value"] != 0.0]
+    assert not bad, f"nonzero contract bands: {bad}"

@@ -21,8 +21,9 @@ import __spark_entry__ as E  # noqa: E402
 # ask #2 rotated all 19 r13-vintage entries, these two included);
 # their accuracy/search-space risk is bounded by hash-checked
 # siblings (wide_fit_exact + wide_fit_contract; the three pinned
-# counterfactuals). Anything else in the window must be
-# oracle-backed.
+# counterfactuals + counterfactual_contract, the r16 brute-force
+# optimality contract on the production CF configuration itself).
+# Anything else in the window must be oracle-backed.
 ROWS_ONLY_BY_NATURE = {"wide_process_fit", "counterfactual"}
 
 
