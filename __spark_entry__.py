@@ -2113,6 +2113,200 @@ def _sql_binning_2d_3x3():
   WHERE p.pid = (SELECT pid FROM best)"""
 
 
+#: pinned 7x7 grid for the guillotine-fallback oracle: 49 cells > the
+#: 36-cell _EXACT_CELL_LIMIT, so the fit dispatches to the
+#: guillotine-cut DP — the path the r15 verdict flagged as the last
+#: solver family with no hash oracle (What's missing #3)
+_GUIL_X = [5.0, 10.0, 15.0, 20.0, 25.0, 30.0]
+_GUIL_Y = [10000.0, 20000.0, 30000.0, 40000.0, 60000.0, 80000.0]
+
+
+def q_binning_2d_guillotine_pinned(spark, sf_dir):
+    """O8's >36-cell guillotine fallback, hash-checked end-to-end on
+    a pinned 7x7 user-splits grid (49 cells forces the fallback
+    dispatch; min_bin_size=0.05 vs ~2% average cells makes the cut
+    recursion genuinely merge — 13 rects at sf0.01). The DuckDB
+    oracle replays the WHOLE solver: contingency cells, all 784
+    rectangle stats, the bottom-up interval DP f(rect) = first-max of
+    {keep, H cuts, V cuts} at the engine's pinned 9dp tie-band
+    (binning_2d.py best(): keep beats cuts, H before V, lower k
+    first), and the plan walk extracting the winning partition —
+    one recursive CTE each for the DP and the walk, state carried as
+    arrays of structs (reference binning_2d.py model; the engine's
+    guillotine family is the classic guillotine-cut relaxation of
+    the exact rectangle-partition cover)."""
+    from optbinning_spark.binning_2d import OptimalBinning2D
+
+    df = _lineitem(spark, sf_dir)
+    ob = OptimalBinning2D(
+        user_splits_x=_GUIL_X, user_splits_y=_GUIL_Y,
+        min_bin_size=0.05,
+    )
+    ob.fit(df, "l_quantity", "l_extendedprice", "y")
+    rows = []
+    for i, (r1, r2, c1, c2) in enumerate(ob.rects_):
+        rows.append((
+            int(r1), int(r2), int(c1), int(c2),
+            int(ob.count_[i]),
+            int(ob.n_nonevent_[i]),
+            int(ob.n_event_[i]),
+            round(float(ob.woe_[i]) + 0.0, 6) + 0.0,
+            round(float(ob.iv_per_bin_[i]) + 0.0, 6) + 0.0,
+        ))
+    rows.sort()
+    return spark.createDataFrame(
+        rows,
+        "r1 int, r2 int, c1 int, c2 int, count bigint, "
+        "n_nonevent bigint, n_event bigint, woe double, iv double")
+
+
+def _sql_binning_2d_guillotine_pinned():
+    """Full guillotine-DP replay (see q_binning_2d_guillotine_pinned).
+
+    Mechanics, in the proven recursive-oracle idioms (piecewise /
+    wide-fit patterns): rects are the 28x28 = 784 (r1<r2, c1<c2)
+    index pairs in lexicographic order, addressed in O(1) inside
+    lambdas by the closed-form rank
+    idx(a,b,c,d) = (7a - a(a-1)/2 + b-a-1)*28 + (7c - c(c-1)/2
+    + d-c-1) + 1; infeasible rects carry -infinity so cut sums
+    propagate infeasibility through plain addition. The DP is ONE
+    recursive CTE whose state is the full 784-slot value/plan list —
+    iteration i finalizes every rect of size (r2-r1)+(c2-c1) = i from
+    strictly-smaller children (12 iterations); candidate selection is
+    argmax by round(v, 9) with ties to the lowest option rank
+    (keep=0, H cuts k, V cuts 100+k) — the engine's pinned first-max,
+    sharing _better_pinned's documented 9dp decomposability residual.
+    The plan walk is a second recursive CTE expanding a frontier of
+    rect indices from the root (idx 175) through the recorded cut
+    plans. Anchor lists CAST their element types (DECIMAL/INT
+    stickiness); no MATERIALIZED anywhere (nondeterministic with
+    RECURSIVE)."""
+    gx, gy = _GUIL_X, _GUIL_Y
+
+    def bucket_case(col, splits):
+        # mirror operators/preprocessing numeric_bin_expr: value >=
+        # split -> upper bin
+        parts = [f"WHEN {col} >= {splits[i - 1]!r} THEN {i}"
+                 for i in range(len(splits), 0, -1)]
+        return "CASE " + " ".join(parts) + " ELSE 0 END"
+
+    def IDX(a, b, c, d):
+        pr = f"(7*({a}) - (({a})*(({a})-1))//2 + ({b}) - ({a}) - 1)"
+        pc = f"(7*({c}) - (({c})*(({c})-1))//2 + ({d}) - ({c}) - 1)"
+        return f"(({pr})*28 + ({pc}) + 1)"
+
+    dR1, dR2 = "d.rl[j].r1", "d.rl[j].r2"
+    dC1, dC2 = "d.rl[j].c1", "d.rl[j].c2"
+    cands = (
+        f"[struct_pack(v := d.rl[j].kv, o := CAST(0 AS BIGINT))]"
+        f" || list_transform(range({dR1}+1, {dR2}), k ->"
+        f"      struct_pack(v := d.dp[{IDX(dR1, 'k', dC1, dC2)}].v"
+        f"                     + d.dp[{IDX('k', dR2, dC1, dC2)}].v,"
+        f"                  o := k))"
+        f" || list_transform(range({dC1}+1, {dC2}), k ->"
+        f"      struct_pack(v := d.dp[{IDX(dR1, dR2, dC1, 'k')}].v"
+        f"                     + d.dp[{IDX(dR1, dR2, 'k', dC2)}].v,"
+        f"                  o := 100 + k))"
+    )
+    mx9 = "list_max(list_transform(t.ct[j], c -> round(c.v, 9)))"
+    omin = (f"list_min(list_transform(list_filter(t.ct[j], "
+            f"c -> round(c.v, 9) = {mx9}), c -> c.o))")
+    winv = f"list_filter(t.ct[j], c -> c.o = {omin})[1].v"
+
+    wR1, wR2 = "w.rl[j].r1", "w.rl[j].r2"
+    wC1, wC2 = "w.rl[j].c1", "w.rl[j].c2"
+    kH, kV = "w.dp[j].pl", "(w.dp[j].pl - 100)"
+    children = (
+        f"CASE WHEN w.dp[j].pl < 100 THEN "
+        f"[{IDX(wR1, kH, wC1, wC2)}, {IDX(kH, wR2, wC1, wC2)}] "
+        f"ELSE [{IDX(wR1, wR2, wC1, kV)}, {IDX(wR1, wR2, kV, wC2)}] END"
+    )
+    grid = ("SELECT a.range AS r1, b.range AS r2, c.range AS c1, "
+            "d.range AS c2 FROM range(0,8) a, range(0,8) b, "
+            "range(0,8) c, range(0,8) d "
+            "WHERE a.range < b.range AND c.range < d.range")
+    return f"""
+WITH RECURSIVE
+cells AS (
+  SELECT {bucket_case('l_quantity', gx)} AS bx,
+         {bucket_case('l_extendedprice', gy)} AS by,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS ev,
+         CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS DOUBLE) AS ne
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+    AND l_extendedprice IS NOT NULL
+    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+  GROUP BY 1, 2),
+tot AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev FROM cells),
+rx AS (
+  SELECT g.r1, g.r2, g.c1, g.c2,
+         (g.r2 - g.r1) + (g.c2 - g.c1) AS sz,
+         coalesce(s.ne, 0.0) AS ne, coalesce(s.ev, 0.0) AS ev,
+         CASE WHEN coalesce(s.ne, 0.0) > 0 AND coalesce(s.ev, 0.0) > 0
+                   AND coalesce(s.ne, 0.0) + coalesce(s.ev, 0.0)
+                       >= CAST(0.05 AS DOUBLE) * (t.t_ne + t.t_ev)
+              THEN (s.ev / t.t_ev - s.ne / t.t_ne)
+                   * ln((s.ev / t.t_ev) / (s.ne / t.t_ne))
+              ELSE CAST('-infinity' AS DOUBLE) END AS kv
+  FROM ({grid}) g
+  LEFT JOIN (
+    SELECT x.r1, x.r2, x.c1, x.c2, sum(cl.ne) AS ne, sum(cl.ev) AS ev
+    FROM ({grid}) x
+    JOIN cells cl ON cl.bx >= x.r1 AND cl.bx < x.r2
+                 AND cl.by >= x.c1 AND cl.by < x.c2
+    GROUP BY 1, 2, 3, 4) s
+    ON s.r1 = g.r1 AND s.r2 = g.r2 AND s.c1 = g.c1 AND s.c2 = g.c2,
+  tot t),
+rla AS (
+  SELECT list(struct_pack(r1 := r1, r2 := r2, c1 := c1, c2 := c2,
+                          sz := sz, kv := kv)
+              ORDER BY r1, r2, c1, c2) AS rl
+  FROM rx),
+dp AS (
+  SELECT 2 AS i,
+         list_transform(rl, s ->
+           struct_pack(v := s.kv, pl := CAST(0 AS BIGINT))) AS dp,
+         rl
+  FROM rla
+  UNION ALL
+  SELECT t.i,
+         list_transform(range(1, 785), j ->
+           CASE WHEN t.ct[j] IS NULL THEN t.dp[j]
+                ELSE struct_pack(v := {winv}, pl := {omin}) END) AS dp,
+         t.rl
+  FROM (
+    SELECT d.i + 1 AS i, d.dp AS dp, d.rl AS rl,
+           list_transform(range(1, 785), j ->
+             CASE WHEN d.rl[j].sz = d.i + 1 THEN {cands}
+                  ELSE NULL END) AS ct
+    FROM dp d WHERE d.i < 14
+  ) t),
+walk AS (
+  SELECT 0 AS it, [CAST(175 AS BIGINT)] AS todo,
+         CAST([] AS BIGINT[]) AS done, dp, rl
+  FROM dp WHERE i = 14
+  UNION ALL
+  SELECT w.it + 1,
+         flatten(list_transform(
+           list_filter(w.todo, j -> w.dp[j].pl != 0),
+           j -> {children})),
+         w.done || list_filter(w.todo, j -> w.dp[j].pl = 0),
+         w.dp, w.rl
+  FROM walk w WHERE len(w.todo) > 0),
+fin AS (SELECT done, rl FROM walk WHERE len(todo) = 0)
+SELECT x.r1, x.r2, x.c1, x.c2,
+       CAST(x.ne + x.ev AS BIGINT) AS count,
+       CAST(x.ne AS BIGINT) AS n_nonevent,
+       CAST(x.ev AS BIGINT) AS n_event,
+       round(ln((x.ne / t.t_ne) / (x.ev / t.t_ev)), 6) + 0.0 AS woe,
+       round((x.ev / t.t_ev - x.ne / t.t_ne)
+             * ln((x.ev / t.t_ev) / (x.ne / t.t_ne)), 6) + 0.0 AS iv
+FROM fin f, unnest(f.done) AS u(j)
+JOIN rx x ON x.r1 = f.rl[u.j].r1 AND x.r2 = f.rl[u.j].r2
+         AND x.c1 = f.rl[u.j].c1 AND x.c2 = f.rl[u.j].c2,
+tot t"""
+
+
 def q_binning_2d_table(spark, sf_dir):
     """O8: the full 2-D binning TABLE (formatted bin_x/bin_y labels,
     counts, event rate, WoE, IV) on a DATA-DERIVED tercile x quartile
@@ -3999,10 +4193,13 @@ _TAIL = [
     "kmeans_refined_centroids",
     "dup_ngram_spans",
     "wide_summary_pinned",
-    # r16 debut (post-rotation, so tail): the brute-force optimality
-    # contract for the production counterfactual search — queue for
-    # the r17 window alongside the 21 r14-vintage leads above
+    # r16 debuts (post-rotation, so tail): the brute-force optimality
+    # contract for the production counterfactual search, and the
+    # full-DP hash oracle for the >36-cell guillotine fallback —
+    # queue both for the r17 window alongside the 21 r14-vintage
+    # leads above
     "counterfactual_contract",
+    "binning_2d_guillotine_pinned",
 ]
 
 
@@ -8335,6 +8532,8 @@ def oracle_sql() -> dict[str, str]:
         "scorecard_table": _sql_scorecard_table(),
         "binning_2d_median": _sql_binning_2d_median(),
         "binning_2d_3x3": _sql_binning_2d_3x3(),
+        "binning_2d_guillotine_pinned":
+            _sql_binning_2d_guillotine_pinned(),
         "scorecard_table_pdo": _sql_scorecard_table_pdo(),
         "scorecard_table_rebased": _sql_scorecard_table_rebased(),
         # dup_ngram_spans: positional 5-grams, corpus-wide counts,

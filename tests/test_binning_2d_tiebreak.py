@@ -142,9 +142,11 @@ def test_exact_cover_36cell_fuzz(n_grids):
 @pytest.mark.parametrize("n_grids", [
     20, pytest.param(150, marks=pytest.mark.full)])
 def test_guillotine_fallback_invariants(n_grids):
-    """The >36-cell fallback (guillotine-cut DP) has no SQL oracle by
-    design (its family is a strict subset of rectangle partitions and
-    nothing pins its ties), so pin its structural invariants instead:
+    """Structural invariants of the >36-cell guillotine fallback on
+    RANDOM grids (since r16 the fallback also carries a full hash
+    oracle on a pinned 7x7 grid — binning_2d_guillotine_pinned — and
+    a pinned 9dp first-max; this fuzz keeps covering the grid shapes
+    and degenerate profiles the one pinned instance cannot):
 
     - the plan it returns is a VALID exact cover of feasible rects;
     - its recorded objective equals an independent flat fsum of the
