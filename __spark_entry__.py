@@ -2160,6 +2160,39 @@ def q_binning_2d_guillotine_pinned(spark, sf_dir):
         "n_nonevent bigint, n_event bigint, woe double, iv double")
 
 
+def q_continuous_binning_2d_guillotine_pinned(spark, sf_dir):
+    """O8 continuous >36-cell guillotine fallback, hash-checked like
+    q_binning_2d_guillotine_pinned but with the |mean - total_mean|
+    objective (reference model_data_2d.py:253-258): same pinned 7x7
+    quantity x discount grid structure (49 cells forces the fallback
+    dispatch), target l_extendedprice, min_bin_size=0.05. The oracle
+    shares the binary replay's DP/walk core — only the cell
+    aggregates (n, sum(target)) and the value/feasibility rule
+    differ."""
+    from optbinning_spark.binning_2d import ContinuousOptimalBinning2D
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem"))
+    ob = ContinuousOptimalBinning2D(
+        user_splits_x=_GUIL_X,
+        user_splits_y=[0.01, 0.03, 0.04, 0.06, 0.07, 0.09],
+        min_bin_size=0.05,
+    )
+    ob.fit(df, "l_quantity", "l_discount", "l_extendedprice")
+    rows = []
+    for i, (r1, r2, c1, c2) in enumerate(ob.rects_):
+        rows.append((
+            int(r1), int(r2), int(c1), int(c2),
+            int(ob.count_[i]),
+            round(float(ob.mean_[i]) + 0.0, 4) + 0.0,
+            round(float(ob.iv_values_[i]) + 0.0, 6) + 0.0,
+        ))
+    rows.sort()
+    return spark.createDataFrame(
+        rows,
+        "r1 int, r2 int, c1 int, c2 int, count bigint, "
+        "mean double, iv double")
+
+
 def _sql_binning_2d_guillotine_pinned():
     """Full guillotine-DP replay (see q_binning_2d_guillotine_pinned).
 
@@ -2181,14 +2214,87 @@ def _sql_binning_2d_guillotine_pinned():
     plans. Anchor lists CAST their element types (DECIMAL/INT
     stickiness); no MATERIALIZED anywhere (nondeterministic with
     RECURSIVE)."""
-    gx, gy = _GUIL_X, _GUIL_Y
+    cells = f"""
+  SELECT {_guil_bucket_case('l_quantity', _GUIL_X)} AS bx,
+         {_guil_bucket_case('l_extendedprice', _GUIL_Y)} AS by,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS ev,
+         CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS DOUBLE) AS ne
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+    AND l_extendedprice IS NOT NULL
+    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+  GROUP BY 1, 2"""
+    kv = """CASE WHEN coalesce(s.ne, 0.0) > 0 AND coalesce(s.ev, 0.0) > 0
+                   AND coalesce(s.ne, 0.0) + coalesce(s.ev, 0.0)
+                       >= CAST(0.05 AS DOUBLE) * (t.t_ne + t.t_ev)
+              THEN (s.ev / t.t_ev - s.ne / t.t_ne)
+                   * ln((s.ev / t.t_ev) / (s.ne / t.t_ne))
+              ELSE CAST('-infinity' AS DOUBLE) END"""
+    return _sql_guillotine_core(cells, ["ne", "ev"], kv) + """
+SELECT x.r1, x.r2, x.c1, x.c2,
+       CAST(x.ne + x.ev AS BIGINT) AS count,
+       CAST(x.ne AS BIGINT) AS n_nonevent,
+       CAST(x.ev AS BIGINT) AS n_event,
+       round(ln((x.ne / t.t_ne) / (x.ev / t.t_ev)), 6) + 0.0 AS woe,
+       round((x.ev / t.t_ev - x.ne / t.t_ne)
+             * ln((x.ev / t.t_ev) / (x.ne / t.t_ne)), 6) + 0.0 AS iv
+FROM fin f, unnest(f.done) AS u(j)
+JOIN rx x ON x.r1 = f.rl[u.j].r1 AND x.r2 = f.rl[u.j].r2
+         AND x.c1 = f.rl[u.j].c1 AND x.c2 = f.rl[u.j].c2,
+tot t"""
 
-    def bucket_case(col, splits):
-        # mirror operators/preprocessing numeric_bin_expr: value >=
-        # split -> upper bin
-        parts = [f"WHEN {col} >= {splits[i - 1]!r} THEN {i}"
-                 for i in range(len(splits), 0, -1)]
-        return "CASE " + " ".join(parts) + " ELSE 0 END"
+
+def _sql_continuous_binning_2d_guillotine_pinned():
+    """Continuous-objective instantiation of the guillotine DP core
+    (see q_continuous_binning_2d_guillotine_pinned): cells carry
+    (n, s1 = sum target), feasibility is n > 0 AND n >= min_cnt, the
+    rect value is |s1/n - total_mean| (model_data_2d.py:253-258), and
+    the output reports count / 4dp mean / 6dp share-weighted iv like
+    the continuous 2-D table."""
+    tgt = "CAST(l_extendedprice AS DOUBLE)"
+    cells = f"""
+  SELECT {_guil_bucket_case('l_quantity', _GUIL_X)} AS bx,
+         {_guil_bucket_case(
+             'l_discount', [0.01, 0.03, 0.04, 0.06, 0.07, 0.09])} AS by,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum({tgt}) AS s1
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+    AND l_discount IS NOT NULL AND NOT isnan(CAST(l_discount AS DOUBLE))
+  GROUP BY 1, 2"""
+    kv = """CASE WHEN coalesce(s.n, 0.0) > 0
+                   AND coalesce(s.n, 0.0)
+                       >= CAST(0.05 AS DOUBLE) * t.t_n
+              THEN abs(s.s1 / s.n - t.t_s1 / t.t_n)
+              ELSE CAST('-infinity' AS DOUBLE) END"""
+    return _sql_guillotine_core(cells, ["n", "s1"], kv) + """
+SELECT x.r1, x.r2, x.c1, x.c2,
+       CAST(x.n AS BIGINT) AS count,
+       round(x.s1 / x.n, 4) + 0.0 AS mean,
+       round(abs(x.s1 / x.n - t.t_s1 / t.t_n) * x.n / t.t_n, 6)
+         + 0.0 AS iv
+FROM fin f, unnest(f.done) AS u(j)
+JOIN rx x ON x.r1 = f.rl[u.j].r1 AND x.r2 = f.rl[u.j].r2
+         AND x.c1 = f.rl[u.j].c1 AND x.c2 = f.rl[u.j].c2,
+tot t"""
+
+
+def _guil_bucket_case(col, splits):
+    """Mirror operators/preprocessing numeric_bin_expr: value >=
+    split -> upper bin."""
+    parts = [f"WHEN {col} >= {splits[i - 1]!r} THEN {i}"
+             for i in range(len(splits), 0, -1)]
+    return "CASE " + " ".join(parts) + " ELSE 0 END"
+
+
+def _sql_guillotine_core(cells_sql, stat_cols, kv_sql):
+    """Shared WITH-RECURSIVE prefix (through the ``fin`` CTE) for the
+    7x7 guillotine-fallback oracles: 784-rect enumeration with the
+    caller's cell aggregates and value/feasibility CASE, the
+    bottom-up DP and the plan walk. Callers append a final SELECT
+    over fin/rx/tot. tot exposes t_<col> totals for every stat
+    column."""
 
     def IDX(a, b, c, d):
         pr = f"(7*({a}) - (({a})*(({a})-1))//2 + ({b}) - ({a}) - 1)"
@@ -2225,32 +2331,22 @@ def _sql_binning_2d_guillotine_pinned():
             "d.range AS c2 FROM range(0,8) a, range(0,8) b, "
             "range(0,8) c, range(0,8) d "
             "WHERE a.range < b.range AND c.range < d.range")
+    tot_cols = ", ".join(f"sum({c}) AS t_{c}" for c in stat_cols)
+    out_stats = ", ".join(
+        f"coalesce(s.{c}, 0.0) AS {c}" for c in stat_cols)
+    agg_stats = ", ".join(f"sum(cl.{c}) AS {c}" for c in stat_cols)
     return f"""
 WITH RECURSIVE
-cells AS (
-  SELECT {bucket_case('l_quantity', gx)} AS bx,
-         {bucket_case('l_extendedprice', gy)} AS by,
-         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS ev,
-         CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS DOUBLE) AS ne
-  FROM lineitem
-  WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
-    AND l_extendedprice IS NOT NULL
-    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
-  GROUP BY 1, 2),
-tot AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev FROM cells),
+cells AS ({cells_sql}),
+tot AS (SELECT {tot_cols} FROM cells),
 rx AS (
   SELECT g.r1, g.r2, g.c1, g.c2,
          (g.r2 - g.r1) + (g.c2 - g.c1) AS sz,
-         coalesce(s.ne, 0.0) AS ne, coalesce(s.ev, 0.0) AS ev,
-         CASE WHEN coalesce(s.ne, 0.0) > 0 AND coalesce(s.ev, 0.0) > 0
-                   AND coalesce(s.ne, 0.0) + coalesce(s.ev, 0.0)
-                       >= CAST(0.05 AS DOUBLE) * (t.t_ne + t.t_ev)
-              THEN (s.ev / t.t_ev - s.ne / t.t_ne)
-                   * ln((s.ev / t.t_ev) / (s.ne / t.t_ne))
-              ELSE CAST('-infinity' AS DOUBLE) END AS kv
+         {out_stats},
+         {kv_sql} AS kv
   FROM ({grid}) g
   LEFT JOIN (
-    SELECT x.r1, x.r2, x.c1, x.c2, sum(cl.ne) AS ne, sum(cl.ev) AS ev
+    SELECT x.r1, x.r2, x.c1, x.c2, {agg_stats}
     FROM ({grid}) x
     JOIN cells cl ON cl.bx >= x.r1 AND cl.bx < x.r2
                  AND cl.by >= x.c1 AND cl.by < x.c2
@@ -2294,17 +2390,7 @@ walk AS (
          w.dp, w.rl
   FROM walk w WHERE len(w.todo) > 0),
 fin AS (SELECT done, rl FROM walk WHERE len(todo) = 0)
-SELECT x.r1, x.r2, x.c1, x.c2,
-       CAST(x.ne + x.ev AS BIGINT) AS count,
-       CAST(x.ne AS BIGINT) AS n_nonevent,
-       CAST(x.ev AS BIGINT) AS n_event,
-       round(ln((x.ne / t.t_ne) / (x.ev / t.t_ev)), 6) + 0.0 AS woe,
-       round((x.ev / t.t_ev - x.ne / t.t_ne)
-             * ln((x.ev / t.t_ev) / (x.ne / t.t_ne)), 6) + 0.0 AS iv
-FROM fin f, unnest(f.done) AS u(j)
-JOIN rx x ON x.r1 = f.rl[u.j].r1 AND x.r2 = f.rl[u.j].r2
-         AND x.c1 = f.rl[u.j].c1 AND x.c2 = f.rl[u.j].c2,
-tot t"""
+"""
 
 
 def q_binning_2d_table(spark, sf_dir):
@@ -4200,6 +4286,7 @@ _TAIL = [
     # leads above
     "counterfactual_contract",
     "binning_2d_guillotine_pinned",
+    "continuous_binning_2d_guillotine_pinned",
 ]
 
 
@@ -8534,6 +8621,8 @@ def oracle_sql() -> dict[str, str]:
         "binning_2d_3x3": _sql_binning_2d_3x3(),
         "binning_2d_guillotine_pinned":
             _sql_binning_2d_guillotine_pinned(),
+        "continuous_binning_2d_guillotine_pinned":
+            _sql_continuous_binning_2d_guillotine_pinned(),
         "scorecard_table_pdo": _sql_scorecard_table_pdo(),
         "scorecard_table_rebased": _sql_scorecard_table_rebased(),
         # dup_ngram_spans: positional 5-grams, corpus-wide counts,
