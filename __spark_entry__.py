@@ -3437,6 +3437,112 @@ def q_counterfactual_contract(spark, sf_dir):
         rows, "metric string, name string, value double")
 
 
+def q_piecewise_qp_contract(spark, sf_dir):
+    """Optimality CERTIFICATE for the piecewise active-set QP (O11's
+    constrained branch — the one piecewise path with no oracle: the
+    unconstrained fit is fully SQL-replayed by piecewise_transform,
+    but the inequality-constrained solve's active-set trajectory is
+    not SQL-expressible). Instead of replaying the trajectory, verify
+    the OUTCOME: for a convex QP, KKT conditions are sufficient for
+    GLOBAL optimality, so a passing certificate is strictly stronger
+    than trajectory equality. Config chosen to make the certificate
+    non-vacuous: continuous objective, target l_extendedprice
+    (strongly ASCENDING in l_quantity) under a DESCENDING monotonic
+    constraint — the slope inequalities must bind (binding_band
+    claims at least one strictly positive multiplier, and
+    dominance_band claims the constrained objective strictly
+    dominates the equality-only solve, so a solver that silently
+    ignored the inequalities would fail the hash).
+
+    Claims (constant oracle, all bands 0; solved system captured at
+    piecewise.py _solve_ls as _last_qp_):
+    - eq_band: max |A theta| <= 1e-6 * (1 + max|theta|) (continuity);
+    - ineq_band: max(G theta - h) <= same tolerance;
+    - stat_band: || H theta - f + A^T lam + G_act^T mu ||_inf
+      <= 1e-6 * (1 + max|f|), multipliers from least squares over the
+      near-active rows with a negative-mu drop loop;
+    - dual_band: mu >= -1e-6 * (1 + max|mu|);
+    - comp_band: max |mu_i * slack_i| <= 1e-6 * (1 + max|f|);
+    - binding_band: at least one mu_i > 1e-6 (non-vacuous);
+    - dominance_band: 0.5 t'Ht - f't >= the equality-only optimum's
+      objective - 1e-9 * (1 + max|f|).
+
+    Reference semantics: ropwr's constrained LSQ families
+    (piecewise/base.py:459-474)."""
+    import math
+
+    import numpy as np
+
+    from optbinning_spark.piecewise import OptimalPWBinning
+
+    df = spark.read.parquet(_t(sf_dir, "lineitem"))
+    pw = OptimalPWBinning(
+        objective="continuous", degree=1,
+        monotonic_trend="descending",
+        user_splits=[10.0, 20.0, 30.0, 40.0],
+    )
+    pw.fit(df, "l_quantity", "l_extendedprice")
+    qp = pw._last_qp_
+    H, f, A = qp["H"], qp["f"], qp["A"]
+    G, h, th = qp["G"], qp["h"], qp["theta"]
+    n = len(th)
+    f_scale = 1.0 + float(np.abs(f).max())
+    t_scale = 1.0 + float(np.abs(th).max())
+
+    eq = float(np.abs(A @ th).max()) if A.shape[0] else 0.0
+    sl = G @ th - h if G.shape[0] else np.zeros(0)
+    ineq = float(max(sl.max(), 0.0)) if len(sl) else 0.0
+
+    act = ([i for i in range(G.shape[0]) if sl[i] > -1e-7]
+           if G.shape[0] else [])
+    r0 = H @ th - f
+    mu = np.zeros(0)
+    mult = np.zeros(0)
+    for _ in range(G.shape[0] + 1):
+        M = (np.vstack([A, G[act]]).T if (A.shape[0] or act)
+             else np.zeros((n, 0)))
+        mult = (np.linalg.lstsq(M, -r0, rcond=None)[0]
+                if M.shape[1] else np.zeros(0))
+        mu = mult[A.shape[0]:]
+        if len(mu) and mu.min() < -1e-6 * (1.0 + float(np.abs(mu).max())):
+            act.pop(int(np.argmin(mu)))
+            continue
+        break
+    res = r0 + (M @ mult if M.shape[1] else 0.0)
+    stat = float(np.abs(res).max())
+    dual = float(max(0.0, -mu.min())) if len(mu) else 0.0
+    comp = (max(abs(mult[A.shape[0] + i] * sl[j])
+                for i, j in enumerate(act)) if act else 0.0)
+    binding = len(mu) > 0 and bool((mu > 1e-6).any())
+
+    obj = 0.5 * th @ H @ th - f @ th
+    m = A.shape[0]
+    K = np.zeros((n + m, n + m))
+    K[:n, :n] = H
+    if m:
+        K[:n, n:] = A.T
+        K[n:, :n] = A
+    thu = np.linalg.lstsq(
+        K, np.concatenate([f, np.zeros(m)]), rcond=None)[0][:n]
+    obju = 0.5 * thu @ H @ thu - f @ thu
+
+    def _band(v, tol):
+        return float(math.floor(max(v, 0.0) / tol))
+
+    rows = [
+        ("eq_band", "all", _band(eq, 1e-6 * t_scale)),
+        ("ineq_band", "all", _band(ineq, 1e-6 * t_scale)),
+        ("stat_band", "all", _band(stat, 1e-6 * f_scale)),
+        ("dual_band", "all", _band(dual, 1e-6)),
+        ("comp_band", "all", _band(float(comp), 1e-6 * f_scale)),
+        ("binding_band", "all", 0.0 if binding else 1.0),
+        ("dominance_band", "all",
+         _band(float(obju - obj), 1e-9 * f_scale)),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, name string, value double")
+
+
 def q_outlier_yquantile(spark, sf_dir):
     """P7: per-x-quantile-bin outlier counts on y."""
     from optbinning_spark.operators.outlier import YQuantileDetector
@@ -4287,6 +4393,7 @@ _TAIL = [
     "counterfactual_contract",
     "binning_2d_guillotine_pinned",
     "continuous_binning_2d_guillotine_pinned",
+    "piecewise_qp_contract",
 ]
 
 
@@ -8601,6 +8708,15 @@ def oracle_sql() -> dict[str, str]:
         # and reproducible from its assignment, accepted costs == the
         # brute-forced global top-3 (all bands 0 — the
         # wide_fit_contract constant-claims pattern)
+        # KKT optimality certificate for the piecewise active-set QP
+        # (constant claims — convex QP, so KKT is sufficient for
+        # global optimality; see q_piecewise_qp_contract)
+        "piecewise_qp_contract": (
+            "SELECT t.m AS metric, 'all' AS name, 0.0 AS value "
+            "FROM (VALUES ('eq_band'), ('ineq_band'), ('stat_band'), "
+            "('dual_band'), ('comp_band'), ('binding_band'), "
+            "('dominance_band')) t(m)"
+        ),
         "counterfactual_contract": (
             "SELECT 'n_cf_band' AS metric, 'all' AS name, 0.0 AS value "
             "UNION ALL SELECT t.m, k.k, 0.0 FROM (VALUES "

@@ -61,9 +61,27 @@ def _active_set_qp(H, f, Aeq, G, h, max_iter=200):
     """Minimize 0.5 x'Hx - f'x s.t. Aeq x = 0, G x <= h, by a primal
     active-set method (tiny dense systems; <= ~40 constraints here).
     Standard textbook algorithm — add the most-violated inequality,
-    drop constraints with negative multipliers, repeat."""
+    drop constraints with negative multipliers, repeat.
+
+    The KKT solve EQUILIBRATES before solving: H/f are divided by
+    max|H| and every constraint row is scaled to unit norm (the
+    multipliers are rescaled back, so drop decisions see true
+    values). Raw moment matrices make the unscaled system mix
+    O(1e8) objective entries with O(1) constraint rows — condition
+    ~1e16 — and lstsq(rcond=None)'s singular-value cutoff then
+    TRUNCATES the constraint block: the returned point silently
+    fails to satisfy the "active" row, the multiplier sign flips,
+    and the add/drop loop cycles to max_iter, returning an
+    infeasible fit (a descending-constrained piecewise model that
+    ascends — found by the r16 piecewise_qp_contract KKT certificate
+    at sf0.1). Plain LU solve handles the equilibrated system
+    exactly; lstsq remains only as the genuinely-singular fallback
+    (degenerate empty-bin blocks, redundant rows). A residual
+    violation after the loop raises instead of returning the bad
+    fit."""
     n = H.shape[0]
     active: list[int] = []
+    h_scale = max(float(np.abs(H).max()), 1.0)
 
     def solve_with(act):
         rows = [Aeq] if Aeq is not None and len(Aeq) else []
@@ -73,14 +91,27 @@ def _active_set_qp(H, f, Aeq, G, h, max_iter=200):
             rhs_c.append(h[act])  # active inequalities hold AT the bound
         A = np.vstack(rows) if rows else np.zeros((0, n))
         m = A.shape[0]
-        KKT = np.zeros((n + m, n + m))
-        KKT[:n, :n] = H
         if m:
-            KKT[:n, n:] = A.T
-            KKT[n:, :n] = A
-        rhs = np.concatenate([f] + rhs_c) if rhs_c else f
-        sol = np.linalg.lstsq(KKT, rhs, rcond=None)[0]
-        lam = sol[n:]
+            norms = np.linalg.norm(A, axis=1)
+            norms[norms == 0] = 1.0
+            A_s = A / norms[:, None]
+            b_s = np.concatenate(rhs_c) / norms
+        else:
+            A_s = A
+            b_s = np.zeros(0)
+        KKT = np.zeros((n + m, n + m))
+        KKT[:n, :n] = H / h_scale
+        if m:
+            KKT[:n, n:] = A_s.T
+            KKT[n:, :n] = A_s
+        rhs = np.concatenate([f / h_scale, b_s])
+        try:
+            sol = np.linalg.solve(KKT, rhs)
+            if not np.all(np.isfinite(sol)):
+                raise np.linalg.LinAlgError("non-finite")
+        except np.linalg.LinAlgError:
+            sol = np.linalg.lstsq(KKT, rhs, rcond=None)[0]
+        lam = sol[n:] * h_scale / norms if m else sol[n:]
         n_eq = len(Aeq) if Aeq is not None else 0
         return sol[:n], lam[n_eq:]
 
@@ -99,6 +130,14 @@ def _active_set_qp(H, f, Aeq, G, h, max_iter=200):
             x, lam = solve_with(active)
             continue
         break
+    if G is not None and len(G):
+        resid = float((G @ x - h).max())
+        if resid > 1e-6 * (1.0 + float(np.abs(x).max())):
+            raise RuntimeError(
+                "active-set QP did not reach a feasible point "
+                f"(max constraint violation {resid:.3e}); the "
+                "constrained piecewise fit would silently break its "
+                "monotonicity/bound constraints — refusing instead")
     return x
 
 
@@ -654,7 +693,8 @@ class OptimalPWBinning:
         br, bv = bound_rows()
         if monotonic in ("concave", "convex") and deg >= 1:
             sr, sv = curvature_rows(1 if monotonic == "convex" else -1)
-            theta = solve(sr + br, sv + bv)
+            rows_used, vals_used = sr + br, sv + bv
+            theta = solve(rows_used, vals_used)
         elif monotonic in ("peak", "valley") and deg >= 1:
             # ropwr's peak/valley families allow ONE trend change
             # point; the change position is not data-sized (k <= ~20),
@@ -662,6 +702,7 @@ class OptimalPWBinning:
             # (reference piecewise monotonic_trend="peak"/"valley").
             up = 1 if monotonic == "peak" else -1
             best, best_obj = None, np.inf
+            rows_used, vals_used = list(br), list(bv)
             for t in range(k + 1):
                 signs = [up] * t + [-up] * (k - t)
                 sr, sv = slope_rows(signs)
@@ -669,6 +710,7 @@ class OptimalPWBinning:
                 obj = 0.5 * theta_t @ H @ theta_t - f @ theta_t
                 if obj < best_obj - 1e-12:
                     best, best_obj = theta_t, obj
+                    rows_used, vals_used = sr + br, sv + bv
             theta = best
         else:
             G_rows, h_vals = list(br), list(bv)
@@ -677,7 +719,21 @@ class OptimalPWBinning:
                 sr, sv = slope_rows([sgn] * k)
                 G_rows += sr
                 h_vals += sv
-            theta = solve(G_rows, h_vals)
+            rows_used, vals_used = G_rows, h_vals
+            theta = solve(rows_used, vals_used)
+        # optimality-certificate capture (piecewise_qp_contract): the
+        # final QP exactly as solved — the KKT check re-verifies theta
+        # against THESE matrices, so any drift between the solver's
+        # view and the recorded one is itself a contract failure.
+        # Tiny dense arrays (P*k <= ~40 params); negligible to keep.
+        self._last_qp_ = {
+            "H": H, "f": f, "A": A,
+            "G": (np.array(rows_used) if rows_used
+                  else np.zeros((0, P * k))),
+            "h": (np.array(vals_used, dtype=float) if vals_used
+                  else np.zeros(0)),
+            "theta": theta,
+        }
         self.coefs_ = theta.reshape(k, P)
         self.coef0_ = self.coefs_[:, 0].copy()
         self.coef1_ = (

@@ -93,3 +93,54 @@ def test_piecewise_oracle_matches_engine_on_synthetic(spark, n_datasets):
         matched += 1
     # the gates may fire, but hash-matching must be the dominant mode
     assert matched >= max(1, n_datasets // 2), (matched, gated)
+
+
+def test_active_set_qp_ill_conditioned_kkt_stays_feasible():
+    """Regression for the r16 KKT-certificate find: raw-moment H
+    (O(1e8) entries) with an O(1) slope constraint makes the KKT
+    system condition ~1e16, and the old lstsq(rcond=None) solve
+    TRUNCATED the constraint block — the 'active' row was silently
+    not enforced, the multiplier sign flipped, and the add/drop loop
+    cycled to max_iter before returning an infeasible fit (a
+    descending-constrained model that ascended at sf0.1). The
+    equilibrated solve must return the feasible constrained optimum.
+    The exact system is the one captured from the sf0.1 repro (one
+    bin, slope <= 0 on a strongly ascending target)."""
+    import numpy as np
+
+    from optbinning_spark.piecewise import _active_set_qp
+
+    H = np.array([[6.000000e+05, 1.530043e+07],
+                  [1.530043e+07, 5.152512e+08]])
+    f = np.array([3.177120e+10, 8.104932e+11])
+    A = np.zeros((0, 2))
+    G = np.array([[0.0, 1.0]])   # slope <= 0
+    h = np.array([0.0])
+    x = _active_set_qp(H, f, A, G, h)
+    # feasible: slope pinned at the bound (true optimum has the
+    # constraint active with multiplier ~ +3e8)
+    assert G @ x - h <= 1e-9 * (1 + np.abs(x).max())
+    # and equal to the equality-constrained optimum: x1 = 0,
+    # x0 = f0 / H00
+    assert abs(x[1]) < 1e-9
+    assert abs(x[0] - f[0] / H[0, 0]) < 1e-6 * abs(x[0])
+
+
+def test_active_set_qp_refuses_on_unresolvable_violation():
+    """The post-loop guard: if no feasible point is reached the
+    solver must raise, not return a fit that breaks its declared
+    constraints. Contradictory constraints (slope <= -1 AND
+    slope >= +1 on the same coefficient) leave every KKT candidate
+    violated."""
+    import numpy as np
+    import pytest as _pytest
+
+    from optbinning_spark.piecewise import _active_set_qp
+
+    H = np.eye(2)
+    f = np.zeros(2)
+    A = np.zeros((0, 2))
+    G = np.array([[0.0, 1.0], [0.0, -1.0]])
+    h = np.array([-1.0, -1.0])
+    with _pytest.raises(RuntimeError, match="active-set QP"):
+        _active_set_qp(H, f, A, G, h)
