@@ -144,3 +144,67 @@ def test_active_set_qp_refuses_on_unresolvable_violation():
     h = np.array([-1.0, -1.0])
     with _pytest.raises(RuntimeError, match="active-set QP"):
         _active_set_qp(H, f, A, G, h)
+
+
+@pytest.mark.parametrize("n_probs", [40])
+def test_active_set_qp_random_fuzz_vs_subset_enumeration(n_probs):
+    """Exact combinatorial reference for the (now equilibrated)
+    active-set QP: for random small strictly convex QPs, the global
+    optimum is the best feasible equality-constrained solution over
+    ALL subsets of inequality rows (<= 2^6 subsets). Half the
+    problems are rescaled by 1e8 to sit in the ill-conditioned
+    raw-moment regime the r16 bug lived in. The solver must match
+    the enumerated optimum's objective and stay feasible."""
+    import itertools as it
+
+    import numpy as np
+
+    from optbinning_spark.piecewise import _active_set_qp
+
+    rng = np.random.default_rng(20260816)
+    checked = 0
+    for t in range(n_probs):
+        n = int(rng.integers(2, 5))
+        B = rng.normal(size=(n + 1, n))
+        H = B.T @ B + 0.1 * np.eye(n)
+        f = rng.normal(size=n)
+        m = int(rng.integers(1, 7))
+        G = rng.normal(size=(m, n))
+        h = rng.normal(size=m) + 0.5
+        scale = 1e8 if t % 2 else 1.0
+        H2, f2 = H * scale, f * scale
+        A = np.zeros((0, n))
+
+        best = np.inf
+        for r in range(m + 1):
+            for sub in it.combinations(range(m), r):
+                rows = G[list(sub)]
+                M = np.zeros((n + r, n + r))
+                M[:n, :n] = H2
+                if r:
+                    M[:n, n:] = rows.T
+                    M[n:, :n] = rows
+                rhs = np.concatenate([f2, h[list(sub)]])
+                try:
+                    sol = np.linalg.solve(M, rhs)
+                except np.linalg.LinAlgError:
+                    continue
+                x = sol[:n]
+                if (G @ x - h).max() > 1e-7:
+                    continue
+                obj = 0.5 * x @ H2 @ x - f2 @ x
+                best = min(best, obj)
+        if not np.isfinite(best):
+            continue
+        try:
+            x = _active_set_qp(H2, f2, A, G, h)
+        except RuntimeError:
+            # loud refusal is only acceptable when genuinely stuck;
+            # these random feasible problems must solve
+            raise
+        assert (G @ x - h).max() <= 1e-6 * (1 + np.abs(x).max()), t
+        obj = 0.5 * x @ H2 @ x - f2 @ x
+        assert obj <= best + 1e-6 * (1 + abs(best)), (
+            t, obj, best, "active-set returned a suboptimal point")
+        checked += 1
+    assert checked >= n_probs * 3 // 4
