@@ -94,17 +94,34 @@ def streaming_signature_dedup(
     staged_minhash_arrays / minhash_lane_cols helpers, so there is ONE
     definition of the salt/lane layout and stream and batch cannot
     drift (agreement also tested).
+
+    NULL-text documents are NOT dedup candidates: they pass through
+    unsuppressed with a NULL signature_key. Without this split every
+    NULL-text doc would share md5('') (concat_ws skips the all-NULL
+    lanes) and dropDuplicates — which treats equal keys as dups —
+    would silently keep only the FIRST NULL doc in the stream: the
+    streaming sibling of the r16 batch NULL-shingle find: two
+    documents of UNKNOWN content must never be treated as equal. The
+    blessed ingest (sources/corpus.py quarantine) never emits NULL
+    text, so this is defense-in-depth for callers that bypass it;
+    batch minhash_signatures drops NULL docs from the signature
+    table for the same reason.
     """
     staged = staged_minhash_arrays(
         stream, text_col, shingle_n, n_hashes, ["*"])
     lanes = [c for c in minhash_lane_cols(n_hashes)]
     out = staged.select(
         *stream.columns,
-        F.md5(F.concat_ws("|", *lanes)).alias("signature_key"))
+        F.when(F.col(text_col).isNotNull(),
+               F.md5(F.concat_ws("|", *lanes))).alias("signature_key"))
+    nn = out.filter(F.col(text_col).isNotNull())
+    nulls = out.filter(F.col(text_col).isNull())
     if ts_col is not None:
-        return out.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        nn = nn.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
             ["signature_key"])
-    return out.dropDuplicates(["signature_key"])
+    else:
+        nn = nn.dropDuplicates(["signature_key"])
+    return nn.unionByName(nulls)
 
 
 def incremental_lsh_dedup_sink(

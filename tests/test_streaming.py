@@ -810,3 +810,44 @@ def test_incremental_lsh_sink_broken_index_dir_fails_loudly(
     with pytest.raises(Exception):
         incremental_lsh_dedup_sink(str(broken), dec2)(docs, 0)
     assert not os.path.exists(dec2)  # no decisions were recorded
+
+
+def test_streaming_signature_dedup_null_text_passes_through(spark, tmp_path):
+    """NULL-text docs are not dedup candidates: every one survives
+    with a NULL signature_key, while real duplicate signatures still
+    collapse to one sighting (r16 — without the split all NULL docs
+    shared md5('') and only the first survived)."""
+    from optbinning_spark.streaming.dedup import streaming_signature_dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, None),
+        (4, None),
+        (5, None),
+        (6, "totally different words here okay then"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    indir = tmp_path / "nullsig_in"
+    indir.mkdir()
+    docs.write.parquet(str(indir / "b1.parquet"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(indir) + "/*")
+    q = (
+        streaming_signature_dedup(stream, n_hashes=8)
+        .writeStream.format("memory").queryName("nullsig")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT doc_id, signature_key FROM nullsig").collect()
+    finally:
+        q.stop()
+    by_id = {r["doc_id"]: r["signature_key"] for r in out}
+    # all three NULL docs survive, each with a NULL key
+    assert {3, 4, 5} <= set(by_id)
+    assert all(by_id[i] is None for i in (3, 4, 5))
+    # the exact dup pair collapsed to one survivor; unique doc kept
+    assert 6 in by_id
+    assert len({1, 2} & set(by_id)) == 1
+    assert len(out) == 5
