@@ -374,7 +374,16 @@ def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact duplicate groups: md5(text) -> group size + canonical
-    (minimum) id. The keep-list is the canonical ids."""
+    (minimum) id. The keep-list is the canonical ids.
+
+    NULL-text rows form ONE group under the NULL content_hash —
+    md5(NULL) is NULL and groupBy treats NULL keys as equal, in both
+    Spark and the DuckDB oracle (SQL GROUP BY semantics), so the two
+    engines agree by construction. This differs deliberately from the
+    near-dup operators (minhash/shingle paths), where NULL text is
+    NOT a candidate: exact dedup callers filter or quarantine NULLs
+    upstream (sources/corpus.py), and a caller who feeds them anyway
+    gets the SQL-standard grouping rather than a silent phantom key."""
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
         .agg(
