@@ -2393,6 +2393,235 @@ fin AS (SELECT done, rl FROM walk WHERE len(todo) = 0)
 """
 
 
+#: pinned grids for the exact-cover PROFILE-DP oracles: 5x5 (25
+#: cells) and 6x6 — 36 cells, _EXACT_CELL_LIMIT itself, the largest
+#: grid the production exact-cover dispatch ever solves
+_P5_X = [10.0, 20.0, 30.0, 40.0]
+_P5_Y = [20000.0, 40000.0, 60000.0, 80000.0]
+_P6_X = [8.0, 16.0, 24.0, 32.0, 40.0]
+_P6_Y = [15000.0, 30000.0, 45000.0, 60000.0, 80000.0]
+
+
+def _q_binning_2d_profile_pinned(spark, sf_dir, gx, gy, min_bin):
+    from optbinning_spark.binning_2d import OptimalBinning2D
+
+    df = _lineitem(spark, sf_dir)
+    ob = OptimalBinning2D(
+        user_splits_x=gx, user_splits_y=gy, min_bin_size=min_bin)
+    ob.fit(df, "l_quantity", "l_extendedprice", "y")
+    rows = []
+    for i, (r1, r2, c1, c2) in enumerate(ob.rects_):
+        rows.append((
+            int(r1), int(r2), int(c1), int(c2),
+            int(ob.count_[i]),
+            int(ob.n_nonevent_[i]),
+            int(ob.n_event_[i]),
+            round(float(ob.woe_[i]) + 0.0, 6) + 0.0,
+            round(float(ob.iv_per_bin_[i]) + 0.0, 6) + 0.0,
+        ))
+    rows.sort()
+    return spark.createDataFrame(
+        rows,
+        "r1 int, r2 int, c1 int, c2 int, count bigint, "
+        "n_nonevent bigint, n_event bigint, woe double, iv double")
+
+
+def q_binning_2d_5x5_pinned(spark, sf_dir):
+    """O8 exact-cover solver on a pinned 5x5 grid (25 cells), hashed
+    via the PROFILE-DP replay: unlike the 3x3/3x4 oracles (which
+    enumerate every rectangle partition explicitly — infeasible past
+    ~12 cells), the oracle replays the engine's own
+    filled-prefix-profile DP (binning_2d.py _exact_cover) bottom-up
+    over ALL 6^5 = 7,776 column-height profiles, so the SAME
+    algorithm that makes large exact covers tractable in the engine
+    makes them replayable in SQL. min_bin_size=0.08 vs pinned splits
+    makes most singleton cells infeasible — the 8-rect optimum is a
+    genuine merge solution."""
+    return _q_binning_2d_profile_pinned(spark, sf_dir, _P5_X, _P5_Y, 0.08)
+
+
+def q_binning_2d_ceiling_pinned(spark, sf_dir):
+    """O8 exact-cover at the PRODUCTION CEILING: 6x6 = 36 cells is
+    _EXACT_CELL_LIMIT, the largest grid the exact-cover dispatch ever
+    solves before the guillotine fallback takes over — previously
+    hash-checked only at 12 cells (3x4) with the 36-cell regime
+    covered by invariant fuzz (r15). The profile-DP oracle replays
+    all 7^6 = 117,649 column-height profiles bottom-up; with
+    min_bin_size=0.06 the optimum is a 13-rect brick-wall partition
+    no guillotine sequence can produce, so the hash also separates
+    the exact path from the fallback."""
+    return _q_binning_2d_profile_pinned(spark, sf_dir, _P6_X, _P6_Y, 0.06)
+
+
+def _sql_binning_2d_profile_pinned(n, gx, gy, min_bin):
+    """Profile-DP replay of _exact_cover on a pinned n x n grid (see
+    q_binning_2d_5x5_pinned / q_binning_2d_ceiling_pinned).
+
+    State encoding: a column-height profile h[0..n-1] (heights
+    0..n) is the base-(n+1) integer p = sum h[j]*(n+1)^j, list slot
+    j = p + 1; the DP walks total height sum from n*n-1 down to 0,
+    finalizing every profile of sum s from strictly-fuller profiles
+    (filling a rect only increases the sum). The next rectangle's
+    anchor is the engine's topmost-leftmost unfilled cell:
+    r = min(h), c = first column at r; candidates span equal-height
+    runs (c2 while h[col] == r) with r2 in (r, n], candidate rank
+    (c2-c-1)*n + (r2-r-1) replicating _exact_cover's DFS order, and
+    selection is argmax by round(v, 9) with ties to the lowest rank
+    (the solver's pinned first-max; same decomposability residual as
+    everywhere). Filling cols c..c2-1 to r2 moves the index by the
+    closed form (r2-r) * ((n+1)^c2 - (n+1)^c) / n — exact integer
+    arithmetic, so child lookups are O(1) list indexing inside the
+    lambda. The plan walk follows the stored (r2, c2) picks from the
+    empty profile (slot 1) to the full one (slot (n+1)^n). Infeasible
+    rects carry -infinity; anchor values CAST to DOUBLE; no
+    MATERIALIZED (nondeterministic with RECURSIVE)."""
+    b = n + 1
+    np_ = b ** n
+    pow_ = [b ** i for i in range(n + 1)]
+    powl = "[" + ", ".join(map(str, pow_)) + "]"
+    npair = n * (n + 1) // 2
+
+    def IDX(a, b2, c, d):
+        pr = f"({n}*({a}) - (({a})*(({a})-1))//2 + ({b2}) - ({a}) - 1)"
+        pc = f"({n}*({c}) - (({c})*(({c})-1))//2 + ({d}) - ({c}) - 1)"
+        return f"(({pr})*{npair} + ({pc}) + 1)"
+
+    def hcol(p, col):
+        return f"((({p}) // {pow_[col]}) % {b})"
+
+    hs = [hcol("(j - 1)", c) for c in range(n)]
+    rmin = "least(" + ", ".join(hs) + ")"
+    cfirst = ("(CASE " + " ".join(
+        f"WHEN {hs[c]} = {rmin} THEN {c}" for c in range(n)) + " END)")
+    psum = "(" + " + ".join(hs) + ")"
+
+    r_, c_ = "d.rr[j]", "d.cc[j]"
+    span_ok = (f"list_reduce(list_transform(range({c_}, c2), q -> "
+               f"CASE WHEN ((j - 1) // ({powl})[q + 1]) % {b} = {r_} "
+               f"THEN 1 ELSE 0 END), (x, y) -> x * y) = 1")
+    newidx = (f"(j + (r2 - {r_}) * (({powl})[c2 + 1] - "
+              f"({powl})[{c_} + 1]) // {b - 1})")
+    rank = f"((c2 - {c_} - 1) * {n} + (r2 - {r_} - 1))"
+    cands = (
+        f"flatten(list_transform(range({c_} + 1, {n + 1}), c2 -> "
+        f"CASE WHEN {span_ok} THEN "
+        f"list_transform(range({r_} + 1, {n + 1}), r2 -> "
+        f"struct_pack(v := d.rk[{IDX(r_, 'r2', c_, 'c2')}]"
+        f" + d.dp[{newidx}].v, "
+        f"o := {rank}, nr2 := r2, nc2 := c2)) "
+        f"ELSE CAST([] AS STRUCT(v DOUBLE, o BIGINT, nr2 BIGINT, "
+        f"nc2 BIGINT)[]) END))"
+    )
+    mx9 = "list_max(list_transform(t.ct[j], c -> round(c.v, 9)))"
+    omin = (f"list_min(list_transform(list_filter(t.ct[j], "
+            f"c -> round(c.v, 9) = {mx9}), c -> c.o))")
+
+    def winf(field):
+        return f"list_filter(t.ct[j], c -> c.o = {omin})[1].{field}"
+
+    grid = (f"SELECT a.range AS r1, b.range AS r2, c.range AS c1, "
+            f"d.range AS c2 FROM range(0,{n + 1}) a, range(0,{n + 1}) b, "
+            f"range(0,{n + 1}) c, range(0,{n + 1}) d "
+            f"WHERE a.range < b.range AND c.range < d.range")
+    whs = [hcol("(w.cur - 1)", c) for c in range(n)]
+    wrmin = "least(" + ", ".join(whs) + ")"
+    wcfirst = ("(CASE " + " ".join(
+        f"WHEN {whs[c]} = {wrmin} THEN {c}" for c in range(n)) + " END)")
+    return f"""
+WITH RECURSIVE
+cells AS (
+  SELECT {_guil_bucket_case('l_quantity', gx)} AS bx,
+         {_guil_bucket_case('l_extendedprice', gy)} AS by,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS ev,
+         CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS DOUBLE) AS ne
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+    AND l_extendedprice IS NOT NULL
+    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+  GROUP BY 1, 2),
+tot AS (SELECT sum(ne) AS t_ne, sum(ev) AS t_ev FROM cells),
+rx AS (
+  SELECT g.r1, g.r2, g.c1, g.c2,
+         coalesce(s.ne, 0.0) AS ne, coalesce(s.ev, 0.0) AS ev,
+         CASE WHEN coalesce(s.ne, 0.0) > 0 AND coalesce(s.ev, 0.0) > 0
+                   AND coalesce(s.ne, 0.0) + coalesce(s.ev, 0.0)
+                       >= CAST({min_bin!r} AS DOUBLE) * (t.t_ne + t.t_ev)
+              THEN (s.ev / t.t_ev - s.ne / t.t_ne)
+                   * ln((s.ev / t.t_ev) / (s.ne / t.t_ne))
+              ELSE CAST('-infinity' AS DOUBLE) END AS kv
+  FROM ({grid}) g
+  LEFT JOIN (
+    SELECT x.r1, x.r2, x.c1, x.c2, sum(cl.ne) AS ne, sum(cl.ev) AS ev
+    FROM ({grid}) x
+    JOIN cells cl ON cl.bx >= x.r1 AND cl.bx < x.r2
+                 AND cl.by >= x.c1 AND cl.by < x.c2
+    GROUP BY 1, 2, 3, 4) s
+    ON s.r1 = g.r1 AND s.r2 = g.r2 AND s.c1 = g.c1 AND s.c2 = g.c2,
+  tot t),
+rka AS (SELECT list(kv ORDER BY r1, r2, c1, c2) AS rk FROM rx),
+dp AS (
+  SELECT {n * n} AS s,
+         list_transform(range(1, {np_ + 1}), j ->
+           struct_pack(v := CASE WHEN j = {np_} THEN CAST(0.0 AS DOUBLE)
+                                 ELSE CAST('-infinity' AS DOUBLE) END,
+                       nr2 := CAST(0 AS BIGINT),
+                       nc2 := CAST(0 AS BIGINT))) AS dp,
+         rk,
+         list_transform(range(1, {np_ + 1}), j -> {psum}) AS ps,
+         list_transform(range(1, {np_ + 1}), j -> {rmin}) AS rr,
+         list_transform(range(1, {np_ + 1}), j -> {cfirst}) AS cc
+  FROM rka
+  UNION ALL
+  SELECT t.s,
+         list_transform(range(1, {np_ + 1}), j ->
+           CASE WHEN t.ct[j] IS NULL THEN t.dp[j]
+                WHEN len(t.ct[j]) = 0 OR NOT isfinite({mx9})
+                THEN struct_pack(v := CAST('-infinity' AS DOUBLE),
+                                 nr2 := CAST(0 AS BIGINT),
+                                 nc2 := CAST(0 AS BIGINT))
+                ELSE struct_pack(v := {winf('v')},
+                                 nr2 := {winf('nr2')},
+                                 nc2 := {winf('nc2')}) END) AS dp,
+         t.rk, t.ps, t.rr, t.cc
+  FROM (
+    SELECT d.s - 1 AS s, d.dp AS dp, d.rk AS rk,
+           d.ps AS ps, d.rr AS rr, d.cc AS cc,
+           list_transform(range(1, {np_ + 1}), j ->
+             CASE WHEN d.ps[j] = d.s - 1 THEN {cands}
+                  ELSE NULL END) AS ct
+    FROM dp d WHERE d.s > 0
+  ) t),
+dpf AS (SELECT dp FROM dp WHERE s = 0),
+walk AS (
+  SELECT 0 AS it, CAST(1 AS BIGINT) AS cur,
+         CAST([] AS STRUCT(r1 BIGINT, r2 BIGINT, c1 BIGINT,
+                           c2 BIGINT)[]) AS done,
+         dp
+  FROM dpf
+  UNION ALL
+  SELECT w.it + 1,
+         w.cur + (w.dp[w.cur].nr2 - {wrmin})
+               * (({powl})[w.dp[w.cur].nc2 + 1]
+                  - ({powl})[{wcfirst} + 1]) // {b - 1},
+         w.done || [struct_pack(r1 := {wrmin}, r2 := w.dp[w.cur].nr2,
+                                c1 := {wcfirst},
+                                c2 := w.dp[w.cur].nc2)],
+         w.dp
+  FROM walk w WHERE w.cur < {np_} AND w.dp[w.cur].nr2 > 0),
+fin AS (SELECT done FROM walk ORDER BY it DESC LIMIT 1)
+SELECT x.r1, x.r2, x.c1, x.c2,
+       CAST(x.ne + x.ev AS BIGINT) AS count,
+       CAST(x.ne AS BIGINT) AS n_nonevent,
+       CAST(x.ev AS BIGINT) AS n_event,
+       round(ln((x.ne / t.t_ne) / (x.ev / t.t_ev)), 6) + 0.0 AS woe,
+       round((x.ev / t.t_ev - x.ne / t.t_ne)
+             * ln((x.ev / t.t_ev) / (x.ne / t.t_ne)), 6) + 0.0 AS iv
+FROM fin f, unnest(f.done) AS u(d)
+JOIN rx x ON x.r1 = u.d.r1 AND x.r2 = u.d.r2
+         AND x.c1 = u.d.c1 AND x.c2 = u.d.c2,
+tot t"""
+
+
 def q_binning_2d_table(spark, sf_dir):
     """O8: the full 2-D binning TABLE (formatted bin_x/bin_y labels,
     counts, event rate, WoE, IV) on a DATA-DERIVED tercile x quartile
@@ -4394,6 +4623,8 @@ _TAIL = [
     "binning_2d_guillotine_pinned",
     "continuous_binning_2d_guillotine_pinned",
     "piecewise_qp_contract",
+    "binning_2d_5x5_pinned",
+    "binning_2d_ceiling_pinned",
 ]
 
 
@@ -8739,6 +8970,10 @@ def oracle_sql() -> dict[str, str]:
             _sql_binning_2d_guillotine_pinned(),
         "continuous_binning_2d_guillotine_pinned":
             _sql_continuous_binning_2d_guillotine_pinned(),
+        "binning_2d_5x5_pinned":
+            _sql_binning_2d_profile_pinned(5, _P5_X, _P5_Y, 0.08),
+        "binning_2d_ceiling_pinned":
+            _sql_binning_2d_profile_pinned(6, _P6_X, _P6_Y, 0.06),
         "scorecard_table_pdo": _sql_scorecard_table_pdo(),
         "scorecard_table_rebased": _sql_scorecard_table_rebased(),
         # dup_ngram_spans: positional 5-grams, corpus-wide counts,
