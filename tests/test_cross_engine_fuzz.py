@@ -426,3 +426,72 @@ def test_gumbel_topk_oracle_adversarial_weights(spark, tmp_path):
         entry_mod.oracle_sql()["dsir_gumbel_topk"]).fetchall())
     assert len(got) == 50
     assert got == want, (got[:4], want[:4])
+
+
+@pytest.mark.parametrize("n_corpora", [
+    4, pytest.param(20, marks=pytest.mark.full)])
+def test_profile_dp_and_guillotine_oracles_random_corpora(
+        spark, tmp_path, n_corpora):
+    """The r16 2-D DP replays (profile-DP exact cover at 5x5,
+    guillotine fallback at 7x7) fuzzed on random synthetic corpora:
+    coarse discrete (quantity, price) values make integer cell counts
+    collide and produce EXACT objective ties — the documented 9dp
+    first-max residual is precisely where engine and oracle could
+    drift, and the three pinned sf instances cannot cover it. Each
+    corpus is fitted by the engine and replayed by the generated SQL
+    over a DuckDB view named lineitem; the sorted rect tables must
+    match exactly."""
+    import numpy as np
+
+    import __spark_entry__ as E
+    from optbinning_spark.binning_2d import OptimalBinning2D
+
+    rng = np.random.default_rng(20260817)
+    qvals = [2.0, 8.0, 12.0, 18.0, 22.0, 28.0, 33.0, 38.0, 44.0, 49.0]
+    pvals = [5e3, 1.8e4, 2.5e4, 3.5e4, 4.5e4, 5.5e4, 7e4, 9e4]
+    checked = 0
+    for t in range(n_corpora):
+        n = int(rng.integers(2500, 4000))
+        rows = [
+            (int(i),
+             float(rng.choice(qvals)),
+             float(rng.choice(pvals)),
+             "R" if rng.random() < 0.35 else "N")
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "rid int, l_quantity double, l_extendedprice double, "
+                  "l_returnflag string")
+        pq = str(tmp_path / f"fuzz2d_{t}.parquet")
+        df.write.mode("overwrite").parquet(pq)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+            + _q(pq + "/*.parquet") + ")")
+        ydf = df.withColumn(
+            "y", (F.col("l_returnflag") == "R").cast("int"))
+
+        for name, gx, gy, minb, cls_kw in [
+            ("profile5", E._P5_X, E._P5_Y, 0.08, {}),
+            ("guillotine7", E._GUIL_X, E._GUIL_Y, 0.05, {}),
+        ]:
+            ob = OptimalBinning2D(
+                user_splits_x=gx, user_splits_y=gy,
+                min_bin_size=minb, **cls_kw)
+            ob.fit(ydf, "l_quantity", "l_extendedprice", "y")
+            got = sorted(
+                (int(r1), int(r2), int(c1), int(c2),
+                 int(ob.count_[i]), int(ob.n_nonevent_[i]),
+                 int(ob.n_event_[i]),
+                 round(float(ob.woe_[i]) + 0.0, 6) + 0.0,
+                 round(float(ob.iv_per_bin_[i]) + 0.0, 6) + 0.0)
+                for i, (r1, r2, c1, c2) in enumerate(ob.rects_))
+            if name == "profile5":
+                sql = E._sql_binning_2d_profile_pinned(5, gx, gy, minb)
+            else:
+                sql = E.oracle_sql()["binning_2d_guillotine_pinned"]
+            want = sorted(map(tuple, con.execute(sql).fetchall()))
+            assert got == want, (t, name, got, want)
+            checked += 1
+        con.close()
+    assert checked == 2 * n_corpora
