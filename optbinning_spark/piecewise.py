@@ -125,7 +125,14 @@ def _active_set_qp(H, f, Aeq, G, h, max_iter=200):
                     active.append(worst)
                     x, lam = solve_with(active)
                     continue
-        if active and len(lam) and lam.min() < -1e-9:
+        # drop threshold is RELATIVE to the multiplier scale: lam is
+        # rescaled by h_scale/norms (h_scale up to ~1e8), so an
+        # absolute -1e-9 would let scaled-space numerical noise —
+        # O(0.1) after unscaling — trigger spurious drops and add/drop
+        # cycling at extreme scales (mirrors the certificate's own
+        # relative mu tolerance)
+        if active and len(lam) and \
+                lam.min() < -1e-9 * (1.0 + float(np.abs(lam).max())):
             active.pop(int(np.argmin(lam)))
             x, lam = solve_with(active)
             continue
@@ -659,16 +666,27 @@ class OptimalPWBinning:
                 return _active_set_qp(
                     H, f, A, np.array(G_rows), np.array(h_vals)
                 )
-            m = A.shape[0]
-            KKT = np.zeros((P * k + m, P * k + m))
-            KKT[: P * k, : P * k] = H
-            if m:
-                KKT[: P * k, P * k :] = A.T
-                KKT[P * k :, : P * k] = A
-            rhs = np.concatenate([f, np.zeros(m)])
-            # lstsq tolerates singular degenerate systems
-            sol = np.linalg.lstsq(KKT, rhs, rcond=None)[0]
-            return sol[: P * k]
+            # Equality-only branch: route through the SAME equilibrated
+            # KKT solve as the constrained path (_active_set_qp with an
+            # empty inequality set). The raw-KKT lstsq(rcond=None) this
+            # replaces had the exact bug class the r16 contract caught
+            # on the constrained branch: O(1e8) raw-moment H rows next
+            # to O(1) continuity rows push the condition past lstsq's
+            # singular-value cutoff, which then silently TRUNCATES the
+            # A block and returns a discontinuous "fit".
+            theta_ = _active_set_qp(
+                H, f, A, np.zeros((0, P * k)), np.zeros(0))
+            if A.shape[0]:
+                # post-solve continuity residual: fail loudly if the
+                # equality block was not actually satisfied (singular
+                # fallback can still drop it for degenerate systems)
+                resid = float(np.abs(A @ theta_).max())
+                if resid > 1e-6 * (1.0 + float(np.abs(theta_).max())):
+                    raise RuntimeError(
+                        "piecewise equality-constrained solve left a "
+                        f"continuity residual of {resid:.3e}; the fit "
+                        "would silently be discontinuous — refusing")
+            return theta_
 
         def curvature_rows(sign):
             # sign=+1 -> convex (f'' >= 0), -1 -> concave: second-

@@ -336,6 +336,20 @@ def lsh_candidate_pairs(
     explicitly run uncapped."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     bands = lsh_bands(sig, id_col, n_hashes, band_size)
+    # Materialize the band index ONCE (r17): left as lineage, the
+    # split->shingle->salted-md5 minhash scan is evaluated FOUR times
+    # — the cap count, the cap join-back, and both sides of the
+    # band-bucket self-join all plan their own copy (the cap join and
+    # the self-join go broadcast, whose build sides Spark does not
+    # exchange-reuse against the probe sides; verified in the r17
+    # formatted plan: 4 parquet scans of the corpus). The checkpointed
+    # frame is (id, band, band_key) — a few small rows per doc, the
+    # same bytes the band self-join already shuffles — and every
+    # consumer reads it instead of re-hashing the corpus. Measured at
+    # sf0.1: candidate pairs 0.76 s -> ~0.4 s, identical output.
+    # Batch frames only: a streaming caller keeps pure lineage.
+    if not df.isStreaming:
+        bands = bands.localCheckpoint(eager=True)
     bands = _cap_buckets(bands, max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -442,21 +456,46 @@ def incremental_lsh_dedup(
             F.col(id_col), "band", "band_key",
             F.lit(True).alias("__new")))
     )
-    capped = _cap_buckets(all_bands, max_bucket_size)
-    n = capped.filter(F.col("__new")).alias("n")
-    o = capped.alias("o")
-    dup_of = (
-        n.join(
-            o,
-            (F.col("n.band") == F.col("o.band"))
-            & (F.col("n.band_key") == F.col("o.band_key"))
-            & (
-                (~F.col("o.__new"))
-                | (F.col(f"o.{id_col}") < F.col(f"n.{id_col}"))
-            ),
+    # r17 rewrite (guide §2.3 "aggregate before you shuffle"): dup_of
+    # is the MIN colliding id, and min distributes over buckets — so
+    # instead of the bucket SELF-JOIN (O(B^2) pair fan-out per bucket,
+    # evaluated the history+new union on both sides AND a third time
+    # for the cap count), aggregate each bucket ONCE to
+    # (count, min history id, min new id) and equi-join only the NEW
+    # batch's bands against that bounded stats table. Per new doc d in
+    # a surviving bucket the min colliding id is
+    # least(min_hist, min_new if min_new < d): any history member
+    # qualifies regardless of id order, and if ANY lower-id new
+    # neighbor exists the bucket's min new id is itself one (and the
+    # smallest). The cap keeps its combined-(history+new) semantics as
+    # the count in the SAME aggregation — one pass computes both.
+    # Identical output to the self-join form (tests pin it); the
+    # history pipeline is now evaluated once, not three times, and no
+    # stage is ever quadratic in bucket size.
+    bucket_stats = (
+        all_bands.groupBy("band", "band_key")
+        .agg(
+            F.count("*").alias("__bsz"),
+            F.min(F.when(~F.col("__new"), F.col(id_col))).alias("__mh"),
+            F.min(F.when(F.col("__new"), F.col(id_col))).alias("__mn"),
         )
-        .groupBy(F.col(f"n.{id_col}").alias("id"))
-        .agg(F.min(F.col(f"o.{id_col}")).alias("dup_of"))
+    )
+    if max_bucket_size is not None:
+        bucket_stats = bucket_stats.filter(
+            F.col("__bsz") <= max_bucket_size)
+    dup_of = (
+        new_bands.select(F.col(id_col).alias("id"), "band", "band_key")
+        .join(bucket_stats, ["band", "band_key"])
+        .select(
+            "id",
+            F.least(
+                F.col("__mh"),
+                F.when(F.col("__mn") < F.col("id"), F.col("__mn")),
+            ).alias("__cand"),
+        )
+        .groupBy("id")
+        .agg(F.min("__cand").alias("dup_of"))
+        .filter(F.col("dup_of").isNotNull())
     )
     return (
         new_df.select(F.col(id_col).alias("id"))
@@ -788,11 +827,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = sym.groupBy("src").agg(F.min("dst").alias("__mn"))
     mins = mins.select(
         "src", F.least(F.col("src"), F.col("__mn")).alias("__m"))
+    # no trailing .distinct(): the only consumer is _small_star, whose
+    # leading orient-and-distinct dedups the same rows in ITS exchange
+    # — a distinct here would be one extra full exchange per round for
+    # rows the next operator dedups anyway (r17; the emitted multiset
+    # is (v, m(u)) per symmetric edge, |E| rows, same order of volume
+    # either way)
     return (
         sym.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
-        .distinct()
     )
 
 
@@ -874,10 +918,16 @@ def connected_components(
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(frame):
-            return frame.checkpoint(eager=True)
+            # LAZY checkpoint (r17): the next action over the frame —
+            # always the 1-row count/convergence probe in this loop —
+            # materializes the checkpoint AND computes the probe in
+            # ONE job, where eager=True spent a separate scheduled job
+            # per round just materializing (2 jobs/round -> 1; the
+            # probe is mandatory, so the fusion is free)
+            return frame.checkpoint(eager=False)
     else:
         def _ckpt(frame):
-            return frame.localCheckpoint(eager=True)
+            return frame.localCheckpoint(eager=False)
     e = _ckpt(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -1001,7 +1051,15 @@ def verify_pairs_jaccard(
     that ride those joins hold 8-byte xxhash64 values instead of
     ~n-word strings — 21% end-to-end on the 250k-doc organic corpus,
     value-identical output (same trade and collision bound as
-    ngram_jaccard_pairs; False keeps exact string-set semantics)."""
+    ngram_jaccard_pairs; False keeps exact string-set semantics).
+
+    r17 note: a candidate-id broadcast semi-join prefilter on ``df``
+    before the shingle computation (guide §3.2) was measured and
+    REVERTED — at sf0.1 the extra materialize+count+broadcast
+    round-trips cost ~0.7 s against ~0.4 s of saved shingle scans.
+    Revisit only with evidence from a corpus where the candidate set
+    is a much smaller fraction of the corpus than the banding caps
+    already make it here."""
     # materialize the split FIRST (shingles_from_words docstring: an
     # inline split is re-evaluated per lambda reference in codegen,
     # ~4x measured on the jaccard pipeline)

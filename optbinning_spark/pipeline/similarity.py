@@ -567,6 +567,28 @@ def semantic_dedup(
         .select("id", "__e", norm_expr(F.col("__e")).alias("__n"),
                 "cluster_id", "centroid_sim")
     )
+    # Materialize the assignment ONCE (r17 optimization, guide §2.4 /
+    # §5): the argmax-over-k-centroid-dots subtree is the expensive
+    # map work here (k x dim fold per row), and FOUR consumers read it
+    # — the size guard, both sides of the pair self-join, and the
+    # final keep join — so left as lineage it executes four times.
+    # The repartition-by-num on the join key does two jobs at once:
+    # (1) the checkpointed partitioning is preserved, so the pair
+    # self-join and the size aggregation reuse it with no further
+    # exchange, and (2) an explicit numPartitions is exempt from AQE
+    # coalescing, whose byte-proxy (correct for byte-bound stages)
+    # would otherwise funnel this compute-QUADRATIC self-join onto 1-2
+    # tasks. The count mirrors what the plain join would start with
+    # (spark.sql.shuffle.partitions — scale-derived in session.py).
+    # Measured at sf0.1 (k=16, 2k vectors): 4.85 s -> 0.8 s,
+    # identical output; the checkpointed bytes are the same rows the
+    # pair-join exchange already carried.
+    sess = embeddings.sparkSession
+    try:
+        n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_part = sess.sparkContext.defaultParallelism
+    asg = asg.repartition(n_part, "cluster_id").localCheckpoint(eager=True)
     if max_cluster_size is not None:
         sizes = asg.groupBy("cluster_id").agg(F.count("*").alias("__csz"))
         asg = asg.join(F.broadcast(sizes), "cluster_id").withColumn(
