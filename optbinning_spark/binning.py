@@ -36,6 +36,7 @@ from .operators.binning_table import (
     merge_segments_min,
     splits_from_segments,
 )
+from .operators.fastlit import double_array_lit
 from .operators.prebinning import compute_prebins
 from .operators.transform import transform_expr
 
@@ -393,7 +394,8 @@ class _BaseOptimalBinning:
         probs = np.linspace(0, 1, MAX_HISTOGRAM_BUCKETS + 1)[1:-1]
         probe = proj.agg(
             F.approx_count_distinct(cx, rsd=0.05).alias("nd"),
-            F.percentile_approx(cx, F.lit(probs), F.lit(2_000)).alias("edges"),
+            F.percentile_approx(cx, double_array_lit(probs),
+                                F.lit(2_000)).alias("edges"),
             F.min(cx).alias("vmin"),
             F.max(cx).alias("vmax"),
         ).first()

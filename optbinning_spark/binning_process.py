@@ -638,7 +638,8 @@ class BinningProcess:
             # multiplied that into ~7k driver calls (~2 s of socket
             # latency on a 16-variable fit). Columns are immutable —
             # one literal serves every percentile_approx.
-            probs_lit = F.lit(probs)
+            from .operators.fastlit import double_array_lit
+            probs_lit = double_array_lit(probs)
             # sketch accuracy 1000 (rank error ~0.1%, vs the 0.4%
             # bucket width the 256-edge grid needs) and a 2% value
             # sample: the percentile sketches dominate the probe on

@@ -192,7 +192,9 @@ def _log_odds_expr(model: NBQualityModel, feats: Column) -> Column:
     nb_filter so the gate can never disagree with the reported
     scores: prior + ordered sum of per-feature LLR weights over the
     bucket-sorted list, weight table as one array literal."""
-    llr_lit = F.lit(model.llr)
+    from ..operators.fastlit import double_array_lit
+
+    llr_lit = double_array_lit(model.llr)
     return F.lit(model.log_prior_odds) + F.aggregate(
         F.array_sort(feats),
         F.lit(0.0),

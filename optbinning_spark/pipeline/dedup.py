@@ -448,6 +448,15 @@ def incremental_lsh_dedup(
             minhash_signatures(new_df, text_col, id_col, n_hashes,
                                shingle_n),
             id_col, n_hashes, band_size)
+    if not new_df.isStreaming and not new_bands.isStreaming:
+        # the NEW batch's bands feed two consumers (the bucket-stats
+        # aggregation below and the join probe side); materialize the
+        # small batch-side index once instead of re-running its
+        # minhash scan per consumer. The HISTORY side is deliberately
+        # left as lineage: in production it is a persisted band index
+        # (a parquet scan, cheap to read twice, expensive to pin in
+        # memory at corpus scale)
+        new_bands = new_bands.localCheckpoint(eager=True)
     all_bands = (
         history_bands.select(
             F.col(id_col), "band", "band_key",
@@ -1436,27 +1445,33 @@ def paragraph_dedup(
     )
     joined = parts.join(first, "__h")
     if keep_first:
-        kept = joined.filter(
+        keeper = (
             (F.col("__k.d") == F.col(id_col))
             & (F.col("__k.p") == F.col("__pos")))
     else:
-        kept = joined.filter(F.col("__occ") == 1)
+        keeper = F.col("__occ") == 1
+    # ONE per-doc aggregation computes the paragraph count AND the
+    # reassembly (r17): the previous shape aggregated `joined` twice
+    # (total count on one branch, kept-only reassembly on the other)
+    # and joined the results — which re-evaluated the whole
+    # split/posexplode/hash/keeper-join subtree per branch, doubling
+    # the corpus scans. collect_list skips the NULLs the keeper
+    # predicate leaves, so the kept-only filter folds into the
+    # aggregation for free; identical output (oracle-pinned).
     return (
         joined.groupBy(id_col)
-        .agg(F.count("*").alias("n_paragraphs"))
-        .join(
-            kept.groupBy(id_col).agg(
-                F.concat_ws(sep, F.transform(
-                    F.array_sort(F.collect_list(
-                        F.struct("__pos", "__para"))),
-                    lambda s: s["__para"])).alias("text"),
-                F.count("*").alias("n_kept"),
-            ),
-            id_col, "left")
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.concat_ws(sep, F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(keeper, F.struct("__pos", "__para")))),
+                lambda s: s["__para"])).alias("text"),
+            F.sum(F.when(keeper, 1).otherwise(0)).alias("__nk"),
+        )
         .select(
             id_col,
-            F.coalesce("text", F.lit("")).alias("text"),
+            "text",
             "n_paragraphs",
-            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            F.col("__nk").cast("int").alias("n_kept"),
         )
     )

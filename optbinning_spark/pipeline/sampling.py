@@ -377,7 +377,8 @@ def dsir_log_weights(
         - math.log((rc.get(b, 0) * r_scale + smoothing) / r_tot)
         for b in range(n_buckets)
     ]
-    ratio_lit = F.lit(ratio)
+    from ..operators.fastlit import double_array_lit
+    ratio_lit = double_array_lit(ratio)
     log_w = F.aggregate(
         F.array_sort(feats),
         F.lit(0.0),

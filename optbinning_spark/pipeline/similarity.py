@@ -14,6 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..operators.fastlit import double_array_lit
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -228,7 +230,7 @@ def _centroid_dots_expr(vec: Column, centroids) -> Column:
     O(k*dim) inlined terms before that, which exceeded Janino limits
     at dim 4096). Measured ~30% faster analysis+exec at k=16/dim=64,
     bit-identical dots."""
-    lit = F.lit([[float(x) for x in c] for c in centroids])
+    lit = double_array_lit([[float(x) for x in c] for c in centroids])
     return F.transform(lit, lambda c: dot_expr(vec, c))
 
 
@@ -1050,9 +1052,9 @@ def pq_code_exprs(vec: Column, codebooks) -> list:
     out = []
     for i in range(m):
         cb = codebooks[i]
-        halfn = F.lit([sum(float(x) * float(x) for x in c) / 2.0
-                       for c in cb])
-        cb_lit = F.lit([[float(x) for x in c] for c in cb])
+        halfn = double_array_lit([sum(float(x) * float(x) for x in c) / 2.0
+                                  for c in cb])
+        cb_lit = double_array_lit([[float(x) for x in c] for c in cb])
         s = F.slice(vec, i * sub + 1, sub)
         scores = F.transform(cb_lit, _score_fn(s, halfn))
         out.append(
@@ -1113,7 +1115,7 @@ def pq_topk(
 
     tabs = F.array(*[
         F.transform(
-            F.lit([[float(x) for x in c] for c in codebooks[i]]),
+            double_array_lit([[float(x) for x in c] for c in codebooks[i]]),
             _tab_fn(F.slice(qv, i * sub + 1, sub)))
         for i in range(m)
     ])
