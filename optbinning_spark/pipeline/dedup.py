@@ -210,6 +210,7 @@ def staged_minhash_arrays(
     shingle_n: int,
     n_hashes: int,
     keep_cols: list,
+    extra_from_shingles: "dict | None" = None,
 ) -> DataFrame:
     """Shared staging for every MinHash consumer (batch signatures AND
     streaming signature dedup use THIS — one definition of the
@@ -218,7 +219,13 @@ def staged_minhash_arrays(
     materialized ONCE. Referencing the expression directly from
     downstream columns makes codegen recompute it per reference
     (measured ~2.6x slower for the md5 transforms, ~4x for the split
-    inside the shingle lambda)."""
+    inside the shingle lambda).
+
+    ``extra_from_shingles`` ({name: fn(shingle_col) -> Column}) lets a
+    caller derive additional per-doc columns from the SAME
+    materialized shingle array in the same projection level — e.g.
+    duplicate_clusters' verify arrays, so banding and verification
+    share one text scan instead of two (r17)."""
     # NB: F.transform treats a 2-arg lambda as (element, index) — use
     # single-arg closures from factories to bind loop variables.
     def _salted(k: int):
@@ -227,6 +234,10 @@ def staged_minhash_arrays(
             F.col("__sh"), lambda s: F.md5(F.concat(F.lit(salt), s)))
 
     n_salts = (n_hashes + 3) // 4
+    extras = [
+        fn(F.col("__sh")).alias(name)
+        for name, fn in (extra_from_shingles or {}).items()
+    ]
     return (
         df.select(*keep_cols, F.split(F.col(text_col), " ").alias("__w"))
         .select(
@@ -235,6 +246,7 @@ def staged_minhash_arrays(
         .select(
             *keep_cols,
             *[_salted(k).alias(f"__h{k}") for k in range(n_salts)],
+            *extras,
         )
     )
 
@@ -316,10 +328,15 @@ def lsh_candidate_pairs(
     band_size: int = 2,
     shingle_n: int = 3,
     max_bucket_size: int | None = 1000,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (id_a < id_b),
     deduplicated across bands. One shuffle on band_key; the join is
-    within-bucket only.
+    within-bucket only. ``signatures`` accepts a pre-built
+    ``minhash_signatures``-shaped frame (id_col + mh0..mh{n-1}) so a
+    caller that also needs other shingle-derived columns
+    (duplicate_clusters' verify arrays) can feed both from one staged
+    scan instead of re-tokenizing the corpus here.
 
     ``max_bucket_size`` is the hot-bucket skew guard for the 100 TB
     regime: a band bucket of B docs emits B*(B-1)/2 pairs, so one
@@ -334,7 +351,8 @@ def lsh_candidate_pairs(
     a capped bucket still admits ~500k pairs) is ON because the
     production path must be skew-safe without opt-in; pass None to
     explicitly run uncapped."""
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    sig = signatures if signatures is not None else minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_n)
     bands = lsh_bands(sig, id_col, n_hashes, band_size)
     # Materialize the band index ONCE (r17): left as lineage, the
     # split->shingle->salted-md5 minhash scan is evaluated FOUR times
@@ -1044,6 +1062,7 @@ def verify_pairs_jaccard(
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
     hash_shingles: bool = True,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-verify candidate pairs by shingle-set Jaccard: keep only
     pairs with |Sa ∩ Sb| / |Sa ∪ Sb| >= min_jaccard. The
@@ -1062,6 +1081,11 @@ def verify_pairs_jaccard(
     value-identical output (same trade and collision bound as
     ngram_jaccard_pairs; False keeps exact string-set semantics).
 
+    ``shingle_arrays`` accepts a pre-materialized ``(id_col, __sh)``
+    frame (per-doc DISTINCT shingle sets, hashed per
+    ``hash_shingles``) so duplicate_clusters can feed banding AND
+    verification from one staged text scan (r17).
+
     r17 note: a candidate-id broadcast semi-join prefilter on ``df``
     before the shingle computation (guide §3.2) was measured and
     REVERTED — at sf0.1 the extra materialize+count+broadcast
@@ -1069,26 +1093,38 @@ def verify_pairs_jaccard(
     Revisit only with evidence from a corpus where the candidate set
     is a much smaller fraction of the corpus than the banding caps
     already make it here."""
-    # materialize the split FIRST (shingles_from_words docstring: an
-    # inline split is re-evaluated per lambda reference in codegen,
-    # ~4x measured on the jaccard pipeline)
-    sh = (
-        df.select(
-            F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
-        .select(
-            F.col(id_col),
-            F.array_distinct(
-                shingles_from_words(F.col("__w"), shingle_n)
-            ).alias("__sh"),
+    if shingle_arrays is not None:
+        sh = shingle_arrays
+    else:
+        # materialize the split FIRST (shingles_from_words docstring:
+        # an inline split is re-evaluated per lambda reference in
+        # codegen, ~4x measured on the jaccard pipeline)
+        sh = (
+            df.select(
+                F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+            .select(
+                F.col(id_col),
+                F.array_distinct(
+                    shingles_from_words(F.col("__w"), shingle_n)
+                ).alias("__sh"),
+            )
         )
-    )
-    if hash_shingles:
-        sh = sh.select(
-            F.col(id_col),
-            F.array_distinct(
-                F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
-            ).alias("__sh"),
-        )
+        if hash_shingles:
+            sh = sh.select(
+                F.col(id_col),
+                F.array_distinct(
+                    F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
+                ).alias("__sh"),
+            )
+        if not df.isStreaming:
+            # both pair-join sides consume the per-doc shingle arrays;
+            # left as lineage the split->shingle->hash tokenization
+            # runs once per side (the a/b join probes don't
+            # exchange-reuse). One materialized pass replaces two text
+            # scans; the checkpointed frame is (id, array<long>) — the
+            # same compact per-doc integer-array shape dsir_features
+            # materializes.
+            sh = sh.localCheckpoint(eager=True)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb"))
@@ -1145,6 +1181,44 @@ def duplicate_clusters(
     Reference parity note: the reference engine has no dedup surface;
     this is the brief-driven LLM-pipeline operator family
     (SURVEY.md §2 extension)."""
+    if jaccard_threshold is not None and not df.isStreaming:
+        # ONE staged text scan feeds BOTH the banding (salted-md5
+        # minhash lanes) and the exact-verify step (distinct hashed
+        # shingle sets) — they share the split->shingles subtree, and
+        # separately each would scan the corpus once (r17; verified
+        # in plans/r17: the combined checkpoint removes one full
+        # corpus tokenization from this operator at every scale).
+        # __vsh == array_distinct(xxhash64(shingles)): distinct after
+        # hashing yields the same SET as verify's
+        # distinct-then-hash-then-distinct, and the Jaccard uses only
+        # set sizes (intersect/union), so output is identical.
+        staged = staged_minhash_arrays(
+            df.filter(F.col(text_col).isNotNull()),
+            text_col, shingle_n, n_hashes, [F.col(id_col)],
+            extra_from_shingles={
+                "__vsh": lambda sh: F.array_distinct(
+                    F.transform(sh, lambda s: F.xxhash64(s)))
+            },
+        )
+        # reduce BEFORE materializing: the staged __h{k} arrays hold a
+        # 32-char md5 string per shingle per salt (~10 KB/doc) —
+        # checkpointing them costs more than the scan they save.
+        # The lane minima (8 short strings) + the distinct hashed
+        # shingle set (~8 bytes each) are all downstream needs.
+        staged = staged.select(
+            F.col(id_col), *minhash_lane_cols(n_hashes), F.col("__vsh")
+        ).localCheckpoint(eager=True)
+        sig = staged.drop("__vsh")
+        pairs = lsh_candidate_pairs(
+            df, text_col, id_col, n_hashes, band_size, shingle_n,
+            max_bucket_size=max_bucket_size, signatures=sig)
+        pairs = verify_pairs_jaccard(
+            df, pairs, text_col, id_col, shingle_n, jaccard_threshold,
+            shingle_arrays=staged.select(
+                F.col(id_col), F.col("__vsh").alias("__sh")))
+        return clusters_from_pairs(
+            df, pairs, id_col, driver_threshold=driver_threshold,
+            checkpoint_dir=checkpoint_dir, stats=stats)
     pairs = lsh_candidate_pairs(
         df, text_col, id_col, n_hashes, band_size, shingle_n,
         max_bucket_size=max_bucket_size)

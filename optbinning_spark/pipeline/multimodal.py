@@ -231,7 +231,11 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    # guide §4: an opaque function over the full row silently ships
+    # (and reads from storage) every column — select exactly what the
+    # extractor touches before crossing the Arrow boundary
+    return df.select("doc_id", "media_type", "media").mapInPandas(
+        _extract, schema=FEATURE_SCHEMA)
 
 
 def synthetic_media_df(spark, docs: DataFrame, media_type: str = "image") -> DataFrame:
@@ -315,7 +319,9 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
             yield out[["doc_id", "media", "media_type", "width", "height",
                        "sample_rate"]]
 
-    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+    return df.select(
+        "doc_id", "media", "media_type", "width", "height",
+        "sample_rate").mapInPandas(_resize, schema=RESIZED_SCHEMA)
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4,
@@ -345,4 +351,6 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
                     rows["height"].append(h)
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(_frames, schema=FRAME_SCHEMA)
+    return df.select(
+        "doc_id", "media", "media_type", "width", "height").mapInPandas(
+        _frames, schema=FRAME_SCHEMA)
