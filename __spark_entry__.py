@@ -934,12 +934,17 @@ def q_continuous_binning_table(spark, sf_dir):
                                   max_n_prebins=8,
                                   monotonic_trend="ascending")
     cb.fit(df, "l_quantity", "net_price")
+    # woe is a mean DIFFERENCE (not a log-ratio): when the fit
+    # degenerates to one bin (sf0.001) it is structurally zero, and a
+    # ±1-ulp residual rounds to -0.0 vs 0.0 depending on summation
+    # order — normalize the zero sign on BOTH sides (the oracle adds
+    # the same + 0.0; nonzero values at every other SF are unchanged)
     return spark.createDataFrame(cb.binning_table.build()).select(
         "bin",
         F.col("count").cast("long").alias("count"),
         F.round("sum", 2).alias("sum_y"),
         F.round("mean", 4).alias("mean"),
-        F.round("woe", 4).alias("woe"),
+        (F.round("woe", 4) + 0.0).alias("woe"),
         F.round("iv", 6).alias("iv"),
     )
 
@@ -3654,9 +3659,18 @@ def q_counterfactual_contract(spark, sf_dir):
                          _band(close - c["objval"]["closeness"], 1e-6)))
             rows.append(("cost_band", str(k),
                          _band(cost - c["cost"], 1e-6)))
-            rows.append(("rank_band", str(k),
-                         _band(acc_costs[k] - feas_costs[k], 1e-9)
-                         if k < len(feas_costs) else 1.0))
+            # r17 (ADVICE #4): RELATIVE tolerance — the two sides sum
+            # the proximity/closeness terms in different orders, so
+            # libm/platform summation drift near a cost tie could
+            # flip an absolute-1e-9 band and break the driver hash
+            # (the residual class pinned at 9dp elsewhere); current
+            # values are far inside either tolerance, so the emitted
+            # bands are unchanged (all 0)
+            rows.append((
+                "rank_band", str(k),
+                _band(acc_costs[k] - feas_costs[k],
+                      1e-9 * (1.0 + abs(feas_costs[k])))
+                if k < len(feas_costs) else 1.0))
         else:
             empty_ok = 0.0 if k >= len(feas_costs) else 1.0
             for m in ("feasible_band", "score_band", "prox_band",
@@ -4014,6 +4028,16 @@ def q_wide_fit_contract(spark, sf_dir):
         .withColumn("disc_tax", F.col("l_discount") + F.col("l_tax"))
     )
     variables = _WIDE_NUM_VARS + _WIDE_CAT_VARS
+    # r17 (ADVICE #3): the contract's calibration regime starts at
+    # ~50k clean rows (see docstring). Below it, emit one explicit
+    # sentinel row (mirrored in the oracle) instead of bands that
+    # legitimately trip — a small-scale compare then PASSES with an
+    # honest 'uncalibrated' marker rather than producing a false
+    # failure indistinguishable from an engine regression.
+    if df.count() < 50_000:
+        return spark.createDataFrame(
+            [("uncalibrated_below_regime", "corpus", 0.0)],
+            "metric string, name string, value double")
     bp_a = BinningProcess(variables).fit(df, "y")
     bp_e = BinningProcess(variables, probe_mode="exact").fit(df, "y")
 
@@ -4972,7 +4996,10 @@ def _sql_continuous_binning_table():
   SELECT bin, CAST(cnt AS BIGINT) AS count,
          round(CASE WHEN cnt > 0 THEN s1 ELSE 0 END, 2) AS sum_y,
          round(CASE WHEN cnt > 0 THEN s1 / cnt ELSE 0 END, 4) AS mean,
-         round(CASE WHEN cnt > 0 THEN s1 / cnt - t2.mean_total ELSE 0 END, 4) AS woe,
+         -- + 0.0 normalizes -0.0 (DuckDB re-evaluates the CTE's
+         -- parallel sum per reference; the one-bin sf0.001 woe is a
+         -- structural zero whose residual sign flips run-to-run)
+         round(CASE WHEN cnt > 0 THEN s1 / cnt - t2.mean_total ELSE 0 END, 4) + 0.0 AS woe,
          round(abs(CASE WHEN cnt > 0 THEN s1 / cnt - t2.mean_total ELSE 0 END)
                * cnt / t2.t_n, 6) AS iv
   FROM allrows, t2
@@ -8922,12 +8949,23 @@ def oracle_sql() -> dict[str, str]:
         # stay inside the measured envelope (all bands 0) for every
         # variable — computed Spark-side, asserted by hash here (the
         # sketch_binning_table constant-claims pattern)
+        # r17 (ADVICE #3): the claim table is GATED on the calibrated
+        # row-count regime (>= 50k joined rows) — below it the GK/HLL
+        # envelope legitimately exceeds the bands (the docstring's
+        # sf0.001 warning), and the compare emits one explicit
+        # 'uncalibrated' sentinel on BOTH sides instead of a false
+        # hash failure indistinguishable from an engine regression.
+        # sf0.01 and up (the driver gate's scales) are unchanged.
         "wide_fit_contract": (
+            "WITH n AS (SELECT count(*) AS c FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey) "
             "SELECT t.m AS metric, v.name, 0.0 AS value FROM (VALUES "
             "('n_bins_delta_band'), ('iv_delta_band'), "
             "('split_dist_band')) t(m), (VALUES "
             + ", ".join(f"('{v}')" for v in _WIDE_NUM_VARS + _WIDE_CAT_VARS)
-            + ") v(name)"
+            + ") v(name) WHERE (SELECT c FROM n) >= 50000 "
+            "UNION ALL SELECT 'uncalibrated_below_regime', 'corpus', "
+            "0.0 WHERE (SELECT c FROM n) < 50000"
         ),
         "multimodal_features": _sql_multimodal_features(),
         "scorecard_scores_linear": _sql_scorecard_scores_linear(),
