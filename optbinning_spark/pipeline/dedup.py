@@ -651,32 +651,48 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         rare = sh.join(keep, "sh")
-    # post-cap shingle count per doc = the Jaccard set size
-    sized = rare.withColumn(
-        "n_sh", F.count("*").over(W.partitionBy(id_col))
+    # r17 shape (guide §2.4): the inverted-index groupBy follows the
+    # df-cap window DIRECTLY — both are keyed on the shingle, so the
+    # aggregation reuses the window's hash partitioning and adds NO
+    # exchange. The per-doc Jaccard set sizes (previously a second
+    # full-index window over the DOC key: one more index-wide
+    # exchange + sort between the two shingle-keyed stages) are
+    # deferred: they are recovered from the grouped table itself —
+    # every surviving (doc, shingle) row sits in exactly one group's
+    # ids array, so exploding the arrays and counting per doc gives
+    # the same post-cap set size — and attached to the PAIR
+    # aggregation output (one bounded row per candidate pair) instead
+    # of to every index row. The grouped table is checkpointed once
+    # (one row per surviving shingle, ids arrays <= max_doc_freq —
+    # the compact post-agg form) so its two consumers (pair fan-out,
+    # set sizes) do not each re-run the scan->shingle->cap subtree.
+    grouped = rare.groupBy("sh").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
     )
-    grouped = sized.groupBy("sh").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n_sh")))
-        ).alias("ids")
+    if not df.isStreaming:
+        grouped = grouped.localCheckpoint(eager=True)
+    # post-cap shingle count per doc = the Jaccard set size
+    sizes = (
+        grouped.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_sh"))
     )
     pairs = grouped.select(
         F.explode(
             F.expr(
                 "flatten(transform(ids, (x, i) -> "
                 "transform(slice(ids, i + 2, size(ids)), y -> "
-                "struct(x.id as id_a, y.id as id_b, "
-                "x.n_sh as n_a, y.n_sh as n_b))))"
+                "struct(x as id_a, y as id_b))))"
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
+    ).select("p.id_a", "p.id_b")
     return (
         pairs.groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("n_common"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-        )
+        .agg(F.count("*").alias("n_common"))
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
         .withColumn(
             "jaccard",
             F.round(

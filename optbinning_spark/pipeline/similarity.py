@@ -748,19 +748,23 @@ def bm25_topk(
                       / (tf(t,d) + k1 * (1 - b + b * |d| / avgdl))
         idf(t) = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
 
-    Physical strategy (the 100 TB shape): ONE corpus scan — tokens
-    explode, SEMI-JOIN the broadcast query-term set BEFORE the
-    (doc, term) frequency aggregation (so the agg runs over matching
-    tokens only), and document frequency comes from a window count
-    over the term key on that already-filtered table instead of a
-    second aggregation of the corpus subtree (which would evaluate
-    the scan twice — measured 3.9s vs 2.1s at organic sf1). The
-    per-term window partition holds one row per MATCHING DOC, the
-    same bounded-hot-key shape as the dedup pipelines' df-cap window
-    (see ngram_jaccard_pairs' A/B); N/avgdl ride one tiny separate
-    aggregate. Per-(query, doc) scores reduce with one groupBy and
-    rank with one window over the query key. Ties break by doc id
-    (deterministic).
+    Physical strategy (the 100 TB shape): ONE corpus scan total —
+    tokens explode plus one NULL-token sentinel row per document
+    (``split`` never yields NULL elements, so the sentinel cannot
+    collide with a real term), a broadcast left-join keeps the
+    sentinel and query-term rows before the (doc, term) frequency
+    aggregation, and the compact result — one row per matching
+    (doc, term) plus one per doc — is localCheckpoint'ed. Corpus
+    N/avgdl then read off the sentinel rows of the MATERIALIZED
+    table (the r16 shape paid a second full corpus tokenization for
+    them), and document frequency comes from a window count over the
+    term key (a second aggregation of the corpus subtree would
+    evaluate the scan twice — measured 3.9s vs 2.1s at organic sf1).
+    The per-term window partition holds one row per MATCHING DOC,
+    the same bounded-hot-key shape as the dedup pipelines' df-cap
+    window (see ngram_jaccard_pairs' A/B). Per-(query, doc) scores
+    reduce with one groupBy and rank with one window over the query
+    key. Ties break by doc id (deterministic).
 
     Returns (query_id, doc_id aliased to ``nbr_id``, score, rank).
     """
@@ -775,18 +779,33 @@ def bm25_topk(
         )
         .distinct()
     )
-    # query-term-filtered per-doc term frequencies + doc length
-    tf = (
+    # ONE scan: per-doc term frequencies for the query terms plus a
+    # tf=1 sentinel row (t NULL) per document carrying the doc count
+    # and length for the corpus stats. NULL-text docs keep their
+    # sentinel row (coalesce to the empty array), matching the
+    # count(*)-over-documents semantics of the previous two-scan
+    # shape: N counts them, avg(__dl) skips their NULL length.
+    tf_all = (
         docs.select(
             F.col(id_col),
             F.size(words).alias("__dl"),
-            F.explode(words).alias("t"),
+            F.explode(F.concat(
+                F.array(F.lit(None).cast("string")),
+                F.coalesce(words, F.array().cast("array<string>")),
+            )).alias("t"),
         )
-        .join(F.broadcast(qterms.select("t").distinct()), "t")
+        .join(F.broadcast(qterms.select("t").distinct()
+                          .withColumn("__m", F.lit(1))), "t", "left_outer")
+        .filter(F.col("t").isNull() | F.col("__m").isNotNull())
         .groupBy(id_col, "__dl", "t")
         .agg(F.count("*").alias("tf"))
+        # a few rows per doc — the same bytes the df window's
+        # exchange carries; trades the stats action's second full
+        # corpus tokenization for one compact materialization
+        .localCheckpoint(eager=True)
     )
-    stats = docs.select(F.size(words).alias("__dl")).agg(
+    tf = tf_all.filter(F.col("t").isNotNull())
+    stats = tf_all.filter(F.col("t").isNull()).agg(
         F.count("*").alias("N"), F.avg("__dl").alias("avgdl")).first()
     n_docs, avgdl = float(stats["N"]), float(stats["avgdl"])
     # df(t) = number of rows (= docs) per term in the filtered table

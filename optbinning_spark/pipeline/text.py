@@ -511,24 +511,41 @@ def ngram_lm_perplexity(
             F.when(F.col("pos") > 0,
                    F.element_at(F.col("__ws"), F.col("pos"))).alias("v"),
         )
-    uni = (
-        lm_corpus.filter(F.col(text_col).isNotNull())
-        .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .groupBy("w").agg(F.count("*").alias("c1"))
-        # materialize the vocab table ONCE: it feeds the T/V stats
-        # action and TWO scoring joins (w and prev-word sides) — left
-        # as lineage, the reference-corpus scan would re-run for each
-        # consumer (4 scans of lm_corpus instead of 2)
-        .localCheckpoint(eager=True)
-    )
-    stats = uni.agg(F.sum("c1").alias("T"), F.count("*").alias("V")).first()
-    T, V = float(stats["T"] or 0), float(stats["V"] or 0)
-    bi = (
+    # ONE tokenization of the reference corpus feeds BOTH count
+    # tables: each token row expands to a tagged unigram row plus
+    # (when a previous word exists) a tagged bigram row, and a single
+    # map-side-combinable aggregation counts both. Materialized ONCE:
+    # the result feeds the T/V stats action and THREE scoring joins
+    # (w / prev-word unigram sides, bigram side) — left as lineage,
+    # the reference-corpus scan would re-run for each consumer (4
+    # scans of lm_corpus instead of this 1; the r16 shape paid 2 —
+    # a checkpointed unigram table plus a lineage bigram subtree).
+    # The checkpoint holds one row per distinct uni-/bigram — the
+    # same bytes the scoring joins shuffle anyway (MEMORY_AND_DISK,
+    # spills rather than pins at corpus scale).
+    lm_counts = (
         grams(lm_corpus.select(
             F.monotonically_increasing_id().alias(id_col), text_col))
-        .filter(F.col("v").isNotNull())
-        .groupBy("v", "w").agg(F.count("*").alias("c2"))
+        .select(F.explode(F.array(
+            F.struct(F.lit(0).alias("__tag"),
+                     F.lit(None).cast("string").alias("v"),
+                     F.col("w").alias("w")),
+            F.struct(F.lit(1).alias("__tag"),
+                     F.col("v").alias("v"),
+                     F.col("w").alias("w")),
+        )).alias("g"))
+        .select("g.__tag", "g.v", "g.w")
+        .filter((F.col("__tag") == 0) | F.col("v").isNotNull())
+        .groupBy("__tag", "v", "w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    uni = lm_counts.filter(F.col("__tag") == 0).select(
+        "w", F.col("c").alias("c1"))
+    bi = lm_counts.filter(F.col("__tag") == 1).select(
+        "v", "w", F.col("c").alias("c2"))
+    stats = uni.agg(F.sum("c1").alias("T"), F.count("*").alias("V")).first()
+    T, V = float(stats["T"] or 0), float(stats["V"] or 0)
     g = grams(docs)
     g = (
         g.join(uni.alias("uw"), g["w"] == F.col("uw.w"), "left")

@@ -151,15 +151,26 @@ def test_process_fit_is_two_actions(spark, lineitem):
 
 
 def test_jaccard_single_scan(spark):
-    """Jaccard pairs must stay one linear pipeline: a single parquet
-    scan, no duplicated subtrees, no joins."""
+    """Jaccard pairs tokenizes the corpus exactly once: the grouped
+    inverted index is materialized (checkpoint) right after the
+    shingle-keyed aggregation, and every downstream consumer (pair
+    fan-out, per-doc set sizes) reads that compact table — the final
+    plan must contain NO parquet re-scan of the corpus and no
+    duplicated shingle subtree. The only joins allowed are the two
+    bounded attach-joins of the per-doc set sizes onto the candidate
+    pairs (equi-joins; never cartesian). The r16 shape instead paid a
+    full-index doc-keyed window (exchange + sort of every (doc,
+    shingle) row) to carry the sizes."""
     from optbinning_spark.pipeline.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     q = ngram_jaccard_pairs(docs, "text", "doc_id")
     plan = _plan(q)
-    assert plan.count("Scan parquet") == 1, plan
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert "CartesianProduct" not in plan and "Cartesian" not in plan, plan
+    # no full-index window remains (the df-cap window, when it fires,
+    # sits above the checkpoint; this fixture stays under the cap)
+    assert "Window" not in plan, plan
 
 
 def test_dup_ngram_spans_single_scan_no_join(spark):
@@ -354,7 +365,14 @@ def test_bm25_and_perplexity_plan_shapes(spark):
     p1 = bm25_topk(docs, qs, k=5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Cartesian" not in p1
-    assert p1.count("BroadcastHashJoin") >= 2  # qterms + df_t sides
+    # the qterms pre-filter broadcast join sits INSIDE the eagerly
+    # checkpointed single-scan tf stage (r17 shape — the corpus is
+    # tokenized once and reduced before materialization), so the final
+    # plan shows only the scoring-side qterms broadcast join; the
+    # checkpoint scan must have replaced every parquet re-scan of the
+    # corpus in this downstream plan
+    assert p1.count("BroadcastHashJoin") >= 1  # qterms scoring side
+    assert "Scan parquet" not in p1, p1
     p2 = ngram_lm_perplexity(docs, docs.filter("lang = 'en'")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in p2
