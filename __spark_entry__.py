@@ -1652,13 +1652,21 @@ def q_sketch_binning_exact(spark, sf_dir):
     quantile splits — and the whole add/add/solve pipeline replays
     exactly in SQL (per-half grids, weighted midpoint interpolation,
     DP enumeration)."""
-    from optbinning_spark.streaming.sketch import OptimalBinningSketch
+    from optbinning_spark.streaming.sketch import (
+        OptimalBinningSketch,
+        add_shards,
+    )
 
     df = _lineitem(spark, sf_dir)
     sk = OptimalBinningSketch(
         monotonic_trend="descending", max_n_prebins=8, sketch_size=8192)
-    sk.add(df.filter(F.col("l_orderkey") % 2 == 0), "l_quantity", "y")
-    sk.add(df.filter(F.col("l_orderkey") % 2 == 1), "l_quantity", "y")
+    # the two shard aggregations are independent Spark jobs — submit
+    # them concurrently; folds run in list order so the sketch state
+    # is byte-identical to sequential add() calls (r17)
+    add_shards([
+        (sk, df.filter(F.col("l_orderkey") % 2 == 0), "l_quantity", "y"),
+        (sk, df.filter(F.col("l_orderkey") % 2 == 1), "l_quantity", "y"),
+    ])
     ob = sk.solve()
     return spark.createDataFrame(ob.binning_table.build()).select(
         "bin",
@@ -1700,13 +1708,20 @@ def q_sketch_binning_table(spark, sf_dir):
     value-for-value by sketch_binning_exact."""
     import math
 
-    from optbinning_spark.streaming.sketch import OptimalBinningSketch
+    from optbinning_spark.streaming.sketch import (
+        OptimalBinningSketch,
+        add_shards,
+    )
 
     df = _lineitem(spark, sf_dir)
     sk1 = OptimalBinningSketch(monotonic_trend="auto")
     sk2 = OptimalBinningSketch(monotonic_trend="auto")
-    sk1.add(df.filter(F.col("l_orderkey") % 2 == 0), "l_extendedprice", "y")
-    sk2.add(df.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice", "y")
+    # concurrent shard aggregations, sequential folds (r17): state and
+    # output identical to the sequential add() pair it replaces
+    add_shards([
+        (sk1, df.filter(F.col("l_orderkey") % 2 == 0), "l_extendedprice", "y"),
+        (sk2, df.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice", "y"),
+    ])
     sk1.merge(sk2)
     ob = sk1.solve()
     pdf = ob.binning_table.build(add_totals=False)

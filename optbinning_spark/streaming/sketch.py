@@ -160,6 +160,15 @@ class OptimalBinningSketch:
     # -- T1: update ------------------------------------------------------
     def add(self, df: DataFrame, x: str, y: str, sample_weight: str | None = None):
         """Fold one (micro-)batch through a single Spark aggregation."""
+        return self._fold_rows(self._batch_rows(df, x, y, sample_weight))
+
+    def _batch_rows(self, df: DataFrame, x: str, y: str,
+                    sample_weight: str | None = None) -> list:
+        """The Spark side of add(): the bounded per-batch histogram
+        rows, collected. Split from the driver-side fold so that
+        independent shard adds can run their (two-action) aggregations
+        concurrently — see add_shards — while folds stay sequential
+        and state stays byte-identical to sequential add() calls."""
         c = F.col(x).cast("double") if self.dtype == "numerical" else F.col(x)
         sclass = sample_class_expr(c, self.dtype, self.special_codes)
         w = F.col(sample_weight) if sample_weight else F.lit(1.0)
@@ -183,13 +192,17 @@ class OptimalBinningSketch:
             key = F.when(sclass == CLEAN, grid)
         else:
             key = F.when(sclass == CLEAN, c)
-        rows = (
+        return (
             df.groupBy(
                 sclass.alias("sc"), key.alias("k"), F.col(y).alias("yy")
             )
             .agg(F.sum(w).alias("w"))
             .collect()
         )
+
+    def _fold_rows(self, rows: list):
+        """The driver side of add(): fold collected histogram rows
+        into the sketch state."""
         for r in rows:
             wv = float(r["w"] or 0.0)
             yy = int(r["yy"])
@@ -404,6 +417,44 @@ class OptimalBinningSketch:
         report = "\n".join(lines)
         print(report)
         return report
+
+
+def add_shards(tasks: list, max_workers: int | None = None):
+    """Run independent shard add()s with their Spark aggregations
+    submitted concurrently from a small driver thread pool, folding
+    each shard's collected rows into its sketch IN LIST ORDER.
+
+    ``tasks``: list of (sketch, df, x, y) or (sketch, df, x, y,
+    sample_weight) tuples. Returns the sketches in task order.
+
+    Why: each numerical add() is two sequential Spark actions (grid
+    min/max, then the grouped fold) over its shard, and a batch
+    backfill of k shards runs 2k actions end to end. The actions of
+    DIFFERENT shards are independent, so submitting them from driver
+    threads lets the scheduler back-fill the tail of one shard's scan
+    with the next shard's tasks (Spark schedules concurrent jobs FIFO
+    — exactly the overlap shape of the optimization guide's
+    "overlap independent jobs"). State stays byte-identical to
+    sequential add() calls: only the cluster-side aggregations
+    overlap; the driver-side folds run sequentially in task order
+    (the collected histogram rows per shard are a deterministic
+    aggregation result either way). Streaming frames are rejected —
+    this is the batch/backfill entry point; foreachBatch micro-batches
+    keep calling add() directly."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    for t in tasks:
+        if t[1].isStreaming:
+            raise ValueError("add_shards is batch-only; use add() in "
+                             "streaming foreachBatch sinks")
+    if max_workers is None:
+        max_workers = min(len(tasks), 4) or 1
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futs = [pool.submit(t[0]._batch_rows, *t[1:]) for t in tasks]
+        rows_per_shard = [f.result() for f in futs]
+    for t, rows in zip(tasks, rows_per_shard):
+        t[0]._fold_rows(rows)
+    return [t[0] for t in tasks]
 
 
 class BinningProcessSketch:

@@ -85,6 +85,53 @@ def test_sketch_merge_equivalent_to_single(spark, batches):
     assert combined.binning_table.count.sum() == pytest.approx(5000)
 
 
+def test_add_shards_state_identical_to_sequential(spark, batches):
+    """add_shards overlaps the per-shard Spark aggregations on driver
+    threads but folds in list order — the sketch state (centroid
+    arrays, counters) must be byte-identical to sequential add()
+    calls, on both the separate-sketch and same-sketch shapes."""
+    from optbinning_spark.streaming.sketch import add_shards
+
+    # same-sketch shape (q_sketch_binning_exact)
+    seq = OptimalBinningSketch(monotonic_trend="ascending")
+    for b in batches[:3]:
+        seq.add(b, "x", "y")
+    par = OptimalBinningSketch(monotonic_trend="ascending")
+    add_shards([(par, b, "x", "y") for b in batches[:3]])
+    for k in (0, 1):
+        assert np.array_equal(seq._sk[k].values, par._sk[k].values)
+        assert np.array_equal(seq._sk[k].weights, par._sk[k].weights)
+    assert seq.n_add == par.n_add == 3
+    assert seq.solve().binning_table.build().equals(
+        par.solve().binning_table.build())
+    # separate-sketch shape (q_sketch_binning_table)
+    a1 = OptimalBinningSketch(monotonic_trend="ascending")
+    a2 = OptimalBinningSketch(monotonic_trend="ascending")
+    add_shards([(a1, batches[0], "x", "y"), (a2, batches[1], "x", "y")])
+    b1 = OptimalBinningSketch(monotonic_trend="ascending")
+    b1.add(batches[0], "x", "y")
+    b2 = OptimalBinningSketch(monotonic_trend="ascending")
+    b2.add(batches[1], "x", "y")
+    a1.merge(a2)
+    b1.merge(b2)
+    for k in (0, 1):
+        assert np.array_equal(a1._sk[k].values, b1._sk[k].values)
+        assert np.array_equal(a1._sk[k].weights, b1._sk[k].weights)
+
+
+def test_add_shards_rejects_streaming(spark, batches, tmp_path):
+    from optbinning_spark.streaming.sketch import add_shards
+
+    batches[0].write.mode("overwrite").parquet(str(tmp_path / "b"))
+    stream = (
+        spark.readStream.schema("x double, y int")
+        .parquet(str(tmp_path / "b"))
+    )
+    sk = OptimalBinningSketch()
+    with pytest.raises(ValueError, match="batch-only"):
+        add_shards([(sk, stream, "x", "y")])
+
+
 def test_categorical_sketch(spark):
     rows = [(c, int(i % 3 == 0)) for i, c in enumerate("aabbbcccc" * 300)]
     df = spark.createDataFrame(rows, "cat string, y int")
