@@ -3863,7 +3863,7 @@ def q_bpe_subword_count(spark, sf_dir):
         token_count_expr(F.col("text")).alias("n_ws_tokens"),
         bpe_token_count_expr(F.col("text")).cast("int")
         .alias("n_pretokens"),
-        bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+        bpe_token_count_col("text").alias("n_bpe_tokens"),
     )
 
 

@@ -55,3 +55,47 @@ def double_array_lit(values) -> Column:
     table shipped into an expression (DSIR ratio tables, NB LLR
     weights, centroid/codebook matrices, percentile grids)."""
     return F.expr(_render(values))
+
+
+def _fmt_str(s: str) -> str:
+    # Spark's default (non-escapedStringLiterals) parser understands
+    # backslash escapes inside single-quoted literals; escape the two
+    # metacharacters and render control chars as unicode escapes so
+    # the rendered SQL is one printable line
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == "'":
+            out.append("\\'")
+        elif ord(ch) < 32 or ord(ch) == 127:
+            out.append(f"\\u{ord(ch):04X}")
+        else:
+            out.append(ch)
+    return "'" + "".join(out) + "'"
+
+
+def str_int_map_sql(mapping: dict) -> str:
+    """The SQL ``map(...)`` rendering behind ``str_int_map_lit`` —
+    exposed so builders composing a larger single-round-trip
+    expression string can inline it."""
+    if not mapping:
+        return "CAST(map() AS MAP<STRING,INT>)"
+    parts = []
+    for k, v in mapping.items():
+        parts.append(_fmt_str(str(k)))
+        parts.append(str(int(v)))
+    return "map(" + ",".join(parts) + ")"
+
+
+def str_int_map_lit(mapping: dict) -> Column:
+    """One-call ``map<string,int>`` literal Column for a bounded
+    Python dict (a pinned BPE vocab, a category code table). Same
+    rationale as ``double_array_lit``: ``F.create_map(*lits)`` costs
+    one py4j round trip per key AND per value (~0.45 ms each), so a
+    130-symbol vocab burns ~0.12 s of pure driver socket latency per
+    query construction; rendering the same pairs as ONE parsed
+    ``map(...)`` expression is a single round trip at any size.
+    Insertion order is preserved (matters only for duplicate keys,
+    which a dict cannot hold)."""
+    return F.expr(str_int_map_sql(mapping))

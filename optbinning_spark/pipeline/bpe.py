@@ -53,6 +53,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..operators.fastlit import str_int_map_lit, str_int_map_sql
 from .bpe_vocab import MINI_MERGES
 from .text import BPE_TOKEN_PATTERN
 
@@ -116,19 +117,85 @@ def _merged_string(text: Column, merges) -> Column:
     return s
 
 
-def bpe_tokens_col(text: Column, merges=None) -> Column:
+def _spark_str(s: str) -> str:
+    """Spark-SQL single-quoted string literal (backslash escaping —
+    the default non-escapedStringLiterals parser; control characters,
+    notably SEP=chr(30), render as unicode escapes)."""
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == "'":
+            out.append("\\'")
+        elif ord(ch) < 32 or ord(ch) == 127:
+            out.append(f"\\u{ord(ch):04X}")
+        else:
+            out.append(ch)
+    return "'" + "".join(out) + "'"
+
+
+def _as_col_sql(text) -> str | None:
+    """SQL rendering of ``text`` when it is a plain column NAME (str);
+    None for Column inputs — those take the Column-op path."""
+    if isinstance(text, str):
+        return "`" + text.replace("`", "``") + "`"
+    return None
+
+
+def _merged_sql_spark(col_sql: str, merges) -> tuple[str, str]:
+    """(merged-string SQL, pre-token-array SQL) for Spark — the
+    driver-latency fast path. Each Column method call is one py4j
+    round trip (~0.45 ms), so the 40-merge cascade built with Column
+    ops costs ~160 round trips (~0.4 s of pure socket latency) per
+    query construction; rendering the identical expression tree as
+    ONE parsed SQL string is a single round trip at any merge count.
+    Operator-for-operator the same tree as _merged_string /
+    _pretokens (replace / regexp_extract_all / transform /
+    regexp_replace / array_join), so plans and results are
+    byte-identical (asserted in tests/test_bpe.py)."""
+    clean = f"replace({col_sql}, {_spark_str(SEP)}, '')"
+    toks = (f"regexp_extract_all({clean}, "
+            f"{_spark_str(BPE_TOKEN_PATTERN)}, 0)")
+    expr = ("array_join(transform(" + toks + ", t -> concat(" +
+            _spark_str(SEP) + ", regexp_replace(t, '(.)', " +
+            _spark_str("$1" + SEP) + "))), '')")
+    for a, b in merges:
+        pat = _spark_str(SEP + a + SEP + b + SEP)
+        rep = _spark_str(SEP + a + b + SEP)
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    return expr, toks
+
+
+def bpe_tokens_col(text, merges=None) -> Column:
     """Array of BPE tokens of ``text`` (pre-token boundaries
-    respected; tokens carry their GPT-2-style leading space)."""
+    respected; tokens carry their GPT-2-style leading space).
+    ``text`` may be a Column or a plain column name (str) — the str
+    form builds the whole merge cascade as one parsed SQL expression
+    (one py4j round trip instead of ~4 per merge)."""
     merges = MINI_MERGES if merges is None else merges
+    col_sql = _as_col_sql(text)
+    if col_sql is not None:
+        merged, _ = _merged_sql_spark(col_sql, merges)
+        return F.expr(
+            f"filter(split({merged}, {_spark_str(SEP)}), x -> x != '')")
     return F.filter(F.split(_merged_string(text, merges), SEP),
                     lambda x: x != "")
 
 
-def bpe_token_count_col(text: Column, merges=None) -> Column:
+def bpe_token_count_col(text, merges=None) -> Column:
     """BPE token count of ``text`` under ``merges`` — the
     tokenizer-faithful replacement for whitespace word counts in
-    chunking/packing. NULL text -> NULL; empty text -> 0."""
+    chunking/packing. NULL text -> NULL; empty text -> 0.
+    ``text`` may be a Column or a plain column name (str, the
+    one-round-trip SQL path)."""
     merges = MINI_MERGES if merges is None else merges
+    col_sql = _as_col_sql(text)
+    if col_sql is not None:
+        merged, toks = _merged_sql_spark(col_sql, merges)
+        sep = _spark_str(SEP)
+        return F.expr(
+            f"CAST(((length({merged}) - length(replace({merged}, {sep},"
+            f" ''))) - size({toks})) AS INT)")
     s = _merged_string(text, merges)
     n_sep = F.length(s) - F.length(F.replace(s, F.lit(SEP), F.lit("")))
     return (n_sep - F.size(_pretokens(text))).cast("int")
@@ -299,20 +366,30 @@ def bpe_vocab(merges=None, base_chars: str | None = None
     return vocab
 
 
-def bpe_token_ids_col(text: Column, merges=None,
+def bpe_token_ids_col(text, merges=None,
                       vocab: dict[str, int] | None = None) -> Column:
     """Array of integer token ids — what a trainer actually consumes
     after packing. Tokens map through the :func:`bpe_vocab` table
     shipped as a map literal (broadcast-by-literal, no join, no UDF);
     out-of-vocabulary symbols map to UNK=0 rather than dropping, so
-    sequence lengths stay equal to :func:`bpe_token_count_col`."""
+    sequence lengths stay equal to :func:`bpe_token_count_col`.
+    ``text`` may be a Column or a plain column name (str): the str
+    form renders tokenizer + vocab map as ONE parsed SQL expression
+    — one py4j round trip instead of ~4 per merge + 2 per vocab
+    entry of pure driver socket latency."""
     merges = MINI_MERGES if merges is None else merges
     vocab = bpe_vocab(merges) if vocab is None else vocab
-    pairs: list[Column] = []
-    for sym, i in vocab.items():
-        pairs.append(F.lit(sym))
-        pairs.append(F.lit(i))
-    vmap = F.create_map(*pairs)
+    col_sql = _as_col_sql(text)
+    if col_sql is not None:
+        merged, _ = _merged_sql_spark(col_sql, merges)
+        toks = (f"filter(split({merged}, {_spark_str(SEP)}), "
+                "x -> x != '')")
+        return F.expr(
+            f"transform({toks}, t -> coalesce({str_int_map_sql(vocab)}"
+            "[t], 0))")
+    # one parsed map literal, not per-entry F.lit py4j calls (fastlit
+    # rationale: ~0.45 ms socket latency per call x 2 x |vocab|)
+    vmap = str_int_map_lit(vocab)
     toks = bpe_tokens_col(text, merges)
     return F.transform(toks,
                        lambda t: F.coalesce(vmap[t], F.lit(0)))

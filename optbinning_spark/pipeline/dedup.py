@@ -194,6 +194,23 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
     return shingles_from_words(F.split(text, " "), n)
 
 
+def _q(name: str) -> str:
+    """Backtick-quoted SQL identifier."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def shingles_from_words_sql(words_sql: str, n: int = 3) -> str:
+    """SQL rendering of shingles_from_words over an already-projected
+    words column — the driver-latency fast path (one parsed F.expr
+    round trip instead of ~10 Column-op py4j calls; same NULL-words
+    guard, same expression tree operator for operator)."""
+    return (
+        f"CASE WHEN {words_sql} IS NULL THEN CAST(NULL AS ARRAY<STRING>)"
+        f" ELSE transform(sequence(0, greatest(size({words_sql}) - {n},"
+        f" 0)), i -> concat_ws(' ', slice({words_sql}, i + 1, {n}))) END"
+    )
+
+
 def minhash_expr(text: Column, seed: int, shingle_n: int = 3) -> Column:
     """MinHash for one hash function: min over shingles of
     md5('s<seed>|' || shingle). Lexicographic min over hex strings is a
@@ -226,26 +243,28 @@ def staged_minhash_arrays(
     materialized shingle array in the same projection level — e.g.
     duplicate_clusters' verify arrays, so banding and verification
     share one text scan instead of two (r17)."""
-    # NB: F.transform treats a 2-arg lambda as (element, index) — use
-    # single-arg closures from factories to bind loop variables.
-    def _salted(k: int):
-        salt = f"s{k}|"
-        return F.transform(
-            F.col("__sh"), lambda s: F.md5(F.concat(F.lit(salt), s)))
-
+    # Computed columns are built as parsed SQL strings — one py4j
+    # round trip each instead of one per Column METHOD call (~0.45 ms
+    # of socket latency each; the Column-op version of this staging
+    # cost ~0.2 s of pure driver latency per consumer). Identical
+    # expression trees (md5/concat/transform over the same projected
+    # columns), asserted value-identical in tests/test_pipeline.py.
     n_salts = (n_hashes + 3) // 4
     extras = [
         fn(F.col("__sh")).alias(name)
         for name, fn in (extra_from_shingles or {}).items()
     ]
     return (
-        df.select(*keep_cols, F.split(F.col(text_col), " ").alias("__w"))
+        df.select(*keep_cols,
+                  F.expr(f"split({_q(text_col)}, ' ')").alias("__w"))
         .select(
             *keep_cols,
-            shingles_from_words(F.col("__w"), shingle_n).alias("__sh"))
+            F.expr(shingles_from_words_sql("`__w`", shingle_n))
+            .alias("__sh"))
         .select(
             *keep_cols,
-            *[_salted(k).alias(f"__h{k}") for k in range(n_salts)],
+            *[F.expr("transform(`__sh`, s -> md5(concat('s%d|', s)))"
+                     % k).alias(f"__h{k}") for k in range(n_salts)],
             *extras,
         )
     )
@@ -257,14 +276,13 @@ def minhash_lane_cols(n_hashes: int) -> list:
     md5 is 128 bits = four independent 32-bit lanes, so each salted
     md5 yields FOUR hash functions (standard k-bit slicing) — a
     16-hash signature costs 4 md5 calls per shingle instead of 16."""
-    def _lane_min(arr, lane: int):
-        off = lane * 8 + 1
-        return F.array_min(F.transform(arr, lambda h: F.substring(h, off, 8)))
-
     cols = []
     for i in range(n_hashes):
         salt, lane = divmod(i, 4)
-        cols.append(_lane_min(F.col(f"__h{salt}"), lane).alias(f"mh{i}"))
+        off = lane * 8 + 1
+        cols.append(
+            F.expr(f"array_min(transform(`__h{salt}`, "
+                   f"h -> substring(h, {off}, 8)))").alias(f"mh{i}"))
     return cols
 
 
@@ -308,15 +326,13 @@ def lsh_bands(
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):
-        parts = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("band_key"),
-            )
-        )
+        parts = ", ".join(
+            f"`mh{b * band_size + j}`" for j in range(band_size))
+        bands.append(f"named_struct('band', {b}, 'band_key', "
+                     f"md5(concat_ws('|', {parts})))")
     return signatures.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+        F.col(id_col),
+        F.expr("explode(array(" + ", ".join(bands) + "))").alias("b"),
     ).select(id_col, "b.band", "b.band_key")
 
 
@@ -601,9 +617,9 @@ def ngram_jaccard_pairs(
                 F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
             .select(
                 F.col(id_col),
-                F.explode(F.array_distinct(
-                    shingles_from_words(F.col("__w"), shingle_n))
-                ).alias("sh"),
+                F.expr("explode(array_distinct(" +
+                       shingles_from_words_sql("`__w`", shingle_n) +
+                       "))").alias("sh"),
             )
         )
         if hash_shingles:
@@ -670,6 +686,14 @@ def ngram_jaccard_pairs(
         F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
     )
     if not df.isStreaming:
+        # measured and rejected (r17): a repartition-by-num before
+        # this checkpoint (the semantic_dedup AQE-exemption pattern)
+        # read 1.7->2.0 s on interleaved fresh-JVM A/Bs — unlike the
+        # unbounded within-cluster self-join there, this fan-out is
+        # bounded at max_doc_freq^2/2 pairs per group, so AQE's
+        # byte-proxy coalescing under-parallelizes by at most a
+        # bounded constant and the extra exchange costs more than the
+        # parallelism buys.
         grouped = grouped.localCheckpoint(eager=True)
     # post-cap shingle count per doc = the Jaccard set size
     sizes = (
@@ -760,7 +784,8 @@ def simhash(
             F.col(id_col), toks.alias("__w")
         ).select(
             F.col(id_col),
-            shingles_from_words(F.col("__w"), shingle_n).alias("__t"),
+            F.expr(shingles_from_words_sql("`__w`", shingle_n))
+            .alias("__t"),
         )
     else:
         staged = df.select(F.col(id_col), toks.alias("__t"))
@@ -1120,9 +1145,9 @@ def verify_pairs_jaccard(
                 F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
             .select(
                 F.col(id_col),
-                F.array_distinct(
-                    shingles_from_words(F.col("__w"), shingle_n)
-                ).alias("__sh"),
+                F.expr("array_distinct(" +
+                       shingles_from_words_sql("`__w`", shingle_n) +
+                       ")").alias("__sh"),
             )
         )
         if hash_shingles:

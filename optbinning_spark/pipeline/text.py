@@ -338,7 +338,7 @@ def chunk_documents(
     if token_counter == "bpe":
         from .bpe import bpe_tokens_col
 
-        words = bpe_tokens_col(F.col(text_col), merges)
+        words = bpe_tokens_col(text_col, merges)
         join_sep = ""
     else:
         words = F.split(F.col(text_col), " ")
@@ -430,7 +430,7 @@ def pack_sequences(
     elif token_counter == "bpe":
         from .bpe import bpe_token_count_col
 
-        n = bpe_token_count_col(F.col(text_col), merges).cast("long")
+        n = bpe_token_count_col(text_col, merges).cast("long")
     else:
         n = token_count_expr(F.col(text_col))
     base = df.select(

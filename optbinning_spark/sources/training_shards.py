@@ -86,7 +86,7 @@ def build_training_sequences(
     if tokenizer == "arrow":
         ids_expr = bpe_token_ids_pandas_udf(merges)(F.col(text_col))
     else:
-        ids_expr = bpe_token_ids_col(F.col(text_col), merges)
+        ids_expr = bpe_token_ids_col(text_col, merges)
     ids = df.select(
         F.col(id_col),
         *([F.col(shard_col)] if shard_col else []),
