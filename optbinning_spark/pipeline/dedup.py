@@ -1028,7 +1028,21 @@ def connected_components(
         schema = e.select(
             F.col("src").alias("node"), F.col("src").alias("component")
         ).schema
-        return pairs.sparkSession.createDataFrame(out, schema)
+        spark = pairs.sparkSession
+        if out:
+            # ship the driver-local result through the Arrow
+            # createDataFrame path (r17): the plain-list path
+            # parallelizes PICKLED rows and every downstream job pays
+            # a 32-task applySchemaToPythonRDD stage that spawns a
+            # Python worker per task (measured 0.5 s per action at
+            # sf0.1); Arrow batches are decoded JVM-side, no Python
+            # workers in the timed plan. Values are int64 either way
+            # — byte-identical output.
+            import pandas as pd
+
+            return spark.createDataFrame(
+                pd.DataFrame(out, columns=["node", "component"]), schema)
+        return spark.createDataFrame(out, schema)
     stats["path"] = "distributed"
     prev = None
     converged = False
@@ -1082,9 +1096,19 @@ def clusters_from_pairs(
     the minimum id per cluster as the canonical keep-list.
     ``driver_threshold`` / ``checkpoint_dir`` / ``stats`` pass through
     to connected_components (0 forces the distributed star loop)."""
+    if stats is None:
+        stats = {}
     cc = connected_components(
         pairs, "id_a", "id_b", driver_threshold=driver_threshold,
         checkpoint_dir=checkpoint_dir, stats=stats)
+    if stats.get("path") == "driver":
+        # the component table is driver-local and bounded by
+        # driver_threshold (~2M rows max): broadcast it so the keep
+        # join is map-only over the entities instead of a sort-merge
+        # join that shuffles + sorts BOTH sides (r17; the distributed
+        # path keeps the shuffle join — its component table is
+        # unbounded at scale)
+        cc = F.broadcast(cc)
     ids = entities.select(F.col(id_col))
     joined = ids.join(cc, ids[id_col] == cc["node"], "left")
     cluster = F.coalesce(F.col("component"), F.col(id_col))
