@@ -249,10 +249,15 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_exact_dedup(spark, sf_dir):
-    """Exact dedup groups via content hash."""
+    """Exact dedup groups via content hash. Reads the raw scan, NOT
+    the spread reader: md5-per-row is cheap relative to the
+    round-robin exchange (+ its mandatory sort-before-repartition)
+    the spread pays, exactly the "cheap scans don't spread" rule in
+    sources/tables.spread — measured 0.40 s -> 0.16 s noop at
+    sf0.1."""
     from optbinning_spark.pipeline.dedup import exact_dedup_groups
 
-    docs = _documents(spark, sf_dir)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
     return exact_dedup_groups(docs)
 
 
@@ -497,12 +502,14 @@ def q_dsir_logweights(spark, sf_dir):
 
     docs = _documents(spark, sf_dir)
     # lang rides through the feature frame so the target slice is a
-    # filter on the SAME materialized integers — no join-back
+    # filter on the SAME materialized integers — no join-back; the
+    # target_flag form counts both sides in ONE pass over the
+    # checkpointed features (r17; exact integer counts either way)
     feats = dsir_features(docs, n_buckets=4096,
                           keep=("lang",)).localCheckpoint(eager=True)
-    target = feats.filter(F.col("lang") == "es")
-    w = dsir_log_weights(feats, target, n_buckets=4096,
-                         features_col="features")
+    w = dsir_log_weights(feats, None, n_buckets=4096,
+                         features_col="features",
+                         target_flag=F.col("lang") == "es")
     return w.select(
         "doc_id", (F.round("log_weight", 5) + 0.0).alias("log_weight"))
 

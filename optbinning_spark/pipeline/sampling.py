@@ -277,6 +277,7 @@ def dsir_log_weights(
     smoothing: float = 1.0,
     raw_sample_fraction: float | None = None,
     features_col: str | None = None,
+    target_flag: Column | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights for data selection (Xie et al.
     2023, "Data Selection for Language Models via Importance
@@ -361,15 +362,34 @@ def dsir_log_weights(
     # partials still bound every task at 2*n_buckets keys, and one
     # shuffle round replaces two scheduled back-to-back (integer
     # counts, so the fusion is exact, not an fp reordering)
-    rows = (
-        explode_feats(target).withColumn("__side", F.lit("t"))
-        .unionByName(
-            explode_feats(raw_for_counts).withColumn("__side", F.lit("r")))
-        .groupBy("__side", "b").agg(F.count("*").alias("n"))
-        .collect()
-    )
-    tc = {int(r["b"]): int(r["n"]) for r in rows if r["__side"] == "t"}
-    rc = {int(r["b"]): int(r["n"]) for r in rows if r["__side"] == "r"}
+    if target_flag is not None and raw_sample_fraction is None:
+        # target is a predicate SLICE of raw (the common selection
+        # shape): count both sides from ONE pass over raw's exploded
+        # features — a conditional count per bucket instead of a
+        # second explode of the target slice (r17; exact integer
+        # counts either way). Incompatible with raw-side subsampling
+        # (the target count must stay exact), hence the gate.
+        rows = (
+            raw.select(target_flag.alias("__t"),
+                       F.explode(feats).alias("b"))
+            .groupBy("b").agg(
+                F.count("*").alias("rn"),
+                F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("tn"))
+            .collect()
+        )
+        tc = {int(r["b"]): int(r["tn"]) for r in rows if r["tn"]}
+        rc = {int(r["b"]): int(r["rn"]) for r in rows}
+    else:
+        rows = (
+            explode_feats(target).withColumn("__side", F.lit("t"))
+            .unionByName(
+                explode_feats(raw_for_counts)
+                .withColumn("__side", F.lit("r")))
+            .groupBy("__side", "b").agg(F.count("*").alias("n"))
+            .collect()
+        )
+        tc = {int(r["b"]): int(r["n"]) for r in rows if r["__side"] == "t"}
+        rc = {int(r["b"]): int(r["n"]) for r in rows if r["__side"] == "r"}
     t_tot = float(sum(tc.values())) + smoothing * n_buckets
     r_tot = float(sum(rc.values())) * r_scale + smoothing * n_buckets
     ratio = [

@@ -1532,6 +1532,13 @@ def test_dsir_log_weights_brute_force(spark):
         assert got[k] == pytest.approx(expect[k], rel=1e-12)
     # target-flavored docs outscore the unrelated one
     assert min(got[0], got[3]) > got[2]
+    # the single-pass target_flag form (target = predicate slice of
+    # raw, counted with a conditional count in ONE explode) must be
+    # byte-identical to the two-frame path
+    flagged = {r["doc_id"]: r["log_weight"] for r in dsir_log_weights(
+        docs, None, n_buckets=NB,
+        target_flag=F.col("doc_id").isin(0, 3)).collect()}
+    assert flagged == got
 
 
 def test_dsir_raw_sample_fraction_and_features(spark):
