@@ -233,15 +233,44 @@ class Scorecard:
                 )
             )
             hkey = F.xxhash64(*self.selected_, F.col("__y"), F.col("__w"))
+            order_cols = [hkey, *self.selected_, "__y", "__w"]
             # Arrow toPandas, not collect(): the 100k-row sample
             # arrives as columnar batches instead of 100k py4j Row
             # objects + a Python float loop — measured 2.2 s -> 0.24 s
-            # at the sf0.1 anchor shape, bit-identical values
-            pdf = (
-                sel.orderBy(hkey, *self.selected_, "__y", "__w")
-                .limit(cap)
-                .toPandas()
-            )
+            # at the sf0.1 anchor shape, bit-identical values.
+            #
+            # Hash-threshold prefilter (r17): orderBy+limit plans as
+            # TakeOrderedAndProject — every partition keeps a cap-row
+            # priority queue over the FULL table and the driver merges
+            # the per-partition survivors single-threaded, so the pass
+            # costs ~n tuple comparisons + a driver merge. hkey is the
+            # PRIMARY sort key and xxhash64 is uniform over the signed
+            # 64-bit range, so the cap-th smallest key sits near the
+            # (cap/n)-quantile of that range: pre-filtering to
+            # hkey <= T with T at 1.5x that quantile drops ~all
+            # non-sample rows BEFORE the top-k machinery. Exactness is
+            # guaranteed, not probabilistic: every excluded row has
+            # hkey > T >= every survivor's hkey, so it ranks after the
+            # whole survivor top-k under the full tuple order — IF the
+            # filtered top-k comes back with cap rows, it IS the
+            # unfiltered top-k (set equality, same order); a short
+            # result (binomial shortfall at ~90 sigma, or a row count
+            # near cap) falls back to the exact unfiltered pass.
+            pdf = None
+            prefilter = bool(self.estimator_params.get(
+                "sample_prefilter", True))
+            n_rows = sel.count() if prefilter else 0
+            if prefilter and n_rows > 2 * cap:
+                frac = 1.5 * cap / n_rows
+                t_cut = int(-(2 ** 63) + frac * 2.0 ** 64)
+                pdf = (
+                    sel.filter(hkey <= F.lit(t_cut))
+                    .orderBy(*order_cols).limit(cap).toPandas()
+                )
+                if len(pdf) < cap:
+                    pdf = None  # margin failed: exact fallback
+            if pdf is None:
+                pdf = sel.orderBy(*order_cols).limit(cap).toPandas()
             X = pdf[list(self.selected_)].to_numpy(dtype=float)
             yy = pdf["__y"].to_numpy(dtype=float)
             ww = pdf["__w"].to_numpy(dtype=float)

@@ -314,6 +314,28 @@ def test_scorecard_huber_estimator(spark):
     assert huber_err < 2.0
 
 
+def test_huber_sample_prefilter_identical_fit(spark):
+    """The hash-threshold prefilter on the robust estimator's bounded
+    driver sample must be invisible: with max_driver_rows below the
+    row count (prefilter active, n > 2*cap) the fitted coefficients
+    and intercept are bit-identical to the exact unfiltered top-k
+    pass (sample_prefilter=False)."""
+    rng = np.random.RandomState(3)
+    rows = [(float(rng.uniform(0, 10)), float(rng.uniform(0, 5)),
+             float(rng.normal(0, 1)))
+            for _ in range(4000)]
+    df = spark.createDataFrame(rows, "a double, b double, y double")
+    coefs = {}
+    for flag in (True, False):
+        bp = BinningProcess(["a", "b"], prebinning_method="quantile")
+        sc = Scorecard(bp, estimator="huber",
+                       estimator_params={"max_driver_rows": 500,
+                                         "sample_prefilter": flag})
+        sc.fit(df, "y")
+        coefs[flag] = (dict(sc.coef_), sc.intercept_)
+    assert coefs[True] == coefs[False]
+
+
 def test_process_reference_api_surface(spark, tmp_path):
     """fit_disk/transform_disk aliases, get_support views,
     update_binned_variable, fit_from_dict (reference
