@@ -1077,9 +1077,13 @@ def connected_components(
             "max_iter"
         )
     # converged: every edge is (member, root). Roots appear only as
-    # dst — union them in as their own component.
+    # dst — union them in as their own component. No inner distinct
+    # on the roots side (r17): the trailing distinct dedups the whole
+    # union in ONE exchange; a roots-side distinct would add a second
+    # full exchange for rows the outer one dedups anyway (same
+    # argument as _large_star's dropped trailing distinct).
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
-    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component")).distinct()
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
     return members.unionByName(roots).distinct()
 
 

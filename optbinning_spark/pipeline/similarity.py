@@ -342,7 +342,10 @@ def hyperplane_signs_expr(vec: Column, dim: int, n_planes: int = 8) -> Column:
     no broadcast state, reproducible in the DuckDB oracle."""
     bits = []
     for p, w in enumerate(plane_weights(dim, n_planes)):
-        dot = dot_expr(vec, F.lit(w))
+        # one parsed array literal per plane, not dim F.lit round
+        # trips (~0.25 s of pure driver socket latency at
+        # dim=64 x 8 planes — the fastlit rationale)
+        dot = dot_expr(vec, double_array_lit(w))
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
