@@ -667,56 +667,45 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         rare = sh.join(keep, "sh")
-    # r17 shape (guide §2.4): the inverted-index groupBy follows the
-    # df-cap window DIRECTLY — both are keyed on the shingle, so the
-    # aggregation reuses the window's hash partitioning and adds NO
-    # exchange. The per-doc Jaccard set sizes (previously a second
-    # full-index window over the DOC key: one more index-wide
-    # exchange + sort between the two shingle-keyed stages) are
-    # deferred: they are recovered from the grouped table itself —
-    # every surviving (doc, shingle) row sits in exactly one group's
-    # ids array, so exploding the arrays and counting per doc gives
-    # the same post-cap set size — and attached to the PAIR
-    # aggregation output (one bounded row per candidate pair) instead
-    # of to every index row. The grouped table is checkpointed once
-    # (one row per surviving shingle, ids arrays <= max_doc_freq —
-    # the compact post-agg form) so its two consumers (pair fan-out,
-    # set sizes) do not each re-run the scan->shingle->cap subtree.
-    grouped = rare.groupBy("sh").agg(
-        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
-    )
-    if not df.isStreaming:
-        # measured and rejected (r17): a repartition-by-num before
-        # this checkpoint (the semantic_dedup AQE-exemption pattern)
-        # read 1.7->2.0 s on interleaved fresh-JVM A/Bs — unlike the
-        # unbounded within-cluster self-join there, this fan-out is
-        # bounded at max_doc_freq^2/2 pairs per group, so AQE's
-        # byte-proxy coalescing under-parallelizes by at most a
-        # bounded constant and the extra exchange costs more than the
-        # parallelism buys.
-        grouped = grouped.localCheckpoint(eager=True)
+    # Measured and REVERTED (r17): a restructure that deferred the
+    # per-doc set sizes — grouped inverted index checkpointed after
+    # the shingle-keyed agg, sizes recovered by exploding it and
+    # attached to the pair table with two joins — removed this doc
+    # window's full-index exchange+sort but read ~10% SLOWER at
+    # sf1-organic (interleaved fresh-JVM A/Bs 4.20/4.23 -> 4.64/4.69 s;
+    # sf0.1 a wash): materializing the 1.45M-row grouped table costs
+    # more than the window exchange it saves, at every scale where
+    # the index outgrows the page cache. The r16 window shape stands.
+    # (A repartition-by-num before that checkpoint was also measured
+    # and rejected: 1.7 -> 2.0 s — the pair fan-out is bounded at
+    # max_doc_freq^2/2 per group, so AQE's byte-proxy coalescing
+    # under-parallelizes by at most a bounded constant.)
     # post-cap shingle count per doc = the Jaccard set size
-    sizes = (
-        grouped.select(F.explode("ids").alias("id"))
-        .groupBy("id")
-        .agg(F.count("*").alias("n_sh"))
+    sized = rare.withColumn(
+        "n_sh", F.count("*").over(W.partitionBy(id_col))
+    )
+    grouped = sized.groupBy("sh").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n_sh")))
+        ).alias("ids")
     )
     pairs = grouped.select(
         F.explode(
             F.expr(
                 "flatten(transform(ids, (x, i) -> "
                 "transform(slice(ids, i + 2, size(ids)), y -> "
-                "struct(x as id_a, y as id_b))))"
+                "struct(x.id as id_a, y.id as id_b, "
+                "x.n_sh as n_a, y.n_sh as n_b))))"
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b")
+    ).select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
     return (
         pairs.groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-        .join(sizes.select(F.col("id").alias("id_a"),
-                           F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"),
-                           F.col("n_sh").alias("n_b")), "id_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(

@@ -151,26 +151,18 @@ def test_process_fit_is_two_actions(spark, lineitem):
 
 
 def test_jaccard_single_scan(spark):
-    """Jaccard pairs tokenizes the corpus exactly once: the grouped
-    inverted index is materialized (checkpoint) right after the
-    shingle-keyed aggregation, and every downstream consumer (pair
-    fan-out, per-doc set sizes) reads that compact table — the final
-    plan must contain NO parquet re-scan of the corpus and no
-    duplicated shingle subtree. The only joins allowed are the two
-    bounded attach-joins of the per-doc set sizes onto the candidate
-    pairs (equi-joins; never cartesian). The r16 shape instead paid a
-    full-index doc-keyed window (exchange + sort of every (doc,
-    shingle) row) to carry the sizes."""
+    """Jaccard pairs must stay one linear pipeline: a single parquet
+    scan, no duplicated subtrees, no joins. (An r17 restructure that
+    traded the doc-keyed size window for a checkpointed grouped index
+    plus two attach-joins was measured ~10% slower at sf1-organic and
+    reverted — see ngram_jaccard_pairs' in-line note.)"""
     from optbinning_spark.pipeline.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     q = ngram_jaccard_pairs(docs, "text", "doc_id")
     plan = _plan(q)
-    assert plan.count("Scan parquet") == 0, plan
-    assert "CartesianProduct" not in plan and "Cartesian" not in plan, plan
-    # no full-index window remains (the df-cap window, when it fires,
-    # sits above the checkpoint; this fixture stays under the cap)
-    assert "Window" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
 
 
 def test_driver_closure_join_is_broadcast_no_python_rdd(spark):
