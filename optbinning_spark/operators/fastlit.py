@@ -57,11 +57,45 @@ def double_array_lit(values) -> Column:
     return F.expr(_render(values))
 
 
-def _fmt_str(s: str) -> str:
-    # Spark's default (non-escapedStringLiterals) parser understands
-    # backslash escapes inside single-quoted literals; escape the two
-    # metacharacters and render control chars as unicode escapes so
-    # the rendered SQL is one printable line
+_parser_checked_sessions: set = set()
+
+
+def _assert_default_string_parser() -> None:
+    """The rendered string literals below rely on the DEFAULT
+    ``spark.sql.parser.escapedStringLiterals=false``: with the
+    Hive-compat setting true, ``\\uXXXX`` escapes and doubled
+    backslashes parse as literal characters and silently produce wrong
+    tokenization/shingles/vocab maps. Fail loudly instead — checked
+    once per active session (one conf round trip), never per render."""
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+    except Exception:
+        return
+    if s is None:
+        return
+    key = id(s._jsparkSession) if hasattr(s, "_jsparkSession") else id(s)
+    if key in _parser_checked_sessions:
+        return
+    if str(s.conf.get("spark.sql.parser.escapedStringLiterals",
+                      "false")).lower() == "true":
+        raise RuntimeError(
+            "spark.sql.parser.escapedStringLiterals=true is "
+            "incompatible with optbinning_spark's rendered SQL string "
+            "literals (backslash/\\uXXXX escapes would parse as "
+            "literal characters and silently corrupt tokenization); "
+            "unset the conf or use the Column-op paths")
+    _parser_checked_sessions.add(key)
+
+
+def sql_str_lit(s: str) -> str:
+    """Spark-SQL single-quoted string literal (backslash escaping —
+    the default non-escapedStringLiterals parser, asserted above;
+    control characters render as unicode escapes so the rendered SQL
+    is one printable line). The ONE escaping implementation — bpe.py
+    and every other SQL-string builder import it from here."""
+    _assert_default_string_parser()
     out = []
     for ch in s:
         if ch == "\\":
@@ -73,6 +107,10 @@ def _fmt_str(s: str) -> str:
         else:
             out.append(ch)
     return "'" + "".join(out) + "'"
+
+
+# backwards-compatible internal alias (pre-r18 name)
+_fmt_str = sql_str_lit
 
 
 def str_int_map_sql(mapping: dict) -> str:

@@ -118,27 +118,26 @@ def _merged_string(text: Column, merges) -> Column:
 
 
 def _spark_str(s: str) -> str:
-    """Spark-SQL single-quoted string literal (backslash escaping —
-    the default non-escapedStringLiterals parser; control characters,
-    notably SEP=chr(30), render as unicode escapes)."""
-    out = []
-    for ch in s:
-        if ch == "\\":
-            out.append("\\\\")
-        elif ch == "'":
-            out.append("\\'")
-        elif ord(ch) < 32 or ord(ch) == 127:
-            out.append(f"\\u{ord(ch):04X}")
-        else:
-            out.append(ch)
-    return "'" + "".join(out) + "'"
+    """Spark-SQL single-quoted string literal — the one shared
+    implementation lives in operators.fastlit (sql_str_lit), which
+    also asserts the default non-escapedStringLiterals parser once
+    per session (control characters, notably SEP=chr(30), render as
+    unicode escapes)."""
+    from ..operators.fastlit import sql_str_lit
+
+    return sql_str_lit(s)
 
 
 def _as_col_sql(text) -> str | None:
     """SQL rendering of ``text`` when it is a plain column NAME (str);
-    None for Column inputs — those take the Column-op path."""
+    None for Column inputs — those take the Column-op path. Dotted
+    names quote each path segment (like F.col), so 'meta.text'
+    resolves as the qualified/nested reference it always did on the
+    Column path rather than one literal identifier."""
     if isinstance(text, str):
-        return "`" + text.replace("`", "``") + "`"
+        return ".".join(
+            "`" + part.replace("`", "``") + "`"
+            for part in text.split("."))
     return None
 
 

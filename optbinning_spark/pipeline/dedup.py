@@ -195,8 +195,12 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
 
 
 def _q(name: str) -> str:
-    """Backtick-quoted SQL identifier."""
-    return "`" + name.replace("`", "``") + "`"
+    """Backtick-quoted SQL identifier. Dotted names quote each path
+    segment (like F.col), so a qualified/nested reference such as
+    'meta.text' keeps resolving instead of becoming one literal
+    identifier."""
+    return ".".join(
+        "`" + part.replace("`", "``") + "`" for part in name.split("."))
 
 
 def shingles_from_words_sql(words_sql: str, n: int = 3) -> str:

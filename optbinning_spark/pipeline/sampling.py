@@ -330,6 +330,23 @@ def dsir_log_weights(
     """
     import math
 
+    # argument-combination validation (r18, ADVICE): the flag fast
+    # path is gated on raw_sample_fraction is None, so a silently
+    # ignored combination used to fall into the two-frame branch and
+    # crash on explode_feats(None) with an opaque AttributeError
+    if target_flag is not None:
+        if target is not None:
+            raise ValueError(
+                "pass either target (a separate corpus frame) or "
+                "target_flag (a predicate slice of raw), not both")
+        if raw_sample_fraction is not None:
+            raise ValueError(
+                "target_flag is incompatible with raw_sample_fraction "
+                "(the target count must stay exact); drop one")
+    elif target is None:
+        raise ValueError(
+            "one of target or target_flag is required")
+
     if features_col is not None:
         feats = F.col(features_col)
 

@@ -156,6 +156,30 @@ def _driver_logistic(X, y, w, max_iter=100, tol=1e-10):
     return list(beta[:-1]), float(beta[-1])
 
 
+def _bp_row_count_hint(bp) -> int | None:
+    """Total fitted row count from an already-fitted BinningProcess's
+    first binning table (clean + special + missing bins sum to every
+    non-null-target row of the fit input) — a free driver-side read
+    that replaces the huber/custom sample prefilter's dedicated
+    count() action. Returns None when no unweighted integral count is
+    available (class-weighted binner, empty process): the caller then
+    falls back to counting."""
+    try:
+        for v, b in bp._binners.items():
+            if getattr(b, "class_weight", None) is not None:
+                return None
+            t = getattr(b, "_table", None)
+            cnt = getattr(t, "count", None)
+            if cnt is None:
+                continue
+            total = float(np.asarray(cnt, dtype=float).sum())
+            if total > 0 and abs(total - round(total)) < 1e-6:
+                return int(round(total))
+        return None
+    except Exception:
+        return None
+
+
 class Scorecard:
     def __init__(
         self,
@@ -179,8 +203,21 @@ class Scorecard:
     # ------------------------------------------------------------------
     def fit(self, df: DataFrame, y: str, sample_weight: str | None = None):
         bp = self.binning_process
+        # Row-count hint for the robust-sample prefilter (r18): when
+        # THIS call runs the binning pass on the SAME df, the fitted
+        # binning tables already carry the total record count
+        # (clean + special + missing bins sum to every non-null-y row)
+        # — reusing it saves the prefilter's dedicated count() full
+        # pass. Weighted fits keep the hint off (table counts are
+        # weighted sums, not row counts). The hint only sizes the
+        # filter threshold: a small hint keeps more rows (still exact),
+        # a large one trips the short-result fallback — exactness never
+        # depends on it.
+        self._n_rows_hint = None
         if not bp._fitted:
             bp.fit(df, y, sample_weight)
+            if sample_weight is None:
+                self._n_rows_hint = _bp_row_count_hint(bp)
         self._target_type = bp._target_type
         if self._target_type == "multiclass":
             raise ValueError("Scorecard supports binary or continuous targets")
@@ -259,7 +296,13 @@ class Scorecard:
             pdf = None
             prefilter = bool(self.estimator_params.get(
                 "sample_prefilter", True))
-            n_rows = sel.count() if prefilter else 0
+            # n only sizes the filter threshold (exactness is
+            # structural — see above): prefer the free binning-pass
+            # hint over a dedicated full-table count() action
+            n_rows = 0
+            if prefilter:
+                n_rows = getattr(self, "_n_rows_hint", None) \
+                    or sel.count()
             if prefilter and n_rows > 2 * cap:
                 frac = 1.5 * cap / n_rows
                 t_cut = int(-(2 ** 63) + frac * 2.0 ** 64)
