@@ -4530,27 +4530,114 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rationale comments through round 12 live in git (e769106 and
 #: earlier; the round-13 rotation narrative in f05a462).
 #:
-#: Round-16 rotation (r15 verdict ask #2): the r14/r15 windows were
-#: fully disjoint (100 distinct entries), leaving exactly 19 entries
-#: whose last driver hash is r13 — this window leads with all 19 so
-#: no entry's driver-hash age exceeds 2 rounds. IN (17 r13-vintage
-#: oracle-backed): outlier_yquantile .. prebin_counts — the cohort
-#: the r15 verdict queued by name. IN (2 r13-vintage rows-only):
-#: wide_process_fit and counterfactual — rows-only by nature (approx
-#: probe / weighted multi-objective search), refreshed for the
-#: driver's rows+schema check; their hash-checked siblings
-#: (wide_fit_exact, the three pinned counterfactuals) ride along
-#: below. IN (2 debuts): multiclass_mean_woe_transform (F5's first
-#: driver hash — r15 ask #5) and wide_fit_contract (the approx-probe
-#: accuracy contract, sketch_binning_table pattern — r15 ask #3;
-#: rows-only residual risk now bounded by a hashed claims table). IN
-#: (29 fill): the head of the r14-green cohort in tail order
-#: (binning_2d_3x3 .. doc_normalize) — the solver-riding fit
-#: surfaces re-hash after one round out. OUT: the r15-green window
-#: (age 1) and the 21 remaining r14 entries (age 2, lead the r17
-#: rotation); all stay hash-checked by tools/check_correctness
-#: full-registry runs every session.
+#: Round-18 rotation (r17 verdict ask #1): the r17 optimization round
+#: substantively rewrote ~25 query paths but the (unrotated) r16/r17
+#: window covered only 8 of them — the rewritten set's correctness
+#: evidence was repo-internal (127-entry gate + parity tests) for a
+#: full round. This window LEADS with the 12 rewritten queries the
+#: verdict queued by name (semantic_dedup .. scorecard_scores_huber)
+#: so their r17 rewrites get driver-hash ground truth. FILL (15):
+#: the rest of the r14-vintage cohort (event_window_stats ..
+#: convex_binning_table) — oldest driver hash in the registry (age 4;
+#: their planned r17 rotation never ran, r17 being an optimization
+#: round). FILL (23): the head of the r15-green cohort in tail order
+#: (doc_chunks .. scorecard_table_rebased), age 3. OUT: the r16/r17
+#: window (age 0, hashed twice running) and the remaining r15 cohort
+#: (age 3, leads the next rotation); all stay hash-checked by
+#: tools/check_correctness full-registry runs every session.
 _WINDOW = [
+    "semantic_dedup",
+    "incremental_dedup",
+    "exact_dedup",
+    "dsir_logweights",
+    "lm_perplexity",
+    "paragraph_dedup",
+    "dedup_clusters",
+    "nb_quality_score",
+    "jaccard_pairs",
+    "training_sequences",
+    "ann_topk",
+    "scorecard_scores_huber",
+    "event_window_stats",
+    "ks",
+    "multiclass_binning_table",
+    "outlier_zscore",
+    "quantile_splits",
+    "regression_metrics",
+    "scorecard_scores_logistic",
+    "uniform_binning_table",
+    "binning_2d_pinned",
+    "class_weight_agg",
+    "concave_binning_table",
+    "gopher_flags",
+    "indices_bins_transform",
+    "lang_id",
+    "convex_binning_table",
+    "doc_chunks",
+    "multimodal_features",
+    "outlier_iqr",
+    "quality_top_fraction",
+    "scorecard_table_pdo",
+    "sketch_binning_exact",
+    "unknown_category_transform",
+    "bpe_token_count",
+    "cluster_balanced_sample",
+    "continuous_binning_2d_pinned",
+    "counterfactual_diverse_pinned",
+    "curriculum_shards",
+    "doc_contamination",
+    "doc_split_assignment",
+    "embedding_dedup_clusters",
+    "event_psi_monitor",
+    "mixture_rates",
+    "multimodal_frames",
+    "pack_sequences_bpe",
+    "pii_redaction",
+    "psi",
+    "repetition_flags",
+    "scorecard_table_rebased",
+]
+
+#: Tail: the remaining r15-green entries (age 3 — they lead the next
+#: rotation), the r16 debuts, then the outgoing r16/r17 window
+#: (age 0). Every oracle-backed entry here stays hash-checked by
+#: tools/check_correctness full-registry runs even while out of the
+#: driver window.
+_TAIL = [
+    "shard_assignment",
+    "simhash_pairs",
+    "sketch_categorical_merge",
+    "stratified_doc_sample",
+    "binning_2d_woe_transform",
+    "piecewise_transform",
+    "binning_table_fixed",
+    "cart_splits",
+    "mdlp_splits",
+    "semantic_dedup_arrow",
+    "dsir_gumbel_topk",
+    "ivf_topk",
+    "ivf_topk_pinned",
+    "ivf_topk_trained",
+    "piecewise_transform_fixed",
+    "minhash_signatures",
+    "lsh_candidates",
+    "pq_topk_pinned",
+    "kmeans_refined_centroids",
+    "dup_ngram_spans",
+    "wide_summary_pinned",
+    # r16 debuts (post-rotation, so tail): the brute-force optimality
+    # contract for the production counterfactual search, and the
+    # full-DP hash oracle for the >36-cell guillotine fallback —
+    # queue both for the r17 window alongside the 21 r14-vintage
+    # leads above
+    "counterfactual_contract",
+    "binning_2d_guillotine_pinned",
+    "continuous_binning_2d_guillotine_pinned",
+    "piecewise_qp_contract",
+    "binning_2d_5x5_pinned",
+    "binning_2d_ceiling_pinned",
+    # outgoing r16/r17 window (hashed in both CORRECTNESS_r16 and
+    # CORRECTNESS_r17), in its window order
     "outlier_yquantile",
     "special_missing_stats",
     "counterfactual_pinned",
@@ -4601,96 +4688,6 @@ _WINDOW = [
     "continuous_binning_table",
     "counterfactual_mahalanobis_pinned",
     "doc_normalize",
-]
-
-#: Tail: the 21 r14-green entries that didn't fit the r16 window lead
-#: (they rotate in r17, age 2 at that point), followed by the 50
-#: r15-green entries (age 1). Every oracle-backed entry here stays
-#: hash-checked by tools/check_correctness full-registry runs even
-#: while out of the driver window.
-_TAIL = [
-    "event_window_stats",
-    "exact_dedup",
-    "jaccard_pairs",
-    "ks",
-    "multiclass_binning_table",
-    "outlier_zscore",
-    "quantile_splits",
-    "regression_metrics",
-    "scorecard_scores_logistic",
-    "uniform_binning_table",
-    "ann_topk",
-    "binning_2d_pinned",
-    "class_weight_agg",
-    "dedup_clusters",
-    "concave_binning_table",
-    "gopher_flags",
-    "incremental_dedup",
-    "indices_bins_transform",
-    "lang_id",
-    "convex_binning_table",
-    "nb_quality_score",
-    "doc_chunks",
-    "multimodal_features",
-    "outlier_iqr",
-    "paragraph_dedup",
-    "quality_top_fraction",
-    "scorecard_scores_huber",
-    "scorecard_table_pdo",
-    "sketch_binning_exact",
-    "training_sequences",
-    "unknown_category_transform",
-    "bpe_token_count",
-    "cluster_balanced_sample",
-    "continuous_binning_2d_pinned",
-    "counterfactual_diverse_pinned",
-    "curriculum_shards",
-    "doc_contamination",
-    "doc_split_assignment",
-    "embedding_dedup_clusters",
-    "event_psi_monitor",
-    "lm_perplexity",
-    "mixture_rates",
-    "multimodal_frames",
-    "pack_sequences_bpe",
-    "pii_redaction",
-    "psi",
-    "repetition_flags",
-    "scorecard_table_rebased",
-    "shard_assignment",
-    "simhash_pairs",
-    "sketch_categorical_merge",
-    "stratified_doc_sample",
-    "binning_2d_woe_transform",
-    "piecewise_transform",
-    "binning_table_fixed",
-    "cart_splits",
-    "mdlp_splits",
-    "semantic_dedup",
-    "semantic_dedup_arrow",
-    "dsir_logweights",
-    "dsir_gumbel_topk",
-    "ivf_topk",
-    "ivf_topk_pinned",
-    "ivf_topk_trained",
-    "piecewise_transform_fixed",
-    "minhash_signatures",
-    "lsh_candidates",
-    "pq_topk_pinned",
-    "kmeans_refined_centroids",
-    "dup_ngram_spans",
-    "wide_summary_pinned",
-    # r16 debuts (post-rotation, so tail): the brute-force optimality
-    # contract for the production counterfactual search, and the
-    # full-DP hash oracle for the >36-cell guillotine fallback —
-    # queue both for the r17 window alongside the 21 r14-vintage
-    # leads above
-    "counterfactual_contract",
-    "binning_2d_guillotine_pinned",
-    "continuous_binning_2d_guillotine_pinned",
-    "piecewise_qp_contract",
-    "binning_2d_5x5_pinned",
-    "binning_2d_ceiling_pinned",
 ]
 
 
