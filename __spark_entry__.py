@@ -82,14 +82,16 @@ def q_binning_table_fixed(spark, sf_dir):
         F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("n_nonevent"),
         F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("n_event"),
     )
-    tot = agg.agg(
-        F.sum("n_nonevent").alias("t_ne"), F.sum("n_event").alias("t_ev")
-    )
-    q = F.col("n_nonevent") / F.col("t_ne")
-    p = F.col("n_event") / F.col("t_ev")
+    # totals via a window over the (tiny, <= n_bins rows) aggregation
+    # output instead of a broadcast self-aggregate: the crossJoin
+    # shape planned the full scan+agg subtree TWICE (guide §2.4 —
+    # duplicated subtrees); exact long sums either way (r18)
+    wt = W.partitionBy()
+    q = F.col("n_nonevent") / F.sum("n_nonevent").over(wt)
+    p = F.col("n_event") / F.sum("n_event").over(wt)
     woe = F.log(q / p)
     return (
-        agg.crossJoin(F.broadcast(tot))
+        agg
         .select(
             "bin",
             "count",
@@ -322,10 +324,12 @@ def q_event_type_psi(spark, sf_dir):
         F.sum(F.when(pop == "E", 1).otherwise(0)).alias("n_expected"),
         F.sum(F.when(pop == "A", 1).otherwise(0)).alias("n_actual"),
     )
-    tot = agg.agg(F.sum("n_expected").alias("te"), F.sum("n_actual").alias("ta"))
-    e = F.col("n_expected") / F.col("te")
-    a = F.col("n_actual") / F.col("ta")
-    return agg.crossJoin(F.broadcast(tot)).select(
+    # window totals over the tiny agg output — the broadcast
+    # self-aggregate planned the events scan twice (guide §2.4; r18)
+    wt = W.partitionBy()
+    e = F.col("n_expected") / F.sum("n_expected").over(wt)
+    a = F.col("n_actual") / F.sum("n_actual").over(wt)
+    return agg.select(
         "bin",
         F.round(e, 6).alias("expected_pct"),
         F.round(a, 6).alias("actual_pct"),
@@ -822,12 +826,12 @@ def q_psi(spark, sf_dir):
             F.sum(F.when(pop == "A", 1).otherwise(0)).alias("n_actual"),
         )
     )
-    tot = agg.agg(
-        F.sum("n_expected").alias("te"), F.sum("n_actual").alias("ta")
-    )
-    e_pct = F.col("n_expected") / F.col("te")
-    a_pct = F.col("n_actual") / F.col("ta")
-    return agg.crossJoin(F.broadcast(tot)).select(
+    # window totals over the tiny agg output — the broadcast
+    # self-aggregate planned the orders scan twice (guide §2.4; r18)
+    wt = W.partitionBy()
+    e_pct = F.col("n_expected") / F.sum("n_expected").over(wt)
+    a_pct = F.col("n_actual") / F.sum("n_actual").over(wt)
+    return agg.select(
         "bin",
         F.round(e_pct, 6).alias("expected_pct"),
         F.round(a_pct, 6).alias("actual_pct"),
@@ -843,12 +847,17 @@ def q_ks(spark, sf_dir):
         F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("ne"),
         F.sum("y").alias("ev"),
     )
-    tot = agg.agg(F.sum("ne").alias("tne"), F.sum("ev").alias("tev"))
+    # totals from an unbounded frame of the SAME global-order window
+    # pass the cumsum already needs (same partition, no new exchange)
+    # — the broadcast self-aggregate planned the lineitem scan twice
+    # (guide §2.4; r18); exact long sums either way
     w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)
     cum = (
-        agg.crossJoin(F.broadcast(tot))
-        .withColumn("cum_ev", F.sum("ev").over(w) / F.col("tev"))
-        .withColumn("cum_ne", F.sum("ne").over(w) / F.col("tne"))
+        agg
+        .withColumn("cum_ev", F.sum("ev").over(w) / F.sum("ev").over(wt))
+        .withColumn("cum_ne", F.sum("ne").over(w) / F.sum("ne").over(wt))
     )
     return cum.agg(
         F.round(F.max(F.abs(F.col("cum_ev") - F.col("cum_ne"))), 6).alias("ks")

@@ -504,3 +504,32 @@ def test_binning_2d_one_sided_user_splits_rejected(spark):
 
     with _pt.raises(ValueError):
         OptimalBinning2D(user_splits_x=[25.0])
+
+
+def test_fused_fit_single_action_routing(spark):
+    """r18 optimistic fused fit: a moderate-cardinality numerical fit
+    runs the guarded distinct-value aggregation as its ONLY data pass
+    (no separate probe action — observable as no probe edges and at
+    most 2 Spark jobs for the whole fit), while a forced overflow
+    falls back to probe + bucketized aggregation (probe edges set)
+    with results still exact (test_high_cardinality_bucket_fit_is_exact
+    covers the value equality)."""
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet").selectExpr(
+        "l_quantity as x", 'cast(l_returnflag = "R" as int) as y')
+    df.count()  # warm the scan so job counting sees only the fit
+    st = spark.sparkContext._jsc.sc().statusTracker()
+    n0 = len(st.getJobIdsForGroup(None))
+    ob = OptimalBinning().fit(df, "x", "y")
+    n_jobs = len(st.getJobIdsForGroup(None)) - n0
+    assert ob._probe_edges is None  # exact path: probe never ran
+    assert n_jobs <= 2, n_jobs  # one action (exchange + collect wave)
+
+    import optbinning_spark.operators.prebinning as PB
+    orig = PB.MAX_HISTOGRAM_BUCKETS
+    PB.MAX_HISTOGRAM_BUCKETS = 2  # force cap (=32) below l_quantity's 50
+    try:
+        ob2 = OptimalBinning().fit(df, "x", "y")
+    finally:
+        PB.MAX_HISTOGRAM_BUCKETS = orig
+    assert ob2._probe_edges  # overflow path: probe ran, edges kept

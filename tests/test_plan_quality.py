@@ -109,22 +109,34 @@ def _action_sites(tracker, jobs):
     return sites
 
 
-def test_fit_is_two_actions(spark, lineitem):
-    """The fused fit contract: ONE probe + ONE stats aggregation —
-    exactly two driver actions for a whole single-variable cart fit."""
+def test_fit_action_counts(spark, lineitem):
+    """The r18 optimistic fused-fit contract: a moderate-cardinality
+    single-variable cart fit is ONE driver action (the LIMIT-guarded
+    distinct-value aggregation IS the whole data plane — no separate
+    probe); a high-cardinality fit detects overflow via the LIMIT and
+    pays the probe + bucketized aggregation on top (three actions —
+    the documented trade for the common case's single pass)."""
     from optbinning_spark.binning import OptimalBinning
 
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     sc.setJobGroup("fitcount", "fit job counting")
     OptimalBinning(prebinning_method="cart").fit(
-        lineitem, "l_extendedprice", "y")
+        lineitem, "l_quantity", "y")  # 50 distinct: exact path
     jobs = tracker.getJobIdsForGroup("fitcount")
     sc.setJobGroup(None, None)
     sites = _action_sites(tracker, jobs)
-    assert len(sites) == 2, f"expected 2 actions, saw {sites}"
-    # and each action is at most 2 jobs (AQE: shuffle map + final)
-    assert len(jobs) <= 4, f"expected <=4 jobs, saw {len(jobs)}: {jobs}"
+    assert len(sites) == 1, f"expected 1 action, saw {sites}"
+    # and the action is at most 2 jobs (AQE: shuffle map + final)
+    assert len(jobs) <= 2, f"expected <=2 jobs, saw {len(jobs)}: {jobs}"
+
+    sc.setJobGroup("fitcount_hc", "high-cardinality fit job counting")
+    OptimalBinning(prebinning_method="cart").fit(
+        lineitem, "l_extendedprice", "y")  # ~6k distinct: overflow
+    jobs = tracker.getJobIdsForGroup("fitcount_hc")
+    sc.setJobGroup(None, None)
+    sites = _action_sites(tracker, jobs)
+    assert len(sites) == 3, f"expected 3 actions, saw {sites}"
 
 
 def test_process_fit_is_two_actions(spark, lineitem):
