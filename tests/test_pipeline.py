@@ -978,6 +978,54 @@ def test_connected_components_chain_rounds(spark):
     assert all(c == 0 for c in got.values())
 
 
+def test_cc_distributed_local_uf_matches_driver(spark):
+    """r18 local-union-find closure: the forced-distributed path must
+    equal the driver union-find on randomized multigraphs (duplicate
+    edges, self-referencing labels, multiple components), and must
+    never need the star fallback on a well-formed run."""
+    import random
+
+    from optbinning_spark.pipeline.dedup import connected_components
+
+    rng = random.Random(18)
+    for _ in range(4):
+        n = rng.randint(5, 60)
+        edges = [(rng.randint(0, n), rng.randint(0, n))
+                 for _ in range(rng.randint(1, 90))]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        stats = {}
+        d = sorted(map(tuple, connected_components(
+            df, driver_threshold=0, stats=stats).collect()))
+        drv = sorted(map(tuple, connected_components(df).collect()))
+        assert d == drv
+        assert stats["path"] == "distributed"
+        assert "star_fallback" not in stats
+
+
+def test_cc_star_fallback_on_broken_fast_round(spark, monkeypatch):
+    """The decode-validity verification is load-bearing: if the fast
+    local-union-find round is sabotaged into a no-op (its 'stable'
+    fixed point is then NOT a min-star forest), connected_components
+    must detect that, fall back to the proven alternating-star loop,
+    and still return the exact components."""
+    from optbinning_spark.pipeline import dedup as dedup_mod
+    from optbinning_spark.pipeline.dedup import connected_components
+
+    monkeypatch.setattr(
+        dedup_mod, "_cc_round_local_uf", lambda e: e.select("src", "dst"))
+    edges = [(3, 2), (2, 1), (1, 0), (10, 11)]  # chains: not stars
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    stats = {}
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               df, driver_threshold=0, stats=stats).collect()}
+    assert stats["star_fallback"] is True
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+
+
 def test_connected_components_driver_stats(spark):
     """The driver fast path reports itself through the same stats
     contract (path/edges/rounds)."""
