@@ -538,7 +538,11 @@ def ngram_lm_perplexity(
         .filter((F.col("__tag") == 0) | F.col("v").isNotNull())
         .groupBy("__tag", "v", "w")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
+        # LAZY: the mandatory T/V stats action right below
+        # materializes the checkpoint AND computes the stats in ONE
+        # job (eager=True spent a separate job on materialization —
+        # the same probe-fusion the connected-components loop uses)
+        .localCheckpoint(eager=False)
     )
     uni = lm_counts.filter(F.col("__tag") == 0).select(
         "w", F.col("c").alias("c1"))
