@@ -629,6 +629,31 @@ class BinningProcess:
         # amortize a full-data exchange.
         per_var_cap = 4096
         n_hist = 256
+        # ---- r18 optimistic single-action narrow fit -----------------
+        # Narrow fits (< 8 vars — no spread/persist pairing) skip the
+        # probe ACTION entirely: every todo variable is optimistically
+        # routed to the exact distinct-value path, and the stacked
+        # collect's LIMIT guard detects overflow (falling back to the
+        # probe-routed shape below — 3 actions on genuinely
+        # high-cardinality inputs, 1 on the calibrated common case).
+        # Target-type / class-list inference folds INTO the same
+        # action: float targets aggregate the continuous-metric
+        # superset plus a non-{0,1} flag (binary metrics then derive
+        # exactly on the driver: y in {0,1} makes sum(w*y) identical
+        # to sum(w | y=1)); integral targets add the raw target to the
+        # group key (per-class weighted counts merge exactly on the
+        # driver). Gated off for probe_mode="exact" (the deterministic
+        # -probe contract needs the probe) and the opt-in salt path
+        # (its decision rides the probe's HLLs).
+        if (len(self.variable_names) < 8
+                and self.probe_mode == "approx"
+                and self.cat_salt_threshold is None):
+            out = self._optimistic_narrow_fit(
+                work, numeric, categorical, user, todo, y, w, classes,
+                need_tt, need_classes, y_float,
+                per_var_cap=per_var_cap, n_hist=n_hist)
+            if out is not None:
+                return out
         probs = np.linspace(0, 1, n_hist + 1)[1:-1]
         if todo or need_tt or need_classes:
             probe_aggs = []
@@ -785,6 +810,156 @@ class BinningProcess:
             else:
                 small.append(v)
 
+        rows = self._stacked_rows(
+            work, numeric, categorical, big, edges_by_var, y, w,
+            tt, classes, metrics, salt_s,
+            per_var_cap=per_var_cap, n_hist=n_hist)
+        if rows is None:
+            return None
+        return self._reduce_stacked(
+            rows, numeric, categorical, user, edges_by_var,
+            raw_edges_by_var, metrics, tt, task, method, n_hist)
+
+    # ------------------------------------------------------------------
+    def _optimistic_narrow_fit(self, work, numeric, categorical, user,
+                               todo, y, w, classes, need_tt,
+                               need_classes, y_float, *, per_var_cap,
+                               n_hist):
+        """Single-action narrow fit (see the call site comment).
+        Returns (splits_by_var, stats_by_var) or None when the LIMIT
+        guard trips — the caller then runs the probe-routed shape."""
+        self._stats_salt_partitions = None
+        big, edges_by_var = [], {}
+        # user-split variables ride the bucket path with the final
+        # splits AS the bucket edges — they never need the probe
+        for v, us in user.items():
+            if us.size:
+                big.append(v)
+                edges_by_var[v] = [float(e) for e in us]
+        tt = self._target_type
+        mode = "std"
+        if need_tt:
+            mode = "float_infer" if y_float else "ygroup"
+        elif need_classes:
+            mode = "ygroup"
+
+        big_ids = {i for i, v in enumerate(numeric) if v in edges_by_var}
+
+        def _too_wide(rows):
+            # per-variable routing gate, mirroring the probe's
+            # nd <= 1.1 * per_var_cap rule (true cardinality here
+            # instead of the rsd=0.05 HLL estimate — they differ only
+            # when HLL misses by >10%): any non-bucketized numeric
+            # variable past the cap re-routes the WHOLE fit through
+            # the probe path, where it takes the bucketized shape.
+            # The collect's own LIMIT (sized for the full variable
+            # set) stays the driver-memory backstop.
+            seen: dict[int, set] = {}
+            for r in rows:
+                vid = r["variable"]
+                if (vid < len(numeric) and vid not in big_ids
+                        and r["sample_class"] == 0
+                        and r["gv"] is not None):
+                    seen.setdefault(vid, set()).add(r["gv"])
+            lim = per_var_cap * 1.1
+            return any(len(s) > lim for s in seen.values())
+
+        if mode == "std":
+            metrics = _metric_names(tt, classes)
+            rows = self._stacked_rows(
+                work, numeric, categorical, big, edges_by_var, y, w,
+                tt, classes, metrics, None,
+                per_var_cap=per_var_cap, n_hist=n_hist)
+            if rows is None or _too_wide(rows):
+                return None
+        elif mode == "float_infer":
+            cont = _metric_names("continuous")
+            agg_cols = _agg_exprs("__y", "__w", "continuous") + [
+                F.max(F.when(~F.col("__y").isin(0.0, 1.0), 1)
+                      .otherwise(0)).alias("__non01")]
+            rows = self._stacked_rows(
+                work, numeric, categorical, big, edges_by_var, y, w,
+                "continuous", None, cont, None,
+                per_var_cap=per_var_cap, n_hist=n_hist,
+                agg_cols=agg_cols)
+            if rows is None or _too_wide(rows):
+                return None
+            if any(r["__non01"] for r in rows):
+                tt = "continuous"
+            else:
+                tt = "binary"
+                rows = [_DictRow({
+                    "variable": r["variable"],
+                    "sample_class": r["sample_class"],
+                    "gv": r["gv"], "key": r["key"], "vmax": r["vmax"],
+                    "n_event": r["sum_y"] or 0.0,
+                    "n_nonevent": (r["n_records"] or 0.0)
+                    - (r["sum_y"] or 0.0),
+                }) for r in rows]
+            self._target_type = tt
+        else:  # ygroup: integral target (or explicit multiclass)
+            agg_cols = [
+                F.coalesce(F.sum(F.col("__w")), F.lit(0.0)).alias("__cw")]
+            rows = self._stacked_rows(
+                work, numeric, categorical, big, edges_by_var, y, w,
+                None, None, ["__cw"], None,
+                per_var_cap=per_var_cap, n_hist=n_hist,
+                agg_cols=agg_cols, group_y=True, cap_mult=8)
+            if rows is None or _too_wide(rows):
+                return None
+            ycls = [v for v in sorted({r["__y"] for r in rows})
+                    if v is not None]
+            if self._target_type == "multiclass" or not set(ycls) <= {0, 1}:
+                tt = "multiclass"
+                classes = ycls
+                self._classes = classes
+            else:
+                tt = "binary"
+                classes = None
+            self._target_type = tt
+            # exact driver-side merge of the per-(group, target-class)
+            # weighted counts into the standard metric rows — the same
+            # two-stage sum algebra the salted re-reduce uses
+            merged: dict = {}
+            for r in rows:
+                k = (r["variable"], r["sample_class"], r["gv"], r["key"])
+                slot = merged.setdefault(k, {"vmax": None, "cw": {}})
+                if r["vmax"] is not None and (
+                        slot["vmax"] is None or r["vmax"] > slot["vmax"]):
+                    slot["vmax"] = r["vmax"]
+                slot["cw"][r["__y"]] = (
+                    slot["cw"].get(r["__y"], 0.0) + (r["__cw"] or 0.0))
+            out_rows = []
+            for (vv, sc, gv, key), slot in merged.items():
+                d = {"variable": vv, "sample_class": sc, "gv": gv,
+                     "key": key, "vmax": slot["vmax"]}
+                if tt == "binary":
+                    d["n_event"] = slot["cw"].get(1, 0.0)
+                    d["n_nonevent"] = slot["cw"].get(0, 0.0)
+                else:
+                    for i, c in enumerate(classes):
+                        d[f"n_event_{i}"] = slot["cw"].get(c, 0.0)
+                out_rows.append(_DictRow(d))
+            rows = out_rows
+        metrics = _metric_names(tt, classes)
+        task = "regression" if tt == "continuous" else "classification"
+        return self._reduce_stacked(
+            rows, numeric, categorical, user, edges_by_var, {},
+            metrics, tt, task, self.prebinning_method, n_hist)
+
+    # ------------------------------------------------------------------
+    def _stacked_rows(self, work, numeric, categorical, big,
+                      edges_by_var, y, w, tt, classes, metrics, salt_s,
+                      *, per_var_cap=4096, n_hist=256, agg_cols=None,
+                      group_y=False, cap_mult=1):
+        """Build and collect the combined stacked aggregation (the fit's
+        stats action). Returns the collected rows, or None when the
+        LIMIT guard trips (caller falls back). ``agg_cols`` overrides
+        the per-group aggregate expressions and ``group_y`` adds the
+        raw target to the group key — the optimistic narrow path uses
+        both to fold target-type inference into this single action."""
+        from pyspark.ml.feature import Bucketizer
+
         if big:
             buck = Bucketizer(
                 splitsArray=[
@@ -803,11 +978,9 @@ class BinningProcess:
         # aggregation hash cost); they decode back to names once on
         # the tiny collected result below
         from .operators.preprocessing import (
+            normalize_special_codes,
             sample_class_code_expr,
-            sample_class_code_names,
         )
-
-        from .operators.preprocessing import normalize_special_codes
 
         var_list = list(numeric) + list(categorical)
         var_id = {v: i for i, v in enumerate(var_list)}
@@ -857,45 +1030,65 @@ class BinningProcess:
         # and special/missing groups are bounded by construction; the
         # allowance covers categorical cardinality (unbounded today in
         # the fallback too — cat_cutoff is the scale guard there)
+        small_n = len(numeric) - len(big)
         cap = (
-            per_var_cap * 2 * max(len(small), 1)
+            per_var_cap * 2 * max(small_n, 1)
             + (n_hist + 2) * max(len(big), 1)
             + 100_000 * max(len(categorical), 1)
             + 4 * len(self.variable_names)
-        )
+        ) * cap_mult
+        keys = ["variable", "sample_class", "gv", "key"] + (
+            ["__y"] if group_y else [])
         if salt_s and salt_s > 1:
             from .operators.aggregation import _merge_exprs
 
             grouped = (
                 exploded.groupBy(
-                    "variable", "sample_class", "gv", "key",
+                    *keys,
                     F.pmod(F.spark_partition_id(), F.lit(salt_s))
                     .alias("__salt"))
                 .agg(F.max("cval").alias("vmax"),
                      *_agg_exprs("__y", "__w", tt, classes))
-                .groupBy("variable", "sample_class", "gv", "key")
+                .groupBy(*keys)
                 .agg(F.max("vmax").alias("vmax"), *_merge_exprs(metrics))
             )
         else:
-            grouped = exploded.groupBy(
-                "variable", "sample_class", "gv", "key"
-            ).agg(F.max("cval").alias("vmax"),
-                  *_agg_exprs("__y", "__w", tt, classes))
+            grouped = exploded.groupBy(*keys).agg(
+                F.max("cval").alias("vmax"),
+                *(agg_cols if agg_cols is not None
+                  else _agg_exprs("__y", "__w", tt, classes)))
         _t_stats = _time.time()
         rows = grouped.limit(cap + 1).collect()
         _dbg("stats_agg", _t_stats)
         if len(rows) > cap:
             return None
+        return rows
+
+    # ------------------------------------------------------------------
+    def _reduce_stacked(self, rows, numeric, categorical, user,
+                        edges_by_var, raw_edges_by_var, metrics, tt,
+                        task, method, n_hist):
+        """Driver-side reduction of the collected stacked rows into
+        (splits_by_var, stats_by_var) — split proposal AND per-prebin
+        statistics from the one collect."""
+        from .core.tree import cart_splits, mdlp_splits
+        from .operators.aggregation import (
+            bin_stats_from_values,
+            snap_splits_to_edges,
+        )
+        from .operators.preprocessing import sample_class_code_names
 
         # decode int keys back to the name/string view the per-variable
         # reducers consume (one pass over the tiny collected result)
+        var_list = list(numeric) + list(categorical)
         code_names = {
             v: sample_class_code_names(self._codes_for(v))
             for v in self.variable_names
         }
         by_var: dict[str, list] = {v: [] for v in self.variable_names}
         for r in rows:
-            d = r.asDict()
+            d = (r.asDict() if hasattr(r, "asDict")
+                 else dict(r._d) if isinstance(r, _DictRow) else dict(r))
             vname = var_list[d["variable"]]
             d["variable"] = vname
             d["sample_class"] = code_names[vname][d["sample_class"]]

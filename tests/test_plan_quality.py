@@ -139,27 +139,56 @@ def test_fit_action_counts(spark, lineitem):
     assert len(sites) == 3, f"expected 3 actions, saw {sites}"
 
 
-def test_process_fit_is_two_actions(spark, lineitem):
-    """The whole multi-variable BinningProcess cart fit is the same
-    two-action shape (probe + combined stacked aggregation)."""
+def test_process_fit_is_one_action(spark, lineitem):
+    """The whole multi-variable narrow BinningProcess cart fit is ONE
+    action (r18): the optimistic stacked aggregation IS the data plane
+    — no probe action, target-type inference folded into the same
+    collect. All-moderate-cardinality variables here: l_extendedprice
+    (~6k distinct at this SF, above the 4,096 per-var cap) is NOT in
+    this list — it would trip the LIMIT fallback (covered below)."""
     from optbinning_spark import BinningProcess
 
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     sc.setJobGroup("bpfitcount", "process fit job counting")
-    BinningProcess(
-        ["l_quantity", "l_extendedprice", "l_discount", "l_linestatus"],
+    bp = BinningProcess(
+        ["l_quantity", "l_discount", "l_tax", "l_linestatus"],
         prebinning_method="cart",
-    ).fit(lineitem, "y")
+    )
+    bp.fit(lineitem, "y")
     jobs = tracker.getJobIdsForGroup("bpfitcount")
     sc.setJobGroup(None, None)
     sites = _action_sites(tracker, jobs)
-    assert len(sites) == 2, f"expected 2 actions, saw {sites}"
+    assert len(sites) == 1, f"expected 1 action, saw {sites}"
     # narrow (< 8 var) fits add NO repartition — an interleaved A/B
     # showed the spread shuffle costing ~3x the whole fit at this
-    # width — so each action is at most 2 AQE jobs (shuffle map +
-    # final), same as the single-variable contract above
-    assert len(jobs) <= 4, f"expected <=4 jobs, saw {len(jobs)}: {jobs}"
+    # width — so the action is at most 2 AQE jobs (shuffle map+final)
+    assert len(jobs) <= 2, f"expected <=2 jobs, saw {len(jobs)}: {jobs}"
+    assert bp._target_type == "binary"  # inference rode the one action
+
+
+def test_process_fit_overflow_falls_back_to_probe(spark, lineitem):
+    """A narrow fit containing a high-cardinality variable trips the
+    optimistic LIMIT and re-routes through the probe + bucketized
+    stacked aggregation — results equal to forcing the probe path."""
+    from optbinning_spark import BinningProcess
+
+    def fit(force_probe):
+        bp = BinningProcess(
+            ["l_quantity", "l_extendedprice"], prebinning_method="cart")
+        if force_probe:
+            # widen past the narrow gate? no — flip the salt knob off
+            # the optimistic gate instead (needs the probe by design)
+            bp.cat_salt_threshold = 10**12
+        bp.fit(lineitem, "y")
+        return bp
+
+    a, b = fit(False), fit(True)
+    for v in ("l_quantity", "l_extendedprice"):
+        assert list(a._binners[v].splits) == list(b._binners[v].splits)
+        ta = a._binners[v].binning_table.build(add_totals=False)
+        tb = b._binners[v].binning_table.build(add_totals=False)
+        assert ta.equals(tb)
 
 
 def test_jaccard_single_scan(spark):
