@@ -1106,6 +1106,12 @@ SCALE_QUERIES = [
     "lm_perplexity",
     "paragraph_dedup",
     "pii_redaction",
+    # r18 (VERDICT r17 item 7): the fit family's at-scale evidence —
+    # sf0.1 is overhead-bound for every fit query (r17 scaling block),
+    # so the r18 single-action fit changes are adjudicated here.
+    # Additions only; existing names/methodology untouched.
+    "optimal_binning_table",
+    "binning_process_summary",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
