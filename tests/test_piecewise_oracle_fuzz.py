@@ -208,3 +208,95 @@ def test_active_set_qp_random_fuzz_vs_subset_enumeration(n_probs):
             t, obj, best, "active-set returned a suboptimal point")
         checked += 1
     assert checked >= n_probs * 3 // 4
+
+
+def test_qp_rescue_solves_active_set_stalls_exactly():
+    """Direct pin for the _qp_rescue fallback, independent of whether
+    the host's LAPACK raises on singular KKT systems (builds whose LU
+    returns finite garbage stall the active-set loop on these two
+    seed-20260816 instances — t=3 and t=30 — and reach the rescue;
+    builds whose LU raises never do). The rescue must return the
+    enumerated global optimum, feasible, on both stall instances and
+    on a scaled equality-constrained case."""
+    import itertools as it
+
+    import numpy as np
+
+    from optbinning_spark.piecewise import _qp_rescue
+
+    rng = np.random.default_rng(20260816)
+    probs = []
+    for t in range(40):
+        n = int(rng.integers(2, 5))
+        B = rng.normal(size=(n + 1, n))
+        H = B.T @ B + 0.1 * np.eye(n)
+        f = rng.normal(size=n)
+        m = int(rng.integers(1, 7))
+        G = rng.normal(size=(m, n))
+        h = rng.normal(size=m) + 0.5
+        scale = 1e8 if t % 2 else 1.0
+        if t in (3, 30):
+            probs.append((t, H * scale, f * scale, G, h))
+
+    assert len(probs) == 2
+    for t, H2, f2, G, h in probs:
+        n = H2.shape[0]
+        m = len(h)
+        best = np.inf
+        for r in range(m + 1):
+            for sub in it.combinations(range(m), r):
+                rows = G[list(sub)]
+                M = np.zeros((n + r, n + r))
+                M[:n, :n] = H2
+                if r:
+                    M[:n, n:] = rows.T
+                    M[n:, :n] = rows
+                rhs = np.concatenate([f2, h[list(sub)]])
+                try:
+                    sol = np.linalg.solve(M, rhs)
+                except np.linalg.LinAlgError:
+                    continue
+                x = sol[:n]
+                if (G @ x - h).max() > 1e-7:
+                    continue
+                best = min(best, 0.5 * x @ H2 @ x - f2 @ x)
+
+        x = _qp_rescue(H2, f2, np.zeros((0, n)), G, h)
+        if t == 3:
+            # feasible stall instance: the rescue must return the
+            # enumerated global optimum, feasible
+            assert np.isfinite(best), t
+            assert x is not None, t
+            assert (G @ x - h).max() <= 1e-6 * (1 + np.abs(x).max()), t
+            obj = 0.5 * x @ H2 @ x - f2 @ x
+            assert obj <= best + 1e-6 * (1 + abs(best)), (t, obj, best)
+        else:
+            # t=30 is primal-INFEASIBLE (6 random halfplanes in 2D,
+            # empty intersection — grid-verified min max-violation
+            # 0.64): the rescue must refuse (None) so the caller's
+            # loud RuntimeError survives, never return a point
+            assert not np.isfinite(best), t
+            assert x is None, t
+
+    # equality rows exercise the free-multiplier branch: minimize at
+    # scale with one continuity-style equality and box inequalities
+    rng2 = np.random.default_rng(7)
+    n = 4
+    B = rng2.normal(size=(n + 2, n))
+    H = (B.T @ B + 0.5 * np.eye(n)) * 1e8
+    f = rng2.normal(size=n) * 1e8
+    Aeq = np.array([[1.0, -1.0, 0.0, 0.0]])
+    G = np.vstack([np.eye(n), -np.eye(n)])
+    h = np.full(2 * n, 0.05)
+    x = _qp_rescue(H, f, Aeq, G, h)
+    assert x is not None
+    assert abs(x[0] - x[1]) <= 1e-8
+    assert (G @ x - h).max() <= 1e-6 * (1 + np.abs(x).max())
+    # KKT-verified: x must beat every feasible perturbation we try
+    obj = 0.5 * x @ H @ x - f @ x
+    for _ in range(200):
+        p = rng2.normal(size=n) * 0.01
+        p[1] = p[0]
+        xp = np.clip(x + p, -0.05, 0.05)
+        xp[1] = xp[0]
+        assert 0.5 * xp @ H @ xp - f @ xp >= obj - 1e-6 * (1 + abs(obj))
